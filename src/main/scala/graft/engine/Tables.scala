@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) and the
+  * session defaults the engine expects.
+  *
+  * Scale notes (100 TB design point): every loader is a plain parquet scan so
+  * Catalyst's vectorized reader, predicate pushdown and column pruning apply
+  * unchanged on a real cluster; dimension tables (`region`, `nation`,
+  * `supplier`, `part`) are small and are broadcast by the optimizer (we keep
+  * them under `spark.sql.autoBroadcastJoinThreshold`). Fact tables
+  * (`lineitem`, `orders`, `events`) would be laid out partitioned by month of
+  * their date column in production — the queries in [[graft.SparkEntry]] all
+  * filter on those columns so partition pruning kicks in.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Session tuned for local[N] testing but with settings that transfer to a
+    * cluster: AQE on (runtime shuffle coalescing + skew-join handling),
+    * shuffle partitions sized to cores rather than the 200 default.
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator families re-expressing the reference's query
+  * semantics (SURVEY.md §2) as composable `DataFrame => DataFrame`
+  * transforms. Each operator is declarative — Catalyst handles predicate
+  * pushdown, column pruning, broadcast-join selection and partial
+  * aggregation; nothing here materializes on the driver.
+  */
+object Filters {
+
+  /** Composite natural-key equality filter — the reference's BBL point
+    * lookup (reference: webserver/server.py:135-144, key uniqueness
+    * schema.sql:17). Conjunction of per-column equalities; pushed to the
+    * scan.
+    */
+  def naturalKey(df: DataFrame, key: Map[String, Any]): DataFrame =
+    df.filter(key.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+
+  /** Optional-bound date range — the reference builds the SQL fragment only
+    * when a bound is present (reference: webserver/server.py:156-167); absent
+    * bound = all-time (bookmarks path, server.py:572-576). `Option.fold`
+    * composition keeps the plan free of always-true predicates.
+    */
+  def dateWindow(df: DataFrame, dateCol: String,
+                 start: Option[String], end: Option[String]): DataFrame = {
+    val lower = start.fold(lit(true))(s => col(dateCol) >= to_timestamp(lit(s)))
+    val upper = end.fold(lit(true))(e =>
+      col(dateCol) < to_timestamp(lit(e)) + expr("interval 1 day"))
+    df.filter(lower && upper)
+  }
+
+  /** IN-list membership ("active" status set, reference:
+    * webserver/server.py:172).
+    */
+  def statusIn(statusCol: String, statuses: Seq[String]): Column =
+    col(statusCol).isin(statuses: _*)
+
+  /** Check-constraint validation split (reference: schema.sql:31-35,43-44,
+    * 70-73): tag every row valid/invalid instead of failing the load, so
+    * at 100 TB the quarantine is a single extra boolean column, not a second
+    * scan.
+    */
+  def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val allOk = checks.map(_._2).reduce(_ && _)
+    val firstFail = checks.foldRight(lit(null).cast("string")) {
+      case ((name, c), acc) => when(!c, lit(name)).otherwise(acc)
+    }
+    df.withColumn("is_valid", coalesce(allOk, lit(false)))
+      .withColumn("violation", firstFail)
+  }
+}
+
+object Aggregates {
+
+  /** Exact continuous median (PERCENTILE_CONT 0.5 semantics, reference:
+    * webserver/server.py:222-231) made cross-engine bit-deterministic:
+    * interpolating between two doubles (`a + (b-a)*0.5` vs `(a+b)/2`) can
+    * differ by 1 ulp between engines, so we take the median over integer
+    * cents — midpoints of integers are exact in IEEE double — then divide
+    * by 100 (identical division on identical inputs).
+    */
+  def exactMedianMoney(c: Column): Column =
+    percentile(round(c * 100), lit(0.5)) / 100.0
+
+  /** Global total + conditional "active" count in one pass — the signature
+    * idiom of the reference: `COUNT(*)` plus
+    * `SUM(CASE WHEN status IN (...) THEN 1 ELSE 0 END)` (reference:
+    * webserver/server.py:170-180). Partial aggregation (map-side combine)
+    * is automatic, so this is one shuffle of one row per partition.
+    */
+  def totals(df: DataFrame, statusCol: String, active: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_count"),
+      coalesce(sum(when(Filters.statusIn(statusCol, active), 1L).otherwise(0L)),
+        lit(0L)).as("active_count"))
+
+  /** Per-group counts + conditional counts, count-desc with a name tiebreak
+    * for determinism (reference: webserver/server.py:183-200; tiebreak added
+    * per SURVEY.md §2.5 O1).
+    */
+  def groupCounts(df: DataFrame, groupCol: String, statusCol: String,
+                  active: Seq[String]): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("total_count"),
+        sum(when(Filters.statusIn(statusCol, active), 1L).otherwise(0L))
+          .as("active_count"))
+      .orderBy(col("total_count").desc, col(groupCol))
+
+  /** Exact median / min / max price stats with the reference's empty-group
+    * zero fallback (reference: webserver/server.py:221-240 — an empty sale
+    * set reports 0, not NULL). Exact `percentile` matches PERCENTILE_CONT
+    * interpolation; at 100 TB swap in [[approxPriceStats]].
+    */
+  def priceStats(df: DataFrame, priceCol: String): DataFrame =
+    df.agg(
+      coalesce(exactMedianMoney(col(priceCol)), lit(0.0)).as("median_price"),
+      coalesce(round(min(col(priceCol)), 2), lit(0.0)).as("min_price"),
+      coalesce(round(max(col(priceCol)), 2), lit(0.0)).as("max_price"),
+      count(lit(1)).as("num_sales"))
+
+  /** Scale escape hatch: t-digest-style approximate percentile (constant
+    * memory per group) for the 100 TB path where exact percentile's
+    * per-group buffer is the bottleneck (SURVEY.md §7.5).
+    */
+  def approxPriceStats(df: DataFrame, priceCol: String): DataFrame =
+    df.agg(
+      coalesce(round(percentile_approx(col(priceCol), lit(0.5), lit(10000)), 2),
+        lit(0.0)).as("median_price"),
+      coalesce(round(min(col(priceCol)), 2), lit(0.0)).as("min_price"),
+      coalesce(round(max(col(priceCol)), 2), lit(0.0)).as("max_price"),
+      count(lit(1)).as("num_sales"))
+}
+
+object TopK {
+
+  /** Top-N groups + residual "Other" bucket (reference:
+    * webserver/server.py:411-419 does this in Python after transferring all
+    * groups; here it is one extra tiny aggregate over the already-reduced
+    * group counts, so the fact table is scanned once).
+    *
+    * Input: output of [[Aggregates.groupCounts]] (groupCol, total_count,
+    * active_count). Output keeps the grand total invariant:
+    * sum(total_count) is preserved (SURVEY.md §5 property 3).
+    */
+  def topNPlusOther(grouped: DataFrame, groupCol: String, n: Int): DataFrame = {
+    val w = Window.orderBy(col("total_count").desc, col(groupCol))
+    grouped
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bucket",
+        when(col("rn") <= n, col(groupCol)).otherwise(lit("Other")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("total_count")).as("total_count"),
+        min(col("rn")).as("ord"))
+      .orderBy(col("ord"))
+      .select(col("bucket"), col("total_count"))
+  }
+}
+
+object TimeSeries {
+
+  /** Calendar-month rollup (reference: webserver/server.py:281-302 —
+    * `GROUP BY DATE_TRUNC('month', …)`). Emits the month as a `yyyy-MM`
+    * string (the reference's edge format, server.py:312).
+    */
+  def monthly(df: DataFrame, dateCol: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(date_format(date_trunc("month", col(dateCol)), "yyyy-MM")
+        .as("month"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("month"))
+
+  /** Month spine: one row per calendar month in [start, end] — replaces the
+    * reference's driver-side month-increment loop
+    * (webserver/server.py:319-329) with `sequence` + `explode`: a single
+    * constant-foldable expression the optimizer broadcasts.
+    */
+  def monthSpine(spark: org.apache.spark.sql.SparkSession,
+                 start: String, end: String): DataFrame = {
+    import spark.implicits._
+    Seq((start, end)).toDF("s", "e")
+      .select(explode(sequence(
+        date_trunc("month", to_timestamp(col("s"))),
+        date_trunc("month", to_timestamp(col("e"))),
+        expr("interval 1 month"))).as("month_ts"))
+      .select(date_format(col("month_ts"), "yyyy-MM").as("month"))
+  }
+
+  /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
+    * null semantics — counts become 0 for missing months, medians stay NULL
+    * (reference: webserver/server.py:331-341). `zeroFill` names the count
+    * columns; everything else keeps the join's nulls.
+    */
+  def gapFill(spine: DataFrame, agg: DataFrame, zeroFill: Seq[String]): DataFrame = {
+    val joined = spine.join(broadcast(agg), Seq("month"), "left")
+    val filled = zeroFill.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+    filled.orderBy(col("month"))
+  }
+}
+
+object Compare {
+
+  /** Two-key (or N-key) side-by-side comparison in ONE pass (reference:
+    * webserver/server.py:456-473 runs the full query stack twice; J4 in
+    * SURVEY.md). Filter to the key set, group by the key, aggregate — the
+    * fact table is scanned once regardless of how many keys are compared.
+    */
+  def sideBySide(df: DataFrame, keyCol: String, keys: Seq[Any],
+                 aggs: Seq[Column]): DataFrame =
+    df.filter(col(keyCol).isin(keys: _*))
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(keyCol))
+}
