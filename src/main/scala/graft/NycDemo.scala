@@ -1,0 +1,47 @@
+package graft
+
+import graft.engine.{Analytics, NycFixtures, Tables}
+import graft.engine.Analytics.Window
+
+/** Runnable walkthrough of the reference-equivalent API surface — the flows
+  * a user of the reference (its Flask routes, SURVEY.md §3) would call:
+  * dashboard (analytics/<bbl>), trends, compare, bookmarks.
+  *
+  * `sbt "runMain graft.NycDemo"`
+  */
+object NycDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.session(master = "local[4]", shufflePartitions = 4)
+    val geo = NycFixtures.geo(spark)
+    val sr = NycFixtures.serviceRequests(spark)
+    val ct = NycFixtures.complaintTypes(spark)
+    val prop = NycFixtures.properties(spark)
+    val sale = NycFixtures.sales(spark)
+    val w = Window.default
+
+    println("== geo lookup (1,42,7) — GET /analytics/1-42-7")
+    geo.show(false)
+    val geoId = Analytics.geoLookup(geo, 1, 42, 7)
+      .collect().headOption.map(_.getLong(0))
+      .getOrElse(sys.error("404: unknown BBL"))
+
+    println(s"== dashboard for geographic_id=$geoId, window $w")
+    Analytics.requestTotals(sr, geoId, w).show(false)
+    Analytics.requestsByType(sr, ct, geoId, w).show(false)
+    Analytics.complaintChart(Analytics.requestsByType(sr, ct, geoId, w)).show(false)
+    Analytics.salesListing(sale, prop, geoId, w).show(false)
+    Analytics.salesStats(sale, prop, geoId, w).show(false)
+
+    println("== trends — GET /trends/1-42-7")
+    Analytics.requestTrend(spark, sr, geoId, "2024-01-01", "2024-06-30").show(false)
+    Analytics.salesTrend(spark, sale, prop, geoId, "2024-01-01", "2024-04-30").show(false)
+
+    println("== compare — POST /compare (101 vs 102, one pass)")
+    Analytics.compareRequests(sr, Seq(101L, 102L), w).show(false)
+
+    println("== bookmarks — GET /bookmarks (all-time, unknown key skipped)")
+    Analytics.bookmarkSummaries(sr, Seq(101L, 102L, 999L)).show(false)
+
+    spark.stop()
+  }
+}
