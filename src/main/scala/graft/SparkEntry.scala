@@ -184,7 +184,107 @@ object SparkEntry {
             / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
+    }),
+
+    // --- Extension surface: LLM-data-pipeline operators (SURVEY.md §7.4) ---
+
+    // Tokenization: whitespace + BPE-ish lexical token counts
+    "q14_text_tokens" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+          TextAnalysis.lexTokenCount(col("text")).cast("long").as("lex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/punct/stopword heuristics
+    "q15_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityFeatures(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("word_count"), col("avg_word_len"),
+          col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heuristic language ID (marker stopwords, fixed precedence)
+    "q16_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Winnowing fingerprints (rolling k-gram hash minima) — engine-specific
+    // hash, so rows-only check (no oracle)
+    "q17_fingerprints" -> ((s, d) => {
+      val fp = TextAnalysis.fingerprints(col("text"), k = 8, w = 4)
+      t(s, d, "documents")
+        .select(col("doc_id"), size(fp).cast("long").as("n_fingerprints"),
+          array_min(fp).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup via content digest: one row per distinct text
+    "q18_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // MinHash+LSH near-dup candidates: per-doc candidate count (xxhash64
+    // signatures are engine-specific → rows-only check)
+    "q19_minhash_lsh" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val pairs = Dedup.minhashCandidatePairs(doc, "doc_id", "text")
+      val perDoc = pairs.select(col("id1").as("doc_id"))
+        .union(pairs.select(col("id2").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+      doc.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash 64-bit fingerprints (rows-only: engine-specific hash)
+    "q20_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // Exact word-3-gram Jaccard: best match per doc within its source block
+    "q21_ngram_jaccard" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val pairs = doc.select(col("doc_id").as("id1"), col("source"))
+        .join(doc.select(col("doc_id").as("id2"), col("source")), Seq("source"))
+        .filter(col("id1") =!= col("id2"))
+        .select("id1", "id2")
+      val j = Dedup.ngramJaccard(pairs, doc, "doc_id", "text", n = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+      j.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+        .select(col("id1").as("doc_id"), col("id2").as("best_id"), col("jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline)
+    "q22_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (rows-only: engine-specific hyperplanes)
+    "q23_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Streaming-shaped batch rollup over the events stream table (the
+    // Structured Streaming twin is asserted equivalent in EventRollupSpec)
+    "q24_event_rollup" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("day"), col("event_type")))
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -313,6 +413,108 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |count(*) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q14_text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS lex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q15_text_quality" ->
+      """SELECT doc_id, word_count,
+        |CASE WHEN word_count > 0 THEN CAST(n_chars_m AS DOUBLE) / word_count ELSE 0.0 END AS avg_word_len,
+        |punct_ratio, stop_ratio,
+        |least(CAST(word_count AS DOUBLE) / 100.0, 1.0) * 0.4
+        |  + (1.0 - punct_ratio) * 0.3
+        |  + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality_score
+        |FROM (
+        |  SELECT doc_id, word_count, n_chars_m,
+        |  CASE WHEN n_chars_m > 0 THEN CAST(punct_count AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN word_count > 0 THEN CAST(stop_hits AS DOUBLE) / word_count ELSE 0.0 END AS stop_ratio
+        |  FROM (
+        |    SELECT doc_id,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS word_count,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
+        |    CAST(len(list_intersect(
+        |      list_transform(regexp_extract_all(trim(text), '\S+'), x -> lower(x)),
+        |      ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS stop_hits
+        |    FROM documents
+        |  )
+        |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q16_lang_id" ->
+      """SELECT doc_id,
+        |CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |     WHEN s_de > 0 AND s_de = best THEN 'de'
+        |     WHEN s_es > 0 AND s_es = best THEN 'es'
+        |     WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |     ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  greatest(s_en, s_de, s_es, s_fr) AS best FROM (
+        |    SELECT doc_id,
+        |    len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','und','das','ist'])) AS s_de,
+        |    len(list_intersect(toks, ['el','los','que','y','una'])) AS s_es,
+        |    len(list_intersect(toks, ['le','les','et','une','est'])) AS s_fr
+        |    FROM (SELECT doc_id,
+        |      list_transform(regexp_extract_all(trim(text), '\S+'), x -> lower(x)) AS toks
+        |      FROM documents)
+        |  )
+        |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q18_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    "q21_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id, source,
+        |    regexp_extract_all(trim(text), '\S+') AS toks FROM documents)
+        |), j AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id != b.doc_id
+        |), r AS (
+        |  SELECT id1, id2, jaccard,
+        |  row_number() OVER (PARTITION BY id1 ORDER BY jaccard DESC, id2) AS rn
+        |  FROM j
+        |)
+        |SELECT id1 AS doc_id, id2 AS best_id, jaccard FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q22_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |p AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |       i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos_raw
+        |  FROM q, embeddings e WHERE e.vec_id != query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " "),
+
+    "q24_event_rollup" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
   )
 }

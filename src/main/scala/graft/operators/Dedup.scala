@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * shuffle-light for the 100 TB path:
+  *
+  *  - exact: one hash-groupBy (map-side combine) on a digest, never on the
+  *    raw text — the shuffle carries 16-byte keys, not documents;
+  *  - MinHash + LSH: signature → banding → bucket join; candidate pairs
+  *    only ever meet inside a bucket, so the cross product is bounded by
+  *    bucket size, not corpus size;
+  *  - SimHash: one 64-bit fingerprint per doc, near-dup = small Hamming
+  *    distance (`bit_count(a ^ b)` — a single codegen'd instruction);
+  *  - n-gram Jaccard: exact verification on candidate pairs (never run it
+  *    corpus-wide; feed it LSH/SimHash candidates).
+  *
+  * Everything is deterministic: hash seeds are fixed constants, no RNG.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical value of `textCol`.
+    * Grouping key is md5(text) (comparing digests, not documents); the
+    * winner is chosen with min_by so it's one aggregate, no window shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("digest"), col("n_copies"))
+
+  /** Word shingles (n-grams joined by space), distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val m = size(toks)
+    when(m >= n,
+      array_distinct(transform(sequence(lit(1), m - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(when(m > 0, array(concat_ws(" ", toks)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes of the shingle
+    * set, h_s(x) = xxhash64(s, x) with the seed as a literal column —
+    * fixed, reproducible, no fitted model state.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleCol, sh => xxhash64(s, sh))))
+
+  /** LSH banding: split the signature into `bands` bands and hash each —
+    * docs sharing any band hash are candidates. Returns one row per
+    * (doc, band) — explode BEFORE the shuffle so the groupBy key is
+    * (band_idx, band_hash), which distributes uniformly.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol),
+        minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .select(col(idCol), col("band_idx"),
+        xxhash64(col("band_idx"), slice(col("sig"), col("band_idx") * rows + 1,
+          lit(rows))).as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (id1 < id2), deduped across
+    * bands, with the MinHash Jaccard estimate (fraction of agreeing
+    * signature positions).
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol),
+      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
+    val l = banded.select(col(idCol).as("id1"), col("band_idx"), col("band_hash"))
+    val r = banded.select(col(idCol).as("id2"), col("band_idx"), col("band_hash"))
+    val pairs = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / size(col("sig1")))
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: expects columns
+    * (id1, id2) plus the source frame to pull texts from; computes
+    * |A ∩ B| / |A ∪ B| over distinct word n-grams.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint from token hashes: for each bit position,
+    * sum ±1 votes across token hashes; the sign recomposes the bit.
+    * Pure built-ins (`transform` over 64 positions + `aggregate`), fully
+    * codegen'd; near-dup test is `bit_count(a ^ b) <= t`.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+      (bit, pos) => call_function("shiftleft", bit, pos)), lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding cosine near-dup pairs within a blocking key (e.g. an LSH
+    * bucket or source partition): exact cosine on pairs that share the
+    * block, id1 < id2, above `threshold`.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val l = df.select(col(blockCol), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = df.select(col(blockCol), col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(r, Seq(blockCol))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

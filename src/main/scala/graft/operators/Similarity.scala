@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Scale design: the query side is small (a handful of probe vectors or a
+  * per-bucket slice) and is ALWAYS broadcast; the corpus side streams.
+  * Brute force is the exactness baseline; the LSH-bucketed variant bounds
+  * each comparison set by bucket population, so cost is
+  * O(corpus × signatureBits) + O(bucket² ) instead of O(corpus × queries)
+  * at full dimension.
+  */
+object Similarity {
+
+  /** Brute-force top-k cosine neighbors for each query row. Exact — use as
+    * the recall oracle for the ANN variants. `queries` must be small (it is
+    * broadcast and each corpus partition scans it).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `j`: xxhash64 folded to [-1, 1]. No RNG state, so signatures
+    * are stable across runs and clusters.
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of plane·vector,
+    * packed into a long. Vectors close in cosine agree on most bits.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: group vectors by signature prefix, search only
+    * within the bucket. Returns per-query top-k among same-bucket rows —
+    * recall < 1 by design; compare against [[bruteForceTopK]] to measure.
+    * `prefixBits` trades recall (fewer bits → bigger buckets) for cost.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+              bits: Int = 16, prefixBits: Int = 8): DataFrame = {
+    val mask = (1L << prefixBits) - 1
+    val sig = corpus.select(col(idCol), col(vecCol),
+      (hyperplaneSignature(col(vecCol), bits).bitwiseAND(mask)).as("bucket"))
+    val l = sig.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val r = sig.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, and winnowing fingerprints — all as
+  * codegen-friendly `Column` expressions over a string column (no UDFs, so
+  * the whole stage stays inside WholeStageCodegen at 100 TB).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish lexical token count: letter runs, digit runs, single
+    * punctuation marks. The regex is ASCII-only so it behaves identically
+    * under Java regex and RE2.
+    */
+  val lexTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def lexTokenCount(text: Column): Column = regexp_count(text, lit(lexTokenPattern))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** Quality features + composite score (length, punctuation ratio,
+    * stopword ratio) — the classic pre-training heuristics. All ratios are
+    * computed in double from integer counts, so they are reproducible
+    * bit-for-bit in any engine.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val wc = size(toks).cast("long")
+    val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("long")
+    val stop = size(array_intersect(
+      transform(toks, x => lower(x)), array(enStop.map(lit): _*))).cast("long")
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("word_count", wc)
+      .withColumn("punct_count", punct)
+      .withColumn("stop_hits", stop)
+      .withColumn("avg_word_len",
+        when(wc > 0, (length(t).cast("double") / wc)).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(t) > 0, punct.cast("double") / length(t)).otherwise(0.0))
+      .withColumn("stop_ratio",
+        when(wc > 0, stop.cast("double") / wc).otherwise(0.0))
+      .withColumn("quality_score",
+        least(col("word_count").cast("double") / 100.0, lit(1.0)) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3)
+  }
+
+  // Marker stopwords per language for the n-gram-free heuristic language
+  // ID; scored by how many distinct markers appear in the document.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "une", "est"))
+
+  /** Heuristic language ID: distinct-marker-word hits per language with a
+    * fixed precedence order (en > de > es > fr), 'und' (undetermined) when
+    * nothing matches. Deterministic and expressible in plain SQL for the
+    * oracle.
+    */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Winnowing document fingerprints (local minima of a rolling k-gram
+    * hash, per the MOSS scheme): hash every k-gram, take the min of each
+    * sliding window of `w`, dedupe. Built entirely from `sequence` /
+    * `transform` / `slice` / `array_min`, so it runs inside codegen and
+    * needs no state.
+    */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val n = length(text)
+    val grams = transform(sequence(lit(1), n - (k - 1)),
+      i => xxhash64(text.substr(i, lit(k))))
+    val m = size(grams)
+    val wins = when(m >= w,
+        transform(sequence(lit(1), m - (w - 1)),
+          j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    when(n >= k, array_distinct(wins)).otherwise(array().cast("array<bigint>"))
+  }
+}
