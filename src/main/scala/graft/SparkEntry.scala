@@ -244,20 +244,11 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // Exact word-3-gram Jaccard: best match per doc within its source block
-    "q21_ngram_jaccard" -> ((s, d) => {
-      val doc = t(s, d, "documents")
-      val pairs = doc.select(col("doc_id").as("id1"), col("source"))
-        .join(doc.select(col("doc_id").as("id2"), col("source")), Seq("source"))
-        .filter(col("id1") =!= col("id2"))
-        .select("id1", "id2")
-      val j = Dedup.ngramJaccard(pairs, doc, "doc_id", "text", n = 3)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
-      j.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
-        .select(col("id1").as("doc_id"), col("id2").as("best_id"), col("jaccard"))
-        .orderBy(col("doc_id"))
-    }),
+    // Exact word-3-gram Jaccard: best match per doc within its source
+    // block, via the inverted-index formulation (scale path)
+    "q21_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardTopNeighbor(t(s, d, "documents"), "doc_id", "text",
+        "source", n = 3).orderBy(col("doc_id"))),
 
     // Brute-force cosine top-k (exact ANN baseline)
     "q22_cosine_topk" -> ((s, d) => {

@@ -30,13 +30,24 @@ object Tables {
     * to a microsecond timestamp column (UTC, floor division — identical
     * bucketing to engines that read nanos natively).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsFromRaw(eventsRaw(spark, sfDir))
+
+  /** Raw events frame: `ts` is the parquet file's INT64 nanos as LongType
+    * (also the schema to use for a streaming file source on these files).
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(sfDir, "events"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
   }
+
+  /** Nanos → microsecond TimestampType (floor division; identical
+    * bucketing to engines reading nanos natively).
+    */
+  def eventsFromRaw(raw: DataFrame): DataFrame =
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

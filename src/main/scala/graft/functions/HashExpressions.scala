@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftInternal
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the content-hashing hot paths.
+  *
+  * The composable `transform`/`aggregate` formulations of these operators
+  * are correct but run as interpreted higher-order functions with per-gram
+  * string allocation — rolling a k-gram window via `substr` is O(n²) per
+  * document (each UTF8String substring re-scans for char offsets), which
+  * measured 1266 s for 5000 docs at sf0.1. These expressions do one tight
+  * byte-level pass per document (O(n)), the idiomatic escape hatch when
+  * built-ins can't express the access pattern efficiently
+  * (SURVEY.md §4.3).
+  *
+  * All hashing is deterministic with fixed constants — no RNG, stable
+  * across runs, JVMs and cluster topologies.
+  */
+object HashOps {
+
+  /** Murmur3 64-bit finalizer — avalanches a raw rolling hash. */
+  @inline def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** 64-bit hash of UTF-8 bytes (FNV-1a core + fmix64 finalizer). */
+  def hashBytes(bytes: Array[Byte], from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + len
+    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    fmix64(h)
+  }
+
+  /** Winnowing fingerprints (MOSS scheme) of a document: rolling
+    * polynomial hash of every k-byte gram, then the minimum of each
+    * sliding window of w grams (monotonic-deque, O(n) total), deduped and
+    * sorted. Empty result for texts shorter than k bytes.
+    */
+  def winnow(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    val n = bytes.length
+    if (n < k) return Array.emptyLongArray
+    val B = 1000003L
+    var bk = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    grams(0) = fmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - (bytes(i - 1) & 0xffL) * bk) * B + (bytes(i + k - 1) & 0xffL)
+      grams(i) = fmix64(h)
+      i += 1
+    }
+    val ww = math.min(w, m)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque of indices with increasing gram values
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - ww) head += 1
+      if (i >= ww - 1) out.add(grams(deque(head)))
+      i += 1
+    }
+    val res = new Array[Long](out.size())
+    val it = out.iterator(); i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    res
+  }
+
+  private val Golden = 0x9E3779B97F4A7C15L
+
+  /** MinHash signature: hash each element once, derive the `numHashes`
+    * per-seed values by cheap avalanche mixing, keep running minima —
+    * O(elements × numHashes) long ops, no per-seed string re-hash.
+    */
+  def minhash(base: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < base.length) {
+      val b = base(i)
+      var s = 0
+      while (s < numHashes) {
+        val h = fmix64(b ^ (Golden * (s + 1)))
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** SimHash: per-element ±1 bit votes from the element hash. */
+  def simhash(base: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < base.length) {
+      val h = base(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `winnow_fingerprints(text, k, w)` → array<bigint> of winnowed rolling-
+  * hash fingerprints (see [[HashOps.winnow]]).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    new GenericArrayData(HashOps.winnow(s.getBytes, k, w))
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** `minhash_signature(tokens, numHashes)` → array<bigint>: MinHash over an
+  * array<string> element set.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val base = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < base.length) {
+      val s = arr.getUTF8String(i)
+      val b = s.getBytes
+      base(i) = HashOps.hashBytes(b, 0, b.length)
+      i += 1
+    }
+    new GenericArrayData(HashOps.minhash(base, numHashes))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** `simhash64(tokens)` → bigint SimHash fingerprint of an array<string>
+  * token multiset.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val base = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < base.length) {
+      val s = arr.getUTF8String(i)
+      val b = s.getBytes
+      base(i) = HashOps.hashBytes(b, 0, b.length)
+      i += 1
+    }
+    java.lang.Long.valueOf(HashOps.simhash(base))
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Column-API wrappers. */
+object HashFunctions {
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftInternal.column(WinnowFingerprints(GraftInternal.expression(text), k, w))
+  def minhashSignature(tokens: Column, numHashes: Int = 32): Column =
+    GraftInternal.column(MinHashSignature(GraftInternal.expression(tokens), numHashes))
+  def simhash64(tokens: Column): Column =
+    GraftInternal.column(SimHash64(GraftInternal.expression(tokens)))
+}

@@ -43,12 +43,12 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle
-    * set, h_s(x) = xxhash64(s, x) with the seed as a literal column —
-    * fixed, reproducible, no fitted model state.
+    * set, derived by hashing each shingle once and avalanche-mixing per
+    * seed (native expression — fixed seeds, reproducible, no fitted model
+    * state).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleCol, sh => xxhash64(s, sh))))
+    graft.functions.HashFunctions.minhashSignature(shingleCol, numHashes)
 
   /** LSH banding: split the signature into `bands` bands and hash each —
     * docs sharing any band hash are candidates. Returns one row per
@@ -108,20 +108,58 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Best n-gram-Jaccard neighbor per document within a blocking column,
+    * via an inverted shingle index: explode distinct shingles, self-join on
+    * (block, shingle) to count intersections, then
+    * J = |∩| / (|A| + |B| − |∩|).
+    *
+    * This is the 100 TB formulation: pairwise array intersection over all
+    * in-block pairs is O(pairs × shingles); the inverted index only
+    * materializes pairs that actually share a shingle, and the join key
+    * (block, shingle) distributes across the cluster. Documents sharing no
+    * shingle with anyone fall back to the smallest other id in the block
+    * with Jaccard 0 (matching a full pairwise ranking with id tiebreak).
+    */
+  def ngramJaccardTopNeighbor(docs: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("blk"), col("id"), size(col("sh")).as("sz"))
+    // shuffle 8-byte shingle hashes, not shingle strings (the join only
+    // needs equality; a 64-bit collision over a block is ~2^-64 per pair)
+    val inv = sh.select(col("blk"), col("id"), explode(col("sh")).as("g0"))
+      .select(col("blk"), col("id"), xxhash64(col("g0")).as("g"))
+    val inter = inv.select(col("blk"), col("id").as("id1"), col("g"))
+      .join(inv.select(col("blk"), col("id").as("id2"), col("g")), Seq("blk", "g"))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz1") + col("sz2") - col("inter")))
+    val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id1"), col("id2").as("best_id"), col("jaccard"))
+    // fallback: docs whose shingles overlap nobody → smallest other id, J=0
+    val others = sizes.select(col("blk"), col("id").as("id1"))
+      .join(sizes.select(col("blk"), col("id").as("oid")), Seq("blk"))
+      .filter(col("id1") =!= col("oid"))
+      .groupBy(col("id1")).agg(min(col("oid")).as("fallback_id"))
+    others.join(best, Seq("id1"), "left")
+      .select(col("id1").as(idCol),
+        coalesce(col("best_id"), col("fallback_id")).as("best_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
   /** SimHash 64-bit fingerprint from token hashes: for each bit position,
     * sum ±1 votes across token hashes; the sign recomposes the bit.
     * Pure built-ins (`transform` over 64 positions + `aggregate`), fully
     * codegen'd; near-dup test is `bit_count(a ^ b) <= t`.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
-      (bit, pos) => call_function("shiftleft", bit, pos)), lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextAnalysis.tokens(text))
 
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -81,15 +81,6 @@ object TextAnalysis {
     * `transform` / `slice` / `array_min`, so it runs inside codegen and
     * needs no state.
     */
-  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val n = length(text)
-    val grams = transform(sequence(lit(1), n - (k - 1)),
-      i => xxhash64(text.substr(i, lit(k))))
-    val m = size(grams)
-    val wins = when(m >= w,
-        transform(sequence(lit(1), m - (w - 1)),
-          j => array_min(slice(grams, j, lit(w)))))
-      .otherwise(array(array_min(grams)))
-    when(n >= k, array_distinct(wins)).otherwise(array().cast("array<bigint>"))
-  }
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.HashFunctions.winnowFingerprints(text, k, w)
 }

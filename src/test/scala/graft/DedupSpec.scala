@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup pair (0,1): one word changed; (2) unrelated; (3) exact dup of 0
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home", "s1"),
+    (1L, "the quick brown fox jumps over the lazy cat and runs far away home", "s1"),
+    (2L, "completely different content about spark shuffles and partition counts", "s1"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away home", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length == 3) // 0/3 collapse
+    assert(r.head.getLong(0) == 0L && r.head.getLong(2) == 2L)
+  }
+
+  test("minhash LSH surfaces the near-dup and exact-dup pairs") {
+    // 16 bands × 2 rows: detection prob at J=0.6 is 1-(1-0.36)^16 ≈ 0.999
+    // (deterministic here — fixed seeds — but chosen so the band config
+    // is actually sensitive enough for this pair's similarity)
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 1.0) // identical text
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.3) // near dup
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.3 && j((0L, 1L)) < 1.0)
+    assert(j((0L, 2L)) == 0.0)
+  }
+
+  test("inverted-index top-neighbor matches pairwise ranking incl. zero-overlap fallback") {
+    val top = Dedup.ngramJaccardTopNeighbor(docs, "doc_id", "text", "source")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(top(0L) == ((3L, 1.0)))
+    assert(top(3L) == ((0L, 1.0)))
+    assert(top(1L)._1 == 0L) // tie between 0 and 3 → smallest id
+    assert(top(2L)._2 == 0.0 && top(2L)._1 == 0L) // no overlap → fallback
+  }
+
+  test("simhash: identical text → distance 0, near text small, unrelated large") {
+    val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(3L)) == 0)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
+  }
+
+  test("embedding near-dups within block above threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), "b1"),
+      (1L, Array(0.99f, 0.1f, 0.0f), "b1"),
+      (2L, Array(0.0f, 1.0f, 0.0f), "b1"),
+      (3L, Array(1.0f, 0.0f, 0.0f), "b2") // same as 0 but different block
+    ).toDF("vec_id", "embedding", "block")
+    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", "block", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSet == Set((0L, 1L))) // 2 dissimilar; 3 blocked away
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace runs, blank/empty → empty array") {
+    val df = Seq("a  b\tc", "  ", "", "single").toDF("text")
+    val r = df.select(size(TextAnalysis.tokens(col("text")))).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("lexical tokens: letter runs, digit runs, single punct") {
+    val df = Seq("ab12 cd! e.f").toDF("text")
+    // ab,12,cd,!,e,.,f → 7
+    assert(df.select(TextAnalysis.lexTokenCount(col("text"))).head().getInt(0) == 7)
+  }
+
+  test("quality features: ratios from known counts") {
+    val df = Seq((1L, "the cat sat on the mat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "text").head()
+    assert(r.getAs[Long]("word_count") == 6)
+    assert(r.getAs[Long]("punct_count") == 1)
+    assert(r.getAs[Long]("stop_hits") == 2) // 'the' (dedup), 'on'
+    assert(r.getAs[Double]("stop_ratio") == 2.0 / 6)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0 && q <= 1.0)
+  }
+
+  test("langId: marker precedence and 'und' fallback") {
+    val df = Seq(
+      "the cat and the dog is here",   // en
+      "der hund und die katze ist",    // de
+      "el perro y los gatos una casa", // es
+      "le chien et les chats une",     // fr
+      "zzz qqq xxx"                    // und
+    ).toDF("text")
+    val r = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("fingerprints: deterministic, shared for identical text, empty for short") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),
+      (2L, "abcdefghijklmnopqrstuvwxyz"),
+      (3L, "short")).toDF("id", "text")
+    val fp = df.select(col("id"),
+      TextAnalysis.fingerprints(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L).nonEmpty)
+    assert(fp(3L).isEmpty) // shorter than k=8
+  }
+}
