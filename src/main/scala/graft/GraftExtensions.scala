@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSignature, SimHash64, WinnowFingerprints}
+
+/** SparkSessionExtensions entry point — registers the engine's custom
+  * expressions as SQL functions, so the full surface is reachable from
+  * `spark.sql(...)` as well as the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT simhash64(tokens), minhash_signature(tokens, 32) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WinnowFingerprints(text, 8, 4)
+        case Seq(text, k, w) =>
+          WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => MinHashSignature(tokens, 32)
+        case Seq(tokens, n) => MinHashSignature(tokens, intArg(n, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(tokens[, numHashes])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHash64(tokens)
+        case _ => throw new IllegalArgumentException("simhash64(tokens)")
+      }))
+  }
+}
+
+object GraftExtensions {
+
+  private[graft] def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** Register the same functions on an ALREADY-RUNNING session (extensions
+    * configs only apply at session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("winnow_fingerprints", {
+      case Seq(text) => WinnowFingerprints(text, 8, 4)
+      case Seq(text, k, w) => WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"))
+      case _ => throw new IllegalArgumentException("winnow_fingerprints(text[, k, w])")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature", {
+      case Seq(tokens) => MinHashSignature(tokens, 32)
+      case Seq(tokens, n) => MinHashSignature(tokens, intArg(n, "numHashes"))
+      case _ => throw new IllegalArgumentException("minhash_signature(tokens[, numHashes])")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", {
+      case Seq(tokens) => SimHash64(tokens)
+      case _ => throw new IllegalArgumentException("simhash64(tokens)")
+    }, "scala_udf")
+  }
+}

@@ -42,6 +42,26 @@ object NycDemo {
     println("== bookmarks — GET /bookmarks (all-time, unknown key skipped)")
     Analytics.bookmarkSummaries(sr, Seq(101L, 102L, 999L)).show(false)
 
+    println("== bookmark toggle state (session list semantics)")
+    val toggled = Seq("1-42-7", "3-100-55", "1-42-7")
+      .foldLeft(Seq.empty[String])(graft.engine.Bookmarks.toggle)
+    println(s"after toggles: $toggled")
+
+    println("== geocode via mapping-dim join — POST /search")
+    import spark.implicits._
+    val mapping = Seq(("1 MAIN ST", "1000420007")).toDF("addr", "bbl10")
+    graft.engine.Geocode.resolve(
+      Seq("1 Main  St", "5 Nowhere Rd").toDF("address"),
+      "address", mapping, "addr", "bbl10").show(false)
+
+    println("== custom expressions from SQL (GraftExtensions)")
+    GraftExtensions.register(spark)
+    spark.sql(
+      """SELECT simhash64(array('spark','engine')) AS simhash,
+        |size(minhash_signature(array('spark','engine'), 32)) AS sig_len,
+        |size(winnow_fingerprints('the quick brown fox jumps', 8, 4)) AS n_fp"""
+        .stripMargin).show(false)
+
     spark.stop()
   }
 }

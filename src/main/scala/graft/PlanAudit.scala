@@ -1,0 +1,22 @@
+package graft
+
+/** Prints formatted physical plans for the headline queries — the
+  * "is this the plan you'd want at 100 TB" audit: pushed filters, pruned
+  * read schemas, broadcast joins on dims, wide WholeStageCodegen spans.
+  *
+  * `sbt "runMain graft.PlanAudit [sfDir] [queryName...]"`
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q03_totals_conditional", "q08_topk_other", "q13_pricing_rollup",
+        "q21_ngram_jaccard", "q22_cosine_topk")
+    val spark = graft.engine.Tables.session("local[4]", 4)
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

