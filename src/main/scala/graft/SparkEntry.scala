@@ -275,7 +275,37 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-        .orderBy(col("day"), col("event_type")))
+        .orderBy(col("day"), col("event_type"))),
+
+    // Embedding cosine near-dup stats per label block (exact, blocked —
+    // the within-block pair set is what an LSH bucket would feed)
+    "q25_embedding_neardups" -> ((s, d) => {
+      val pairs = Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = -1.0)
+      pairs.join(t(s, d, "embeddings").select(col("vec_id").as("id1"),
+          col("label")), Seq("id1"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_near"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .orderBy(col("label"))
+    }),
+
+    // Composed training-data pipeline: quality filter → exact dedup →
+    // per-language token stats (the end-to-end extension flagship)
+    "q26_corpus_pipeline" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val scored = TextAnalysis.qualityFeatures(doc, "text")
+      val kept = scored.filter(col("quality_score") >= 0.5 && col("word_count") >= 20)
+      val deduped = kept.join(
+        Dedup.exact(kept, "doc_id", "text").select("doc_id"), Seq("doc_id"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("word_count")).as("total_tokens"),
+          round(sum(col("quality_score").cast("decimal(18,9)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"))
+        .orderBy(col("lang"))
+    })
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -506,6 +536,50 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q25_embedding_neardups" ->
+      """WITH p AS (
+        |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT label, count(*) AS n_pairs,
+        |CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+        |round(max(cos), 6) AS max_cos
+        |FROM p GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
+
+    "q26_corpus_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, lang,
+        |  CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS word_count,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
+        |  CAST(len(list_intersect(
+        |    list_transform(regexp_extract_all(trim(text), '\S+'), x -> lower(x)),
+        |    ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS stop_hits,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, text, lang, word_count,
+        |  least(CAST(word_count AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(punct_count AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3
+        |    + least(CASE WHEN word_count > 0 THEN CAST(stop_hits AS DOUBLE) / word_count ELSE 0.0 END * 5.0, 1.0) * 0.3 AS quality_score
+        |  FROM f
+        |), kept AS (
+        |  SELECT * FROM scored WHERE quality_score >= 0.5 AND word_count >= 20
+        |), deduped AS (
+        |  SELECT * FROM kept WHERE doc_id IN
+        |    (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |CAST(sum(word_count) AS BIGINT) AS total_tokens,
+        |round(CAST(sum(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
   )
 }

@@ -88,6 +88,57 @@ object HashOps {
 
   private val Golden = 0x9E3779B97F4A7C15L
 
+  /** Hash every UTF8String element of an array. */
+  def elementHashes(arr: ArrayData): Array[Long] = {
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      val b = arr.getUTF8String(i).getBytes
+      out(i) = hashBytes(b, 0, b.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Positional n-gram hashes over a token-hash sequence (polynomial
+    * combine + fmix64) — the hash-space analogue of string shingles,
+    * without building shingle strings. O(m·n).
+    */
+  def ngramHashes(tokHashes: Array[Long], n: Int): Array[Long] = {
+    val m = tokHashes.length
+    if (m == 0) return Array.emptyLongArray
+    if (m < n) { // degenerate: one shingle of all tokens (mirrors Dedup.shingles)
+      var acc = 0x811c9dc5L
+      var j = 0
+      while (j < m) { acc = acc * 1000003L + tokHashes(j); j += 1 }
+      return Array(fmix64(acc))
+    }
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var acc = 0x811c9dc5L
+      var j = 0
+      while (j < n) { acc = acc * 1000003L + tokHashes(i + j); j += 1 }
+      out(i) = fmix64(acc)
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct + sorted (set semantics for Jaccard arithmetic). */
+  def distinctSorted(xs: Array[Long]): Array[Long] = {
+    if (xs.length <= 1) return xs
+    val sorted = xs.clone()
+    java.util.Arrays.sort(sorted)
+    var w = 1
+    var i = 1
+    while (i < sorted.length) {
+      if (sorted(i) != sorted(w - 1)) { sorted(w) = sorted(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sorted, w)
+  }
+
   /** MinHash signature: hash each element once, derive the `numHashes`
     * per-seed values by cheap avalanche mixing, keep running minima —
     * O(elements × numHashes) long ops, no per-seed string re-hash.
@@ -186,8 +237,70 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** `ngram_hashes(tokens, n)` → array<bigint>: DISTINCT sorted hashes of
+  * positional word n-grams — the set the inverted shingle index explodes
+  * (no shingle-string construction).
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashOps.elementHashes(input.asInstanceOf[ArrayData])
+    new GenericArrayData(
+      HashOps.distinctSorted(HashOps.ngramHashes(toks, n)))
+  }
+  override protected def withNewChildInternal(c: Expression): NgramHashes =
+    copy(child = c)
+}
+
+/** `minhash_tokens(tokens, shingleN, numHashes)` → array<bigint>: MinHash
+  * signature straight from the token array (token hash → n-gram rolling
+  * hash → per-seed minima) in one pass; no intermediate shingle arrays.
+  */
+case class MinHashTokens(child: Expression, shingleN: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashOps.elementHashes(input.asInstanceOf[ArrayData])
+    val grams = HashOps.ngramHashes(toks, shingleN)
+    new GenericArrayData(HashOps.minhash(grams, numHashes))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashTokens =
+    copy(child = c)
+}
+
+/** `dot_ff(a, b)` → double dot product of two array<float> embeddings,
+  * accumulated in double in one primitive loop — the hot inner op of
+  * similarity search (SURVEY.md §4.3's planned CosineSimilarity codegen
+  * path; the interpreted `zip_with`+`aggregate` form measured ~10× slower
+  * at sf0.1).
+  */
+case class DotProductFF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProductFF = copy(left = l, right = r)
+}
+
 /** Column-API wrappers. */
 object HashFunctions {
+  def dotFF(a: Column, b: Column): Column =
+    GraftInternal.column(DotProductFF(GraftInternal.expression(a),
+      GraftInternal.expression(b)))
+  def ngramHashes(tokens: Column, n: Int): Column =
+    GraftInternal.column(NgramHashes(GraftInternal.expression(tokens), n))
+  def minhashTokens(tokens: Column, shingleN: Int = 3, numHashes: Int = 32): Column =
+    GraftInternal.column(MinHashTokens(GraftInternal.expression(tokens), shingleN, numHashes))
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftInternal.column(WinnowFingerprints(GraftInternal.expression(text), k, w))
   def minhashSignature(tokens: Column, numHashes: Int = 32): Column =

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Native single-loop dot product (array<float> inputs; left-to-right
+    * double accumulation — same fold order as the HOF form and as a
+    * sequential list sum, so values are identical across formulations).
+    */
+  def dot(a: Column, b: Column): Column = HashFunctions.dotFF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

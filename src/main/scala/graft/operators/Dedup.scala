@@ -74,17 +74,28 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, numHashes: Int = 32,
                             bands: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol),
-      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
-    val banded = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
-    val l = banded.select(col(idCol).as("id1"), col("band_idx"), col("band_hash"))
-    val r = banded.select(col(idCol).as("id2"), col("band_idx"), col("band_hash"))
-    val pairs = l.join(r, Seq("band_idx", "band_hash"))
+    val rows = numHashes / bands
+    // one signature computation (native tokens→signature pass); bands
+    // derive from it and the signature rides along through the bucket
+    // join so no re-join/recompute is needed
+    val banded = df
+      .select(col(idCol).as("id"),
+        graft.functions.HashFunctions.minhashTokens(
+          TextAnalysis.tokens(col(textCol)), shingleN, numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .select(col("id"), col("sig"), col("band_idx"),
+        xxhash64(col("band_idx"),
+          slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
+    val l = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    pairs
-      .join(sigs.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(sigs.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
+      // collapse multi-band duplicates in the same shuffle that forms pairs
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
           x => x)).cast("double") / size(col("sig1")))
@@ -122,13 +133,15 @@ object Dedup {
     */
   def ngramJaccardTopNeighbor(docs: DataFrame, idCol: String, textCol: String,
                               blockCol: String, n: Int = 3): DataFrame = {
+    // distinct n-gram HASHES via one native pass — no shingle-string
+    // construction, and the inverted index explodes 8-byte longs (the
+    // join only needs equality; a 64-bit collision within a block is
+    // ~2^-64 per pair)
     val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+      graft.functions.HashFunctions.ngramHashes(
+        TextAnalysis.tokens(col(textCol)), n).as("sh"))
     val sizes = sh.select(col("blk"), col("id"), size(col("sh")).as("sz"))
-    // shuffle 8-byte shingle hashes, not shingle strings (the join only
-    // needs equality; a 64-bit collision over a block is ~2^-64 per pair)
-    val inv = sh.select(col("blk"), col("id"), explode(col("sh")).as("g0"))
-      .select(col("blk"), col("id"), xxhash64(col("g0")).as("g"))
+    val inv = sh.select(col("blk"), col("id"), explode(col("sh")).as("g"))
     val inter = inv.select(col("blk"), col("id").as("id1"), col("g"))
       .join(inv.select(col("blk"), col("id").as("id2"), col("g")), Seq("blk", "g"))
       .filter(col("id1") =!= col("id2"))
@@ -171,11 +184,17 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    val l = df.select(col(blockCol), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = df.select(col(blockCol), col(idCol).as("id2"), col(vecCol).as("v2"))
+    val withNorm = df.select(col(blockCol), col(idCol).as("id"),
+      col(vecCol).as("v"), VectorOps.norm(col(vecCol)).as("nrm"))
+    val l = withNorm.select(col(blockCol), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val r = withNorm.select(col(blockCol), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val nn = col("n1") * col("n2")
     l.join(r, Seq(blockCol))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", VectorOps.cosine(col("v1"), col("v2")))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("v1"), col("v2")) / nn))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }

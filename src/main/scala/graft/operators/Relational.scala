@@ -116,6 +116,48 @@ object Aggregates {
       count(lit(1)).as("num_sales"))
 }
 
+/** Join shapes from the reference (SURVEY.md §2.3). J1/J2 are plain
+  * equi-joins written inline at call sites; these helpers carry the
+  * broadcast intent and the two non-obvious shapes.
+  */
+object Joins {
+
+  /** Fact ⋈ small dimension with an explicit broadcast hint (J1/J2 —
+    * reference joins tiny lookup dims, webserver/server.py:186-187,205-206).
+    */
+  def factDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys)
+
+  /** J5: referential-action cleanup as anti-joins — rows in `child` whose
+    * FK no longer resolves (the batch analogue of ON DELETE CASCADE,
+    * schema.sql:60-64). Returns (orphans to delete, survivors).
+    */
+  def referentialSplit(child: DataFrame, parent: DataFrame,
+                       childKey: String, parentKey: String): (DataFrame, DataFrame) = {
+    val p = parent.select(col(parentKey).as(childKey))
+    (child.join(p, Seq(childKey), "left_anti"),
+     child.join(p, Seq(childKey), "left_semi"))
+  }
+}
+
+/** Presentation-edge scalar helpers (SURVEY.md §2.6 C10/C11) — formatting
+  * the reference does in Jinja templates.
+  */
+object Presentation {
+
+  /** Thousands-grouped number formatting, `'{:,}'`/`'{:,.0f}'`
+    * (reference: templates/analytics.html:183-204).
+    */
+  def thousands(c: Column, decimals: Int = 0): Column = format_number(c, decimals)
+
+  /** Street-name prefill for the compare form: drop the leading house
+    * number, strip anything after a comma
+    * (reference: templates/analytics.html:162-165).
+    */
+  def addressPrefill(address: Column): Column =
+    trim(regexp_replace(regexp_replace(address, ",.*$", ""), "^\\s*\\S+\\s+", ""))
+}
+
 object TopK {
 
   /** Top-N groups + residual "Other" bucket (reference:

@@ -24,12 +24,18 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    // norms are per-ROW (computed once each side), so the per-pair work is
+    // a single native dot product
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      VectorOps.norm(col(vecCol)).as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val nn = col("qn") * col("nn")
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -65,14 +71,19 @@ object Similarity {
               bits: Int = 16, prefixBits: Int = 8): DataFrame = {
     val mask = (1L << prefixBits) - 1
     val sig = corpus.select(col(idCol), col(vecCol),
+      VectorOps.norm(col(vecCol)).as("nrm"),
       (hyperplaneSignature(col(vecCol), bits).bitwiseAND(mask)).as("bucket"))
-    val l = sig.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val r = sig.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val l = sig.select(col("bucket"), col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col("nrm").as("qn"))
+    val r = sig.select(col("bucket"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val nn = col("qn") * col("nn")
     l.join(r, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"),
