@@ -305,7 +305,15 @@ object SparkEntry {
           round(sum(col("quality_score").cast("decimal(18,9)")).cast("double")
             / count(lit(1)), 6).as("avg_quality"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // Multimodal plumbing: binary payload + metadata struct (the decode /
+    // feature step is spec-tested; this checks the byte-accurate metadata)
+    "q27_media_meta" -> ((s, d) =>
+      Multimodal.withMediaColumn(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -580,6 +588,11 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |CAST(sum(word_count) AS BIGINT) AS total_tokens,
         |round(CAST(sum(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_quality
-        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    "q27_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Joins, Presentation}
+
+class RelationalHelpersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("referentialSplit: orphans vs survivors (J5 anti/semi join)") {
+    val parent = Seq(1L, 2L).toDF("geographic_id")
+    val child = Seq((10, 1L), (11, 2L), (12, 99L)).toDF("sr_id", "geographic_id")
+    val (orphans, survivors) = Joins.referentialSplit(
+      child, parent, "geographic_id", "geographic_id")
+    assert(orphans.select("sr_id").collect().map(_.getInt(0)).toSeq == Seq(12))
+    assert(survivors.select("sr_id").collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 11))
+  }
+
+  test("factDim broadcast join keeps fact rows with matching dims") {
+    val fact = Seq((1, 100), (2, 200), (3, 999)).toDF("k", "v")
+    val dim = Seq((1, "a"), (2, "b")).toDF("k", "name")
+    val joined = Joins.factDim(fact, dim, Seq("k"))
+    assert(joined.count() == 2)
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("presentation: thousands formatting and address prefill (C10/C11)") {
+    val df = Seq((1234567.891, "123 Main St, Apt 4B"),
+      (1000.0, "9 Ocean Ave")).toDF("n", "addr")
+    val r = df.select(Presentation.thousands(col("n")),
+      Presentation.addressPrefill(col("addr"))).collect()
+    assert(r(0).getString(0) == "1,234,568" && r(0).getString(1) == "Main St")
+    assert(r(1).getString(0) == "1,000" && r(1).getString(1) == "Ocean Ave")
+  }
+}
