@@ -192,7 +192,7 @@ object SparkEntry {
     "q14_text_tokens" -> ((s, d) => {
       val doc = t(s, d, "documents")
       doc.select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+          TextAnalysis.wordCount(col("text")).as("ws_tokens"),
           TextAnalysis.lexTokenCount(col("text")).cast("long").as("lex_tokens"))
         .orderBy(col("doc_id"))
     }),

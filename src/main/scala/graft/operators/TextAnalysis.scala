@@ -19,7 +19,12 @@ object TextAnalysis {
     * under Java regex and RE2.
     */
   val lexTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def lexTokenCount(text: Column): Column = regexp_count(text, lit(lexTokenPattern))
+  def lexTokenCount(text: Column): Column =
+    graft.functions.TextProfileFunctions.textProfile(text).getField("lex_count")
+
+  /** Whitespace-token count without materializing the token array. */
+  def wordCount(text: Column): Column =
+    graft.functions.TextProfileFunctions.textProfile(text).getField("word_count")
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
@@ -29,26 +34,28 @@ object TextAnalysis {
     * bit-for-bit in any engine.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val wc = size(toks).cast("long")
-    val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("long")
-    val stop = size(array_intersect(
-      transform(toks, x => lower(x)), array(enStop.map(lit): _*))).cast("long")
-    df.withColumn("n_chars_m", length(t).cast("long"))
-      .withColumn("word_count", wc)
-      .withColumn("punct_count", punct)
-      .withColumn("stop_hits", stop)
+    // one native byte-pass for all counters (TextProfile), ratios derived
+    // from the integer counts so results are engine-reproducible
+    df.withColumn("__tp",
+        graft.functions.TextProfileFunctions.textProfile(col(textCol)))
+      .withColumn("n_chars_m", col("__tp.n_chars"))
+      .withColumn("word_count", col("__tp.word_count"))
+      .withColumn("punct_count", col("__tp.punct_count"))
+      .withColumn("stop_hits", col("__tp.stop_hits"))
       .withColumn("avg_word_len",
-        when(wc > 0, (length(t).cast("double") / wc)).otherwise(0.0))
+        when(col("word_count") > 0,
+          col("n_chars_m").cast("double") / col("word_count")).otherwise(0.0))
       .withColumn("punct_ratio",
-        when(length(t) > 0, punct.cast("double") / length(t)).otherwise(0.0))
+        when(col("n_chars_m") > 0,
+          col("punct_count").cast("double") / col("n_chars_m")).otherwise(0.0))
       .withColumn("stop_ratio",
-        when(wc > 0, stop.cast("double") / wc).otherwise(0.0))
+        when(col("word_count") > 0,
+          col("stop_hits").cast("double") / col("word_count")).otherwise(0.0))
       .withColumn("quality_score",
         least(col("word_count").cast("double") / 100.0, lit(1.0)) * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.3
           + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3)
+      .drop("__tp")
   }
 
   // Marker stopwords per language for the n-gram-free heuristic language
@@ -65,10 +72,9 @@ object TextAnalysis {
     * oracle.
     */
   def langId(text: Column): Column = {
-    val toks = transform(tokens(text), t => lower(t))
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
-    }
+    val tp = graft.functions.TextProfileFunctions.textProfile(text)
+    val scores = Seq("en" -> tp.getField("s_en"), "de" -> tp.getField("s_de"),
+      "es" -> tp.getField("s_es"), "fr" -> tp.getField("s_fr"))
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s > 0 && s === best, lit(lang)).otherwise(els)

@@ -16,7 +16,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("lexical tokens: letter runs, digit runs, single punct") {
     val df = Seq("ab12 cd! e.f").toDF("text")
     // ab,12,cd,!,e,.,f → 7
-    assert(df.select(TextAnalysis.lexTokenCount(col("text"))).head().getInt(0) == 7)
+    assert(df.select(TextAnalysis.lexTokenCount(col("text"))).head().getLong(0) == 7L)
   }
 
   test("quality features: ratios from known counts") {
