@@ -292,8 +292,42 @@ case class DotProductFF(left: Expression, right: Expression)
       : DotProductFF = copy(left = l, right = r)
 }
 
+/** `hyperplane_sig(vec, bits)` → bigint: random-hyperplane LSH signature
+  * of an array<float> embedding. Plane components are deterministic
+  * pseudo-randoms derived from (plane, dim) via fmix64, folded to [-1, 1] —
+  * same family as the Column-level formulation but computed in one loop.
+  */
+case class HyperplaneSignature(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val h = HashOps.fmix64(p.toLong * 0x9E3779B97F4A7C15L + j.toLong)
+        // fold to [-1, 1] with ~1e-6 resolution (matches planeComponent)
+        val comp = (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+        acc += v.getFloat(j).toDouble * comp
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
+    copy(child = c)
+}
+
 /** Column-API wrappers. */
 object HashFunctions {
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    GraftInternal.column(HyperplaneSignature(GraftInternal.expression(vec), bits))
   def dotFF(a: Column, b: Column): Column =
     GraftInternal.column(DotProductFF(GraftInternal.expression(a),
       GraftInternal.expression(b)))

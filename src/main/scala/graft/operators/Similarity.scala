@@ -41,26 +41,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `p`,
-    * dimension `j`: xxhash64 folded to [-1, 1]. No RNG state, so signatures
-    * are stable across runs and clusters.
-    */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(2000001L)).cast("double") / 1000000.0) - 1.0
-
   /** Random-hyperplane LSH signature: `bits` sign bits of plane·vector,
-    * packed into a long. Vectors close in cosine agree on most bits.
+    * packed into a long (native expression; plane components are
+    * deterministic fmix64-derived pseudo-randoms — no RNG state, stable
+    * across runs and clusters). Vectors close in cosine agree on most bits.
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(vec, dims, (x, j) => x.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    graft.functions.HashFunctions.hyperplaneSignature(vec, bits)
 
   /** ANN via LSH buckets: group vectors by signature prefix, search only
     * within the bucket. Returns per-query top-k among same-bucket rows —
