@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftInternal
 import org.apache.spark.sql.types._
@@ -183,12 +183,13 @@ object HashOps {
   * hash fingerprints (see [[HashOps.winnow]]).
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    new GenericArrayData(HashOps.winnow(s.getBytes, k, w))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.winnow($c, $k, $w);")
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
     copy(child = c)
 }
@@ -197,20 +198,13 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * array<string> element set.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val base = new Array[Long](arr.numElements())
-    var i = 0
-    while (i < base.length) {
-      val s = arr.getUTF8String(i)
-      val b = s.getBytes
-      base(i) = HashOps.hashBytes(b, 0, b.length)
-      i += 1
-    }
-    new GenericArrayData(HashOps.minhash(base, numHashes))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashShingles(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.minhashShingles($c, $numHashes);")
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
 }
@@ -219,20 +213,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * token multiset.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val base = new Array[Long](arr.numElements())
-    var i = 0
-    while (i < base.length) {
-      val s = arr.getUTF8String(i)
-      val b = s.getBytes
-      base(i) = HashOps.hashBytes(b, 0, b.length)
-      i += 1
-    }
-    java.lang.Long.valueOf(HashOps.simhash(base))
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeKernels.simhashTokens(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.simhashTokens($c);")
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
 }
@@ -242,13 +229,13 @@ case class SimHash64(child: Expression)
   * (no shingle-string construction).
   */
 case class NgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = HashOps.elementHashes(input.asInstanceOf[ArrayData])
-    new GenericArrayData(
-      HashOps.distinctSorted(HashOps.ngramHashes(toks, n)))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.ngramHashesDistinct(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.ngramHashesDistinct($c, $n);")
   override protected def withNewChildInternal(c: Expression): NgramHashes =
     copy(child = c)
 }
@@ -258,13 +245,13 @@ case class NgramHashes(child: Expression, n: Int)
   * hash → per-seed minima) in one pass; no intermediate shingle arrays.
   */
 case class MinHashTokens(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = HashOps.elementHashes(input.asInstanceOf[ArrayData])
-    val grams = HashOps.ngramHashes(toks, shingleN)
-    new GenericArrayData(HashOps.minhash(grams, numHashes))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashTokens(input.asInstanceOf[ArrayData], shingleN, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.minhashTokens($c, $shingleN, $numHashes);")
   override protected def withNewChildInternal(c: Expression): MinHashTokens =
     copy(child = c)
 }
@@ -276,18 +263,14 @@ case class MinHashTokens(child: Expression, shingleN: Int, numHashes: Int)
   * at sf0.1).
   */
 case class DotProductFF(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    java.lang.Double.valueOf(acc)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(NativeKernels.dotFF(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeKernels.dotFF($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : DotProductFF = copy(left = l, right = r)
 }
@@ -298,28 +281,13 @@ case class DotProductFF(left: Expression, right: Expression)
   * same family as the Column-level formulation but computed in one loop.
   */
 case class HyperplaneSignature(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var sig = 0L
-    var p = 0
-    while (p < bits) {
-      var acc = 0.0
-      var j = 0
-      while (j < n) {
-        val h = HashOps.fmix64(p.toLong * 0x9E3779B97F4A7C15L + j.toLong)
-        // fold to [-1, 1] with ~1e-6 resolution (matches planeComponent)
-        val comp = (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
-        acc += v.getFloat(j).toDouble * comp
-        j += 1
-      }
-      if (acc >= 0) sig |= (1L << p)
-      p += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.hyperplaneSig($c, $bits);")
   override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
     copy(child = c)
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ArrayData/UTF8String-level kernels shared by the native expressions'
+  * interpreted `eval` AND generated code. A standalone Scala object
+  * compiles with static forwarders, so Janino-generated Java calls
+  * `graft.functions.NativeKernels.xxx(...)` directly — the expression
+  * stays inside WholeStageCodegen with one static call per row.
+  */
+object NativeKernels {
+
+  def dotFF(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(HashOps.winnow(s.getBytes, k, w))
+
+  def minhashShingles(arr: ArrayData, numHashes: Int): ArrayData =
+    new GenericArrayData(HashOps.minhash(HashOps.elementHashes(arr), numHashes))
+
+  def minhashTokens(arr: ArrayData, shingleN: Int, numHashes: Int): ArrayData =
+    new GenericArrayData(HashOps.minhash(
+      HashOps.ngramHashes(HashOps.elementHashes(arr), shingleN), numHashes))
+
+  def ngramHashesDistinct(arr: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(
+      HashOps.distinctSorted(HashOps.ngramHashes(HashOps.elementHashes(arr), n)))
+
+  def simhashTokens(arr: ArrayData): Long =
+    HashOps.simhash(HashOps.elementHashes(arr))
+
+  def hyperplaneSig(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val h = HashOps.fmix64(p.toLong * 0x9E3779B97F4A7C15L + j.toLong)
+        val comp = (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+        acc += v.getFloat(j).toDouble * comp
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def textProfile(s: UTF8String): InternalRow = TextProfileKernel.profile(s)
+}

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftInternal
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,13 +24,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * points count as punctuation exactly like the regex character classes
   * they would fall into.
   */
-case class TextProfile(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TextProfile(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextProfile.schema
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    TextProfileKernel.profile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.textProfile($c);")
+
+  override protected def withNewChildInternal(c: Expression): TextProfile =
+    copy(child = c)
+}
+
+/** The single-pass counter kernel (shared by eval and generated code). */
+object TextProfileKernel {
+  def profile(input: UTF8String): InternalRow = {
+    val bytes = input.getBytes
     val n = bytes.length
     var nChars = 0L
     var words = 0L
@@ -96,9 +110,6 @@ case class TextProfile(child: Expression)
     new GenericInternalRow(Array[Any](nChars, words, punct, lex, stopHits,
       sEn, sDe, sEs, sFr))
   }
-
-  override protected def withNewChildInternal(c: Expression): TextProfile =
-    copy(child = c)
 }
 
 object TextProfile {
