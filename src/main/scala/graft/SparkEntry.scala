@@ -307,6 +307,17 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // IVF ANN: k-means cells (deterministic init + decimal-exact means),
+    // nProbe-cell search (rows-only: iterative centroids aren't SQL)
+    "q28_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata struct (the decode /
     // feature step is spec-tested; this checks the byte-accurate metadata)
     "q27_media_meta" -> ((s, d) =>

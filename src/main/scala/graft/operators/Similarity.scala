@@ -49,6 +49,93 @@ object Similarity {
   def hyperplaneSignature(vec: Column, bits: Int): Column =
     graft.functions.HashFunctions.hyperplaneSignature(vec, bits)
 
+  /** IVF (inverted-file) ANN: k-means-partition the corpus into cells,
+    * search only the `nProbe` cells nearest each query.
+    *
+    * Deterministic throughout: centroids initialize from the lowest-id
+    * vectors and Lloyd iterations are exact averages — no RNG. The
+    * assignment pass is a broadcast crossJoin (corpus × K centroids) with
+    * a min_by reduction, fully distributed; only the K×dim centroid
+    * matrix ever reaches the driver (the legitimate small-result collect).
+    *
+    * Scale: search cost per query drops from O(corpus) to
+    * O(corpus × nProbe / nCells) after an O(corpus × nCells × iters)
+    * one-off build — the classic IVF trade. Recall < 1 by design; measure
+    * against [[bruteForceTopK]].
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, iters: Int = 2): (DataFrame, Array[(Int, Array[Float])]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Array[(Int, Array[Float])] = base.orderBy(col("id")).limit(nCells)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+    def assigned(): DataFrame = {
+      val cdf = broadcast(centroids.toSeq.toDF("cell", "cv"))
+      base.crossJoin(cdf)
+        .withColumn("d", graft.functions.VectorOps.l2sq(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
+          first(col("v")).as("v"))
+    }
+
+    var it = 0
+    while (it < iters) {
+      // distributed element-wise mean per cell; K×dim numbers to the driver
+      val sums = assigned()
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        // decimal-exact mean: partition order can't perturb the centroids
+        .agg(avg(col("x").cast("decimal(25,12)")).cast("double").as("m"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            (cell, m)
+          case None => (cell, old) // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    (assigned().select(col("id").as(idCol), col("v").as(vecCol), col("cell")),
+      centroids)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cells, centroids) = ivfAssign(corpus, idCol, vecCol, nCells, iters)
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "cv"))
+    // nProbe nearest cells per query
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorOps.norm(col(vecCol)).as("qn"))
+      .crossJoin(cdf)
+      .withColumn("d", graft.functions.VectorOps.l2sq(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val c = cells.select(col("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), VectorOps.norm(col(vecCol)).as("nn"))
+    val nn = col("qn") * col("nn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** ANN via LSH buckets: group vectors by signature prefix, search only
     * within the bucket. Returns per-query top-k among same-bucket rows —
     * recall < 1 by design; compare against [[bruteForceTopK]] to measure.

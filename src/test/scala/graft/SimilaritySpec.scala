@@ -34,6 +34,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("IVF ANN: cells partition the corpus; probed search never beats brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (cells, centroids) = Similarity.ivfAssign(emb, "vec_id", "embedding", nCells = 8)
+    assert(centroids.length == 8)
+    assert(cells.count() == emb.count()) // every vector lands in exactly one cell
+    assert(cells.select("cell").distinct().count() <= 8)
+    val queries = emb.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"cos".as("best_cos"))
+    val cmp = ivf.groupBy($"query_id").agg(max($"cos").as("ivf_cos"))
+      .join(bf, Seq("query_id"))
+    assert(cmp.filter($"ivf_cos" > $"best_cos" + 1e-9).isEmpty)
+    assert(ivf.groupBy($"query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("LSH ANN: same-vector pairs always share a bucket; recall vs brute force sane") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
