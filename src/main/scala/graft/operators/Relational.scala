@@ -103,6 +103,15 @@ object Aggregates {
       coalesce(round(max(col(priceCol)), 2), lit(0.0)).as("max_price"),
       count(lit(1)).as("num_sales"))
 
+  /** Sketch-based distinct count (HLL++, constant memory) — the opt-in
+    * scale variant of `countDistinct` for 100 TB cardinality estimation
+    * (SURVEY.md §2.4 "absent" list / §7.4 sketch variants).
+    */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], target: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(target), rsd).as(s"approx_distinct_$target"))
+
   /** Scale escape hatch: t-digest-style approximate percentile (constant
     * memory per group) for the 100 TB path where exact percentile's
     * per-group buffer is the bottleneck (SURVEY.md §7.5).

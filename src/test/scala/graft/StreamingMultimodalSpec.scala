@@ -25,6 +25,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup append mode: watermark emits finalized windows, drops late rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDS().toDF("ts", "event_type", "value")
+    val q = EventRollup.rollup(events, Some("1 day"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rollup_append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:00:00"), "click", 1.0),
+        (t("2024-01-01 11:00:00"), "click", 2.0))
+      q.processAllAvailable()
+      // watermark = max(ts) - 1d = Dec31 10:00 → Jan 1 window still open
+      assert(spark.table("rollup_append").isEmpty)
+      // advance time two days → Jan 1 window finalizes and emits
+      input.addData((t("2024-01-03 01:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-03 02:00:00"), "view", 1.0)) // nudge another batch
+      q.processAllAvailable()
+      val emitted = spark.table("rollup_append")
+        .filter($"day" === "2024-01-01").collect()
+      assert(emitted.length == 1 && emitted.head.getLong(2) == 2L)
+      // a straggler behind the watermark must NOT create/alter output
+      input.addData((t("2024-01-01 12:00:00"), "click", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("rollup_append")
+        .filter($"day" === "2024-01-01").count() == 1)
+    } finally q.stop()
+  }
+
+  test("approx sketch variants track exact results at bench scale") {
+    import graft.operators.Aggregates
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val approx = Aggregates.approxDistinct(li, Seq("l_returnflag"), "l_orderkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.15, s"$k: $ex vs ${approx(k)}")
+    }
+    val st = Aggregates.approxPriceStats(
+      spark.read.parquet(s"$dir/orders.parquet"), "o_totalprice").head()
+    val ex = Aggregates.priceStats(
+      spark.read.parquet(s"$dir/orders.parquet"), "o_totalprice").head()
+    assert(math.abs(st.getDouble(0) - ex.getDouble(0)) / ex.getDouble(0) < 0.05)
+  }
+
   test("multimodal: media column carries bytes + typed metadata") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(20)
     val media = Multimodal.withMediaColumn(docs, "doc_id", "text")
