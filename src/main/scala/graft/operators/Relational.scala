@@ -149,6 +149,30 @@ object Joins {
   }
 }
 
+/** Skew mitigation: salted joins. When a handful of hot keys dominate a
+  * fact⋈dim join (classic 100 TB failure mode), append a deterministic
+  * salt 0..n-1 to the fact side and replicate the dim side n× so each hot
+  * key spreads over n reducers. AQE's skew-join handles sort-merge skew
+  * automatically; explicit salting is for when you need it deterministic
+  * or on non-AQE paths.
+  */
+object Skew {
+
+  /** Inner equi-join `fact ⋈ dim on key`, salted `n` ways. `dim(key)` must
+    * be unique per key (a dimension). Result rows equal the unsalted join.
+    * The salt is a deterministic hash of the whole fact row — stable
+    * across runs and retries (no rand(), which breaks task retry
+    * idempotence).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(n.toLong)).cast("int"))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}
+
 /** Presentation-edge scalar helpers (SURVEY.md §2.6 C10/C11) — formatting
   * the reference does in Jinja templates.
   */

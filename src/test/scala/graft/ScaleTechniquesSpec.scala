@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+
+/** Plan-level proof of the cluster-scale techniques: bucketed co-located
+  * joins (no shuffle exchange) and salted skew joins (same results, key
+  * spread over n reducers).
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    Bucketing.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+      "orders_b", "custkey", 4)
+    Bucketing.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+      "customer_b", "custkey", 4)
+    val joined = Bucketing.readTable(spark, "orders_b")
+      .hint("merge")
+      .join(Bucketing.readTable(spark, "customer_b"), Seq("custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == orders.count()) // every order has its customer
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"row$i"))
+      .toDF("k", "payload") // key 1 is hot
+    val dim = Seq((1L, "hot"), (2L, "two"), (3L, "three"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .orderBy("payload").collect()
+    val salted = Skew.saltedJoin(fact, dim, "k", n = 8)
+      .select(fact.columns.map(col) ++ Seq(col("name")): _*)
+      .orderBy("payload").collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(_.toString).sorted.sameElements(plain.map(_.toString).sorted))
+    // the hot key really is spread: its salted fact rows take >1 salt value
+    val saltSpread = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(8L)).cast("int"))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(saltSpread > 1)
+  }
+}
