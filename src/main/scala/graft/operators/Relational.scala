@@ -166,7 +166,7 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(n.toLong)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(n.toLong)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
