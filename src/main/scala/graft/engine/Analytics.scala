@@ -80,6 +80,33 @@ object Analytics {
         "sale_date", w),
       "sale_price")
 
+  /** The full §3.1 dashboard as one call — every frame the reference's
+    * `/analytics/<bbl>` route assembles from 4–5 sequential SQL queries
+    * (webserver/server.py:383-432), here as lazily-planned transforms over
+    * at most one scan per fact table.
+    */
+  case class Dashboard(geoId: Long, requestTotals: DataFrame,
+                       requestsByType: DataFrame, complaintChart: DataFrame,
+                       salesListing: DataFrame, salesStats: DataFrame)
+
+  /** Returns None for an unknown BBL (the reference's 404,
+    * server.py:148-149).
+    */
+  def dashboard(geo: DataFrame, sr: DataFrame, complaintTypes: DataFrame,
+                sale: DataFrame, property: DataFrame,
+                borough: Int, block: Int, lot: Int,
+                w: Window = Window.default): Option[Dashboard] =
+    geoLookup(geo, borough, block, lot).collect().headOption.map { row =>
+      val geoId = row.getLong(0)
+      val byType = requestsByType(sr, complaintTypes, geoId, w)
+      Dashboard(geoId,
+        requestTotals(sr, geoId, w),
+        byType,
+        complaintChart(byType),
+        salesListing(sale, property, geoId, w),
+        salesStats(sale, property, geoId, w))
+    }
+
   /** §3.2 trends: month-bucketed series with spine gap fill — zero-filled
     * counts, null medians for empty months (webserver/server.py:259-342).
     * Requires both bounds (the reference always defaults them, :482-483).

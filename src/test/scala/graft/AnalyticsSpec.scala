@@ -89,6 +89,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(jan.getDouble(1) == 175000.25 && jan.getLong(2) == 2L)
   }
 
+  test("one-call dashboard assembles every §3.1 frame; unknown BBL is None") {
+    val d = Analytics.dashboard(geo, sr, ct, sale, prop, 1, 42, 7).get
+    assert(d.geoId == 101L)
+    assert(d.requestTotals.collect().head.getLong(0) == 13)
+    assert(d.complaintChart.collect().map(_.getLong(1)).sum == 13)
+    assert(d.salesStats.collect().head.getLong(3) == 4)
+    assert(Analytics.dashboard(geo, sr, ct, sale, prop, 9, 9, 9).isEmpty)
+  }
+
   test("compare over two keys equals two independent dashboards (J4)") {
     val both = Analytics.compareRequests(sr, Seq(101L, 102L), w2024)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
