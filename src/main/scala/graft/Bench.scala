@@ -29,13 +29,20 @@ object Bench {
     }
 
     // min of two timed runs per query: steady-state measure, robust to
-    // the multi-second scheduler noise a shared VM shows on short queries
+    // the multi-second scheduler noise a shared VM shows on short queries.
+    // A failing query records a 9999s sentinel (NOT its time-to-throw —
+    // a broken build must read as slow, never as fast) + a stderr line.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            9999.0
+        }
       }
       name -> times.min
     }

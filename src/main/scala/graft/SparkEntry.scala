@@ -438,8 +438,8 @@ object SparkEntry {
     "q12_validation_split" ->
       """SELECT is_valid, violation, count(*) AS n FROM (
         |  SELECT
-        |  (o_totalprice > 0 AND o_orderdate <= TIMESTAMP '2000-12-31'
-        |   AND o_orderstatus IN ('F','O','P')) AS is_valid,
+        |  coalesce(o_totalprice > 0 AND o_orderdate <= TIMESTAMP '2000-12-31'
+        |   AND o_orderstatus IN ('F','O','P'), FALSE) AS is_valid,
         |  CASE WHEN NOT o_totalprice > 0 THEN 'price_pos'
         |       WHEN NOT o_orderdate <= TIMESTAMP '2000-12-31' THEN 'date_bound'
         |       WHEN NOT o_orderstatus IN ('F','O','P') THEN 'status_domain'

@@ -35,19 +35,27 @@ object Tables {
 
   /** Raw events frame: `ts` is the parquet file's INT64 nanos as LongType
     * (also the schema to use for a streaming file source on these files).
+    *
+    * NOTE: `nanosAsLong` is a session-level SQL conf (there is no per-read
+    * option), so reading events flips it for the whole session — every
+    * later TIMESTAMP(NANOS) parquet read returns LongType instead of
+    * erroring. [[session]] sets it up front so the behavior is explicit
+    * rather than a loader side effect.
     */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(sfDir, "events"))
   }
 
-  /** Nanos → microsecond TimestampType (floor division; identical
-    * bucketing to engines reading nanos natively).
+  /** Nanos → microsecond TimestampType. `div` is INTEGRAL division —
+    * `/` would promote the ~1.7e18 epoch-nanos to double, whose 256 ns
+    * spacing at that magnitude can shift a midnight-exact event into the
+    * previous microsecond (and day bucket).
     */
   def eventsFromRaw(raw: DataFrame): DataFrame =
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
@@ -64,6 +72,7 @@ object Tables {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

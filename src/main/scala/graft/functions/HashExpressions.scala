@@ -103,11 +103,19 @@ object HashOps {
   /** Positional n-gram hashes over a token-hash sequence (polynomial
     * combine + fmix64) — the hash-space analogue of string shingles,
     * without building shingle strings. O(m·n).
+    *
+    * `degenerateShort`: for 0 < tokens < n, emit one whole-text shingle
+    * (right for MinHash — short docs still get a signature) vs an empty
+    * set (right for exact Jaccard — the SQL-portable definition
+    * `generate_series(1, m-n+1)` yields no shingles, and q21's oracle
+    * encodes exactly that).
     */
-  def ngramHashes(tokHashes: Array[Long], n: Int): Array[Long] = {
+  def ngramHashes(tokHashes: Array[Long], n: Int,
+                  degenerateShort: Boolean = true): Array[Long] = {
     val m = tokHashes.length
     if (m == 0) return Array.emptyLongArray
-    if (m < n) { // degenerate: one shingle of all tokens (mirrors Dedup.shingles)
+    if (m < n) {
+      if (!degenerateShort) return Array.emptyLongArray
       var acc = 0x811c9dc5L
       var j = 0
       while (j < m) { acc = acc * 1000003L + tokHashes(j); j += 1 }

@@ -32,7 +32,8 @@ object NativeKernels {
 
   def ngramHashesDistinct(arr: ArrayData, n: Int): ArrayData =
     new GenericArrayData(
-      HashOps.distinctSorted(HashOps.ngramHashes(HashOps.elementHashes(arr), n)))
+      HashOps.distinctSorted(HashOps.ngramHashes(HashOps.elementHashes(arr), n,
+        degenerateShort = false)))
 
   def simhashTokens(arr: ArrayData): Long =
     HashOps.simhash(HashOps.elementHashes(arr))

@@ -50,23 +50,6 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     graft.functions.HashFunctions.minhashSignature(shingleCol, numHashes)
 
-  /** LSH banding: split the signature into `bands` bands and hash each —
-    * docs sharing any band hash are candidates. Returns one row per
-    * (doc, band) — explode BEFORE the shuffle so the groupBy key is
-    * (band_idx, band_hash), which distributes uniformly.
-    */
-  def lshBands(df: DataFrame, idCol: String, textCol: String,
-               shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val rows = numHashes / bands
-    df.select(col(idCol),
-        minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
-      .select(col(idCol), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
-      .select(col(idCol), col("band_idx"),
-        xxhash64(col("band_idx"), slice(col("sig"), col("band_idx") * rows + 1,
-          lit(rows))).as("band_hash"))
-  }
-
   /** Candidate near-dup pairs from LSH buckets (id1 < id2), deduped across
     * bands, with the MinHash Jaccard estimate (fraction of agreeing
     * signature positions).

@@ -73,9 +73,13 @@ object Similarity {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
 
     def assigned(): DataFrame = {
-      val cdf = broadcast(centroids.toSeq.toDF("cell", "cv"))
+      // |v-c|² = |v|² - 2·v·c + |c|² ; |v|² is constant per row so argmin
+      // only needs the native dot + the per-centroid square — no
+      // interpreted element-wise HOF in the corpus × K crossJoin
+      val cdf = broadcast(centroids.toSeq.toDF("cell", "cv")
+        .withColumn("c2", VectorOps.dot(col("cv"), col("cv"))))
       base.crossJoin(cdf)
-        .withColumn("d", graft.functions.VectorOps.l2sq(col("v"), col("cv")))
+        .withColumn("d", col("c2") - lit(2.0) * VectorOps.dot(col("v"), col("cv")))
         .groupBy(col("id"))
         .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
           first(col("v")).as("v"))
@@ -112,12 +116,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (cells, centroids) = ivfAssign(corpus, idCol, vecCol, nCells, iters)
-    val cdf = broadcast(centroids.toSeq.toDF("cell", "cv"))
-    // nProbe nearest cells per query
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "cv")
+      .withColumn("c2", VectorOps.dot(col("cv"), col("cv"))))
+    // nProbe nearest cells per query (same |q|²-free distance identity)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorOps.norm(col(vecCol)).as("qn"))
       .crossJoin(cdf)
-      .withColumn("d", graft.functions.VectorOps.l2sq(col("qv"), col("cv")))
+      .withColumn("d", col("c2") - lit(2.0) * VectorOps.dot(col("qv"), col("cv")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell"))))
       .filter(col("pr") <= nProbe)

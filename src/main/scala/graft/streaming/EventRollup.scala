@@ -36,15 +36,22 @@ object EventRollup {
   /** `streamDir` must be a DIRECTORY of events parquet files (the file
     * source tails directories; new files appearing there become new
     * micro-batches). Schema comes from the batch raw reader over `sfDir`.
+    *
+    * `outputMode`: "append" is the production mode — the watermark evicts
+    * window state once it passes, so state stays bounded. "complete"
+    * (used by the batch-equivalence test) re-emits every window each
+    * batch and NEVER evicts state regardless of the watermark — only use
+    * it on bounded inputs.
     */
   def startFileStream(spark: SparkSession, sfDir: String, streamDir: String,
-                      queryName: String, watermark: String = "1 day"): StreamingQuery = {
+                      queryName: String, watermark: String = "1 day",
+                      outputMode: String = "append"): StreamingQuery = {
     val raw = graft.engine.Tables.eventsRaw(spark, sfDir)
     val stream = graft.engine.Tables.eventsFromRaw(
       spark.readStream.schema(raw.schema).parquet(streamDir))
     rollup(stream, Some(watermark))
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .start()

@@ -14,7 +14,8 @@ class StreamingMultimodalSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val q = EventRollup.startFileStream(spark, dir, streamDir.toString, "rollup_test")
+    val q = EventRollup.startFileStream(spark, dir, streamDir.toString, "rollup_test",
+      outputMode = "complete") // bounded input; complete = full rollup visible
     try {
       q.processAllAvailable()
       val streamed = spark.table("rollup_test")
