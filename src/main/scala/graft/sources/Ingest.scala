@@ -27,6 +27,17 @@ object Ingest {
       .schema(schema)
       .csv(path)
 
+  /** JSON-lines ingest with explicit schema (same no-inference rule). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC ingest — columnar like parquet; schema from the file. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Validate + split: returns (valid, quarantine) over one tagged scan
     * (reference CHECK constraints, schema.sql:31-35,43-44,70-73).
     */

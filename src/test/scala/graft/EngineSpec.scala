@@ -36,6 +36,21 @@ class EngineSpec extends SparkSpec {
     assert(back.count() == 2 && back.columns.contains("month"))
   }
 
+  test("ingest: JSON-lines and ORC round-trip with schemas intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt")
+    java.nio.file.Files.writeString(tmp.resolve("rows.jsonl"),
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val fromJson = Ingest.readJsonl(spark, s"$tmp/rows.jsonl", schema)
+    assert(fromJson.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    Ingest.writeOrc(fromJson, s"$tmp/orc")
+    val back = Ingest.readOrc(spark, s"$tmp/orc")
+    assert(back.schema == schema && back.count() == 2)
+  }
+
   test("geocode: mapping-dim join resolves known addresses, nulls unknown") {
     val mapping = Seq(
       ("1 MAIN ST", "1000420007"),
