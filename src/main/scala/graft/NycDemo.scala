@@ -54,6 +54,20 @@ object NycDemo {
       Seq("1 Main  St", "5 Nowhere Rd").toDF("address"),
       "address", mapping, "addr", "bbl10").show(false)
 
+    println("== ingest format matrix: JSONL in -> validate -> ORC out")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo_fmt")
+    java.nio.file.Files.writeString(tmp.resolve("sales.jsonl"),
+      "{\"sale_id\": 1, \"sale_price\": 100.5}\n{\"sale_id\": 2, \"sale_price\": -7.0}\n")
+    val raw = graft.sources.Ingest.readJsonl(spark, s"$tmp/sales.jsonl",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sale_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sale_price", org.apache.spark.sql.types.DoubleType))))
+    val (ok, bad) = graft.sources.Ingest.validateSplit(raw,
+      Seq("price_pos" -> (org.apache.spark.sql.functions.col("sale_price") > 0)))
+    graft.sources.Ingest.writeOrc(ok, s"$tmp/orc")
+    graft.sources.Ingest.readOrc(spark, s"$tmp/orc").show(false)
+    bad.show(false)
+
     println("== custom expressions from SQL (GraftExtensions)")
     GraftExtensions.register(spark)
     spark.sql(
