@@ -55,17 +55,19 @@ object NycDemo {
       "address", mapping, "addr", "bbl10").show(false)
 
     println("== ingest format matrix: JSONL in -> validate -> ORC out")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import graft.sources.Ingest
     val tmp = java.nio.file.Files.createTempDirectory("graft_demo_fmt")
     java.nio.file.Files.writeString(tmp.resolve("sales.jsonl"),
       "{\"sale_id\": 1, \"sale_price\": 100.5}\n{\"sale_id\": 2, \"sale_price\": -7.0}\n")
-    val raw = graft.sources.Ingest.readJsonl(spark, s"$tmp/sales.jsonl",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("sale_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sale_price", org.apache.spark.sql.types.DoubleType))))
-    val (ok, bad) = graft.sources.Ingest.validateSplit(raw,
-      Seq("price_pos" -> (org.apache.spark.sql.functions.col("sale_price") > 0)))
-    graft.sources.Ingest.writeOrc(ok, s"$tmp/orc")
-    graft.sources.Ingest.readOrc(spark, s"$tmp/orc").show(false)
+    val raw = Ingest.readJsonl(spark, s"$tmp/sales.jsonl",
+      StructType(Seq(StructField("sale_id", LongType),
+        StructField("sale_price", DoubleType))))
+    val (ok, bad) = Ingest.validateSplit(raw,
+      Seq("price_pos" -> (col("sale_price") > 0)))
+    Ingest.writeOrc(ok, s"$tmp/orc")
+    Ingest.readOrc(spark, s"$tmp/orc").show(false)
     bad.show(false)
 
     println("== custom expressions from SQL (GraftExtensions)")

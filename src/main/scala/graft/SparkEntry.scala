@@ -443,6 +443,8 @@ object SparkEntry {
         |  CASE WHEN NOT o_totalprice > 0 THEN 'price_pos'
         |       WHEN NOT o_orderdate <= TIMESTAMP '2000-12-31' THEN 'date_bound'
         |       WHEN NOT o_orderstatus IN ('F','O','P') THEN 'status_domain'
+        |       WHEN (o_totalprice > 0 AND o_orderdate <= TIMESTAMP '2000-12-31'
+        |             AND o_orderstatus IN ('F','O','P')) IS NULL THEN 'null_check'
         |       ELSE '' END AS violation
         |  FROM orders
         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),

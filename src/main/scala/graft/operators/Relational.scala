@@ -49,8 +49,13 @@ object Filters {
     val firstFail = checks.foldRight(lit(null).cast("string")) {
       case ((name, c), acc) => when(!c, lit(name)).otherwise(acc)
     }
+    // a row can be invalid with NO check definitively false (all-null
+    // inputs, e.g. a malformed PERMISSIVE row): attribute it explicitly
+    // instead of leaving violation null
     df.withColumn("is_valid", coalesce(allOk, lit(false)))
-      .withColumn("violation", firstFail)
+      .withColumn("violation",
+        when(coalesce(allOk, lit(false)), lit(null).cast("string"))
+          .otherwise(coalesce(firstFail, lit("null_check"))))
   }
 }
 

@@ -27,16 +27,21 @@ object Ingest {
       .schema(schema)
       .csv(path)
 
-  /** JSON-lines ingest with explicit schema (same no-inference rule). */
+  /** JSON-lines ingest with explicit schema (same no-inference rule);
+    * PERMISSIVE pinned so malformed lines become all-null rows for the
+    * quarantine instead of silently vanishing.
+    */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.option("mode", "PERMISSIVE").schema(schema).json(path)
 
   /** ORC ingest — columnar like parquet; schema from the file. */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  def writeOrc(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").orc(path)
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 
   /** Validate + split: returns (valid, quarantine) over one tagged scan
     * (reference CHECK constraints, schema.sql:31-35,43-44,70-73).

@@ -36,17 +36,25 @@ class EngineSpec extends SparkSpec {
     assert(back.count() == 2 && back.columns.contains("month"))
   }
 
-  test("ingest: JSON-lines and ORC round-trip with schemas intact") {
+  test("ingest: JSON-lines and ORC round-trip; malformed line quarantined as null_check") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt")
     java.nio.file.Files.writeString(tmp.resolve("rows.jsonl"),
       """{"id": 1, "name": "a"}
         |{"id": 2, "name": "b"}
+        |{"id": 3, "nam
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
     val fromJson = Ingest.readJsonl(spark, s"$tmp/rows.jsonl", schema)
-    assert(fromJson.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
-    Ingest.writeOrc(fromJson, s"$tmp/orc")
+    assert(fromJson.count() == 3) // PERMISSIVE keeps the truncated line as nulls
+    val (ok, bad) = Ingest.validateSplit(fromJson,
+      Seq("name_nonempty" -> (length(col("name")) > 0))) // NULL name → NULL check
+    assert(ok.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the all-null malformed row is attributed, not silently null-tagged:
+    // its check evaluates to NULL (not definitively false) → 'null_check'
+    val q = bad.select("violation").collect().map(_.getString(0))
+    assert(q.toSeq == Seq("null_check"))
+    Ingest.writeOrc(ok.select("id", "name"), s"$tmp/orc")
     val back = Ingest.readOrc(spark, s"$tmp/orc")
     assert(back.schema == schema && back.count() == 2)
   }
