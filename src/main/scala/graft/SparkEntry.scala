@@ -522,8 +522,10 @@ object SparkEntry {
         |    regexp_extract_all(trim(text), '\S+') AS toks FROM documents)
         |), j AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))
+        |    ELSE 0.0 END AS jaccard
         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id != b.doc_id
         |), r AS (
         |  SELECT id1, id2, jaccard,

@@ -113,6 +113,11 @@ object Dedup {
     * (block, shingle) distributes across the cluster. Documents sharing no
     * shingle with anyone fall back to the smallest other id in the block
     * with Jaccard 0 (matching a full pairwise ranking with id tiebreak).
+    *
+    * Pinned 0/0 semantics: a pair whose shingle union is empty (both docs
+    * have fewer than n tokens) counts as Jaccard 0.0 — NOT NULL/NaN — so
+    * such docs rank their fallback like any other zero-overlap pair and the
+    * result stays engine-independent (q21's oracle coalesces 0/0 to 0.0).
     */
   def ngramJaccardTopNeighbor(docs: DataFrame, idCol: String, textCol: String,
                               blockCol: String, n: Int = 3): DataFrame = {
@@ -138,11 +143,21 @@ object Dedup {
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id1"), col("id2").as("best_id"), col("jaccard"))
-    // fallback: docs whose shingles overlap nobody → smallest other id, J=0
-    val others = sizes.select(col("blk"), col("id").as("id1"))
-      .join(sizes.select(col("blk"), col("id").as("oid")), Seq("blk"))
-      .filter(col("id1") =!= col("oid"))
-      .groupBy(col("id1")).agg(min(col("oid")).as("fallback_id"))
+    // fallback: docs whose shingles overlap nobody → smallest other id, J=0.
+    // Derived from TWO per-block aggregates (min id, then min id excluding
+    // it), never a block self-join: a block² pair materialization would be
+    // 10^12 rows for a 1 M-doc block, while this stays linear in block size.
+    // Single-doc blocks produce no min2 row and drop out (no "other" doc
+    // exists), matching a pairwise ranking's empty result for them.
+    val min1 = sizes.groupBy(col("blk")).agg(min(col("id")).as("min1"))
+    val min12 = sizes.join(min1, Seq("blk"))
+      .filter(col("id") =!= col("min1"))
+      .groupBy(col("blk"))
+      .agg(first(col("min1")).as("min1"), min(col("id")).as("min2"))
+    val others = sizes.join(min12, Seq("blk"))
+      .select(col("id").as("id1"),
+        when(col("id") === col("min1"), col("min2"))
+          .otherwise(col("min1")).as("fallback_id"))
     others.join(best, Seq("id1"), "left")
       .select(col("id1").as(idCol),
         coalesce(col("best_id"), col("fallback_id")).as("best_id"),

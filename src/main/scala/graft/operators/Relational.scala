@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic relational operator families re-expressing the reference's query
@@ -208,15 +207,26 @@ object TopK {
     * sum(total_count) is preserved (SURVEY.md §5 property 3).
     */
   def topNPlusOther(grouped: DataFrame, groupCol: String, n: Int): DataFrame = {
-    val w = Window.orderBy(col("total_count").desc, col(groupCol))
+    // Top-N membership via orderBy+limit (TakeOrderedAndProject — a
+    // distributed per-partition top-N, no global Window): an unpartitioned
+    // `Window.orderBy` would move every group to ONE partition, which is a
+    // single-node sort when the group column is high-cardinality. The tiny
+    // n-row winner set broadcast-joins back to tag buckets; Catalyst's
+    // ReuseExchange shares the upstream aggregation between both branches.
+    val topn = grouped
+      .orderBy(col("total_count").desc, col(groupCol))
+      .limit(n)
+      .select(col(groupCol).as("__top_key"))
     grouped
-      .withColumn("rn", row_number().over(w))
+      .join(broadcast(topn), col(groupCol) === col("__top_key"), "left")
       .withColumn("bucket",
-        when(col("rn") <= n, col(groupCol)).otherwise(lit("Other")))
+        when(col("__top_key").isNotNull, col(groupCol)).otherwise(lit("Other")))
       .groupBy(col("bucket"))
-      .agg(sum(col("total_count")).as("total_count"),
-        min(col("rn")).as("ord"))
-      .orderBy(col("ord"))
+      .agg(sum(col("total_count")).as("total_count"))
+      // winners in rank order (count desc, name — the ranking's own key),
+      // the residual bucket last
+      .orderBy(when(col("bucket") === "Other", 1).otherwise(0),
+        col("total_count").desc, col("bucket"))
       .select(col("bucket"), col("total_count"))
   }
 }

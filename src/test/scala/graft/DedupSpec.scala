@@ -52,6 +52,61 @@ class DedupSpec extends SparkSpec {
     assert(top(2L)._2 == 0.0 && top(2L)._1 == 0L) // no overlap → fallback
   }
 
+  test("top-neighbor pinned 0/0 semantics: sub-n-token docs rank like zero-overlap docs") {
+    // ADVICE r1: two docs with < n tokens in one block have EMPTY shingle
+    // sets, so their pair is 0/0 — pinned to Jaccard 0.0 (not NULL/NaN).
+    // Every doc here overlaps nobody → each falls back to the smallest
+    // other id in the block, exactly what a full pairwise ranking with the
+    // coalesced oracle (jaccard DESC, id2) yields.
+    val shorties = Seq(
+      (10L, "hi there", "s1"),            // 2 tokens → empty shingle set
+      (11L, "bye now", "s1"),             // 2 tokens → empty shingle set
+      (12L, "ordinary text with plenty of tokens in it", "s1")
+    ).toDF("doc_id", "text", "source")
+    val top = Dedup.ngramJaccardTopNeighbor(shorties, "doc_id", "text", "source")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(top(10L) == ((11L, 0.0)))
+    assert(top(11L) == ((10L, 0.0)))
+    assert(top(12L) == ((10L, 0.0)))
+  }
+
+  test("top-neighbor excludes docs in single-doc blocks (no 'other' doc exists)") {
+    val lone = Seq(
+      (0L, "some shared words here in this block", "s1"),
+      (1L, "some shared words here in this block too", "s1"),
+      (9L, "alone in its block", "s2")
+    ).toDF("doc_id", "text", "source")
+    val ids = Dedup.ngramJaccardTopNeighbor(lone, "doc_id", "text", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L))
+  }
+
+  test("top-neighbor fallback joins are aggregate-based, never a block self-join") {
+    // VERDICT r1: the old fallback joined per-doc rows to per-doc rows on
+    // the block key alone — O(block²) pair materialization. Guard: every
+    // join keyed solely on the block column must have an aggregated
+    // (per-block, linear) side.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val plan = Dedup.ngramJaccardTopNeighbor(docs, "doc_id", "text", "source")
+      .queryExecution.optimizedPlan
+    def hasAgg(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.isDefined
+    val blkOnlyJoins = plan.collect { case j: Join =>
+      val eqNames = j.condition.toSeq.flatMap(_.collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          Seq(a.name, b.name)
+      }.flatten).toSet
+      (j, eqNames)
+    }.filter { case (_, names) => names.nonEmpty && names.subsetOf(Set("blk")) }
+    assert(blkOnlyJoins.nonEmpty, "expected the fallback's per-block joins")
+    blkOnlyJoins.foreach { case (j, _) =>
+      assert(hasAgg(j.left) || hasAgg(j.right),
+        s"block-key-only join with two per-doc sides (block² shape):\n$j")
+    }
+  }
+
   test("simhash: identical text → distance 0, near text small, unrelated large") {
     val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -29,6 +29,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(joined.count() == orders.count()) // every order has its customer
   }
 
+  test("no SparkEntry query plans an unpartitioned Window") {
+    // VERDICT r1: an empty-partition Window moves ALL rows to one
+    // partition ("WindowExec: No Partition Defined" warning) — a
+    // single-node sort at scale. Guard every contract query's plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val globals = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty, s"$name plans an unpartitioned Window")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"row$i"))
       .toDF("k", "payload") // key 1 is hot
