@@ -211,10 +211,10 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    // Winnowing fingerprints (rolling k-gram hash minima) — engine-specific
-    // hash, so rows-only check (no oracle)
+    // Winnowing fingerprints, oracle-checkable profile (MD5-derived 60-bit
+    // character-gram hashes — DuckDB re-derives the same fingerprint set)
     "q17_fingerprints" -> ((s, d) => {
-      val fp = TextAnalysis.fingerprints(col("text"), k = 8, w = 4)
+      val fp = TextAnalysis.fingerprintsPortable(col("text"), k = 8, w = 4)
       t(s, d, "documents")
         .select(col("doc_id"), size(fp).cast("long").as("n_fingerprints"),
           array_min(fp).as("min_fp"))
@@ -225,23 +225,32 @@ object SparkEntry {
     "q18_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy(col("doc_id"))),
 
-    // MinHash+LSH near-dup candidates: per-doc candidate count (xxhash64
-    // signatures are engine-specific → rows-only check)
+    // MinHash+LSH near-dup detection, exact-verified: LSH proposes
+    // candidate pairs, exact n-gram Jaccard confirms >= 0.8. The oracle
+    // computes the TRUE >= 0.8 pair set all-pairs, so LSH recall is part of
+    // what's checked: 16 bands × 2 rows puts per-pair detection probability
+    // at J=0.8 above 1 - 1e-7 (1-(1-0.8²)¹⁶), i.e. the candidate stage is
+    // engineered to miss nothing the verifier would keep.
     "q19_minhash_lsh" -> ((s, d) => {
       val doc = t(s, d, "documents")
-      val pairs = Dedup.minhashCandidatePairs(doc, "doc_id", "text")
-      val perDoc = pairs.select(col("id1").as("doc_id"))
-        .union(pairs.select(col("id2").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      doc.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
-        .orderBy(col("doc_id"))
+      val cand = Dedup.minhashCandidatePairs(doc, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      // prescreen on the signature-agreement estimate the candidate stage
+      // already computed: Bin(32, 0.8) < 0.4·32 has probability ~1e-8, so
+      // no true >= 0.8 pair is lost, while band-hash false positives (est
+      // near 0) never reach the expensive exact verification
+      Dedup.ngramJaccard(cand.filter(col("est_jaccard") >= 0.4)
+          .select("id1", "id2"), doc, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
     }),
 
-    // SimHash 64-bit fingerprints (rows-only: engine-specific hash)
+    // SimHash 64-bit fingerprints, oracle-checkable profile (token hashes
+    // are MD5-derived so DuckDB recomputes the fingerprint bit-for-bit)
     "q20_simhash" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64Portable(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     // Exact word-3-gram Jaccard: best match per doc within its source
@@ -507,10 +516,69 @@ object SparkEntry {
         |  )
         |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    // Winnowing re-derived in SQL: md5 60-bit gram hashes (matching the
+    // engine's signed-long minima), window-of-w minima, distinct
+    "q17_fingerprints" ->
+      """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |list_min(fps) AS min_fp
+        |FROM (
+        |  SELECT doc_id,
+        |  CASE WHEN m <= 0 THEN CAST([] AS BIGINT[])
+        |  ELSE list_distinct(list_transform(
+        |    generate_series(1, greatest(m - 3, 1)),
+        |    i -> list_min(list_slice(grams, i, i + 3)))) END AS fps
+        |  FROM (
+        |    SELECT doc_id, length(text) - 7 AS m,
+        |    list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+        |      p -> CAST('0x' || substr(md5(substr(text, p, 8)), 1, 15) AS BIGINT)) AS grams
+        |    FROM documents
+        |  )
+        |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "q18_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS digest, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+
+    // True >= 0.8 near-dup pair set, all-pairs — the engine must reproduce
+    // it through LSH candidates + exact verification, so recall is checked
+    "q19_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        |         generate_series(1, len(toks) - 2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |       ELSE [] END AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))
+        |    ELSE 0.0 END AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM j
+        |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    // Recomputes the MD5-profile SimHash bit-for-bit: token hash = first 8
+    // bytes of md5(token) as UBIGINT; per-bit ±1 votes; bit 63 carries the
+    // sign (HUGEINT intermediate, BIGINT result)
+    "q20_simhash" ->
+      """SELECT doc_id,
+        |CAST(list_sum(list_transform(generate_series(0, 63), j ->
+        |  CASE WHEN list_sum(list_transform(hs, h ->
+        |         CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |       THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |                 ELSE CAST(1::BIGINT << j AS HUGEINT) END
+        |       ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM (
+        |  SELECT doc_id, list_transform(regexp_extract_all(trim(text), '\S+'),
+        |    t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hs
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "q21_ngram_jaccard" ->
       """WITH sh AS (

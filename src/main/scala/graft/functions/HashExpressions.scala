@@ -43,6 +43,32 @@ object HashOps {
     fmix64(h)
   }
 
+  /** Sliding-window minima (window w) over a gram-hash sequence via a
+    * monotonic deque — O(m) total — deduped and sorted: the winnowing
+    * selection step shared by every fingerprint profile.
+    */
+  def winnowGrams(grams: Array[Long], w: Int): Array[Long] = {
+    val m = grams.length
+    if (m == 0) return Array.emptyLongArray
+    val ww = math.min(w, m)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque of indices with increasing gram values
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0
+    var i = 0
+    while (i < m) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - ww) head += 1
+      if (i >= ww - 1) out.add(grams(deque(head)))
+      i += 1
+    }
+    val res = new Array[Long](out.size())
+    val it = out.iterator(); i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    res
+  }
+
   /** Winnowing fingerprints (MOSS scheme) of a document: rolling
     * polynomial hash of every k-byte gram, then the minimum of each
     * sliding window of w grams (monotonic-deque, O(n) total), deduped and
@@ -67,23 +93,7 @@ object HashOps {
       grams(i) = fmix64(h)
       i += 1
     }
-    val ww = math.min(w, m)
-    val out = new java.util.TreeSet[java.lang.Long]()
-    // monotonic deque of indices with increasing gram values
-    val deque = new Array[Int](m)
-    var head = 0; var tail = 0
-    i = 0
-    while (i < m) {
-      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
-      deque(tail) = i; tail += 1
-      if (deque(head) <= i - ww) head += 1
-      if (i >= ww - 1) out.add(grams(deque(head)))
-      i += 1
-    }
-    val res = new Array[Long](out.size())
-    val it = out.iterator(); i = 0
-    while (it.hasNext) { res(i) = it.next(); i += 1 }
-    res
+    winnowGrams(grams, w)
   }
 
   private val Golden = 0x9E3779B97F4A7C15L
@@ -167,6 +177,84 @@ object HashOps {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit token hash an external engine can recompute: the first 8 bytes
+    * of MD5(token-utf8), big-endian (in SQL:
+    * `CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)`). Slower than
+    * [[hashBytes]] — use only where cross-engine verifiability matters.
+    */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** [[md5Hash64]] over a byte range, without copying. */
+  def md5Hash64Range(bytes: Array[Byte], from: Int, len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, from, len)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** Winnowing fingerprints over character k-grams with MD5-derived gram
+    * hashes, truncated to 60 bits (first 15 hex chars) so the value is
+    * non-negative — min-comparisons then agree between a signed-long
+    * engine and an unsigned-SQL oracle (`CAST('0x' || substr(md5(gram),
+    * 1, 15) AS BIGINT)`). Grams are CHARACTER grams (code points), the
+    * unit SQL `substr` slices by; for ASCII text that equals the byte
+    * gram. Oracle-checkable profile of [[winnow]].
+    */
+  def winnowMd5(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val grams: Array[Long] =
+      if (bytes.length == s.numChars()) { // ASCII: char grams == byte grams
+        val m = bytes.length - k + 1
+        if (m <= 0) return Array.emptyLongArray
+        val g = new Array[Long](m)
+        var i = 0
+        while (i < m) { g(i) = md5Hash64Range(bytes, i, k) >>> 4; i += 1 }
+        g
+      } else {
+        val str = s.toString
+        val m = str.codePointCount(0, str.length) - k + 1
+        if (m <= 0) return Array.emptyLongArray
+        val g = new Array[Long](m)
+        var start = 0 // UTF-16 offset of code point i
+        var i = 0
+        while (i < m) {
+          val end = str.offsetByCodePoints(start, k)
+          g(i) = md5Hash64(str.substring(start, end)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 4
+          start = str.offsetByCodePoints(start, 1)
+          i += 1
+        }
+        g
+      }
+    winnowGrams(grams, w)
+  }
+
+  /** MD5-derived hashes of every UTF8String element of an array. */
+  def elementMd5Hashes(arr: ArrayData): Array[Long] = {
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = md5Hash64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    out
+  }
+
   /** SimHash: per-element ±1 bit votes from the element hash. */
   def simhash(base: Array[Long]): Long = {
     val votes = new Array[Int](64)
@@ -229,6 +317,41 @@ case class SimHash64(child: Expression)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.NativeKernels.simhashTokens($c);")
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** `winnow_fingerprints_md5(text, k, w)` → array<bigint> winnowing
+  * fingerprints over MD5-derived 60-bit character-gram hashes — the
+  * oracle-checkable profile of [[WinnowFingerprints]] (see
+  * [[HashOps.winnowMd5]]).
+  */
+case class WinnowFingerprintsMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.winnowMd5(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.winnowMd5($c, $k, $w);")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprintsMd5 =
+    copy(child = c)
+}
+
+/** `simhash64_md5(tokens)` → bigint SimHash whose token hashes are
+  * MD5-derived ([[HashOps.md5Hash64]]) — bit-for-bit recomputable by any
+  * engine with an md5() function, which makes the fingerprint
+  * oracle-checkable (vs [[SimHash64]]'s faster engine-local FNV/fmix
+  * family). Same voting scheme, same Hamming-distance semantics.
+  */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeKernels.simhashMd5Tokens(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.simhashMd5Tokens($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64Md5 =
     copy(child = c)
 }
 
@@ -313,8 +436,12 @@ object HashFunctions {
     GraftInternal.column(MinHashTokens(GraftInternal.expression(tokens), shingleN, numHashes))
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftInternal.column(WinnowFingerprints(GraftInternal.expression(text), k, w))
+  def winnowFingerprintsMd5(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftInternal.column(WinnowFingerprintsMd5(GraftInternal.expression(text), k, w))
   def minhashSignature(tokens: Column, numHashes: Int = 32): Column =
     GraftInternal.column(MinHashSignature(GraftInternal.expression(tokens), numHashes))
   def simhash64(tokens: Column): Column =
     GraftInternal.column(SimHash64(GraftInternal.expression(tokens)))
+  def simhash64Md5(tokens: Column): Column =
+    GraftInternal.column(SimHash64Md5(GraftInternal.expression(tokens)))
 }

@@ -23,6 +23,9 @@ object NativeKernels {
   def winnow(s: UTF8String, k: Int, w: Int): ArrayData =
     new GenericArrayData(HashOps.winnow(s.getBytes, k, w))
 
+  def winnowMd5(s: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(HashOps.winnowMd5(s, k, w))
+
   def minhashShingles(arr: ArrayData, numHashes: Int): ArrayData =
     new GenericArrayData(HashOps.minhash(HashOps.elementHashes(arr), numHashes))
 
@@ -37,6 +40,9 @@ object NativeKernels {
 
   def simhashTokens(arr: ArrayData): Long =
     HashOps.simhash(HashOps.elementHashes(arr))
+
+  def simhashMd5Tokens(arr: ArrayData): Long =
+    HashOps.simhash(HashOps.elementMd5Hashes(arr))
 
   def hyperplaneSig(v: ArrayData, bits: Int): Long = {
     val n = v.numElements()

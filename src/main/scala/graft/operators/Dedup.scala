@@ -91,7 +91,14 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    // shingle only the docs the pair set references: candidate sets are a
+    // tiny fraction of the corpus, so semi-joining first keeps the wide
+    // shingle arrays off the shuffle for every uninvolved document
+    val ids = pairs.select(col("id1").as(idCol))
+      .union(pairs.select(col("id2").as(idCol)))
+      .distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), n).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -171,6 +178,15 @@ object Dedup {
     */
   def simhash64(text: Column): Column =
     graft.functions.HashFunctions.simhash64(TextAnalysis.tokens(text))
+
+  /** Oracle-checkable SimHash profile: identical voting scheme, but token
+    * hashes are the first 8 bytes of MD5(token) so any engine with md5()
+    * reproduces the fingerprint bit-for-bit. Use [[simhash64]] (engine-local
+    * hash family, ~no hashing cost) when cross-engine verifiability isn't
+    * needed.
+    */
+  def simhash64Portable(text: Column): Column =
+    graft.functions.HashFunctions.simhash64Md5(TextAnalysis.tokens(text))
 
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -89,4 +89,13 @@ object TextAnalysis {
     */
   def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.HashFunctions.winnowFingerprints(text, k, w)
+
+  /** Oracle-checkable winnowing profile: same selection scheme, but gram
+    * hashes are MD5-derived 60-bit values over CHARACTER k-grams, so any
+    * engine with md5()/substr() reproduces the fingerprint set exactly.
+    * Use [[fingerprints]] (rolling hash, ~10× cheaper) when cross-engine
+    * verifiability isn't needed.
+    */
+  def fingerprintsPortable(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.HashFunctions.winnowFingerprintsMd5(text, k, w)
 }

@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpec {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
   }
 
+  test("portable (md5) simhash matches the cross-engine fingerprint bit-for-bit") {
+    // expected value independently recomputed in DuckDB 1.0.0 via
+    // CAST('0x'||substr(md5(tok),1,16) AS UBIGINT) token hashes + ±1 votes
+    val r = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("doc_id") === 0L)
+      .select(Dedup.simhash64Portable(col("text")))
+      .head().getLong(0)
+    assert(r == 2360238991694013234L)
+    // and it ranks similarity like the default profile
+    val h = docs.select(col("doc_id"), Dedup.simhash64Portable(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(3L)) == 0)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
+  }
+
   test("embedding near-dups within block above threshold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), "b1"),

@@ -53,4 +53,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L).nonEmpty)
     assert(fp(3L).isEmpty) // shorter than k=8
   }
+
+  test("portable (md5) fingerprints match the cross-engine derivation") {
+    // expected values independently recomputed in DuckDB 1.0.0: 60-bit
+    // md5 gram hashes, window-of-4 minima, distinct (sf0.01 doc 0)
+    val r = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("doc_id") === 0L)
+      .select(TextAnalysis.fingerprintsPortable(col("text")).as("fp"))
+      .head().getSeq[Long](0)
+    assert(r.length == 55 && r.min == 13432708482784600L)
+    // all values fit the 60-bit non-negative contract (signed/unsigned-safe)
+    assert(r.forall(v => v >= 0 && v < (1L << 60)))
+    // non-ASCII text exercises the code-point gram path without crashing
+    // and stays deterministic
+    val uni = Seq((1L, "héllo wörld — ünïcode tèxt lóng enough")).toDF("id", "text")
+    val a = uni.select(TextAnalysis.fingerprintsPortable(col("text"))).head().getSeq[Long](0)
+    val b = uni.select(TextAnalysis.fingerprintsPortable(col("text"))).head().getSeq[Long](0)
+    assert(a.nonEmpty && a == b)
+  }
 }
