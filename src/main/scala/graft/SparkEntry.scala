@@ -269,9 +269,11 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (rows-only: engine-specific hyperplanes)
+    // LSH-bucketed ANN (rows-only: engine-specific hyperplanes); auto
+    // prefix scaling + 2-table OR-amplification; recall floor spec-asserted
     "q23_ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5,
+          tables = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
           col("rank"))
         .orderBy(col("query_id"), col("rank"))),

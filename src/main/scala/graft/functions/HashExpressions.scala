@@ -411,22 +411,23 @@ case class DotProductFF(left: Expression, right: Expression)
   * pseudo-randoms derived from (plane, dim) via fmix64, folded to [-1, 1] —
   * same family as the Column-level formulation but computed in one loop.
   */
-case class HyperplaneSignature(child: Expression, bits: Int)
+case class HyperplaneSignature(child: Expression, bits: Int, seed: Long = 0L)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(NativeKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits))
+    java.lang.Long.valueOf(
+      NativeKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits, seed))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.NativeKernels.hyperplaneSig($c, $bits);")
+      s"${ev.value} = graft.functions.NativeKernels.hyperplaneSig($c, $bits, ${seed}L);")
   override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
     copy(child = c)
 }
 
 /** Column-API wrappers. */
 object HashFunctions {
-  def hyperplaneSignature(vec: Column, bits: Int): Column =
-    GraftInternal.column(HyperplaneSignature(GraftInternal.expression(vec), bits))
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Long = 0L): Column =
+    GraftInternal.column(HyperplaneSignature(GraftInternal.expression(vec), bits, seed))
   def dotFF(a: Column, b: Column): Column =
     GraftInternal.column(DotProductFF(GraftInternal.expression(a),
       GraftInternal.expression(b)))

@@ -44,7 +44,13 @@ object NativeKernels {
   def simhashMd5Tokens(arr: ArrayData): Long =
     HashOps.simhash(HashOps.elementMd5Hashes(arr))
 
-  def hyperplaneSig(v: ArrayData, bits: Int): Long = {
+  def hyperplaneSig(v: ArrayData, bits: Int): Long = hyperplaneSig(v, bits, 0L)
+
+  /** `seed` selects an independent plane family (seed 0 = the original):
+    * OR-amplification unions buckets from several seeds so a near pair
+    * missed by one family is caught by another.
+    */
+  def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
     var sig = 0L
     var p = 0
@@ -52,7 +58,7 @@ object NativeKernels {
       var acc = 0.0
       var j = 0
       while (j < n) {
-        val h = HashOps.fmix64(p.toLong * 0x9E3779B97F4A7C15L + j.toLong)
+        val h = HashOps.fmix64((p.toLong + seed * bits) * 0x9E3779B97F4A7C15L + j.toLong)
         val comp = (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
         acc += v.getFloat(j).toDouble * comp
         j += 1

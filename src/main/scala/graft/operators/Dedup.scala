@@ -53,10 +53,20 @@ object Dedup {
   /** Candidate near-dup pairs from LSH buckets (id1 < id2), deduped across
     * bands, with the MinHash Jaccard estimate (fraction of agreeing
     * signature positions).
+    *
+    * Hot-bucket guard: a bucket larger than `maxBucket` (e.g. a flood of
+    * identical boilerplate docs) would otherwise emit bucket² pairs. Such
+    * buckets instead emit a STAR — every member paired with the bucket's
+    * lowest id — which is linear in bucket size and preserves connectivity
+    * for downstream dedup clustering (the representative links the
+    * component; transitive closure recovers the clique).
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, numHashes: Int = 32,
-                            bands: Int = 8): DataFrame = {
+                            bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands): " +
+        "trailing signature positions would silently drop from banding")
     val rows = numHashes / bands
     // one signature computation (native tokens→signature pass); bands
     // derive from it and the signature rides along through the bucket
@@ -70,12 +80,27 @@ object Dedup {
       .select(col("id"), col("sig"), col("band_idx"),
         xxhash64(col("band_idx"),
           slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
-    val l = banded.select(col("band_idx"), col("band_hash"),
+    val sizes = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bsz"))
+    val tagged = banded.join(sizes, Seq("band_idx", "band_hash"))
+    val normal = tagged.filter(col("__bsz") <= maxBucket)
+    val l = normal.select(col("band_idx"), col("band_hash"),
       col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band_idx"), col("band_hash"),
+    val r = normal.select(col("band_idx"), col("band_hash"),
       col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band_idx", "band_hash"))
+    val cliquePairs = l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+    // oversized buckets: representative (lowest id) star, linear cost
+    val over = tagged.filter(col("__bsz") > maxBucket)
+    val reps = over.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("id")).as("__rep_id"),
+        min_by(col("sig"), col("id")).as("__rep_sig"))
+    val starPairs = over.join(reps, Seq("band_idx", "band_hash"))
+      .filter(col("id") =!= col("__rep_id"))
+      .select(col("__rep_id").as("id1"), col("id").as("id2"),
+        col("__rep_sig").as("sig1"), col("sig").as("sig2"))
+    cliquePairs.unionByName(starPairs)
       // collapse multi-band duplicates in the same shuffle that forms pairs
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))

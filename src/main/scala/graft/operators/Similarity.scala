@@ -45,9 +45,10 @@ object Similarity {
     * packed into a long (native expression; plane components are
     * deterministic fmix64-derived pseudo-randoms — no RNG state, stable
     * across runs and clusters). Vectors close in cosine agree on most bits.
+    * `seed` selects an independent plane family for OR-amplification.
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column =
-    graft.functions.HashFunctions.hyperplaneSignature(vec, bits)
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Long = 0L): Column =
+    graft.functions.HashFunctions.hyperplaneSignature(vec, bits, seed)
 
   /** IVF (inverted-file) ANN: k-means-partition the corpus into cells,
     * search only the `nProbe` cells nearest each query.
@@ -144,25 +145,64 @@ object Similarity {
   /** ANN via LSH buckets: group vectors by signature prefix, search only
     * within the bucket. Returns per-query top-k among same-bucket rows —
     * recall < 1 by design; compare against [[bruteForceTopK]] to measure.
-    * `prefixBits` trades recall (fewer bits → bigger buckets) for cost.
+    *
+    * Scale controls (all VERDICT-r1 findings):
+    *  - `prefixBits = 0` (default) auto-scales with corpus size so bucket
+    *    population stays near `targetBucketSize` instead of growing
+    *    linearly with the corpus (a fixed prefix caps the bucket COUNT,
+    *    making the bucket² join quadratic again at 100×);
+    *  - `maxBucket` caps the NEIGHBOR side of every bucket (lowest ids —
+    *    deterministic), so a degenerate flood of near-identical vectors
+    *    costs bucket × maxBucket, never bucket²; for exactly-identical
+    *    vectors the cap is lossless (ties rank by neighbor id anyway);
+    *  - `tables > 1` is OR-amplification: independent plane families
+    *    (seeded [[hyperplaneSignature]]) propose buckets in parallel and a
+    *    pair missed by one family is caught by another — recall rises at
+    *    linear (× tables) cost.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-              bits: Int = 16, prefixBits: Int = 8): DataFrame = {
-    val mask = (1L << prefixBits) - 1
-    val sig = corpus.select(col(idCol), col(vecCol),
-      VectorOps.norm(col(vecCol)).as("nrm"),
-      (hyperplaneSignature(col(vecCol), bits).bitwiseAND(mask)).as("bucket"))
-    val l = sig.select(col("bucket"), col(idCol).as("query_id"),
+              bits: Int = 16, prefixBits: Int = 0, tables: Int = 1,
+              maxBucket: Int = 4096, targetBucketSize: Int = 64): DataFrame = {
+    require(tables >= 1 && bits <= 62 && maxBucket >= 1)
+    val pb =
+      if (prefixBits > 0) prefixBits
+      else {
+        val n = corpus.count().max(1L) // one cheap count job, metadata-only
+        math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 2.0))
+          / math.log(2.0)).toInt.max(4).min(bits)
+      }
+    val mask = (1L << pb) - 1
+    // one corpus pass; each row explodes into its per-table (tbl, bucket)
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneSignature(col(vecCol), bits, t.toLong).bitwiseAND(mask)
+          .as("bucket"))): _*))
+    val sig = corpus
+      .select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
+        tb.as("tb"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+    val r = sig.withColumn("__bn", row_number().over(capW))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("tbl"), col("bucket"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"), col("nrm").as("nn"))
+    val l = sig.select(col("tbl"), col("bucket"), col(idCol).as("query_id"),
       col(vecCol).as("qv"), col("nrm").as("qn"))
-    val r = sig.select(col("bucket"), col(idCol).as("neighbor_id"),
-      col(vecCol).as("nv"), col("nrm").as("nn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     val nn = col("qn") * col("nn")
-    l.join(r, Seq("bucket"))
+    val joined = l.join(r, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", when(nn === 0.0, 0.0)
         .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
+    // tables may propose the same pair more than once → one row per pair
+    // before ranking (single-table buckets are disjoint per query: skip)
+    val cands =
+      if (tables == 1) joined
+      else joined.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("cos")).as("cos"), min(col("bucket")).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"),
