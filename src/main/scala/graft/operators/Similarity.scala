@@ -111,12 +111,16 @@ object Similarity {
       centroids)
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Search a prebuilt IVF index: `cells` is [[ivfAssign]]'s frame (or the
+    * same frame read back from parquet via [[loadIvfIndex]] — the build is
+    * a one-off you persist, not a per-query cost) and `centroids` its
+    * centroid matrix. Probes the `nProbe` nearest cells per query.
+    */
+  def ivfSearch(cells: DataFrame, centroids: Array[(Int, Array[Float])],
+                queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                nProbe: Int = 4): DataFrame = {
+    val spark = cells.sparkSession
     import spark.implicits._
-    val (cells, centroids) = ivfAssign(corpus, idCol, vecCol, nCells, iters)
     val cdf = broadcast(centroids.toSeq.toDF("cell", "cv")
       .withColumn("c2", VectorOps.dot(col("cv"), col("cv"))))
     // nProbe nearest cells per query (same |q|²-free distance identity)
@@ -140,6 +144,40 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Persist an IVF index: cell assignments as (partitioned-by-cell)
+    * parquet plus the K×dim centroid matrix as a tiny parquet table. Cell
+    * partitioning means a search touches only the probed cells' files —
+    * partition pruning does the nProbe/nCells cost cut at the storage
+    * layer too.
+    */
+  def saveIvfIndex(cells: DataFrame, centroids: Array[(Int, Array[Float])],
+                   path: String): Unit = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.toSeq.toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index. Only the K×dim centroid matrix is
+    * collected to the driver; cell assignments stay distributed.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, Array[(Int, Array[Float])]) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    (spark.read.parquet(s"$path/cells"), centroids)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val (cells, centroids) = ivfAssign(corpus, idCol, vecCol, nCells, iters)
+    ivfSearch(cells, centroids, queries, idCol, vecCol, k, nProbe)
   }
 
   /** ANN via LSH buckets: group vectors by signature prefix, search only

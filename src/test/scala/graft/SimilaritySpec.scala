@@ -52,6 +52,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.groupBy($"query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("IVF index persistence: search from a loaded index equals a fresh build") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (cells, cents) = Similarity.ivfAssign(emb, "vec_id", "embedding", nCells = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(cells, cents, tmp)
+    val (cells2, cents2) = Similarity.loadIvfIndex(spark, tmp)
+    assert(cents2.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+      cents.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    val q = emb.filter($"vec_id" < 5)
+    def run(c: org.apache.spark.sql.DataFrame,
+            ct: Array[(Int, Array[Float])]): Seq[Seq[Any]] =
+      Similarity.ivfSearch(c, ct, q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(cells, cents) == run(cells2, cents2))
+  }
+
   test("LSH ANN: same-vector pairs always share a bucket; recall vs brute force sane") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
