@@ -96,8 +96,11 @@ object Analytics {
                 sale: DataFrame, property: DataFrame,
                 borough: Int, block: Int, lot: Int,
                 w: Window = Window.default): Option[Dashboard] =
-    geoLookup(geo, borough, block, lot).collect().headOption.map { row =>
-      val geoId = row.getLong(0)
+    // select the key column by NAME before the 1-row collect: a caller's
+    // geo frame with a different column order must not yield a wrong id
+    geoLookup(geo, borough, block, lot).select(col("geographic_id"))
+      .collect().headOption.map { row =>
+      val geoId = row.getAs[Long]("geographic_id")
       val byType = requestsByType(sr, complaintTypes, geoId, w)
       Dashboard(geoId,
         requestTotals(sr, geoId, w),
@@ -141,6 +144,24 @@ object Analytics {
       Seq(count(lit(1)).as("total_count"),
         sum(when(col("status").isin(ActiveStatuses: _*), 1L).otherwise(0L))
           .as("active_count")))
+
+  /** §3.3 compare by natural keys, resolution included. The reference uses
+    * its geocode result UNGUARDED — an unknown address raises mid-request
+    * (webserver/server.py:461-468) — and `parse_bbl` misses 404 similarly.
+    * The engine pins the graceful contract instead: keys are resolved in
+    * ONE dimension scan and unresolved ones are simply absent from the
+    * result (both unknown → empty frame), the same silent-absence rule as
+    * [[bookmarkSummaries]].
+    */
+  def compareByKeys(geo: DataFrame, sr: DataFrame, keys: Seq[(Int, Int, Int)],
+                    w: Window = Window.default): DataFrame = {
+    val keyPred = keys.map { case (b, bl, lt) =>
+      col("borough_code") === b && col("block_code") === bl && col("lot_code") === lt
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val ids = geo.filter(keyPred).select(col("geographic_id"))
+      .collect().map(_.getAs[Long]("geographic_id")).toSeq
+    compareRequests(sr, ids, w)
+  }
 
   /** T2 bookmarks fan-out: saved keys, all-time window
     * (webserver/server.py:561-580). Unknown keys are silently absent.

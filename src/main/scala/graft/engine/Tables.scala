@@ -36,15 +36,21 @@ object Tables {
   /** Raw events frame: `ts` is the parquet file's INT64 nanos as LongType
     * (also the schema to use for a streaming file source on these files).
     *
-    * NOTE: `nanosAsLong` is a session-level SQL conf (there is no per-read
-    * option), so reading events flips it for the whole session — every
-    * later TIMESTAMP(NANOS) parquet read returns LongType instead of
-    * erroring. [[session]] sets it up front so the behavior is explicit
-    * rather than a loader side effect.
+    * `nanosAsLong` is a session-level SQL conf (there is no per-read
+    * option); the nanos→long mapping is captured when the DataFrame is
+    * created, so the prior value is restored immediately after the read —
+    * a later TIMESTAMP(NANOS) parquet read elsewhere in the session still
+    * errors loudly instead of silently returning LongType.
     */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.read.parquet(path(sfDir, "events"))
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Nanos → microsecond TimestampType. `div` is INTEGRAL division —

@@ -162,15 +162,26 @@ object Joins {
   */
 object Skew {
 
+  /** The salt routing a fact row to one of `n` replicas of its dim row:
+    * a hash of the whole row MIXED with the row's partition ordinal
+    * (`monotonically_increasing_id` = partition id + in-partition offset),
+    * so even byte-identical duplicate rows of a hot key (a common skew
+    * cause — repeated events, retried loads) spread across reducers
+    * instead of all hashing to one salt. Deterministic under task retry: a
+    * retry re-scans the same partition in the same order, so every row
+    * reproduces its salt (no rand(), which breaks retry idempotence); the
+    * ordinal does depend on the upstream partition layout, which only
+    * re-routes rows — never changes the join result.
+    */
+  def saltExpr(fact: DataFrame, n: Int): Column =
+    pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*),
+      monotonically_increasing_id()), lit(n.toLong)).cast("int")
+
   /** Inner equi-join `fact ⋈ dim on key`, salted `n` ways. `dim(key)` must
     * be unique per key (a dimension). Result rows equal the unsalted join.
-    * The salt is a deterministic hash of the whole fact row — stable
-    * across runs and retries (no rand(), which breaks task retry
-    * idempotence).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(n.toLong)).cast("int"))
+    val saltedFact = fact.withColumn("__salt", saltExpr(fact, n))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

@@ -107,6 +107,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(both(102L) == ((solo102.getLong(0), solo102.getLong(1))))
   }
 
+  test("compare by natural keys: unknown keys degrade gracefully, never raise") {
+    // the reference's compare uses its geocode result unguarded
+    // (server.py:461-468) — a failed resolution raises mid-request. The
+    // engine contract: unresolved keys are absent from the result.
+    val both = Analytics.compareByKeys(geo, sr,
+      Seq((1, 42, 7), (3, 100, 55)), w2024).collect()
+    assert(both.map(_.getLong(0)).toSeq.sorted == Seq(101L, 102L))
+    val oneUnknown = Analytics.compareByKeys(geo, sr,
+      Seq((1, 42, 7), (9, 9, 9)), w2024).collect()
+    assert(oneUnknown.map(_.getLong(0)).toSeq == Seq(101L))
+    val allUnknown = Analytics.compareByKeys(geo, sr,
+      Seq((8, 8, 8), (9, 9, 9)), w2024)
+    assert(allUnknown.isEmpty)
+    assert(Analytics.compareByKeys(geo, sr, Nil, w2024).isEmpty)
+  }
+
   test("bookmark fan-out: unknown keys silently absent (server.py:571-577)") {
     val rows = Analytics.bookmarkSummaries(sr, Seq(101L, 999L)).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(101L))

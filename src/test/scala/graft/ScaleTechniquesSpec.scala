@@ -90,9 +90,17 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.length == plain.length)
     assert(salted.map(_.toString).sorted.sameElements(plain.map(_.toString).sorted))
     // the hot key really is spread: its salted fact rows take >1 salt value
-    val saltSpread = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(8L)).cast("int"))
+    val saltSpread = fact.withColumn("__salt", Skew.saltExpr(fact, 8))
       .filter($"k" === 1L).select("__salt").distinct().count()
     assert(saltSpread > 1)
+    // ADVICE r1: byte-identical duplicate rows of a hot key (duplicate-heavy
+    // skew) must spread too — the salt mixes in the row ordinal, not just
+    // the row content
+    val dups = Seq.fill(100)((1L, "same payload")).toDF("k", "payload")
+    val dupSpread = dups.withColumn("__salt", Skew.saltExpr(dups, 8))
+      .select("__salt").distinct().count()
+    assert(dupSpread > 1, "identical duplicate rows must not collapse to one salt")
+    val dupJoin = Skew.saltedJoin(dups, dim, "k", n = 8)
+    assert(dupJoin.count() == 100)
   }
 }
