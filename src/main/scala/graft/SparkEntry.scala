@@ -318,8 +318,9 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // IVF ANN: k-means cells (deterministic init + decimal-exact means),
-    // nProbe-cell search (rows-only: iterative centroids aren't SQL)
+    // IVF ANN: k-means cells (deterministic init + portable decimal-exact
+    // means), nProbe-cell search — oracle-checked via the build UNROLLED
+    // in SQL (2 Lloyd iterations as CTEs; every arithmetic step mirrored)
     "q28_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
@@ -337,6 +338,74 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
         .orderBy(col("doc_id")))
   )
+
+  // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
+  // Bit-for-bit parity holds because every arithmetic step is mirrored:
+  // sequential-double dot products (DuckDB list_sum is an in-order fold,
+  // like the native kernel's loop), centroid means as decimal-EXACT sums
+  // over double-cast values divided once in double then cast to FLOAT
+  // (float32 rounding absorbs sub-1e-12 engine differences), and identical
+  // (distance, cell) / (cos desc, id) tie-breaks.
+  private def vdot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def ivfAssignSql(vsrc: String, csrc: String): String =
+    s"""SELECT id, v, cell FROM (
+       |  SELECT vv.id, vv.v, c.cell,
+       |    row_number() OVER (PARTITION BY vv.id ORDER BY
+       |      ${vdot("c.cv", "c.cv")} - 2.0 * ${vdot("vv.v", "c.cv")}, c.cell) AS rn
+       |  FROM $vsrc vv CROSS JOIN $csrc c
+       |) WHERE rn = 1""".stripMargin
+
+  private def ivfRecentroidSql(asrc: String, cprev: String): String =
+    s"""SELECT cell, list(m ORDER BY pos) AS cv FROM (
+       |  SELECT cell, g.i AS pos,
+       |    CAST(CAST(SUM(CAST(CAST(v[g.i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+       |      / COUNT(*) AS FLOAT) AS m
+       |  FROM $asrc CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY cell, g.i
+       |) GROUP BY cell
+       |UNION ALL
+       |SELECT cell, cv FROM $cprev WHERE cell NOT IN (SELECT DISTINCT cell FROM $asrc)"""
+      .stripMargin
+
+  private def q28OracleSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |q AS (SELECT id, v, sqrt(${vdot("v", "v")}) AS qn FROM v WHERE id < 5),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM v ORDER BY id LIMIT 16)
+       |),
+       |a1 AS (${ivfAssignSql("v", "c0")}),
+       |c1 AS (${ivfRecentroidSql("a1", "c0")}),
+       |a2 AS (${ivfAssignSql("v", "c1")}),
+       |c2 AS (${ivfRecentroidSql("a2", "c1")}),
+       |a3 AS (${ivfAssignSql("v", "c2")}),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        ${vdot("c.cv", "c.cv")} - 2.0 * ${vdot("q.v", "c.cv")}, c.cell) AS pr
+       |    FROM q CROSS JOIN c2 c
+       |  ) WHERE pr <= 4
+       |),
+       |scored AS (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |    CASE WHEN q.qn * sqrt(${vdot("a.v", "a.v")}) = 0.0 THEN 0.0
+       |         ELSE ${vdot("q.v", "a.v")} / (q.qn * sqrt(${vdot("a.v", "a.v")})) END AS cos
+       |  FROM probes p
+       |  JOIN q ON q.id = p.query_id
+       |  JOIN a3 a ON a.cell = p.cell AND a.id != p.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      .replace("\n", " ")
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_dim_lookup" ->
@@ -678,6 +747,8 @@ object SparkEntry {
     "q27_media_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q28_ivf_topk" -> q28OracleSql
   )
 }

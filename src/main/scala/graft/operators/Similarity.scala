@@ -92,8 +92,11 @@ object Similarity {
       val sums = assigned()
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        // decimal-exact mean: partition order can't perturb the centroids
-        .agg(avg(col("x").cast("decimal(25,12)")).cast("double").as("m"))
+        // decimal-EXACT sum (partition order can't perturb it), then one
+        // double division — a formulation any engine reproduces bit-for-bit
+        // (decimal avg's internal division rounding is engine-specific)
+        .agg((sum(col("x").cast("double").cast("decimal(25,12)")).cast("double")
+          / count(lit(1))).as("m"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
       centroids = centroids.map { case (cell, old) =>
