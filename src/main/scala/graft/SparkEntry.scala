@@ -336,7 +336,28 @@ object SparkEntry {
       Multimodal.withMediaColumn(t(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("meta.media_type").as("media_type"),
           col("meta.n_bytes").as("n_bytes"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sampling: 30 docs per language by md5 key
+    // hash — membership is a pure function of the key, reproducible by any
+    // engine (vs rand()-based sampling)
+    "q29_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(t(s, d, "documents"), "lang", "doc_id", quota = 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus vocabulary: global top-100 tokens by frequency — hash agg +
+    // TakeOrderedAndProject, no global sort/window
+    "q30_vocab" -> ((s, d) =>
+      Corpus.topTokens(t(s, d, "documents"), "text", k = 100)),
+
+    // Token-window chunking (size 64, stride 48): the pre-training
+    // context-packing split; chunk content checked via md5 digest
+    "q31_chunks" -> ((s, d) =>
+      Corpus.chunk(t(s, d, "documents"), "doc_id", "text", size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_digest"))
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -749,6 +770,36 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
-    "q28_ivf_topk" -> q28OracleSql
+    "q28_ivf_topk" -> q28OracleSql,
+
+    "q29_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 30 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q30_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT lower(unnest(regexp_extract_all(trim(text), '\S+'))) AS token
+        |  FROM documents
+        |) GROUP BY token ORDER BY n DESC, token LIMIT 100"""
+        .stripMargin.replace("\n", " "),
+
+    "q31_chunks" ->
+      """SELECT doc_id, CAST((s - 1) // 48 AS INTEGER) AS chunk_idx,
+        |CAST(least(64, len(toks) - s + 1) AS INTEGER) AS n_tokens,
+        |md5(array_to_string(list_slice(toks, s, s + 63), ' ')) AS chunk_digest
+        |FROM (
+        |  SELECT doc_id, toks, unnest(starts) AS s FROM (
+        |    SELECT doc_id, toks,
+        |    CASE WHEN len(toks) > 0
+        |      THEN generate_series(1, greatest(len(toks) - 63, 1), 48)
+        |      ELSE [] END AS starts
+        |    FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |          FROM documents)
+        |  )
+        |) ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: deterministic sampling, vocabulary statistics,
+  * and token-window chunking. All pure built-in expressions (codegen'd,
+  * no UDFs, no RNG) and all SQL-portable, so every decision an engine makes
+  * here — which rows a sample keeps, how a document splits — is
+  * reproducible by any other engine, run, or cluster layout.
+  */
+object Corpus {
+
+  /** Deterministic hash bucket in [0, buckets) for a key: first 60 bits of
+    * md5 of the key's string form (SQL-portable:
+    * `CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) %
+    * buckets`). Unlike `rand()`-based sampling, membership is a pure
+    * function of the key — stable under retries, re-runs and repartitions,
+    * and a row keeps its fate when the corpus around it changes.
+    */
+  def hashBucket(key: Column, buckets: Long): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Keep ~`fraction` of rows, deterministically by key hash. A plain
+    * filter — pushes past projections, no shuffle, no sort.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    val buckets = 1000000L
+    df.filter(hashBucket(col(keyCol), buckets) < (fraction * buckets).toLong)
+  }
+
+  /** Per-stratum quota sample: the `quota` rows with the smallest key hash
+    * in each stratum (key tiebreak). Deterministic ranking, window
+    * partitioned by the stratum — never a global window.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       quota: Int): DataFrame = {
+    val h = hashBucket(col(keyCol), 1000000L)
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency
+    * (count desc, token tiebreak), top `k`. The per-token count is a
+    * map-side-combined hash aggregate and the top-k is orderBy+limit
+    * (TakeOrderedAndProject) — no global sort, no global window.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(lower(col("tok")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Overlapping token-window chunking: windows of `size` tokens starting
+    * every `stride` tokens (the standard pre-training context-packing
+    * split). Emits (chunk_idx, chunk token count, chunk text) per window;
+    * documents with no tokens emit no chunks. One pass, no shuffle — the
+    * explode happens where the document already lives.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    val starts = sequence(lit(1), greatest(n - (size - 1), lit(1)), lit(stride))
+    val chunks = when(n > 0,
+      transform(starts, s => concat_ws(" ", slice(toks, s, lit(size)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("chunk_text"))))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"), col("chunk_text"))
+  }
+}

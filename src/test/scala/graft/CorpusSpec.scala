@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon", "en"),
+    (1L, "alpha beta beta beta zeta", "en"),
+    (2L, "uno dos tres cuatro", "es"),
+    (3L, "uno uno uno", "es"),
+    (4L, "", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("hash sampling is deterministic and roughly proportional") {
+    val big = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val a = Corpus.sampleByHash(big, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleByHash(big, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // pure function of the key
+    assert(a.size > 2000 * 0.2 && a.size < 2000 * 0.4) // ~30%
+    // monotone: a smaller fraction keeps a subset of a larger one
+    val small = Corpus.sampleByHash(big, "id", 0.1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratified sample takes exactly the quota per stratum (or all rows)") {
+    val r = Corpus.stratifiedSample(docs, "lang", "doc_id", quota = 2)
+      .groupBy("lang").count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("en") == 2 && r("es") == 2)
+    val all = Corpus.stratifiedSample(docs, "lang", "doc_id", quota = 100)
+    assert(all.count() == 5) // quota above stratum size keeps everything
+  }
+
+  test("topTokens ranks by count desc with token tiebreak, lowercased") {
+    val top = Corpus.topTokens(docs, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // beta 4, uno 4 → tiebreak beta first; alpha 2
+    assert(top.toSeq == Seq(("beta", 4L), ("uno", 4L), ("alpha", 2L)))
+  }
+
+  test("chunking: stride windows, clipped tail, empty doc yields no chunks") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val r = Corpus.chunk(d, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(r.forall(_.getLong(0) == 1L)) // empty doc 2 emitted nothing
+    // starts at tokens 1,4,7 (last start = greatest(10-3,1)=7): windows
+    // t1-t4, t4-t7, t7-t10
+    assert(r.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(r.map(_.getInt(2)).toSeq == Seq(4, 4, 4))
+    assert(r.map(_.getString(3)).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // a doc shorter than one window still yields exactly one (clipped) chunk
+    val short = Corpus.chunk(Seq((9L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", size = 4, stride = 3).collect()
+    assert(short.length == 1 && short.head.getInt(2) == 2 &&
+      short.head.getString(3) == "a b")
+  }
+}
