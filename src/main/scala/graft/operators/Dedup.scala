@@ -80,9 +80,12 @@ object Dedup {
       .select(col("id"), col("sig"), col("band_idx"),
         xxhash64(col("band_idx"),
           slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
-    val sizes = banded.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("__bsz"))
-    val tagged = banded.join(sizes, Seq("band_idx", "band_hash"))
+    // bucket size via a whole-partition window count: ONE shuffle on the
+    // bucket key (vs a separate aggregate + re-join), partitioned by the
+    // same key the pair join needs next
+    val tagged = banded.withColumn("__bsz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_idx"), col("band_hash"))))
     val normal = tagged.filter(col("__bsz") <= maxBucket)
     val l = normal.select(col("band_idx"), col("band_hash"),
       col("id").as("id1"), col("sig").as("sig1"))
