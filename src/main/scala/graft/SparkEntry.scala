@@ -233,8 +233,12 @@ object SparkEntry {
     // engineered to miss nothing the verifier would keep.
     "q19_minhash_lsh" -> ((s, d) => {
       val doc = t(s, d, "documents")
+      // maxBucket unbounded HERE: the exact-pair-set contract needs every
+      // in-bucket pair proposed (the star cap trades pair completeness for
+      // linear cost — right for connectivity clustering, wrong when the
+      // output is compared against a true all-pairs set)
       val cand = Dedup.minhashCandidatePairs(doc, "doc_id", "text",
-        numHashes = 32, bands = 16)
+        numHashes = 32, bands = 16, maxBucket = Int.MaxValue)
       // prescreen on the signature-agreement estimate the candidate stage
       // already computed: Bin(32, 0.8) < 0.4·32 has probability ~1e-8, so
       // no true >= 0.8 pair is lost, while band-hash false positives (est

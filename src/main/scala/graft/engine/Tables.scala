@@ -78,7 +78,9 @@ object Tables {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong is NOT set here: eventsRaw scopes it to its own read
+      // and restores the prior value, so unexpected TIMESTAMP(NANOS)
+      // files elsewhere still error loudly
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

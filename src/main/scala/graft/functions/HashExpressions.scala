@@ -187,14 +187,8 @@ object HashOps {
     * `CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)`). Slower than
     * [[hashBytes]] — use only where cross-engine verifiability matters.
     */
-  def md5Hash64(bytes: Array[Byte]): Long = {
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(bytes)
-    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-  }
+  def md5Hash64(bytes: Array[Byte]): Long =
+    md5Hash64Range(bytes, 0, bytes.length)
 
   /** [[md5Hash64]] over a byte range, without copying. */
   def md5Hash64Range(bytes: Array[Byte], from: Int, len: Int): Long = {

@@ -28,7 +28,10 @@ object Corpus {
     */
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     val buckets = 1000000L
-    df.filter(hashBucket(col(keyCol), buckets) < (fraction * buckets).toLong)
+    // round, don't truncate: 0.3 * 1e6 is 299999.99999999994 in binary
+    // double — truncation would silently drop one bucket and diverge from
+    // an engine computing round(fraction * buckets)
+    df.filter(hashBucket(col(keyCol), buckets) < math.round(fraction * buckets))
   }
 
   /** Per-stratum quota sample: the `quota` rows with the smallest key hash
@@ -68,12 +71,15 @@ object Corpus {
     val toks = TextAnalysis.tokens(col(textCol))
     val n = org.apache.spark.sql.functions.size(toks)
     val starts = sequence(lit(1), greatest(n - (size - 1), lit(1)), lit(stride))
+    // the token count is known from the slice bounds — don't re-tokenize
+    // the joined chunk string just to count what was counted already
     val chunks = when(n > 0,
-      transform(starts, s => concat_ws(" ", slice(toks, s, lit(size)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
-      .withColumn("n_tokens",
-        org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("chunk_text"))))
-      .select(col(idCol), col("chunk_idx"), col("n_tokens"), col("chunk_text"))
+      transform(starts, s => struct(
+        concat_ws(" ", slice(toks, s, lit(size))).as("chunk_text"),
+        least(lit(size), n - s + 1).as("n_tokens"))))
+      .otherwise(array().cast("array<struct<chunk_text:string,n_tokens:int>>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"), col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_text").as("chunk_text"))
   }
 }

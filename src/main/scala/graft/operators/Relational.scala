@@ -227,11 +227,14 @@ object TopK {
     val topn = grouped
       .orderBy(col("total_count").desc, col(groupCol))
       .limit(n)
-      .select(col(groupCol).as("__top_key"))
+      .select(col(groupCol).as("__top_key"), lit(1).as("__hit"))
     grouped
-      .join(broadcast(topn), col(groupCol) === col("__top_key"), "left")
+      // null-safe equality + an explicit hit marker: a NULL group key that
+      // ranks in the top n keeps its own (null) bucket, exactly as the
+      // row_number formulation this replaced behaved
+      .join(broadcast(topn), col(groupCol) <=> col("__top_key"), "left")
       .withColumn("bucket",
-        when(col("__top_key").isNotNull, col(groupCol)).otherwise(lit("Other")))
+        when(col("__hit").isNotNull, col(groupCol)).otherwise(lit("Other")))
       .groupBy(col("bucket"))
       .agg(sum(col("total_count")).as("total_count"))
       // winners in rank order (count desc, name — the ranking's own key),

@@ -203,12 +203,18 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
               bits: Int = 16, prefixBits: Int = 0, tables: Int = 1,
-              maxBucket: Int = 4096, targetBucketSize: Int = 64): DataFrame = {
+              maxBucket: Int = 4096, targetBucketSize: Int = 64,
+              corpusCount: Option[Long] = None): DataFrame = {
     require(tables >= 1 && bits <= 62 && maxBucket >= 1)
     val pb =
       if (prefixBits > 0) prefixBits
       else {
-        val n = corpus.count().max(1L) // one cheap count job, metadata-only
+        // auto mode needs the corpus size; without corpusCount this runs a
+        // real count() JOB at call time (cheap for a parquet scan — row
+        // group stats — but a full evaluation for a derived frame). Pass
+        // corpusCount when the frame is expensive or only the plan is
+        // wanted.
+        val n = corpusCount.getOrElse(corpus.count()).max(1L)
         math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 2.0))
           / math.log(2.0)).toInt.max(4).min(bits)
       }

@@ -69,6 +69,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("top-N + Other: a top-ranked NULL group keeps its own bucket") {
+    import spark.implicits._
+    val grouped = Seq((Option.empty[String], 100L), (Some("A"), 50L), (Some("B"), 10L))
+      .toDF("g", "total_count")
+    val r = TopK.topNPlusOther(grouped, "g", 2).collect()
+      .map(x => Option(x.getString(0)) -> x.getLong(1))
+    // null ranks first (count 100) → its own bucket; B folds into Other
+    assert(r.toMap == Map(None -> 100L, Some("A") -> 50L, Some("Other") -> 10L))
+  }
+
   test("min <= median <= max on any priced subset") {
     val sale = graft.engine.NycFixtures.sales(spark)
     val stats = Aggregates.priceStats(sale, "sale_price").head()
