@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact dedup — the continuous-ingest twin of
+  * [[graft.operators.Dedup.exact]]: drop documents whose content digest was
+  * already seen, keyed on md5(text) so the dedup state stores 16-byte
+  * digests, never document bodies.
+  *
+  * Two state regimes, chosen by `withinWatermark`:
+  *  - unbounded (`None`): `dropDuplicates` on the digest — state grows with
+  *    the number of DISTINCT documents forever. Correct, but only viable
+  *    for bounded backfills.
+  *  - watermarked (`Some(horizon)`): `dropDuplicatesWithinWatermark` —
+  *    a duplicate is only suppressed while its first occurrence is within
+  *    the event-time horizon, and Spark EVICTS digest state once the
+  *    watermark passes it. This is the 100 TB regime: state is bounded by
+  *    the distinct-docs-per-horizon rate, and near-in-time duplicate
+  *    floods (retried loads, crawler re-fetches — the common case) are
+  *    still collapsed.
+  *
+  * Works identically on a batch frame (both calls degrade to batch
+  * dropDuplicates), which is what the spec's streaming≡batch check uses.
+  */
+object StreamingDedup {
+
+  /** Add the 16-byte dedup key. */
+  def withDigest(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("digest", md5(col(textCol)))
+
+  /** Deduplicate a (possibly streaming) doc frame on content digest.
+    *
+    * @param tsCol event-time column; required (with a watermark already
+    *              set by the caller via `withWatermark`) when
+    *              `withinWatermark` is used on a streaming frame.
+    */
+  def dedup(docs: DataFrame, textCol: String,
+            withinWatermark: Boolean = false): DataFrame = {
+    val keyed = withDigest(docs, textCol)
+    if (withinWatermark) keyed.dropDuplicatesWithinWatermark("digest")
+    else keyed.dropDuplicates("digest")
+  }
+}

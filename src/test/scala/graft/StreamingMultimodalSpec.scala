@@ -26,6 +26,60 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: first occurrence survives across micro-batches, digests match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDedup.dedup(docs, "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").start()
+    try {
+      input.addData((0L, "alpha"), (1L, "beta"))
+      q.processAllAvailable()
+      input.addData((2L, "alpha"), (3L, "gamma")) // alpha dup, cross-batch
+      q.processAllAvailable()
+      val out = spark.table("sdedup").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet == Set(0L, 1L, 3L)) // first occurrences only
+      // same distinct-digest set as the batch operator
+      val batch = graft.operators.Dedup.exact(
+        Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha"), (3L, "gamma"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      assert(batch.select("digest").collect().map(_.getString(0)).toSet ==
+        spark.table("sdedup").select(md5($"text")).collect().map(_.getString(0)).toSet)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark: near-in-time dups collapse, state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDS().toDF("ts", "text").withWatermark("ts", "10 minutes")
+    val q = graft.streaming.StreamingDedup.dedup(docs, "text",
+        withinWatermark = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_wm").start()
+    try {
+      input.addData((t("2024-01-01 10:00:00"), "doc"),
+        (t("2024-01-01 10:05:00"), "doc")) // near-in-time duplicate
+      q.processAllAvailable()
+      assert(spark.table("sdedup_wm").count() == 1)
+      // advance event time far past the horizon → digest state evicted
+      input.addData((t("2024-01-01 12:00:00"), "other"))
+      q.processAllAvailable()
+      // the same content reappearing AFTER eviction is a new first
+      // occurrence — bounded state trades exactly this for 100 TB viability
+      input.addData((t("2024-01-01 12:01:00"), "doc"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_wm").filter($"text" === "doc").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming rollup append mode: watermark emits finalized windows, drops late rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
