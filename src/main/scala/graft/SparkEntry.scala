@@ -274,10 +274,11 @@ object SparkEntry {
     }),
 
     // LSH-bucketed ANN (rows-only: engine-specific hyperplanes); auto
-    // prefix scaling + 2-table OR-amplification; recall floor spec-asserted
+    // prefix scaling + 2-table OR-amplification + Hamming-1 multi-probe
+    // (recall@5 ≈ 0.72 vs brute force, floor-asserted in SimilaritySpec)
     "q23_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5,
-          tables = 2)
+          tables = 2, multiProbe = true)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
           col("rank"))
         .orderBy(col("query_id"), col("rank"))),

@@ -200,11 +200,18 @@ object Similarity {
     *    (seeded [[hyperplaneSignature]]) propose buckets in parallel and a
     *    pair missed by one family is caught by another — recall rises at
     *    linear (× tables) cost.
+    *  - `multiProbe` additionally probes, for each QUERY, every bucket at
+    *    Hamming distance 1 from its own (one flipped prefix bit) — the
+    *    standard multi-probe LSH trick: a near neighbor that disagrees on
+    *    exactly one cut plane is still found. Query-side only, so cost is
+    *    ×(1 + prefixBits) on the probe join, while the corpus is still
+    *    bucketed once.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
               bits: Int = 16, prefixBits: Int = 0, tables: Int = 1,
               maxBucket: Int = 4096, targetBucketSize: Int = 64,
-              corpusCount: Option[Long] = None): DataFrame = {
+              corpusCount: Option[Long] = None,
+              multiProbe: Boolean = false): DataFrame = {
     require(tables >= 1 && bits <= 62 && maxBucket >= 1)
     val pb =
       if (prefixBits > 0) prefixBits
@@ -234,8 +241,15 @@ object Similarity {
       .filter(col("__bn") <= maxBucket)
       .select(col("tbl"), col("bucket"), col(idCol).as("neighbor_id"),
         col(vecCol).as("nv"), col("nrm").as("nn"))
-    val l = sig.select(col("tbl"), col("bucket"), col(idCol).as("query_id"),
-      col(vecCol).as("qv"), col("nrm").as("qn"))
+    // query side: own bucket, plus (multi-probe) every bucket one flipped
+    // prefix bit away — a near neighbor that disagrees on exactly one cut
+    // plane is still found; query-side only, the corpus is bucketed once
+    val probeBuckets =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until pb).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val l = sig.select(col("tbl"), explode(probeBuckets).as("bucket"),
+      col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val nn = col("qn") * col("nn")
     val joined = l.join(r, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -93,22 +93,25 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 != s3)
   }
 
-  test("LSH ANN recall floor; OR-amplification (tables=2) strictly improves it") {
-    // deterministic (fixed plane seeds): measured 0.134 / 0.250 @5 on
-    // sf0.001 — floors leave margin for parameter-neutral refactors only
+  test("LSH ANN recall floors; OR-amplification and multi-probe each improve it") {
+    // deterministic (fixed plane seeds): measured @5 on sf0.001:
+    // 0.134 (t=1) / 0.250 (t=2) / ~0.48 (t=1+probe) / ~0.72 (t=2+probe) —
+    // floors leave margin for parameter-neutral refactors only
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
       .select($"query_id", $"neighbor_id")
     val total = bf.count().toDouble
-    def recall(tables: Int): Double =
+    def recall(tables: Int, mp: Boolean): Double =
       bf.join(Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
-          tables = tables).select($"query_id", $"neighbor_id"),
+          tables = tables, multiProbe = mp).select($"query_id", $"neighbor_id"),
         Seq("query_id", "neighbor_id")).count() / total
-    val r1 = recall(1)
-    val r2 = recall(2)
-    assert(r2 >= 0.2, s"tables=2 recall@5 $r2 below floor")
+    val r1 = recall(1, mp = false)
+    val r2 = recall(2, mp = false)
+    val r2p = recall(2, mp = true)
     assert(r2 > r1, s"amplification must improve recall ($r1 -> $r2)")
+    assert(r2p > r2, s"multi-probe must improve recall ($r2 -> $r2p)")
+    assert(r2p >= 0.6, s"tables=2 + multi-probe recall@5 $r2p below floor")
   }
 
   test("LSH ANN hot-bucket cap: identical-vector flood stays linear and exact") {
