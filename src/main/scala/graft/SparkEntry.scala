@@ -362,7 +362,27 @@ object SparkEntry {
       Corpus.chunk(t(s, d, "documents"), "doc_id", "text", size = 64, stride = 48)
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           md5(col("chunk_text")).as("chunk_digest"))
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // As-of join (temporal enrichment): each event sees its type's most
+    // recent COMPLETED daily rollup (available at end of day) — union +
+    // keyed-window formulation; oracle is DuckDB's native ASOF JOIN
+    "q32_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val rollup = ev
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("day_value"))
+        .select(col("event_type"),
+          (col("day") + expr("interval 1 day")).as("avail_ts"),
+          date_format(col("day"), "yyyy-MM-dd").as("asof_day"),
+          col("day_value").as("asof_value"))
+      Joins.asofJoin(ev, rollup, keys = Seq("event_type"),
+          leftTs = "ts", rightTs = "avail_ts",
+          payload = Seq("asof_day", "asof_value"))
+        .select(col("event_id"), col("event_type"), col("asof_day"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -805,6 +825,19 @@ object SparkEntry {
         |    FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
         |          FROM documents)
         |  )
-        |) ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
+        |) ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+
+    "q32_asof" ->
+      """WITH rollup AS (
+        |  SELECT event_type,
+        |  date_trunc('day', ts) + INTERVAL 1 DAY AS avail_ts,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS asof_day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS asof_value
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT e.event_id, e.event_type, r.asof_day, r.asof_value
+        |FROM events e ASOF LEFT JOIN rollup r
+        |  ON e.event_type = r.event_type AND e.ts >= r.avail_ts
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " ")
   )
 }

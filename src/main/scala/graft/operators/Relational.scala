@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic relational operator families re-expressing the reference's query
@@ -150,6 +151,48 @@ object Joins {
     val p = parent.select(col(parentKey).as(childKey))
     (child.join(p, Seq(childKey), "left_anti"),
      child.join(p, Seq(childKey), "left_semi"))
+  }
+
+  /** As-of join (temporal enrichment — an operator class the reference
+    * lacks entirely): each left row gets the `payload` columns of the most
+    * recent right row of its key with `rightTs` <= `leftTs` (inclusive);
+    * no matching right row → null payload (left semantics).
+    *
+    * Formulation: union both sides, one keyed window ordered by
+    * (timestamp, side), and a running `last(_, ignoreNulls)` per payload
+    * column — ONE shuffle on the key and a linear per-partition pass.
+    * The naive alternative (range join `l.ts >= r.ts` + per-left max)
+    * materializes every (left, earlier-right) pair — quadratic per key at
+    * 100 TB. The window is always PARTITIONED by the key: this operator
+    * requires keys (an unkeyed as-of would be the global-window
+    * anti-pattern; add a constant key column if you truly mean that).
+    *
+    * `rightTs` must be unique per key (a snapshot/rollup series); equal
+    * right timestamps within a key would make the picked payload
+    * nondeterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires join keys")
+    val leftOther = left.columns.filterNot(keys.contains).toSeq
+    val l2 = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftOther.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r2 = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(l2.unionByName(r2)) { (d, p) =>
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
   }
 }
 

@@ -16,6 +16,30 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(survivors.select("sr_id").collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 11))
   }
 
+  test("asofJoin: most recent right row per key, inclusive ties, null before first") {
+    val left = Seq(
+      (1L, "a", 10L), (2L, "a", 25L), (3L, "a", 30L), // 30 ties a right row
+      (4L, "b", 5L),                                   // before any b right
+      (5L, "b", 50L)
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", 20L, "a@20"), ("a", 30L, "a@30"),
+      ("b", 40L, "b@40")
+    ).toDF("k", "rts", "snap")
+    val r = Joins.asofJoin(left, right, keys = Seq("k"),
+        leftTs = "ts", rightTs = "rts", payload = Seq("snap"))
+      .select("id", "snap").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r(1L) == None)          // before first right row
+    assert(r(2L) == Some("a@20"))
+    assert(r(3L) == Some("a@30"))  // equal timestamps: inclusive
+    assert(r(4L) == None)
+    assert(r(5L) == Some("b@40"))
+    // left columns survive untouched
+    val cols = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("snap")).columns
+    assert(cols.contains("id") && cols.contains("ts") && cols.contains("snap"))
+  }
+
   test("factDim broadcast join keeps fact rows with matching dims") {
     val fact = Seq((1, 100), (2, 200), (3, 999)).toDF("k", "v")
     val dim = Seq((1, "a"), (2, "b")).toDF("k", "name")
