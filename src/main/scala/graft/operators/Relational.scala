@@ -169,30 +169,48 @@ object Joins {
     *
     * `rightTs` must be unique per key (a snapshot/rollup series); equal
     * right timestamps within a key would make the picked payload
-    * nondeterministic.
+    * nondeterministic. NULL join keys follow SQL equality: a null-key left
+    * row matches nothing (null payload), a null-key right row matches
+    * nobody.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires join keys")
     val leftOther = left.columns.filterNot(keys.contains).toSeq
+    val reserved = Seq("__ts", "__side", "__snap")
+    require(payload.forall(p => !leftOther.contains(p) && !keys.contains(p)),
+      s"payload columns ${payload.mkString(",")} must not collide with left columns")
+    require((left.columns ++ right.columns).forall(c => !reserved.contains(c)),
+      s"columns ${reserved.mkString(",")} are reserved by asofJoin")
+    // the payload travels as ONE struct, null on left rows and non-null on
+    // every right row (even when its fields are null): the running
+    // last(ignoreNulls) then picks the latest right SNAPSHOT atomically —
+    // per-column filling would resurrect an older value wherever the
+    // latest snapshot holds a null, and could mix columns of different
+    // snapshots into a row that never existed
     val l2 = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftOther.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
-    val r2 = right.select(
-      keys.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        leftOther.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => right.schema(p).copy(name = p)))).as("__snap"): _*)
+    val r2 = right
+      // SQL equality: a null-key right row can never match
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++
+          Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+          leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("__snap"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l2.unionByName(r2)) { (d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    val filled = l2.unionByName(r2)
+      .withColumn("__snap", last(col("__snap"), ignoreNulls = true).over(w))
+    payload.foldLeft(filled.filter(col("__side") === 1)) { (d, p) =>
+      d.withColumn(p, col("__snap").getField(p))
+    }.drop("__ts", "__side", "__snap")
   }
 }
 
@@ -259,6 +277,10 @@ object TopK {
     * Input: output of [[Aggregates.groupCounts]] (groupCol, total_count,
     * active_count). Output keeps the grand total invariant:
     * sum(total_count) is preserved (SURVEY.md §5 property 3).
+    *
+    * "Other" is a RESERVED bucket label (as in the reference's chart,
+    * webserver/server.py:411-419): a real group literally named "Other"
+    * that ranks in the top n merges with the residual bucket.
     */
   def topNPlusOther(grouped: DataFrame, groupCol: String, n: Int): DataFrame = {
     // Top-N membership via orderBy+limit (TakeOrderedAndProject — a

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   *    floods (retried loads, crawler re-fetches — the common case) are
   *    still collapsed.
   *
-  * Works identically on a batch frame (both calls degrade to batch
-  * dropDuplicates), which is what the spec's streaming≡batch check uses.
+  * The default regime also works on a batch frame (plain dropDuplicates),
+  * which is what the spec's streaming≡batch check uses; the watermarked
+  * regime is STREAMING-ONLY — Spark rejects
+  * `dropDuplicatesWithinWatermark` on batch datasets, so batch backfills
+  * use `withinWatermark = false`.
   */
 object StreamingDedup {
 
@@ -29,11 +32,9 @@ object StreamingDedup {
   def withDigest(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("digest", md5(col(textCol)))
 
-  /** Deduplicate a (possibly streaming) doc frame on content digest.
-    *
-    * @param tsCol event-time column; required (with a watermark already
-    *              set by the caller via `withWatermark`) when
-    *              `withinWatermark` is used on a streaming frame.
+  /** Deduplicate a (possibly streaming) doc frame on content digest. With
+    * `withinWatermark` the frame must be streaming and the caller must
+    * have set an event-time watermark (`withWatermark`) already.
     */
   def dedup(docs: DataFrame, textCol: String,
             withinWatermark: Boolean = false): DataFrame = {

@@ -40,6 +40,34 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(cols.contains("id") && cols.contains("ts") && cols.contains("snap"))
   }
 
+  test("asofJoin: latest snapshot wins ATOMICALLY — null fields do not resurrect older values") {
+    val left = Seq((1L, "k", 25L)).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k", 10L, Some("old-a"), Some("old-b")),
+      ("k", 20L, Option.empty[String], Some("new-b")) // latest: a is NULL
+    ).toDF("k", "rts", "a", "b")
+    val r = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("a", "b")).head()
+    // per-column filling would give (old-a, new-b) — a row that never existed
+    assert(r.getAs[String]("a") == null && r.getAs[String]("b") == "new-b")
+  }
+
+  test("asofJoin: NULL join keys follow SQL equality (no null-to-null match)") {
+    val left = Seq((1L, Option.empty[String], 25L), (2L, Some("k"), 25L))
+      .toDF("id", "k", "ts")
+    val right = Seq((Option.empty[String], 10L, "null-snap"), (Some("k"), 10L, "k-snap"))
+      .toDF("k", "rts", "snap")
+    val r = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("snap"))
+      .collect().map(x => x.getAs[Long]("id") -> Option(x.getAs[String]("snap"))).toMap
+    assert(r(1L) == None)           // null-key left matches nothing
+    assert(r(2L) == Some("k-snap")) // and never the null-key right row
+    // colliding payload names fail fast with a clear message
+    val ex = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right.withColumnRenamed("snap", "ts"),
+        Seq("k"), "ts", "rts", Seq("ts"))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   test("factDim broadcast join keeps fact rows with matching dims") {
     val fact = Seq((1, 100), (2, 200), (3, 999)).toDF("k", "v")
     val dim = Seq((1, "a"), (2, "b")).toDF("k", "name")
