@@ -382,7 +382,20 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("asof_day"),
           col("asof_value"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // Sessionization: gap-merge each user's events (2 h inactivity closes a
+    // session) — session_window, the §2.7 capability the reference lacks;
+    // oracle re-derives sessions with gaps-and-islands SQL
+    "q33_sessions" -> ((s, d) =>
+      TimeSeries.sessionize(t(s, d, "events"), "user_id", "ts", "2 hours",
+          Seq(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -838,6 +851,29 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, r.asof_day, r.asof_value
         |FROM events e ASOF LEFT JOIN rollup r
         |  ON e.event_type = r.event_type AND e.ts >= r.avail_ts
-        |ORDER BY e.event_id""".stripMargin.replace("\n", " ")
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+
+    // gaps-and-islands: a session breaks where the gap STRICTLY exceeds
+    // 2h (session_window merges an event exactly gap after the previous)
+    "q33_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |          > INTERVAL 2 HOUR
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
   )
 }

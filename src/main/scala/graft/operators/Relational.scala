@@ -338,6 +338,22 @@ object TimeSeries {
       .select(date_format(col("month_ts"), "yyyy-MM").as("month"))
   }
 
+  /** Gap-based sessionization via `session_window` (absent from the
+    * reference — SURVEY.md §2.7; the classic analytics operator the
+    * extension surface adds): events of one key whose gaps never exceed
+    * `gap` merge into one session (inclusive — an event exactly `gap`
+    * after the previous one still merges; window end = last event + gap).
+    * Works identically on a streaming frame with a watermark, where Spark
+    * evicts session state once the watermark passes the session end.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String,
+                 aggs: Seq[Column]): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap).as("session"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session.start"))
+      .withColumn("session_end", col("session.end"))
+      .drop("session")
+
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
     * null semantics — counts become 0 for missing months, medians stay NULL
     * (reference: webserver/server.py:331-341). `zeroFill` names the count

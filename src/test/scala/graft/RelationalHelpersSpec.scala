@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Joins, Presentation}
+import graft.operators.{Joins, Presentation, TimeSeries}
 
 class RelationalHelpersSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +66,22 @@ class RelationalHelpersSpec extends SparkSpec {
         Seq("k"), "ts", "rts", Seq("ts"))
     }
     assert(ex.getMessage.contains("collide"))
+  }
+
+  test("sessionize: inclusive gap merge, strict-exceed break, per-key isolation") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1.0),
+      (1L, t("2024-01-01 10:30:00"), 2.0), // exactly gap later → merges
+      (1L, t("2024-01-01 11:00:01"), 3.0), // 1s past gap → new session
+      (2L, t("2024-01-01 10:05:00"), 9.0)  // other key never merges in
+    ).toDF("user_id", "ts", "value")
+    val r = TimeSeries.sessionize(ev, "user_id", "ts", "30 minutes",
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("v")))
+      .orderBy("user_id", "session_start").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("n"), x.getAs[Double]("v")))
+    assert(r.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 9.0)))
   }
 
   test("factDim broadcast join keeps fact rows with matching dims") {
