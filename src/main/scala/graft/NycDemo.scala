@@ -22,7 +22,8 @@ object NycDemo {
     println("== geo lookup (1,42,7) — GET /analytics/1-42-7")
     geo.show(false)
     val geoId = Analytics.geoLookup(geo, 1, 42, 7)
-      .collect().headOption.map(_.getLong(0))
+      .select(org.apache.spark.sql.functions.col("geographic_id"))
+      .collect().headOption.map(_.getAs[Long]("geographic_id"))
       .getOrElse(sys.error("404: unknown BBL"))
 
     println(s"== dashboard for geographic_id=$geoId, window $w")
@@ -38,6 +39,9 @@ object NycDemo {
 
     println("== compare — POST /compare (101 vs 102, one pass)")
     Analytics.compareRequests(sr, Seq(101L, 102L), w).show(false)
+
+    println("== compare by natural keys (one unknown → gracefully absent)")
+    Analytics.compareByKeys(geo, sr, Seq((1, 42, 7), (9, 9, 9)), w).show(false)
 
     println("== bookmarks — GET /bookmarks (all-time, unknown key skipped)")
     Analytics.bookmarkSummaries(sr, Seq(101L, 102L, 999L)).show(false)
