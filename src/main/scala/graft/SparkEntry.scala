@@ -384,6 +384,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Hierarchical subtotals via rollup() — the grouping-sets tier
+    // SURVEY §2.4 lists as absent from the reference; subtotal rows carry
+    // NULL keys exactly like SQL ROLLUP
+    "q34_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Compare fan-out PIVOTED to columns (SURVEY §3.3's J4 wide form):
+    // one pass, statuses become columns — the side-by-side table the
+    // reference's compare page renders
+    "q35_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        // a status absent for a priority pivots to NULL; the oracle's
+        // FILTER count reports 0 — align
+        .na.fill(0L, Seq("n_f", "n_o", "n_p"))
+        .orderBy(col("o_orderpriority"))),
+
     // Sessionization: gap-merge each user's events (2 h inactivity closes a
     // session) — session_window, the §2.7 capability the reference lacks;
     // oracle re-derives sessions with gaps-and-islands SQL
@@ -874,6 +900,21 @@ object SparkEntry {
         |count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
+
+    "q34_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+
+    "q35_pivot" ->
+      """SELECT o_orderpriority,
+        |CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " ")
   )
 }
