@@ -28,6 +28,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  // Table row counts memoized per sf dir: auto-tuned operators (q23's LSH
+  // prefix scaling) need the corpus size at PLAN time; caching keeps plan
+  // construction side-effect free after the first call instead of paying a
+  // count() job on every rebuild (the bench builds each plan twice).
+  private val tableCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def cachedCount(s: SparkSession, d: String, name: String): Long =
+    tableCounts.computeIfAbsent(s"$d/$name",
+      _ => Long.box(t(s, d, name).count())).longValue
+
   /** `orders ⋈ customer ⋈ nation` restricted to a nation-name key set —
     * the "resolve key once, scan facts once" shape (SURVEY.md §3.1). The
     * nation dim is broadcast; customer joins under AQE's choice.
@@ -233,12 +242,16 @@ object SparkEntry {
     // engineered to miss nothing the verifier would keep.
     "q19_minhash_lsh" -> ((s, d) => {
       val doc = t(s, d, "documents")
-      // maxBucket unbounded HERE: the exact-pair-set contract needs every
-      // in-bucket pair proposed (the star cap trades pair completeness for
-      // linear cost — right for connectivity clustering, wrong when the
-      // output is compared against a true all-pairs set)
+      // maxBucket bounded, NOT disabled (the r2 contract instance ran
+      // uncapped and was the bench's one quadratic exposure): the
+      // exact-pair-set contract needs every in-bucket pair proposed, and a
+      // 512 cap preserves that as long as no band bucket exceeds 512 docs —
+      // two orders of magnitude above the corpus's largest near-dup cluster
+      // (max exact-dup cluster: 2), validated by the oracle match at the
+      // correctness SF. A degenerate boilerplate flood beyond the cap
+      // degrades to the linear representative-star path instead of bucket².
       val cand = Dedup.minhashCandidatePairs(doc, "doc_id", "text",
-        numHashes = 32, bands = 16, maxBucket = Int.MaxValue)
+        numHashes = 32, bands = 16, maxBucket = 512)
       // prescreen on the signature-agreement estimate the candidate stage
       // already computed: Bin(32, 0.8) < 0.4·32 has probability ~1e-8, so
       // no true >= 0.8 pair is lost, while band-hash false positives (est
@@ -275,10 +288,27 @@ object SparkEntry {
 
     // LSH-bucketed ANN (rows-only: engine-specific hyperplanes); auto
     // prefix scaling + 2-table OR-amplification + Hamming-1 multi-probe
-    // (recall@5 ≈ 0.72 vs brute force, floor-asserted in SimilaritySpec)
+    // (recall@5 ≈ 0.72 vs brute force, floor-asserted in SimilaritySpec).
+    // Corpus count passed from the memoized table count so plan
+    // construction doesn't run a count() job per rebuild.
     "q23_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5,
-          tables = 2, multiProbe = true)
+          tables = 2, multiProbe = true,
+          corpusCount = Some(cachedCount(s, d, "embeddings")))
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // The same LSH-ANN mechanics under the ORACLE-PORTABLE hyperplane
+    // family (MD5-derived plane components): DuckDB re-derives the planes,
+    // signatures, Hamming≤1 multi-probe pair set, and cosine top-5
+    // bit-for-bit — so the bucketing/probing/ranking pipeline itself is
+    // hash-checked, closing r2's last no_oracle gap. q23 stays the
+    // benchmark instance (native signature expression, auto prefix).
+    "q23b_ann_portable" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5,
+          bits = 8, prefixBits = 8, tables = 2, maxBucket = Int.MaxValue,
+          multiProbe = true, signatureFn = Similarity.portableSignature(64))
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
           col("rank"))
         .orderBy(col("query_id"), col("rank"))),
@@ -421,7 +451,24 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_start"),
           col("n_events"), col("sum_value"))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Streaming exact-dedup's batch twin, driver-visible (VERDICT r2 item
+    // 6): first occurrence per content digest over the time-ordered event
+    // log — the exact row set a streaming replay of the log through
+    // StreamingDedup keeps. Digest fields are engine-portable (floor-micros
+    // for the double value: float→string formatting is engine-specific,
+    // a floored integer is not). StreamingDedupSpec asserts the streaming
+    // run produces this same row set.
+    "q36_stream_dedup_twin" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val keyed = ev.withColumn("digest",
+        md5(concat_ws("|", col("user_id"), col("event_type"),
+          floor(col("value") * 1000000).cast("long"))))
+      graft.streaming.StreamingDedup.firstWins(keyed, "digest", "ts", "event_id")
+        .select(col("event_id"), col("digest"))
+        .orderBy(col("event_id"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -490,6 +537,49 @@ object SparkEntry {
        |)
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      .replace("\n", " ")
+
+  // --- q23b oracle: the portable-hyperplane LSH-ANN pipeline re-derived in
+  // SQL end-to-end. The planes are pure md5 arithmetic (so DuckDB rebuilds
+  // the same bits×dim matrix the Scala side materialized), the signatures
+  // are in-order double folds (list_sum ≡ the zip_with/aggregate fold), and
+  // the bucket-join + Hamming-1 multi-probe collapses to the pair predicate
+  // ∃table: bit_count(sigA ⊕ sigB) ≤ 1 — equivalent because a query probes
+  // exactly its own bucket and every bucket one flipped prefix bit away.
+  private def q23bOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT tt.t AS t, bb.b AS b,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(CAST('0x' || substr(md5(concat(tt.t, ':', bb.b, ':', i)), 1, 15) AS BIGINT) AS DOUBLE)
+       |        / 576460752303423488.0 - 1.0) AS comp
+       |  FROM generate_series(0, 1) tt(t) CROSS JOIN generate_series(0, 7) bb(b)
+       |), s AS (
+       |  SELECT e.vec_id, p.t,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.comp[i])) >= 0
+       |      THEN CAST(1 AS BIGINT) << p.b ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.t
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM s a JOIN s b ON a.t = b.t AND a.vec_id != b.vec_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 1
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CASE WHEN sqrt(${vdot("qe.embedding", "qe.embedding")})
+       |           * sqrt(${vdot("ne.embedding", "ne.embedding")}) = 0.0 THEN 0.0
+       |         ELSE ${vdot("qe.embedding", "ne.embedding")}
+       |           / (sqrt(${vdot("qe.embedding", "qe.embedding")})
+       |            * sqrt(${vdot("ne.embedding", "ne.embedding")})) END AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       .replace("\n", " ")
 
   def oracleSql: Map[String, String] = ListMap(
@@ -858,9 +948,10 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, toks, unnest(starts) AS s FROM (
         |    SELECT doc_id, toks,
-        |    CASE WHEN len(toks) > 0
-        |      THEN generate_series(1, greatest(len(toks) - 63, 1), 48)
-        |      ELSE [] END AS starts
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         WHEN len(toks) <= 64 THEN [1]
+        |         ELSE generate_series(1, ((len(toks) - 64 + 47) // 48) * 48 + 1, 48)
+        |         END AS starts
         |    FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
         |          FROM documents)
         |  )
@@ -915,6 +1006,21 @@ object SparkEntry {
         |CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
         |CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " "),
+
+    "q23b_ann_portable" -> q23bOracleSql,
+
+    "q36_stream_dedup_twin" ->
+      """WITH d AS (
+        |  SELECT event_id, ts, md5(concat_ws('|', user_id, event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT))) AS digest
+        |  FROM events
+        |), r AS (
+        |  SELECT event_id, digest,
+        |    row_number() OVER (PARTITION BY digest ORDER BY ts, event_id) AS rn
+        |  FROM d
+        |)
+        |SELECT event_id, digest FROM r WHERE rn = 1 ORDER BY event_id"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -41,17 +41,29 @@ object Tables {
     * created, so the prior value is restored immediately after the read —
     * a later TIMESTAMP(NANOS) parquet read elsewhere in the session still
     * errors loudly instead of silently returning LongType.
+    *
+    * The set/restore is synchronized on the session so two concurrent
+    * `eventsRaw` calls can't interleave (one restoring over the other's
+    * set); a concurrent parquet ANALYSIS on another thread of the same
+    * session could still observe the flipped conf during the read — use a
+    * dedicated `spark.newSession()` if that matters. Restoring before
+    * EXECUTION is safe because the nanos→long decision is captured in the
+    * schema at analysis time; neither the vectorized reader nor
+    * ParquetRowConverter re-validates TIMESTAMP(NANOS) against the conf at
+    * scan time (verified against Spark 4.1.2 internals — an implementation
+    * detail, so re-verify on major upgrades).
     */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try spark.read.parquet(path(sfDir, "events"))
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    spark.synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(path(sfDir, "events"))
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Nanos → microsecond TimestampType. `div` is INTEGRAL division —
     * `/` would promote the ~1.7e18 epoch-nanos to double, whose 256 ns

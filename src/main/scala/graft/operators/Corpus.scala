@@ -64,13 +64,26 @@ object Corpus {
     * split). Emits (chunk_idx, chunk token count, chunk text) per window;
     * documents with no tokens emit no chunks. One pass, no shuffle — the
     * explode happens where the document already lives.
+    *
+    * EVERY token lands in at least one chunk: when the last full window
+    * ends before token n, one extra stride-aligned clipped chunk covers the
+    * tail (e.g. 110 tokens at size=64/stride=48 → chunks at 1 and 49, the
+    * second clipped to 62 tokens). Silently dropping the tail would be
+    * data loss for a pre-training split. No redundant trailing windows:
+    * the sequence stops at the FIRST stride-aligned start whose window
+    * reaches token n.
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             size: Int, stride: Int): DataFrame = {
     require(size >= 1 && stride >= 1)
     val toks = TextAnalysis.tokens(col(textCol))
     val n = org.apache.spark.sql.functions.size(toks)
-    val starts = sequence(lit(1), greatest(n - (size - 1), lit(1)), lit(stride))
+    // last start = 1 + ceil((n - size) / stride) * stride when n > size
+    // (the smallest stride-grid start s with s + size - 1 >= n), else 1
+    val lastStart = when(n <= size, lit(1))
+      .otherwise(floor((n - size + (stride - 1)) / lit(stride)).cast("int")
+        * stride + 1)
+    val starts = sequence(lit(1), lastStart, lit(stride))
     // the token count is known from the slice bounds — don't re-tokenize
     // the joined chunk string just to count what was counted already
     val chunks = when(n > 0,

@@ -82,10 +82,21 @@ object Dedup {
           slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
     // bucket size via a whole-partition window count: ONE shuffle on the
     // bucket key (vs a separate aggregate + re-join), partitioned by the
-    // same key the pair join needs next
+    // same key the pair join needs next.
+    //
+    // PERSISTED: this signature/bucket table feeds four consumers (both
+    // sides of the pair self-join, the oversized-bucket scan, and its
+    // representative aggregate). Column pruning specializes each branch's
+    // scan subtree, which defeats exchange reuse — without the persist the
+    // corpus-wide signature pass runs once PER BRANCH. Materializing the
+    // signature table once is also the production MinHash shape at 100 TB:
+    // it's corpus × bands rows of (id, 8-byte band key, signature), the
+    // index you'd keep anyway, and it costs one corpus scan instead of
+    // four.
     val tagged = banded.withColumn("__bsz", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("band_idx"), col("band_hash"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val normal = tagged.filter(col("__bsz") <= maxBucket)
     val l = normal.select(col("band_idx"), col("band_hash"),
       col("id").as("id1"), col("sig").as("sig1"))
@@ -119,15 +130,23 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
+    // The pair set is read three times (two id projections for the doc
+    // semi-join, then the verification join) — persist it so whatever
+    // lineage PRODUCED the candidates (typically the corpus-wide LSH pass)
+    // runs once, not three times. By contract it's a candidate set: tiny
+    // relative to the corpus.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle only the docs the pair set references: candidate sets are a
     // tiny fraction of the corpus, so semi-joining first keeps the wide
-    // shingle arrays off the shuffle for every uninvolved document
-    val ids = pairs.select(col("id1").as(idCol))
-      .union(pairs.select(col("id2").as(idCol)))
+    // shingle arrays off the shuffle for every uninvolved document. Also
+    // persisted: both verification joins (id1 side, id2 side) read it.
+    val ids = p.select(col("id1").as(idCol))
+      .union(p.select(col("id2").as(idCol)))
       .distinct()
     val sh = docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol), n).as("sh"))
-    pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -165,8 +184,19 @@ object Dedup {
         TextAnalysis.tokens(col(textCol)), n).as("sh"))
     val sizes = sh.select(col("blk"), col("id"), size(col("sh")).as("sz"))
     val inv = sh.select(col("blk"), col("id"), explode(col("sh")).as("g"))
-    val inter = inv.select(col("blk"), col("id").as("id1"), col("g"))
-      .join(inv.select(col("blk"), col("id").as("id2"), col("g")), Seq("blk", "g"))
+    // Prefilter: a shingle held by only ONE doc in its block can only form
+    // self-pairs (dropped below) — and in a real corpus most shingles are
+    // unique, so this removes the bulk of the self-join's input. The count
+    // rides a window over (blk, g), the SAME key the pair join shuffles on,
+    // so the filter costs one sort, no extra exchange (the join reuses the
+    // window's partitioning on both sides).
+    val shared = inv
+      .withColumn("__gc", count(lit(1)).over(
+        Window.partitionBy(col("blk"), col("g"))))
+      .filter(col("__gc") >= 2)
+      .drop("__gc")
+    val inter = shared.select(col("blk"), col("id").as("id1"), col("g"))
+      .join(shared.select(col("blk"), col("id").as("id2"), col("g")), Seq("blk", "g"))
       .filter(col("id1") =!= col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
     val scored = inter

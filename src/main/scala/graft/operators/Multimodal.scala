@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,6 +54,112 @@ object Multimodal {
     /** Stub dimensions: derived deterministically from content length. */
     def dims(bytes: Array[Byte]): (Int, Int) =
       (64 + (bytes.length % 64), 64 + ((bytes.length / 64) % 64))
+  }
+
+  /** REAL header codec for the two public image container formats a
+    * training pipeline meets first — pure JVM byte parsing, no image
+    * library (decode-to-pixels stays stubbed; dimensions/type live in the
+    * headers and need no codec):
+    *
+    *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk is mandated
+    *    first — width/height are the two big-endian u32s at offsets 16/20.
+    *  - JPEG (ITU-T T.81): marker-segment walk from SOI (FFD8) to the
+    *    first frame header SOFn (FFC0..FFCF minus C4/C8/CC), which carries
+    *    height/width as big-endian u16s at segment offsets 3/5.
+    */
+  object HeaderCodec {
+    private val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && pngSig.indices.forall(i => b(i) == pngSig(i))
+
+    /** (width, height) from the IHDR chunk, or None if not a PNG. */
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (!isPng(b)) None
+      else Some((u32(b, 16).toInt, u32(b, 20).toInt))
+
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    /** (width, height) from the first SOFn segment, or None if not a JPEG
+      * or the stream is truncated before its frame header.
+      */
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (!isJpeg(b)) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) { i += 1 } // fill bytes before a marker
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { i += 2 } // bare markers
+        else {
+          val len = u16(b, i + 2)
+          if (len < 2) return None
+          val sof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (sof) {
+            return if (i + 8 < b.length)
+              Some((u16(b, i + 7), u16(b, i + 5))) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** Sniff (media_type, width, height) from payload bytes. */
+    def sniff(b: Array[Byte]): Option[(String, Int, Int)] =
+      pngDims(b).map { case (w, h) => ("image/png", w, h) }
+        .orElse(jpegDims(b).map { case (w, h) => ("image/jpeg", w, h) })
+  }
+
+  /** PNG dimensions as pure BUILT-IN columns (codegen'd, no JVM codec in
+    * the row loop): the IHDR width/height u32s via substring+hex+conv.
+    * NULL for non-PNG payloads. The fixed-offset layout is what makes the
+    * no-UDF formulation possible; JPEG's variable-length marker walk goes
+    * through [[detectMeta]]'s partition-wise parser instead.
+    */
+  def pngWidthCol(payload: Column): Column =
+    when(isPngCol(payload),
+      conv(hex(substring(payload, 17, 4)), 16, 10).cast("int"))
+  def pngHeightCol(payload: Column): Column =
+    when(isPngCol(payload),
+      conv(hex(substring(payload, 21, 4)), 16, 10).cast("int"))
+  private def isPngCol(payload: Column): Column =
+    octet_length(payload) >= 24 &&
+      hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
+
+  /** Partition-wise header sniff: rewrites `meta` with the real media type
+    * and dimensions parsed from the payload's header bytes (PNG/JPEG),
+    * keeping the prior metadata for unrecognized payloads. mapPartitions
+    * for the same reason as [[extractFeatures]]: one parser context per
+    * partition, rows stream through it.
+    */
+  def detectMeta(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pi = schema.fieldIndex("payload")
+    val mi = schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pi)
+        HeaderCodec.sniff(bytes) match {
+          case Some((mt, w, h)) =>
+            val vals = r.toSeq.toArray
+            vals(mi) = Row(mt, bytes.length.toLong, w, h,
+              r.getAs[Row](mi).getAs[Any]("n_frames"))
+            Row.fromSeq(vals.toSeq)
+          case None => r
+        }
+      }
+    }(enc)
   }
 
   /** Attach a binary payload column + metadata struct. For the driver

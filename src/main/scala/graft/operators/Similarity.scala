@@ -50,6 +50,40 @@ object Similarity {
   def hyperplaneSignature(vec: Column, bits: Int, seed: Long = 0L): Column =
     graft.functions.HashFunctions.hyperplaneSignature(vec, bits, seed)
 
+  /** MD5-derived plane component for the ORACLE-PORTABLE hyperplane family:
+    * uniform in [-1, 1), a pure function of (seed, bit, 1-based dim index) —
+    * any engine with md5() recomputes it bit-for-bit
+    * (`CAST('0x' || substr(md5(seed || ':' || b || ':' || i), 1, 15) AS
+    * BIGINT) / 2^59 - 1`). Slower to evaluate than the fmix64 family
+    * [[hyperplaneSignature]] uses (the planes are materialized as literal
+    * arrays, the dots as HOF folds), so it's the verification profile, not
+    * the default.
+    */
+  def portablePlaneComponent(seed: Long, bit: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$bit:$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      576460752303423488.0 - 1.0 // 2^59
+  }
+
+  /** Portable hyperplane signature over a `dim`-dimensional float vector:
+    * same sign-bit packing as [[hyperplaneSignature]], but plane components
+    * come from [[portablePlaneComponent]] and each dot is a left-to-right
+    * double fold (`zip_with` + `aggregate` — the same accumulation order as
+    * a sequential SQL `list_sum`), so the signature integer is reproducible
+    * in any engine. Signature shape: (Column, bits, seed) — drop-in for
+    * [[lshTopK]]'s `signatureFn`.
+    */
+  def portableSignature(dim: Int)(vec: Column, bits: Int, seed: Long): Column =
+    (0 until bits).map { b =>
+      val comp = (1 to dim).map(i => portablePlaneComponent(seed, b, i))
+      val dot = aggregate(
+        zip_with(vec, typedlit(comp), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF (inverted-file) ANN: k-means-partition the corpus into cells,
     * search only the `nProbe` cells nearest each query.
     *
@@ -68,7 +102,15 @@ object Similarity {
                 nCells: Int, iters: Int = 2): (DataFrame, Array[(Int, Array[Float])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // The build evaluates the corpus 2×iters+2 times (init + one assignment
+    // per Lloyd iteration + the final assignment); persist it once so every
+    // pass after the first reads the materialized (id, v) projection instead
+    // of re-running the corpus lineage — on a 100 TB corpus each avoided
+    // re-evaluation is a full re-scan (and re-decode of whatever produced
+    // the frame). MEMORY_AND_DISK: an index build must not OOM-abort when
+    // the projection outgrows the storage pool.
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[(Int, Array[Float])] = base.orderBy(col("id")).limit(nCells)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
@@ -110,8 +152,17 @@ object Similarity {
       }
       it += 1
     }
-    (assigned().select(col("id").as(idCol), col("v").as(vecCol), col("cell")),
-      centroids)
+    // Materialize the final assignment before releasing base: the returned
+    // frame is consumed lazily (ivfSearch, saveIvfIndex) and must not
+    // re-trigger the corpus lineage after unpersist. The assignment is
+    // id+vector+cell — the same order of magnitude as base itself, the
+    // natural thing to keep cached (it IS the index).
+    val cells = assigned()
+      .select(col("id").as(idCol), col("v").as(vecCol), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    base.unpersist(blocking = false)
+    (cells, centroids)
   }
 
   /** Search a prebuilt IVF index: `cells` is [[ivfAssign]]'s frame (or the
@@ -211,7 +262,8 @@ object Similarity {
               bits: Int = 16, prefixBits: Int = 0, tables: Int = 1,
               maxBucket: Int = 4096, targetBucketSize: Int = 64,
               corpusCount: Option[Long] = None,
-              multiProbe: Boolean = false): DataFrame = {
+              multiProbe: Boolean = false,
+              signatureFn: (Column, Int, Long) => Column = hyperplaneSignature(_, _, _)): DataFrame = {
     require(tables >= 1 && bits <= 62 && maxBucket >= 1)
     val pb =
       if (prefixBits > 0) prefixBits
@@ -229,13 +281,19 @@ object Similarity {
     // one corpus pass; each row explodes into its per-table (tbl, bucket)
     val tb = explode(array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        hyperplaneSignature(col(vecCol), bits, t.toLong).bitwiseAND(mask)
+        signatureFn(col(vecCol), bits, t.toLong).bitwiseAND(mask)
           .as("bucket"))): _*))
+    // PERSISTED signature table: both the bucketed corpus side (cap
+    // window) and the probe side derive from it, and column pruning would
+    // otherwise re-run the corpus-wide signature pass once per side. At
+    // scale this is the LSH index you'd materialize anyway — corpus ×
+    // tables rows of (id, vector, norm, bucket).
     val sig = corpus
       .select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
         tb.as("tb"))
       .select(col(idCol), col(vecCol), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
     val r = sig.withColumn("__bn", row_number().over(capW))
       .filter(col("__bn") <= maxBucket)

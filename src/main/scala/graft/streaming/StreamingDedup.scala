@@ -42,4 +42,25 @@ object StreamingDedup {
     if (withinWatermark) keyed.dropDuplicatesWithinWatermark("digest")
     else keyed.dropDuplicates("digest")
   }
+
+  /** Deterministic batch twin of the streaming first-wins semantics: for
+    * each value of `digestCol`, keep the row that is FIRST in
+    * (orderCol, tieCol) order — exactly the row a streaming dedup sees
+    * first when the log is replayed in that order. (Batch
+    * `dropDuplicates` keeps an arbitrary row per key; a contract query
+    * needs the order-defined one.)
+    *
+    * One hash aggregate with a `min_by` on the full row struct — map-side
+    * combinable, no window, and the shuffle carries one candidate row per
+    * (partition, digest), not the duplicate flood.
+    */
+  def firstWins(keyed: DataFrame, digestCol: String, orderCol: String,
+                tieCol: String): DataFrame = {
+    val cols = keyed.columns.toIndexedSeq
+    keyed
+      .groupBy(col(digestCol))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(orderCol), col(tieCol))).as("__first"))
+      .select(cols.map(c => col(s"__first.$c").as(c)): _*)
+  }
 }

@@ -60,4 +60,28 @@ class CorpusSpec extends SparkSpec {
     assert(short.length == 1 && short.head.getInt(2) == 2 &&
       short.head.getString(3) == "a b")
   }
+
+  test("chunking covers a non-aligned tail with exactly one clipped chunk") {
+    // 12 tokens, size 4, stride 3: full windows start at 1,4,7 (ends 10),
+    // tokens 11-12 would be DROPPED without the tail rule; the next
+    // stride-grid start 10 covers them with a 3-token clipped chunk, and
+    // no further (redundant) window is emitted
+    val d = Seq((1L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Corpus.chunk(d, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(r.map(_.getInt(2)).toSeq == Seq(4, 4, 4, 3))
+    assert(r.last.getString(3) == "t10 t11 t12")
+    // coverage invariant at an awkward size/stride (the ADVICE example:
+    // 110 tokens, 64/48 — tokens 65..110 must appear in some chunk)
+    val big = Seq((2L, (1 to 110).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(big, "doc_id", "text", size = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getInt(2)).toSeq == Seq(64, 62)) // starts 1 and 49
+    val covered = chunks.flatMap(_.getString(3).split(" ")).toSet
+    assert((1 to 110).forall(i => covered.contains(s"w$i")))
+    // aligned end: no spurious extra chunk (160 = 97+64-1 exactly)
+    val aligned = Seq((3L, (1 to 160).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Corpus.chunk(aligned, "doc_id", "text", size = 64, stride = 48)
+      .count() == 3) // starts 1, 49, 97
+  }
 }

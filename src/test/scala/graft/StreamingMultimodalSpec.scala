@@ -131,6 +131,91 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(math.abs(st.getDouble(0) - ex.getDouble(0)) / ex.getDouble(0) < 0.05)
   }
 
+  test("streaming dedup firstWins batch twin equals a streamed replay of the log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // a log with cross-batch content duplicates, replayed in ts order (the
+    // order a log-backed stream delivers)
+    val log = Seq(
+      (1L, t("2024-01-01 10:00:00"), "alpha"),
+      (2L, t("2024-01-01 10:01:00"), "beta"),
+      (3L, t("2024-01-01 10:02:00"), "alpha"), // dup of 1
+      (4L, t("2024-01-01 10:03:00"), "gamma"),
+      (5L, t("2024-01-01 10:04:00"), "beta"))  // dup of 2
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDS().toDF("event_id", "ts", "text")
+    val q = graft.streaming.StreamingDedup.dedup(stream, "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_twin").start()
+    try {
+      input.addData(log.take(3): _*); q.processAllAvailable()
+      input.addData(log.drop(3): _*); q.processAllAvailable()
+      val streamed = spark.table("sdedup_twin")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.streaming.StreamingDedup.firstWins(
+          graft.streaming.StreamingDedup.withDigest(
+            log.toDF("event_id", "ts", "text"), "text"),
+          "digest", "ts", "event_id")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(1L, 2L, 4L))
+      assert(batch == streamed) // the contract query's semantics = streaming's
+    } finally q.stop()
+  }
+
+  test("header codec parses real PNG and JPEG header bytes") {
+    import Multimodal.HeaderCodec
+    // a real PNG header: signature + IHDR chunk for a 320×240 image
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(320) ++ be32(240) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(HeaderCodec.pngDims(png).contains((320, 240)))
+    assert(HeaderCodec.sniff(png).contains(("image/png", 320, 240)))
+    // a real JPEG header stream: SOI, APP0 (JFIF), then SOF0 with
+    // height=240 / width=320 — the parser must WALK the APP0 segment
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    val jfif = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+      "JFIF ".getBytes("US-ASCII") ++ Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(240) ++ be16(320) ++ Array[Byte](3)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++ jfif ++ sof0
+    assert(HeaderCodec.jpegDims(jpeg).contains((320, 240)))
+    assert(HeaderCodec.sniff(jpeg).contains(("image/jpeg", 320, 240)))
+    // non-image payloads sniff to None, never throw
+    assert(HeaderCodec.sniff("not an image".getBytes).isEmpty)
+    assert(HeaderCodec.sniff(Array[Byte]()).isEmpty)
+    assert(HeaderCodec.jpegDims(jpeg.take(6)).isEmpty) // truncated stream
+
+    // Spark-side: detectMeta rewrites metadata from parsed headers,
+    // leaves unrecognized payloads' metadata untouched
+    import spark.implicits._
+    val rows = Seq((1L, png), (2L, jpeg), (3L, "plain text".getBytes))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    val out = Multimodal.detectMeta(rows)
+      .select(col("doc_id"), col("meta.media_type"), col("meta.width"), col("meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == (("image/png", Some(320), Some(240))))
+    assert(out(2L) == (("image/jpeg", Some(320), Some(240))))
+    assert(out(3L) == (("application/octet-stream", None, None)))
+
+    // and the codegen'd builtin PNG columns agree with the JVM parser
+    val cols = rows.select(
+      Multimodal.pngWidthCol(col("payload")).as("w"),
+      Multimodal.pngHeightCol(col("payload")).as("h"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(cols.toSeq == Seq((Some(320), Some(240)), (None, None), (None, None)))
+  }
+
   test("multimodal: media column carries bytes + typed metadata") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(20)
     val media = Multimodal.withMediaColumn(docs, "doc_id", "text")
