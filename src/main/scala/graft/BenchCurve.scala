@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve benchmark (not driver-run; feeds BASELINE.md):
+  *
+  *  1. Times a headline query subset at sf0.001 / sf0.01 / sf0.1 AND at a
+  *     4×-replicated sf0.1 corpus (~sf0.4), so the scaling slope is
+  *     measured beyond the range where scheduling overhead dominates.
+  *     The ×4 corpus replicates fact tables with key offsets (dims stay);
+  *     document replicas get a replica tag token prepended, so they are
+  *     near-duplicates of each other — deliberately stressing the dedup
+  *     paths the way crawl boilerplate would — while exact dedup still
+  *     sees distinct texts.
+  *  2. Measures skew-join handling: a fact with 80% of rows on one hot
+  *     key joined to a 1k-key dim, plain vs salted ([[operators.Skew]]),
+  *     reporting per-task time spread (max/median over the stage's tasks)
+  *     — the salt's job is to flatten exactly that spread. Broadcast is
+  *     disabled for the comparison (a 1k-row dim would otherwise
+  *     broadcast and the reducer skew would never materialize).
+  *
+  * One JSON line on stdout, like Bench.
+  */
+object BenchCurve {
+
+  private def ensureX4(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    if (new java.io.File(s"$dstDir/_DONE").exists()) return
+    new java.io.File(dstDir).mkdirs()
+    val dims = Seq("region", "nation", "customer", "supplier", "part")
+    dims.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+    def rep(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 4).map(r => f(df, r)).reduce(_ unionByName _)
+
+    rep(spark.read.parquet(s"$srcDir/orders.parquet"), (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * 1000000000L)))
+      .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")
+    rep(spark.read.parquet(s"$srcDir/lineitem.parquet"), (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * 1000000000L)))
+      .write.mode("overwrite").parquet(s"$dstDir/lineitem.parquet")
+    // events: keep ts as the file's raw nanos long (eventsRaw reads either)
+    rep(graft.engine.Tables.eventsRaw(spark, srcDir), (d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r.toLong * 1000000000L)))
+      .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
+    rep(spark.read.parquet(s"$srcDir/documents.parquet"), (d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r.toLong * 10000000L))
+        .withColumn("text", concat(lit(s"rtag$r "), col("text"))))
+      .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    rep(spark.read.parquet(s"$srcDir/embeddings.parquet"), (d, r) =>
+      d.withColumn("vec_id", col("vec_id") + lit(r.toLong * 10000000L)))
+      .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    new java.io.File(s"$dstDir/_DONE").createNewFile()
+  }
+
+  /** Collects per-task durations, keyed by stage. */
+  private class TaskTimes extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val d = e.taskInfo.duration
+      byStage.updateWith(e.stageId) { cur => Some(d :: cur.getOrElse(Nil)) }
+    }
+    /** max/median task time of the heaviest multi-task stage. */
+    def spread(): (Double, Long) = {
+      val stages = byStage.values.filter(_.size >= 4)
+      if (stages.isEmpty) return (1.0, 0L)
+      val heavy = stages.maxBy(_.max)
+      val s = heavy.sorted
+      (s.last.toDouble / math.max(s(s.size / 2), 1L), s.last)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Tables.session(s"local[$cpus]", cpus.toInt)
+
+    val headline = Seq("q04_group_counts", "q13_pricing_rollup",
+      "q17_fingerprints", "q18_dedup_exact", "q19_minhash_lsh",
+      "q21_ngram_jaccard", "q22_cosine_topk", "q23_ann_lsh", "q28_ivf_topk",
+      "q31_chunks", "q33_sessions")
+
+    val x4 = "/tmp/graft_bench_x4"
+    ensureX4(spark, "/root/testdata/sf0.1", x4)
+
+    val points = Seq(
+      "sf0.001" -> "/root/testdata/sf0.001",
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf0.1x4" -> x4)
+
+    val curve = points.map { case (label, dir) =>
+      graft.engine.Tables.all.foreach { n =>
+        try graft.engine.Tables.load(spark, dir, n).count()
+        catch { case _: Throwable => () }
+      }
+      val qs = headline.map { name =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[curve] $label/$name FAILED: ${e.getMessage}")
+            9999.0
+          }
+        }
+        name -> times.min
+      }
+      spark.sharedState.cacheManager.clearCache() // no cross-point reuse
+      label -> qs
+    }
+
+    // --- skew: hot-key join, plain vs salted, per-task spread ---
+    // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
+    // payload folded per joined row, so the hot reducer's work is real
+    // compute, not a hash probe the scan stage can hide. Broadcast is off
+    // (a 1k-row dim would broadcast and no reducer skew would exist), and
+    // AQE's skew thresholds are scaled to the toy data size (defaults
+    // trigger at 256 MB partitions) so the runtime splitter is actually
+    // exercised — the same mechanism, smaller trigger.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    val li = spark.read.parquet(s"$x4/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"),
+        when(pmod(col("l_orderkey"), lit(5)) =!= 0, lit(1L))
+          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"))
+    import spark.implicits._
+    val dim = (0L until 1000L).toDF("k")
+      .withColumn("p", expr("transform(sequence(1, 200), i -> i * 0.001 + k)"))
+    val work = sum(aggregate(col("p"), lit(0.0), (a, x) => a + x) * col("l_quantity"))
+    def measure(f: => Double): (Double, Double, Long) = {
+      val l = new TaskTimes
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(l)
+      val (spread, maxMs) = l.spread()
+      require(!n.isNaN)
+      (sec, spread, maxMs)
+    }
+    val plainN = () => li.join(dim, Seq("k"))
+      .agg(work).head().getDouble(0)
+    val saltedN = () => graft.operators.Skew.saltedJoin(li, dim, "k", cpus.toInt)
+      .agg(work).head().getDouble(0)
+    plainN(); saltedN() // warm
+    // three regimes: AQE's runtime skew-split (the first line of defense),
+    // the naked skew with that mitigation off (what a pre-AQE engine or a
+    // non-join skewed shuffle sees), and the salt fixing the naked case
+    val (ps, pspread, pmax) = measure(plainN())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (ns, nspread, nmax) = measure(plainN())
+    val (ss, sspread, smax) = measure(saltedN())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    def fmtQs(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val pts = curve.map { case (l, qs) =>
+      "\"" + l + "\":{\"total\":" + f"${qs.map(_._2).sum}%.3f" +
+        ",\"queries\":" + fmtQs(qs) + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"curve","points":$pts,""" +
+      f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
+      f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +
+      f""""noaqe_salted_sec":$ss%.3f,"noaqe_salted_task_spread":$sspread%.1f,"noaqe_salted_max_task_ms":$smax}}""")
+    spark.stop()
+  }
+}
