@@ -468,6 +468,67 @@ object SparkEntry {
       graft.streaming.StreamingDedup.firstWins(keyed, "digest", "ts", "event_id")
         .select(col("event_id"), col("digest"))
         .orderBy(col("event_id"))
+    }),
+
+    // Duplicate CLUSTERS from verified near-dup pairs: min-label
+    // propagation to a fixpoint (a component = one duplicate group;
+    // min-id-per-component is the transitive dedup winner). Oracle is a
+    // recursive CTE over the same true >= 0.8 edge set.
+    "q37_dedup_clusters" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cand = Dedup.minhashCandidatePairs(doc, "doc_id", "text",
+        numHashes = 32, bands = 16, maxBucket = 512)
+      val edges = Dedup.ngramJaccard(cand.filter(col("est_jaccard") >= 0.4)
+          .select("id1", "id2"), doc, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.8).select("id1", "id2")
+      Dedup.connectedComponents(edges, doc.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Decontamination: drop documents sharing any word n-gram with the
+    // probe ("benchmark") set — n=3 here so chance vocabulary overlap
+    // exercises the membership join; production uses 8-13
+    "q38_decontaminate" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      Corpus.decontaminate(doc, doc.filter(col("doc_id") < 5),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition / boilerplate quality signal: dominant-trigram share +
+    // type-token ratio
+    "q39_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"), col("max_rep"),
+          round(col("rep_ratio"), 6).as("rep_ratio"),
+          round(col("ttr"), 6).as("ttr"))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF keyword extraction, rational idf (engine-reproducible: no
+    // ln(), whose rounding is libm-specific) — top-3 terms per doc
+    "q40_tfidf" -> ((s, d) =>
+      Corpus.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3,
+          docCount = cachedCount(s, d, "documents"))
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // PII scrub: the corpus carries no natural PII, so a deterministic
+    // contact block (email + 3-3-4 phone derived from doc_id) is appended
+    // first; the check covers hit counts AND the redacted text digest
+    "q41_pii_redact" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" Contact user"),
+          col("doc_id").cast("string"), lit("@example.com or "),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      val (ne, np) = TextAnalysis.piiCounts(col("text"))
+      aug.select(col("doc_id"), ne.as("n_emails"), np.as("n_phones"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_digest"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -581,6 +642,46 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       .replace("\n", " ")
+
+  // The true all-pairs word-3-gram Jaccard pair set over documents —
+  // shared by q19 (pair listing) and q37 (the component step above it).
+  private val q19PairsCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+      |         generate_series(1, len(toks) - 2),
+      |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+      |       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      |       ELSE [] END AS sh
+      |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+      |        FROM documents)
+      |), j AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh)))
+      |    ELSE 0.0 END AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  // q37 oracle: connected components as a RECURSIVE CTE — labels propagate
+  // along the (bidirectional) >= 0.8 edge set until the UNION dedup stops
+  // producing new (node, label) pairs; min reachable label = the component
+  // representative the engine's min-label-propagation fixpoint computes.
+  private def q37OracleSql: String =
+    s"""WITH RECURSIVE $q19PairsCte,
+       |e AS (
+       |  SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.8
+       |  UNION ALL
+       |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
+       |),
+       |r(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
+       |)
+       |SELECT id AS doc_id, min(lbl) AS cluster FROM r GROUP BY id
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_dim_lookup" ->
@@ -789,25 +890,93 @@ object SparkEntry {
     // True >= 0.8 near-dup pair set, all-pairs — the engine must reproduce
     // it through LSH candidates + exact verification, so recall is checked
     "q19_minhash_lsh" ->
-      """WITH sh AS (
+      s"""WITH $q19PairsCte
+         |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM j
+         |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    "q37_dedup_clusters" -> q37OracleSql,
+
+    "q38_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gs
+        |  FROM (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), probe AS (
+        |  SELECT DISTINCT unnest(gs) AS pg FROM g WHERE doc_id < 5
+        |), contaminated AS (
+        |  SELECT DISTINCT dg.doc_id FROM
+        |    (SELECT doc_id, unnest(gs) AS gg FROM g) dg
+        |    JOIN probe ON dg.gg = probe.pg
+        |)
+        |SELECT doc_id, lang FROM g
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q39_repetition" ->
+      """WITH t3 AS (
         |  SELECT doc_id,
-        |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        |  CASE WHEN len(toks) >= 3 THEN list_transform(
         |         generate_series(1, len(toks) - 2),
-        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-        |       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-        |       ELSE [] END AS sh
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |       ELSE [] END AS tris,
+        |  CASE WHEN len(toks) > 0
+        |       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |       ELSE 0.0 END AS ttr
         |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
         |        FROM documents)
-        |), j AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-        |    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.sh, b.sh)))
-        |    ELSE 0.0 END AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |), c AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tris) AS g FROM t3) GROUP BY doc_id, g
+        |), agg AS (
+        |  SELECT doc_id, max(c) AS max_rep, sum(c) AS n_trigrams FROM c GROUP BY doc_id
         |)
-        |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM j
-        |WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+        |SELECT t3.doc_id,
+        |CAST(coalesce(agg.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |CAST(coalesce(agg.max_rep, 0) AS BIGINT) AS max_rep,
+        |round(CASE WHEN coalesce(agg.n_trigrams, 0) > 0
+        |  THEN CAST(agg.max_rep AS DOUBLE) / agg.n_trigrams ELSE 0.0 END, 6) AS rep_ratio,
+        |round(t3.ttr, 6) AS ttr
+        |FROM t3 LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    "q40_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(trim(text), '\S+'))) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |  CAST(tf.tf * (n.n + 1) AS DOUBLE) / (dfx.df + 1) AS score,
+        |  row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |    CAST(tf.tf * (n.n + 1) AS DOUBLE) / (dfx.df + 1) DESC, tf.term) AS rank
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
+        |round(score, 6) AS score
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank"""
+        .stripMargin.replace("\n", " "),
+
+    "q41_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat(text, ' Contact user', doc_id, '@example.com or ',
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-555-',
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |md5(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_digest
+        |FROM aug ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // Recomputes the MD5-profile SimHash bit-for-bit: token hash = first 8
     // bytes of md5(token) as UBIGINT; per-bit ±1 votes; bit 63 carries the

@@ -365,6 +365,25 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** `ngram_hashes_all(tokens, n)` → array<bigint>: hashes of positional
+  * word n-grams WITH multiplicity, in document order — for counting
+  * (repetition/boilerplate stats), where [[NgramHashes]]' set semantics
+  * would erase exactly the signal being measured. Fewer than n tokens →
+  * empty (no degenerate whole-doc gram: a count of 1 over a non-window
+  * would skew ratios).
+  */
+case class NgramHashesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.ngramHashesAll(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.ngramHashesAll($c, $n);")
+  override protected def withNewChildInternal(c: Expression): NgramHashesAll =
+    copy(child = c)
+}
+
 /** `minhash_tokens(tokens, shingleN, numHashes)` → array<bigint>: MinHash
   * signature straight from the token array (token hash → n-gram rolling
   * hash → per-seed minima) in one pass; no intermediate shingle arrays.
@@ -427,6 +446,8 @@ object HashFunctions {
       GraftInternal.expression(b)))
   def ngramHashes(tokens: Column, n: Int): Column =
     GraftInternal.column(NgramHashes(GraftInternal.expression(tokens), n))
+  def ngramHashesAll(tokens: Column, n: Int): Column =
+    GraftInternal.column(NgramHashesAll(GraftInternal.expression(tokens), n))
   def minhashTokens(tokens: Column, shingleN: Int = 3, numHashes: Int = 32): Column =
     GraftInternal.column(MinHashTokens(GraftInternal.expression(tokens), shingleN, numHashes))
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =

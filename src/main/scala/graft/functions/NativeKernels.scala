@@ -38,6 +38,10 @@ object NativeKernels {
       HashOps.distinctSorted(HashOps.ngramHashes(HashOps.elementHashes(arr), n,
         degenerateShort = false)))
 
+  def ngramHashesAll(arr: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(HashOps.ngramHashes(HashOps.elementHashes(arr), n,
+      degenerateShort = false))
+
   def simhashTokens(arr: ArrayData): Long =
     HashOps.simhash(HashOps.elementHashes(arr))
 

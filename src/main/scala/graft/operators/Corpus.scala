@@ -59,6 +59,66 @@ object Corpus {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Decontamination: drop every document sharing ANY word n-gram with the
+    * probe set (the standard "remove benchmark/test-set text from training
+    * data" step; n = 8–13 in practice — lower n is aggressive). Probe
+    * copies inside the corpus remove themselves by construction.
+    *
+    * Scale shape: both sides explode to 8-byte n-gram HASHES (never gram
+    * strings), the probe gram set deduplicates before the join (its size
+    * is bounded by the benchmark suite, not the corpus), and the
+    * membership test is a semi-join on the hash — so the corpus is
+    * scanned once and the shuffle carries (id, hash) pairs. A 64-bit
+    * collision falsely dropping a clean doc is ~2⁻⁶⁴ per doc-gram pair —
+    * the standard trade; collisions can only OVER-drop, never leak
+    * contamination through.
+    */
+  def decontaminate(docs: DataFrame, probes: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+        explode(graft.functions.HashFunctions.ngramHashes(
+          TextAnalysis.tokens(col(textCol)), n)).as("g"))
+    val probeGrams = probes.select(
+        explode(graft.functions.HashFunctions.ngramHashes(
+          TextAnalysis.tokens(col(textCol)), n)).as("g"))
+      .distinct()
+    val contaminated = docGrams.join(probeGrams, Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Top-`k` TF-IDF terms per document, with a RATIONAL idf —
+    * `tf × (N+1)/(df+1)` instead of the textbook `tf × ln((N+1)/(df+1))`:
+    * log implementations are not guaranteed correctly-rounded across
+    * engines, while integer multiply + one IEEE double division is
+    * bit-reproducible anywhere. Rational idf is a monotone transform of
+    * the log form per term, so each TERM's ranking across documents is
+    * unchanged; cross-term comparisons weight rarity more aggressively —
+    * fine for keyword extraction, and exactly checkable by any oracle.
+    *
+    * Terms are lowercased whitespace tokens. Plan: one explode → (doc,
+    * term) hash-agg for tf → term hash-agg for df (map-side combined) →
+    * shuffle join on term → per-doc top-k window (partitioned by doc,
+    * never global).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, docCount: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col(idCol), lower(col("t")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score",
+        (col("tf") * (docCount + 1)).cast("double") / (col("df") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Overlapping token-window chunking: windows of `size` tokens starting
     * every `stride` tokens (the standard pre-training context-packing
     * split). Emits (chunk_idx, chunk token count, chunk text) per window;

@@ -229,6 +229,68 @@ object Dedup {
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * canonical step AFTER pair detection: a component is a duplicate
+    * CLUSTER, and keeping min-id-per-cluster dedups transitively (A≈B,
+    * B≈C collapses all three even when A~C was never proposed).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each
+    * round, every node takes the min of its own label and its neighbors';
+    * converges in O(graph diameter) rounds. Each round is two shuffles
+    * (neighbor join + min aggregate) over the LABEL table (2 longs per
+    * node), never over document payloads; labels persist per round and
+    * the previous round unpersists. Near-dup graphs are short-diameter
+    * star/clique mixtures, so rounds stay single-digit at any corpus
+    * size; a pathological long-chain graph would want the
+    * large-star/small-star variant instead (same shuffle shape per round,
+    * fewer rounds) — `maxIters` guards the loop either way.
+    *
+    * Deterministic: labels are exact integer minima — no tie-break
+    * ambiguity, any execution order converges to the same fixpoint.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    // localCheckpoint, NOT persist: an iterative frame's LOGICAL plan
+    // doubles every round (the label table is referenced twice per step,
+    // and persist caches only the physical result — analysis still walks
+    // the whole history), so by round k Catalyst is optimizing a 2^k-node
+    // plan and planning time dwarfs the actual 3-small-shuffle round.
+    // Checkpointing truncates the lineage so every round's plan is
+    // constant-size. Executor-local checkpoint blocks are the single-job
+    // trade; a long-running production build on a real cluster would use
+    // setCheckpointDir + .checkpoint() for fault-tolerant truncation.
+    val und = edges.select(col("id1").as("a"), col("id2").as("b"))
+      .union(edges.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    // fixpoint detection: labels only ever DECREASE, so the exact label
+    // sum is strictly monotone until convergence — an unchanged sum IS the
+    // fixpoint. One decimal-exact aggregate per round over the
+    // just-checkpointed rows; the loop is a build step that runs jobs,
+    // like the IVF k-means build.
+    var prevSum: java.math.BigDecimal = null
+    while (!converged && it < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    und.unpersist(blocking = false)
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
   /** SimHash 64-bit fingerprint from token hashes: for each bit position,
     * sum ±1 votes across token hashes; the sign recomposes the bit.
     * Pure built-ins (`transform` over 64 positions + `aggregate`), fully

@@ -81,6 +81,67 @@ object TextAnalysis {
     }
   }
 
+  /** Repetition / boilerplate features — the pre-training quality signal
+    * the length/punct heuristics miss (navigation boilerplate, keyword
+    * stuffing, generated spam repeat phrases):
+    *
+    *  - `n_trigrams`: word-trigram count (0 for docs under 3 tokens);
+    *  - `max_rep`: occurrences of the MOST repeated trigram;
+    *  - `rep_ratio`: max_rep / n_trigrams — the share of the document the
+    *    dominant phrase occupies (≈0 for natural text);
+    *  - `ttr`: type-token ratio (distinct tokens / tokens) — low = loops.
+    *
+    * One explode + two hash aggregates over (doc, trigram-hash); the
+    * counted key is the native 8-byte n-gram hash WITH multiplicity
+    * (`ngramHashesAll` — one codegen'd pass, no trigram-string
+    * construction, an 8-byte shuffle key): counts-by-hash equal
+    * counts-by-string up to a ~2⁻⁶⁴-per-pair collision, which could only
+    * merge two trigram counts, and only within one document. Ratios are
+    * double divisions of exact integer counts — engine-reproducible.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val base = df.select(col(idCol),
+      graft.functions.HashFunctions.ngramHashesAll(toks, 3).as("__tris"),
+      when(n > 0, size(array_distinct(toks)).cast("double") / n)
+        .otherwise(0.0).as("ttr"))
+    val counts = base
+      .select(col(idCol), explode(col("__tris")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_trigrams"))
+    base.drop("__tris")
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("max_rep"), lit(0L)).as("max_rep"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          col("max_rep").cast("double") / col("n_trigrams"))
+          .otherwise(0.0).as("rep_ratio"),
+        col("ttr"))
+  }
+
+  /** PII patterns in the ASCII-only regex subset that behaves identically
+    * under Java regex (Spark) and RE2 (oracle engines): character classes
+    * and counted repetition only — no backreferences, no lookaround.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails/phone numbers to placeholder tags. Order matters and is
+    * fixed (emails first: a phone-like digit run inside an address must
+    * not split the address before the email pass sees it).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-document PII hit counts (for audit metrics next to the scrub). */
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long"))
+
   /** Winnowing document fingerprints (local minima of a rolling k-gram
     * hash, per the MOSS scheme): hash every k-gram, take the min of each
     * sliding window of `w`, dedupe. Built entirely from `sequence` /

@@ -84,4 +84,38 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.chunk(aligned, "doc_id", "text", size = 64, stride = 48)
       .count() == 3) // starts 1, 49, 97
   }
+
+  test("decontamination drops any doc sharing an n-gram with the probe set") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),    // clean
+      (11L, "one two three four five six seven"),      // contains probe 3-gram
+      (12L, "totally unrelated words in this row"),    // clean
+      (13L, "three four five surrounded by other stuff"), // same probe 3-gram
+      (14L, "two words")                               // < n tokens: no grams
+    ).toDF("doc_id", "text")
+    val probes = Seq((99L, "zzz three four five qqq")).toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(corpus, probes, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L, 14L))
+    // a probe copy inside the corpus removes itself
+    val withCopy = corpus.union(Seq((15L, "zzz three four five qqq")).toDF("doc_id", "text"))
+    assert(!Corpus.decontaminate(withCopy, probes, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).contains(15L))
+  }
+
+  test("tfidf ranks rare terms above common ones, rational idf") {
+    val corpus = Seq(
+      (0L, "common common rare"),
+      (1L, "common shared"),
+      (2L, "common shared")
+    ).toDF("doc_id", "text")
+    val r = Corpus.tfidfTopTerms(corpus, "doc_id", "text", k = 2, docCount = 3L)
+      .orderBy("doc_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getDouble(5)))
+    // doc 0: rare (tf=1, df=1 → 1*4/2=2.0) beats common (tf=2, df=3 → 2*4/4=2.0)?
+    // equal scores → term tiebreak asc: "common" first at 2.0, "rare" 2.0
+    assert(r(0) == ((0L, 1, "common", 2.0)) && r(1) == ((0L, 2, "rare", 2.0)))
+    // docs 1/2: shared (tf=1, df=2 → 4/3) beats common (tf=1, df=3 → 1.0)
+    assert(r(2) == ((1L, 1, "shared", 4.0 / 3)) && r(3) == ((1L, 2, "common", 1.0)))
+  }
 }

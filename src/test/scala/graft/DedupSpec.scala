@@ -142,4 +142,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.toSet == Set((0L, 1L))) // 2 dissimilar; 3 blocked away
   }
+
+  test("connected components: chains collapse transitively, singletons stand") {
+    // 1-2-3-4-5 is a diameter-4 chain (several propagation rounds); edges
+    // never pair 1 with 5 directly, yet all five must share a cluster
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L), (8L, 6L))
+      .toDF("id1", "id2")
+    val nodes = (1L to 9L).toDF("doc_id")
+    val r = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 5L).forall(r(_) == 1L)) // transitive closure of the chain
+    assert(Seq(6L, 7L, 8L).forall(r(_) == 6L)) // min id wins, not first seen
+    assert(r(9L) == 9L) // isolated node is its own cluster
+    assert(r.size == 9)
+  }
 }

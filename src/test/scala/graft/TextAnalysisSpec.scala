@@ -71,4 +71,36 @@ class TextAnalysisSpec extends SparkSpec {
     val b = uni.select(TextAnalysis.fingerprintsPortable(col("text"))).head().getSeq[Long](0)
     assert(a.nonEmpty && a == b)
   }
+
+  test("repetition features: dominant trigram share and type-token ratio") {
+    val d = Seq(
+      (0L, "x y z x y z x y z"),    // 7 trigrams, "x y z" appears 3×
+      (1L, "all distinct words here no repeats at all today"),
+      (2L, "a b")                   // under 3 tokens → no trigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionFeatures(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    assert(r(0) == ((7L, 3L, 3.0 / 7, 3.0 / 9)))
+    assert(r(1)._2 == 1L && r(1)._4 < 1.0) // "all" repeats → ttr 8/9
+    assert(r(2) == ((0L, 0L, 0.0, 1.0)))
+  }
+
+  test("pii redaction: emails and phones scrub, counts match, text preserved") {
+    val d = Seq(
+      (0L, "reach me at jane.doe+spam@mail.example.org or 212-555-0199 thanks"),
+      (1L, "no contact info in this row at all"),
+      (2L, "two mails a@b.co c.d@e.fg and 000-555-1234 plus 999-555-4321")
+    ).toDF("doc_id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val r = d.select(col("doc_id"), ne, np,
+        TextAnalysis.redactPii(col("text")).as("red"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 1 && r(0).getLong(2) == 1)
+    assert(r(0).getString(3) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(r(1).getLong(1) == 0 && r(1).getLong(2) == 0)
+    assert(r(1).getString(3) == "no contact info in this row at all")
+    assert(r(2).getLong(1) == 2 && r(2).getLong(2) == 2)
+    assert(r(2).getString(3) == "two mails <EMAIL> <EMAIL> and <PHONE> plus <PHONE>")
+  }
 }
