@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, SimHash64, WinnowFingerprints}
+import graft.functions.{HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, SimHash64, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * expressions as SQL functions, so the full surface is reachable from
@@ -49,6 +49,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(tokens) => SimHash64(tokens)
         case _ => throw new IllegalArgumentException("simhash64(tokens)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens, n) => NgramHashes(tokens, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("ngram_hashes(tokens, n)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes_all"),
+      new ExpressionInfo(classOf[NgramHashesAll].getName, "ngram_hashes_all"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens, n) => NgramHashesAll(tokens, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("ngram_hashes_all(tokens, n)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_signature"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec, bits) => HyperplaneSignature(vec, intArg(bits, "bits"), 0L)
+        case Seq(vec, bits, seed) =>
+          HyperplaneSignature(vec, intArg(bits, "bits"), intArg(seed, "seed").toLong)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_signature(vec, bits[, seed])")
+      }))
   }
 }
 
@@ -78,6 +102,20 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("simhash64", {
       case Seq(tokens) => SimHash64(tokens)
       case _ => throw new IllegalArgumentException("simhash64(tokens)")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes", {
+      case Seq(tokens, n) => NgramHashes(tokens, intArg(n, "n"))
+      case _ => throw new IllegalArgumentException("ngram_hashes(tokens, n)")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes_all", {
+      case Seq(tokens, n) => NgramHashesAll(tokens, intArg(n, "n"))
+      case _ => throw new IllegalArgumentException("ngram_hashes_all(tokens, n)")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_signature", {
+      case Seq(vec, bits) => HyperplaneSignature(vec, intArg(bits, "bits"), 0L)
+      case Seq(vec, bits, seed) =>
+        HyperplaneSignature(vec, intArg(bits, "bits"), intArg(seed, "seed").toLong)
+      case _ => throw new IllegalArgumentException("hyperplane_signature(vec, bits[, seed])")
     }, "scala_udf")
   }
 }

@@ -109,8 +109,14 @@ class EngineSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT simhash64(array('a','b')) AS sh,
         |size(minhash_signature(array('a','b'), 16)) AS msz,
-        |size(winnow_fingerprints('abcdefghijklmnop', 8, 4)) AS wsz""".stripMargin)
+        |size(winnow_fingerprints('abcdefghijklmnop', 8, 4)) AS wsz,
+        |size(ngram_hashes(array('a','b','c','b','c'), 2)) AS ngd,
+        |size(ngram_hashes_all(array('a','b','c','b','c'), 2)) AS nga,
+        |hyperplane_signature(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8) AS hp""".stripMargin)
       .collect().head
     assert(r.getLong(0) != 0L && r.getInt(1) == 16 && r.getInt(2) > 0)
+    // 4 positional bigrams, 3 distinct ("b c" twice) — set vs multiplicity
+    assert(r.getInt(3) == 3 && r.getInt(4) == 4)
+    assert(r.getLong(5) >= 0L && r.getLong(5) < 256L)
   }
 }

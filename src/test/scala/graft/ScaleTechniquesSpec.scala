@@ -43,6 +43,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("decontamination plans membership joins, never a cartesian product") {
+    // the probe-gram test must be a (semi ∘ anti) join chain on the gram
+    // hash — a cartesian or a non-equi join here is quadratic in the
+    // corpus at 100 TB
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.Corpus.decontaminate(
+        docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") < 5),
+        "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi membership join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti survivor join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in decontaminate:\n$plan")
+  }
+
   test("month-partitioned fact layout prunes the scan to the queried months") {
     // Tables.scala documents the production layout (facts partitioned by
     // month of the date column); this proves the pruning end-to-end:
