@@ -234,6 +234,88 @@ object Similarity {
     ivfSearch(cells, centroids, queries, idCol, vecCol, k, nProbe)
   }
 
+  /** Persist an LSH-ANN index: the signature table written as parquet
+    * PARTITIONED BY (table, bucket), plus a one-row meta table pinning the
+    * signature family parameters. Like [[saveIvfIndex]], this makes the
+    * signature pass a one-off build: a probe-time search reads ONLY the
+    * probed buckets' directories (partition pruning does the
+    * bucket-fraction cost cut at the storage layer).
+    */
+  def saveLshIndex(corpus: DataFrame, path: String, idCol: String,
+                   vecCol: String, bits: Int = 16, prefixBits: Int = 8,
+                   tables: Int = 1): Unit = {
+    require(prefixBits >= 1 && prefixBits <= bits && tables >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mask = (1L << prefixBits) - 1
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneSignature(col(vecCol), bits, t.toLong).bitwiseAND(mask)
+          .as("bucket"))): _*))
+    corpus
+      .select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
+        tb.as("tb"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket")
+      .parquet(s"$path/sig")
+    Seq((bits, prefixBits, tables)).toDF("bits", "prefix_bits", "tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted LSH index for a SMALL query set (the per-request
+    * ANN shape, vs [[lshTopK]]'s all-corpus self-search): query signatures
+    * come from the meta-pinned plane family, the probed (table, bucket)
+    * set is collected driver-side (bounded by |queries| × tables ×
+    * (1 + prefixBits) — tiny by contract) and turned into STATIC
+    * partition filters, so the scan touches only probed bucket
+    * directories. Same neighbor-side `maxBucket` cap as [[lshTopK]].
+    */
+  def lshSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                multiProbe: Boolean = true, maxBucket: Int = 4096): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val bits = m.getInt(0); val pb = m.getInt(1); val tables = m.getInt(2)
+    val mask = (1L << pb) - 1
+    val perTable = (0 until tables).map { t =>
+      val sig = hyperplaneSignature(col(vecCol), bits, t.toLong).bitwiseAND(mask)
+      val buckets =
+        if (!multiProbe) array(sig)
+        else array(sig +: (0 until pb).map(i => sig.bitwiseXOR(lit(1L << i))): _*)
+      struct(lit(t).as("tbl"), buckets.as("buckets"))
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorOps.norm(col(vecCol)).as("qn"), explode(array(perTable: _*)).as("tb"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("tb.tbl").as("tbl"), explode(col("tb.buckets")).as("bucket"))
+    val probed = q.select(col("tbl"), col("bucket")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val cond = probed.groupBy(_._1).map { case (t, ps) =>
+      col("tbl") === t && col("bucket").isin(ps.map(_._2).toSeq: _*)
+    }.reduce(_ || _)
+    val idx = spark.read.parquet(s"$path/sig")
+      .filter(cond)
+      .withColumn("bucket", col("bucket").cast("long"))
+    val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+    val r = idx.withColumn("__bn", row_number().over(capW))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("tbl"), col("bucket"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"), col("nrm").as("nn"))
+    val nn = col("qn") * col("nn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(r, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** ANN via LSH buckets: group vectors by signature prefix, search only
     * within the bucket. Returns per-query top-k among same-bucket rows —
     * recall < 1 by design; compare against [[bruteForceTopK]] to measure.

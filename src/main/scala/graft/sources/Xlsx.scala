@@ -146,6 +146,13 @@ object Xlsx {
     * (src_file, row_idx, cells array<string>). The parse runs inside
     * `mapPartitions` on the binaryFile rows — executors do the unzip/XML
     * work, the driver never sees file bytes.
+    *
+    * A file that fails to parse (truncated zip, malformed XML, missing
+    * sheet) emits ONE sentinel row `(src_file, -1, null)` instead of
+    * aborting the job — on a backfill of thousands of workbook drops one
+    * corrupt file must not kill the load, and the sentinel makes the
+    * failure VISIBLE for quarantine ([[badFiles]]) rather than silently
+    * skipped. [[read]] excludes sentinels from the typed output.
     */
   def readRows(spark: SparkSession, path: String, sheetIdx: Int = 1): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(StructType.fromDDL(
@@ -157,12 +164,21 @@ object Xlsx {
       .mapPartitions { files =>
         files.flatMap { f =>
           val p = f.getString(0)
-          parseSheet(f.getAs[Array[Byte]](1), sheetIdx).zipWithIndex.map {
-            case (cells, i) => org.apache.spark.sql.Row(p, i, cells)
+          try {
+            parseSheet(f.getAs[Array[Byte]](1), sheetIdx).zipWithIndex.map {
+              case (cells, i) => org.apache.spark.sql.Row(p, i, cells)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Seq(org.apache.spark.sql.Row(p, -1, null))
           }
         }
       }(enc)
   }
+
+  /** Files [[readRows]] could not parse — route to quarantine/re-fetch. */
+  def badFiles(rows: DataFrame): DataFrame =
+    rows.filter(col("row_idx") === -1).select(col("src_file")).distinct()
 
   /** Typed read: apply an EXPLICIT schema by column position (field i ←
     * cell i), casting the raw strings; a cell that fails its cast becomes
@@ -172,7 +188,7 @@ object Xlsx {
   def read(spark: SparkSession, path: String, schema: StructType,
            header: Boolean = true, sheetIdx: Int = 1): DataFrame = {
     val rows = readRows(spark, path, sheetIdx)
-    val body = if (header) rows.filter(col("row_idx") > 0) else rows
+    val body = rows.filter(col("row_idx") >= (if (header) 1 else 0))
     body.select(schema.fields.zipWithIndex.map { case (f, i) =>
       // try_cast, not cast: under ANSI semantics a malformed cell would
       // abort the whole load; null-on-failure is what feeds the quarantine

@@ -69,6 +69,35 @@ class SimilaritySpec extends SparkSpec {
     assert(run(cells, cents) == run(cells2, cents2))
   }
 
+  test("LSH index persistence: probe search equals self-search, scan prunes to probed buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    Similarity.saveLshIndex(emb, tmp, "vec_id", "embedding",
+      bits = 16, prefixBits = 6, tables = 2)
+    val queries = emb.filter($"vec_id" < 3)
+    val probe = Similarity.lshSearch(spark, tmp, queries, "vec_id", "embedding",
+      k = 5, multiProbe = true, maxBucket = 4096)
+    // parity: the self-search restricted to the same query ids, same family
+    val self = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+        bits = 16, prefixBits = 6, tables = 2, maxBucket = 4096,
+        multiProbe = true)
+      .filter($"query_id" < 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+    val a = probe.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = self.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    // the probed INDEX scan carries static PartitionFilters — the
+    // storage-layer bucket-fraction cut, same mechanism as the
+    // month-pruning spec (the non-partitioned embeddings scans on the
+    // query side print empty filters, which is fine)
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains(s"$tmp/sig"))
+      .getOrElse(fail("no index scan in plan"))
+    assert(scanLine.contains("PartitionFilters: [("),
+      s"probe scan reads every bucket:\n$scanLine")
+  }
+
   test("LSH ANN: same-vector pairs always share a bucket; recall vs brute force sane") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

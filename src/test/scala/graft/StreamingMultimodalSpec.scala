@@ -165,6 +165,47 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: watermark finalizes sessions that equal the batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 5 min apart (one session), then one 30 min later
+    // (gap 10 min → a second session); user 2: one event
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1.0),
+      (1L, t("2024-01-01 10:05:00"), 2.0),
+      (1L, t("2024-01-01 10:35:00"), 4.0),
+      (2L, t("2024-01-01 10:00:00"), 8.0))
+    val aggs = Seq(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = input.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = graft.operators.TimeSeries.sessionize(stream, "user_id", "ts",
+        "10 minutes", aggs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // advance event time far past the horizon → all sessions finalize
+      input.addData((9L, t("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_stream")
+        .filter($"user_id" < 9)
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val batch = graft.operators.TimeSeries.sessionize(
+          rows.toDF("user_id", "ts", "value"), "user_id", "ts", "10 minutes", aggs)
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.map(r => (r.head, r(2))) ==
+        Seq((1L, 2L), (1L, 1L), (2L, 1L))) // the expected session split
+    } finally q.stop()
+  }
+
   test("header codec parses real PNG and JPEG header bytes") {
     import Multimodal.HeaderCodec
     // a real PNG header: signature + IHDR chunk for a 320×240 image

@@ -96,5 +96,14 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.read(spark, dir.toString, schema).count() == 4)
     assert(Xlsx.readRows(spark, dir.toString)
       .select("src_file").distinct().count() == 2)
+
+    // a corrupt workbook must not abort the backfill: it surfaces as a
+    // quarantinable sentinel and the typed read still lands the good files
+    java.nio.file.Files.write(dir.resolve("corrupt.xlsx"),
+      "this is not a zip archive".getBytes("UTF-8"))
+    val rows = Xlsx.readRows(spark, dir.toString)
+    val badNames = Xlsx.badFiles(rows).collect().map(_.getString(0))
+    assert(badNames.length == 1 && badNames.head.endsWith("corrupt.xlsx"))
+    assert(Xlsx.read(spark, dir.toString, schema).count() == 4) // unchanged
   }
 }
