@@ -529,7 +529,33 @@ object SparkEntry {
       aug.select(col("doc_id"), ne.as("n_emails"), np.as("n_phones"),
           md5(TextAnalysis.redactPii(col("text"))).as("redacted_digest"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Range join as an equi-join on bins (no native Spark strategy — a raw
+    // range predicate plans BroadcastNestedLoopJoin): events matched to 50
+    // OVERLAPPING value ranges, per-range stats
+    "q42_range_join" -> ((s, d) => {
+      val ranges = s.range(50).select(col("id").as("range_id"),
+        (col("id") * 10.0).as("lo"), (col("id") * 10.0 + 15.0).as("hi"))
+      Joins.rangeJoinBinned(
+          t(s, d, "events").select(col("event_id"), col("value")),
+          "value", ranges, "lo", "hi", binWidth = 10.0)
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("range_id"))
+    }),
+
+    // Month-over-month trend deltas (the reference trends page's "change
+    // vs last month") — broadcast self-join on month−1, never an
+    // unpartitioned lag() window
+    "q43_month_delta" -> ((s, d) =>
+      TimeSeries.withMonthDelta(
+          TimeSeries.monthly(ordersOf(s, d, Seq("NATION_19"), windowed = true),
+            "o_orderdate", Seq(count(lit(1)).as("n"))), "n")
+        .select(col("month"), col("n"), col("prev_n"), col("delta_n"),
+          col("pct_change"))
+        .orderBy(col("month")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1178,6 +1204,32 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
 
     "q23b_ann_portable" -> q23bOracleSql,
+
+    "q42_range_join" ->
+      """WITH ranges AS (
+        |  SELECT g.r AS range_id, g.r * 10.0 AS lo, g.r * 10.0 + 15.0 AS hi
+        |  FROM generate_series(0, 49) g(r)
+        |), j AS (
+        |  SELECT r.range_id, e.value FROM events e
+        |  JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+        |)
+        |SELECT range_id, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY range_id ORDER BY range_id"""
+        .stripMargin.replace("\n", " "),
+
+    "q43_month_delta" ->
+      s"""WITH agg AS (
+         |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         |  count(*) AS n
+         |  $oracleOrdersOf WHERE n_name = 'NATION_19' AND $oracleWindow
+         |  GROUP BY 1
+         |)
+         |SELECT a.month, a.n, p.n AS prev_n, a.n - p.n AS delta_n,
+         |CASE WHEN p.n > 0 THEN round(CAST(a.n - p.n AS DOUBLE) / p.n, 6) END AS pct_change
+         |FROM agg a LEFT JOIN agg p
+         |  ON p.month = strftime(CAST(a.month || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
+         |ORDER BY a.month""".stripMargin.replace("\n", " "),
 
     "q36_stream_dedup_twin" ->
       """WITH d AS (

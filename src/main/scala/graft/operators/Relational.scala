@@ -153,6 +153,34 @@ object Joins {
      child.join(p, Seq(childKey), "left_semi"))
   }
 
+  /** Range join as an EQUI-join (another operator class Spark has no
+    * native strategy for): match each point `p` to every range with
+    * `lo <= p < hi`, without the BroadcastNestedLoopJoin a raw range
+    * predicate plans (O(points × ranges) — the classic range-join trap).
+    *
+    * Binning: the number line is cut into `binWidth` cells; each RANGE
+    * explodes to the cells it overlaps, each POINT maps to exactly ONE
+    * cell, and the join becomes an equality on the cell id with the
+    * precise bound check as a post-filter. A point meets a range only in
+    * the point's own cell, so no pair dedup is needed. Cost:
+    * O(points + ranges × cellsPerRange) shuffled by cell — pick
+    * `binWidth` near the typical range length so cellsPerRange stays
+    * small; very long ranges fan out proportionally (the standard trade;
+    * split the dim by range length and use two widths if it bites).
+    */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      ranges: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    val cell = (c: Column) => floor(c / binWidth).cast("long")
+    val r = ranges.withColumn("__cell",
+      explode(sequence(cell(col(loCol)), cell(col(hiCol)))))
+    val p = points.withColumn("__cell", cell(col(pointCol)))
+    p.join(r, Seq("__cell"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__cell")
+  }
+
   /** As-of join (temporal enrichment — an operator class the reference
     * lacks entirely): each left row gets the `payload` columns of the most
     * recent right row of its key with `rightTs` <= `leftTs` (inclusive);
@@ -353,6 +381,30 @@ object TimeSeries {
       .withColumn("session_start", col("session.start"))
       .withColumn("session_end", col("session.end"))
       .drop("session")
+
+  /** Month-over-month delta for a monthly aggregate (the trends-page
+    * "change vs last month" analytic): each month joins its predecessor's
+    * value; first month (or a gap) yields null delta/pct, a zero previous
+    * value yields null pct (not ±Inf).
+    *
+    * Formulated as a broadcast SELF-JOIN on month−1, not a `lag()` window:
+    * an unkeyed monthly trend would need an UNPARTITIONED window (all rows
+    * to one task — the global-sort anti-pattern this repo's plan guard
+    * forbids), while the monthly aggregate is tiny by construction and
+    * broadcasting it is free.
+    */
+  def withMonthDelta(monthlyAgg: DataFrame, valueCol: String): DataFrame = {
+    val prev = monthlyAgg.select(
+      date_format(add_months(to_date(concat(col("month"), lit("-01"))), 1),
+        "yyyy-MM").as("month"),
+      col(valueCol).as(s"prev_$valueCol"))
+    monthlyAgg.join(broadcast(prev), Seq("month"), "left")
+      .withColumn(s"delta_$valueCol", col(valueCol) - col(s"prev_$valueCol"))
+      .withColumn("pct_change",
+        when(col(s"prev_$valueCol") > 0,
+          round((col(valueCol) - col(s"prev_$valueCol")).cast("double")
+            / col(s"prev_$valueCol"), 6)))
+  }
 
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
     * null semantics — counts become 0 for missing months, medians stay NULL

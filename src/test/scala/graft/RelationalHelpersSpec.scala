@@ -92,6 +92,43 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("binned range join: bounds exact, multi-cell ranges, no nested-loop join") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 4.999), (3L, 5.0), (4L, 17.0), (5L, 25.0))
+      .toDF("pid", "p")
+    val ranges = Seq((10L, 0.0, 5.0), (11L, 3.0, 20.0), (12L, 24.9, 25.1))
+      .toDF("rid", "lo", "hi")
+    val r = Joins.rangeJoinBinned(points, "p", ranges, "lo", "hi", binWidth = 2.0)
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // p=0.0 in [0,5); p=4.999 in [0,5) and [3,20); p=5.0 EXCLUDED from
+    // [0,5) (hi exclusive) but in [3,20); p=17 spans range 11's 9th cell;
+    // p=25 only in the short [24.9, 25.1)
+    assert(r == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L),
+      (5L, 12L)))
+    // equals the predicate-join reference result on the same data
+    val ref = points.join(ranges, $"p" >= $"lo" && $"p" < $"hi")
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == ref)
+    // and the plan is an equi-join, not the nested-loop the raw predicate gets
+    val binned = Joins.rangeJoinBinned(points, "p", ranges, "lo", "hi", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!binned.contains("BroadcastNestedLoopJoin") &&
+      !binned.contains("CartesianProduct"), s"range join fell back:\n$binned")
+  }
+
+  test("month delta: previous-month join, gap and zero semantics") {
+    import spark.implicits._
+    // gap: 2024-03 missing → 2024-04 has no previous; zero: prev n=0 → null pct
+    val agg = Seq(("2024-01", 10L), ("2024-02", 0L), ("2024-04", 8L))
+      .toDF("month", "n")
+    val r = TimeSeries.withMonthDelta(agg, "n").orderBy("month").collect()
+      .map(x => (x.getString(0), x.getLong(1), Option(x.get(2)), Option(x.get(3)),
+        Option(x.get(4))))
+    assert(r(0) == (("2024-01", 10L, None, None, None)))            // first month
+    assert(r(1) == (("2024-02", 0L, Some(10L), Some(-10L), Some(-1.0)))) // -100%
+    assert(r(2) == (("2024-04", 8L, None, None, None)))             // gap month
+  }
+
   test("presentation: thousands formatting and address prefill (C10/C11)") {
     val df = Seq((1234567.891, "123 Main St, Apt 4B"),
       (1000.0, "9 Ocean Ave")).toDF("n", "addr")
