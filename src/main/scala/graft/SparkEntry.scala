@@ -555,7 +555,25 @@ object SparkEntry {
             "o_orderdate", Seq(count(lit(1)).as("n"))), "n")
         .select(col("month"), col("n"), col("prev_n"), col("delta_n"),
           col("pct_change"))
-        .orderBy(col("month")))
+        .orderBy(col("month"))),
+
+    // Hopping-window rollup ("last 24 h refreshed every 6 h") — each event
+    // in width/slide = 4 epoch-aligned windows; streaming-native shape
+    "q44_sliding_window" -> ((s, d) =>
+      TimeSeries.sliding(t(s, d, "events"), "ts", "1 day", "6 hours",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Source-mix balancing: every source downsampled to the smallest
+    // source's size, membership a pure function of the doc key
+    "q45_source_balance" -> ((s, d) =>
+      Corpus.balanceStrata(t(s, d, "documents"), "source", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1216,6 +1234,37 @@ object SparkEntry {
         |SELECT range_id, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM j GROUP BY range_id ORDER BY range_id"""
+        .stripMargin.replace("\n", " "),
+
+    // Each event lies in ALL 4 of the hopping windows starting at its
+    // 6h-aligned slot minus 0..3 slides (width/slide = 4, epoch-aligned
+    // like Spark's window()); make_timestamp keeps the oracle in plain
+    // (zoneless) timestamps
+    "q44_sliding_window" ->
+      """WITH m AS (
+        |  SELECT event_type, value,
+        |  CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS aligned
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value,
+        |  make_timestamp((aligned - g.i * 21600) * 1000000) AS wstart
+        |  FROM m CROSS JOIN generate_series(0, 3) g(i)
+        |)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q45_source_balance" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |m AS (SELECT min(c) AS m FROM c),
+        |r AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r, m WHERE rn <= m.m ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
 
     "q43_month_delta" ->

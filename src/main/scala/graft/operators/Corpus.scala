@@ -47,6 +47,26 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** Source-mix balancing (training-data mixture control): downsample
+    * every stratum to the SMALLEST stratum's size, keeping each stratum's
+    * `quota` rows with the lowest key hash — fully deterministic, so the
+    * balanced mixture is reproducible across engines and runs. The quota
+    * is computed in-plan (two aggregates + a one-row broadcast cross
+    * join — the legitimate scalar-broadcast shape, like the IVF centroid
+    * matrix), so no driver round trip and no hand-fed constant that can
+    * drift from the data.
+    */
+  def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    val m = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+      .agg(min(col("__c")).as("__m"))
+    val h = hashBucket(col(keyCol), 1000000L)
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("__rn") <= col("__m"))
+      .drop("__rn", "__m")
+  }
+
   /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency
     * (count desc, token tiebreak), top `k`. The per-token count is a
     * map-side-combined hash aggregate and the top-k is orderBy+limit

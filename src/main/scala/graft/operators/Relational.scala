@@ -382,6 +382,22 @@ object TimeSeries {
       .withColumn("session_end", col("session.end"))
       .drop("session")
 
+  /** Hopping (sliding) time-window rollup: fixed `width` windows starting
+    * every `slide`, epoch-aligned (Spark's `window()` default) — each
+    * event lands in width/slide windows. The streaming-native shape of
+    * "last 24 h refreshed every 6 h"; on a streaming frame add a
+    * watermark and it runs unchanged. Same hash-aggregate cost model as a
+    * tumbling rollup × the overlap factor.
+    */
+  def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
+              keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide).as("w") +:
+        keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .withColumn("window_end", col("w.end"))
+      .drop("w")
+
   /** Month-over-month delta for a monthly aggregate (the trends-page
     * "change vs last month" analytic): each month joins its predecessor's
     * value; first month (or a gap) yields null delta/pct, a zero previous

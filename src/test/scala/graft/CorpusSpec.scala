@@ -103,6 +103,23 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).contains(15L))
   }
 
+  test("balanceStrata downsamples every stratum to the smallest one, deterministically") {
+    val skewed = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"),
+      (6L, "b"), (7L, "b"),
+      (8L, "c"), (9L, "c"), (10L, "c")
+    ).toDF("doc_id", "source")
+    val r = Corpus.balanceStrata(skewed, "source", "doc_id")
+    val bySource = r.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySource == Map("a" -> 2L, "b" -> 2L, "c" -> 2L)) // min stratum = 2
+    // pure function of the keys: identical on re-run
+    val a = r.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.balanceStrata(skewed, "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("tfidf ranks rare terms above common ones, rational idf") {
     val corpus = Seq(
       (0L, "common common rare"),

@@ -116,6 +116,25 @@ class RelationalHelpersSpec extends SparkSpec {
       !binned.contains("CartesianProduct"), s"range join fell back:\n$binned")
   }
 
+  test("sliding windows: each event lands in width/slide hopping windows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 07:00:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-01-01 13:00:00"), "a", 2.0))
+      .toDF("ts", "event_type", "value")
+    val r = TimeSeries.sliding(ev, "ts", "1 day", "6 hours", Seq("event_type"),
+        Seq(count(lit(1)).as("n")))
+      .orderBy("window_start").collect()
+      .map(x => (x.getTimestamp(2).toString, x.getLong(1)))
+    // event 1 (07:00) in windows starting 12:00/18:00 Dec 31 + 00:00/06:00
+    // Jan 1; event 2 (13:00) in 18:00 Dec 31 + 00:00/06:00/12:00 Jan 1 —
+    // three shared windows hold both
+    assert(r.map(_._2).sum == 8) // 2 events × 4 windows each
+    assert(r.count(_._2 == 2L) == 3)
+    assert(r.head._1.startsWith("2023-12-31 12:00"))
+  }
+
   test("month delta: previous-month join, gap and zero semantics") {
     import spark.implicits._
     // gap: 2024-03 missing → 2024-04 has no previous; zero: prev n=0 → null pct
