@@ -573,7 +573,44 @@ object SparkEntry {
     "q45_source_balance" -> ((s, d) =>
       Corpus.balanceStrata(t(s, d, "documents"), "source", "doc_id")
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Bloom-prefiltered fact⋈dim: lineitem rows bloom-pruned on the scan
+    // before the exact join against a selective part subset — the 100 TB
+    // shuffle reducer; FPs drop in the exact join so result ≡ plain join
+    "q46_bloom_join" -> ((s, d) =>
+      Joins.bloomPrunedJoin(t(s, d, "lineitem"),
+          t(s, d, "part").filter(col("p_size") <= 3),
+          "l_partkey", "p_partkey", expectedDimKeys = 10000L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))),
+
+    // Single-scan per-column profile (exact distincts; long form)
+    "q47_profile" -> ((s, d) =>
+      Profiling.profile(t(s, d, "lineitem"),
+          Seq("l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag"))
+        .orderBy(col("column_name"))),
+
+    // Equi-width value histogram, bounds from an in-plan 1-row broadcast
+    "q48_histogram" -> ((s, d) =>
+      Profiling.histogram(t(s, d, "lineitem"), "l_extendedprice", bins = 20)
+        .orderBy(col("bin_id"))),
+
+    // Weight-proportional deterministic sample (longer docs favored);
+    // membership pure integer arithmetic on the key hash
+    "q49_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(t(s, d, "documents"), "doc_id", "n_chars", 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Per-group 3σ outliers from decimal-exact moments
+    "q50_outliers" -> ((s, d) =>
+      Profiling.outliers(t(s, d, "events"), "event_type", "value", sigmas = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy(col("event_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1266,6 +1303,68 @@ object SparkEntry {
         |)
         |SELECT doc_id, source FROM r, m WHERE rn <= m.m ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+
+    // The bloom prefilter only drops non-matching fact rows (FPs survive
+    // to the exact join), so the oracle is the PLAIN inner join
+    "q46_bloom_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 3 GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "q47_profile" -> (Seq(
+        ("l_partkey", true), ("l_quantity", true), ("l_extendedprice", true),
+        ("l_discount", true), ("l_returnflag", false))
+      .map { case (c, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |count(*) - count($c) AS n_nulls,
+           |count(DISTINCT $c) AS n_distinct,
+           |$mn AS min_value, $mx AS max_value FROM lineitem"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(" UNION ALL ") + " ORDER BY column_name"),
+
+    // Mirrors the engine's fixed double op order: w = (hi-lo)/20,
+    // bin = least(floor((x-lo)/w), 19), bounds lo + id*w / lo + (id+1)*w
+    "q48_histogram" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |         CAST(max(l_extendedprice) AS DOUBLE) AS hi
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+        |      / ((hi - lo) / 20)) AS BIGINT), 19) END AS bin_id, lo, hi
+        |  FROM lineitem, mm
+        |)
+        |SELECT bin_id, lo + bin_id * ((hi - lo) / 20) AS bin_lo,
+        |lo + (bin_id + 1) * ((hi - lo) / 20) AS bin_hi, count(*) AS n
+        |FROM b GROUP BY bin_id, lo, hi ORDER BY bin_id"""
+        .stripMargin.replace("\n", " "),
+
+    // Integer-only membership: hash(key) * wmax < ppm * weight
+    "q49_weighted_sample" ->
+      """WITH mx AS (SELECT CAST(max(n_chars) AS BIGINT) AS wmax FROM documents)
+        |SELECT doc_id, n_chars FROM documents, mx
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 1000000) * wmax < 500000 * CAST(n_chars AS BIGINT)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // Decimal-exact s1/s2 then double arithmetic in the engine's op order
+    "q50_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS gn,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_id, e.event_type, value,
+        |(value - s1 / gn) / sqrt((s2 - s1 * s1 / gn) / (gn - 1)) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE gn >= 2 AND (s2 - s1 * s1 / gn) / (gn - 1) > 0
+        |AND abs((value - s1 / gn) / sqrt((s2 - s1 * s1 / gn) / (gn - 1))) > 3
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
 
     "q43_month_delta" ->
       s"""WITH agg AS (

@@ -67,6 +67,28 @@ object Corpus {
       .drop("__rn", "__m")
   }
 
+  /** Weight-proportional deterministic sampling: keep each row with
+    * probability `fraction × weight / max(weight)` — the training-mixture
+    * knob that favors (say) long or high-quality documents without an RNG.
+    * Membership is decided by pure INTEGER arithmetic
+    * (`hash × wmax < fraction_ppm × weight`, all BIGINT — no float
+    * rounding at the boundary), so the kept set is bit-identical across
+    * engines, runs, and partitionings. The max weight is an in-plan
+    * one-row broadcast, same shape as [[balanceStrata]]'s quota.
+    * `weightCol` must be integral and non-negative; rows with null weight
+    * are dropped (weightless = never sampled).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     fraction: Double): DataFrame = {
+    val buckets = 1000000L
+    val ppm = math.round(fraction * buckets)
+    val mx = df.agg(max(col(weightCol)).cast("long").as("__wmax"))
+    df.crossJoin(broadcast(mx))
+      .filter(hashBucket(col(keyCol), buckets) * col("__wmax") <
+        lit(ppm) * col(weightCol).cast("long"))
+      .drop("__wmax")
+  }
+
   /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency
     * (count desc, token tiebreak), top `k`. The per-token count is a
     * map-side-combined hash aggregate and the top-k is orderBy+limit

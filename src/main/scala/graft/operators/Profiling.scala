@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Data-profiling operators — the "what is in this table" pass a pipeline
+  * runs before committing a 100 TB job to it: per-column summary stats,
+  * value histograms, and statistical outlier detection. All single-scan
+  * shapes: the profile is one aggregate over the table, the histogram is
+  * one aggregate after a one-row min/max broadcast, outliers are one
+  * aggregate plus a broadcast join of per-group moments. Nothing here
+  * sorts globally or collects to the driver.
+  */
+object Profiling {
+
+  /** Per-column profile in one scan: row count, null count, exact distinct
+    * count, and numeric min/max (null for non-numeric columns). Output is
+    * long-form — one row per profiled column — which keeps the schema
+    * fixed no matter how many columns are profiled.
+    *
+    * Scale notes: the N exact `count_distinct`s in one aggregate plan as a
+    * single pass over an Expand (each input row fans out once per distinct
+    * aggregate) — one scan, ~N× shuffle volume. That is the right default
+    * for correctness-gated profiling; at extreme width or cardinality flip
+    * `approxDistinct=true` to use HLL++ (`approx_count_distinct`) and the
+    * Expand disappears into plain partial aggregation.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      val nd = if (approxDistinct) approx_count_distinct(col(c))
+               else count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        nd.as(s"__nd_$c"),
+        (if (isNum) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"__min_$c"),
+        (if (isNum) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], the max itself clamped into the last bucket. Bounds come
+    * from an in-plan one-row aggregate broadcast (no driver round trip),
+    * so the full shape is scan → 1-row agg → broadcast → scan → hash agg.
+    * Empty bins are absent from the output (a 100 TB-safe choice — the
+    * dense form is a `bins`-row spine join away if a UI needs it).
+    *
+    * Bucketing arithmetic is double IEEE in a fixed operation order
+    * (`(x - lo) / ((hi - lo) / bins)`), so any engine computing the same
+    * order reproduces the exact bucket decisions bit-for-bit. A
+    * single-valued column (hi == lo) degenerates to one bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+                    max(col(valueCol)).cast("double").as("__hi"))
+    val w = (col("__hi") - col("__lo")) / bins
+    val bin = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(floor((col(valueCol).cast("double") - col("__lo")) / w).cast("long"),
+            lit(bins - 1L)))
+    df.crossJoin(broadcast(mm))
+      .withColumn("bin_id", bin)
+      .groupBy(col("bin_id"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("__lo") + col("bin_id") * ((col("__hi") - col("__lo")) / bins))
+      .withColumn("bin_hi", col("__lo") + (col("bin_id") + 1) * ((col("__hi") - col("__lo")) / bins))
+      .select(col("bin_id"), col("bin_lo"), col("bin_hi"), col("n"))
+  }
+
+  /** Per-group statistical outliers: rows whose value lies more than
+    * `sigmas` sample standard deviations from their group's mean. The
+    * moments are computed from DECIMAL-exact sums (`sum(x)`, `sum(x²)` —
+    * partition-order-independent, unlike float sums), converted to double
+    * at a fixed point, so mean/variance/z are bit-reproducible across
+    * engines and cluster layouts. One scan for moments (tiny result,
+    * broadcast), one scan for the filter. Groups with fewer than 2 rows
+    * or zero variance yield no outliers.
+    */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String,
+               sigmas: Double): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__gn"),
+           sum(v.cast("decimal(25,6)")).cast("double").as("__s1"),
+           sum((v * v).cast("decimal(30,6)")).cast("double").as("__s2"))
+      .withColumn("__mean", col("__s1") / col("__gn"))
+      .withColumn("__var",
+        (col("__s2") - col("__s1") * col("__s1") / col("__gn")) / (col("__gn") - 1))
+      .select(col(groupCol), col("__gn"), col("__mean"), col("__var"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(col("__gn") >= 2 && col("__var") > 0)
+      .withColumn("z", (v - col("__mean")) / sqrt(col("__var")))
+      .filter(abs(col("z")) > sigmas)
+      .drop("__gn", "__mean", "__var")
+  }
+}

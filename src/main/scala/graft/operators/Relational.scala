@@ -181,6 +181,43 @@ object Joins {
       .drop("__cell")
   }
 
+  /** Bloom-prefiltered join: before shuffling the (huge) fact side for an
+    * equi-join, drop every fact row whose key cannot be in the dim side —
+    * a bloom filter built over the dim keys in one aggregate, applied as a
+    * scan-side filter. This is the single biggest shuffle reducer for a
+    * selective fact⋈dim join at 100 TB: only rows that might match are
+    * ever exchanged, and false positives (tunable via `expectedDimKeys`,
+    * default FPP ~3%) are eliminated by the exact join that follows, so
+    * the result is EXACTLY the plain inner join's.
+    *
+    * Spark's own runtime bloom filter (`InjectRuntimeFilter`) does this
+    * opportunistically for shuffle joins under conf thresholds; this
+    * operator is the explicit, always-on form using the same machinery
+    * (`BloomFilterAggregate` build over `xxhash64(key)`, `might_contain`
+    * probe). Like that rule's scalar subquery, the built filter lands on
+    * the driver as one binary value (~1.2 MB per million keys) and ships
+    * to executors as a literal — the same footprint as a broadcast var.
+    * The dim aggregate runs ONCE, eagerly, when the plan is built.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedDimKeys: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftInternal
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val buildAgg = GraftInternal.column(
+      new BloomFilterAggregate(GraftInternal.expression(xxhash64(col(dimKey))),
+        expectedDimKeys).toAggregateExpression())
+    val bf = dim.agg(buildAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    val pruned =
+      if (bf == null) fact.filter(lit(false)) // empty dim: no key can match
+      else fact.filter(GraftInternal.column(BloomFilterMightContain(
+        Literal.create(bf, BinaryType),
+        GraftInternal.expression(xxhash64(col(factKey))))))
+    pruned.join(dim, col(factKey) === col(dimKey))
+  }
+
   /** As-of join (temporal enrichment — an operator class the reference
     * lacks entirely): each left row gets the `payload` columns of the most
     * recent right row of its key with `rightTs` <= `leftTs` (inclusive);

@@ -120,6 +120,29 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedSample favors heavy rows, drops zero/null weights, deterministic") {
+    val docs = ((1L to 2000L).map { i =>
+      // half the corpus at weight 100, half at weight 1000 (10x)
+      (i, java.lang.Long.valueOf(if (i % 2 == 0) 100L else 1000L))
+    } ++ Seq((3000L, java.lang.Long.valueOf(0L)),
+      (3001L, null.asInstanceOf[java.lang.Long]))).toDF("doc_id", "w")
+    val kept = Corpus.weightedSample(docs, "doc_id", "w", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // P(keep) = 0.5*w/wmax: heavy ~50%, light ~5%; zero/null never kept
+    val heavy = kept.count(_._2 == 1000L)
+    val light = kept.count(_._2 == 100L)
+    assert(heavy > 400 && heavy < 600, s"heavy=$heavy")
+    assert(light > 20 && light < 80, s"light=$light")
+    assert(!kept.exists(k => k._1 >= 3000L))
+    // weight == wmax reduces to the unweighted hash sample
+    val uni = docs.filter(col("w") === 1000L)
+    val a = Corpus.weightedSample(uni, "doc_id", "w", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleByHash(uni, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("tfidf ranks rare terms above common ones, rational idf") {
     val corpus = Seq(
       (0L, "common common rare"),

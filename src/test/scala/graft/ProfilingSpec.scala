@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: counts, nulls, exact distincts, numeric-only min/max") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), Some("a")), (Some(2), None),
+      (None, Some("b"))
+    ).toDF("x", "s")
+    val p = Profiling.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    assert(x.getLong(1) == 4 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 2.0)
+    val s = p("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.isNullAt(5)) // non-numeric: no min/max
+  }
+
+  test("histogram: exact edges, max clamped into last bin, empty bins absent") {
+    val df = (0 to 100).map(_.toDouble).toDF("v") // lo=0, hi=100, w=10
+    val h = Profiling.histogram(df, "v", bins = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(h.keySet == (0L to 9L).toSet)
+    assert(h(0L) == ((0.0, 10.0, 10L)))  // 0..9
+    assert(h(9L) == ((90.0, 100.0, 11L))) // 90..100: v=100 clamps into bin 9
+    // sparse input: only the occupied bins appear
+    val sparse = Seq(0.0, 95.0).toDF("v")
+    val hs = Profiling.histogram(sparse, "v", bins = 10).collect()
+    assert(hs.map(_.getLong(0)).toSet == Set(0L, 9L))
+  }
+
+  test("histogram: single-valued column degenerates to one bucket 0") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    val h = Profiling.histogram(df, "v", bins = 5).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0L && h.head.getLong(3) == 3L)
+  }
+
+  test("outliers: flags the 3-sigma point; tiny and constant groups yield none") {
+    // group "g": 29 values at ~10 plus one at 1000 — a clear outlier;
+    // group "tiny": 1 row; group "flat": zero variance
+    val rows = (1 to 29).map(i => ("g", i.toLong, 10.0 + (i % 3))) ++
+      Seq(("g", 99L, 1000.0), ("tiny", 100L, 5.0),
+        ("flat", 101L, 2.0), ("flat", 102L, 2.0))
+    val df = rows.toDF("grp", "id", "value")
+    val out = Profiling.outliers(df, "grp", "value", sigmas = 3.0).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(99L))
+    assert(math.abs(out.head.getDouble(3)) > 3.0)
+  }
+}

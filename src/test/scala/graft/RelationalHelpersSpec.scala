@@ -116,6 +116,26 @@ class RelationalHelpersSpec extends SparkSpec {
       !binned.contains("CartesianProduct"), s"range join fell back:\n$binned")
   }
 
+  test("bloom-pruned join ≡ plain join; probe filter in the plan; empty dim safe") {
+    import spark.implicits._
+    // spark.range, not a LocalRelation — ConvertToLocalRelation would
+    // otherwise evaluate the probe filter at optimize time and the plan
+    // assertion below would see nothing
+    val fact = spark.range(1, 501)
+      .select(col("id").as("fk"), concat(lit("f"), col("id")).as("payload"))
+    val dim = Seq((3L, "a"), (7L, "b"), (400L, "c")).toDF("dk", "name")
+    val pruned = Joins.bloomPrunedJoin(fact, dim, "fk", "dk", expectedDimKeys = 100L)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    assert(pruned.orderBy("fk").collect().toSeq ==
+      plain.orderBy("fk").collect().toSeq)
+    // the bloom probe must sit on the fact side as a scan filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // empty build side: nothing can match, and no NPE from a null filter
+    val none = Joins.bloomPrunedJoin(fact, dim.filter(col("dk") < 0L), "fk", "dk")
+    assert(none.count() == 0)
+  }
+
   test("sliding windows: each event lands in width/slide hopping windows") {
     import spark.implicits._
     import java.sql.Timestamp
