@@ -610,7 +610,15 @@ object SparkEntry {
     "q50_outliers" -> ((s, d) =>
       Profiling.outliers(t(s, d, "events"), "event_type", "value", sigmas = 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // CDC changelog compaction: latest event per user wins, 'error' as the
+    // delete marker removes the user from the snapshot
+    "q51_cdc_compact" -> ((s, d) =>
+      Changelog.compact(t(s, d, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1365,6 +1373,15 @@ object SparkEntry {
         |WHERE gn >= 2 AND (s2 - s1 * s1 / gn) / (gn - 1) > 0
         |AND abs((value - s1 / gn) / sqrt((s2 - s1 * s1 / gn) / (gn - 1))) > 3
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+
+    "q51_cdc_compact" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
+        .stripMargin.replace("\n", " "),
 
     "q43_month_delta" ->
       s"""WITH agg AS (

@@ -473,6 +473,35 @@ object TimeSeries {
   }
 }
 
+/** Changelog compaction — the lakehouse CDC/merge primitive: collapse an
+  * append-only changelog (upserts + deletes, versioned per key) into the
+  * current snapshot. A snapshot-maintenance pipeline at 100 TB runs this
+  * per ingest cycle; the merge form is just
+  * `compact(base.unionByName(changes), ...)` with base rows carrying their
+  * snapshot version.
+  */
+object Changelog {
+
+  /** Latest-wins compaction: for each key keep ONLY the highest-version
+    * row; if that winner satisfies `isDelete`, the key leaves the snapshot
+    * entirely (a delete marker beats every earlier upsert, and an upsert
+    * after a delete resurrects the key — strict version order decides).
+    * One shuffle: a row_number window PARTITIONED by the key (never
+    * global), linear per key. `versionCols` must totally order each key's
+    * rows (add a sequence/offset tiebreak if timestamps can collide —
+    * nondeterministic winners otherwise).
+    */
+  def compact(changes: DataFrame, keys: Seq[String], versionCols: Seq[String],
+              isDelete: Column): DataFrame = {
+    require(keys.nonEmpty, "compact requires key columns")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(col(_).desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !isDelete)
+      .drop("__rn")
+  }
+}
+
 object Compare {
 
   /** Two-key (or N-key) side-by-side comparison in ONE pass (reference:

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Joins, Presentation, TimeSeries}
+import graft.operators.{Changelog, Joins, Presentation, TimeSeries}
 
 class RelationalHelpersSpec extends SparkSpec {
   import spark.implicits._
@@ -153,6 +153,19 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(r.map(_._2).sum == 8) // 2 events × 4 windows each
     assert(r.count(_._2 == 2L) == 3)
     assert(r.head._1.startsWith("2023-12-31 12:00"))
+  }
+
+  test("changelog compact: latest wins, delete removes, later upsert resurrects") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "U", "a"), (1L, 2L, "U", "b"),              // plain latest-wins
+      (2L, 1L, "U", "x"), (2L, 2L, "D", "-"),              // delete beats upsert
+      (3L, 1L, "U", "p"), (3L, 2L, "D", "-"), (3L, 3L, "U", "q"), // resurrect
+      (4L, 1L, "D", "-")                                    // delete-only key
+    ).toDF("k", "v", "op", "payload")
+    val snap = Changelog.compact(log, Seq("k"), Seq("v"), col("op") === "D")
+      .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap == Map(1L -> "b", 3L -> "q"))
   }
 
   test("month delta: previous-month join, gap and zero semantics") {

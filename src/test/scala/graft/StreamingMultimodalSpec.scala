@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Multimodal, Sinks}
+import graft.operators.{Multimodal, Sinks, TimeSeries}
 import graft.streaming.EventRollup
 
 class StreamingMultimodalSpec extends SparkSpec {
@@ -203,6 +203,37 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed == batch)
       assert(streamed.map(r => (r.head, r(2))) ==
         Seq((1L, 2L), (1L, 1L), (2L, 1L))) // the expected session split
+    } finally q.stop()
+  }
+
+  test("sliding windows run unchanged as a watermarked stream and equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2024-01-01 07:00:00"), "a", 1.0),
+      (t("2024-01-01 13:00:00"), "a", 2.0),
+      (t("2024-01-01 14:00:00"), "b", 3.0))
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      TimeSeries.sliding(df, "ts", "1 day", "6 hours", Seq("event_type"),
+        Seq(count(lit(1)).as("n")))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = agg(input.toDS().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sliding_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_stream")
+        .select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = agg(rows.toDF("ts", "event_type", "value"))
+        .select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
   }
 
