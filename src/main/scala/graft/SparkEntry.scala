@@ -618,7 +618,21 @@ object SparkEntry {
       Changelog.compact(t(s, d, "events"), Seq("user_id"),
           Seq("ts", "event_id"), col("event_type") === "error")
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // Funnel conversion: earliest purchase within 1 h of each click, per
+    // user — keyed equi-join + interval post-filter + struct-min pick
+    "q52_funnel" -> ((s, d) =>
+      TimeSeries.funnelPairs(t(s, d, "events"), "user_id", "event_id", "ts",
+          "event_type", "click", "purchase", withinSecs = 3600L)
+        .orderBy(col("user_id"), col("first_id"))),
+
+    // Rolling mean of each user's last 5 event values, decimal-exact sum
+    "q53_rolling_mean" -> ((s, d) =>
+      TimeSeries.rollingMean(t(s, d, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value", window = 5)
+        .select(col("event_id"), col("user_id"), col("value"), col("roll_avg"))
+        .orderBy(col("event_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1382,6 +1396,29 @@ object SparkEntry {
         |  FROM events
         |) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
         .stripMargin.replace("\n", " "),
+
+    // struct-min pick ≡ first row under ORDER BY (second_ts, second_id)
+    "q52_funnel" ->
+      """SELECT user_id, first_id, first_ts, second_id, second_ts FROM (
+        |  SELECT a.user_id, a.event_id AS first_id, a.ts AS first_ts,
+        |    b.event_id AS second_id, b.ts AS second_ts,
+        |    row_number() OVER (PARTITION BY a.user_id, a.event_id
+        |      ORDER BY b.ts, b.event_id) AS rn
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
+        |) WHERE rn = 1 ORDER BY user_id, first_id"""
+        .stripMargin.replace("\n", " "),
+
+    // DECIMAL-exact frame sum, one double division — mirrors the engine
+    "q53_rolling_mean" ->
+      """SELECT event_id, user_id, value,
+        |CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+        |  / count(*) OVER w AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
 
     "q43_month_delta" ->
       s"""WITH agg AS (

@@ -459,6 +459,56 @@ object TimeSeries {
             / col(s"prev_$valueCol"), 6)))
   }
 
+  /** Event funnel (conversion analysis): for every `firstType` event, the
+    * EARLIEST `secondType` event of the same key strictly after it and
+    * within `withinSecs` — "purchase within an hour of the click". The
+    * join is an EQUI-join on the key with the interval as a post-filter
+    * (same discipline as the binned range join: never a time-predicate
+    * nested loop); the earliest-match pick is a struct-min aggregate, so
+    * the whole operator is join + hash agg, both shuffled only by key.
+    * Per-key cost is firstN×secondN within the window — bounded in any
+    * real funnel where one user's events fit a partition.
+    *
+    * The same shape runs as a watermarked stream-stream join (both sides
+    * watermarked, interval bounds in the join condition) — spec-pinned in
+    * StreamingMultimodalSpec.
+    */
+  def funnelPairs(events: DataFrame, keyCol: String, idCol: String,
+                  tsCol: String, typeCol: String,
+                  firstType: String, secondType: String,
+                  withinSecs: Long): DataFrame = {
+    val a = events.filter(col(typeCol) === firstType).select(
+      col(keyCol), col(idCol).as("first_id"), col(tsCol).as("first_ts"))
+    val b = events.filter(col(typeCol) === secondType).select(
+      col(keyCol), col(idCol).as("second_id"), col(tsCol).as("second_ts"))
+    a.join(b, Seq(keyCol))
+      .filter(col("second_ts") > col("first_ts") &&
+        col("second_ts") <= col("first_ts") + expr(s"interval $withinSecs seconds"))
+      .groupBy(col(keyCol), col("first_id"), col("first_ts"))
+      .agg(min(struct(col("second_ts"), col("second_id"))).as("__m"))
+      .select(col(keyCol), col("first_id"), col("first_ts"),
+        col("__m.second_id").as("second_id"),
+        col("__m.second_ts").as("second_ts"))
+  }
+
+  /** Keyed rolling mean over the last `window` rows (ordered by
+    * `orderCols`, which must totally order each key's rows). The frame sum
+    * is DECIMAL-exact — a float running sum would make the mean depend on
+    * nothing but still differ across engines by accumulated ulps — and the
+    * division to double happens once, at a fixed point. Window PARTITIONED
+    * by the key, never global.
+    */
+  def rollingMean(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                  valueCol: String, window: Int): DataFrame = {
+    require(keys.nonEmpty, "rollingMean requires partition keys")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    df.withColumn("roll_avg",
+      sum(col(valueCol).cast("decimal(25,6)")).over(w).cast("double")
+        / count(lit(1)).over(w))
+  }
+
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
     * null semantics — counts become 0 for missing months, medians stay NULL
     * (reference: webserver/server.py:331-341). `zeroFill` names the count

@@ -168,6 +168,40 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(snap == Map(1L -> "b", 3L -> "q"))
   }
 
+  test("funnel: earliest second-event within the window, strict after, per key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00"), "click"),
+      (1L, 11L, t("2024-01-01 10:00:00"), "purchase"), // same instant: NOT after
+      (1L, 12L, t("2024-01-01 10:30:00"), "purchase"), // earliest valid
+      (1L, 13L, t("2024-01-01 10:45:00"), "purchase"), // later, ignored
+      (1L, 14L, t("2024-01-01 11:00:01"), "purchase"), // for click 15 only
+      (1L, 15L, t("2024-01-01 10:59:59"), "click"),
+      (2L, 20L, t("2024-01-01 10:00:00"), "click"),    // converts at bound
+      (2L, 21L, t("2024-01-01 11:00:00"), "purchase"), // exactly +1h: inclusive
+      (3L, 30L, t("2024-01-01 10:00:00"), "click"),    // cross-user: no match
+      (4L, 40L, t("2024-01-01 10:01:00"), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = TimeSeries.funnelPairs(ev, "user_id", "event_id", "ts",
+        "event_type", "click", "purchase", 3600L)
+      .collect().map(x => (x.getLong(1), x.getLong(3))).toMap
+    assert(r == Map(10L -> 12L, 15L -> 14L, 20L -> 21L))
+  }
+
+  test("rolling mean: last-N frame per key, short head frames, exact values") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 1.0), ("u", 2L, 2.0), ("u", 3L, 6.0), ("u", 4L, 11.0),
+      ("v", 5L, 100.0)
+    ).toDF("k", "id", "value")
+    val r = TimeSeries.rollingMean(df, Seq("k"), Seq("id"), "value", window = 3)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(r == Map(1L -> 1.0, 2L -> 1.5, 3L -> 3.0, 4L -> (19.0 / 3.0),
+      5L -> 100.0))
+  }
+
   test("month delta: previous-month join, gap and zero semantics") {
     import spark.implicits._
     // gap: 2024-03 missing → 2024-04 has no previous; zero: prev n=0 → null pct

@@ -237,6 +237,44 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel pair join runs as a watermarked stream-stream join, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00"), "click"),
+      (1L, 11L, t("2024-01-01 10:30:00"), "purchase"),
+      (1L, 12L, t("2024-01-01 12:00:00"), "purchase"), // outside 1 h
+      (2L, 20L, t("2024-01-01 10:00:00"), "click"))
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val ev = input.toDS().toDF("user_id", "event_id", "ts", "event_type")
+    // the raw pair join (before the earliest-pick agg) is the
+    // stream-stream-joinable stage: both sides watermarked, interval
+    // bounds in the join condition bound the state
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("first_id"), $"ts".as("first_ts"))
+      .withWatermark("first_ts", "2 hours")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("second_id"),
+        $"ts".as("second_ts"))
+      .withWatermark("second_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("""user_id = p_user AND second_ts > first_ts
+             AND second_ts <= first_ts + interval 1 hour"""))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+        .select("first_id", "second_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((10L, 11L)))
+    } finally q.stop()
+  }
+
   test("header codec parses real PNG and JPEG header bytes") {
     import Multimodal.HeaderCodec
     // a real PNG header: signature + IHDR chunk for a 320×240 image
