@@ -6,6 +6,7 @@ import scala.collection.immutable.ListMap
 
 import graft.engine.Tables
 import graft.operators._
+import graft.sources.Layout
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB oracle SQL.
@@ -632,6 +633,22 @@ object SparkEntry {
       TimeSeries.rollingMean(t(s, d, "events"), Seq("user_id"),
           Seq("ts", "event_id"), "value", window = 5)
         .select(col("event_id"), col("user_id"), col("value"), col("roll_avg"))
+        .orderBy(col("event_id"))),
+
+    // Context packing: documents into 10k-char packs per language, in
+    // deterministic key-hash order — one keyed cumsum window
+    "q54_pack" -> ((s, d) =>
+      Corpus.packSequences(t(s, d, "documents"), "lang", "doc_id",
+          "n_chars", budget = 10000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("pack_id"), col("pack_pos"))
+        .orderBy(col("doc_id"))),
+
+    // Z-curve layout key over (value, user_id): in-plan bounds + pure
+    // bitwise Morton interleave — the write-side data-skipping device
+    "q55_zorder_key" -> ((s, d) =>
+      Layout.withZKey(t(s, d, "events"), "value", "user_id")
+        .select(col("event_id"), col("zkey"))
         .orderBy(col("event_id")))
   )
 
@@ -1419,6 +1436,52 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+
+    // Pack id = floor(exclusive-cumsum / budget) in (key-hash, key) order
+    "q54_pack" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS hk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_chars, hk,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, n_chars,
+        |CAST(floor(pre / 10000) AS BIGINT) AS pack_id,
+        |CAST(row_number() OVER (
+        |  PARTITION BY lang, CAST(floor(pre / 10000) AS BIGINT)
+        |  ORDER BY hk, doc_id) AS INTEGER) AS pack_pos
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // The Morton spread unrolled: 4 shift/mask stages per dimension, then
+    // even/odd interleave; norm = clamp(floor((x-lo)/(hi-lo)*65536))
+    "q55_zorder_key" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(value) AS DOUBLE) AS loa, CAST(max(value) AS DOUBLE) AS hia,
+        |         CAST(min(user_id) AS DOUBLE) AS lob, CAST(max(user_id) AS DOUBLE) AS hib
+        |  FROM events
+        |), n AS (
+        |  SELECT event_id,
+        |    CASE WHEN hia = loa THEN 0 ELSE greatest(0, least(65535,
+        |      CAST(floor((CAST(value AS DOUBLE) - loa) / (hia - loa) * 65536.0) AS BIGINT))) END AS a,
+        |    CASE WHEN hib = lob THEN 0 ELSE greatest(0, least(65535,
+        |      CAST(floor((CAST(user_id AS DOUBLE) - lob) / (hib - lob) * 65536.0) AS BIGINT))) END AS b
+        |  FROM events, mm
+        |), s1 AS (
+        |  SELECT event_id, (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM n
+        |), s2 AS (
+        |  SELECT event_id, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
+        |), s3 AS (
+        |  SELECT event_id, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
+        |), s4 AS (
+        |  SELECT event_id, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
+        |)
+        |SELECT event_id, a | (b << 1) AS zkey FROM s4 ORDER BY event_id"""
+        .stripMargin.replace("\n", " "),
 
     "q43_month_delta" ->
       s"""WITH agg AS (

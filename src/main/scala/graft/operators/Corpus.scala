@@ -89,6 +89,33 @@ object Corpus {
       .drop("__wmax")
   }
 
+  /** Sequence packing (context packing): assign documents/chunks to
+    * fixed-budget packs per shard — the step between chunking and batch
+    * assembly in a pre-training pipeline. Pack `p` holds the rows whose
+    * PRECEDING token mass (in deterministic (key-hash, key) order within
+    * the shard) lies in `[p·budget, (p+1)·budget)`: every pack starts
+    * within budget and may overrun by its final row (consumers truncate or
+    * split the straddler — the standard fixed-boundary regime). Exact
+    * first-fit packing is inherently sequential state; this formulation is
+    * one keyed window cumsum, fully parallel over shards, and
+    * engine-reproducible (integer token sums, one double division whose
+    * inputs stay far below 2^52).
+    */
+  def packSequences(df: DataFrame, shardCol: String, keyCol: String,
+                    tokenCol: String, budget: Long): DataFrame = {
+    val h = hashBucket(col(keyCol), 1000000L)
+    val wPre = Window.partitionBy(col(shardCol)).orderBy(h, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPack = df
+      .withColumn("__pre",
+        coalesce(sum(col(tokenCol).cast("long")).over(wPre), lit(0L)))
+      .withColumn("pack_id", floor(col("__pre") / budget).cast("long"))
+      .drop("__pre")
+    val wPos = Window.partitionBy(col(shardCol), col("pack_id"))
+      .orderBy(h, col(keyCol))
+    withPack.withColumn("pack_pos", row_number().over(wPos))
+  }
+
   /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency
     * (count desc, token tiebreak), top `k`. The per-token count is a
     * map-side-combined hash aggregate and the top-k is orderBy+limit

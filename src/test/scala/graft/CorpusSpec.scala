@@ -143,6 +143,30 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packSequences: packs start within budget, overrun only by the straddler") {
+    val docs = (1L to 200L).map(i => (i, "s", 3L + (i % 7))).toDF("doc_id", "shard", "tok")
+      .union(Seq((900L, "t", 100L), (901L, "t", 1L)).toDF("doc_id", "shard", "tok"))
+    val packed = Corpus.packSequences(docs, "shard", "doc_id", "tok", budget = 20L)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getInt(4), r.getLong(0), r.getLong(2)))
+    // reconstruct each shard's order from (pack_id, pack_pos) and check the
+    // defining invariant: pack_id == floor(preceding-mass / budget)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var pre = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, packId, _, _, tok) =>
+        assert(packId == pre / 20L, s"row with pre=$pre in pack $packId")
+        pre += tok
+      }
+    }
+    // pack_pos is contiguous from 1 within each (shard, pack)
+    packed.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // a single row larger than the budget still occupies exactly one pack
+    val big = packed.filter(_._4 == 900L)
+    assert(big.length == 1)
+  }
+
   test("tfidf ranks rare terms above common ones, rational idf") {
     val corpus = Seq(
       (0L, "common common rare"),

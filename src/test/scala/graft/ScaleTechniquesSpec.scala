@@ -91,6 +91,40 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"scan read $filesRead files; month partition has $marchFiles of $totalFiles")
   }
 
+  test("z-order layout bounds BOTH dimensions per file; linear sort only one") {
+    import graft.sources.Layout
+    // 64×64 uniform grid — every (x, y) cell once
+    val grid = spark.range(4096).select(
+      (col("id") % 64).cast("double").as("x"),
+      floor(col("id") / 64).cast("double").as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_x").toString
+    Layout.writeZOrdered(grid, zDir, "x", "y", files = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xDir)
+    def fileBoxes(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        }
+    def hit(b: (Double, Double, Double, Double),
+            x0: Double, x1: Double, y0: Double, y1: Double) =
+      b._1 <= x1 && b._2 >= x0 && b._3 <= y1 && b._4 >= y0
+    val (zB, xB) = (fileBoxes(zDir), fileBoxes(xDir))
+    assert(zB.length == 16 && xB.length == 16)
+    // box predicate on both dims (1/16 of the area)
+    val zBox = zB.count(hit(_, 0, 15, 0, 15))
+    val xBox = xB.count(hit(_, 0, 15, 0, 15))
+    assert(zBox < xBox, s"z=$zBox files vs x-sorted=$xBox")
+    // y-only predicate: the x-sorted layout can prune NOTHING (every file
+    // spans all of y); the z-curve still bounds y per file
+    val zY = zB.count(hit(_, 0, 63, 0, 15))
+    val xY = xB.count(hit(_, 0, 63, 0, 15))
+    assert(xY == 16 && zY <= 8, s"zY=$zY xY=$xY")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"row$i"))
       .toDF("k", "payload") // key 1 is hot
