@@ -649,6 +649,28 @@ object SparkEntry {
     "q55_zorder_key" -> ((s, d) =>
       Layout.withZKey(t(s, d, "events"), "value", "user_id")
         .select(col("event_id"), col("zkey"))
+        .orderBy(col("event_id"))),
+
+    // Top-3 parts per brand by shipped quantity: keyed rank window over
+    // the pre-reduced aggregate, never a global window
+    "q56_topk_per_group" -> ((s, d) => {
+      val agg = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      TopK.perGroup(agg, Seq("p_brand"),
+          Seq(col("sum_qty").desc, col("p_partkey")), k = 3)
+        .select(col("p_brand"), col("p_partkey"), col("sum_qty"),
+          col("rank_in_group"))
+        .orderBy(col("p_brand"), col("rank_in_group"))
+    }),
+
+    // Value quartile of each event within its type (quantile segmentation)
+    "q57_quartiles" -> ((s, d) =>
+      Profiling.segments(t(s, d, "events"), "event_type",
+          Seq(col("value"), col("event_id")), n = 4)
+        .select(col("event_id"), col("event_type"), col("value"), col("segment"))
         .orderBy(col("event_id")))
   )
 
@@ -1393,7 +1415,7 @@ object SparkEntry {
     // Decimal-exact s1/s2 then double arithmetic in the engine's op order
     "q50_outliers" ->
       """WITH st AS (
-        |  SELECT event_type, count(*) AS gn,
+        |  SELECT event_type, count(value) AS gn,
         |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
         |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1
@@ -1431,7 +1453,7 @@ object SparkEntry {
     "q53_rolling_mean" ->
       """SELECT event_id, user_id, value,
         |CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
-        |  / count(*) OVER w AS roll_avg
+        |  / count(value) OVER w AS roll_avg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -1482,6 +1504,26 @@ object SparkEntry {
         |)
         |SELECT event_id, a | (b << 1) AS zkey FROM s4 ORDER BY event_id"""
         .stripMargin.replace("\n", " "),
+
+    "q56_topk_per_group" ->
+      """WITH agg AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p_brand, p_partkey, sum_qty, rank_in_group FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY sum_qty DESC, p_partkey) AS INTEGER) AS rank_in_group
+        |  FROM agg
+        |) WHERE rank_in_group <= 3 ORDER BY p_brand, rank_in_group"""
+        .stripMargin.replace("\n", " "),
+
+    "q57_quartiles" ->
+      """SELECT event_id, event_type, value,
+        |CAST(ntile(4) OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) AS INTEGER) AS segment
+        |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
 
     "q43_month_delta" ->
       s"""WITH agg AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -94,7 +95,7 @@ object Profiling {
                sigmas: Double): DataFrame = {
     val v = col(valueCol).cast("double")
     val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__gn"),
+      .agg(count(v).as("__gn"), // null values join neither count nor sums
            sum(v.cast("decimal(25,6)")).cast("double").as("__s1"),
            sum((v * v).cast("decimal(30,6)")).cast("double").as("__s2"))
       .withColumn("__mean", col("__s1") / col("__gn"))
@@ -106,5 +107,19 @@ object Profiling {
       .withColumn("z", (v - col("__mean")) / sqrt(col("__var")))
       .filter(abs(col("z")) > sigmas)
       .drop("__gn", "__mean", "__var")
+  }
+
+  /** Quantile segmentation: each row's n-tile (1..n) within its group
+    * under a total order — "which value quartile is this event in, among
+    * its type". `orderCols` must totally order each group's rows or tile
+    * boundaries are nondeterministic; the window is PARTITIONED by the
+    * group, never global. ntile's distribution rule (earlier tiles take
+    * the remainder rows) is the standard SQL one, identical across
+    * engines. Adds `segment`.
+    */
+  def segments(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+               n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("segment", ntile(n).over(w))
   }
 }

@@ -373,6 +373,20 @@ object TopK {
         col("total_count").desc, col("bucket"))
       .select(col("bucket"), col("total_count"))
   }
+
+  /** Top-k rows per group ("top 3 parts per brand"): a rank window
+    * PARTITIONED by the group — never the global-window trap; each group
+    * ranks independently in its own partition. `orderCols` must totally
+    * order rows within a group (add the natural key as a tiebreak) or the
+    * selection is nondeterministic. Adds `rank_in_group` (1-based).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+               k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "perGroup requires group columns")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= k)
+  }
 }
 
 object TimeSeries {
@@ -506,7 +520,7 @@ object TimeSeries {
       .rowsBetween(-(window - 1).toLong, Window.currentRow)
     df.withColumn("roll_avg",
       sum(col(valueCol).cast("decimal(25,6)")).over(w).cast("double")
-        / count(lit(1)).over(w))
+        / count(col(valueCol)).over(w)) // null values leave the mean alone
   }
 
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric

@@ -40,6 +40,24 @@ class ProfilingSpec extends SparkSpec {
     assert(h.length == 1 && h.head.getLong(0) == 0L && h.head.getLong(3) == 3L)
   }
 
+  test("segments: quartiles per group, earlier tiles absorb remainders") {
+    val df = (1 to 10).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("grp", "id", "value")
+    val seg = Profiling.segments(df, "grp", Seq(col("value"), col("id")), 4)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // 10 rows / 4 tiles → sizes 3,3,2,2
+    assert(seg == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 2,
+      7L -> 3, 8L -> 3, 9L -> 4, 10L -> 4))
+  }
+
+  test("outliers: null values join neither the moments nor the output") {
+    val df = (Seq(("g", 1L, Some(10.0)), ("g", 2L, Some(12.0)),
+      ("g", 3L, Some(11.0)), ("g", 4L, None), ("g", 5L, Some(14.0)),
+      ("g", 6L, Some(100.0)))).toDF("grp", "id", "value")
+    val out = Profiling.outliers(df, "grp", "value", sigmas = 1.5).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(6L)) // the null row is inert
+  }
+
   test("outliers: flags the 3-sigma point; tiny and constant groups yield none") {
     // group "g": 29 values at ~10 plus one at 1000 — a clear outlier;
     // group "tiny": 1 row; group "flat": zero variance

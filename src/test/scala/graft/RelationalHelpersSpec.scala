@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Changelog, Joins, Presentation, TimeSeries}
+import graft.operators.{Changelog, Joins, Presentation, TimeSeries, TopK}
 
 class RelationalHelpersSpec extends SparkSpec {
   import spark.implicits._
@@ -200,6 +200,17 @@ class RelationalHelpersSpec extends SparkSpec {
       .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
     assert(r == Map(1L -> 1.0, 2L -> 1.5, 3L -> 3.0, 4L -> (19.0 / 3.0),
       5L -> 100.0))
+  }
+
+  test("top-k per group ranks inside each group with deterministic tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)
+    ).toDF("g", "id", "score")
+    val r = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(3)))
+    assert(r.toSet == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
   }
 
   test("month delta: previous-month join, gap and zero semantics") {
