@@ -103,6 +103,7 @@ object Corpus {
     */
   def packSequences(df: DataFrame, shardCol: String, keyCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "packSequences requires a positive budget")
     val h = hashBucket(col(keyCol), 1000000L)
     val wPre = Window.partitionBy(col(shardCol)).orderBy(h, col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)

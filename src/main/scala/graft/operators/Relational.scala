@@ -197,7 +197,10 @@ object Joins {
     * probe). Like that rule's scalar subquery, the built filter lands on
     * the driver as one binary value (~1.2 MB per million keys) and ships
     * to executors as a literal — the same footprint as a broadcast var.
-    * The dim aggregate runs ONCE, eagerly, when the plan is built.
+    * The dim aggregate runs ONCE, eagerly, when the plan is built — and
+    * the dim lineage is evaluated a second time by the join itself, so
+    * `persist()` an expensive dim before calling (a plain dim scan, the
+    * normal case, re-reads a few files and does not care).
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
@@ -515,6 +518,7 @@ object TimeSeries {
   def rollingMean(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                   valueCol: String, window: Int): DataFrame = {
     require(keys.nonEmpty, "rollingMean requires partition keys")
+    require(window >= 1, "rollingMean requires a frame of at least one row")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(window - 1).toLong, Window.currentRow)
