@@ -671,7 +671,64 @@ object SparkEntry {
       Profiling.segments(t(s, d, "events"), "event_type",
           Seq(col("value"), col("event_id")), n = 4)
         .select(col("event_id"), col("event_type"), col("value"), col("segment"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Snapshot diff between two CDC compaction cuts: only differing users
+    // survive, tagged added/removed/changed — the dataset-versioning op
+    "q58_snapshot_diff" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val isDel = col("event_type") === "error"
+      val oldSnap = Changelog.compact(
+        Filters.dateWindow(ev, "ts", None, Some("2024-01-15")),
+        Seq("user_id"), Seq("ts", "event_id"), isDel)
+      val newSnap = Changelog.compact(ev, Seq("user_id"), Seq("ts", "event_id"), isDel)
+      Changelog.diffSnapshots(oldSnap, newSnap, Seq("user_id"),
+          Seq("event_id", "event_type", "value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort retention triangle: customers bucketed by first-order month,
+    // distinct actives per (cohort, month offset) — integer calendar math
+    "q59_cohort" -> ((s, d) =>
+      TimeSeries.cohortRetention(t(s, d, "orders"), "o_custkey", "o_orderdate")
+        .orderBy(col("cohort_month"), col("month_offset"))),
+
+    // Winsorized per-type mean: nearest-rank p05/p95 clamp (integer rank
+    // arithmetic, bounds are data values), decimal-exact clamped sum
+    "q60_winsorized" -> ((s, d) =>
+      Profiling.winsorizedStats(t(s, d, "events"), "event_type", "value",
+          "event_id", loPct = 5, hiPct = 95)
+        .orderBy(col("event_type"))),
+
+    // CUBE over (status, priority): all four grouping sets in one pass —
+    // completes the rollup (q34) / pivot (q35) grouping-sets family
+    "q61_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Per-source Pareto curve: running char-mass share in (length desc,
+    // id) order — exact integer cumsum, one double division
+    "q62_pareto" -> ((s, d) =>
+      Corpus.cumulativeShare(t(s, d, "documents"), "source", "n_chars",
+          "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rank_in_group"), col("cum_share"))
+        .orderBy(col("doc_id"))),
+
+    // Longest shared verbatim token span per doc pair (exact-substring
+    // dedup signal): positional 5-gram join + diagonal gaps-and-islands.
+    // n=5 (spans ≥ 7 tokens) keeps the gram join selective: chance-level
+    // 3-gram matches in a small-vocabulary corpus would dominate the pair
+    // join while telling nothing about copying
+    "q63_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 5, minSpanGrams = 3, maxOcc = 1000)
+        .orderBy(col("id1"), col("id2")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1549,6 +1606,141 @@ object SparkEntry {
         |  FROM d
         |)
         |SELECT event_id, digest FROM r WHERE rn = 1 ORDER BY event_id"""
+        .stripMargin.replace("\n", " "),
+
+    // two latest-wins compaction cuts (the q51 shape), full-outer diffed;
+    // only differing users survive, with both sides' values carried
+    "q58_snapshot_diff" ->
+      """WITH so AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  ) WHERE rn = 1 AND event_type <> 'error'
+        |), sn AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |  ) WHERE rn = 1 AND event_type <> 'error'
+        |)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |    o.event_id AS old_event_id, o.event_type AS old_event_type,
+        |    o.value AS old_value,
+        |    n.event_id AS new_event_id, n.event_type AS new_event_type,
+        |    n.value AS new_value,
+        |    CASE WHEN o.user_id IS NULL THEN 'added'
+        |         WHEN n.user_id IS NULL THEN 'removed'
+        |         WHEN o.event_id IS DISTINCT FROM n.event_id
+        |           OR o.event_type IS DISTINCT FROM n.event_type
+        |           OR o.value IS DISTINCT FROM n.value THEN 'changed'
+        |    END AS change_type
+        |  FROM so o FULL JOIN sn n ON o.user_id = n.user_id
+        |) WHERE change_type IS NOT NULL ORDER BY user_id"""
+        .stripMargin.replace("\n", " "),
+
+    // integer calendar arithmetic (year*12+month) — no interval subtraction
+    "q59_cohort" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT o_custkey AS k,
+        |    date_trunc('month', o_orderdate) AS m FROM orders
+        |), coh AS (
+        |  SELECT k, min(m) AS c FROM acts GROUP BY k
+        |)
+        |SELECT strftime(c, '%Y-%m') AS cohort_month,
+        |  CAST((year(m) * 12 + month(m)) - (year(c) * 12 + month(c))
+        |    AS INTEGER) AS month_offset,
+        |  count(*) AS n_active
+        |FROM acts JOIN coh USING (k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+
+    // nearest-rank bounds at ceil(n*pct/100) via integer arithmetic; the
+    // clamped mean follows the repo's decimal-exact sum discipline
+    "q60_winsorized" ->
+      """WITH nn AS (
+        |  SELECT event_type, value, event_id FROM events
+        |  WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM nn
+        |), b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = greatest(CAST(floor((n * 5 + 99) / 100) AS BIGINT), 1)
+        |      THEN value END) AS lo,
+        |    min(CASE WHEN rn = greatest(CAST(floor((n * 95 + 99) / 100) AS BIGINT), 1)
+        |      THEN value END) AS hi
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT nn.event_type, count(*) AS n,
+        |  min(b.lo) AS lo_bound, min(b.hi) AS hi_bound,
+        |  CAST(sum(CAST(least(greatest(nn.value, b.lo), b.hi)
+        |    AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS winsorized_mean
+        |FROM nn JOIN b USING (event_type)
+        |GROUP BY nn.event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "),
+
+    "q61_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+
+    // exact integer cumsum windows, one double division at the end
+    "q62_pareto" ->
+      """SELECT doc_id, source, n_chars,
+        |CAST(row_number() OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank_in_group,
+        |CASE WHEN sum(n_chars) OVER (PARTITION BY source) > 0
+        |  THEN CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / sum(n_chars) OVER (PARTITION BY source)
+        |  ELSE 1.0 END AS cum_share
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // positional word-5-grams; stop-grams (occ > 1000) dropped on BOTH
+    // sides (part of the operator's semantics); diagonal gaps-and-islands
+    // finds maximal consecutive runs; longest run, earliest-start tiebreak
+    "q63_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |      i -> {'pos': i,
+        |            'gram': concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                              toks[i+3], toks[i+4])})) AS u
+        |    FROM tok
+        |  )
+        |), rare AS (
+        |  SELECT * FROM gr QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+        |), hits AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1, b.pos AS pos2
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT id1, id2, count(*) AS len, min(pos1) AS s1, min(pos2) AS s2
+        |  FROM (
+        |    SELECT id1, id2, pos1, pos2,
+        |      pos1 - row_number() OVER (PARTITION BY id1, id2, pos1 - pos2
+        |        ORDER BY pos1) AS run
+        |    FROM hits
+        |  ) GROUP BY id1, id2, pos1 - pos2, run
+        |  HAVING count(*) >= 3
+        |), best AS (
+        |  SELECT id1, id2, len, s1, s2,
+        |    row_number() OVER (PARTITION BY id1, id2
+        |      ORDER BY len DESC, s1, s2) AS rn
+        |  FROM runs
+        |)
+        |SELECT id1, id2, len + 4 AS span_tokens, s1 AS start1, s2 AS start2
+        |FROM best WHERE rn = 1 ORDER BY id1, id2"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -117,6 +117,33 @@ object Corpus {
     withPack.withColumn("pack_pos", row_number().over(wPos))
   }
 
+  /** Per-group Pareto / cumulative-share curve: rank each group's rows by
+    * `weightCol` DESC (id tiebreak) and emit the running share of the
+    * group's total mass — "the top N docs of this source carry X% of its
+    * tokens", the concentration diagnostic behind mixture re-weighting and
+    * head-capping decisions. `cum_share` is exact-integer cumsum and group
+    * total (both windows PARTITIONED by the group, never global) with ONE
+    * double division at the end — bit-reproducible anywhere. Rows with a
+    * null weight rank as weight 0 (they contribute nothing to the mass).
+    */
+  def cumulativeShare(df: DataFrame, groupCol: String, weightCol: String,
+                      idCol: String): DataFrame = {
+    val wt = coalesce(col(weightCol).cast("long"), lit(0L))
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col(weightCol).desc_nulls_last, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("rank_in_group", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(weightCol).desc_nulls_last, col(idCol))))
+      .withColumn("__cum", sum(wt).over(wCum))
+      .withColumn("__tot", sum(wt).over(wAll))
+      .withColumn("cum_share",
+        when(col("__tot") > 0, col("__cum").cast("double") / col("__tot"))
+          .otherwise(lit(1.0)))
+      .drop("__cum", "__tot")
+  }
+
   /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency
     * (count desc, token tiebreak), top `k`. The per-token count is a
     * map-side-combined hash aggregate and the top-k is orderBy+limit

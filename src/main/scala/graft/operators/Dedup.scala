@@ -229,6 +229,81 @@ object Dedup {
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
+  /** Duplicate SPAN detection — the "exact substring dedup" signal that set
+    * similarity misses: two documents sharing a long verbatim passage
+    * (quoted boilerplate, license text, copied paragraphs) can sit far
+    * below any Jaccard threshold, yet the passage still memorizes. For
+    * every document pair sharing at least `minSpanGrams` CONSECUTIVE word
+    * n-grams, emits the pair's LONGEST run — its token length and 1-based
+    * start position in each document.
+    *
+    * Algorithm (all relational, no per-doc state):
+    *  1. positional n-gram hashes (one native pass per doc; 8-byte keys,
+    *     never gram strings);
+    *  2. stop-gram prefilter: a gram occurring more than `maxOcc` times
+    *     corpus-wide is dropped BEFORE the pair join ("the end of" tells
+    *     you nothing about copying, and hot grams are where a gram-equi-
+    *     join goes quadratic). The occurrence count rides a window over
+    *     the gram key — the same key the join shuffles on, so the filter
+    *     adds one sort, no extra exchange. `maxOcc` is part of the
+    *     operator's SEMANTICS (spans are "runs of rare shared grams"), so
+    *     oracles must mirror it;
+    *  3. pair join on the gram hash (id1 < id2) → matching position pairs;
+    *  4. runs: positions along one diagonal (pos1 − pos2 constant) with
+    *     consecutive pos1 form a run — the gaps-and-islands trick
+    *     (pos1 − row_number is constant within a run), windowed per
+    *     (pair, diagonal), never global;
+    *  5. per-pair best run: longest, then earliest (start1, start2).
+    *
+    * A run of k n-grams covers k + n − 1 verbatim tokens. Cost is bounded
+    * by Σ_g occ(g)² over surviving grams — `maxOcc` caps the per-gram
+    * term, and in natural text the surviving occ distribution is flat.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minSpanGrams: Int = 3,
+                     maxOcc: Int = 1000): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.HashFunctions.ngramHashesAll(
+          TextAnalysis.tokens(col(textCol)), n)).as(Seq("pos", "g")))
+    // lower bound 2 is pure pruning (an occ-1 gram can only self-pair,
+    // dropped by id1 < id2 below) — in natural text most grams are unique,
+    // so this removes the bulk of the join input; the upper bound is the
+    // stop-gram semantic. Both ride ONE window on the join's own key, and
+    // because the rename projections sit ABOVE this window's exchange, the
+    // self-join's two sides canonicalize to the same exchange and
+    // ReuseExchange computes the gram table once.
+    val rare = grams
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__occ") >= 2 && col("__occ") <= maxOcc)
+      .drop("__occ")
+    val hits = rare.select(col("g"), col("id").as("id1"), col("pos").as("pos1"))
+      .join(rare.select(col("g"), col("id").as("id2"), col("pos").as("pos2")),
+        Seq("g"))
+      .filter(col("id1") < col("id2"))
+    val wDiag = Window
+      .partitionBy(col("id1"), col("id2"), col("pos1") - col("pos2"))
+      .orderBy(col("pos1"))
+    val runs = hits
+      // a gram pair repeated on one diagonal is impossible (each pos1 owns
+      // one pos2 per diagonal), so row_number is safe — no dense_rank needed
+      .withColumn("__run", col("pos1") - row_number().over(wDiag))
+      .groupBy(col("id1"), col("id2"), (col("pos1") - col("pos2")).as("__d"),
+        col("__run"))
+      .agg(count(lit(1)).as("__len"), min(col("pos1")).as("__s1"),
+        min(col("pos2")).as("__s2"))
+      .filter(col("__len") >= minSpanGrams)
+    // longest run wins; ties break to the earliest (start1, start2). The
+    // negations make one lexicographic max express "max length, min starts".
+    runs.groupBy(col("id1"), col("id2"))
+      .agg(max(struct(col("__len"), (-col("__s1")).as("__n1"),
+        (-col("__s2")).as("__n2"))).as("__best"))
+      .select(col("id1"), col("id2"),
+        (col("__best.__len") + (n - 1)).as("span_tokens"),
+        (-col("__best.__n1") + 1).as("start1"),
+        (-col("__best.__n2") + 1).as("start2"))
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * canonical step AFTER pair detection: a component is a duplicate
     * CLUSTER, and keeping min-id-per-cluster dedups transitively (A≈B,

@@ -109,6 +109,51 @@ object Profiling {
       .drop("__gn", "__mean", "__var")
   }
 
+  /** Per-group winsorized (clipped) mean — the robust-stats companion to
+    * [[outliers]]: values below the group's `loPct`-th / above the
+    * `hiPct`-th percentile clamp to those bounds before averaging, so a
+    * handful of wild rows can't drag the group mean (the standard
+    * robust-aggregation step before training-mixture weighting).
+    *
+    * Percentiles are NEAREST-RANK (the value at rank `ceil(n·p/100)` under
+    * (value, tiebreak) order), NOT interpolated: the bounds are actual data
+    * values, and the rank arithmetic is pure integers
+    * (`(n·pct + 99) div 100`), so there is no float interpolation for
+    * engines to disagree over. The clamped mean follows the repo's decimal
+    * discipline — exact decimal sum, ONE double division at the end.
+    *
+    * Shape: rank window + count PARTITIONED by the group (never global),
+    * bounds fall out of one conditional aggregate (tiny — one row per
+    * group, broadcast back), clamp + mean is a second hash aggregate over
+    * one more scan. Null values are excluded up front (engines disagree on
+    * null sort position, and a null can't be clamped meaningfully).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      tieBreakCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"need 0 <= loPct <= hiPct <= 100, got ($loPct, $hiPct)")
+    val v = col(valueCol)
+    val nonNull = df.filter(v.isNotNull)
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(v, col(tieBreakCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val rank = (pct: Int) => greatest(
+      floor((col("__n") * pct + 99) / 100).cast("long"), lit(1L))
+    val bounds = nonNull
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__rn") === rank(loPct), v)).as("__lo"),
+           min(when(col("__rn") === rank(hiPct), v)).as("__hi"))
+    val clamped = least(greatest(v, col("__lo")), col("__hi"))
+    nonNull.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("__lo")).as("lo_bound"),
+        first(col("__hi")).as("hi_bound"),
+        (sum(clamped.cast("decimal(25,6)")).cast("double") / count(lit(1)))
+          .as("winsorized_mean"))
+  }
+
   /** Quantile segmentation: each row's n-tile (1..n) within its group
     * under a total order — "which value quartile is this event in, among
     * its type". `orderCols` must totally order each group's rows or tile

@@ -527,6 +527,30 @@ object TimeSeries {
         / count(col(valueCol)).over(w)) // null values leave the mean alone
   }
 
+  /** Cohort retention: bucket every key (user/customer) by its FIRST
+    * activity month, then count distinct active keys per (cohort month,
+    * month offset) — the classic retention triangle. The month offset is
+    * pure INTEGER calendar arithmetic (`year×12 + month` difference), not
+    * an interval subtraction, so every engine buckets identically.
+    *
+    * Shape: distinct (key, month) — one hash aggregate that also shrinks
+    * the input to at most keys×months rows — then a min-per-key aggregate,
+    * a key-equi-join (cohorts table is keys-sized; at 100 TB both
+    * aggregates and the join shuffle on the SAME key so AQE plans one
+    * exchange chain), and a final small hash aggregate. No windows.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val monthNum = (c: Column) => year(c) * 12 + month(c)
+    val acts = df.select(col(keyCol).as("__k"),
+        date_trunc("month", col(tsCol)).as("__m"))
+      .distinct()
+    val cohorts = acts.groupBy(col("__k")).agg(min(col("__m")).as("__c"))
+    acts.join(cohorts, Seq("__k"))
+      .groupBy(date_format(col("__c"), "yyyy-MM").as("cohort_month"),
+        (monthNum(col("__m")) - monthNum(col("__c"))).as("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
     * null semantics — counts become 0 for missing months, medians stay NULL
     * (reference: webserver/server.py:331-341). `zeroFill` names the count
@@ -567,6 +591,44 @@ object Changelog {
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !isDelete)
       .drop("__rn")
+  }
+
+  /** Snapshot diff — the dataset-versioning primitive: what changed between
+    * two snapshots of a keyed table (two compaction cuts, two export
+    * versions, two days of a dimension). Emits ONLY differing keys, tagged
+    * `added` (key only in `newSnap`), `removed` (only in `oldSnap`) or
+    * `changed` (present in both, any `compareCols` value differs under
+    * null-safe equality); unchanged keys — the overwhelming bulk at 100 TB —
+    * are filtered before the result ever materializes. Output carries both
+    * sides of every compared column as `old_<c>` / `new_<c>` (null on the
+    * absent side for added/removed).
+    *
+    * Shape: one full-outer shuffle join on the key — the minimal plan for a
+    * symmetric diff; at 100 TB both sides would be bucketed on the key
+    * ([[graft.sources.Bucketing]]) making this exchange-free. Keys must be
+    * unique per snapshot (compaction output); null keys follow SQL join
+    * semantics and would never pair, so require them non-null upstream.
+    */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+                    compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots requires key columns")
+    val o = oldSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = newSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")): _*)
+    // membership markers, not key-null checks: a key column CAN be null in
+    // payload terms only upstream; lit(1) marks which side matched
+    val j = o.withColumn("__in_old", lit(1))
+      .join(n.withColumn("__in_new", lit(1)), keys, "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(differs, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .drop("__in_old", "__in_new")
   }
 }
 

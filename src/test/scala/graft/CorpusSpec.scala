@@ -182,4 +182,17 @@ class CorpusSpec extends SparkSpec {
     // docs 1/2: shared (tf=1, df=2 → 4/3) beats common (tf=1, df=3 → 1.0)
     assert(r(2) == ((1L, 1, "shared", 4.0 / 3)) && r(3) == ((1L, 2, "common", 1.0)))
   }
+
+  test("cumulative share: per-group running mass, weight-desc id-tiebreak order") {
+    val df = Seq(
+      ("s1", 1L, 50L), ("s1", 2L, 30L), ("s1", 3L, 20L),
+      ("s2", 4L, 10L), ("s2", 5L, 10L), // tie → id order
+      ("s3", 6L, 0L)                    // zero-mass group → share 1.0
+    ).toDF("src", "id", "wt")
+    val r = Corpus.cumulativeShare(df, "src", "wt", "id").collect()
+      .map(x => x.getLong(1) -> (x.getInt(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((1, 0.5)) && r(2L) == ((2, 0.8)) && r(3L) == ((3, 1.0)))
+    assert(r(4L) == ((1, 0.5)) && r(5L) == ((2, 1.0)))
+    assert(r(6L) == ((1, 1.0)))
+  }
 }

@@ -156,4 +156,49 @@ class DedupSpec extends SparkSpec {
     assert(r(9L) == 9L) // isolated node is its own cluster
     assert(r.size == 9)
   }
+
+  test("duplicate spans: longest shared run, positions, min-span filter") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e y"),   // shares run [a b c, b c d, c d e] with 1
+      (3L, "q w e r t y u i")    // no shared grams
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(d, "doc_id", "text",
+      n = 3, minSpanGrams = 3, maxOcc = 1000).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // 3 consecutive grams = 5 verbatim tokens; "a b c" starts at token 1
+    // of doc 1 and token 3 of doc 2
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    assert(row.getLong(2) == 5L && row.getInt(3) == 1 && row.getInt(4) == 3)
+  }
+
+  test("duplicate spans: best-run tiebreak is earliest start; repeats split diagonals") {
+    // doc 2 contains doc 1's run twice (two diagonals, equal length):
+    // the reported span must be the earliest (start1, start2)
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e z z a b c d e")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(d, "doc_id", "text",
+      n = 3, minSpanGrams = 3, maxOcc = 1000).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(2) == 5L && row.getInt(3) == 1 && row.getInt(4) == 1)
+  }
+
+  test("duplicate spans: stop-gram cap removes hot grams from evidence") {
+    // the shared run's grams each occur 4× corpus-wide (docs 1,2,4,5);
+    // maxOcc=3 drops them all → no span survives
+    val d = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (4L, "a b c d e"), (5L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.duplicateSpans(d, "doc_id", "text",
+      n = 3, minSpanGrams = 1, maxOcc = 3).collect()
+    assert(capped.isEmpty)
+    val uncapped = Dedup.duplicateSpans(d, "doc_id", "text",
+      n = 3, minSpanGrams = 1, maxOcc = 4).collect()
+    assert(uncapped.length == 6) // all C(4,2) pairs report the full span
+  }
 }

@@ -58,6 +58,30 @@ class ProfilingSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(6L)) // the null row is inert
   }
 
+  test("winsorized stats: nearest-rank data-value bounds, clamp, null exclusion") {
+    // group "g": 1..20 (+ a null row, which must be inert).
+    // loRank = (20*5+99) div 100 = 1 → lo=1; hiRank = (20*95+99) div 100 = 19
+    // → hi=19; only the 20 clamps (to 19): mean = (1+..+19 + 19)/20 = 10.45
+    val rows = (1 to 20).map(i => ("g", i.toLong, Some(i.toDouble))) :+
+      (("g", 99L, Option.empty[Double]))
+    val df = rows.toDF("grp", "id", "value")
+    val w = Profiling.winsorizedStats(df, "grp", "value", "id", 5, 95).collect()
+    assert(w.length == 1)
+    val r = w.head
+    assert(r.getLong(1) == 20)          // null row excluded from n
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 19.0)
+    assert(math.abs(r.getDouble(4) - 10.45) < 1e-12)
+  }
+
+  test("winsorized stats: tiny group degenerates to its own value, no crash") {
+    val df = Seq(("t", 1L, 42.0)).toDF("grp", "id", "value")
+    val r = Profiling.winsorizedStats(df, "grp", "value", "id", 5, 95)
+      .collect().head
+    // n=1: both ranks collapse to 1 → lo=hi=42 → mean 42
+    assert(r.getLong(1) == 1 && r.getDouble(2) == 42.0 &&
+      r.getDouble(3) == 42.0 && r.getDouble(4) == 42.0)
+  }
+
   test("outliers: flags the 3-sigma point; tiny and constant groups yield none") {
     // group "g": 29 values at ~10 plus one at 1000 — a clear outlier;
     // group "tiny": 1 row; group "flat": zero variance

@@ -226,6 +226,48 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(r(2) == (("2024-04", 8L, None, None, None)))             // gap month
   }
 
+  test("snapshot diff: added/removed/changed only, both sides carried") {
+    val oldS = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val newS = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("k", "tag", "v")
+    val d = Changelog.diffSnapshots(oldS, newS, Seq("k"), Seq("tag", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("change_type")))
+      .toMap
+    // key 2 is unchanged → absent; 1 removed, 3 changed (v differs), 4 added
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val row3 = Changelog.diffSnapshots(oldS, newS, Seq("k"), Seq("tag", "v"))
+      .filter(col("k") === 3L).collect().head
+    assert(row3.getDouble(row3.fieldIndex("old_v")) == 30.0 &&
+      row3.getDouble(row3.fieldIndex("new_v")) == 31.0)
+  }
+
+  test("snapshot diff: null payloads compare null-safe (null==null is unchanged)") {
+    val oldS = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "tag")
+    val newS = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "tag")
+    val d = Changelog.diffSnapshots(oldS, newS, Seq("k"), Seq("tag")).collect()
+    // key 1: null → null is NOT a change; key 2: "x" → null is
+    assert(d.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("cohort retention: first-activity month buckets, integer offsets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-05 00:00:00")), ("u1", ts("2024-01-20 00:00:00")),
+      ("u1", ts("2024-02-03 00:00:00")),
+      ("u2", ts("2024-01-09 00:00:00")), ("u2", ts("2024-03-01 00:00:00")),
+      ("u3", ts("2024-02-11 00:00:00"))
+    ).toDF("user", "ts")
+    val r = TimeSeries.cohortRetention(ev, "user", "ts").collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    // duplicate same-month activity collapses (u1 twice in Jan counts once)
+    assert(r == Map(
+      ("2024-01", 0) -> 2L, ("2024-01", 1) -> 1L, ("2024-01", 2) -> 1L,
+      ("2024-02", 0) -> 1L))
+  }
+
   test("presentation: thousands formatting and address prefill (C10/C11)") {
     val df = Seq((1234567.891, "123 Main St, Apt 4B"),
       (1000.0, "9 Ocean Ave")).toDF("n", "addr")

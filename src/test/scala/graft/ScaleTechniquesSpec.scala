@@ -57,6 +57,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in decontaminate:\n$plan")
   }
 
+  test("duplicate spans: gram table computed once (reused exchange), no cartesian") {
+    // the positional-gram self-join must (a) never degrade to a cartesian
+    // and (b) canonicalize both join sides to the SAME gram-hash exchange,
+    // so the corpus-wide tokenize+hash+shuffle runs once, not per side.
+    // Static ReuseExchange is what a plan-only check can see — AQE's
+    // runtime stage reuse obscures it, so pin the rule with AQE off.
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = graft.operators.Dedup.duplicateSpans(
+          docs, "doc_id", "text", n = 5, minSpanGrams = 3, maxOcc = 1000)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in dup spans:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"gram-table exchange not shared across the self-join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("month-partitioned fact layout prunes the scan to the queried months") {
     // Tables.scala documents the production layout (facts partitioned by
     // month of the date column); this proves the pruning end-to-end:
