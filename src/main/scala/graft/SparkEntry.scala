@@ -728,7 +728,39 @@ object SparkEntry {
     "q63_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
           n = 5, minSpanGrams = 3, maxOcc = 1000)
-        .orderBy(col("id1"), col("id2")))
+        .orderBy(col("id1"), col("id2"))),
+
+    // Incremental view maintenance: a monthly rollup maintained by MERGING
+    // the new batch's aggregate (additive, decimal-exact) must equal the
+    // full recompute — the oracle IS the full recompute
+    "q64_incremental" -> ((s, d) => {
+      def monthlyAgg(df: DataFrame): DataFrame =
+        df.groupBy(date_format(date_trunc("month", col("o_orderdate")),
+            "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price_d"))
+      val o = t(s, d, "orders")
+      val cut = to_timestamp(lit("1996-01-01"))
+      val base = monthlyAgg(o.filter(col("o_orderdate") < cut))
+      val delta = monthlyAgg(o.filter(col("o_orderdate") >= cut))
+      Incremental.mergeAdditive(base, delta, Seq("month"),
+          Seq("n", "sum_price_d"))
+        .select(col("month"), col("n"),
+          col("sum_price_d").cast("double").as("sum_price"))
+        .orderBy(col("month"))
+    }),
+
+    // Key-skew concentration profile over the join key l_partkey — the
+    // pre-shuffle diagnostic; one agg, reused exchange, top-k via limit
+    "q65_skew_profile" -> ((s, d) =>
+      Profiling.keySkew(t(s, d, "lineitem"), "l_partkey", topK = 10)),
+
+    // First-5-steps event path per user (path analysis): lexicographic
+    // struct sort ≡ ORDER BY ts, event_id
+    "q66_journeys" -> ((s, d) =>
+      TimeSeries.journeys(t(s, d, "events"), "user_id", "ts", "event_id",
+          "event_type", maxSteps = 5)
+        .orderBy(col("user_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1741,6 +1773,39 @@ object SparkEntry {
         |)
         |SELECT id1, id2, len + 4 AS span_tokens, s1 AS start1, s2 AS start2
         |FROM best WHERE rn = 1 ORDER BY id1, id2"""
+        .stripMargin.replace("\n", " "),
+
+    // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
+    "q64_incremental" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "q65_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_count
+        |  FROM c
+        |), tk AS (
+        |  SELECT sum(c) AS topk_count FROM (
+        |    SELECT c FROM c ORDER BY c DESC, k LIMIT 10
+        |  )
+        |)
+        |SELECT n_rows, n_keys, max_count,
+        |  CAST(max_count AS DOUBLE) / n_rows AS max_share,
+        |  topk_count,
+        |  CAST(topk_count AS DOUBLE) / n_rows AS topk_share
+        |FROM t, tk""".stripMargin.replace("\n", " "),
+
+    // list(... ORDER BY ts, event_id)[1:5] ≡ the engine's lexicographic
+    // (ts, event_id, type) struct sort + slice
+    "q66_journeys" ->
+      """SELECT user_id, count(*) AS n_events,
+        |array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+        |  AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replace("\n", " ")
   )
 }

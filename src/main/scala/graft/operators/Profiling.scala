@@ -154,6 +154,36 @@ object Profiling {
           .as("winsorized_mean"))
   }
 
+  /** Key-skew profile — the diagnostic to run BEFORE committing a 100 TB
+    * shuffle on a key: per-key counts reduced to one row of concentration
+    * stats (row/key totals, the hottest key's share, the top-`topK` keys'
+    * combined share). max_share near 1 means one reducer owns the stage —
+    * reach for [[graft.operators.Skew.saltedJoin]] or AQE skew-split;
+    * topk_share near n_rows/n_keys·topK means it's flat.
+    *
+    * Shape: one hash aggregate (map-side combined) to per-key counts; the
+    * two tiny consumers (global totals, top-k sum via
+    * orderBy+limit = TakeOrderedAndProject) share the aggregate's exchange
+    * (ReuseExchange — identical subtree), then a 1-row × 1-row broadcast
+    * cross join. Shares are single double divisions of exact longs.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(
+      sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__c")).as("max_count"))
+    val top = counts.orderBy(col("__c").desc, col(keyCol)).limit(topK)
+      .agg(sum(col("__c")).as("topk_count"))
+    totals.crossJoin(broadcast(top))
+      .withColumn("max_share",
+        col("max_count").cast("double") / col("n_rows"))
+      .withColumn("topk_share",
+        col("topk_count").cast("double") / col("n_rows"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("max_share"), col("topk_count"), col("topk_share"))
+  }
+
   /** Quantile segmentation: each row's n-tile (1..n) within its group
     * under a total order — "which value quartile is this event in, among
     * its type". `orderCols` must totally order each group's rows or tile

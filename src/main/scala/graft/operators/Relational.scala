@@ -551,6 +551,28 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Per-key event journey (path analysis — the funnel's exploratory
+    * sibling): each key's first `maxSteps` event types in (ts, tiebreak)
+    * order, joined into one `a>b>c` path string, plus the key's total
+    * event count. One hash aggregate: `collect_list(struct)` then
+    * `array_sort` per key — structs order lexicographically by field, so
+    * (ts, tie, type) sorts exactly like the SQL `ORDER BY ts, tie`.
+    * Per-key state is the key's OWN events (bounded in any real
+    * clickstream; cap upstream if a key can be a firehose) — never a
+    * global sort.
+    */
+  def journeys(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               typeCol: String, maxSteps: Int): DataFrame = {
+    require(maxSteps >= 1, "journeys requires at least one step")
+    val sorted = array_sort(collect_list(
+      struct(col(tsCol), col(tieCol), col(typeCol).as("__t"))))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">",
+          transform(slice(sorted, 1, maxSteps), s => s.getField("__t")))
+          .as("journey"))
+  }
+
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
     * null semantics — counts become 0 for missing months, medians stay NULL
     * (reference: webserver/server.py:331-341). `zeroFill` names the count
@@ -629,6 +651,43 @@ object Changelog {
           .when(differs, lit("changed")))
       .filter(col("change_type").isNotNull)
       .drop("__in_old", "__in_new")
+  }
+}
+
+/** Incremental aggregate maintenance — the materialized-view primitive: a
+  * maintained rollup absorbs a new ingest batch by merging the BATCH's
+  * aggregate, never rescanning history. At 100 TB this turns "recompute the
+  * monthly rollup" (a full-corpus scan per cycle) into a join that is
+  * base-aggregate-sized on one side and delta-sized on the other.
+  */
+object Incremental {
+
+  /** Merge a delta batch's aggregate into the maintained one: full-outer on
+    * the grouping keys, each `sumCols` value adds with absent-side-as-zero.
+    * EXACT (merge ≡ full recompute, bit-for-bit) when the summed columns
+    * are integer or decimal — which is why the repo's aggregates keep
+    * decimal sums until the final cast; a float sum would make the merged
+    * total depend on batch boundaries. Only ADDITIVE aggregates merge this
+    * way (counts, sums; min/max merge under insert-only via a max variant);
+    * medians/percentiles don't decompose — maintain those with sketches or
+    * recompute their partitions.
+    *
+    * Both inputs are aggregates (small relative to facts); keys must be
+    * unique per side. At 100 TB the maintained side lives bucketed on the
+    * keys so the merge is exchange-free on its side.
+    */
+  def mergeAdditive(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                    sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeAdditive requires grouping keys")
+    val b = base.select(keys.map(col) ++
+      sumCols.map(c => col(c).as(s"__b_$c")): _*)
+    val d = delta.select(keys.map(col) ++
+      sumCols.map(c => col(c).as(s"__d_$c")): _*)
+    val zero = (c: String) => lit(0).cast(base.schema(c).dataType)
+    sumCols.foldLeft(b.join(d, keys, "full_outer")) { (df, c) =>
+      df.withColumn(c,
+        coalesce(col(s"__b_$c"), zero(c)) + coalesce(col(s"__d_$c"), zero(c)))
+    }.select(keys.map(col) ++ sumCols.map(col): _*)
   }
 }
 

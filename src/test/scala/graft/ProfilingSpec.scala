@@ -73,6 +73,17 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 10.45) < 1e-12)
   }
 
+  test("key skew: hot-key and top-k concentration from one pass") {
+    // 10 rows on "hot", 1 each on 5 cold keys → 15 rows, 6 keys
+    val rows = (1 to 10).map(_ => "hot") ++ (1 to 5).map(i => s"cold$i")
+    val df = rows.toDF("k")
+    val r = Profiling.keySkew(df, "k", topK = 2).collect().head
+    assert(r.getLong(0) == 15 && r.getLong(1) == 6 && r.getLong(2) == 10)
+    assert(math.abs(r.getDouble(3) - 10.0 / 15) < 1e-15)
+    assert(r.getLong(4) == 11) // hot(10) + cold1(1): count desc, key tiebreak
+    assert(math.abs(r.getDouble(5) - 11.0 / 15) < 1e-15)
+  }
+
   test("winsorized stats: tiny group degenerates to its own value, no crash") {
     val df = Seq(("t", 1L, 42.0)).toDF("grp", "id", "value")
     val r = Profiling.winsorizedStats(df, "grp", "value", "id", 5, 95)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Changelog, Joins, Presentation, TimeSeries, TopK}
+import graft.operators.{Changelog, Incremental, Joins, Presentation, TimeSeries, TopK}
 
 class RelationalHelpersSpec extends SparkSpec {
   import spark.implicits._
@@ -266,6 +266,34 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(r == Map(
       ("2024-01", 0) -> 2L, ("2024-01", 1) -> 1L, ("2024-01", 2) -> 1L,
       ("2024-02", 0) -> 1L))
+  }
+
+  test("incremental merge: additive aggregates equal the full recompute") {
+    val base = Seq(("a", 2L, BigDecimal("10.50")), ("b", 1L, BigDecimal("3.00")))
+      .toDF("k", "n", "s")
+    val delta = Seq(("b", 3L, BigDecimal("0.25")), ("c", 1L, BigDecimal("7.00")))
+      .toDF("k", "n", "s")
+    val m = Incremental.mergeAdditive(base, delta, Seq("k"), Seq("n", "s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toMap
+    assert(m("a") == ((2L, BigDecimal("10.5").bigDecimal.stripTrailingZeros)))
+    assert(m("b") == ((4L, BigDecimal("3.25").bigDecimal.stripTrailingZeros)))
+    assert(m("c") == ((1L, BigDecimal("7").bigDecimal.stripTrailingZeros)))
+  }
+
+  test("journeys: first-N path in (ts, tie) order, full count kept") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 2L, "view"),
+      ("u1", ts("2024-01-01 10:00:00"), 1L, "click"), // ts tie → id order
+      ("u1", ts("2024-01-01 11:00:00"), 3L, "purchase"),
+      ("u1", ts("2024-01-01 12:00:00"), 4L, "view"),
+      ("u2", ts("2024-01-01 09:00:00"), 5L, "signup")
+    ).toDF("user", "ts", "event_id", "event_type")
+    val j = TimeSeries.journeys(ev, "user", "ts", "event_id", "event_type", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(j("u1") == ((4L, "click>view>purchase"))) // 4 events, 3 steps kept
+    assert(j("u2") == ((1L, "signup")))
   }
 
   test("presentation: thousands formatting and address prefill (C10/C11)") {
