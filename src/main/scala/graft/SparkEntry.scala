@@ -760,7 +760,36 @@ object SparkEntry {
     "q66_journeys" -> ((s, d) =>
       TimeSeries.journeys(t(s, d, "events"), "user_id", "ts", "event_id",
           "event_type", maxSteps = 5)
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // Corpus bigram table (LM counts / tokenizer-merge candidates): pairs
+    // built inside each doc's token array — no shuffle before the count
+    "q67_bigrams" -> ((s, d) =>
+      Corpus.topBigrams(t(s, d, "documents"), "text", k = 100)),
+
+    // Market-basket co-occurrence with A-priori item pruning: parts
+    // co-ordered in the same order, self-join keyed on the basket
+    "q68_cooccur" -> ((s, d) =>
+      Affinity.cooccurrence(t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minItemSupport = 20, minPairSupport = 2, k = 100)),
+
+    // Fuzzy record linkage: deterministically corrupted part names
+    // (3rd char dropped) matched back by edit distance ≤ 2 through the
+    // lossless length-bucket block — result equals the all-pairs filter,
+    // which is exactly what the oracle computes
+    "q69_fuzzy_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val probes = p.filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("probe"))
+      val names = p.select(col("p_partkey").as("match_key"),
+        col("p_name").as("name"))
+      Joins.fuzzyJoin(probes, names, "probe", "name", maxDist = 2)
+        .select(col("probe_key"), col("probe"), col("match_key"),
+          col("name"), col("dist"))
+        .orderBy(col("probe_key"), col("match_key"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1806,6 +1835,45 @@ object SparkEntry {
         |array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
         |  AS journey
         |FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replace("\n", " "),
+
+    // list-comprehension pairing ≡ the engine's zip_with over the
+    // 1-shifted slices; generate_series(1, n-1) is [] for n<2
+    "q67_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest([lower(l[i]) || ' ' || lower(l[i+1])
+        |    for i in generate_series(1, len(l)-1)]) AS bigram
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS l
+        |        FROM documents)
+        |) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"""
+        .stripMargin.replace("\n", " "),
+
+    "q68_cooccur" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), freq AS (
+        |  SELECT i FROM items GROUP BY i HAVING count(*) >= 20
+        |), pruned AS (
+        |  SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)
+        |)
+        |SELECT a.i AS i1, c.i AS i2, count(*) AS n_baskets
+        |FROM pruned a JOIN pruned c ON a.b = c.b AND a.i < c.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_baskets DESC, i1, i2 LIMIT 100"""
+        .stripMargin.replace("\n", " "),
+
+    // the oracle is the naive all-pairs fuzzy filter the lossless
+    // length-bucket blocking must exactly reproduce
+    "q69_fuzzy_join" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_key,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS probe
+        |  FROM part WHERE p_partkey % 97 = 0
+        |)
+        |SELECT probe_key, probe, p_partkey AS match_key, p_name AS name,
+        |  CAST(levenshtein(probe, p_name) AS INTEGER) AS dist
+        |FROM probes, part WHERE levenshtein(probe, p_name) <= 2
+        |ORDER BY probe_key, match_key"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -156,6 +156,25 @@ object Corpus {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Corpus bigram statistics — vocab's n-gram sibling (language-model
+    * count tables, tokenizer-merge candidates): adjacent lowercased token
+    * pairs ranked by frequency, top `k`. The pairing is built INSIDE each
+    * document's token array (`zip_with` of the array against its own
+    * 1-shifted slice) so no window, no self-join, and nothing shuffles
+    * until the 2-word-string counts — same one-aggregate shape as
+    * [[topTokens]]. Documents with <2 tokens contribute nothing.
+    */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+    val m = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Decontamination: drop every document sharing ANY word n-gram with the
     * probe set (the standard "remove benchmark/test-set text from training
     * data" step; n = 8–13 in practice — lower n is aggressive). Probe

@@ -280,6 +280,78 @@ object Joins {
       d.withColumn(p, col("__snap").getField(p))
     }.drop("__ts", "__side", "__snap")
   }
+
+  /** Fuzzy (edit-distance) join — record linkage without the all-pairs
+    * cartesian: every (left, right) pair with
+    * `levenshtein(left, right) <= maxDist`.
+    *
+    * Blocking is LOSSLESS, so the result equals the naive cross-join
+    * filter: two strings within edit distance d differ in length by at
+    * most d, so with length buckets of width d+1 every qualifying right
+    * row lands in one of the ≤3 buckets the left row fans out to
+    * (`sequence` over the bucket range of [len−d, len+d]). The join is
+    * then an equi-join on the bucket id with the exact distance as a
+    * post-filter — never a BroadcastNestedLoopJoin. Spark's 3-arg
+    * `levenshtein` early-exits past the threshold (returns -1), so the
+    * per-pair cost is O(len·d), not O(len²).
+    *
+    * Cost: pairs within a length bucket. Natural-language name/title
+    * lengths concentrate in a narrow band, so at 100 TB compose with a
+    * second blocking key (phonetic code, token prefix) by pre-grouping
+    * both sides if one bucket dominates — the length block alone bounds
+    * fan-out, not bucket size.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "fuzzyJoin requires a non-negative distance")
+    val w = maxDist + 1
+    val lLen = length(col(leftCol))
+    val lo = floor((lLen - maxDist).cast("double") / w).cast("long")
+    val hi = floor((lLen + maxDist).cast("double") / w).cast("long")
+    val l = left.withColumn("__bkt", explode(sequence(lo, hi)))
+    val r = right.withColumn("__bkt",
+      floor(length(col(rightCol)).cast("double") / w).cast("long"))
+    val dist = levenshtein(col(leftCol), col(rightCol), maxDist)
+    l.join(r, Seq("__bkt")).withColumn("dist", dist)
+      .filter(col("dist") >= 0).drop("__bkt")
+  }
+}
+
+/** Frequent-pair mining (market-basket affinity): which items co-occur in
+  * the same basket. The A-priori property makes this tractable at scale —
+  * a pair can only reach support `s` if BOTH items do, so items are
+  * support-pruned BEFORE the pair-generating self-join.
+  */
+object Affinity {
+
+  /** Item pairs co-occurring in at least `minPairSupport` baskets, top
+    * `k` by basket count. Shape: distinct (basket, item) → item-support
+    * semi-join prune (A-priori) → self-join keyed ON THE BASKET (never a
+    * cartesian; fan-out is per-basket size², bounded by basket width, not
+    * corpus size) with `i1 < i2` canonical ordering → hash-agg count →
+    * TakeOrderedAndProject. `minItemSupport` is the knob that keeps the
+    * self-join linear-ish when item frequencies are skewed: at 100 TB
+    * raise it until the pruned item set's hottest basket² term is
+    * acceptable, or pre-split mega-baskets upstream.
+    */
+  def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   minItemSupport: Long, minPairSupport: Long,
+                   k: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val frequent = items.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__supp"))
+      .filter(col("__supp") >= minItemSupport)
+      .select(col("__i"))
+    val pruned = items.join(frequent, Seq("__i"), "left_semi")
+    val a = pruned.select(col("__b"), col("__i").as("i1"))
+    val b = pruned.select(col("__b"), col("__i").as("i2"))
+    a.join(b, Seq("__b")).filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minPairSupport)
+      .orderBy(col("n_baskets").desc, col("i1"), col("i2"))
+      .limit(k)
+  }
 }
 
 /** Skew mitigation: salted joins. When a handful of hot keys dominate a

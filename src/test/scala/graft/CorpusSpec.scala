@@ -42,6 +42,16 @@ class CorpusSpec extends SparkSpec {
     assert(top.toSeq == Seq(("beta", 4L), ("uno", 4L), ("alpha", 2L)))
   }
 
+  test("topBigrams pairs adjacent tokens; <2-token docs contribute nothing") {
+    val top = Corpus.topBigrams(docs, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // "beta beta" ×2 (doc 1), "uno uno" ×2 (doc 3), "alpha beta" ×2
+    // (docs 0,1) → count tie at 2, bigram tiebreak; doc 4 (empty) silent
+    assert(top.toSeq == Seq(("alpha beta", 2L), ("beta beta", 2L), ("uno uno", 2L)))
+    val one = Seq((0L, "solo")).toDF("id", "text")
+    assert(Corpus.topBigrams(one, "text", k = 10).count() == 0)
+  }
+
   test("chunking: stride windows, clipped tail, empty doc yields no chunks") {
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
       .toDF("doc_id", "text")

@@ -84,6 +84,22 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 11.0 / 15) < 1e-15)
   }
 
+  test("key skew: per-key counts computed once (reused exchange)") {
+    // totals and the top-k sum both consume the per-key count aggregate;
+    // the ReuseExchange rule must share that subtree or the fact table is
+    // scanned twice. Static check with AQE off (same rationale as the
+    // duplicate-spans guard in ScaleTechniquesSpec).
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1 to 100).map(i => i % 7).toDF("k")
+      val plan = Profiling.keySkew(df, "k", topK = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"per-key count exchange not shared:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("winsorized stats: tiny group degenerates to its own value, no crash") {
     val df = Seq(("t", 1L, 42.0)).toDF("grp", "id", "value")
     val r = Profiling.winsorizedStats(df, "grp", "value", "id", 5, 95)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Changelog, Incremental, Joins, Presentation, TimeSeries, TopK}
+import graft.operators.{Affinity, Changelog, Incremental, Joins, Presentation, TimeSeries, TopK}
 
 class RelationalHelpersSpec extends SparkSpec {
   import spark.implicits._
@@ -294,6 +294,39 @@ class RelationalHelpersSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(j("u1") == ((4L, "click>view>purchase"))) // 4 events, 3 steps kept
     assert(j("u2") == ((1L, "signup")))
+  }
+
+  test("cooccurrence: A-priori pruning, basket-keyed pairs, canonical order") {
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "b"), // duplicate item in basket: once
+      (4L, "c"), (4L, "d")
+    ).toDF("basket", "item")
+    // a:3, b:3, c:2, d:1 baskets; minItemSupport=2 drops d (and with it
+    // the only c-d pair); pair (a,b):3, (a,c):1, (b,c):1; minPair=2 → a-b
+    val r = Affinity.cooccurrence(baskets, "basket", "item",
+        minItemSupport = 2, minPairSupport = 2, k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("a", "b", 3L)))
+  }
+
+  test("fuzzyJoin equals the naive all-pairs filter, without a cartesian") {
+    val left = Seq((1L, "kitten"), (2L, "ab"), (3L, "zzzzzzz"))
+      .toDF("lid", "lname")
+    val right = Seq((10L, "sitting"), (11L, "kitten"), (12L, "abcd"),
+      (13L, "b"), (14L, "unrelatedlongstring")).toDF("rid", "rname")
+    val got = Joins.fuzzyJoin(left, right, "lname", "rname", maxDist = 2)
+      .select("lid", "rid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // kitten-sitting does NOT qualify (dist 3); length-crossing matches
+    // (ab→abcd dist 2, ab→b dist 1) must survive the bucket blocking
+    assert(got == Set((1L, 11L, 0), (2L, 12L, 2), (2L, 13L, 1)))
+    val plan = Joins.fuzzyJoin(left, right, "lname", "rname", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzyJoin degraded to all-pairs:\n$plan")
   }
 
   test("presentation: thousands formatting and address prefill (C10/C11)") {
