@@ -789,7 +789,20 @@ object SparkEntry {
         .select(col("probe_key"), col("probe"), col("match_key"),
           col("name"), col("dist"))
         .orderBy(col("probe_key"), col("match_key"))
-    })
+    }),
+
+    // n-gram LM quality score per document (CCNet-style filter) — pure
+    // rational arithmetic + sorted-fold mean, so the oracle reproduces the
+    // doubles bit-for-bit
+    "q70_lm_score" -> ((s, d) =>
+      Corpus.lmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Misra-Gries heavy hitters with capacity far above the true
+    // cardinality — the sketch's no-decrement regime, where every
+    // estimate is exact and the oracle is the plain group-by
+    "q71_heavy_hitters" -> ((s, d) =>
+      Profiling.heavyHitters(t(s, d, "events"), "event_type", capacity = 64))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1874,6 +1887,44 @@ object SparkEntry {
         |  CAST(levenshtein(probe, p_name) AS INTEGER) AS dist
         |FROM probes, part WHERE levenshtein(probe, p_name) <= 2
         |ORDER BY probe_key, match_key"""
+        .stripMargin.replace("\n", " "),
+
+    // add-one-smoothed bigram ratios, mean over the SORTED ratio list —
+    // list_sum(list_sort(...)) ≡ the engine's aggregate(array_sort(...))
+    // in-order double fold; no logs anywhere (libm would diverge)
+    "q70_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    [lower(x) for x in regexp_extract_all(trim(text), '\S+')] AS l
+        |  FROM documents
+        |), ucnt AS (
+        |  SELECT u AS tok, count(*) AS c
+        |  FROM (SELECT unnest(l) AS u FROM toks) GROUP BY 1
+        |), v AS (
+        |  SELECT count(*) AS nv FROM ucnt
+        |), pairs AS (
+        |  SELECT doc_id, s['p'] AS prefix, s['b'] AS bigram FROM (
+        |    SELECT doc_id, unnest([{'p': l[i], 'b': l[i] || ' ' || l[i+1]}
+        |      for i in generate_series(1, len(l)-1)]) AS s
+        |    FROM toks)
+        |), bcnt AS (
+        |  SELECT bigram, count(*) AS bc FROM pairs GROUP BY 1
+        |), ratios AS (
+        |  SELECT doc_id, CAST(bc + 1 AS DOUBLE) / (uc.c + v.nv) AS r
+        |  FROM pairs JOIN bcnt USING (bigram)
+        |  JOIN ucnt uc ON pairs.prefix = uc.tok CROSS JOIN v
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  list_sum(list_sort(list(r))) / count(*) AS lm_score
+        |FROM ratios GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    // capacity (64) >> distinct event types (5): the sketch never
+    // decrements, so its output IS the exact count table
+    "q71_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS n FROM events
+        |WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, item"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -175,6 +175,48 @@ object Corpus {
       .limit(k)
   }
 
+  /** n-gram LM quality scoring (the CCNet/KenLM-style filter: score each
+    * document by how typical its bigrams are of the corpus, keep/weight by
+    * score). Per document: mean over its bigrams of the add-one-smoothed
+    * conditional probability `(count(bigram)+1) / (count(prefix)+V)`,
+    * V = vocabulary size. Deliberately NO logarithms: `ln` is libm-specific
+    * and breaks bit-identical cross-engine verification, while one integer
+    * add, one IEEE divide and an in-order fold over the sorted ratio list
+    * are exact everywhere — the mean of smoothed probabilities ranks
+    * documents the same way a mean log-prob does for filtering purposes.
+    *
+    * Shape: one pass builds the unigram/bigram count tables (hash aggs),
+    * the document's bigrams join back to both (shuffle joins on the gram
+    * string — the LM tables are vocab-bounded, far smaller than the
+    * corpus), and the per-doc mean folds the SORTED ratio list so the
+    * double sum is independent of row arrival order. Documents with <2
+    * tokens have no bigrams and drop out (filter them upstream or treat
+    * absence as unscorable). At extreme vocab, join on an 8-byte gram hash
+    * instead of the string (the [[decontaminate]] trick) and accept the
+    * collision-merge noise.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("__l"))
+    val m = greatest(size(col("__l")) - 1, lit(0))
+    val pairs = toks.select(col(idCol),
+      explode(zip_with(slice(col("__l"), lit(1), m), slice(col("__l"), lit(2), m),
+        (a, b) => struct(a.as("p"), concat_ws(" ", a, b).as("b")))).as("__s"))
+      .select(col(idCol), col("__s.p").as("__prefix"), col("__s.b").as("__bigram"))
+    val ucnt = toks.select(explode(col("__l")).as("__prefix"))
+      .groupBy(col("__prefix")).agg(count(lit(1)).as("__uc"))
+    val v = ucnt.agg(count(lit(1)).as("__nv"))
+    val bcnt = pairs.groupBy(col("__bigram")).agg(count(lit(1)).as("__bc"))
+    pairs.join(bcnt, "__bigram").join(ucnt, "__prefix")
+      .crossJoin(broadcast(v))
+      .withColumn("__r",
+        (col("__bc") + 1).cast("double") / (col("__uc") + col("__nv")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(array_sort(collect_list(col("__r"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("lm_score"))
+  }
+
   /** Decontamination: drop every document sharing ANY word n-gram with the
     * probe set (the standard "remove benchmark/test-set text from training
     * data" step; n = 8–13 in practice — lower n is aggressive). Probe

@@ -184,6 +184,23 @@ object Profiling {
         col("max_share"), col("topk_count"), col("topk_share"))
   }
 
+  /** Heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.MisraGries]]): frequent values of a column from
+    * k-bounded per-partition state — the approximate fallback for when the
+    * exact per-key count table is itself too large to shuffle (the exact
+    * path is [[keySkew]]/plain groupBy). Estimates are undercounts by at
+    * most n/(capacity+1); with true cardinality <= capacity they are
+    * exact. Returns (item, n) ordered by count desc, item tiebreak.
+    */
+  def heavyHitters(df: DataFrame, column: String, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(column).cast("string")).as[String]
+      .select(new graft.functions.MisraGries(capacity).toColumn.name("__m"))
+      .select(explode(col("__m")).as(Seq("item", "n")))
+      .orderBy(col("n").desc, col("item"))
+  }
+
   /** Quantile segmentation: each row's n-tile (1..n) within its group
     * under a total order — "which value quartile is this event in, among
     * its type". `orderCols` must totally order each group's rows or tile

@@ -52,6 +52,23 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.topBigrams(one, "text", k = 10).count() == 0)
   }
 
+  test("lmScore: in-distribution docs outscore rare-bigram docs; <2 tokens drop") {
+    val corpus = Seq(
+      (0L, "the cat sat"), (1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "xq zv qqq"), // bigrams seen once each → low conditional prob
+      (4L, "solo"), (5L, "")
+    ).toDF("doc_id", "text")
+    val r = Corpus.lmScore(corpus, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(!r.contains(4L) && !r.contains(5L)) // no bigrams → unscorable
+    assert(r(0L) == r(1L) && r(1L) == r(2L))   // identical docs, same score
+    assert(r(0L)._1 == 2 && r(3L)._1 == 2)
+    assert(r(0L)._2 > r(3L)._2) // "the cat"×3 beats one-off junk bigrams
+    // exact value, doc 0: V=7 (the,cat,sat,xq,zv,qqq,solo);
+    // r("the cat") = (3+1)/(3+7), r("cat sat") = (3+1)/(3+7); mean = 0.4
+    assert(math.abs(r(0L)._2 - 0.4) < 1e-15)
+  }
+
   test("chunking: stride windows, clipped tail, empty doc yields no chunks") {
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
       .toDF("doc_id", "text")

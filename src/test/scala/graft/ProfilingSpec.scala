@@ -100,6 +100,43 @@ class ProfilingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("heavy hitters: exact when cardinality <= capacity, incl. across merges") {
+    val rows = (1 to 50).map(_ => "a") ++ (1 to 30).map(_ => "b") ++
+      (1 to 20).map(_ => "c")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("v") // force merges
+    val got = Profiling.heavyHitters(df, "v", capacity = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 50L), ("b", 30L), ("c", 20L)))
+  }
+
+  test("heavy hitters: MG bound holds under overflow — hot items surface, undercount <= n/(k+1)") {
+    // 1000 rows: "hot" 400, "warm" 200, 400 singletons; capacity 4
+    val rows = (1 to 400).map(_ => "hot") ++ (1 to 200).map(_ => "warm") ++
+      (1 to 400).map(i => s"one$i")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("v")
+    val got = Profiling.heavyHitters(df, "v", capacity = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 1000L; val err = n / 5 // n/(k+1) = 200
+    // any item with true count > n/(k+1) MUST be present
+    assert(got.contains("hot"), s"hot missing from $got")
+    assert(got("hot") <= 400 && got("hot") >= 400 - err)
+    for ((item, est) <- got) {
+      val truth = item match {
+        case "hot" => 400L; case "warm" => 200L; case _ => 1L
+      }
+      assert(est <= truth && est >= truth - err,
+        s"$item estimate $est outside [${truth - err}, $truth]")
+    }
+  }
+
+  test("heavy hitters: nulls are skipped, not counted") {
+    val df = Seq(Some("x"), None, Some("x"), None, Some("y"))
+      .toDF("v")
+    val got = Profiling.heavyHitters(df, "v", capacity = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("x", 2L), ("y", 1L)))
+  }
+
   test("winsorized stats: tiny group degenerates to its own value, no crash") {
     val df = Seq(("t", 1L, 42.0)).toDF("grp", "id", "value")
     val r = Profiling.winsorizedStats(df, "grp", "value", "id", 5, 95)
