@@ -196,8 +196,15 @@ object Corpus {
     * collision-merge noise.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // three consumers walk the scan+tokenize lineage (bigram counts,
+    // unigram counts, the scoring join) — persist the token frame so the
+    // corpus is scanned and tokenized once, not once per consumer (the
+    // same multi-consumer rule as the MinHash band table / IVF build
+    // base); the downstream explodes re-run from the cached arrays, which
+    // is CPU-cheap next to a corpus re-scan
     val toks = df.select(col(idCol),
       transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = greatest(size(col("__l")) - 1, lit(0))
     val pairs = toks.select(col(idCol),
       explode(zip_with(slice(col("__l"), lit(1), m), slice(col("__l"), lit(2), m),

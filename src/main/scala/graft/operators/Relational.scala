@@ -304,6 +304,11 @@ object Joins {
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin requires a non-negative distance")
+    require(!(left.columns ++ right.columns).exists(Seq("__bkt", "dist").contains),
+      "columns __bkt and dist are reserved by fuzzyJoin")
+    require(left.columns.intersect(right.columns).isEmpty,
+      s"fuzzyJoin output would be ambiguous: both sides have " +
+        s"${left.columns.intersect(right.columns).mkString(",")}")
     val w = maxDist + 1
     val lLen = length(col(leftCol))
     val lo = floor((lLen - maxDist).cast("double") / w).cast("long")

@@ -275,6 +275,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG sketch over micro-batches equals batch counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // capacity above cardinality → exact regime, so streamed == groupBy
+    val batch1 = (1 to 20).map(_ => "a") ++ (1 to 5).map(_ => "b")
+    val batch2 = (1 to 10).map(_ => "a") ++ (1 to 7).map(_ => "c")
+    val input = MemoryStream[String]
+    val q = input.toDS()
+      .select(new graft.functions.MisraGries(8).toColumn.name("m"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hh_stream").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("hh_stream")
+        .select(explode($"m")).as[(String, Long)].collect().toMap
+      assert(streamed == Map("a" -> 30L, "b" -> 5L, "c" -> 7L))
+    } finally q.stop()
+  }
+
   test("header codec parses real PNG and JPEG header bytes") {
     import Multimodal.HeaderCodec
     // a real PNG header: signature + IHDR chunk for a 320×240 image
