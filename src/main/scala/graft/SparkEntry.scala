@@ -1847,7 +1847,8 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
         |  AS journey
-        |FROM events GROUP BY user_id ORDER BY user_id"""
+        |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replace("\n", " "),
 
     // list-comprehension pairing ≡ the engine's zip_with over the

@@ -164,12 +164,21 @@ object Corpus {
     * until the 2-word-string counts — same one-aggregate shape as
     * [[topTokens]]. Documents with <2 tokens contribute nothing.
     */
+  /** Adjacent-pair structs `(p = first token, b = "first second")` over a
+    * lowercased token array — THE bigram definition, shared by
+    * [[topBigrams]] and [[lmScore]] so the q67 count table and the q70 LM
+    * scores can never desynchronize on tokenization or pair shape.
+    */
+  private def adjacentPairs(toks: Column): Column = {
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("p"), concat_ws(" ", a, b).as("b")))
+  }
+
   def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val toks = transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
-    val m = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
-      (a, b) => concat_ws(" ", a, b))
-    df.select(explode(bigrams).as("bigram"))
+    df.select(explode(adjacentPairs(toks)).as("__s"))
+      .select(col("__s.b").as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
@@ -194,6 +203,11 @@ object Corpus {
     * absence as unscorable). At extreme vocab, join on an 8-byte gram hash
     * instead of the string (the [[decontaminate]] trick) and accept the
     * collision-merge noise.
+    *
+    * The persisted token frame lives until the session drops it (the same
+    * lifetime contract as the Dedup/MinHash cached frames): when scoring
+    * many corpora in one long-lived session, `spark.catalog.clearCache()`
+    * between corpora or persist the scored output and release upstream.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // three consumers walk the scan+tokenize lineage (bigram counts,
@@ -205,10 +219,8 @@ object Corpus {
     val toks = df.select(col(idCol),
       transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("__l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = greatest(size(col("__l")) - 1, lit(0))
     val pairs = toks.select(col(idCol),
-      explode(zip_with(slice(col("__l"), lit(1), m), slice(col("__l"), lit(2), m),
-        (a, b) => struct(a.as("p"), concat_ws(" ", a, b).as("b")))).as("__s"))
+      explode(adjacentPairs(col("__l"))).as("__s"))
       .select(col(idCol), col("__s.p").as("__prefix"), col("__s.b").as("__bigram"))
     val ucnt = toks.select(explode(col("__l")).as("__prefix"))
       .groupBy(col("__prefix")).agg(count(lit(1)).as("__uc"))

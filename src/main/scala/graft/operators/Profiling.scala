@@ -168,6 +168,7 @@ object Profiling {
     * cross join. Shares are single double divisions of exact longs.
     */
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "keySkew requires topK >= 1")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
     val totals = counts.agg(
       sum(col("__c")).as("n_rows"),

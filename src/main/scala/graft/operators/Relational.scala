@@ -342,6 +342,9 @@ object Affinity {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    minItemSupport: Long, minPairSupport: Long,
                    k: Int): DataFrame = {
+    require(minItemSupport >= 1 && minPairSupport >= 1,
+      "cooccurrence requires positive support thresholds")
+    require(k >= 1, "cooccurrence requires k >= 1")
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
     val frequent = items.groupBy(col("__i"))
@@ -641,9 +644,15 @@ object TimeSeries {
   def journeys(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
                typeCol: String, maxSteps: Int): DataFrame = {
     require(maxSteps >= 1, "journeys requires at least one step")
+    // null-ts/null-type events are INERT (excluded before the aggregate,
+    // like the moments operators): a null type would silently consume a
+    // step slot yet vanish from the concat_ws string, and a null ts sorts
+    // first in Spark struct order but NULLS LAST in most SQL engines —
+    // exclusion is the only semantics both engines state identically
     val sorted = array_sort(collect_list(
       struct(col(tsCol), col(tieCol), col(typeCol).as("__t"))))
-    df.groupBy(col(keyCol))
+    df.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         concat_ws(">",
           transform(slice(sorted, 1, maxSteps), s => s.getField("__t")))
@@ -756,12 +765,21 @@ object Incremental {
   def mergeAdditive(base: DataFrame, delta: DataFrame, keys: Seq[String],
                     sumCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "mergeAdditive requires grouping keys")
-    val b = base.select(keys.map(col) ++
+    // NULL-SAFE key equality (<=>): groupBy emits a null group when the
+    // grouped column has nulls, and a plain equi-join would leave the two
+    // sides' null groups unmatched — two partial rows where the full
+    // recompute has one merged row, silently breaking the ≡-recompute
+    // contract
+    val b = base.select(keys.map(k => col(k).as(s"__bk_$k")) ++
       sumCols.map(c => col(c).as(s"__b_$c")): _*)
-    val d = delta.select(keys.map(col) ++
+    val d = delta.select(keys.map(k => col(k).as(s"__dk_$k")) ++
       sumCols.map(c => col(c).as(s"__d_$c")): _*)
+    val cond = keys.map(k => col(s"__bk_$k") <=> col(s"__dk_$k")).reduce(_ && _)
     val zero = (c: String) => lit(0).cast(base.schema(c).dataType)
-    sumCols.foldLeft(b.join(d, keys, "full_outer")) { (df, c) =>
+    val joined = keys.foldLeft(b.join(d, cond, "full_outer")) { (df, k) =>
+      df.withColumn(k, coalesce(col(s"__bk_$k"), col(s"__dk_$k")))
+    }
+    sumCols.foldLeft(joined) { (df, c) =>
       df.withColumn(c,
         coalesce(col(s"__b_$c"), zero(c)) + coalesce(col(s"__d_$c"), zero(c)))
     }.select(keys.map(col) ++ sumCols.map(col): _*)

@@ -311,6 +311,46 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a", "b", 3L)))
   }
 
+  test("cooccurrence: pair self-join sides share one exchange (reused)") {
+    // both sides of the basket-keyed self-join come from the same pruned
+    // (basket, item) frame; the ReuseExchange rule must share its shuffle
+    // or the distinct+prune lineage runs once per side. AQE off, same
+    // rationale as the keySkew / duplicate-spans guards.
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+        .toDF("basket", "item")
+      val plan = Affinity.cooccurrence(df, "basket", "item", 1, 1, 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"pruned-items exchange not shared across the self-join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("incremental merge: null grouping keys merge null-safely") {
+    val base = Seq((Option("a"), 2L), (Option.empty[String], 5L)).toDF("k", "n")
+    val delta = Seq((Option.empty[String], 3L), (Option("c"), 1L)).toDF("k", "n")
+    val m = Incremental.mergeAdditive(base, delta, Seq("k"), Seq("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null group must merge to ONE row (5+3), matching the recompute
+    assert(m == Map(Option("a") -> 2L, None -> 8L, Option("c") -> 1L))
+  }
+
+  test("journeys: null-ts / null-type events are inert (excluded up front)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", Option(ts("2024-01-01 10:00:00")), 1L, Option("a")),
+      ("u1", Option(ts("2024-01-01 11:00:00")), 2L, Option.empty[String]),
+      ("u1", Option.empty[java.sql.Timestamp], 3L, Option("b")),
+      ("u1", Option(ts("2024-01-01 12:00:00")), 4L, Option("c"))
+    ).toDF("user", "ts", "event_id", "event_type")
+    val j = TimeSeries.journeys(ev, "user", "ts", "event_id", "event_type", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // nulls neither occupy step slots nor count: 2 valid events, path a>c
+    assert(j("u1") == ((2L, "a>c")))
+  }
+
   test("fuzzyJoin equals the naive all-pairs filter, without a cartesian") {
     val left = Seq((1L, "kitten"), (2L, "ab"), (3L, "zzzzzzz"))
       .toDF("lid", "lname")
