@@ -802,7 +802,43 @@ object SparkEntry {
     // cardinality — the sketch's no-decrement regime, where every
     // estimate is exact and the oracle is the plain group-by
     "q71_heavy_hitters" -> ((s, d) =>
-      Profiling.heavyHitters(t(s, d, "events"), "event_type", capacity = 64))
+      Profiling.heavyHitters(t(s, d, "events"), "event_type", capacity = 64)),
+
+    // Interval-overlap temporal join: per-user view intervals × purchase
+    // intervals (deterministic event_id-derived lengths), binned cells +
+    // overlap-start dedup — oracle is the naive all-pairs overlap filter
+    "q72_interval_join" -> ((s, d) => {
+      val iv = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("__lo"))
+        .withColumn("__hi",
+          col("__lo") + (col("event_id") % 50 + 1) * lit(3600000000L))
+      val views = iv.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("left_id"),
+          col("__lo").as("left_lo"), col("__hi").as("left_hi"))
+      val buys = iv.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("right_id"),
+          col("__lo").as("right_lo"), col("__hi").as("right_hi"))
+      // binWidth = 50 h (the max interval length) in micros
+      Joins.intervalOverlapJoin(views, buys, Seq("user_id"),
+          "left_lo", "left_hi", "right_lo", "right_hi",
+          binWidth = 50L * 3600000000L)
+        .select(col("user_id"), col("left_id"), col("right_id"),
+          (least(col("left_hi"), col("right_hi")) -
+            greatest(col("left_lo"), col("right_lo"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("left_id"), col("right_id"))
+    }),
+
+    // PageRank (2 power iterations, damping 0.85) over the symmetrized
+    // part-affinity graph from q68's pair mining — sorted-fold double
+    // sums make the iterative ranks bit-reproducible in the oracle
+    "q73_pagerank" -> ((s, d) => {
+      val pairs = Affinity.cooccurrencePairs(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minItemSupport = 20, minPairSupport = 2)
+      val edges = pairs.select(col("i1").as("s"), col("i2").as("d"))
+        .unionByName(pairs.select(col("i2").as("s"), col("i1").as("d")))
+      Graph.pageRank(edges, "s", "d", iters = 2).orderBy(col("node"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1926,6 +1962,55 @@ object SparkEntry {
       """SELECT event_type AS item, count(*) AS n FROM events
         |WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, item"""
+        .stripMargin.replace("\n", " "),
+
+    // the oracle is the naive all-pairs overlap the binned+dedup join
+    // must exactly reproduce; epoch_us ≡ Spark unix_micros under UTC
+    "q72_interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + (event_id % 50 + 1) * 3600000000 AS hi
+        |  FROM events
+        |)
+        |SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND a.lo < b.hi AND b.lo < a.hi
+        |ORDER BY 1, 2, 3"""
+        .stripMargin.replace("\n", " "),
+
+    // both iterations unrolled; teleport mirrors the engine's
+    // `1.0 - damping` IEEE subtraction (NOT a 0.15 literal);
+    // list_sum(list_sort(...)) ≡ the engine's sorted in-order fold
+    "q73_pagerank" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), freq AS (
+        |  SELECT i FROM items GROUP BY i HAVING count(*) >= 20
+        |), pruned AS (
+        |  SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)
+        |), pairs AS (
+        |  SELECT a.i AS i1, c.i AS i2 FROM pruned a JOIN pruned c
+        |  ON a.b = c.b AND a.i < c.i GROUP BY 1, 2 HAVING count(*) >= 2
+        |), edges AS (
+        |  SELECT i1 AS s, i2 AS d FROM pairs
+        |  UNION ALL SELECT i2, i1 FROM pairs
+        |), deg AS (
+        |  SELECT s, count(*) AS dg FROM edges GROUP BY 1
+        |), pr1 AS (
+        |  SELECT e.d AS v,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+        |      * list_sum(list_sort(list(CAST(1 AS DOUBLE) / dg))) AS pr
+        |  FROM edges e JOIN deg ON e.s = deg.s GROUP BY e.d
+        |), pr2 AS (
+        |  SELECT e.d AS v,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+        |      * list_sum(list_sort(list(pr1.pr / deg.dg))) AS pr
+        |  FROM edges e JOIN deg ON e.s = deg.s JOIN pr1 ON pr1.v = e.s
+        |  GROUP BY e.d
+        |)
+        |SELECT v AS node, pr FROM pr2 ORDER BY v"""
         .stripMargin.replace("\n", " ")
   )
 }

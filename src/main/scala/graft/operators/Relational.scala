@@ -181,6 +181,48 @@ object Joins {
       .drop("__cell")
   }
 
+  /** Interval-overlap join (temporal join — completes the asof/range-join
+    * family): every (left, right) pair of the same key whose half-open
+    * intervals `[lo, hi)` strictly overlap (`l.lo < r.hi AND r.lo < l.hi`),
+    * without the nested-loop join a raw overlap predicate plans.
+    *
+    * Binning with pair dedup: both sides explode their intervals onto
+    * `binWidth` cells and the join is an equality on (keys…, cell); a pair
+    * sharing several cells would surface once per shared cell, so it is
+    * KEPT only in the cell holding the overlap's start, `greatest(l.lo,
+    * r.lo)` — a cell both intervals provably cover (it precedes both
+    * `hi`s), making the dedup exact with no distinct step. Cost:
+    * O(Σ interval length / binWidth) exploded rows, pairs bounded per
+    * (key, cell) — pick `binWidth` near the typical interval length; very
+    * long intervals fan out proportionally (same trade as
+    * [[rangeJoinBinned]]).
+    *
+    * Bound columns are numeric (epoch micros for time — build with
+    * `unix_micros`); keys must share names across sides, all other
+    * columns must be disjoint.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String],
+                          leftLo: String, leftHi: String,
+                          rightLo: String, rightHi: String,
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0, "intervalOverlapJoin requires a positive binWidth")
+    require(!(left.columns ++ right.columns).contains("__cell"),
+      "column __cell is reserved by intervalOverlapJoin")
+    val clash = left.columns.intersect(right.columns).filterNot(keys.contains)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin output would be ambiguous: ${clash.mkString(",")}")
+    val cell = (c: Column) => floor(c / binWidth).cast("long")
+    val l = left.withColumn("__cell",
+      explode(sequence(cell(col(leftLo)), cell(col(leftHi)))))
+    val r = right.withColumn("__cell",
+      explode(sequence(cell(col(rightLo)), cell(col(rightHi)))))
+    l.join(r, keys :+ "__cell")
+      .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      .filter(col("__cell") === cell(greatest(col(leftLo), col(rightLo))))
+      .drop("__cell")
+  }
+
   /** Bloom-prefiltered join: before shuffling the (huge) fact side for an
     * equi-join, drop every fact row whose key cannot be in the dim side —
     * a bloom filter built over the dim keys in one aggregate, applied as a
@@ -342,9 +384,21 @@ object Affinity {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    minItemSupport: Long, minPairSupport: Long,
                    k: Int): DataFrame = {
+    require(k >= 1, "cooccurrence requires k >= 1")
+    cooccurrencePairs(df, basketCol, itemCol, minItemSupport, minPairSupport)
+      .orderBy(col("n_baskets").desc, col("i1"), col("i2"))
+      .limit(k)
+  }
+
+  /** The untruncated pair set behind [[cooccurrence]] — (i1, i2,
+    * n_baskets) with i1 < i2, every pair above the support thresholds.
+    * This is also the repo's canonical item-affinity GRAPH: symmetrize it
+    * and the pairs are edges (see [[Graph.pageRank]]'s contract query).
+    */
+  def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+                        minItemSupport: Long, minPairSupport: Long): DataFrame = {
     require(minItemSupport >= 1 && minPairSupport >= 1,
       "cooccurrence requires positive support thresholds")
-    require(k >= 1, "cooccurrence requires k >= 1")
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
     val frequent = items.groupBy(col("__i"))
@@ -357,8 +411,6 @@ object Affinity {
     a.join(b, Seq("__b")).filter(col("i1") < col("i2"))
       .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minPairSupport)
-      .orderBy(col("n_baskets").desc, col("i1"), col("i2"))
-      .limit(k)
   }
 }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Affinity, Changelog, Incremental, Joins, Presentation, TimeSeries, TopK}
+import graft.operators.{Affinity, Changelog, Graph, Incremental, Joins, Presentation, TimeSeries, TopK}
 
 class RelationalHelpersSpec extends SparkSpec {
   import spark.implicits._
@@ -367,6 +367,46 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzyJoin degraded to all-pairs:\n$plan")
+  }
+
+  test("intervalOverlapJoin: exact overlap set, one row per pair, no nested loop") {
+    val l = Seq((1L, 10L, 0.0, 100.0), (1L, 11L, 200.0, 210.0),
+      (2L, 20L, 0.0, 50.0)).toDF("k", "lid", "llo", "lhi")
+    val r = Seq((1L, 90L, 50.0, 250.0), (1L, 91L, 99.0, 100.5),
+      (2L, 92L, 50.0, 60.0), // touches 20's hi — half-open, no overlap
+      (3L, 93L, 0.0, 1000.0)).toDF("k", "rid", "rlo", "rhi")
+    // tiny binWidth (5) forces every interval across MANY cells — the
+    // overlap-start dedup must still emit each pair exactly once
+    val got = Joins.intervalOverlapJoin(l, r, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", binWidth = 5.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set((10L, 90L), (10L, 91L), (11L, 90L)))
+    val plan = Joins.intervalOverlapJoin(l, r, Seq("k"),
+        "llo", "lhi", "rlo", "rhi", binWidth = 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degraded to all-pairs:\n$plan")
+  }
+
+  test("pageRank: hand-computed star graph, mass conserved, deterministic") {
+    // symmetrized star a-b, a-c: deg a=2, b=c=1; uniform init 1.0
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("s", "d")
+    val pr1 = Graph.pageRank(edges, "s", "d", iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr1("a") - 1.85) < 1e-12)   // 0.15 + 0.85*(1 + 1)
+    assert(math.abs(pr1("b") - 0.575) < 1e-12)  // 0.15 + 0.85*(1/2)
+    assert(math.abs(pr1("c") - 0.575) < 1e-12)
+    assert(math.abs(pr1.values.sum - 3.0) < 1e-12) // no dangling: mass kept
+    val pr2 = Graph.pageRank(edges, "s", "d", iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr2("a") - 1.1275) < 1e-12)  // 0.15 + 0.85*2*0.575
+    assert(math.abs(pr2("b") - 0.93625) < 1e-12) // 0.15 + 0.85*(1.85/2)
+    // determinism: a second evaluation returns bit-identical doubles
+    val again = Graph.pageRank(edges, "s", "d", iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == pr2)
   }
 
   test("presentation: thousands formatting and address prefill (C10/C11)") {
