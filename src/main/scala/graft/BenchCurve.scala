@@ -79,7 +79,10 @@ object BenchCurve {
     val headline = Seq("q04_group_counts", "q13_pricing_rollup",
       "q17_fingerprints", "q18_dedup_exact", "q19_minhash_lsh",
       "q21_ngram_jaccard", "q22_cosine_topk", "q23_ann_lsh", "q28_ivf_topk",
-      "q31_chunks", "q33_sessions")
+      "q31_chunks", "q33_sessions",
+      // final-surface additions: the sketch (k-bounded state), the LM
+      // scorer (count-table joins), and the iterative graph op
+      "q71_heavy_hitters", "q70_lm_score", "q73_pagerank")
 
     val x4 = "/tmp/graft_bench_x4"
     ensureX4(spark, "/root/testdata/sf0.1", x4)
