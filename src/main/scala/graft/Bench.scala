@@ -30,14 +30,21 @@ object Bench {
 
     // min of two timed runs per query: steady-state measure, robust to
     // the multi-second scheduler noise a shared VM shows on short queries.
-    // A failing query records a 9999s sentinel (NOT its time-to-throw —
-    // a broken build must read as slow, never as fast) + a stderr line.
+    // The Spark cache is cleared BETWEEN reps: operators that persist
+    // multi-consumer frames (q19/q21/q28/q70) would otherwise get their
+    // second rep served from the first rep's cache via the cache
+    // manager's plan-equality lookup — a warm min measures cross-run
+    // reuse, not the query. A failing query records a 9999s sentinel
+    // (NOT its time-to-throw — a broken build must read as slow, never
+    // as fast) + a stderr line.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sharedState.cacheManager.clearCache()
+          dt
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -104,7 +104,11 @@ object BenchCurve {
           try {
             SparkEntry.queries(name)(spark, dir)
               .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            // cold min: a persisting operator's second rep must not be
+            // served from the first rep's cache (see Bench.scala)
+            spark.sharedState.cacheManager.clearCache()
+            dt
           } catch { case e: Throwable =>
             System.err.println(s"[curve] $label/$name FAILED: ${e.getMessage}")
             9999.0

@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge frames. The repo's other graph op —
   * connected components for dedup clustering — lives in
-  * [[Dedup.nearDupClusters]]; this object holds the rank/centrality side.
+  * [[Dedup.connectedComponents]]; this object holds the rank/centrality
+  * side.
   */
 object Graph {
 
-  /** PageRank by power iteration, simple form (uniform init = 1, per-node
-    * teleport `1-damping`, no dangling redistribution — symmetrize the
-    * edge set and every node has out-edges, which the contract query
-    * does). Returns (node, pr) for every node with in-edges.
+  /** PageRank by power iteration, simple form: uniform init = 1 over ALL
+    * nodes (sources ∪ destinations), per-node teleport `1-damping`, no
+    * dangling-mass redistribution (a node with no out-edges contributes
+    * nothing; its own rank is still computed). Works on arbitrary
+    * directed edge sets — a node with no in-edges holds the bare teleport
+    * value and keeps feeding its out-edges every iteration. Returns
+    * (node, pr) for every node of the graph.
     *
     * Determinism contract (what makes an iterative double algorithm
     * oracle-checkable at all): each node's incoming contributions are
@@ -24,31 +28,47 @@ object Graph {
     * an oracle (not a rounded literal — `1 - 0.85` is NOT the double
     * nearest 0.15).
     *
-    * Scale shape per iteration: one equi-join of edges to the rank frame
-    * (shuffle on source) and one hash aggregate on destination. The edge
-    * frame is persisted — it feeds degree computation plus every
-    * iteration, and its upstream lineage (e.g. pair mining) must not
-    * re-run per step. Iterations beyond a handful should localCheckpoint
-    * the rank frame to keep the plan from doubling (the connected-
-    * components rule); at 2 contract iterations plain lineage is fine.
+    * This is a BUILD-style operator (like the IVF index build and
+    * connected components): it runs jobs eagerly. The edge/degree/node
+    * frames are localCheckpoint'ed once — truncating whatever expensive
+    * lineage produced the edges (e.g. pair mining) so no step re-runs it
+    * and the per-iteration plan stays constant-size — and each
+    * iteration's rank frame checkpoints and releases its predecessor.
+    * All build frames are unpersisted before returning; the returned
+    * frame owns only its own checkpoint blocks. Per iteration: one
+    * equi-join of edges to ranks (shuffle on source), one hash aggregate
+    * on destination, one left join back to the node list.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank requires at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__dg"))
-    def step(pr: DataFrame): DataFrame =
-      e.join(deg, "__s").join(pr, col("__s") === col("__v"))
+      .localCheckpoint()
+    val nodes = e.select(col("__s").as("__v"))
+      .union(e.select(col("__d").as("__v"))).distinct()
+      .localCheckpoint()
+    val withDeg = e.join(deg, "__s")
+    var pr = nodes.select(col("__v"), lit(1.0).as("__pr")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val summed = withDeg.join(pr, col("__s") === col("__v"))
         .select(col("__d"), (col("__pr") / col("__dg")).as("__c"))
         .groupBy(col("__d"))
-        .agg((lit(1.0 - damping) + lit(damping) *
-          aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
-            (acc, x) => acc + x)).as("pr"))
-        .select(col("__d").as("__v"), col("pr").as("__pr"))
-    val init = deg.select(col("__s").as("__v"), lit(1.0).as("__pr"))
-    (1 to iters).foldLeft(init)((pr, _) => step(pr))
-      .select(col("__v").as("node"), col("__pr").as("pr"))
+        .agg(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
+          (acc, x) => acc + x).as("__sum"))
+      val next = nodes
+        .join(summed, col("__v") === col("__d"), "left_outer")
+        .select(col("__v"), (lit(1.0 - damping) + lit(damping) *
+          coalesce(col("__sum"), lit(0.0))).as("__pr"))
+        .localCheckpoint()
+      pr.unpersist(blocking = false)
+      pr = next
+    }
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    pr.select(col("__v").as("node"), col("__pr").as("pr"))
   }
 }

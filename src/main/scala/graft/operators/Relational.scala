@@ -168,11 +168,16 @@ object Joins {
     * small; very long ranges fan out proportionally (the standard trade;
     * split the dim by range length and use two widths if it bites).
     */
+  /** THE bin-cell formula, shared by [[rangeJoinBinned]] and
+    * [[intervalOverlapJoin]] so the two binned joins cannot diverge. */
+  private def binCell(binWidth: Double)(c: Column): Column =
+    floor(c / binWidth).cast("long")
+
   def rangeJoinBinned(points: DataFrame, pointCol: String,
                       ranges: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0)
-    val cell = (c: Column) => floor(c / binWidth).cast("long")
+    val cell = binCell(binWidth) _
     val r = ranges.withColumn("__cell",
       explode(sequence(cell(col(loCol)), cell(col(hiCol)))))
     val p = points.withColumn("__cell", cell(col(pointCol)))
@@ -212,7 +217,7 @@ object Joins {
     val clash = left.columns.intersect(right.columns).filterNot(keys.contains)
     require(clash.isEmpty,
       s"intervalOverlapJoin output would be ambiguous: ${clash.mkString(",")}")
-    val cell = (c: Column) => floor(c / binWidth).cast("long")
+    val cell = binCell(binWidth) _
     val l = left.withColumn("__cell",
       explode(sequence(cell(col(leftLo)), cell(col(leftHi)))))
     val r = right.withColumn("__cell",

@@ -409,6 +409,18 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(again == pr2)
   }
 
+  test("pageRank: directed chains keep source-only nodes feeding later iterations") {
+    // a→b→c: a has no in-edges (bare teleport every round) but must keep
+    // contributing to b in iteration 2; c is dangling (no out-edges)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    val pr2 = Graph.pageRank(edges, "s", "d", iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2.keySet == Set("a", "b", "c")) // every node, incl. no-in-edge a
+    assert(math.abs(pr2("a") - 0.15) < 1e-12)
+    assert(math.abs(pr2("b") - (0.15 + 0.85 * 0.15)) < 1e-12) // a's pr1=0.15
+    assert(math.abs(pr2("c") - (0.15 + 0.85 * 1.0)) < 1e-12)  // b's pr1=1.0
+  }
+
   test("presentation: thousands formatting and address prefill (C10/C11)") {
     val df = Seq((1234567.891, "123 Main St, Apt 4B"),
       (1000.0, "9 Ocean Ave")).toDF("n", "addr")
