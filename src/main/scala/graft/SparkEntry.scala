@@ -838,6 +838,21 @@ object SparkEntry {
       val edges = pairs.select(col("i1").as("s"), col("i2").as("d"))
         .unionByName(pairs.select(col("i2").as("s"), col("i1").as("d")))
       Graph.pageRank(edges, "s", "d", iters = 2).orderBy(col("node"))
+    }),
+
+    // Per-segment OLS trend of monthly order revenue: integer month index
+    // × decimal monthly totals → exact sufficient statistics, one final
+    // double divide — the "is this segment growing" primitive
+    "q74_trend" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val monthly = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      TimeSeries.trendSlope(monthly, Seq("segment"), "x", "y")
+        .orderBy(col("segment"))
     })
   )
 
@@ -2011,6 +2026,34 @@ object SparkEntry {
         |  GROUP BY e.d
         |)
         |SELECT v AS node, pr FROM pr2 ORDER BY v"""
+        .stripMargin.replace("\n", " "),
+
+    // sufficient statistics exact in decimal/bigint; slope & intercept
+    // are each ONE double cast + divide, mirrored operation-for-operation
+    "q74_trend" ->
+      """WITH m AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+        |      AS x,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT segment, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM m GROUP BY 1
+        |), sl AS (
+        |  SELECT segment, n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+        |  FROM s
+        |)
+        |SELECT segment, n AS n_points, slope,
+        |  CASE WHEN slope IS NOT NULL THEN
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |    CAST(n AS DOUBLE) END AS intercept
+        |FROM sl ORDER BY segment"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -716,6 +716,42 @@ object TimeSeries {
           .as("journey"))
   }
 
+  /** Per-group OLS trend line (the "is this segment growing" analytics
+    * primitive): least-squares slope and intercept of `yCol` over `xCol`
+    * within each group, from ONE hash aggregate of five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) — never a per-group sort or window.
+    *
+    * Determinism: `xCol` must be integral (a month/bucket index) and
+    * `yCol` decimal — then every sum is exact whatever the partitioning,
+    * and the only floating-point steps are the final casts and divides
+    * (one each), identical on any engine. Groups with a single x value
+    * (zero variance) return null slope/intercept rather than dividing by
+    * zero. slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — textbook normal
+    * equations, denominator exact in decimal so the zero test is exact
+    * too.
+    */
+  def trendSlope(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      sum(col(xCol)).as("__sx"),
+      sum(col(yCol)).as("__sy"),
+      sum(col(xCol) * col(yCol)).as("__sxy"),
+      sum(col(xCol) * col(xCol)).as("__sxx"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(den =!= 0,
+      num.cast("double") / den.cast("double"))
+    val intercept = when(den =!= 0,
+      (col("__sy").cast("double") - col("slope") * col("__sx").cast("double"))
+        / col("__n").cast("double"))
+    agg.withColumn("n_points", col("__n"))
+      .withColumn("slope", slope)
+      .withColumn("intercept", intercept)
+      .select(groupCols.map(col) :+ col("n_points") :+ col("slope")
+        :+ col("intercept"): _*)
+  }
+
   /** Gap fill: spine LEFT JOIN aggregate with the reference's asymmetric
     * null semantics — counts become 0 for missing months, medians stay NULL
     * (reference: webserver/server.py:331-341). `zeroFill` names the count

@@ -421,6 +421,20 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(math.abs(pr2("c") - (0.15 + 0.85 * 1.0)) < 1e-12)  // b's pr1=1.0
   }
 
+  test("trendSlope: exact OLS line per group; zero-variance group yields nulls") {
+    val df = Seq(
+      ("up", 1L, BigDecimal("1.00")), ("up", 2L, BigDecimal("3.00")),
+      ("up", 3L, BigDecimal("5.00")),
+      ("flat", 5L, BigDecimal("7.00")), ("flat", 5L, BigDecimal("9.00"))
+    ).toDF("g", "x", "y")
+    val r = TimeSeries.trendSlope(df, Seq("g"), "x", "y").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("up").getLong(1) == 3)
+    assert(math.abs(r("up").getDouble(2) - 2.0) < 1e-12)  // y = 2x - 1
+    assert(math.abs(r("up").getDouble(3) - (-1.0)) < 1e-12)
+    assert(r("flat").isNullAt(2) && r("flat").isNullAt(3)) // no x variance
+  }
+
   test("presentation: thousands formatting and address prefill (C10/C11)") {
     val df = Seq((1234567.891, "123 Main St, Apt 4B"),
       (1000.0, "9 Ocean Ave")).toDF("n", "addr")

@@ -296,6 +296,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: streaming facts broadcast-join a static dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the standard enrichment shape at 100 TB: unbounded fact stream ⋈
+    // small static dim — stateless per micro-batch, dim broadcast, no
+    // stream-side shuffle and no watermark needed for an inner equi-join
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = graft.operators.Joins.factDim(
+      input.toDS().toDF("order_id", "cust_id", "amount"), dim, Seq("cust_id"))
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_stream").start()
+    try {
+      input.addData((10L, 1L, 5.0), (11L, 2L, 7.0), (12L, 9L, 1.0))
+      q.processAllAvailable()
+      input.addData((13L, 1L, 2.0)) // a later micro-batch joins the same dim
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream")
+        .select("order_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // unknown cust 9 drops (inner); both batches enriched
+      assert(got == Set((10L, "gold"), (11L, "basic"), (13L, "gold")))
+    } finally q.stop()
+  }
+
   test("header codec parses real PNG and JPEG header bytes") {
     import Multimodal.HeaderCodec
     // a real PNG header: signature + IHDR chunk for a 320×240 image
