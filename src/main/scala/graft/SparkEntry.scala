@@ -853,7 +853,26 @@ object SparkEntry {
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
       TimeSeries.trendSlope(monthly, Seq("segment"), "x", "y")
         .orderBy(col("segment"))
-    })
+    }),
+
+    // First-touch attribution: each user's purchases credited to the
+    // event type that acquired them (their first event); double revenue
+    // folded in sorted order at both levels
+    "q75_attribution" -> ((s, d) =>
+      TimeSeries.firstTouchAttribution(t(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type", "value", convType = "purchase")
+        .orderBy(col("first_touch"))),
+
+    // Rolling z-score anomaly flags per supplier over shipment order —
+    // decimal-exact frame moments, one sqrt (IEEE-correctly-rounded,
+    // unlike ln/exp) and one divide
+    "q76_anomalies" -> ((s, d) =>
+      TimeSeries.rollingZscore(t(s, d, "lineitem"), Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          "l_extendedprice", window = 20, sigmas = 2.5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("z"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2054,6 +2073,52 @@ object SparkEntry {
         |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
         |    CAST(n AS DOUBLE) END AS intercept
         |FROM sl ORDER BY segment"""
+        .stripMargin.replace("\n", " "),
+
+    // row_number over (ts, event_id) ≡ the engine's struct-min; revenue
+    // folded sorted at both levels (per user, then per touch type)
+    "q75_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |), touch AS (
+        |  SELECT user_id, event_type AS first_touch FROM t WHERE rn = 1
+        |), conv AS (
+        |  SELECT user_id, count(*) AS nc,
+        |    list_sum(list_sort(list(value))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |)
+        |SELECT first_touch, count(*) AS n_users,
+        |  sum(coalesce(nc, 0)) AS n_conversions,
+        |  list_sum(list_sort(list(coalesce(rev, 0.0)))) AS revenue
+        |FROM touch LEFT JOIN conv USING (user_id)
+        |GROUP BY 1 ORDER BY first_touch"""
+        .stripMargin.replace("\n", " "),
+
+    // identical moment arithmetic to the engine: decimal-exact frame
+    // sums cast to double, then mean/var/sqrt/divide one step each
+    "q76_anomalies" ->
+      """WITH w AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    count(*) OVER fr AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) OVER fr
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(30,6))) OVER fr AS DOUBLE) AS s2
+        |  FROM lineitem
+        |  WINDOW fr AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), z AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    (l_extendedprice - s1 / n)
+        |      / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |  FROM w WHERE n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |)
+        |SELECT * FROM z WHERE abs(z) > 2.5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -664,6 +664,73 @@ object TimeSeries {
         / count(col(valueCol)).over(w)) // null values leave the mean alone
   }
 
+  /** First-touch attribution (the acquisition-marketing primitive): every
+    * key's FIRST event (by ts, tiebreak — the lexicographic struct-min,
+    * same ordering device as [[journeys]]) is its acquisition touch, and
+    * all of the key's `convType` conversions are credited to that touch's
+    * type. Returns per touch type: keys acquired, conversions, and
+    * conversion value. Two hash aggregates and one key-equi join — no
+    * windows, no global sort.
+    *
+    * Value sums are doubles folded in SORTED order at both levels (per
+    * key, then per touch type), so revenue is partition-order-independent
+    * and cross-engine exact; non-converting keys contribute an exact 0.0.
+    * `tsCol`/`tieCol` must be non-null and (together) unique per key.
+    */
+  def firstTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                            tieCol: String, typeCol: String,
+                            valueCol: String, convType: String): DataFrame = {
+    val touch = df.groupBy(col(keyCol))
+      .agg(min(struct(col(tsCol), col(tieCol), col(typeCol).as("__t")))
+        .as("__f"))
+      .select(col(keyCol), col("__f.__t").as("first_touch"))
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__nc"),
+        aggregate(array_sort(collect_list(col(valueCol).cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("__rev"))
+    touch.join(conv, Seq(keyCol), "left_outer")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("__nc"), lit(0L))).as("n_conversions"),
+        aggregate(array_sort(collect_list(coalesce(col("__rev"), lit(0.0)))),
+          lit(0.0), (acc, x) => acc + x).as("revenue"))
+  }
+
+  /** Rolling anomaly detection — [[rollingMean]]'s alerting sibling and
+    * the keyed-window form of [[Profiling.outliers]]: each row's z-score
+    * against its own trailing `window`-row frame (inclusive), keeping
+    * only |z| > `sigmas`. The frame's Σx and Σx² are DECIMAL-exact (same
+    * casts as the outliers moments, so segment-tree vs linear window
+    * evaluation cannot diverge); mean, sample variance, `sqrt` and the
+    * divide are then single IEEE steps — `sqrt` is correctly rounded by
+    * IEEE 754, so unlike `ln`/`exp` it is safe in a cross-engine-exact
+    * pipeline. Frames with <2 rows or zero variance emit nothing. Window
+    * PARTITIONED by the key, never global; `orderCols` must totally order
+    * each key's rows.
+    */
+  def rollingZscore(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                    valueCol: String, window: Int, sigmas: Double): DataFrame = {
+    require(keys.nonEmpty, "rollingZscore requires partition keys")
+    require(window >= 2, "rollingZscore needs frames of at least two rows")
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val withStats = df
+      .withColumn("__fn", count(v).over(w))
+      .withColumn("__s1", sum(v.cast("decimal(25,6)")).over(w).cast("double"))
+      .withColumn("__s2",
+        sum((v * v).cast("decimal(30,6)")).over(w).cast("double"))
+      .withColumn("__var",
+        (col("__s2") - col("__s1") * col("__s1") / col("__fn"))
+          / (col("__fn") - 1))
+    withStats.filter(col("__fn") >= 2 && col("__var") > 0)
+      .withColumn("z", (v - col("__s1") / col("__fn")) / sqrt(col("__var")))
+      .filter(abs(col("z")) > sigmas)
+      .drop("__fn", "__s1", "__s2", "__var")
+  }
+
   /** Cohort retention: bucket every key (user/customer) by its FIRST
     * activity month, then count distinct active keys per (cohort month,
     * month offset) — the classic retention triangle. The month offset is

@@ -435,6 +435,37 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(r("flat").isNullAt(2) && r("flat").isNullAt(3)) // no x variance
   }
 
+  test("first-touch attribution: conversions credit the acquiring event type") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1L, "click", 0.0),
+      ("u1", ts("2024-01-01 10:00:00"), 2L, "purchase", 5.0),
+      ("u1", ts("2024-01-02 10:00:00"), 3L, "purchase", 2.0),
+      ("u2", ts("2024-01-01 08:00:00"), 4L, "view", 0.0),
+      ("u3", ts("2024-01-01 07:00:00"), 5L, "purchase", 3.0)
+    ).toDF("user", "ts", "event_id", "event_type", "value")
+    val r = TimeSeries.firstTouchAttribution(ev, "user", "ts", "event_id",
+        "event_type", "value", "purchase")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("click") == ((1L, 2L, 7.0)))    // u1: both purchases credited
+    assert(r("view") == ((1L, 0L, 0.0)))     // u2: acquired, never converted
+    assert(r("purchase") == ((1L, 1L, 3.0))) // u3: self-acquiring conversion
+  }
+
+  test("rollingZscore: trailing-frame anomaly flagged; short/constant frames silent") {
+    val rows = Seq(("k", 1L, 10.0), ("k", 2L, 10.0), ("k", 3L, 10.0),
+      ("k", 4L, 10.0), ("k", 5L, 100.0))
+    val df = rows.toDF("g", "seq", "v")
+    val r = TimeSeries.rollingZscore(df, Seq("g"), Seq("seq"), "v",
+        window = 5, sigmas = 1.5)
+      .select("seq", "z").collect().map(x => (x.getLong(0), x.getDouble(1)))
+    // rows 1-4: frame constant (var 0) or single row → silent; row 5:
+    // frame [10,10,10,10,100], mean 28, sample var 1620, z = 72/√1620
+    assert(r.length == 1 && r.head._1 == 5L)
+    assert(math.abs(r.head._2 - 72.0 / math.sqrt(1620.0)) < 1e-12)
+  }
+
   test("presentation: thousands formatting and address prefill (C10/C11)") {
     val df = Seq((1234567.891, "123 Main St, Apt 4B"),
       (1000.0, "9 Ocean Ave")).toDF("n", "addr")
