@@ -2102,7 +2102,7 @@ object SparkEntry {
     "q76_anomalies" ->
       """WITH w AS (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |    count(*) OVER fr AS n,
+        |    count(l_extendedprice) OVER fr AS n,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) OVER fr
         |      AS DOUBLE) AS s1,
         |    CAST(sum(CAST(l_extendedprice * l_extendedprice

@@ -232,8 +232,7 @@ object Corpus {
         (col("__bc") + 1).cast("double") / (col("__uc") + col("__nv")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        (aggregate(array_sort(collect_list(col("__r"))), lit(0.0),
-          (acc, x) => acc + x) / count(lit(1))).as("lm_score"))
+        (Folds.sortedSum(col("__r")) / count(lit(1))).as("lm_score"))
   }
 
   /** Decontamination: drop every document sharing ANY word n-gram with the

@@ -56,8 +56,7 @@ object Graph {
       val summed = withDeg.join(pr, col("__s") === col("__v"))
         .select(col("__d"), (col("__pr") / col("__dg")).as("__c"))
         .groupBy(col("__d"))
-        .agg(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
-          (acc, x) => acc + x).as("__sum"))
+        .agg(Folds.sortedSum(col("__c")).as("__sum"))
       val next = nodes
         .join(summed, col("__v") === col("__d"), "left_outer")
         .select(col("__v"), (lit(1.0 - damping) + lit(damping) *

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   * pushdown, column pruning, broadcast-join selection and partial
   * aggregation; nothing here materializes on the driver.
   */
+object Folds {
+
+  /** THE cross-engine-exact double summation device, shared by every
+    * operator that aggregates doubles (LM scoring, PageRank, attribution):
+    * collect, SORT, then fold in order — the sum no longer depends on
+    * partitioning or row arrival order, and any engine running
+    * `list_sum(list_sort(list(x)))` over the same values reproduces it
+    * bit-for-bit. Nulls are skipped by `collect_list`; an empty group
+    * folds to exactly 0.0. An aggregate expression — use inside `agg`.
+    */
+  def sortedSum(c: Column): Column =
+    aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+}
+
 object Filters {
 
   /** Composite natural-key equality filter — the reference's BBL point
@@ -672,29 +686,33 @@ object TimeSeries {
     * conversion value. Two hash aggregates and one key-equi join — no
     * windows, no global sort.
     *
-    * Value sums are doubles folded in SORTED order at both levels (per
-    * key, then per touch type), so revenue is partition-order-independent
-    * and cross-engine exact; non-converting keys contribute an exact 0.0.
+    * Value sums are doubles folded in SORTED order ([[Folds.sortedSum]])
+    * at both levels (per key, then per touch type), so revenue is
+    * partition-order-independent and cross-engine exact; non-converting
+    * keys fold an empty list to an exact 0.0.
     * `tsCol`/`tieCol` must be non-null and (together) unique per key.
+    *
+    * ONE scan of the fact: the acquisition touch and the conversion
+    * stats come out of the same per-key aggregate via conditional
+    * aggregation (`when(type = conv)` — `collect_list` skips the nulls
+    * the non-matching rows produce), then one tiny per-touch-type
+    * aggregate. No join, no second scan.
     */
   def firstTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
                             tieCol: String, typeCol: String,
                             valueCol: String, convType: String): DataFrame = {
-    val touch = df.groupBy(col(keyCol))
-      .agg(min(struct(col(tsCol), col(tieCol), col(typeCol).as("__t")))
-        .as("__f"))
-      .select(col(keyCol), col("__f.__t").as("first_touch"))
-    val conv = df.filter(col(typeCol) === convType)
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__nc"),
-        aggregate(array_sort(collect_list(col(valueCol).cast("double"))),
-          lit(0.0), (acc, x) => acc + x).as("__rev"))
-    touch.join(conv, Seq(keyCol), "left_outer")
-      .groupBy(col("first_touch"))
+    val isConv = col(typeCol) === convType
+    df.groupBy(col(keyCol))
+      .agg(
+        min(struct(col(tsCol), col(tieCol), col(typeCol).as("__t")))
+          .as("__f"),
+        count(when(isConv, lit(1))).as("__nc"),
+        Folds.sortedSum(when(isConv, col(valueCol).cast("double")))
+          .as("__rev"))
+      .groupBy(col("__f.__t").as("first_touch"))
       .agg(count(lit(1)).as("n_users"),
-        sum(coalesce(col("__nc"), lit(0L))).as("n_conversions"),
-        aggregate(array_sort(collect_list(coalesce(col("__rev"), lit(0.0)))),
-          lit(0.0), (acc, x) => acc + x).as("revenue"))
+        sum(col("__nc")).as("n_conversions"),
+        Folds.sortedSum(col("__rev")).as("revenue"))
   }
 
   /** Rolling anomaly detection — [[rollingMean]]'s alerting sibling and

@@ -309,14 +309,23 @@ class StreamingMultimodalSpec extends SparkSpec {
       input.toDS().toDF("order_id", "cust_id", "amount"), dim, Seq("cust_id"))
     val q = enriched.writeStream.outputMode("append").format("memory")
       .queryName("enrich_stream").start()
+    val rows = Seq((10L, 1L, 5.0), (11L, 2L, 7.0), (12L, 9L, 1.0),
+      (13L, 1L, 2.0))
     try {
-      input.addData((10L, 1L, 5.0), (11L, 2L, 7.0), (12L, 9L, 1.0))
+      input.addData(rows.take(3): _*)
       q.processAllAvailable()
-      input.addData((13L, 1L, 2.0)) // a later micro-batch joins the same dim
+      input.addData(rows.drop(3): _*) // a later micro-batch, same dim
       q.processAllAvailable()
       val got = spark.table("enrich_stream")
         .select("order_id", "tier").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
+      // streamed replay ≡ the batch operator on the full log (the same
+      // contract every other streaming twin in this suite pins)
+      val batch = graft.operators.Joins.factDim(
+          rows.toDF("order_id", "cust_id", "amount"), dim, Seq("cust_id"))
+        .select("order_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == batch && got.nonEmpty)
       // unknown cust 9 drops (inner); both batches enriched
       assert(got == Set((10L, "gold"), (11L, "basic"), (13L, "gold")))
     } finally q.stop()
