@@ -872,7 +872,18 @@ object SparkEntry {
           "l_extendedprice", window = 20, sigmas = 2.5)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("z"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
+
+    // Data-quality expectations report: every rule checked in one scan,
+    // null predicate = violation (conservative admission gate)
+    "q77_quality_gate" -> ((s, d) =>
+      Profiling.checkConstraints(t(s, d, "lineitem"), Seq(
+          "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "tax_range" -> (col("l_tax") >= 0 && col("l_tax") <= 0.08),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .orderBy(col("rule")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2119,6 +2130,33 @@ object SparkEntry {
         |)
         |SELECT * FROM z WHERE abs(z) > 2.5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber"""
+        .stripMargin.replace("\n", " "),
+
+    // NOT coalesce(pred, FALSE) ≡ the engine's null-is-violation rule
+    "q77_quality_gate" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN NOT coalesce(
+        |      l_discount >= 0 AND l_discount <= 0.1, FALSE)
+        |      THEN 1 ELSE 0 END) AS v_discount,
+        |    sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS v_price,
+        |    sum(CASE WHEN NOT coalesce(
+        |      l_quantity >= 1 AND l_quantity <= 50, FALSE)
+        |      THEN 1 ELSE 0 END) AS v_qty,
+        |    sum(CASE WHEN NOT coalesce(l_tax >= 0 AND l_tax <= 0.08, FALSE)
+        |      THEN 1 ELSE 0 END) AS v_tax,
+        |    sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+        |      THEN 1 ELSE 0 END) AS v_flag
+        |  FROM lineitem
+        |)
+        |SELECT 'discount_range' AS rule, n_rows, v_discount AS n_violations
+        |  FROM t
+        |UNION ALL SELECT 'price_positive', n_rows, v_price FROM t
+        |UNION ALL SELECT 'qty_range', n_rows, v_qty FROM t
+        |UNION ALL SELECT 'tax_range', n_rows, v_tax FROM t
+        |UNION ALL SELECT 'flag_domain', n_rows, v_flag FROM t
+        |ORDER BY rule"""
         .stripMargin.replace("\n", " ")
   )
 }

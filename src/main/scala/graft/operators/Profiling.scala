@@ -185,6 +185,33 @@ object Profiling {
         col("max_share"), col("topk_count"), col("topk_share"))
   }
 
+  /** Declarative data-quality validation (the expectations report — the
+    * batch-admission sibling of [[graft.operators.Filters.validationSplit]]
+    * -style quarantining): evaluate every named rule predicate over the
+    * frame in ONE scan and report per rule how many rows violate it. A
+    * NULL predicate result counts as a violation (a rule that cannot be
+    * proven holds is failed, the conservative gate for admission checks).
+    *
+    * All rules ride a single aggregate (one pass, map-side combined, no
+    * shuffle beyond the 1-row final merge), then unpivot to one row per
+    * rule. Rules are scalar predicates over the row; referential checks
+    * are a join, not a scan — use [[graft.operators.Joins.referentialSplit]]
+    * and count its orphans alongside.
+    */
+  def checkConstraints(df: DataFrame,
+                       rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkConstraints requires at least one rule")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_$name").as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Heavy hitters via the Misra–Gries sketch
     * ([[graft.functions.MisraGries]]): frequent values of a column from
     * k-bounded per-partition state — the approximate fallback for when the

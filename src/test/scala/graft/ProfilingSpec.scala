@@ -137,6 +137,20 @@ class ProfilingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("checkConstraints: per-rule violation counts, null predicate = violation") {
+    val df = Seq(
+      (Some(5), Some("ok")), (Some(-1), Some("ok")), // -1 violates positive
+      (None, Some("ok")),                            // null → violation
+      (Some(3), None)                                // passes positive
+    ).toDF("x", "s")
+    val r = Profiling.checkConstraints(df, Seq(
+        "x_positive" -> (col("x") > 0),
+        "s_present" -> col("s").isNotNull))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("x_positive") == ((4L, 2L))) // -1 and the null x
+    assert(r("s_present") == ((4L, 1L)))
+  }
+
   test("winsorized stats: tiny group degenerates to its own value, no crash") {
     val df = Seq(("t", 1L, 42.0)).toDF("grp", "id", "value")
     val r = Profiling.winsorizedStats(df, "grp", "value", "id", 5, 95)
