@@ -2102,7 +2102,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
         |)
         |SELECT first_touch, count(*) AS n_users,
-        |  sum(coalesce(nc, 0)) AS n_conversions,
+        |  CAST(sum(coalesce(nc, 0)) AS BIGINT) AS n_conversions,
         |  list_sum(list_sort(list(coalesce(rev, 0.0)))) AS revenue
         |FROM touch LEFT JOIN conv USING (user_id)
         |GROUP BY 1 ORDER BY first_touch"""
@@ -2132,22 +2132,25 @@ object SparkEntry {
         |ORDER BY l_suppkey, l_orderkey, l_linenumber"""
         .stripMargin.replace("\n", " "),
 
-    // NOT coalesce(pred, FALSE) ≡ the engine's null-is-violation rule
+    // NOT coalesce(pred, FALSE) ≡ the engine's null-is-violation rule;
+    // counts CAST to BIGINT (DuckDB integer sums are HUGEINT otherwise)
     "q77_quality_gate" ->
       """WITH t AS (
         |  SELECT count(*) AS n_rows,
-        |    sum(CASE WHEN NOT coalesce(
+        |    CAST(sum(CASE WHEN NOT coalesce(
         |      l_discount >= 0 AND l_discount <= 0.1, FALSE)
-        |      THEN 1 ELSE 0 END) AS v_discount,
-        |    sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
-        |      THEN 1 ELSE 0 END) AS v_price,
-        |    sum(CASE WHEN NOT coalesce(
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_discount,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN NOT coalesce(
         |      l_quantity >= 1 AND l_quantity <= 50, FALSE)
-        |      THEN 1 ELSE 0 END) AS v_qty,
-        |    sum(CASE WHEN NOT coalesce(l_tax >= 0 AND l_tax <= 0.08, FALSE)
-        |      THEN 1 ELSE 0 END) AS v_tax,
-        |    sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
-        |      THEN 1 ELSE 0 END) AS v_flag
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN NOT coalesce(
+        |      l_tax >= 0 AND l_tax <= 0.08, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+        |    CAST(sum(CASE WHEN NOT coalesce(
+        |      l_returnflag IN ('A','N','R'), FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
         |  FROM lineitem
         |)
         |SELECT 'discount_range' AS rule, n_rows, v_discount AS n_violations

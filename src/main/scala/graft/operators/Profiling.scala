@@ -186,28 +186,35 @@ object Profiling {
   }
 
   /** Declarative data-quality validation (the expectations report — the
-    * batch-admission sibling of [[graft.operators.Filters.validationSplit]]
-    * -style quarantining): evaluate every named rule predicate over the
-    * frame in ONE scan and report per rule how many rows violate it. A
-    * NULL predicate result counts as a violation (a rule that cannot be
-    * proven holds is failed, the conservative gate for admission checks).
+    * batch-admission sibling of [[graft.operators.Filters.validate]]-style
+    * quarantining): evaluate every named rule predicate over the frame in
+    * ONE scan and report per rule how many rows violate it. A NULL
+    * predicate result counts as a violation (a rule that cannot be proven
+    * holds is failed, the conservative gate for admission checks); an
+    * empty frame reports 0 violations, not null.
     *
     * All rules ride a single aggregate (one pass, map-side combined, no
     * shuffle beyond the 1-row final merge), then unpivot to one row per
-    * rule. Rules are scalar predicates over the row; referential checks
-    * are a join, not a scan — use [[graft.operators.Joins.referentialSplit]]
-    * and count its orphans alongside.
+    * rule. Internal agg columns are indexed, not name-derived, so rule
+    * names are free text (dots, backticks, anything). Rules are scalar
+    * predicates over the row; referential checks are a join, not a scan
+    * — use [[graft.operators.Joins.referentialSplit]] and count its
+    * orphans alongside.
     */
   def checkConstraints(df: DataFrame,
                        rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "checkConstraints requires at least one rule")
-    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
-    }
+    require(rules.map(_._1).distinct.size == rules.size,
+      "checkConstraints rule names must be distinct")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__v_$i")
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = rules.map { case (name, _) =>
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(name).as("rule"), col("__n").as("n_rows"),
-        col(s"__v_$name").as("n_violations"))
+        col(s"__v_$i").as("n_violations"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
