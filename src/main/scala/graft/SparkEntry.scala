@@ -1909,10 +1909,11 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
         |), t AS (
-        |  SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_count
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |    max(c) AS max_count
         |  FROM c
         |), tk AS (
-        |  SELECT sum(c) AS topk_count FROM (
+        |  SELECT CAST(sum(c) AS BIGINT) AS topk_count FROM (
         |    SELECT c FROM c ORDER BY c DESC, k LIMIT 10
         |  )
         |)

@@ -310,60 +310,101 @@ object Dedup {
     * B≈C collapses all three even when A~C was never proposed).
     *
     * Algorithm: iterative min-label propagation to a fixpoint — each
-    * round, every node takes the min of its own label and its neighbors';
-    * converges in O(graph diameter) rounds. Each round is two shuffles
-    * (neighbor join + min aggregate) over the LABEL table (2 longs per
-    * node), never over document payloads; labels persist per round and
-    * the previous round unpersists. Near-dup graphs are short-diameter
-    * star/clique mixtures, so rounds stay single-digit at any corpus
-    * size; a pathological long-chain graph would want the
-    * large-star/small-star variant instead (same shuffle shape per round,
-    * fewer rounds) — `maxIters` guards the loop either way.
+    * round, every edge-touched node takes the min of its own label and
+    * its neighbors'; converges in O(graph diameter) rounds. Near-dup
+    * graphs are short-diameter star/clique mixtures (the LSH hot-bucket
+    * cap emits stars by construction), so rounds stay single-digit at any
+    * corpus size; `maxIters` guards the loop and a non-converged exit
+    * THROWS rather than returning silently-wrong partial labels.
+    *
+    * Scale shape (the parts that matter at 100 TB):
+    *  - the loop runs over EDGE-TOUCHED nodes only — in a dedup corpus
+    *    the overwhelming majority of documents are in no near-dup pair,
+    *    and they skip every round entirely; untouched nodes get their
+    *    singleton label through one final (broadcast) join;
+    *  - the edge table carries a self-loop per endpoint, so min-over-
+    *    neighbors already includes the node's own label and a round is
+    *    ONE join + ONE aggregate — no separate label-update join (half
+    *    the exchanges of the textbook formulation), and round 1 needs no
+    *    label table at all (initial labels are the ids themselves, so it
+    *    collapses to `min(b) group by a` on the edge list);
+    *  - per-round state is 2 longs per edge-touched node, never document
+    *    payloads.
+    *
+    * localCheckpoint, NOT persist: an iterative frame's LOGICAL plan
+    * doubles every round (persist caches only the physical result —
+    * analysis still walks the whole history), so by round k Catalyst is
+    * optimizing a 2^k-node plan. Checkpointing truncates the lineage so
+    * every round's plan is constant-size. Executor-local checkpoint
+    * blocks are the single-JVM trade; a long-running production build on
+    * a real cluster would use setCheckpointDir + .checkpoint() for
+    * fault-tolerant truncation.
     *
     * Deterministic: labels are exact integer minima — no tie-break
     * ambiguity, any execution order converges to the same fixpoint.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 20): DataFrame = {
-    // localCheckpoint, NOT persist: an iterative frame's LOGICAL plan
-    // doubles every round (the label table is referenced twice per step,
-    // and persist caches only the physical result — analysis still walks
-    // the whole history), so by round k Catalyst is optimizing a 2^k-node
-    // plan and planning time dwarfs the actual 3-small-shuffle round.
-    // Checkpointing truncates the lineage so every round's plan is
-    // constant-size. Executor-local checkpoint blocks are the single-job
-    // trade; a long-running production build on a real cluster would use
-    // setCheckpointDir + .checkpoint() for fault-tolerant truncation.
+    // Symmetrized edge list PLUS a self-loop per endpoint: with (a, a)
+    // present, min-over-neighbors already includes the node's own label,
+    // so a round is ONE join + ONE aggregate — no separate "least with my
+    // previous label" update join, which halves the exchanges per round.
+    val endpoints = edges.select(col("id1").as("a"))
+      .union(edges.select(col("id2").as("a"))).distinct()
     val und = edges.select(col("id1").as("a"), col("id2").as("b"))
       .union(edges.select(col("id2").as("a"), col("id1").as("b")))
+      .union(endpoints.select(col("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
-    var it = 0
-    var converged = false
-    // fixpoint detection: labels only ever DECREASE, so the exact label
-    // sum is strictly monotone until convergence — an unchanged sum IS the
-    // fixpoint. One decimal-exact aggregate per round over the
-    // just-checkpointed rows; the loop is a build step that runs jobs,
-    // like the IVF k-means build.
-    var prevSum: java.math.BigDecimal = null
+    var converged = und.isEmpty // no edges → nothing to propagate
+    // Round 1 needs no label table at all: every node's initial label is
+    // its own id, so min-label-over-neighbors is just min(b) per a.
+    var labels: DataFrame =
+      if (converged) null
+      else und.groupBy(col("a")).agg(min(col("b")).as("lbl"))
+        .select(col("a").as("id"), col("lbl"))
+        .localCheckpoint()
+    // Fixpoint detection: labels only ever DECREASE, so the exact label
+    // sum is strictly monotone until convergence — an unchanged sum IS
+    // the fixpoint. The aggregate reads the just-checkpointed blocks
+    // (decimal-exact: at corpus scale a 64-bit sum of 64-bit ids could
+    // overflow).
+    var prevSum: java.math.BigDecimal =
+      if (converged) null
+      else labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var it = 1 // round 1 (the label-free aggregate) already ran
     while (!converged && it < maxIters) {
-      val nbrMin = und
+      val next = und
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
-      val next = labels
-        .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .groupBy(col("a")).agg(min(col("nlbl")).as("lbl"))
+        .select(col("a").as("id"), col("lbl"))
         .localCheckpoint()
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "graph diameter exceeds maxIters; raise maxIters (labels at " +
+          "this point would be silently wrong, so refusing to return them)")
+    // The loop ran over EDGE-TOUCHED nodes only — in a dedup corpus the
+    // overwhelming majority of documents are in no near-dup pair and
+    // skip every round. Untouched nodes become singleton clusters
+    // labeled by their own id here; the label table is the duplicate
+    // subgraph only — small by near-dup construction — so this join
+    // broadcasts and the corpus is never shuffled.
+    val out = nodes.select(col(idCol))
+      .join(
+        if (labels == null) endpoints.limit(0)
+          .select(col("a").as(idCol), col("a").as("lbl"))
+        else labels.withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
     und.unpersist(blocking = false)
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+    out
   }
 
   /** SimHash 64-bit fingerprint from token hashes: for each bit position,

@@ -157,6 +157,26 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("connected components: empty edge set yields all-singleton clusters") {
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val nodes = (1L to 4L).toDF("doc_id")
+    val r = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == (1L to 4L).map(i => i -> i).toMap)
+  }
+
+  test("connected components: refuses to return non-converged labels") {
+    // diameter-4 chain needs 4 propagation rounds + 1 detection round;
+    // maxIters = 2 cannot converge and must THROW, never return partial
+    // labels that look valid
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val nodes = (1L to 5L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, nodes, "doc_id", maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("duplicate spans: longest shared run, positions, min-span filter") {
     val d = Seq(
       (1L, "a b c d e f g h"),
