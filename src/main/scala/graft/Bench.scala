@@ -53,10 +53,24 @@ object Bench {
       }
       name -> times.min
     }
+    // Plan fingerprints LAST (construction-time build jobs would
+    // otherwise pre-warm the timed reps' caches), then the cache cleared
+    // per query for the same reason in reverse. A changed hash between
+    // rounds is an explicit plan regression; a changed timing alone is
+    // VM noise until proven otherwise (see PlanFingerprint's scaladoc).
+    val plans = SparkEntry.queries.map { case (name, fn) =>
+      val fp =
+        try PlanFingerprint.of(fn(spark, sfDir))
+        catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+      spark.sharedState.cacheManager.clearCache()
+      name -> fp
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

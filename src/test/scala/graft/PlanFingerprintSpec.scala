@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Plan-level regression gate: every contract query's statically-chosen
+  * physical plan, reduced to a structural signature (see
+  * [[PlanFingerprint]]) and diffed against a committed snapshot.
+  *
+  * Wall-clock on this VM is noise-dominated (BASELINE.md: identical plans
+  * reading 0.3 s and 5.4 s run-to-run), so the regression signal is the
+  * PLAN: if a change flips a broadcast to a sort-merge join, drops a
+  * pushed filter, or adds a shuffle, this spec fails with the exact query
+  * names and the first structural divergence — an explicit diff instead
+  * of a timing guess. The snapshot stores full signatures (not hashes),
+  * so an intended change also shows up reviewably in `git diff`.
+  *
+  * When a signature change is INTENDED (a query or operator was
+  * deliberately restructured), regenerate the snapshot and commit it:
+  *
+  *   SPARK_GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanFingerprintSpec"
+  *
+  * The snapshot is pinned to (sf0.001, the shared test session's config);
+  * signatures only compare within one environment — static broadcast
+  * selection reads size statistics, so other SFs may legitimately differ.
+  */
+class PlanFingerprintSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private val snapshot = Paths.get("src/test/resources/plan_fingerprints_sf0.001.txt")
+
+  private def firstDivergence(a: String, b: String): String = {
+    val i = a.zip(b).indexWhere { case (x, y) => x != y }
+    val at = if (i < 0) math.min(a.length, b.length) else i
+    val from = math.max(0, at - 40)
+    s"...${a.slice(from, at + 60)}... vs ...${b.slice(from, at + 60)}..."
+  }
+
+  test("contract query plans match the committed fingerprint snapshot") {
+    assume(Files.isDirectory(Paths.get(sfDir)), s"testdata missing: $sfDir")
+    val actual = PlanFingerprint.all(spark, sfDir, SparkEntry.queries)
+    spark.sharedState.cacheManager.clearCache()
+    val rendered = actual.toSeq.sortBy(_._1)
+      .map { case (n, s) => s"$n\t$s" }.mkString("", "\n", "\n")
+
+    if (sys.env.contains("SPARK_GRAFT_REGEN_PLANS")) {
+      Files.createDirectories(snapshot.getParent)
+      Files.write(snapshot, rendered.getBytes(StandardCharsets.UTF_8))
+      info(s"snapshot regenerated: $snapshot (${actual.size} queries)")
+    } else {
+      assert(Files.exists(snapshot),
+        s"no committed snapshot at $snapshot — generate one with " +
+          "SPARK_GRAFT_REGEN_PLANS=1 sbt 'testOnly graft.PlanFingerprintSpec'")
+      val expected = Files.readAllLines(snapshot).asScala
+        .filter(_.nonEmpty)
+        .map { l => val Array(n, s) = l.split("\t", 2); n -> s }.toMap
+      val changed = actual.collect {
+        case (n, s) if expected.get(n).exists(_ != s) =>
+          s"$n: ${firstDivergence(expected(n), s)}"
+      }
+      val added = (actual.keySet -- expected.keySet).toSeq.sorted
+      val removed = (expected.keySet -- actual.keySet).toSeq.sorted
+      val problems =
+        changed.toSeq.sorted.map("PLAN CHANGED  " + _) ++
+          added.map(n => s"NEW QUERY (no snapshot entry)  $n") ++
+          removed.map(n => s"QUERY REMOVED  $n")
+      assert(problems.isEmpty,
+        "plan fingerprint drift — if intended, regenerate with " +
+          "SPARK_GRAFT_REGEN_PLANS=1 sbt 'testOnly graft.PlanFingerprintSpec':\n" +
+          problems.mkString("\n"))
+      val broken = actual.filter(_._2.startsWith("error:"))
+      assert(broken.isEmpty, s"queries failing at construction: $broken")
+    }
+  }
+}
