@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator of rows per partition, vectorizable by the
   * worker library).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment) behind [[FakeCodec]], a deterministic stand-in — the
-  * Spark-side contract (schema, partitioning, batch iteration, output
-  * shape) is real and tested. Swap [[FakeCodec]] for a JNI/OpenCV/ffmpeg
-  * binding in production; nothing else changes.
+  * PNG payloads get REAL pixel decode — [[PngCodec]] inflates IDAT and
+  * un-filters scanlines with zero dependencies beyond the JDK — so
+  * [[extractFeatures]] emits genuine channel means and a luminance
+  * histogram for them. Every other media type's codec step is STUBBED
+  * (no JPEG/audio/video libraries in this environment) behind
+  * [[FakeCodec]], a deterministic stand-in — the Spark-side contract
+  * (schema, partitioning, batch iteration, output shape) is real and
+  * tested. Swap [[FakeCodec]] for a JNI/OpenCV/ffmpeg binding in
+  * production; nothing else changes.
   */
 object Multimodal {
 
@@ -33,8 +37,9 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("feature", ArrayType(DoubleType))))
 
-  /** STUB codec: deterministic pseudo-decode of a binary payload.
-    * Real implementation would JNI into an image/audio library here
+  /** STUB codec for NON-PNG payloads: deterministic pseudo-decode of a
+    * binary payload (PNG goes through [[PngCodec]]'s real pixel decode).
+    * A real implementation would JNI into an image/audio library here
     * (`???`-equivalent); this fake derives stable per-byte statistics so
     * the pipeline is testable end-to-end.
     */
@@ -180,6 +185,13 @@ object Multimodal {
   /** Partition-wise decode + feature extraction (mapPartitions — one
     * codec context per partition, amortized across its rows, matching how
     * a Pandas-UDF batch would run).
+    *
+    * PNG payloads are sniffed by content (never trust the metadata
+    * column of an untrusted corpus) and decoded to real pixels; their
+    * feature vector is [[PngCodec.pixelFeatures]] (4 channel means + a
+    * 12-bin luminance histogram — 16 dims). Everything else falls back
+    * to [[FakeCodec]]'s 16-bin byte histogram, so the output column has
+    * one fixed shape either way.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -188,8 +200,12 @@ object Multimodal {
         // per-partition "codec init" would happen here
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
+          val feature = PngCodec.decode(bytes) match {
+            case Some(img) => PngCodec.pixelFeatures(img)
+            case None => FakeCodec.features(bytes)
+          }
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-            bytes.length.toLong, FakeCodec.features(bytes))
+            bytes.length.toLong, feature)
         }
       }(enc)
   }

@@ -415,6 +415,179 @@ class StreamingMultimodalSpec extends SparkSpec {
       .collect().forall(_.getInt(0) <= 32))
   }
 
+  // ---- real PNG pixel decode ----
+
+  /** Build a well-formed PNG from pre-filtered scanline bytes (test-side
+    * encoder: real chunk CRCs, real zlib stream).
+    */
+  private def buildPng(w: Int, h: Int, colorType: Int,
+                       filteredRows: Array[Byte],
+                       plte: Option[Array[Byte]] = None): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(8 + data.length + 4)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filteredRows); deflater.finish()
+    val buf = new Array[Byte](filteredRows.length * 2 + 64)
+    val n = deflater.deflate(buf); deflater.end()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
+      chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Forward-apply a PNG filter to one scanline (the inverse of what the
+    * decoder reconstructs) — an independent reference implementation, so
+    * the round-trip cross-checks the decoder's un-filter math.
+    */
+  private def filterRow(f: Int, row: Array[Int], prev: Array[Int],
+                        ch: Int): Array[Byte] = {
+    def a(x: Int) = if (x >= ch) row(x - ch) else 0
+    def up(x: Int) = prev(x)
+    def c(x: Int) = if (x >= ch) prev(x - ch) else 0
+    val out = row.indices.map { x =>
+      val v = f match {
+        case 0 => row(x)
+        case 1 => row(x) - a(x)
+        case 2 => row(x) - up(x)
+        case 3 => row(x) - ((a(x) + up(x)) >> 1)
+        case 4 =>
+          val p = a(x) + up(x) - c(x)
+          val pa = math.abs(p - a(x)); val pb = math.abs(p - up(x))
+          val pc = math.abs(p - c(x))
+          row(x) - (if (pa <= pb && pa <= pc) a(x) else if (pb <= pc) up(x) else c(x))
+      }
+      (v & 0xff).toByte
+    }
+    (f.toByte +: out).toArray
+  }
+
+  test("png decode: every filter type reconstructs exact pixels (grayscale)") {
+    import graft.operators.PngCodec
+    // 4-wide, 5-high grayscale; one row per filter type 0..4, with values
+    // chosen to exercise modular wraparound in Sub/Up/Average/Paeth
+    val rows = Array(
+      Array(250, 10, 200, 3),
+      Array(7, 255, 0, 128),
+      Array(128, 127, 129, 126),
+      Array(0, 255, 0, 255),
+      Array(42, 42, 42, 42))
+    val zero = Array(0, 0, 0, 0)
+    val filtered = rows.zipWithIndex.flatMap { case (r, y) =>
+      filterRow(y, r, if (y == 0) zero else rows(y - 1), ch = 1)
+    }
+    val png = buildPng(4, 5, colorType = 0, filtered)
+    val img = PngCodec.decode(png).get
+    assert((img.width, img.height, img.channels) == ((4, 5, 1)))
+    assert(img.samples.map(_ & 0xff).toSeq == rows.flatten.toSeq)
+  }
+
+  test("png decode: RGB, RGBA, gray+alpha and palette color types") {
+    import graft.operators.PngCodec
+    // RGB 2x2 with per-channel structure, Paeth-filtered second row
+    val rgbRows = Array(Array(255, 0, 0, 0, 255, 0), Array(0, 0, 255, 10, 20, 30))
+    val rgbF = filterRow(0, rgbRows(0), Array.fill(6)(0), 3) ++
+      filterRow(4, rgbRows(1), rgbRows(0), 3)
+    val rgb = PngCodec.decode(buildPng(2, 2, 2, rgbF)).get
+    assert(rgb.channels == 3 && rgb.samples.map(_ & 0xff).toSeq == rgbRows.flatten.toSeq)
+
+    // RGBA 2x1 (Sub filter exercises the 4-byte-back left reference)
+    val rgbaRow = Array(100, 150, 200, 255, 110, 140, 190, 128)
+    val rgba = PngCodec.decode(
+      buildPng(2, 1, 6, filterRow(1, rgbaRow, Array.fill(8)(0), 4))).get
+    assert(rgba.channels == 4 && rgba.samples.map(_ & 0xff).toSeq == rgbaRow.toSeq)
+
+    // gray+alpha 2x1
+    val gaRow = Array(77, 255, 99, 0)
+    val ga = PngCodec.decode(
+      buildPng(2, 1, 4, filterRow(0, gaRow, Array.fill(4)(0), 2))).get
+    assert(ga.channels == 2 && ga.samples.map(_ & 0xff).toSeq == gaRow.toSeq)
+
+    // palette: 2 entries (red, blue); pixels index them, decode expands RGB
+    val plte = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val palRow = Array(0, 1, 1, 0)
+    val pal = PngCodec.decode(
+      buildPng(4, 1, 3, filterRow(0, palRow, Array.fill(4)(0), 1), Some(plte))).get
+    assert(pal.channels == 3)
+    assert(pal.samples.map(_ & 0xff).toSeq ==
+      Seq(255, 0, 0, 0, 0, 255, 0, 0, 255, 255, 0, 0))
+  }
+
+  test("png decode: cross-validated against the JDK's own PNG encoder") {
+    import graft.operators.PngCodec
+    // pixels chosen freely; javax.imageio encodes (its own filter
+    // heuristics, its own zlib), our decoder must recover them exactly
+    val (w, h) = (7, 5)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 91) % 256 << 16) |
+        ((x * 13 + y * 7) % 256 << 8) | ((x * 3 + y * 211) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val dec = PngCodec.decode(bos.toByteArray).get
+    assert((dec.width, dec.height) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = img.getRGB(x, y)
+      val base = (y * w + x) * dec.channels
+      val (r, g, b) = (dec.samples(base) & 0xff,
+        dec.samples(base + 1) & 0xff, dec.samples(base + 2) & 0xff)
+      assert(((expected >> 16) & 0xff) == r && ((expected >> 8) & 0xff) == g
+        && (expected & 0xff) == b, s"pixel ($x,$y)")
+    }
+  }
+
+  test("png decode: refuses bombs, truncation, and exotic encodings") {
+    import graft.operators.PngCodec
+    val row = filterRow(0, Array(1, 2, 3, 4), Array.fill(4)(0), 1)
+    val ok = buildPng(4, 1, 0, row)
+    assert(PngCodec.decode(ok).isDefined)
+    // decompression-bomb guard: dimensions above maxPixels refuse BEFORE
+    // allocating (4 px image, absurdly low cap stands in for a real bomb)
+    assert(PngCodec.decode(ok, maxPixels = 3).isEmpty)
+    // truncated IDAT (cut mid-chunk)
+    assert(PngCodec.decode(ok.dropRight(16)).isEmpty)
+    // not a PNG at all
+    assert(PngCodec.decode("garbage".getBytes).isEmpty)
+    // 16-bit depth is out of scope and must decline, not mis-decode
+    val deep = ok.clone(); deep(24) = 16.toByte // IHDR bit-depth byte
+    assert(PngCodec.decode(deep).isEmpty)
+  }
+
+  test("multimodal: extractFeatures uses real pixels for PNG payloads") {
+    import graft.operators.PngCodec
+    import spark.implicits._
+    // 2x2 solid red RGB → means (1, 0, 0, 1); Rec.709 luminance of pure
+    // red is 0.2126*255 = 54.213 → bin floor(54.213*12/256) = 2
+    val red = Array(255, 0, 0, 255, 0, 0)
+    val png = buildPng(2, 2, 2,
+      filterRow(0, red, Array.fill(6)(0), 3) ++ filterRow(0, red, red, 3))
+    val media = Seq((1L, png), (2L, "not a png".getBytes))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3)).toMap
+    val pngFeat = feats(1L)
+    assert(pngFeat.take(4) == Seq(1.0, 0.0, 0.0, 1.0)) // channel means
+    assert(pngFeat(4 + 2) == 1.0) // all 4 pixels in luminance bin 2
+    assert(pngFeat.drop(4).sum == 1.0)
+    // non-PNG payload keeps the byte-histogram fallback (sums to 1)
+    assert(math.abs(feats(2L).sum - 1.0) < 1e-9)
+  }
+
   test("sinks: csv with reference headers round-trips; json writes rows") {
     import spark.implicits._
     val df = Seq(("Noise", 10L, 3L), ("Heat", 5L, 1L))
