@@ -1745,7 +1745,7 @@ object SparkEntry {
          |  GROUP BY 1
          |)
          |SELECT a.month, a.n, p.n AS prev_n, a.n - p.n AS delta_n,
-         |CASE WHEN p.n > 0 THEN round(CAST(a.n - p.n AS DOUBLE) / p.n, 6) END AS pct_change
+         |CASE WHEN p.n <> 0 THEN round(CAST(a.n - p.n AS DOUBLE) / p.n, 6) END AS pct_change
          |FROM agg a LEFT JOIN agg p
          |  ON p.month = strftime(CAST(a.month || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
          |ORDER BY a.month""".stripMargin.replace("\n", " "),

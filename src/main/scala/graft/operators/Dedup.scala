@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   *    corpus-wide; feed it LSH/SimHash candidates).
   *
   * Everything is deterministic: hash seeds are fixed constants, no RNG.
+  *
+  * CACHE LIFETIME CONTRACT (applies to every operator here that
+  * `persist()`s a multi-consumer frame — the MinHash band table,
+  * [[ngramJaccard]]'s pair/shingle frames — and to their siblings
+  * `Similarity.lshTopK`'s signature table and `Corpus.lmScore`'s token
+  * frame): the cached build lives until the SESSION drops it. That is
+  * deliberate — the band/signature tables are the index a production
+  * pipeline keeps and reuses across calls, and an eager unpersist inside
+  * the operator would re-scan the corpus on every reuse. The cost is that
+  * a long-lived session calling these repeatedly over DIFFERENT corpora
+  * accumulates MEMORY_AND_DISK blocks; between corpora, call
+  * `spark.catalog.clearCache()` (what Bench does between reps) or
+  * `df.unpersist()` the returned frame's inputs once consumed.
   */
 object Dedup {
 
@@ -134,7 +147,8 @@ object Dedup {
     // semi-join, then the verification join) — persist it so whatever
     // lineage PRODUCED the candidates (typically the corpus-wide LSH pass)
     // runs once, not three times. By contract it's a candidate set: tiny
-    // relative to the corpus.
+    // relative to the corpus. Session-lifetime cache: see the object doc's
+    // CACHE LIFETIME CONTRACT.
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle only the docs the pair set references: candidate sets are a
     // tiny fraction of the corpus, so semi-joining first keeps the wide

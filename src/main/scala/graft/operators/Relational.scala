@@ -279,7 +279,10 @@ object Joins {
       else fact.filter(GraftInternal.column(BloomFilterMightContain(
         Literal.create(bf, BinaryType),
         GraftInternal.expression(xxhash64(col(factKey))))))
-    pruned.join(dim, col(factKey) === col(dimKey))
+    // side-qualified join keys: with factKey == dimKey (the common
+    // natural-key case) unqualified col(...) would be ambiguous
+    pruned.alias("__bloom_fact").join(dim.alias("__bloom_dim"),
+      col(s"__bloom_fact.$factKey") === col(s"__bloom_dim.$dimKey"))
   }
 
   /** As-of join (temporal enrichment — an operator class the reference
@@ -622,7 +625,7 @@ object TimeSeries {
     monthlyAgg.join(broadcast(prev), Seq("month"), "left")
       .withColumn(s"delta_$valueCol", col(valueCol) - col(s"prev_$valueCol"))
       .withColumn("pct_change",
-        when(col(s"prev_$valueCol") > 0,
+        when(col(s"prev_$valueCol") =!= 0,
           round((col(valueCol) - col(s"prev_$valueCol")).cast("double")
             / col(s"prev_$valueCol"), 6)))
   }

@@ -273,7 +273,8 @@ object Similarity {
     */
   def lshSearch(spark: org.apache.spark.sql.SparkSession, path: String,
                 queries: DataFrame, idCol: String, vecCol: String, k: Int,
-                multiProbe: Boolean = true, maxBucket: Int = 4096): DataFrame = {
+                multiProbe: Boolean = true, maxBucket: Int = 4096,
+                maxProbes: Int = 65536): DataFrame = {
     val m = spark.read.parquet(s"$path/meta").head()
     val bits = m.getInt(0); val pb = m.getInt(1); val tables = m.getInt(2)
     val mask = (1L << pb) - 1
@@ -289,8 +290,19 @@ object Similarity {
         VectorOps.norm(col(vecCol)).as("qn"), explode(array(perTable: _*)).as("tb"))
       .select(col("query_id"), col("qv"), col("qn"),
         col("tb.tbl").as("tbl"), explode(col("tb.buckets")).as("bucket"))
-    val probed = q.select(col("tbl"), col("bucket")).distinct().collect()
+    // The probe list rides to the driver to become static partition
+    // filters — enforce the "SMALL query set" contract instead of
+    // assuming it: |queries| × tables × (1 + prefixBits) distinct
+    // buckets. The default cap of 65536 static filters is already an
+    // absurd plan; beyond it a caller should batch queries or join
+    // against the index directly rather than melt the driver.
+    val probed = q.select(col("tbl"), col("bucket")).distinct()
+      .limit(maxProbes + 1).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
+    require(probed.length <= maxProbes,
+      s"lshSearch probe set exceeds $maxProbes buckets — the query frame " +
+        "is too large for driver-side partition pruning; batch the " +
+        "queries or join the persisted index as a table instead")
     val cond = probed.groupBy(_._1).map { case (t, ps) =>
       col("tbl") === t && col("bucket").isin(ps.map(_._2).toSeq: _*)
     }.reduce(_ || _)
@@ -369,7 +381,8 @@ object Similarity {
     // window) and the probe side derive from it, and column pruning would
     // otherwise re-run the corpus-wide signature pass once per side. At
     // scale this is the LSH index you'd materialize anyway — corpus ×
-    // tables rows of (id, vector, norm, bucket).
+    // tables rows of (id, vector, norm, bucket). Session-lifetime cache:
+    // see Dedup's CACHE LIFETIME CONTRACT (clearCache between corpora).
     val sig = corpus
       .select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
         tb.as("tb"))

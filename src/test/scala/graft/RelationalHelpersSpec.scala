@@ -134,6 +134,11 @@ class RelationalHelpersSpec extends SparkSpec {
     // empty build side: nothing can match, and no NPE from a null filter
     val none = Joins.bloomPrunedJoin(fact, dim.filter(col("dk") < 0L), "fk", "dk")
     assert(none.count() == 0)
+    // fact and dim sharing the key NAME must not throw ambiguous-reference
+    val sameName = Joins.bloomPrunedJoin(
+      fact.withColumnRenamed("fk", "k"), dim.withColumnRenamed("dk", "k"),
+      "k", "k")
+    assert(sameName.count() == 3)
   }
 
   test("sliding windows: each event lands in width/slide hopping windows") {

@@ -96,6 +96,15 @@ class SimilaritySpec extends SparkSpec {
       .getOrElse(fail("no index scan in plan"))
     assert(scanLine.contains("PartitionFilters: [("),
       s"probe scan reads every bucket:\n$scanLine")
+
+    // the "SMALL query set" contract is ENFORCED, not assumed: a query
+    // frame whose probe set exceeds maxProbes refuses with guidance
+    // instead of building a megabyte isin filter on the driver
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshSearch(spark, tmp, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 5, maxProbes = 2)
+    }
+    assert(e.getMessage.contains("probe set exceeds"))
   }
 
   test("LSH ANN: same-vector pairs always share a bucket; recall vs brute force sane") {
