@@ -1,21 +1,44 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
 import graft.functions.{HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, SimHash64, WinnowFingerprints}
+import graft.operators.{Profiling, Joins, TimeSeries}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
-  * expressions as SQL functions, so the full surface is reachable from
-  * `spark.sql(...)` as well as the Column API:
+  * expressions as SQL functions AND its table-level operators as SQL
+  * table functions, so the surface is reachable from `spark.sql(...)` as
+  * well as the Column API (the reference's entire API is SQL text, so a
+  * SQL-first user must be able to reach the engine without Scala):
   *
   * {{{
   * SparkSession.builder().withExtensions(new GraftExtensions)...
   * // or: spark.sql.extensions=graft.GraftExtensions
   * spark.sql("SELECT simhash64(tokens), minhash_signature(tokens, 32) ...")
+  * spark.sql("SELECT * FROM graft_key_skew('lineitem', 'l_partkey', 10)")
   * }}}
+  *
+  * Table functions take the INPUT TABLE BY NAME (temp view or catalog
+  * table — resolved against the active session when the query is
+  * analyzed) and literal strings for columns/predicates/aggregates:
+  *
+  *  - `graft_profile(table, 'c1,c2'[, approx])` — per-column profile
+  *    ([[Profiling.profile]]; `approx = true` uses HLL++ distincts)
+  *  - `graft_key_skew(table, keyCol[, topK])` — skew diagnostics
+  *    ([[Profiling.keySkew]])
+  *  - `graft_check(table, name1, pred1[, name2, pred2, ...])` — data-
+  *    quality expectations, predicates as SQL text
+  *    ([[Profiling.checkConstraints]])
+  *  - `graft_sessionize(table, keyCol, tsCol, gap, agg1[, agg2, ...])` —
+  *    session-window rollup, aggregates as SQL text
+  *    ([[TimeSeries.sessionize]])
+  *  - `graft_asof_join(left, right, 'k1,k2', leftTs, rightTs, 'p1,p2')`
+  *    — temporal enrichment ([[Joins.asofJoin]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -23,8 +46,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // opt-in COUNT(DISTINCT) → HLL++ sketch rewrite (plans package)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
-    ext.injectFunction((
-      new FunctionIdentifier("winnow_fingerprints"),
+    scalarFunctions.foreach(ext.injectFunction)
+    tableFunctions.foreach(ext.injectTableFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private[graft] def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(b: Boolean, BooleanType) => b
+    case other => throw new IllegalArgumentException(
+      s"$name must be a boolean literal, got $other")
+  }
+
+  /** Comma-separated plain column names ('a,b,c') → trimmed Seq. */
+  private def colsArg(e: Expression, name: String): Seq[String] =
+    strArg(e, name).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Resolve a table-by-name argument against the session analyzing the
+    * enclosing query (table-function builders run inside its analyzer).
+    */
+  private def tableArg(e: Expression, name: String): DataFrame =
+    SparkSession.active.table(strArg(e, name))
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private val scalarFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (args: Seq[Expression]) => args match {
         case Seq(text) => WinnowFingerprints(text, 8, 4)
@@ -32,39 +93,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"))
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints(text[, k, w])")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_signature"),
+      }),
+    (new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (args: Seq[Expression]) => args match {
         case Seq(tokens) => MinHashSignature(tokens, 32)
         case Seq(tokens, n) => MinHashSignature(tokens, intArg(n, "numHashes"))
         case _ => throw new IllegalArgumentException(
           "minhash_signature(tokens[, numHashes])")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash64"),
+      }),
+    (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => args match {
         case Seq(tokens) => SimHash64(tokens)
         case _ => throw new IllegalArgumentException("simhash64(tokens)")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("ngram_hashes"),
+      }),
+    (new FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       (args: Seq[Expression]) => args match {
         case Seq(tokens, n) => NgramHashes(tokens, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("ngram_hashes(tokens, n)")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("ngram_hashes_all"),
+      }),
+    (new FunctionIdentifier("ngram_hashes_all"),
       new ExpressionInfo(classOf[NgramHashesAll].getName, "ngram_hashes_all"),
       (args: Seq[Expression]) => args match {
         case Seq(tokens, n) => NgramHashesAll(tokens, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("ngram_hashes_all(tokens, n)")
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("hyperplane_signature"),
+      }),
+    (new FunctionIdentifier("hyperplane_signature"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
       (args: Seq[Expression]) => args match {
         case Seq(vec, bits) => HyperplaneSignature(vec, intArg(bits, "bits"), 0L)
@@ -73,49 +129,80 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "hyperplane_signature(vec, bits[, seed])")
       }))
-  }
-}
 
-object GraftExtensions {
-
-  private[graft] def intArg(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$name must be an integer literal, got $other")
-  }
+  /** Table-level operators as SQL table functions: each builder resolves
+    * its input table(s) from the active session, applies the Scala
+    * operator, and returns the resulting logical plan for the analyzer to
+    * inline — the plan a SQL caller gets is EXACTLY the plan the Column
+    * API builds (same pushdowns, same shuffles), not a reimplementation.
+    */
+  private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("graft_profile"),
+      new ExpressionInfo("graft.operators.Profiling", "graft_profile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, cols) =>
+          plan(Profiling.profile(tableArg(t, "table"), colsArg(cols, "cols")))
+        case Seq(t, cols, approx) =>
+          plan(Profiling.profile(tableArg(t, "table"), colsArg(cols, "cols"),
+            approxDistinct = boolArg(approx, "approx")))
+        case _ => throw new IllegalArgumentException(
+          "graft_profile(table, 'c1,c2'[, approx])")
+      }),
+    (new FunctionIdentifier("graft_key_skew"),
+      new ExpressionInfo("graft.operators.Profiling", "graft_key_skew"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, key) =>
+          plan(Profiling.keySkew(tableArg(t, "table"), strArg(key, "keyCol")))
+        case Seq(t, key, k) =>
+          plan(Profiling.keySkew(tableArg(t, "table"), strArg(key, "keyCol"),
+            topK = intArg(k, "topK")))
+        case _ => throw new IllegalArgumentException(
+          "graft_key_skew(table, keyCol[, topK])")
+      }),
+    (new FunctionIdentifier("graft_check"),
+      new ExpressionInfo("graft.operators.Profiling", "graft_check"),
+      (args: Seq[Expression]) => args match {
+        case t +: rest if rest.nonEmpty && rest.length % 2 == 0 =>
+          val rules = rest.grouped(2).zipWithIndex.map { case (Seq(n, p), i) =>
+            strArg(n, s"rule $i name") -> expr(strArg(p, s"rule $i predicate"))
+          }.toSeq
+          plan(Profiling.checkConstraints(tableArg(t, "table"), rules))
+        case _ => throw new IllegalArgumentException(
+          "graft_check(table, name1, pred1[, name2, pred2, ...])")
+      }),
+    (new FunctionIdentifier("graft_sessionize"),
+      new ExpressionInfo("graft.operators.TimeSeries", "graft_sessionize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, key, ts, gap, aggs @ _*) if aggs.nonEmpty =>
+          plan(TimeSeries.sessionize(tableArg(t, "table"),
+            strArg(key, "keyCol"), strArg(ts, "tsCol"), strArg(gap, "gap"),
+            aggs.zipWithIndex.map { case (a, i) => expr(strArg(a, s"agg $i")) }))
+        case _ => throw new IllegalArgumentException(
+          "graft_sessionize(table, keyCol, tsCol, gap, agg1[, agg2, ...])")
+      }),
+    (new FunctionIdentifier("graft_asof_join"),
+      new ExpressionInfo("graft.operators.Joins", "graft_asof_join"),
+      (args: Seq[Expression]) => args match {
+        case Seq(l, r, keys, lts, rts, payload) =>
+          plan(Joins.asofJoin(tableArg(l, "left"), tableArg(r, "right"),
+            colsArg(keys, "keys"), strArg(lts, "leftTs"),
+            strArg(rts, "rightTs"), colsArg(payload, "payload")))
+        case _ => throw new IllegalArgumentException(
+          "graft_asof_join(left, right, 'k1,k2', leftTs, rightTs, 'p1,p2')")
+      }))
 
   /** Register the same functions on an ALREADY-RUNNING session (extensions
     * configs only apply at session construction).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("winnow_fingerprints", {
-      case Seq(text) => WinnowFingerprints(text, 8, 4)
-      case Seq(text, k, w) => WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"))
-      case _ => throw new IllegalArgumentException("winnow_fingerprints(text[, k, w])")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_signature", {
-      case Seq(tokens) => MinHashSignature(tokens, 32)
-      case Seq(tokens, n) => MinHashSignature(tokens, intArg(n, "numHashes"))
-      case _ => throw new IllegalArgumentException("minhash_signature(tokens[, numHashes])")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", {
-      case Seq(tokens) => SimHash64(tokens)
-      case _ => throw new IllegalArgumentException("simhash64(tokens)")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("ngram_hashes", {
-      case Seq(tokens, n) => NgramHashes(tokens, intArg(n, "n"))
-      case _ => throw new IllegalArgumentException("ngram_hashes(tokens, n)")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("ngram_hashes_all", {
-      case Seq(tokens, n) => NgramHashesAll(tokens, intArg(n, "n"))
-      case _ => throw new IllegalArgumentException("ngram_hashes_all(tokens, n)")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("hyperplane_signature", {
-      case Seq(vec, bits) => HyperplaneSignature(vec, intArg(bits, "bits"), 0L)
-      case Seq(vec, bits, seed) =>
-        HyperplaneSignature(vec, intArg(bits, "bits"), intArg(seed, "seed").toLong)
-      case _ => throw new IllegalArgumentException("hyperplane_signature(vec, bits[, seed])")
-    }, "scala_udf")
+    scalarFunctions.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (id, _, builder) =>
+      treg.createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{Bookmarks, Geocode}
+import graft.engine.{Bookmarks, Geocode, Tables}
 import graft.sources.Ingest
 
 class EngineSpec extends SparkSpec {
@@ -118,5 +118,61 @@ class EngineSpec extends SparkSpec {
     // 4 positional bigrams, 3 distinct ("b c" twice) — set vs multiplicity
     assert(r.getInt(3) == 3 && r.getInt(4) == 4)
     assert(r.getLong(5) >= 0L && r.getLong(5) < 256L)
+  }
+
+  test("extensions: table-level operators callable from SQL, plan-identical to the Column API") {
+    import graft.operators.{Profiling, Joins, TimeSeries}
+    GraftExtensions.register(spark)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("sql_ev")
+
+    // every SQL call must return EXACTLY what the Scala operator returns
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    val skewSql = spark.sql(
+      "SELECT * FROM graft_key_skew('sql_ev', 'user_id', 5)")
+    assert(rows(skewSql) == rows(Profiling.keySkew(ev, "user_id", topK = 5)))
+
+    val profSql = spark.sql(
+      "SELECT * FROM graft_profile('sql_ev', 'user_id,value') ORDER BY column_name")
+    assert(rows(profSql) ==
+      rows(Profiling.profile(ev, Seq("user_id", "value")).orderBy("column_name")))
+
+    val checkSql = spark.sql(
+      """SELECT * FROM graft_check('sql_ev',
+        |  'value nonneg', 'value >= 0',
+        |  'user present', 'user_id IS NOT NULL')""".stripMargin)
+    assert(rows(checkSql) == rows(Profiling.checkConstraints(ev, Seq(
+      "value nonneg" -> (col("value") >= 0),
+      "user present" -> col("user_id").isNotNull))))
+
+    val sessSql = spark.sql(
+      """SELECT * FROM graft_sessionize('sql_ev', 'user_id', 'ts',
+        |  '30 minutes', 'count(1) as n_events') ORDER BY user_id, session_start""".stripMargin)
+    assert(rows(sessSql) == rows(TimeSeries.sessionize(ev, "user_id", "ts",
+        "30 minutes", Seq(count(lit(1)).as("n_events")))
+      .orderBy("user_id", "session_start")))
+
+    // as-of: each event enriched with the latest earlier event's value
+    val l = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val rj = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+    l.createOrReplaceTempView("sql_asof_l")
+    rj.createOrReplaceTempView("sql_asof_r")
+    val asofSql = spark.sql(
+      """SELECT * FROM graft_asof_join('sql_asof_l', 'sql_asof_r',
+        |  'user_id', 'ts', 'ts', 'value') ORDER BY user_id, event_id""".stripMargin)
+    assert(rows(asofSql) ==
+      rows(Joins.asofJoin(l, rj, Seq("user_id"), "ts", "ts", Seq("value"))
+        .orderBy("user_id", "event_id")))
+    assert(asofSql.count() > 0)
+
+    // malformed calls fail with usage guidance, not an internal error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_key_skew('sql_ev')").collect()
+    }
+    assert(e.getMessage.contains("graft_key_skew(table, keyCol"))
   }
 }
