@@ -82,7 +82,11 @@ object BenchCurve {
       "q31_chunks", "q33_sessions",
       // final-surface additions: the sketch (k-bounded state), the LM
       // scorer (count-table joins), and the iterative graph op
-      "q71_heavy_hitters", "q70_lm_score", "q73_pagerank")
+      "q71_heavy_hitters", "q70_lm_score", "q73_pagerank",
+      // round-4 additions: connected components (iterative label
+      // propagation), pair mining (inverted-index self-join), and the
+      // token-set fuzzy join — the three heaviest non-ANN ops
+      "q37_dedup_clusters", "q68_cooccur", "q69_fuzzy_join")
 
     val x4 = "/tmp/graft_bench_x4"
     ensureX4(spark, "/root/testdata/sf0.1", x4)
@@ -119,6 +123,26 @@ object BenchCurve {
       spark.sharedState.cacheManager.clearCache() // no cross-point reuse
       label -> qs
     }
+
+    // --- profile: exact-distinct Expand vs HLL++ sketch ---
+    // q47's contract instance uses EXACT count_distinct (oracle-checkable),
+    // which Expands input rows × column count — at 100 TB the default is
+    // the HLL path ([[operators.Profiling.profile]] approxDistinct = true,
+    // or the ApproxDistinctRewrite session rule). Measure both on the same
+    // frame so the trade is a number, not a claim.
+    val liProf = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val profCols = Seq("l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag")
+    def minOf2(f: => Unit): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); f
+      spark.sharedState.cacheManager.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val profExact = minOf2(graft.operators.Profiling.profile(liProf, profCols)
+      .write.format("noop").mode("overwrite").save())
+    val profHll = minOf2(graft.operators.Profiling.profile(liProf, profCols,
+        approxDistinct = true)
+      .write.format("noop").mode("overwrite").save())
 
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
@@ -173,6 +197,7 @@ object BenchCurve {
         ",\"queries\":" + fmtQs(qs) + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"curve","points":$pts,""" +
+      f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f},""" +
       f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
       f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +
       f""""noaqe_salted_sec":$ss%.3f,"noaqe_salted_task_spread":$sspread%.1f,"noaqe_salted_max_task_ms":$smax}}""")
