@@ -72,6 +72,51 @@ class EngineSpec extends SparkSpec {
     assert(r("5 Nowhere Rd") == ((None, None)))
   }
 
+  test("geocode connector: rate-limited driver lookups, cache table, at-most-once per key") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_geo").toString
+    val cachePath = s"$tmp/geocode_cache"
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val called = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    // deterministic fake standing in for the HTTP client: MAIN ST
+    // resolves, OCEAN AVE is an API miss (None), everything else resolves
+    val resolver: String => Option[String] = { addr =>
+      calls.incrementAndGet(); called.add(addr)
+      if (addr.contains("OCEAN")) None else Some("1000420007")
+    }
+    val addrs = Seq("1 Main  St", "1 MAIN ST", "9 ocean ave", "5 Other Rd")
+      .toDF("address") // two spellings of one key: dedup before the API
+
+    val r1 = Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 2, maxQps = 1000.0)
+    // cap = 2: only the first two distinct keys (sorted) hit the API
+    assert(calls.get == 2)
+    assert(called.toArray.toSeq == Seq("1 MAIN ST", "5 OTHER RD"))
+    val m1 = r1.select("address", "bbl").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(m1("1 Main  St") == Some("1-00042-0007"))
+    assert(m1("1 MAIN ST") == Some("1-00042-0007"))
+    assert(m1("9 ocean ave").isEmpty) // over cap this batch — unresolved
+
+    // next batch: cached keys are NOT re-queried; the over-cap key is;
+    // its API miss caches as null so batch 3 does zero lookups
+    val r2 = Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 10, maxQps = 1000.0)
+    assert(calls.get == 3)
+    assert(r2.filter(col("address") === "9 ocean ave")
+      .select("bbl").head().isNullAt(0))
+    Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 10, maxQps = 1000.0).collect()
+    assert(calls.get == 3) // fully cached — at-most-once per key held
+
+    // pacing: 3 fresh keys at 50 QPS cannot finish faster than 2 gaps
+    val fresh = Seq("2 A ST", "3 B ST", "4 C ST").toDF("address")
+    val t0 = System.nanoTime()
+    Geocode.resolveWithCache(fresh, "address", s"$tmp/cache2", resolver,
+      maxLookups = 10, maxQps = 50.0).collect()
+    assert((System.nanoTime() - t0) / 1e6 >= 40.0, "QPS pacing not applied")
+  }
+
   test("bookmark toggle: add/remove with insertion order (server.py:548-552)") {
     val s0 = Seq.empty[String]
     val s1 = Bookmarks.toggle(s0, "1-42-7")
