@@ -36,8 +36,14 @@ object Graph {
     * iteration's rank frame checkpoints and releases its predecessor.
     * All build frames are unpersisted before returning; the returned
     * frame owns only its own checkpoint blocks. Per iteration: one
-    * equi-join of edges to ranks (shuffle on source), one hash aggregate
-    * on destination, one left join back to the node list.
+    * equi-join of edges to ranks (shuffle on source) and one hash
+    * aggregate on destination — there is NO per-iteration join back to
+    * the node list: a zero contribution per node rides the aggregate's
+    * union instead (same shuffle), which keeps in-edge-less nodes present
+    * at strictly lower cost. Bit-identical to the joined formulation:
+    * 0.0 sorts first in the sorted fold and `0.0 + x == x` exactly in
+    * IEEE doubles (all contributions are positive), so every partial sum
+    * is unchanged.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
@@ -51,16 +57,16 @@ object Graph {
       .union(e.select(col("__d").as("__v"))).distinct()
       .localCheckpoint()
     val withDeg = e.join(deg, "__s")
+    val zeroContrib = nodes.select(col("__v").as("__d"), lit(0.0).as("__c"))
     var pr = nodes.select(col("__v"), lit(1.0).as("__pr")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val summed = withDeg.join(pr, col("__s") === col("__v"))
+      val next = withDeg.join(pr, col("__s") === col("__v"))
         .select(col("__d"), (col("__pr") / col("__dg")).as("__c"))
+        .unionByName(zeroContrib)
         .groupBy(col("__d"))
-        .agg(Folds.sortedSum(col("__c")).as("__sum"))
-      val next = nodes
-        .join(summed, col("__v") === col("__d"), "left_outer")
-        .select(col("__v"), (lit(1.0 - damping) + lit(damping) *
-          coalesce(col("__sum"), lit(0.0))).as("__pr"))
+        .agg((lit(1.0 - damping) + lit(damping) *
+          Folds.sortedSum(col("__c"))).as("__pr"))
+        .select(col("__d").as("__v"), col("__pr"))
         .localCheckpoint()
       pr.unpersist(blocking = false)
       pr = next
