@@ -883,7 +883,30 @@ object SparkEntry {
           "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
           "tax_range" -> (col("l_tax") >= 0 && col("l_tax") <= 0.08),
           "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
-        .orderBy(col("rule")))
+        .orderBy(col("rule"))),
+
+    // Semantic dedup CLUSTERS: the embedding sibling of q37 — blocked
+    // exact-cosine near-dup pairs (q25's edge generator, thresholded)
+    // collapse transitively into duplicate groups via the same min-label
+    // propagation. Oracle: brute-force within-block cosine + recursive
+    // CTE — the engine's pair set AND its fixpoint must both match.
+    "q78_semantic_clusters" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          "label", threshold = 0.5)
+        .select("id1", "id2")
+      Dedup.connectedComponents(edges, emb.select(col("vec_id")), "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // Deterministic training-shard manifest: shard + position are pure
+    // md5-arithmetic functions of the key (a reproducible pseudorandom
+    // shuffle — no curriculum bias from source locality, stable across
+    // engines/retries/partitionings)
+    "q79_shards" -> ((s, d) =>
+      Corpus.shardAssignment(t(s, d, "documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard_id"), col("shard_pos"))
+        .orderBy(col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2161,6 +2184,45 @@ object SparkEntry {
         |UNION ALL SELECT 'tax_range', n_rows, v_tax FROM t
         |UNION ALL SELECT 'flag_domain', n_rows, v_flag FROM t
         |ORDER BY rule"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    // q78: within-block exact cosine (the q25 formula), >= 0.5 edge set,
+    // then the q37-style recursive-CTE min-label fixpoint over ALL vec_ids
+    "q78_semantic_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |), e AS (
+        |  SELECT id1 AS a, id2 AS b FROM p WHERE cos >= 0.5
+        |  UNION ALL
+        |  SELECT id2 AS a, id1 AS b FROM p WHERE cos >= 0.5
+        |), r(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
+        |)
+        |SELECT id AS vec_id, min(lbl) AS cluster FROM r GROUP BY id
+        |ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    // q79: the hashBucket md5 arithmetic is SQL-portable by design —
+    // same 15-hex-digit prefix, same modulus, same (hash, key) order
+    "q79_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard_id,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+        |    AS INTEGER) AS shard_pos
+        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -117,6 +117,31 @@ object Corpus {
     withPack.withColumn("pack_pos", row_number().over(wPos))
   }
 
+  /** Deterministic training-shard assignment: every row gets a
+    * `shard_id` in [0, nShards) and a 1-based `shard_pos` — the manifest
+    * a pre-training data loader consumes. Both are pure functions of the
+    * KEY: shard = key-hash mod nShards, within-shard order = (hash, key) —
+    * i.e. a deterministic pseudorandom shuffle, which is exactly what
+    * training wants (hash order decorrelates neighboring source rows, so
+    * no curriculum bias from crawl/source locality), and it is stable
+    * under re-runs, retries, and corpus repartitioning.
+    *
+    * Scale shape: one shuffle (the per-shard window); shards sort
+    * independently and in parallel, so the global corpus is never
+    * totally ordered. SQL-portable like [[hashBucket]] — any engine
+    * reproduces the same manifest from md5 arithmetic.
+    */
+  def shardAssignment(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "shardAssignment requires nShards >= 1")
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h",
+        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("shard_id", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__h")
+  }
+
   /** Per-group Pareto / cumulative-share curve: rank each group's rows by
     * `weightCol` DESC (id tiebreak) and emit the running share of the
     * group's total mass — "the top N docs of this source carry X% of its

@@ -222,4 +222,27 @@ class CorpusSpec extends SparkSpec {
     assert(r(4L) == ((1, 0.5)) && r(5L) == ((2, 1.0)))
     assert(r(6L) == ((1, 1.0)))
   }
+
+  test("shardAssignment: every key exactly once, contiguous positions, stable manifest") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    val m = Corpus.shardAssignment(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard_id", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(m.length == 200 && m.map(_._1).distinct.length == 200)
+    assert(m.forall(x => x._2 >= 0 && x._2 < 4))
+    // positions are 1..n within each shard, no gaps, no dups
+    m.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // hash sharding spreads: no shard is empty or hoards >60% of 200 keys
+    val sizes = m.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 4 && sizes.values.forall(n => n > 0 && n < 120))
+    // deterministic: a re-run over a differently-partitioned input is
+    // the SAME manifest (pure function of the key)
+    val m2 = Corpus.shardAssignment(docs.repartition(7), "doc_id", 4)
+      .select("doc_id", "shard_id", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(m.sortBy(_._1).toSeq == m2.sortBy(_._1).toSeq)
+  }
 }
