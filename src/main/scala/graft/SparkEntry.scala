@@ -906,7 +906,35 @@ object SparkEntry {
     "q79_shards" -> ((s, d) =>
       Corpus.shardAssignment(t(s, d, "documents"), "doc_id", nShards = 8)
         .select(col("doc_id"), col("shard_id"), col("shard_pos"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // INCREMENTAL dedup — the 100 TB workflow: the first half of the
+    // corpus is "history" persisted as a MinHash band index; the second
+    // half arrives as a batch and is deduped against index + itself
+    // WITHOUT recomputing any historical signature. Exact-verified ≥ 0.8;
+    // oracle = the true all-pairs set restricted to pairs touching the
+    // new batch — candidate recall must be total, same bar as q19.
+    "q80_incremental_dedup" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      // half the corpus is history, half the arriving batch; doc_ids are
+      // dense and 0-based, so the cut is count/2 at every SF (the oracle
+      // derives the same cut with a scalar subquery)
+      val cut = cachedCount(s, d, "documents") / 2
+      val hist = doc.filter(col("doc_id") < cut)
+      val batch = doc.filter(col("doc_id") >= cut)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mh_idx_${Integer.toHexString(d.hashCode)}").getPath
+      Dedup.saveMinhashIndex(hist, idxPath, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 16)
+      val cand = Dedup.incrementalMinhashPairs(batch, idxPath, "doc_id",
+        "text", maxBucket = 512)
+      Dedup.ngramJaccard(cand.filter(col("est_jaccard") >= 0.4)
+          .select("id1", "id2"), doc, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2223,6 +2251,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard_id,
         |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
         |    AS INTEGER) AS shard_pos
-        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q80: the true >= 0.8 pair set (q19's CTE) restricted to pairs that
+    // touch the new batch (ids >= count/2) — id1 < id2, so "touches the
+    // batch" is exactly id2 >= cut
+    "q80_incremental_dedup" ->
+      s"""WITH $q19PairsCte
+         |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM j
+         |WHERE jaccard >= 0.8
+         |  AND id2 >= (SELECT count(*) / 2 FROM documents)
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
   )
 }

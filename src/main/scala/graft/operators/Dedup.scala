@@ -80,19 +80,10 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands): " +
         "trailing signature positions would silently drop from banding")
-    val rows = numHashes / bands
     // one signature computation (native tokens→signature pass); bands
     // derive from it and the signature rides along through the bucket
     // join so no re-join/recompute is needed
-    val banded = df
-      .select(col(idCol).as("id"),
-        graft.functions.HashFunctions.minhashTokens(
-          TextAnalysis.tokens(col(textCol)), shingleN, numHashes).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
-      .select(col("id"), col("sig"), col("band_idx"),
-        xxhash64(col("band_idx"),
-          slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
+    val banded = bandRows(df, idCol, textCol, shingleN, numHashes, bands)
     // bucket size via a whole-partition window count: ONE shuffle on the
     // bucket key (vs a separate aggregate + re-join), partitioned by the
     // same key the pair join needs next.
@@ -135,6 +126,120 @@ object Dedup {
         size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
           x => x)).cast("double") / size(col("sig1")))
       .select("id1", "id2", "est_jaccard")
+  }
+
+  /** Persist the MinHash band index — the artifact that makes dedup
+    * INCREMENTAL at corpus scale. A 100 TB pipeline never re-deduplicates
+    * the whole corpus: it dedups each arriving batch against this index
+    * ([[incrementalMinhashPairs]]) and appends the batch's rows
+    * ([[appendMinhashIndex]]). One row per (doc, band): (id, band_idx,
+    * band_hash, sig), written sorted by (band_idx, band_hash) so parquet
+    * row-group min/max statistics prune probe scans; the signature rides
+    * along so join-time similarity estimates never touch old TEXT.
+    * `meta` pins the signature family — an increment computed with
+    * different parameters would silently match nothing, so probing
+    * re-reads the parameters from the index, never from caller arguments.
+    */
+  def saveMinhashIndex(docs: DataFrame, path: String, idCol: String,
+                       textCol: String, shingleN: Int = 3,
+                       numHashes: Int = 32, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
+      .sortWithinPartitions(col("band_idx"), col("band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a processed batch's band rows to a persisted index (same
+    * signature family — parameters come from the index's meta).
+    */
+  def appendMinhashIndex(newDocs: DataFrame, path: String, idCol: String,
+                         textCol: String): Unit = {
+    val (shingleN, numHashes, bands) = readMinhashMeta(newDocs.sparkSession, path)
+    bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
+      .sortWithinPartitions(col("band_idx"), col("band_hash"))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Candidate near-dup pairs of a NEW batch, incrementally: (new × index)
+    * pairs via a band join against the persisted index plus (new × new)
+    * pairs via the in-memory pass — without recomputing one signature of
+    * the historical corpus. Output matches [[minhashCandidatePairs]]:
+    * (id1 < id2, est_jaccard), deduplicated across bands and sources.
+    *
+    * Scale shape: the index side is never scanned into memory as text —
+    * the join carries (id, 8-byte band hash, signature); the index side of
+    * every bucket is capped at `maxBucket` rows (lowest ids, deterministic)
+    * so a boilerplate flood in the HISTORY costs new×maxBucket, never
+    * new×bucket; and the new batch is small by definition of a batch.
+    */
+  def incrementalMinhashPairs(newDocs: DataFrame, path: String, idCol: String,
+                              textCol: String,
+                              maxBucket: Int = 10000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (shingleN, numHashes, bands) = readMinhashMeta(spark, path)
+    val newBands = bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = spark.read.parquet(s"$path/bands")
+    // per-bucket cap on the INDEX side (lowest ids win — deterministic,
+    // same contract as minhashCandidatePairs' star fallback)
+    val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
+      .orderBy(col("id"))
+    val idxCapped = idx.withColumn("__bn", row_number().over(capW))
+      .filter(col("__bn") <= maxBucket)
+    val cross = newBands
+      .select(col("band_idx"), col("band_hash"),
+        col("id").as("__nid"), col("sig").as("__nsig"))
+      .join(idxCapped.select(col("band_idx"), col("band_hash"),
+        col("id").as("__oid"), col("sig").as("__osig")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("__nid") =!= col("__oid"))
+      .select(least(col("__nid"), col("__oid")).as("id1"),
+        greatest(col("__nid"), col("__oid")).as("id2"),
+        when(col("__nid") < col("__oid"), col("__nsig"))
+          .otherwise(col("__osig")).as("sig1"),
+        when(col("__nid") < col("__oid"), col("__osig"))
+          .otherwise(col("__nsig")).as("sig2"))
+    val newNew = minhashCandidatePairs(newDocs, idCol, textCol,
+      shingleN, numHashes, bands, maxBucket)
+    cross
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / size(col("sig1")))
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .unionByName(newNew)
+      // a pair can surface from BOTH paths if the index already holds one
+      // of the batch's docs (idempotent re-runs) — keep one row
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** One row per (doc, band): the shared banding pass behind the
+    * persisted index and the in-memory candidate stage.
+    */
+  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.HashFunctions.minhashTokens(
+          TextAnalysis.tokens(col(textCol)), shingleN, numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .select(col("id"), col("sig"), col("band_idx"),
+        xxhash64(col("band_idx"),
+          slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
+  }
+
+  private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: expects columns

@@ -157,6 +157,44 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("incremental minhash: batch-vs-index pairs equal the full-corpus pairs touching the batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    val mk = (id: Long, text: String) => (id, text)
+    val hist = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "one two three four five six seven eight nine"),
+      mk(3L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      mk(11L, "one two three four five six seven eight nine ten"), // near 2
+      mk(12L, "totally different content nothing shared here"),
+      mk(13L, "totally different content nothing shared here also")) // near 12
+      .toDF("doc_id", "text")
+
+    Dedup.saveMinhashIndex(hist, tmp, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8)
+    val inc = Dedup.incrementalMinhashPairs(batch, tmp, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-corpus candidates restricted to pairs touching
+    // the batch (ids >= 10)
+    val full = Dedup.minhashCandidatePairs(hist.unionByName(batch),
+        "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._2 >= 10L).toSet
+    assert(inc == full)
+    assert(inc.contains((1L, 10L)) && inc.contains((2L, 11L))
+      && inc.contains((12L, 13L)))
+
+    // append the batch; the next increment sees it as history
+    Dedup.appendMinhashIndex(batch, tmp, "doc_id", "text")
+    val batch2 = Seq(mk(20L, "totally different content nothing shared here"))
+      .toDF("doc_id", "text")
+    val inc2 = Dedup.incrementalMinhashPairs(batch2, tmp, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2.contains((12L, 20L)) && inc2.contains((13L, 20L)))
+    assert(inc2.forall { case (_, b) => b == 20L })
+  }
+
   test("connected components: empty edge set yields all-singleton clusters") {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     val nodes = (1L to 4L).toDF("doc_id")
