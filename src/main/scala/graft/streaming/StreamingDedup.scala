@@ -43,6 +43,21 @@ object StreamingDedup {
     else keyed.dropDuplicates("digest")
   }
 
+  /** Drop stream documents whose content digest already exists in a
+    * static HISTORY table — the stream-static stage in front of [[dedup]]
+    * and the streaming face of the incremental-dedup workflow
+    * ([[graft.operators.Dedup.saveMinhashIndex]] family): history lives
+    * in a persisted digest table joined per micro-batch (left anti — no
+    * streaming state at all; Spark re-plans the static side per batch, so
+    * a small history broadcasts), while within-stream duplicates stay in
+    * the watermarked state store via [[dedup]]. Compose both:
+    * `dedup(againstHistory(docs, "text", history), "text", true)`.
+    */
+  def againstHistory(docs: DataFrame, textCol: String,
+                     historyDigests: DataFrame): DataFrame =
+    withDigest(docs, textCol)
+      .join(historyDigests.select(col("digest")), Seq("digest"), "left_anti")
+
   /** Deterministic batch twin of the streaming first-wins semantics: for
     * each value of `digestCol`, keep the row that is FIRST in
     * (orderCol, tieCol) order — exactly the row a streaming dedup sees

@@ -52,6 +52,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against history: persisted digests drop known docs, no state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // "history" = the persisted digest table of an already-ingested corpus
+    val history = graft.operators.Dedup.exact(
+      Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text").select("digest")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    // compose: history anti-join (stream-static, stateless) then
+    // within-stream dedup (stateful)
+    val q = graft.streaming.StreamingDedup.dedup(
+        graft.streaming.StreamingDedup.againstHistory(docs, "text", history)
+          .drop("digest"),
+        "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_hist").start()
+    try {
+      input.addData((0L, "alpha"), (1L, "gamma"), (2L, "gamma"))
+      q.processAllAvailable()
+      input.addData((3L, "beta"), (4L, "delta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("sdedup_hist").collect().map(_.getLong(0)).toSet
+      // alpha/beta die against history; gamma keeps its first occurrence
+      // only; delta is genuinely new
+      assert(out == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark: near-in-time dups collapse, state evicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
