@@ -14,7 +14,8 @@ object PlanAudit {
         "q19_minhash_lsh", "q21_ngram_jaccard", "q22_cosine_topk",
         "q25_embedding_neardups", "q26_corpus_pipeline", "q23_ann_lsh",
         "q30_vocab", "q31_chunks", "q38_decontaminate", "q40_tfidf",
-        "q58_snapshot_diff", "q63_dup_spans")
+        "q58_snapshot_diff", "q63_dup_spans",
+        "q78_semantic_clusters", "q80_incremental_dedup")
     val spark = graft.engine.Tables.session("local[4]", 4)
     names.foreach { n =>
       println(s"\n================ $n ================")

@@ -195,6 +195,23 @@ class DedupSpec extends SparkSpec {
     assert(inc2.forall { case (_, b) => b == 20L })
   }
 
+  test("incremental minhash: index-side hot bucket caps at maxBucket, lowest ids win") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_flood").toString
+    // boilerplate flood in HISTORY: 50 identical docs share every bucket
+    val flood = (1L to 50L).map(i => (i, "same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    Dedup.saveMinhashIndex(flood, tmp, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8)
+    val batch = Seq((100L, "same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalMinhashPairs(batch, tmp, "doc_id", "text",
+        maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // new×history bounded by the cap, not the flood; deterministic lowest
+    // history ids survive the cut
+    assert(inc == (1L to 5L).map(i => (i, 100L)).toSet)
+  }
+
   test("connected components: empty edge set yields all-singleton clusters") {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     val nodes = (1L to 4L).toDF("doc_id")
