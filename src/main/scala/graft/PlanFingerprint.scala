@@ -108,6 +108,12 @@ object PlanFingerprint {
   /** Fingerprint every query in `queries` against `sfDir`. Queries whose
     * construction throws map to "error:<class>" so a broken query reads
     * as an explicit diff, never a silent absence.
+    *
+    * The cache is cleared after EVERY query: several operators persist
+    * frames at construction, and the cache manager substitutes matching
+    * subtrees of LATER queries with InMemoryTableScan — one persisting
+    * query would otherwise flip unrelated later queries' signatures
+    * (and Bench, which also clears per query, would disagree).
     */
   def all(spark: org.apache.spark.sql.SparkSession, sfDir: String,
           queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame])
@@ -116,6 +122,7 @@ object PlanFingerprint {
       val sig =
         try signature(fn(spark, sfDir))
         catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+      spark.sharedState.cacheManager.clearCache()
       name -> sig
     }
 }

@@ -2260,7 +2260,7 @@ object SparkEntry {
       s"""WITH $q19PairsCte
          |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM j
          |WHERE jaccard >= 0.8
-         |  AND id2 >= (SELECT count(*) / 2 FROM documents)
+         |  AND id2 >= (SELECT count(*) // 2 FROM documents)
          |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
   )
 }

@@ -83,7 +83,16 @@ object Dedup {
     // one signature computation (native tokens→signature pass); bands
     // derive from it and the signature rides along through the bucket
     // join so no re-join/recompute is needed
-    val banded = bandRows(df, idCol, textCol, shingleN, numHashes, bands)
+    candidatePairsFromBands(
+      bandRows(df, idCol, textCol, shingleN, numHashes, bands), maxBucket)
+  }
+
+  /** Pair formation over an existing band table — shared by the corpus
+    * pass above and the incremental path (which reuses its already-built
+    * batch bands instead of re-signing the batch).
+    */
+  private def candidatePairsFromBands(banded: DataFrame,
+                                      maxBucket: Int): DataFrame = {
     // bucket size via a whole-partition window count: ONE shuffle on the
     // bucket key (vs a separate aggregate + re-join), partitioned by the
     // same key the pair join needs next.
@@ -181,14 +190,26 @@ object Dedup {
                               maxBucket: Int = 10000): DataFrame = {
     val spark = newDocs.sparkSession
     val (shingleN, numHashes, bands) = readMinhashMeta(spark, path)
+    // ONE banding/signature pass over the batch, shared by both the
+    // index join and the batch-internal pair stage (which would otherwise
+    // re-sign the batch internally)
     val newBands = bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = spark.read.parquet(s"$path/bands")
+    // restrict the index to buckets the BATCH touches before any
+    // window work: history grows without bound, the batch doesn't — a
+    // cap computed over the whole index would shuffle all of history
+    // every increment. The semi-join keys are the batch's distinct
+    // bucket ids (small), and the sorted index layout lets parquet
+    // row-group min/max statistics cut the scan.
+    val touched = idx.join(
+      newBands.select(col("band_idx"), col("band_hash")).distinct(),
+      Seq("band_idx", "band_hash"), "left_semi")
     // per-bucket cap on the INDEX side (lowest ids win — deterministic,
     // same contract as minhashCandidatePairs' star fallback)
     val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
       .orderBy(col("id"))
-    val idxCapped = idx.withColumn("__bn", row_number().over(capW))
+    val idxCapped = touched.withColumn("__bn", row_number().over(capW))
       .filter(col("__bn") <= maxBucket)
     val cross = newBands
       .select(col("band_idx"), col("band_hash"),
@@ -203,8 +224,7 @@ object Dedup {
           .otherwise(col("__osig")).as("sig1"),
         when(col("__nid") < col("__oid"), col("__osig"))
           .otherwise(col("__nsig")).as("sig2"))
-    val newNew = minhashCandidatePairs(newDocs, idCol, textCol,
-      shingleN, numHashes, bands, maxBucket)
+    val newNew = candidatePairsFromBands(newBands, maxBucket)
     cross
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
@@ -461,6 +481,14 @@ object Dedup {
     *
     * Deterministic: labels are exact integer minima — no tie-break
     * ambiguity, any execution order converges to the same fixpoint.
+    *
+    * EDGE-GRAPH SEMANTICS: components are computed over the edge list AS
+    * GIVEN. An endpoint absent from `nodes` still CONDUCTS connectivity
+    * (A≈X, X≈B merges A and B even when X was filtered out of `nodes` —
+    * a removed document's similarity edges remain evidence of duplication)
+    * but emits no output row. If removed nodes must not conduct, filter
+    * the EDGE list to surviving endpoints before calling — membership is
+    * the caller's one-join decision, not a cost every caller pays.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 20): DataFrame = {

@@ -52,7 +52,9 @@ object PngCodec {
     while (!end && i + 8 <= b.length) {
       val len = u32(b, i).toInt
       val dataOff = i + 8
-      if (len < 0 || dataOff + len + 4 > b.length) return None // truncated
+      // long arithmetic: a crafted length near Int.MaxValue would wrap
+      // the int sum negative and sneak past the truncation check
+      if (len < 0 || dataOff.toLong + len + 4 > b.length) return None
       val typ = new String(b, i + 4, 4, "US-ASCII")
       typ match {
         case "IHDR" =>

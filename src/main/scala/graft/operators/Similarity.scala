@@ -303,6 +303,19 @@ object Similarity {
       s"lshSearch probe set exceeds $maxProbes buckets — the query frame " +
         "is too large for driver-side partition pruning; batch the " +
         "queries or join the persisted index as a table instead")
+    if (probed.isEmpty) { // empty query frame: empty result, not a crash
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
     val cond = probed.groupBy(_._1).map { case (t, ps) =>
       col("tbl") === t && col("bucket").isin(ps.map(_._2).toSeq: _*)
     }.reduce(_ || _)

@@ -220,6 +220,20 @@ class DedupSpec extends SparkSpec {
     assert(r == (1L to 4L).map(i => i -> i).toMap)
   }
 
+  test("connected components: out-of-nodes endpoints conduct but emit no row") {
+    // X = 99 was (say) quality-filtered out of `nodes`, but its edges
+    // remain: 5-99, 99-7. Documented semantics: 99 CONDUCTS (5 and 7
+    // share a cluster — the removed doc's similarity is still evidence)
+    // yet emits no output row. Callers wanting the opposite filter edges.
+    val edges = Seq((5L, 99L), (99L, 7L)).toDF("id1", "id2")
+    val nodes = Seq(5L, 7L, 8L).toDF("doc_id")
+    val r = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(5L, 7L, 8L)) // no row for 99
+    assert(r(5L) == r(7L)) // conducted through the absent endpoint
+    assert(r(8L) == 8L)
+  }
+
   test("connected components: refuses to return non-converged labels") {
     // diameter-4 chain needs 4 propagation rounds + 1 detection round;
     // maxIters = 2 cannot converge and must THROW, never return partial
