@@ -144,6 +144,28 @@ object BenchCurve {
         approxDistinct = true)
       .write.format("noop").mode("overwrite").save())
 
+    // --- incremental dedup: per-batch cost vs history size ---
+    // The operator's contract is that a batch's cost does not grow with
+    // the window/join work over history (only the pruned index scan
+    // grows). Same 500-doc batch against a 1× and a 4× history index.
+    val doc1x = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val doc4x = spark.read.parquet(s"$x4/documents.parquet")
+    val incBatch = doc1x.filter(col("doc_id") < 500)
+    def incRun(hist: DataFrame, tag: String): Double = {
+      val p = s"/tmp/graft_inc_$tag"
+      graft.operators.Dedup.saveMinhashIndex(hist, p, "doc_id", "text")
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Dedup
+          .incrementalMinhashPairs(incBatch, p, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        spark.sharedState.cacheManager.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val inc1x = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
+    val inc4x = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
+
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
     // payload folded per joined row, so the hot reducer's work is real
@@ -197,6 +219,7 @@ object BenchCurve {
         ",\"queries\":" + fmtQs(qs) + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"curve","points":$pts,""" +
+      f""""incremental":{"hist_1x_sec":$inc1x%.3f,"hist_4x_sec":$inc4x%.3f},""" +
       f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f},""" +
       f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
       f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +

@@ -590,6 +590,12 @@ class StreamingMultimodalSpec extends SparkSpec {
     // 16-bit depth is out of scope and must decline, not mis-decode
     val deep = ok.clone(); deep(24) = 16.toByte // IHDR bit-depth byte
     assert(PngCodec.decode(deep).isEmpty)
+    // a crafted chunk length near Int.MaxValue must not wrap the bounds
+    // check into a crash — decline, don't throw
+    val wrapped = ok.clone()
+    wrapped(8) = 0x7f.toByte; wrapped(9) = 0xff.toByte // IHDR len field
+    wrapped(10) = 0xff.toByte; wrapped(11) = 0xf0.toByte
+    assert(PngCodec.decode(wrapped).isEmpty)
   }
 
   test("multimodal: extractFeatures uses real pixels for PNG payloads") {
