@@ -242,7 +242,7 @@ object Dedup {
   /** One row per (doc, band): the shared banding pass behind the
     * persisted index and the in-memory candidate stage.
     */
-  private def bandRows(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def bandRows(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     docs
@@ -256,7 +256,7 @@ object Dedup {
           slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
   }
 
-  private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
                               path: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$path/meta").head()
     (m.getInt(0), m.getInt(1), m.getInt(2))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming exact dedup — the continuous-ingest twin of
@@ -57,6 +57,54 @@ object StreamingDedup {
                      historyDigests: DataFrame): DataFrame =
     withDigest(docs, textCol)
       .join(historyDigests.select(col("digest")), Seq("digest"), "left_anti")
+
+  /** Flag stream documents that NEAR-duplicate the persisted history: band
+    * each incoming doc with the signature family pinned in the MinHash
+    * index's metadata ([[graft.operators.Dedup.saveMinhashIndex]]), join
+    * the static band table per micro-batch, and emit one row per
+    * (stream doc, history doc) candidate with the signature-agreement
+    * similarity estimate.
+    *
+    * STATELESS by construction, which takes care of the multi-band
+    * duplicate problem without a state store: a pair that agrees on
+    * several bands would surface once per band, and a streaming
+    * dropDuplicates would need unbounded state — instead each hit is
+    * emitted only from its FIRST agreeing band (both signatures are
+    * present after the join, so "no earlier band agrees" is a plain
+    * codegen'd predicate). Exactly-one-row-per-pair, zero state.
+    *
+    * The static side's file listing is resolved when this operator is
+    * called — rows appended to the index are picked up on the next
+    * query (re)start, not mid-stream; the per-batch join itself re-plans
+    * (a small index broadcasts).
+    */
+  def nearDupsAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+                           indexPath: String): DataFrame = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val (shingleN, numHashes, bands) = Dedup.readMinhashMeta(spark, indexPath)
+    val rows = numHashes / bands
+    val streamBands = Dedup.bandRows(docs, idCol, textCol,
+      shingleN, numHashes, bands)
+    val idx = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band_idx"), col("band_hash"),
+        col("id").as("neighbor_id"), col("sig").as("nsig"))
+    val bandAgrees = (j: Column) =>
+      slice(col("sig"), j * rows + 1, lit(rows)) ===
+        slice(col("nsig"), j * rows + 1, lit(rows))
+    val earlierAgrees = when(col("band_idx") === 0, lit(false))
+      .otherwise(exists(sequence(lit(0), col("band_idx") - 1), bandAgrees))
+    streamBands.join(idx, Seq("band_idx", "band_hash"))
+      .filter(col("id") =!= col("neighbor_id"))
+      // first TRULY agreeing band only → one row per pair. The own-band
+      // check also drops pure hash-collision hits (equal band_hash,
+      // unequal slices), which would otherwise emit from several bands.
+      .filter(bandAgrees(col("band_idx")) && !earlierAgrees)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), col("nsig"), (a, b) => a === b),
+          x => x)).cast("double") / size(col("sig")))
+      .select(col("id").as(idCol), col("neighbor_id"), col("est_jaccard"))
+  }
 
   /** Deterministic batch twin of the streaming first-wins semantics: for
     * each value of `digestCol`, keep the row that is FIRST in

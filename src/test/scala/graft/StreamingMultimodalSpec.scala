@@ -82,6 +82,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup flagging against a persisted MinHash index: one row per pair, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    graft.operators.Dedup.saveMinhashIndex(hist, tmp, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.nearDupsAgainstIndex(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snd").start()
+    try {
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+        (11L, "completely unrelated fresh content"))
+      q.processAllAvailable()
+      input.addData((12L, "one two three four five six seven eight nine")) // = doc 2
+      q.processAllAvailable()
+      val out = spark.table("snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // an identical doc agrees on EVERY band — one row proves the
+      // first-agreeing-band dedup; est = 1.0 proves the signature ride
+      assert(out.count(x => x._1 == 10L && x._2 == 1L) == 1)
+      assert(out.count(x => x._1 == 12L && x._2 == 2L) == 1)
+      assert(out.filter(x => x._1 == 10L || x._1 == 12L)
+        .forall(_._3 == 1.0))
+      assert(!out.exists(_._1 == 11L)) // fresh content flags nothing
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark: near-in-time dups collapse, state evicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
