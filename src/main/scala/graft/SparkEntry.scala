@@ -908,6 +908,15 @@ object SparkEntry {
         .select(col("doc_id"), col("shard_id"), col("shard_pos"))
         .orderBy(col("doc_id"))),
 
+    // One-call corpus dedup: candidates → exact verification → clusters →
+    // lowest-id survivor per cluster, with the absorbed-duplicate count.
+    // The end-to-end API a pipeline calls; its stages are q19/q37's.
+    "q81_dedup_survivors" -> ((s, d) =>
+      Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8, maxBucket = 512)
+        .select(col("doc_id"), col("cluster"), col("n_dropped"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // INCREMENTAL dedup — the 100 TB workflow: the first half of the
     // corpus is "history" persisted as a MinHash band index; the second
     // half arrives as a batch and is deduped against index + itself
@@ -2252,6 +2261,28 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
         |    AS INTEGER) AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q81: q37's recursive-CTE clusters, then survivors = rows whose id IS
+    // the cluster min, carrying the absorbed-duplicate count
+    "q81_dedup_survivors" ->
+      s"""WITH RECURSIVE $q19PairsCte,
+         |e AS (
+         |  SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.8
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
+         |),
+         |r(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
+         |),
+         |c AS (SELECT id AS doc_id, min(lbl) AS cluster FROM r GROUP BY id),
+         |sz AS (SELECT cluster, count(*) AS szn FROM c GROUP BY cluster)
+         |SELECT c.doc_id, c.cluster, CAST(sz.szn - 1 AS BIGINT) AS n_dropped,
+         |  d.lang
+         |FROM c JOIN sz USING (cluster) JOIN documents d USING (doc_id)
+         |WHERE c.doc_id = c.cluster ORDER BY c.doc_id"""
+        .stripMargin.replace("\n", " "),
 
     // q80: the true >= 0.8 pair set (q19's CTE) restricted to pairs that
     // touch the new batch (ids >= count/2) — id1 < id2, so "touches the

@@ -554,6 +554,43 @@ object Dedup {
     out
   }
 
+  /** One-call corpus near-dedup — the composed pipeline a user actually
+    * runs: MinHash candidates → exact n-gram-Jaccard verification at
+    * `threshold` → connected components → keep the LOWEST id per
+    * duplicate cluster. Returns the surviving rows of `docs` (all
+    * columns) plus `cluster` (the group the row won) and `n_dropped`
+    * (how many near-duplicates it absorbed — 0 for singletons).
+    *
+    * Each stage is the independently-tested operator above; this
+    * function only owns the composition and the survivor join. Scale
+    * properties are inherited: banded candidates (never all-pairs),
+    * capped hot buckets, verification only on candidates, CC over the
+    * duplicate subgraph only.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, shingleN: Int = 3,
+                  numHashes: Int = 32, bands: Int = 16,
+                  maxBucket: Int = 10000): DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol, shingleN,
+      numHashes, bands, maxBucket)
+    // signature-agreement prescreen: Bin(numHashes, threshold) below half
+    // the threshold is vanishingly unlikely for a true pair (same bound
+    // q19 documents), so exact verification work stays candidate-sized
+    val edges = ngramJaccard(cand.filter(col("est_jaccard") >= threshold / 2)
+        .select("id1", "id2"), docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2")
+    val clusters = connectedComponents(edges, docs.select(col(idCol)), idCol)
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__sz"))
+    docs
+      .join(clusters, Seq(idCol))
+      .filter(col(idCol) === col("cluster")) // survivor = cluster min
+      .join(sizes, Seq("cluster"))
+      .withColumn("n_dropped", col("__sz") - 1)
+      .drop("__sz")
+  }
+
   /** SimHash 64-bit fingerprint from token hashes: for each bit position,
     * sum ±1 votes across token hashes; the sign recomposes the bit.
     * Pure built-ins (`transform` over 64 positions + `aggregate`), fully

@@ -157,6 +157,22 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("dedupCorpus: lowest id survives per cluster, absorbed counts, uniques untouched") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight"), // = 1
+      (3L, "the quick brown fox jumps over the lazy dog today"),   // near 1
+      (7L, "completely different content about something else entirely"),
+      (9L, "yet another unique document with its own words")).toDF("doc_id", "text")
+    val r = Dedup.dedupCorpus(corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 2, numHashes = 16, bands = 8)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("cluster"), x.getAs[Long]("n_dropped")))).toMap
+    assert(r.keySet == Set(1L, 7L, 9L)) // 5 and 3 absorbed into 1
+    assert(r(1L) == ((1L, 2L)))
+    assert(r(7L) == ((7L, 0L)) && r(9L) == ((9L, 0L)))
+  }
+
   test("incremental minhash: batch-vs-index pairs equal the full-corpus pairs touching the batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString
     val mk = (id: Long, text: String) => (id, text)
