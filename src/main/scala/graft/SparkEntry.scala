@@ -917,6 +917,38 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"), col("n_dropped"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Exact-dedup increment against the digest history: half the corpus
+    // persisted as 16-byte digests, the other half arrives as a batch —
+    // drop everything history saw, keep the lowest id per batch-internal
+    // duplicate group, never re-read history text
+    "q82_incremental_exact" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cut = cachedCount(s, d, "documents") / 2
+      // the corpus has no natural exact duplicates (q18: 500 distinct
+      // digests), so engineer two deterministic families that make every
+      // code path discriminating: "shared" texts exist in BOTH halves
+      // (batch copies must die at the history anti-join) and "batch"
+      // texts repeat only within the batch (the lowest-id winner must
+      // survive per group)
+      val aug = doc.withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(lit("batch dup "),
+            (col("doc_id") / lit(cut)).cast("long").cast("string"),
+            lit(" "), pmod(col("doc_id"), lit(13)).cast("string")))
+          .when(pmod(col("doc_id"), lit(7)) === 5,
+            concat(lit("shared dup "),
+              pmod(col("doc_id"), lit(5)).cast("string")))
+          .otherwise(col("text")))
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_dg_idx_${Integer.toHexString(d.hashCode)}").getPath
+      Dedup.saveDigestIndex(aug.filter(col("doc_id") < cut), idxPath, "text")
+      Dedup.incrementalExact(aug.filter(col("doc_id") >= cut), idxPath,
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INCREMENTAL dedup — the 100 TB workflow: the first half of the
     // corpus is "history" persisted as a MinHash band index; the second
     // half arrives as a batch and is deduped against index + itself
@@ -2283,6 +2315,32 @@ object SparkEntry {
          |FROM c JOIN sz USING (cluster) JOIN documents d USING (doc_id)
          |WHERE c.doc_id = c.cluster ORDER BY c.doc_id"""
         .stripMargin.replace("\n", " "),
+
+    // q82: batch survivors = texts history never saw, lowest batch id per
+    // duplicate text (md5 hex agrees between engines, established by q36);
+    // same engineered duplicate families as the engine side
+    "q82_incremental_exact" ->
+      """WITH cut AS (SELECT count(*) // 2 AS c FROM documents),
+        |aug AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'batch dup '
+        |           || CAST(doc_id // c AS VARCHAR) || ' '
+        |           || CAST(doc_id % 13 AS VARCHAR)
+        |         WHEN doc_id % 7 = 5 THEN 'shared dup '
+        |           || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents, cut
+        |), hist AS (
+        |  SELECT DISTINCT md5(text) AS dg FROM aug, cut WHERE doc_id < c
+        |), batch AS (
+        |  SELECT doc_id, lang, md5(text) AS dg FROM aug, cut
+        |  WHERE doc_id >= c
+        |), fresh AS (
+        |  SELECT b.* FROM batch b WHERE b.dg NOT IN (SELECT dg FROM hist)
+        |)
+        |SELECT doc_id, lang FROM fresh f
+        |WHERE doc_id = (SELECT min(doc_id) FROM fresh f2 WHERE f2.dg = f.dg)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q80: the true >= 0.8 pair set (q19's CTE) restricted to pairs that
     // touch the new batch (ids >= count/2) — id1 < id2, so "touches the

@@ -137,6 +137,41 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Persist the EXACT-dedup digest history (16-byte md5 per distinct
+    * text) — the cheap sibling of the MinHash band index below, and the
+    * static side of [[graft.streaming.StreamingDedup.againstHistory]].
+    */
+  def saveDigestIndex(docs: DataFrame, path: String, textCol: String): Unit =
+    docs.select(md5(col(textCol)).as("digest")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Grow the digest history with a processed batch (idempotent for the
+    * membership test — duplicate digest rows change nothing downstream).
+    */
+  def appendDigestIndex(docs: DataFrame, path: String, textCol: String): Unit =
+    docs.select(md5(col(textCol)).as("digest")).distinct()
+      .write.mode("append").parquet(path)
+
+  /** Exact-dedup an arriving batch against the digest history AND within
+    * itself: drop rows whose text was ever seen before, keep the lowest
+    * id per batch-internal duplicate group. Returns surviving rows (all
+    * columns). The history join ships digests, never documents; at
+    * steady state this is the whole per-batch cost of exact dedup —
+    * history text is never re-read.
+    */
+  def incrementalExact(newDocs: DataFrame, path: String, idCol: String,
+                       textCol: String): DataFrame = {
+    val hist = newDocs.sparkSession.read.parquet(path)
+    val keyed = newDocs.withColumn("__dg", md5(col(textCol)))
+    val fresh = keyed.join(hist.select(col("digest").as("__dg")),
+      Seq("__dg"), "left_anti")
+    // lowest id per batch-internal duplicate group: one aggregate (the
+    // exact() shape), then rejoin to carry the full row
+    val winners = fresh.groupBy(col("__dg"))
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(winners, Seq("__dg", idCol), "left_semi").drop("__dg")
+  }
+
   /** Persist the MinHash band index — the artifact that makes dedup
     * INCREMENTAL at corpus scale. A 100 TB pipeline never re-deduplicates
     * the whole corpus: it dedups each arriving batch against this index

@@ -173,6 +173,25 @@ class DedupSpec extends SparkSpec {
     assert(r(7L) == ((7L, 0L)) && r(9L) == ((9L, 0L)))
   }
 
+  test("incremental exact: history drops seen texts, lowest batch id wins internal dups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dg").toString + "/idx"
+    val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    Dedup.saveDigestIndex(hist, tmp, "text")
+    val batch = Seq(
+      (10L, "alpha"),  // seen by history → dies
+      (11L, "gamma"), (12L, "gamma"), // batch-internal dup → 11 survives
+      (13L, "delta")).toDF("doc_id", "text")
+    val r1 = Dedup.incrementalExact(batch, tmp, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(11L, 13L))
+    // append survivors; the next batch sees them as history
+    Dedup.appendDigestIndex(batch, tmp, "text")
+    val batch2 = Seq((20L, "gamma"), (21L, "epsilon")).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalExact(batch2, tmp, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == Set(21L))
+  }
+
   test("incremental minhash: batch-vs-index pairs equal the full-corpus pairs touching the batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString
     val mk = (id: Long, text: String) => (id, text)
