@@ -159,8 +159,11 @@ object BenchCurve {
         graft.operators.Dedup
           .incrementalMinhashPairs(incBatch, p, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // clear OUTSIDE the timed region (like the curve loop above) —
+        // cache-drop time inside both terms would bias the 1x/4x ratio
         spark.sharedState.cacheManager.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }.min
     }
     val inc1x = incRun(doc1x.filter(col("doc_id") >= 500), "1x")

@@ -131,9 +131,7 @@ object Dedup {
       // collapse multi-band duplicates in the same shuffle that forms pairs
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)).cast("double") / size(col("sig1")))
+      .withColumn("est_jaccard", sigAgreement(col("sig1"), col("sig2")))
       .select("id1", "id2", "est_jaccard")
   }
 
@@ -165,11 +163,17 @@ object Dedup {
     val keyed = newDocs.withColumn("__dg", md5(col(textCol)))
     val fresh = keyed.join(hist.select(col("digest").as("__dg")),
       Seq("__dg"), "left_anti")
-    // lowest id per batch-internal duplicate group: one aggregate (the
-    // exact() shape), then rejoin to carry the full row
-    val winners = fresh.groupBy(col("__dg"))
-      .agg(min(col(idCol)).as(idCol))
-    fresh.join(winners, Seq("__dg", idCol), "left_semi").drop("__dg")
+    // lowest id per batch-internal duplicate group as ONE min_by
+    // aggregate carrying the whole row (the firstWins shape) — a
+    // winners-then-semi-join formulation would scan the batch and re-run
+    // the history anti-join twice, and its null-unsafe join keys would
+    // silently DROP null-text rows (md5(NULL) = NULL never equals
+    // itself); groupBy treats nulls as one group, so null-text rows keep
+    // their min-id representative exactly like [[exact]]
+    val cols = newDocs.columns.toIndexedSeq
+    fresh.groupBy(col("__dg"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__w"))
+      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   /** Persist the MinHash band index — the artifact that makes dedup
@@ -263,9 +267,7 @@ object Dedup {
     cross
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)).cast("double") / size(col("sig1")))
+      .withColumn("est_jaccard", sigAgreement(col("sig1"), col("sig2")))
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .unionByName(newNew)
       // a pair can surface from BOTH paths if the index already holds one
@@ -273,6 +275,14 @@ object Dedup {
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
+
+  /** MinHash similarity estimate = fraction of agreeing signature
+    * positions — THE estimate formula, shared by the corpus pass, the
+    * incremental path, and streaming flagging so they can never diverge.
+    */
+  private[graft] def sigAgreement(sig1: Column, sig2: Column): Column =
+    size(filter(zip_with(sig1, sig2, (a, b) => a === b), x => x))
+      .cast("double") / size(sig1)
 
   /** One row per (doc, band): the shared banding pass behind the
     * persisted index and the in-memory candidate stage.
@@ -616,12 +626,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2")
     val clusters = connectedComponents(edges, docs.select(col(idCol)), idCol)
-    val sizes = clusters.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("__sz"))
+    // cluster sizes via a window over the SAME joined frame — a separate
+    // sizes aggregate + rejoin would walk the clusters lineage (and its
+    // corpus-wide singleton join) twice
+    val w = Window.partitionBy(col("cluster"))
     docs
       .join(clusters, Seq(idCol))
+      .withColumn("__sz", count(lit(1)).over(w))
       .filter(col(idCol) === col("cluster")) // survivor = cluster min
-      .join(sizes, Seq("cluster"))
       .withColumn("n_dropped", col("__sz") - 1)
       .drop("__sz")
   }

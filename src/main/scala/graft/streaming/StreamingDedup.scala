@@ -77,16 +77,36 @@ object StreamingDedup {
     * called — rows appended to the index are picked up on the next
     * query (re)start, not mid-stream; the per-batch join itself re-plans
     * (a small index broadcasts).
+    *
+    * Flood-cap trade (same spirit as the batch star fallback): capping
+    * keeps each bucket's `maxBucket` lowest-id members, so in a
+    * boilerplate flood a pair whose EARLIEST agreeing band sat in a
+    * capped bucket is missed even if a later band's row survived (the
+    * first-agreeing-band predicate consults signatures, which don't know
+    * about the cap). Outside floods the cap never binds; where exactness
+    * under floods matters more than bounded work, raise `maxBucket`.
     */
   def nearDupsAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
-                           indexPath: String): DataFrame = {
+                           indexPath: String, maxBucket: Int = 10000): DataFrame = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
     val (shingleN, numHashes, bands) = Dedup.readMinhashMeta(spark, indexPath)
     val rows = numHashes / bands
     val streamBands = Dedup.bandRows(docs, idCol, textCol,
       shingleN, numHashes, bands)
+    // STATIC-side hygiene, computed once per micro-batch on the index:
+    // dropDuplicates absorbs re-appended batches (a retried
+    // appendMinhashIndex would otherwise emit one hit per copy and break
+    // the one-row-per-pair guarantee), and the same deterministic
+    // hot-bucket cap as incrementalMinhashPairs bounds a boilerplate
+    // flood in history to stream×maxBucket per bucket, never
+    // stream×bucket.
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))
     val idx = spark.read.parquet(s"$indexPath/bands")
+      .dropDuplicates("band_idx", "band_hash", "id")
+      .withColumn("__bn", row_number().over(capW))
+      .filter(col("__bn") <= maxBucket)
       .select(col("band_idx"), col("band_hash"),
         col("id").as("neighbor_id"), col("sig").as("nsig"))
     val bandAgrees = (j: Column) =>
@@ -100,9 +120,7 @@ object StreamingDedup {
       // check also drops pure hash-collision hits (equal band_hash,
       // unequal slices), which would otherwise emit from several bands.
       .filter(bandAgrees(col("band_idx")) && !earlierAgrees)
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig"), col("nsig"), (a, b) => a === b),
-          x => x)).cast("double") / size(col("sig")))
+      .withColumn("est_jaccard", Dedup.sigAgreement(col("sig"), col("nsig")))
       .select(col("id").as(idCol), col("neighbor_id"), col("est_jaccard"))
   }
 
