@@ -40,7 +40,11 @@ object BenchOne {
             spark.sharedState.cacheManager.clearCache()
             dt
           }
-          println(f"$name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}  min=${times.min}%.2f")
+          val fp =
+            try PlanFingerprint.of(fn(spark, sfDir))
+            catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+          spark.sharedState.cacheManager.clearCache()
+          println(f"$name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}  min=${times.min}%.2f  plan=$fp")
       }
     }
     spark.stop()
