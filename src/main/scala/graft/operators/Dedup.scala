@@ -161,8 +161,13 @@ object Dedup {
                        textCol: String): DataFrame = {
     val hist = newDocs.sparkSession.read.parquet(path)
     val keyed = newDocs.withColumn("__dg", md5(col(textCol)))
-    val fresh = keyed.join(hist.select(col("digest").as("__dg")),
-      Seq("__dg"), "left_anti")
+    // NULL-SAFE anti-join: md5(NULL) is NULL, and a plain equality never
+    // matches NULL = NULL — null-text rows would survive every batch even
+    // though the history holds their (null) digest row. <=> makes the
+    // membership test see them, so cross-batch dedup applies to null
+    // texts exactly like [[exact]]'s within-batch null group.
+    val fresh = keyed.join(hist.select(col("digest").as("__hg")),
+      col("__dg") <=> col("__hg"), "left_anti")
     // lowest id per batch-internal duplicate group as ONE min_by
     // aggregate carrying the whole row (the firstWins shape) — a
     // winners-then-semi-join formulation would scan the batch and re-run

@@ -304,11 +304,14 @@ object Similarity {
         "is too large for driver-side partition pruning; batch the " +
         "queries or join the persisted index as a table instead")
     if (probed.isEmpty) { // empty query frame: empty result, not a crash
+      // neighbor_id comes from the INDEX's id column in the non-empty
+      // path — type it from the index parquet schema, not the query
+      // frame, or the two paths' schemas disagree when the id types do
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
           queries.schema(idCol).dataType),
         org.apache.spark.sql.types.StructField("neighbor_id",
-          queries.schema(idCol).dataType),
+          spark.read.parquet(s"$path/sig").schema(idCol).dataType),
         org.apache.spark.sql.types.StructField("cos",
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("rank",

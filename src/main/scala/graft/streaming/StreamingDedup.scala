@@ -55,8 +55,12 @@ object StreamingDedup {
     */
   def againstHistory(docs: DataFrame, textCol: String,
                      historyDigests: DataFrame): DataFrame =
+    // null-safe: md5(NULL) = NULL never equals the history's null digest
+    // row under plain equality, so null-text rows would pass every batch
+    // (same fix as Dedup.incrementalExact)
     withDigest(docs, textCol)
-      .join(historyDigests.select(col("digest")), Seq("digest"), "left_anti")
+      .join(historyDigests.select(col("digest").as("__hist_digest")),
+        col("digest") <=> col("__hist_digest"), "left_anti")
 
   /** Flag stream documents that NEAR-duplicate the persisted history: band
     * each incoming doc with the signature family pinned in the MinHash

@@ -105,6 +105,19 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", k = 5, maxProbes = 2)
     }
     assert(e.getMessage.contains("probe set exceeds"))
+
+    // empty query frame: same schema as the non-empty path, with
+    // neighbor_id typed from the INDEX's id column even when the query
+    // frame's id column has a different type
+    val emptyQ = queries.withColumn("vec_id", $"vec_id".cast("int")).limit(0)
+    val empty = Similarity.lshSearch(spark, tmp, emptyQ,
+      "vec_id", "embedding", k = 5)
+    assert(empty.isEmpty)
+    assert(empty.schema.fieldNames.toSeq == probe.schema.fieldNames.toSeq)
+    assert(empty.schema("query_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(empty.schema("neighbor_id").dataType ==
+      spark.read.parquet(s"$tmp/sig").schema("vec_id").dataType)
   }
 
   test("LSH ANN: same-vector pairs always share a bucket; recall vs brute force sane") {

@@ -40,11 +40,25 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.0
-    for a in sys.argv[1:]:
+    # two-token form (--threshold 2) consumes its value so it is never
+    # mistaken for a positional file argument
+    argv, args, thr = sys.argv[1:], [], 1.0
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                thr = float(argv[i])
+            else:
+                raise SystemExit("--threshold needs a value")
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        raise SystemExit(__doc__.strip().splitlines()[-1])
     old, new = load(args[0]), load(args[1])
     oq, nq = old.get("queries", {}), new.get("queries", {})
     op, np_ = old.get("plans", {}), new.get("plans", {})
