@@ -61,7 +61,15 @@ object Geocode {
     *  - **The cache is a plain parquet table** of (addr_key, bbl10) —
     *    appended after each batch, broadcast-joined like any mapping dim.
     *    Misses the API could not resolve are cached as null bbl10 so a
-    *    dead address is not re-queried every batch.
+    *    dead address is not re-queried every batch. Existence is probed
+    *    through the Hadoop FileSystem API for the path's scheme, so the
+    *    cache can live on HDFS/S3, not just the local filesystem.
+    *  - **At-most-once-per-key holds for SERIALIZED batches only**: the
+    *    read-miss-append sequence is not atomic, so two CONCURRENT
+    *    invocations sharing a cache path can both miss and double-query
+    *    a key (the append itself stays consistent — parquet appends are
+    *    additive and duplicate cache rows resolve identically). Run
+    *    batches against one cache path sequentially.
     *  - **`resolver` is injected** (`normalized address => Option[bbl10]`;
     *    return None for API misses, throw for transport errors — a throw
     *    aborts the batch before the cache is written). The production
@@ -85,8 +93,13 @@ object Geocode {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("bbl10",
         org.apache.spark.sql.types.StringType)))
+    // scheme-aware existence probe: java.io.File would read any
+    // HDFS/S3/file:-URI cache as permanently absent (cache never
+    // consulted, every key re-queried every batch)
+    val hadoopPath = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def loadCache(): DataFrame =
-      if (new java.io.File(cachePath).exists()) spark.read.parquet(cachePath)
+      if (fs.exists(hadoopPath)) spark.read.parquet(cachePath)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), cacheSchema)
     val cache = loadCache()

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative operators ([[Dedup.connectedComponents]],
+  * [[Graph.pageRank]]): an iterative frame's LOGICAL plan doubles every
+  * round (persist caches only the physical result — analysis still walks
+  * the whole history), so by round k Catalyst is optimizing a 2^k-node
+  * plan. Checkpointing truncates the lineage so every round's plan is
+  * constant-size.
+  *
+  * Two modes, selected by the session's checkpoint directory:
+  *
+  *  - `sc.getCheckpointDir` SET → reliable `.checkpoint()`: blocks are
+  *    written to the (HDFS/S3/cluster-visible) checkpoint directory, so
+  *    an executor loss mid-build re-reads them instead of finding the
+  *    truncated lineage unrecomputable. This is the 100 TB deployment
+  *    mode — a multi-hour index build must survive executor churn.
+  *  - UNSET → `localCheckpoint()`: blocks live in executor storage. No
+  *    filesystem round-trip (faster), but an executor loss kills the
+  *    lineage — the single-JVM / interactive trade, and this sandbox's
+  *    default.
+  *
+  * Both modes are EAGER (the frame materializes at the call) and neither
+  * preserves outputPartitioning into the next round's join — the plans
+  * downstream of either mode are identical (`Scan ExistingRDD`), so the
+  * mode never changes results or plan shape, only fault tolerance.
+  */
+private[graft] object Checkpoints {
+
+  /** Truncate `df`'s lineage: reliable checkpoint when the session has a
+    * checkpoint directory, executor-local otherwise.
+    */
+  def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}

@@ -520,14 +520,16 @@ object Dedup {
     *  - per-round state is 2 longs per edge-touched node, never document
     *    payloads.
     *
-    * localCheckpoint, NOT persist: an iterative frame's LOGICAL plan
+    * Checkpoint, NOT persist: an iterative frame's LOGICAL plan
     * doubles every round (persist caches only the physical result —
     * analysis still walks the whole history), so by round k Catalyst is
     * optimizing a 2^k-node plan. Checkpointing truncates the lineage so
-    * every round's plan is constant-size. Executor-local checkpoint
-    * blocks are the single-JVM trade; a long-running production build on
-    * a real cluster would use setCheckpointDir + .checkpoint() for
-    * fault-tolerant truncation.
+    * every round's plan is constant-size. The mode follows the session
+    * ([[Checkpoints.truncate]]): reliable `.checkpoint()` when
+    * `setCheckpointDir` was called — the cluster deployment, where a
+    * multi-hour build must survive executor loss — executor-local
+    * otherwise (the single-JVM/interactive trade). Results and plan
+    * shape are identical either way.
     *
     * Deterministic: labels are exact integer minima — no tie-break
     * ambiguity, any execution order converges to the same fixpoint.
@@ -551,7 +553,7 @@ object Dedup {
     val und = edges.select(col("id1").as("a"), col("id2").as("b"))
       .union(edges.select(col("id2").as("a"), col("id1").as("b")))
       .union(endpoints.select(col("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     var converged = und.isEmpty // no edges → nothing to propagate
     // Round 1 needs no label table at all: every node's initial label is
     // its own id, so min-label-over-neighbors is just min(b) per a.
@@ -559,7 +561,7 @@ object Dedup {
       if (converged) null
       else und.groupBy(col("a")).agg(min(col("b")).as("lbl"))
         .select(col("a").as("id"), col("lbl"))
-        .localCheckpoint()
+        .transform(Checkpoints.truncate)
     // Fixpoint detection: labels only ever DECREASE, so the exact label
     // sum is strictly monotone until convergence — an unchanged sum IS
     // the fixpoint. The aggregate reads the just-checkpointed blocks
@@ -574,7 +576,7 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nlbl")).as("lbl"))
         .select(col("a").as("id"), col("lbl"))
-        .localCheckpoint()
+        .transform(Checkpoints.truncate)
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -30,10 +30,12 @@ object Graph {
     *
     * This is a BUILD-style operator (like the IVF index build and
     * connected components): it runs jobs eagerly. The edge/degree/node
-    * frames are localCheckpoint'ed once — truncating whatever expensive
-    * lineage produced the edges (e.g. pair mining) so no step re-runs it
-    * and the per-iteration plan stays constant-size — and each
-    * iteration's rank frame checkpoints and releases its predecessor.
+    * frames are checkpointed once ([[Checkpoints.truncate]] — reliable
+    * when the session has a checkpoint dir, executor-local otherwise) —
+    * truncating whatever expensive lineage produced the edges (e.g. pair
+    * mining) so no step re-runs it and the per-iteration plan stays
+    * constant-size — and each iteration's rank frame checkpoints and
+    * releases its predecessor.
     * All build frames are unpersisted before returning; the returned
     * frame owns only its own checkpoint blocks. Per iteration: one
     * equi-join of edges to ranks (shuffle on source) and one hash
@@ -50,15 +52,16 @@ object Graph {
     require(iters >= 1, "pageRank requires at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__dg"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     val nodes = e.select(col("__s").as("__v"))
       .union(e.select(col("__d").as("__v"))).distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     val withDeg = e.join(deg, "__s")
     val zeroContrib = nodes.select(col("__v").as("__d"), lit(0.0).as("__c"))
-    var pr = nodes.select(col("__v"), lit(1.0).as("__pr")).localCheckpoint()
+    var pr = nodes.select(col("__v"), lit(1.0).as("__pr"))
+      .transform(Checkpoints.truncate)
     for (_ <- 1 to iters) {
       val next = withDeg.join(pr, col("__s") === col("__v"))
         .select(col("__d"), (col("__pr") / col("__dg")).as("__c"))
@@ -67,7 +70,7 @@ object Graph {
         .agg((lit(1.0 - damping) + lit(damping) *
           Folds.sortedSum(col("__c"))).as("__pr"))
         .select(col("__d").as("__v"), col("__pr"))
-        .localCheckpoint()
+        .transform(Checkpoints.truncate)
       pr.unpersist(blocking = false)
       pr = next
     }

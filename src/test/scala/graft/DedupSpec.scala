@@ -276,6 +276,41 @@ class DedupSpec extends SparkSpec {
     assert(inc == (1L to 5L).map(i => (i, 100L)).toSet)
   }
 
+  test("connected components & pageRank: reliable-checkpoint mode matches local mode") {
+    // Checkpoints.truncate follows the session: setCheckpointDir switches
+    // CC/PageRank to fault-tolerant .checkpoint() (the cluster deployment
+    // mode) with identical results. The dir is reset afterwards via the
+    // private field so other suites keep the localCheckpoint default.
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "expected no checkpoint dir at start")
+    // diameter-4 chain: exercises multiple propagation rounds in both modes
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val nodes = (1L to 6L).toDF("doc_id")
+    val prEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("s", "d")
+    def ccRun() = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def prRun() = graft.operators.Graph.pageRank(prEdges, "s", "d", iters = 3)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val (ccLocal, prLocal) = (ccRun(), prRun())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      assert(ccRun() == ccLocal)
+      assert(prRun() == prLocal) // doubles bit-identical: same plan, same fold
+      // the reliable mode actually wrote checkpoint data under the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(_.toFile.isFile).count()
+      assert(wrote > 0, "reliable checkpoint mode wrote nothing")
+    } finally {
+      // SparkContext has no public unset; restore via the private var so
+      // the rest of the suite runs in the default local mode
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("connected components: empty edge set yields all-singleton clusters") {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     val nodes = (1L to 4L).toDF("doc_id")

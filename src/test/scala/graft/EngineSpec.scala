@@ -115,6 +115,18 @@ class EngineSpec extends SparkSpec {
     Geocode.resolveWithCache(fresh, "address", s"$tmp/cache2", resolver,
       maxLookups = 10, maxQps = 50.0).collect()
     assert((System.nanoTime() - t0) / 1e6 >= 40.0, "QPS pacing not applied")
+
+    // URI-form cache path: existence goes through the Hadoop FileSystem
+    // API, so a schemed path round-trips (java.io.File read "file:/..."
+    // as permanently absent — the cache was written but never consulted)
+    val uriCache = s"file:$tmp/cache3"
+    val before = calls.get
+    Geocode.resolveWithCache(fresh, "address", uriCache, resolver,
+      maxLookups = 10, maxQps = 1000.0).collect()
+    assert(calls.get == before + 3)
+    Geocode.resolveWithCache(fresh, "address", uriCache, resolver,
+      maxLookups = 10, maxQps = 1000.0).collect()
+    assert(calls.get == before + 3, "schemed cache path was not consulted")
   }
 
   test("bookmark toggle: add/remove with insertion order (server.py:548-552)") {
