@@ -975,6 +975,33 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // STREAMING-FLAGGER core, driver-visible: which arriving docs
+    // near-duplicate the persisted corpus index (flagAgainstIndex — the
+    // per-micro-batch plan of StreamingDedup.nearDupsEachBatch, run
+    // batch-side so the oracle can check it). Candidates exact-verified
+    // at >= 0.8 like q80; unlike q80 the flagger proposes CROSS pairs
+    // only (batch vs corpus, never batch-internal), so the oracle is the
+    // true pair set with one side in each half.
+    "q83_flag_index" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cut = cachedCount(s, d, "documents") / 2
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_flag_idx_${Integer.toHexString(d.hashCode)}").getPath
+      Dedup.saveMinhashIndex(doc.filter(col("doc_id") < cut), idxPath,
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 16,
+        maxBucket = 512)
+      val cand = Dedup.flagAgainstIndex(doc.filter(col("doc_id") >= cut),
+          idxPath, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.4)
+        .select(col("doc_id").as("id1"), col("neighbor_id").as("id2"))
+      Dedup.ngramJaccard(cand, doc, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1").as("doc_id"), col("id2").as("neighbor_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_id"), col("neighbor_id"))
     })
   )
 
@@ -2350,6 +2377,17 @@ object SparkEntry {
          |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM j
          |WHERE jaccard >= 0.8
          |  AND id2 >= (SELECT count(*) // 2 FROM documents)
-         |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    // q83: true >= 0.8 pairs with one side in each half — the flagger's
+    // batch→neighbor orientation puts the (larger) batch id first
+    "q83_flag_index" ->
+      s"""WITH $q19PairsCte
+         |SELECT id2 AS doc_id, id1 AS neighbor_id,
+         |  round(jaccard, 6) AS jaccard FROM j
+         |WHERE jaccard >= 0.8
+         |  AND id1 < (SELECT count(*) // 2 FROM documents)
+         |  AND id2 >= (SELECT count(*) // 2 FROM documents)
+         |ORDER BY doc_id, neighbor_id""".stripMargin.replace("\n", " ")
   )
 }

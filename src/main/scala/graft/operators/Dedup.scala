@@ -195,26 +195,78 @@ object Dedup {
     */
   def saveMinhashIndex(docs: DataFrame, path: String, idCol: String,
                        textCol: String, shingleN: Int = 3,
-                       numHashes: Int = 32, bands: Int = 16): Unit = {
+                       numHashes: Int = 32, bands: Int = 16,
+                       maxBucket: Int = 10000): Unit = {
     require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    require(maxBucket >= 1, "maxBucket must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // WRITE-TIME HYGIENE (the index invariant every reader relies on):
+    // at most `maxBucket` rows per bucket, lowest ids winning. Capping
+    // here — one keyed shuffle, paid once at build — is what lets every
+    // PROBE (incremental batch, streaming micro-batch) read the index as
+    // a plain pruned scan with no per-probe dedup or window pass over
+    // history. The cap's flood semantics match the in-memory star
+    // fallback: a boilerplate flood keeps its `maxBucket` lowest-id
+    // members as cluster evidence; readers needing a TIGHTER cap can
+    // still apply their own (a looser one cannot exceed what was kept).
+    val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
+      .orderBy(col("id"))
     bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
+      .withColumn("__bn", row_number().over(capW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
       .sortWithinPartitions(col("band_idx"), col("band_hash"))
       .write.mode("overwrite").parquet(s"$path/bands")
-    Seq((shingleN, numHashes, bands)).toDF("shingle_n", "num_hashes", "bands")
+    Seq((shingleN, numHashes, bands, maxBucket))
+      .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Append a processed batch's band rows to a persisted index (same
-    * signature family — parameters come from the index's meta).
+    * signature family — parameters come from the index's meta), keeping
+    * the index invariant [[saveMinhashIndex]] established:
+    *
+    *  - IDEMPOTENT: band rows already present (a retried append, a doc
+    *    re-ingested) are anti-joined away against the buckets the batch
+    *    touches — a duplicate row would make every future probe emit a
+    *    hit once per copy;
+    *  - CAPPED: a bucket never exceeds the index's `max_bucket`;
+    *    already-persisted rows keep their slots (an append cannot evict
+    *    history without rewriting it), batch rows fill the remainder in
+    *    id order. Deterministic given the append sequence; serialized
+    *    appends per index path, like every writer here.
+    *
+    * All hygiene work is bounded by the BATCH's touched buckets (the
+    * semi-join prunes history first), never by index size.
     */
   def appendMinhashIndex(newDocs: DataFrame, path: String, idCol: String,
                          textCol: String): Unit = {
-    val (shingleN, numHashes, bands) = readMinhashMeta(newDocs.sparkSession, path)
-    bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val spark = newDocs.sparkSession
+    val meta = readMinhashMeta(spark, path)
+    val batch = bandRows(newDocs, idCol, textCol,
+        meta.shingleN, meta.numHashes, meta.bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = spark.read.parquet(s"$path/bands")
+      .join(batch.select(col("band_idx"), col("band_hash")).distinct(),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh = batch.join(
+      touched.select(col("band_idx"), col("band_hash"), col("id")),
+      Seq("band_idx", "band_hash", "id"), "left_anti")
+    val have = touched.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__have"))
+    val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
+      .orderBy(col("id"))
+    fresh
+      .withColumn("__bn", row_number().over(capW))
+      .join(have, Seq("band_idx", "band_hash"), "left")
+      .filter(col("__bn") + coalesce(col("__have"), lit(0L)) <= meta.maxBucket)
+      .select(col("id"), col("sig"), col("band_idx"), col("band_hash"))
       .sortWithinPartitions(col("band_idx"), col("band_hash"))
       .write.mode("append").parquet(s"$path/bands")
+    batch.unpersist(blocking = false)
+    touched.unpersist(blocking = false)
   }
 
   /** Candidate near-dup pairs of a NEW batch, incrementally: (new × index)
@@ -233,11 +285,12 @@ object Dedup {
                               textCol: String,
                               maxBucket: Int = 10000): DataFrame = {
     val spark = newDocs.sparkSession
-    val (shingleN, numHashes, bands) = readMinhashMeta(spark, path)
+    val meta = readMinhashMeta(spark, path)
     // ONE banding/signature pass over the batch, shared by both the
     // index join and the batch-internal pair stage (which would otherwise
     // re-sign the batch internally)
-    val newBands = bandRows(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val newBands = bandRows(newDocs, idCol, textCol,
+        meta.shingleN, meta.numHashes, meta.bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = spark.read.parquet(s"$path/bands")
     // restrict the index to buckets the BATCH touches before any
@@ -281,6 +334,77 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Flag which of `docs` near-duplicate the persisted index — the
+    * per-batch core behind [[graft.streaming.StreamingDedup]]'s flagging
+    * faces, usable directly for ad-hoc batch screening ("does this drop
+    * collide with the corpus?"). One row per (doc, index doc) candidate:
+    * (idCol, neighbor_id, est_jaccard).
+    *
+    * Per-batch cost shape (the 100 TB contract): the index is pruned to
+    * the buckets the BATCH touches via a semi-join on the batch's
+    * distinct bucket keys BEFORE any join work — history grows without
+    * bound, the batch doesn't — and the write-time invariant
+    * ([[saveMinhashIndex]]: deduped, per-bucket-capped) means no
+    * dropDuplicates or window pass over the index, ever. The join then
+    * emits each pair from its FIRST agreeing band only (a codegen'd
+    * predicate over the signatures both sides carry), so no
+    * post-join dedup shuffle is needed either.
+    *
+    * Unlike [[incrementalMinhashPairs]] this does NOT propose
+    * batch-internal pairs (flagging asks "is this new doc a dup of the
+    * CORPUS", not "of its own batch") and keeps the (batch doc →
+    * neighbor) orientation instead of id1 < id2.
+    */
+  def flagAgainstIndex(docs: DataFrame, path: String, idCol: String,
+                       textCol: String): DataFrame =
+    flagCore(docs, path, idCol, textCol)._1
+
+  /** [[flagAgainstIndex]] plus the persisted band handle, so streaming
+    * callers can release the per-batch cache once the sink consumed the
+    * result (the batch API leaves it to the session cache contract).
+    */
+  private[graft] def flagCore(docs: DataFrame, path: String, idCol: String,
+                              textCol: String): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val meta = readMinhashMeta(spark, path)
+    // one banding pass, read by both the bucket-key projection and the
+    // pair join
+    val banded = bandRows(docs, idCol, textCol,
+        meta.shingleN, meta.numHashes, meta.bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = spark.read.parquet(s"$path/bands")
+      .join(banded.select(col("band_idx"), col("band_hash")).distinct(),
+        Seq("band_idx", "band_hash"), "left_semi")
+    (firstBandPairs(banded, touched, meta.numHashes / meta.bands, idCol),
+      banded)
+  }
+
+  /** Band-bucket join emitting each (doc, neighbor) pair exactly once —
+    * from its FIRST truly-agreeing band. STATELESS dedup: a pair agreeing
+    * on several bands surfaces once per band from the raw join, but both
+    * signatures are present after it, so "no earlier band agrees" is a
+    * plain codegen'd predicate — no distinct/groupBy shuffle, and in a
+    * streaming plan no state store. The own-band agreement check also
+    * drops pure hash-collision hits (equal band_hash, unequal slices).
+    * Shared by the continuous-plan and foreachBatch streaming faces and
+    * the batch screen so their semantics can never diverge.
+    */
+  private[graft] def firstBandPairs(probe: DataFrame, idx: DataFrame,
+                                    rows: Int, idCol: String): DataFrame = {
+    val neighbor = idx.select(col("band_idx"), col("band_hash"),
+      col("id").as("neighbor_id"), col("sig").as("nsig"))
+    val bandAgrees = (j: Column) =>
+      slice(col("sig"), j * rows + 1, lit(rows)) ===
+        slice(col("nsig"), j * rows + 1, lit(rows))
+    val earlierAgrees = when(col("band_idx") === 0, lit(false))
+      .otherwise(exists(sequence(lit(0), col("band_idx") - 1), bandAgrees))
+    probe.join(neighbor, Seq("band_idx", "band_hash"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .filter(bandAgrees(col("band_idx")) && !earlierAgrees)
+      .withColumn("est_jaccard", sigAgreement(col("sig"), col("nsig")))
+      .select(col("id").as(idCol), col("neighbor_id"), col("est_jaccard"))
+  }
+
   /** MinHash similarity estimate = fraction of agreeing signature
     * positions — THE estimate formula, shared by the corpus pass, the
     * incremental path, and streaming flagging so they can never diverge.
@@ -306,10 +430,24 @@ object Dedup {
           slice(col("sig"), col("band_idx") * rows + 1, lit(rows))).as("band_hash"))
   }
 
+  /** The signature family + retention policy a persisted index was built
+    * with. Probes read these from the index, never from caller arguments
+    * — an increment computed with different parameters would silently
+    * match nothing.
+    */
+  private[graft] final case class MinhashMeta(shingleN: Int, numHashes: Int,
+                                              bands: Int, maxBucket: Int)
+
   private[graft] def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
-                              path: String): (Int, Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    (m.getInt(0), m.getInt(1), m.getInt(2))
+                              path: String): MinhashMeta = {
+    val df = spark.read.parquet(s"$path/meta")
+    val m = df.head()
+    def i(n: String): Int = m.getInt(df.schema.fieldIndex(n))
+    // pre-retention-policy indexes carry no max_bucket column; their
+    // buckets were written uncapped, which the old default cap matches
+    MinhashMeta(i("shingle_n"), i("num_hashes"), i("bands"),
+      if (df.schema.fieldNames.contains("max_bucket")) i("max_bucket")
+      else 10000)
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: expects columns

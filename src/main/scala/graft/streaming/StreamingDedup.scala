@@ -69,63 +69,69 @@ object StreamingDedup {
     * (stream doc, history doc) candidate with the signature-agreement
     * similarity estimate.
     *
-    * STATELESS by construction, which takes care of the multi-band
-    * duplicate problem without a state store: a pair that agrees on
-    * several bands would surface once per band, and a streaming
-    * dropDuplicates would need unbounded state — instead each hit is
-    * emitted only from its FIRST agreeing band (both signatures are
-    * present after the join, so "no earlier band agrees" is a plain
-    * codegen'd predicate). Exactly-one-row-per-pair, zero state.
+    * STATELESS by construction: each hit is emitted only from its FIRST
+    * agreeing band ([[graft.operators.Dedup.firstBandPairs]] — a plain
+    * codegen'd predicate, no state store), and the index side is a PLAIN
+    * SCAN: the write-time invariant ([[graft.operators.Dedup.saveMinhashIndex]]
+    * / [[graft.operators.Dedup.appendMinhashIndex]]: deduped,
+    * per-bucket-capped) replaced the per-micro-batch dropDuplicates +
+    * cap-window this operator used to run over the ENTIRE index — two
+    * full-history shuffles per batch that grew forever.
     *
-    * The static side's file listing is resolved when this operator is
-    * called — rows appended to the index are picked up on the next
-    * query (re)start, not mid-stream; the per-batch join itself re-plans
-    * (a small index broadcasts).
+    * Static-side costs that remain are per-JOIN, not per-history-shuffle:
+    * a small index broadcasts; a large one should use [[nearDupsEachBatch]],
+    * whose foreachBatch plan additionally prunes the index to the
+    * buckets the batch touches before the join (a continuous plan cannot
+    * express that semi-join — the static side would reference the
+    * stream). The static side's file listing is resolved when this
+    * operator is called — rows appended to the index are picked up on
+    * the next query (re)start, not mid-stream.
     *
-    * Flood-cap trade (same spirit as the batch star fallback): capping
-    * keeps each bucket's `maxBucket` lowest-id members, so in a
-    * boilerplate flood a pair whose EARLIEST agreeing band sat in a
-    * capped bucket is missed even if a later band's row survived (the
-    * first-agreeing-band predicate consults signatures, which don't know
-    * about the cap). Outside floods the cap never binds; where exactness
-    * under floods matters more than bounded work, raise `maxBucket`.
+    * Flood-cap trade (same spirit as the batch star fallback): the index
+    * keeps each bucket's first `max_bucket` members, so in a boilerplate
+    * flood a pair whose EARLIEST agreeing band sat in a capped bucket is
+    * missed even if a later band's row survived (the first-agreeing-band
+    * predicate consults signatures, which don't know about the cap).
+    * Outside floods the cap never binds; where exactness under floods
+    * matters more than bounded work, build the index with a larger
+    * `maxBucket`.
     */
-  def nearDupsAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
-                           indexPath: String, maxBucket: Int = 10000): DataFrame = {
+  def nearDupsAgainstIndex(docs: DataFrame, idCol: String,
+                           textCol: String, indexPath: String): DataFrame = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
-    val (shingleN, numHashes, bands) = Dedup.readMinhashMeta(spark, indexPath)
-    val rows = numHashes / bands
+    val meta = Dedup.readMinhashMeta(spark, indexPath)
     val streamBands = Dedup.bandRows(docs, idCol, textCol,
-      shingleN, numHashes, bands)
-    // STATIC-side hygiene, computed once per micro-batch on the index:
-    // dropDuplicates absorbs re-appended batches (a retried
-    // appendMinhashIndex would otherwise emit one hit per copy and break
-    // the one-row-per-pair guarantee), and the same deterministic
-    // hot-bucket cap as incrementalMinhashPairs bounds a boilerplate
-    // flood in history to stream×maxBucket per bucket, never
-    // stream×bucket.
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))
-    val idx = spark.read.parquet(s"$indexPath/bands")
-      .dropDuplicates("band_idx", "band_hash", "id")
-      .withColumn("__bn", row_number().over(capW))
-      .filter(col("__bn") <= maxBucket)
-      .select(col("band_idx"), col("band_hash"),
-        col("id").as("neighbor_id"), col("sig").as("nsig"))
-    val bandAgrees = (j: Column) =>
-      slice(col("sig"), j * rows + 1, lit(rows)) ===
-        slice(col("nsig"), j * rows + 1, lit(rows))
-    val earlierAgrees = when(col("band_idx") === 0, lit(false))
-      .otherwise(exists(sequence(lit(0), col("band_idx") - 1), bandAgrees))
-    streamBands.join(idx, Seq("band_idx", "band_hash"))
-      .filter(col("id") =!= col("neighbor_id"))
-      // first TRULY agreeing band only → one row per pair. The own-band
-      // check also drops pure hash-collision hits (equal band_hash,
-      // unequal slices), which would otherwise emit from several bands.
-      .filter(bandAgrees(col("band_idx")) && !earlierAgrees)
-      .withColumn("est_jaccard", Dedup.sigAgreement(col("sig"), col("nsig")))
-      .select(col("id").as(idCol), col("neighbor_id"), col("est_jaccard"))
+      meta.shingleN, meta.numHashes, meta.bands)
+    Dedup.firstBandPairs(streamBands,
+      spark.read.parquet(s"$indexPath/bands"),
+      meta.numHashes / meta.bands, idCol)
+  }
+
+  /** The 100 TB face of [[nearDupsAgainstIndex]]: run the flagger in
+    * `foreachBatch`, where each micro-batch is a BATCH frame and the
+    * full batch toolkit applies — [[graft.operators.Dedup.flagAgainstIndex]]
+    * semi-joins the index down to the buckets the batch touches BEFORE
+    * the pair join, so per-batch work is bounded by the batch (plus the
+    * pruned index scan), never by history, and the per-batch band cache
+    * is released as soon as `sink` returns (a continuous plan's
+    * session-lifetime cache would accumulate across micro-batches).
+    *
+    * `sink` receives (flagged pairs, batchId) per micro-batch — write
+    * them to a table, alert on them, or join them back to the batch;
+    * returns the writer for the caller to configure and `.start()`.
+    */
+  def nearDupsEachBatch(docs: DataFrame, idCol: String, textCol: String,
+                        indexPath: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val (flags, banded) = Dedup.flagCore(batch, indexPath, idCol, textCol)
+        try sink(flags, batchId)
+        finally banded.unpersist(blocking = false)
+    }
   }
 
   /** Deterministic batch twin of the streaming first-wins semantics: for

@@ -276,6 +276,69 @@ class DedupSpec extends SparkSpec {
     assert(inc == (1L to 5L).map(i => (i, 100L)).toSet)
   }
 
+  test("append to minhash index: idempotent re-appends, write-time bucket cap holds") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_app").toString
+    // identical texts share EVERY bucket, so per-bucket behavior is exact
+    val boiler = "same boilerplate text repeated verbatim"
+    Dedup.saveMinhashIndex(Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8,
+      maxBucket = 3)
+    def bands() = spark.read.parquet(s"$tmp/bands")
+    val base = bands().count()
+    assert(base == 2 * 8) // 2 docs × 8 bands, under the cap
+    // re-appending an ALREADY-INDEXED doc is a no-op (anti-join hygiene)
+    Dedup.appendMinhashIndex(Seq((1L, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text")
+    assert(bands().count() == base)
+    // append two more copies: only ONE fits under maxBucket = 3 per
+    // bucket, and the lower id (3) takes the slot in every band
+    Dedup.appendMinhashIndex(Seq((4L, boiler), (3L, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text")
+    assert(bands().count() == 3 * 8)
+    assert(bands().select("id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // a doc in a FRESH bucket still appends freely
+    Dedup.appendMinhashIndex(
+      Seq((9L, "entirely different content about other things")).toDF("doc_id", "text"),
+      tmp, "doc_id", "text")
+    assert(bands().filter(col("id") === 9L).count() == 8)
+    // no bucket anywhere exceeds the cap — the invariant readers rely on
+    val overCap = bands().groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > 3).count()
+    assert(overCap == 0)
+  }
+
+  test("flagAgainstIndex: corpus screen matches pairs, plan has no window or index shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_flag").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    Dedup.saveMinhashIndex(hist, tmp, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+      (11L, "completely unrelated fresh content")).toDF("doc_id", "text")
+    val flags = Dedup.flagAgainstIndex(batch, tmp, "doc_id", "text")
+    val rows = flags.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((10L, 1L, 1.0))) // one row per pair, est rides
+    // the per-batch plan does NO hygiene over history: write-time
+    // invariants replaced the old full-index dropDuplicates + cap window
+    // (two full-history shuffles per batch). Done = no Window node and no
+    // shuffle exchange anywhere in the flag plan (the only join
+    // broadcasts; banding and filters are narrow).
+    val sig = PlanFingerprint.signature(flags)
+    assert(!sig.contains("Window"), sig)
+    assert(!sig.contains("Exchange(hash"), sig)
+    // same property for the continuous-plan face on a batch frame
+    val cont = graft.streaming.StreamingDedup.nearDupsAgainstIndex(
+      batch, "doc_id", "text", tmp)
+    val csig = PlanFingerprint.signature(cont)
+    assert(!csig.contains("Window"), csig)
+    assert(!csig.contains("Exchange(hash"), csig)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("connected components & pageRank: reliable-checkpoint mode matches local mode") {
     // Checkpoints.truncate follows the session: setCheckpointDir switches
     // CC/PageRank to fault-tolerant .checkpoint() (the cluster deployment

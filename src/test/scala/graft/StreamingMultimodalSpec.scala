@@ -117,6 +117,52 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch near-dup flagging matches the continuous plan, per-batch cache released") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sndb").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    graft.operators.Dedup.saveMinhashIndex(hist, tmp, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8)
+    spark.sharedState.cacheManager.clearCache() // clean slate for the leak check
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = graft.streaming.StreamingDedup.nearDupsEachBatch(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", tmp) {
+          (flags, _) =>
+            got ++= flags.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      .start()
+    try {
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+        (11L, "completely unrelated fresh content"))
+      q.processAllAvailable()
+      input.addData((12L, "one two three four five six seven eight nine")) // = doc 2
+      q.processAllAvailable()
+      assert(got.count(x => x._1 == 10L && x._2 == 1L && x._3 == 1.0) == 1)
+      assert(got.count(x => x._1 == 12L && x._2 == 2L && x._3 == 1.0) == 1)
+      assert(!got.exists(_._1 == 11L))
+      // same rows as the continuous-plan face run over the same docs
+      val cont = graft.streaming.StreamingDedup.nearDupsAgainstIndex(
+        Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (11L, "completely unrelated fresh content"),
+          (12L, "one two three four five six seven eight nine"))
+          .toDF("doc_id", "text"), "doc_id", "text", tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.toSet == cont)
+      // the per-batch band cache was released after each sink call — a
+      // continuous accumulation across micro-batches would leak at scale
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "per-batch cache not released")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark: near-in-time dups collapse, state evicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
