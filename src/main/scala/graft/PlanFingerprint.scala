@@ -4,9 +4,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, SinglePartition}
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, ProjectExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -51,6 +52,27 @@ object PlanFingerprint {
 
   /** One-line structural signature of a physical plan tree (pre-order,
     * children bracketed). Deterministic across JVMs and session history.
+    *
+    * PERSISTED LINEAGE IS FINGERPRINTED TOO: an InMemoryTableScan embeds
+    * the signature of the cached BUILD plan. Several operators persist
+    * their expensive stage (the MinHash band table, the LSH signature
+    * table, ngramJaccard's pair frame) and return a frame whose executed
+    * plan starts at the cache — hashing only the post-cache tail made
+    * entirely different pipelines (q19's corpus LSH pass vs q80's
+    * incremental index probe) collapse to one signature, hiding
+    * regressions in exactly the stages the gate exists to protect.
+    * Checkpoint-based lineage (`Scan ExistingRDD` from iterative
+    * operators) stays opaque by nature — those builds run eagerly at
+    * construction and their cost is visible as build jobs, not as a
+    * lazily re-optimizable plan.
+    *
+    * Custom (graft-native) expressions are part of a node's signature:
+    * two one-scan projections over `documents` are DIFFERENT plans when
+    * one computes token counts and the other winnowing fingerprints,
+    * and swapping a native expression for a slower equivalent must show
+    * up as a diff. Likewise Expand carries its projection arity —
+    * rollup (n+1 grouping sets) and cube (2^n) are different plans, not
+    * both "Expand".
     */
   def structure(plan: SparkPlan): String = {
     val node = plan match {
@@ -60,6 +82,8 @@ object PlanFingerprint {
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
         val cols = s.output.map(_.name).sorted.mkString(",")
         s"ScanParquet(cols=[$cols],pushed=$pushed)"
+      case i: InMemoryTableScanExec =>
+        s"InMemoryScan[${structure(i.relation.cachedPlan)}]"
       case j: BroadcastHashJoinExec =>
         s"BroadcastHashJoin(${j.joinType},build=${j.buildSide})"
       case j: ShuffledHashJoinExec =>
@@ -75,6 +99,14 @@ object PlanFingerprint {
           case other => s"Exchange(${other.getClass.getSimpleName})"
         }
       case _: BroadcastExchangeExec => "BroadcastExchange"
+      case e: ExpandExec => s"Expand(n=${e.projections.length})"
+      case p: ProjectExec =>
+        // output names (sorted — order-insensitive): two projections over
+        // the same scan computing DIFFERENT things (token counts vs a
+        // language id from one shared native struct) are different
+        // queries; names are contract columns or deterministic generated
+        // aliases, never exprIds, so this stays JVM-stable
+        s"Project(out=[${p.output.map(_.name).sorted.mkString(",")}])"
       case a: BaseAggregateExec =>
         val fns = a.aggregateExpressions.map(_.aggregateFunction.prettyName)
           .sorted.mkString(",")
@@ -83,10 +115,18 @@ object PlanFingerprint {
         s"${a.nodeName.replaceAll("\\s", "")}(keys=${a.groupingExpressions.length},modes=$modes,fns=[$fns])"
       case other => other.nodeName.replaceAll("\\s", "")
     }
+    // engine-native expression classes used anywhere in this node (sorted
+    // multiset of distinct names — order-insensitive, id-free)
+    val native = plan.expressions.flatMap(_.collect {
+      case e if e.getClass.getName.startsWith("graft.") =>
+        e.getClass.getSimpleName
+    }).distinct.sorted
+    val tagged =
+      if (native.isEmpty) node else s"$node{${native.mkString(",")}}"
     val kids = plan.children.map(structure)
     val subs = plan.subqueries.map(structure).sorted // expression order is id-racy
     val inner = kids ++ subs.map(s => s"subq:$s")
-    if (inner.isEmpty) node else s"$node[${inner.mkString(";")}]"
+    if (inner.isEmpty) tagged else s"$tagged[${inner.mkString(";")}]"
   }
 
   /** Structural signature of `df`'s statically-planned physical tree.
