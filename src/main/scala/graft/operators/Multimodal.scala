@@ -10,15 +10,16 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator of rows per partition, vectorizable by the
   * worker library).
   *
-  * PNG payloads get REAL pixel decode — [[PngCodec]] inflates IDAT and
-  * un-filters scanlines with zero dependencies beyond the JDK — so
+  * IMAGE payloads get REAL pixel decode: PNG via [[PngCodec]] (IDAT
+  * inflate + scanline un-filtering from the public spec, bit-exact) and
+  * JPEG via [[JpegCodec]] (the JDK's bundled `javax.imageio` baseline
+  * reader — still zero dependencies beyond the JDK), so
   * [[extractFeatures]] emits genuine channel means and a luminance
-  * histogram for them. Every other media type's codec step is STUBBED
-  * (no JPEG/audio/video libraries in this environment) behind
-  * [[FakeCodec]], a deterministic stand-in — the Spark-side contract
-  * (schema, partitioning, batch iteration, output shape) is real and
-  * tested. Swap [[FakeCodec]] for a JNI/OpenCV/ffmpeg binding in
-  * production; nothing else changes.
+  * histogram for both. Audio/video codec steps are STUBBED (no such
+  * libraries in this environment) behind [[FakeCodec]], a deterministic
+  * stand-in — the Spark-side contract (schema, partitioning, batch
+  * iteration, output shape) is real and tested. Swap [[FakeCodec]] for
+  * a JNI/ffmpeg binding in production; nothing else changes.
   */
 object Multimodal {
 
@@ -37,11 +38,12 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("feature", ArrayType(DoubleType))))
 
-  /** STUB codec for NON-PNG payloads: deterministic pseudo-decode of a
-    * binary payload (PNG goes through [[PngCodec]]'s real pixel decode).
-    * A real implementation would JNI into an image/audio library here
-    * (`???`-equivalent); this fake derives stable per-byte statistics so
-    * the pipeline is testable end-to-end.
+  /** STUB codec for NON-IMAGE payloads: deterministic pseudo-decode of a
+    * binary payload (PNG decodes through [[PngCodec]], JPEG through
+    * [[JpegCodec]] — both real pixels). A real implementation would JNI
+    * into an audio/video library here (`???`-equivalent); this fake
+    * derives stable per-byte statistics so the pipeline is testable
+    * end-to-end.
     */
   object FakeCodec {
     /** "Decode" = 16-bin byte histogram normalized to a unit feature. */
@@ -186,12 +188,13 @@ object Multimodal {
     * codec context per partition, amortized across its rows, matching how
     * a Pandas-UDF batch would run).
     *
-    * PNG payloads are sniffed by content (never trust the metadata
-    * column of an untrusted corpus) and decoded to real pixels; their
-    * feature vector is [[PngCodec.pixelFeatures]] (4 channel means + a
-    * 12-bin luminance histogram — 16 dims). Everything else falls back
-    * to [[FakeCodec]]'s 16-bin byte histogram, so the output column has
-    * one fixed shape either way.
+    * Image payloads are sniffed by content (never trust the metadata
+    * column of an untrusted corpus) and decoded to real pixels — PNG via
+    * [[PngCodec]], JPEG via [[JpegCodec]]; their feature vector is
+    * [[PngCodec.pixelFeatures]] (4 channel means + a 12-bin luminance
+    * histogram — 16 dims). Everything else falls back to [[FakeCodec]]'s
+    * 16-bin byte histogram, so the output column has one fixed shape
+    * either way.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -200,7 +203,8 @@ object Multimodal {
         // per-partition "codec init" would happen here
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
-          val feature = PngCodec.decode(bytes) match {
+          val feature = PngCodec.decode(bytes)
+            .orElse(JpegCodec.decode(bytes)) match {
             case Some(img) => PngCodec.pixelFeatures(img)
             case None => FakeCodec.features(bytes)
           }

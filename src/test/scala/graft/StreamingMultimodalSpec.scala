@@ -656,6 +656,70 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg decode: real pixels from a real JPEG byte array; bombs and garbage decline") {
+    import graft.operators.JpegCodec
+    val (w, h) = (8, 6)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xc04020 else 0x204080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val dec = JpegCodec.decode(bytes).get
+    assert((dec.width, dec.height, dec.channels) == ((w, h, 3)))
+    // exact agreement with the same JDK's reference read of the same
+    // bytes (JPEG is only pinned per-JDK, unlike PngCodec — see scaladoc)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert((dec.samples(base) & 0xff) == ((p >> 16) & 0xff)
+        && (dec.samples(base + 1) & 0xff) == ((p >> 8) & 0xff)
+        && (dec.samples(base + 2) & 0xff) == (p & 0xff), s"pixel ($x,$y)")
+    }
+    // flat color survives the lossy round-trip to within quantization —
+    // the decode really is pixels, not a byte statistic
+    val flat = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16) flat.setRGB(x, y, 0xb45a1e)
+    val fb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "jpg", fb)
+    val fd = JpegCodec.decode(fb.toByteArray).get
+    val maxDev = fd.samples.grouped(3).flatMap { px =>
+      Seq(math.abs((px(0) & 0xff) - 0xb4), math.abs((px(1) & 0xff) - 0x5a),
+        math.abs((px(2) & 0xff) - 0x1e))
+    }.max
+    assert(maxDev <= 8, s"flat-color deviation $maxDev")
+    // decompression-bomb guard: SOFn dims checked BEFORE the reader
+    // allocates; truncation and garbage decline instead of throwing
+    assert(JpegCodec.decode(bytes, maxPixels = 10).isEmpty)
+    assert(JpegCodec.decode(bytes.take(20)).isEmpty)
+    assert(JpegCodec.decode("garbage".getBytes).isEmpty)
+  }
+
+  test("multimodal: extractFeatures uses real pixels for JPEG payloads") {
+    import spark.implicits._
+    // solid red: channel means ~(1, 0, 0, 1); all luminance mass in the
+    // pure-red bin (Rec.709 red luma 54.2 → bin 2), ± JPEG quantization
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    val feat = Multimodal.extractFeatures(spark, media).collect().head.getSeq[Double](3)
+    assert(math.abs(feat(0) - 1.0) < 0.05 && feat(1) < 0.05 && feat(2) < 0.05)
+    assert(math.abs(feat(3) - 1.0) < 1e-9) // opaque alpha
+    assert((1 to 3).map(b => feat(4 + b)).sum > 0.95, feat) // luma near bin 2
+  }
+
   test("png decode: refuses bombs, truncation, and exotic encodings") {
     import graft.operators.PngCodec
     val row = filterRow(0, Array(1, 2, 3, 4), Array.fill(4)(0), 1)
