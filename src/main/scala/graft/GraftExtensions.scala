@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
 import graft.functions.{HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, SimHash64, WinnowFingerprints}
-import graft.operators.{Profiling, Joins, TimeSeries}
+import graft.operators.{Dedup, Joins, Profiling, TimeSeries}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * expressions as SQL functions AND its table-level operators as SQL
@@ -39,6 +39,19 @@ import graft.operators.{Profiling, Joins, TimeSeries}
   *    ([[TimeSeries.sessionize]])
   *  - `graft_asof_join(left, right, 'k1,k2', leftTs, rightTs, 'p1,p2')`
   *    — temporal enrichment ([[Joins.asofJoin]])
+  *  - `graft_exact_dedup(table, idCol, textCol)` — exact content dedup
+  *    ([[graft.operators.Dedup.exact]])
+  *  - `graft_minhash_pairs(table, idCol, textCol[, shingleN, numHashes,
+  *    bands])` — MinHash-LSH near-dup candidate pairs
+  *    ([[graft.operators.Dedup.minhashCandidatePairs]])
+  *  - `graft_dedup_corpus(table, idCol, textCol[, threshold])` — the
+  *    one-call near-dedup with survivor semantics
+  *    ([[graft.operators.Dedup.dedupCorpus]]; a BUILD-style operator —
+  *    its connected-components fixpoint runs jobs while the SQL query is
+  *    analyzed, like the Scala call it inlines)
+  *  - `graft_flag_index(table, indexPath, idCol, textCol)` — flag which
+  *    rows near-duplicate a persisted MinHash index
+  *    ([[graft.operators.Dedup.flagAgainstIndex]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -69,6 +82,18 @@ object GraftExtensions {
     case Literal(b: Boolean, BooleanType) => b
     case other => throw new IllegalArgumentException(
       s"$name must be a boolean literal, got $other")
+  }
+
+  /** Fractional literal: SQL `0.8` parses as a decimal literal, so accept
+    * decimal/double/float/int and normalize to Double.
+    */
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(d: Double, _) => d
+    case Literal(f: Float, _) => f.toDouble
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
   }
 
   /** Comma-separated plain column names ('a,b,c') → trimmed Seq. */
@@ -190,6 +215,51 @@ object GraftExtensions {
             strArg(rts, "rightTs"), colsArg(payload, "payload")))
         case _ => throw new IllegalArgumentException(
           "graft_asof_join(left, right, 'k1,k2', leftTs, rightTs, 'p1,p2')")
+      }),
+    (new FunctionIdentifier("graft_exact_dedup"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_exact_dedup"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text) =>
+          plan(Dedup.exact(tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_exact_dedup(table, idCol, textCol)")
+      }),
+    (new FunctionIdentifier("graft_minhash_pairs"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_minhash_pairs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text) =>
+          plan(Dedup.minhashCandidatePairs(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol")))
+        case Seq(t, id, text, sn, nh, b) =>
+          plan(Dedup.minhashCandidatePairs(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"),
+            intArg(sn, "shingleN"), intArg(nh, "numHashes"),
+            intArg(b, "bands")))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_pairs(table, idCol, textCol[, shingleN, numHashes, bands])")
+      }),
+    (new FunctionIdentifier("graft_dedup_corpus"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_dedup_corpus"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text) =>
+          plan(Dedup.dedupCorpus(tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case Seq(t, id, text, thr) =>
+          plan(Dedup.dedupCorpus(tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(text, "textCol"), doubleArg(thr, "threshold")))
+        case _ => throw new IllegalArgumentException(
+          "graft_dedup_corpus(table, idCol, textCol[, threshold])")
+      }),
+    (new FunctionIdentifier("graft_flag_index"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_flag_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, path, id, text) =>
+          plan(Dedup.flagAgainstIndex(tableArg(t, "table"),
+            strArg(path, "indexPath"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_flag_index(table, indexPath, idCol, textCol)")
       }))
 
   /** Register the same functions on an ALREADY-RUNNING session (extensions

@@ -232,4 +232,63 @@ class EngineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_key_skew(table, keyCol"))
   }
+
+  test("extensions: dedup family callable from SQL, row-identical to the Scala API") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight"), // = 1
+      (3L, "the quick brown fox jumps over the lazy dog today"),   // near 1
+      (7L, "completely different content about something else entirely"),
+      (9L, "yet another unique document with its own words"))
+      .toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("sql_docs")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    val exactSql = spark.sql(
+      "SELECT * FROM graft_exact_dedup('sql_docs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(rows(exactSql) ==
+      rows(Dedup.exact(corpus, "doc_id", "text").orderBy("doc_id")))
+    assert(exactSql.count() == 4) // 1/5 collapsed
+
+    val pairsSql = spark.sql(
+      """SELECT * FROM graft_minhash_pairs('sql_docs', 'doc_id', 'text',
+        |  2, 16, 8) ORDER BY id1, id2""".stripMargin)
+    assert(rows(pairsSql) ==
+      rows(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 8).orderBy("id1", "id2")))
+    assert(pairsSql.filter($"id1" === 1L && $"id2" === 5L).count() == 1)
+
+    // dedupCorpus is BUILD-style: the CC fixpoint runs while the SQL is
+    // analyzed, exactly like the Scala call — results must still match
+    val corpusSql = spark.sql(
+      """SELECT * FROM graft_dedup_corpus('sql_docs', 'doc_id', 'text',
+        |  0.6) ORDER BY doc_id""".stripMargin)
+    spark.sharedState.cacheManager.clearCache() // the build persists; pair Scala run fresh
+    assert(rows(corpusSql) ==
+      rows(Dedup.dedupCorpus(corpus, "doc_id", "text", threshold = 0.6)
+        .orderBy("doc_id")))
+    assert(corpusSql.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 7L, 9L))
+
+    val idxTmp = java.nio.file.Files.createTempDirectory("graft_sqlflag").toString
+    Dedup.saveMinhashIndex(corpus.filter($"doc_id" <= 5L), idxTmp,
+      "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8)
+    val newDocs = Seq((20L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    newDocs.createOrReplaceTempView("sql_newdocs")
+    val flagSql = spark.sql(
+      s"""SELECT * FROM graft_flag_index('sql_newdocs', '$idxTmp',
+         |  'doc_id', 'text') ORDER BY doc_id, neighbor_id""".stripMargin)
+    assert(rows(flagSql) ==
+      rows(Dedup.flagAgainstIndex(newDocs, idxTmp, "doc_id", "text")
+        .orderBy("doc_id", "neighbor_id")))
+    // both exact copies (1, 5) and the near-dup variant (3) flag
+    assert(flagSql.select("neighbor_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
