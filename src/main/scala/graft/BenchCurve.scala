@@ -55,6 +55,23 @@ object BenchCurve {
     new java.io.File(s"$dstDir/_DONE").createNewFile()
   }
 
+  /** n× replica of the documents table only (near-dup-tagged like
+    * [[ensureX4]]'s documents) — deeper history points for the
+    * incremental-dedup scaling table without replicating the fact tables.
+    */
+  private def ensureDocsXn(spark: SparkSession, srcDir: String,
+                           dstDir: String, n: Int): Unit = {
+    if (new java.io.File(s"$dstDir/_DONE").exists()) return
+    new java.io.File(dstDir).mkdirs()
+    (0 until n).map { r =>
+      spark.read.parquet(s"$srcDir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit(r.toLong * 10000000L))
+        .withColumn("text", concat(lit(s"rtag$r "), col("text")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    new java.io.File(s"$dstDir/_DONE").createNewFile()
+  }
+
   /** Collects per-task durations, keyed by stage. */
   private class TaskTimes extends org.apache.spark.scheduler.SparkListener {
     val byStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
@@ -147,27 +164,40 @@ object BenchCurve {
     // --- incremental dedup: per-batch cost vs history size ---
     // The operator's contract is that a batch's cost does not grow with
     // the window/join work over history (only the pruned index scan
-    // grows). Same 500-doc batch against a 1× and a 4× history index.
+    // grows). Same 500-doc batch against 1× / 4× / 10× history indexes —
+    // three points so the "sub-linear in history" claim has a SLOPE, for
+    // both the batch incremental pass (index + batch-internal pairs) and
+    // the streaming flagger's per-micro-batch plan (flagAgainstIndex —
+    // exactly what nearDupsEachBatch runs per batch).
+    val x10docs = "/tmp/graft_bench_x10docs"
+    ensureDocsXn(spark, "/root/testdata/sf0.1", x10docs, 10)
     val doc1x = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val doc4x = spark.read.parquet(s"$x4/documents.parquet")
+    val doc10x = spark.read.parquet(s"$x10docs/documents.parquet")
     val incBatch = doc1x.filter(col("doc_id") < 500)
-    def incRun(hist: DataFrame, tag: String): Double = {
+    def timed2(f: => Unit): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      // clear OUTSIDE the timed region (like the curve loop above) —
+      // cache-drop time inside both terms would bias the history ratios
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }.min
+    def incRun(hist: DataFrame, tag: String): (Double, Double) = {
       val p = s"/tmp/graft_inc_$tag"
       graft.operators.Dedup.saveMinhashIndex(hist, p, "doc_id", "text")
-      (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.operators.Dedup
-          .incrementalMinhashPairs(incBatch, p, "doc_id", "text")
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // clear OUTSIDE the timed region (like the curve loop above) —
-        // cache-drop time inside both terms would bias the 1x/4x ratio
-        spark.sharedState.cacheManager.clearCache()
-        dt
-      }.min
+      val inc = timed2(graft.operators.Dedup
+        .incrementalMinhashPairs(incBatch, p, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+      val flag = timed2(graft.operators.Dedup
+        .flagAgainstIndex(incBatch, p, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+      (inc, flag)
     }
-    val inc1x = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
-    val inc4x = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
+    val (inc1x, flag1x) = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
+    val (inc4x, flag4x) = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
+    val (inc10x, flag10x) = incRun(doc10x.filter(col("doc_id") >= 500), "10x")
 
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
@@ -222,7 +252,9 @@ object BenchCurve {
         ",\"queries\":" + fmtQs(qs) + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"curve","points":$pts,""" +
-      f""""incremental":{"hist_1x_sec":$inc1x%.3f,"hist_4x_sec":$inc4x%.3f},""" +
+      f""""incremental":{"hist_1x_sec":$inc1x%.3f,"hist_4x_sec":$inc4x%.3f,""" +
+      f""""hist_10x_sec":$inc10x%.3f,"flag_1x_sec":$flag1x%.3f,""" +
+      f""""flag_4x_sec":$flag4x%.3f,"flag_10x_sec":$flag10x%.3f},""" +
       f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f},""" +
       f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
       f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +

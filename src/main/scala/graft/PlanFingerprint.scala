@@ -38,8 +38,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
   *  - everything else: node class name.
   *
   * What the signature pins: scan pushdowns and read schemas, join
-  * strategies, the shuffle structure, aggregate shapes. What it ignores:
-  * literal values, column aliasing churn, AQE's runtime re-plans (they
+  * strategies, the shuffle structure, aggregate shapes, Expand arity,
+  * native-expression use, and each Project's OUTPUT NAMES — so renaming
+  * a column (or changing a literal embedded in an un-aliased generated
+  * name) is a visible, intentional snapshot diff, reviewed and
+  * regenerated like any other plan change. What it ignores: literal
+  * values elsewhere, expression ids, AQE's runtime re-plans (they
   * vary with input size by design — the signature is taken from the
   * statically-planned tree). Plans at different scale factors may still
   * legitimately differ (size statistics drive static broadcast

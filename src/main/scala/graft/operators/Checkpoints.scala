@@ -16,10 +16,18 @@ import org.apache.spark.sql.DataFrame
   *    an executor loss mid-build re-reads them instead of finding the
   *    truncated lineage unrecomputable. This is the 100 TB deployment
   *    mode — a multi-hour index build must survive executor churn.
-  *  - UNSET → `localCheckpoint()`: blocks live in executor storage. No
-  *    filesystem round-trip (faster), but an executor loss kills the
-  *    lineage — the single-JVM / interactive trade, and this sandbox's
-  *    default.
+  *    FILE LIFETIME: checkpoint files are NOT deleted when an iteration
+  *    releases its predecessor (unpersist touches the cache only) —
+  *    Spark reclaims them via the ContextCleaner only when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  *    false). A production deployment should set that conf, or point
+  *    the checkpoint dir at a job-scoped path it deletes after the
+  *    build; otherwise a k-round build leaves k label-table snapshots
+  *    on the checkpoint filesystem.
+  *  - UNSET → `localCheckpoint()`: blocks live in executor storage and
+  *    are reclaimed by unpersist/executor exit. No filesystem
+  *    round-trip (faster), but an executor loss kills the lineage — the
+  *    single-JVM / interactive trade, and this sandbox's default.
   *
   * Both modes are EAGER (the frame materializes at the call) and neither
   * preserves outputPartitioning into the next round's join — the plans

@@ -210,15 +210,57 @@ object Dedup {
     // fallback: a boilerplate flood keeps its `maxBucket` lowest-id
     // members as cluster evidence; readers needing a TIGHTER cap can
     // still apply their own (a looser one cannot exceed what was kept).
+    writeBands(bandRows(docs, idCol, textCol, shingleN, numHashes, bands),
+      s"$path/bands", maxBucket, "overwrite")
+    Seq((shingleN, numHashes, bands, maxBucket))
+      .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Dedup (duplicate input rows — a doc ingested twice in one frame —
+    * would otherwise write two identical band rows each) + per-bucket cap
+    * + sorted layout: the band-table write shared by save and compact.
+    */
+  private def writeBands(bands: DataFrame, bandsPath: String,
+                         maxBucket: Int, mode: String): Unit = {
     val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
       .orderBy(col("id"))
-    bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
+    bands
+      .groupBy(col("band_idx"), col("band_hash"), col("id"))
+      .agg(first(col("sig")).as("sig"))
       .withColumn("__bn", row_number().over(capW))
       .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+      .select(col("id"), col("sig"), col("band_idx"), col("band_hash"))
       .sortWithinPartitions(col("band_idx"), col("band_hash"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    Seq((shingleN, numHashes, bands, maxBucket))
+      .write.mode(mode).parquet(bandsPath)
+  }
+
+  /** One-time upgrade of a LEGACY index (written before write-time
+    * hygiene existed, or grown by the old blind append): dedup identical
+    * band rows, cap every bucket at `maxBucket` (lowest ids), rewrite
+    * sorted, and stamp `max_bucket` into the meta so probes accept it.
+    * Idempotent; probes REFUSE un-stamped indexes (see
+    * [[readMinhashMeta]]) because their duplicate rows would double-emit
+    * flags and their uncapped flood buckets make probe cost unbounded.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, maxBucket: Int = 10000): Unit = {
+    import spark.implicits._
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val m = metaDf.head()
+    def i(n: String): Int = m.getInt(metaDf.schema.fieldIndex(n))
+    val (sn, nh, b) = (i("shingle_n"), i("num_hashes"), i("bands"))
+    // stage next to the live table, then swap — can't overwrite a table
+    // that is being read
+    val staged = s"$path/bands_compacting"
+    writeBands(spark.read.parquet(s"$path/bands"), staged, maxBucket,
+      "overwrite")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$path/bands"))
+    Seq((sn, nh, b, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -246,6 +288,12 @@ object Dedup {
     val meta = readMinhashMeta(spark, path)
     val batch = bandRows(newDocs, idCol, textCol,
         meta.shingleN, meta.numHashes, meta.bands)
+      // batch-internal dedup: a doc appearing twice in one batch would
+      // otherwise write two identical band rows (the anti-join below only
+      // screens against HISTORY) — batch-sized work
+      .groupBy(col("band_idx"), col("band_hash"), col("id"))
+      .agg(first(col("sig")).as("sig"))
+      .select(col("id"), col("sig"), col("band_idx"), col("band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = spark.read.parquet(s"$path/bands")
       .join(batch.select(col("band_idx"), col("band_hash")).distinct(),
@@ -354,6 +402,13 @@ object Dedup {
     * batch-internal pairs (flagging asks "is this new doc a dup of the
     * CORPUS", not "of its own batch") and keeps the (batch doc →
     * neighbor) orientation instead of id1 < id2.
+    *
+    * The batch's band table persists under the CACHE LIFETIME CONTRACT
+    * (object doc): screening many batches in one long-lived session
+    * accumulates one cached band frame per call unless the caller clears
+    * between batches — for that repeated-batch shape use
+    * [[graft.streaming.StreamingDedup.nearDupsEachBatch]], which
+    * releases each batch's cache as soon as its sink returns.
     */
   def flagAgainstIndex(docs: DataFrame, path: String, idCol: String,
                        textCol: String): DataFrame =
@@ -443,11 +498,17 @@ object Dedup {
     val df = spark.read.parquet(s"$path/meta")
     val m = df.head()
     def i(n: String): Int = m.getInt(df.schema.fieldIndex(n))
-    // pre-retention-policy indexes carry no max_bucket column; their
-    // buckets were written uncapped, which the old default cap matches
-    MinhashMeta(i("shingle_n"), i("num_hashes"), i("bands"),
-      if (df.schema.fieldNames.contains("max_bucket")) i("max_bucket")
-      else 10000)
+    // the max_bucket stamp IS the hygiene certificate: probes read the
+    // index as deduped + capped with no per-probe hygiene pass, so an
+    // un-stamped (legacy) index — whose buckets may hold duplicate rows
+    // (double-emitted flags) or uncapped floods (unbounded probe cost) —
+    // must be refused loudly, not probed wrongly
+    if (!df.schema.fieldNames.contains("max_bucket"))
+      throw new IllegalStateException(
+        s"MinHash index at $path predates write-time hygiene (no " +
+          "max_bucket in meta) — run Dedup.compactMinhashIndex(spark, " +
+          "path) once to dedup, cap, and stamp it")
+    MinhashMeta(i("shingle_n"), i("num_hashes"), i("bands"), i("max_bucket"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: expects columns

@@ -35,7 +35,9 @@ object Graph {
     * truncating whatever expensive lineage produced the edges (e.g. pair
     * mining) so no step re-runs it and the per-iteration plan stays
     * constant-size — and each iteration's rank frame checkpoints and
-    * releases its predecessor.
+    * releases its predecessor's CACHED blocks (in reliable-checkpoint
+    * mode the predecessor's files stay on the checkpoint filesystem for
+    * the ContextCleaner — see [[Checkpoints]] on file lifetime).
     * All build frames are unpersisted before returning; the returned
     * frame owns only its own checkpoint blocks. Per iteration: one
     * equi-join of edges to ranks (shuffle on source) and one hash

@@ -32,9 +32,14 @@ object JpegCodec {
     */
   def decode(b: Array[Byte], maxPixels: Long = 1L << 24): Option[PngCodec.Image] = {
     if (!Multimodal.HeaderCodec.isJpeg(b)) return None
+    // the JVM's own ceiling binds too: samples is one Array[Byte] of
+    // w*h*3, so a caller-raised maxPixels above ~715 M pixels must not
+    // wrap the Int allocation size negative
+    def fits(w: Int, h: Int): Boolean =
+      w > 0 && h > 0 && w.toLong * h <= maxPixels &&
+        w.toLong * h * 3 <= Int.MaxValue
     Multimodal.HeaderCodec.jpegDims(b) match {
-      case Some((w, h))
-        if w > 0 && h > 0 && w.toLong * h <= maxPixels => ()
+      case Some((w, h)) if fits(w, h) => ()
       case _ => return None
     }
     try {
@@ -42,7 +47,7 @@ object JpegCodec {
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
-      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+      if (!fits(w, h)) return None
       val samples = new Array[Byte](w * h * 3)
       val row = new Array[Int](w) // packed ARGB, one getRGB call per row
       var y = 0
@@ -64,8 +69,10 @@ object JpegCodec {
     } catch {
       // corrupt entropy stream, unsupported subformat, reader bugs — the
       // caller falls back to the byte-level stand-in rather than failing
-      // a 100 TB job on one bad payload
-      case _: Throwable => None
+      // a 100 TB job on one bad payload. NonFatal only: an OOM/JVM error
+      // must propagate and fail the task (silent fallback in a corrupted
+      // JVM would be wrong data with no error signal)
+      case scala.util.control.NonFatal(_) => None
     }
   }
 }

@@ -297,15 +297,63 @@ class DedupSpec extends SparkSpec {
     assert(bands().count() == 3 * 8)
     assert(bands().select("id").distinct().collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L))
-    // a doc in a FRESH bucket still appends freely
+    // a doc in a FRESH bucket still appends freely — and a duplicate
+    // INPUT row (same doc twice in one batch) writes one band row, not
+    // two (the anti-join only screens history; batch-internal dedup is
+    // the write's own job)
     Dedup.appendMinhashIndex(
-      Seq((9L, "entirely different content about other things")).toDF("doc_id", "text"),
+      Seq((9L, "entirely different content about other things"),
+        (9L, "entirely different content about other things"))
+        .toDF("doc_id", "text"),
       tmp, "doc_id", "text")
     assert(bands().filter(col("id") === 9L).count() == 8)
     // no bucket anywhere exceeds the cap — the invariant readers rely on
     val overCap = bands().groupBy("band_idx", "band_hash").count()
       .filter(col("count") > 3).count()
     assert(overCap == 0)
+    // save with duplicate input rows is equally duplicate-free
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_mh_dup").toString
+    Dedup.saveMinhashIndex(
+      Seq((1L, boiler), (1L, boiler)).toDF("doc_id", "text"),
+      tmp2, "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8)
+    assert(spark.read.parquet(s"$tmp2/bands").count() == 8)
+  }
+
+  test("legacy minhash index: probes refuse it loudly; compaction upgrades it") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_leg").toString
+    val boiler = "same boilerplate text repeated verbatim"
+    Dedup.saveMinhashIndex(
+      (1L to 6L).map(i => (i, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8)
+    // forge a LEGACY index: strip the max_bucket stamp and blind-append a
+    // duplicate of doc 1's rows (what the old append did on a retry)
+    val oldMeta = spark.read.parquet(s"$tmp/meta")
+      .select("shingle_n", "num_hashes", "bands").collect()
+    spark.createDataFrame(java.util.Arrays.asList(oldMeta: _*),
+        spark.read.parquet(s"$tmp/meta")
+          .select("shingle_n", "num_hashes", "bands").schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    val dup = spark.read.parquet(s"$tmp/bands").filter(col("id") === 1L)
+    dup.write.mode(SaveMode.Append).parquet(s"$tmp/bands")
+    // un-stamped index: every probe path refuses with guidance — a plain
+    // scan over duplicate rows would double-emit flags
+    val batch = Seq((100L, boiler)).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.flagAgainstIndex(batch, tmp, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("compactMinhashIndex"))
+    // one-time upgrade: dedups the forged duplicates, caps, stamps
+    Dedup.compactMinhashIndex(spark, tmp, maxBucket = 4)
+    val bands = spark.read.parquet(s"$tmp/bands")
+    assert(bands.groupBy("band_idx", "band_hash", "id").count()
+      .filter(col("count") > 1).count() == 0) // duplicates gone
+    assert(bands.groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > 4).count() == 0) // capped
+    val flags = Dedup.flagAgainstIndex(batch, tmp, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flags.toSeq.sorted == (1L to 4L).map((100L, _)).toSeq) // one row per pair
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("flagAgainstIndex: corpus screen matches pairs, plan has no window or index shuffle") {
