@@ -1002,7 +1002,18 @@ object SparkEntry {
         .select(col("id1").as("doc_id"), col("id2").as("neighbor_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_id"), col("neighbor_id"))
-    })
+    }),
+
+    // SimHash near-dup PAIRS via pigeonhole block bucketing (4 × 16-bit
+    // blocks; hamming ≤ 3 < 4 blocks → at least one block identical, so
+    // candidate recall is EXACT and the oracle is the plain all-pairs
+    // hamming filter over the same MD5-portable fingerprints q20 proves
+    // bit-reproducible). The engine only ever joins within blocks — the
+    // oracle's all-pairs form is the semantics, not the plan.
+    "q84_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3, blocks = 4, portable = true)
+        .orderBy(col("id1"), col("id2")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2388,6 +2399,30 @@ object SparkEntry {
          |WHERE jaccard >= 0.8
          |  AND id1 < (SELECT count(*) // 2 FROM documents)
          |  AND id2 >= (SELECT count(*) // 2 FROM documents)
-         |ORDER BY doc_id, neighbor_id""".stripMargin.replace("\n", " ")
+         |ORDER BY doc_id, neighbor_id""".stripMargin.replace("\n", " "),
+
+    // q84: ALL pairs within hamming 3 of the q20-portable fingerprint —
+    // pigeonhole makes the engine's block-join recall exact, so the
+    // brute-force form IS the oracle
+    "q84_simhash_pairs" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 63), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |                   ELSE CAST(1::BIGINT << j AS HUGEINT) END
+        |         ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, list_transform(regexp_extract_all(trim(text), '\S+'),
+        |      t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hs
+        |    FROM documents
+        |  )
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
   )
 }

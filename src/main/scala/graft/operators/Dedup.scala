@@ -861,6 +861,85 @@ object Dedup {
   def simhash64Portable(text: Column): Column =
     graft.functions.HashFunctions.simhash64Md5(TextAnalysis.tokens(text))
 
+  /** SimHash near-dup PAIR MINING — the block-bucketed join that turns
+    * the per-doc fingerprint ([[simhash64]]) into pairs at corpus scale
+    * (the Manku/Jain/Sarma WWW'07 shape): split the 64-bit fingerprint
+    * into `blocks` equal bit-blocks and bucket-join on (block index,
+    * block value).
+    *
+    * EXACT RECALL by pigeonhole: a pair within `maxHamming` bits differs
+    * in at most `maxHamming` blocks, so with `blocks > maxHamming` at
+    * least one block is IDENTICAL and the pair meets in that block's
+    * bucket — candidate generation misses nothing, and the exact
+    * `bit_count` filter keeps only true pairs. This is the cheap cousin
+    * of MinHash-LSH: one 8-byte fingerprint per doc (vs numHashes
+    * minhashes), bitwise verification (vs signature/shingle comparison),
+    * at the cost of a coarser similarity notion (Hamming on hyperplane
+    * votes, not Jaccard).
+    *
+    * Scale shape: one fingerprint pass; each doc explodes into `blocks`
+    * bucket rows; the bucket-size window rides the SAME shuffle the pair
+    * join needs. Bucket width is 64/blocks bits, so pick the smallest
+    * `blocks` the threshold admits (blocks = maxHamming + 1 when it
+    * divides 64) — wider blocks = more bucket values = smaller buckets.
+    * Oversized buckets (a boilerplate flood collapses to few distinct
+    * fingerprints) emit a lowest-id STAR like
+    * [[minhashCandidatePairs]] — linear, connectivity-preserving for
+    * clustering, but star members are only verified against the
+    * representative, so exact recall holds where the cap doesn't bind.
+    *
+    * Returns (id1 < id2, hamming ≤ maxHamming). `portable = true` swaps
+    * in the MD5-profile fingerprint ([[simhash64Portable]]) so the full
+    * pair set is reproducible in any engine with md5() — the
+    * verification profile, not the default.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, blocks: Int = 4,
+                          maxBucket: Int = 10000,
+                          portable: Boolean = false): DataFrame = {
+    require(blocks > maxHamming,
+      s"pigeonhole recall needs blocks ($blocks) > maxHamming ($maxHamming)")
+    require(64 % blocks == 0 && blocks >= 2, "blocks must divide 64")
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val fpExpr =
+      if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
+    val tb = explode(array((0 until blocks).map(b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit(mask))
+          .as("bval"))): _*))
+    val banded = docs.select(col(idCol).as("id"), fpExpr.as("fp"))
+      .select(col("id"), col("fp"), tb.as("tb"))
+      .select(col("id"), col("fp"),
+        col("tb.blk").as("blk"), col("tb.bval").as("bval"))
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy(col("blk"), col("bval"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val normal = banded.filter(col("__bsz") <= maxBucket)
+    val clique = normal
+      .select(col("blk"), col("bval"), col("id").as("id1"), col("fp").as("fp1"))
+      .join(normal.select(col("blk"), col("bval"),
+        col("id").as("id2"), col("fp").as("fp2")), Seq("blk", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("fp1"), col("fp2"))
+    val over = banded.filter(col("__bsz") > maxBucket)
+    val reps = over.groupBy(col("blk"), col("bval"))
+      .agg(min(col("id")).as("__rid"), min_by(col("fp"), col("id")).as("__rfp"))
+    val star = over.join(reps, Seq("blk", "bval"))
+      .filter(col("id") =!= col("__rid"))
+      .select(col("__rid").as("id1"), col("id").as("id2"),
+        col("__rfp").as("fp1"), col("fp").as("fp2"))
+    clique.unionByName(star)
+      // multi-block duplicates collapse in the same shuffle that pairs
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("fp1")).as("fp1"), first(col("fp2")).as("fp2"))
+      .withColumn("hamming",
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

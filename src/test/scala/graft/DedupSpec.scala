@@ -107,6 +107,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash pair mining: block buckets find exactly the brute-force hamming pairs") {
+    // 20 docs: a family of near-identical boilerplates (small hamming) +
+    // unrelated fillers; ground truth = all-pairs bit_count, computed in
+    // Spark itself — pigeonhole (blocks > maxHamming) promises the block
+    // join misses nothing
+    val docs = (1L to 20L).map { i =>
+      val txt =
+        if (i <= 6) s"shared boilerplate header about terms of service clause $i"
+        else s"document $i with its own unrelated content about topic number ${i * 7}"
+      (i, txt)
+    }.toDF("doc_id", "text")
+    for (maxH <- Seq(0, 3, 7)) {
+      val blocks = if (maxH < 4) 4 else 8
+      val mined = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+          maxHamming = maxH, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fp = docs.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("fp"))
+      val brute = fp.select(col("doc_id").as("id1"), col("fp").as("fp1"))
+        .crossJoin(fp.select(col("doc_id").as("id2"), col("fp").as("fp2")))
+        .filter(col("id1") < col("id2"))
+        .withColumn("hamming",
+          bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
+        .filter(col("hamming") <= maxH)
+        .select("id1", "id2", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(mined == brute, s"maxHamming=$maxH")
+    }
+    // parameter guards: pigeonhole violated / non-divisor block count
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4, blocks = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, blocks = 6)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("simhash: identical text → distance 0, near text small, unrelated large") {
     val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
