@@ -51,7 +51,11 @@ import graft.operators.{Dedup, Joins, Profiling, TimeSeries}
   *    analyzed, like the Scala call it inlines)
   *  - `graft_flag_index(table, indexPath, idCol, textCol)` — flag which
   *    rows near-duplicate a persisted MinHash index
-  *    ([[graft.operators.Dedup.flagAgainstIndex]])
+  *    ([[graft.operators.Dedup.flagAgainstIndex]]). Each call persists
+  *    the probe's band table for the SESSION (the operator's cache
+  *    contract): a long-lived SQL session screening many batches should
+  *    `CLEAR CACHE` between them, or run the stream-shaped Scala face
+  *    (`StreamingDedup.nearDupsEachBatch`) which releases per batch
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._

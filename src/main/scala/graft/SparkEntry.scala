@@ -1009,10 +1009,13 @@ object SparkEntry {
     // candidate recall is EXACT and the oracle is the plain all-pairs
     // hamming filter over the same MD5-portable fingerprints q20 proves
     // bit-reproducible). The engine only ever joins within blocks — the
-    // oracle's all-pairs form is the semantics, not the plan.
+    // oracle's all-pairs form is the semantics, not the plan. maxBucket
+    // is set beyond any contract-SF bucket so the star fallback (whose
+    // representative-only verification the brute-force oracle doesn't
+    // model) can never silently bind.
     "q84_simhash_pairs" -> ((s, d) =>
       Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 3, blocks = 4, portable = true)
+          maxHamming = 3, blocks = 4, maxBucket = 1 << 20, portable = true)
         .orderBy(col("id1"), col("id2")))
   )
 

@@ -246,6 +246,7 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, maxBucket: Int = 10000): Unit = {
     import spark.implicits._
+    require(maxBucket >= 1, "maxBucket must be positive") // 0 would stamp an EMPTIED index as hygienic
     val metaDf = spark.read.parquet(s"$path/meta")
     val m = metaDf.head()
     def i(n: String): Int = m.getInt(metaDf.schema.fieldIndex(n))
@@ -255,11 +256,20 @@ object Dedup {
     val staged = s"$path/bands_compacting"
     writeBands(spark.read.parquet(s"$path/bands"), staged, maxBucket,
       "overwrite")
+    // swap by renaming the OLD table aside first (never delete-then-
+    // rename: a failed second rename would have destroyed the only
+    // copy), checking every rename — object-store renames return false
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged),
-      new org.apache.hadoop.fs.Path(s"$path/bands"))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val retired = s"$path/bands_retired"
+    fs.delete(p(retired), true)
+    require(fs.rename(p(s"$path/bands"), p(retired)),
+      s"compactMinhashIndex: could not retire $path/bands — index unchanged")
+    require(fs.rename(p(staged), p(s"$path/bands")),
+      s"compactMinhashIndex: could not promote $staged — the original " +
+        s"table is intact at $retired; rename it back to recover")
+    fs.delete(p(retired), true)
     Seq((sn, nh, b, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -351,11 +361,19 @@ object Dedup {
       newBands.select(col("band_idx"), col("band_hash")).distinct(),
       Seq("band_idx", "band_hash"), "left_semi")
     // per-bucket cap on the INDEX side (lowest ids win — deterministic,
-    // same contract as minhashCandidatePairs' star fallback)
-    val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
-      .orderBy(col("id"))
-    val idxCapped = touched.withColumn("__bn", row_number().over(capW))
-      .filter(col("__bn") <= maxBucket)
+    // same contract as minhashCandidatePairs' star fallback). A stamped
+    // index is already write-time capped at meta.maxBucket, so the
+    // window pass only runs when the caller asks for a TIGHTER cap —
+    // with the default it would shuffle the touched slice to filter
+    // nothing.
+    val idxCapped =
+      if (maxBucket >= meta.maxBucket) touched
+      else {
+        val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
+          .orderBy(col("id"))
+        touched.withColumn("__bn", row_number().over(capW))
+          .filter(col("__bn") <= maxBucket)
+      }
     val cross = newBands
       .select(col("band_idx"), col("band_hash"),
         col("id").as("__nid"), col("sig").as("__nsig"))
@@ -417,11 +435,16 @@ object Dedup {
   /** [[flagAgainstIndex]] plus the persisted band handle, so streaming
     * callers can release the per-batch cache once the sink consumed the
     * result (the batch API leaves it to the session cache contract).
+    * `knownMeta` lets a per-micro-batch caller pin the family once at
+    * stream definition instead of re-reading the meta table (a
+    * driver-side head() job) every batch.
     */
   private[graft] def flagCore(docs: DataFrame, path: String, idCol: String,
-                              textCol: String): (DataFrame, DataFrame) = {
+                              textCol: String,
+                              knownMeta: Option[MinhashMeta] = None)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val meta = readMinhashMeta(spark, path)
+    val meta = knownMeta.getOrElse(readMinhashMeta(spark, path))
     // one banding pass, read by both the bucket-key projection and the
     // pair join
     val banded = bandRows(docs, idCol, textCol,
@@ -899,10 +922,13 @@ object Dedup {
                           portable: Boolean = false): DataFrame = {
     require(blocks > maxHamming,
       s"pigeonhole recall needs blocks ($blocks) > maxHamming ($maxHamming)")
-    require(64 % blocks == 0 && blocks >= 2, "blocks must divide 64")
+    require(blocks >= 1 && 64 % blocks == 0,
+      s"blocks ($blocks) must be in 1..64 and divide 64")
     require(maxBucket >= 1, "maxBucket must be positive")
     val width = 64 / blocks
-    val mask = (1L << width) - 1
+    // width = 64 (blocks = 1, the exact-duplicate profile): 1L << 64
+    // wraps to 1, so the whole-word mask is spelled out
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val fpExpr =
       if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
     val tb = explode(array((0 until blocks).map(b =>

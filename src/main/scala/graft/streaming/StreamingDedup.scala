@@ -125,10 +125,15 @@ object StreamingDedup {
                         indexPath: String)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
+    // family pinned ONCE at stream definition (meta is immutable for a
+    // stamped index) — re-reading it per micro-batch would add a
+    // driver-side head() job to every batch
+    val meta = Dedup.readMinhashMeta(docs.sparkSession, indexPath)
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        val (flags, banded) = Dedup.flagCore(batch, indexPath, idCol, textCol)
+        val (flags, banded) =
+          Dedup.flagCore(batch, indexPath, idCol, textCol, Some(meta))
         try sink(flags, batchId)
         finally banded.unpersist(blocking = false)
     }

@@ -118,8 +118,10 @@ class DedupSpec extends SparkSpec {
         else s"document $i with its own unrelated content about topic number ${i * 7}"
       (i, txt)
     }.toDF("doc_id", "text")
+    // blocks = 1 with maxHamming = 0 is the exact-duplicate profile (the
+    // single whole-word block must match); wider settings cover near-dups
     for (maxH <- Seq(0, 3, 7)) {
-      val blocks = if (maxH < 4) 4 else 8
+      val blocks = if (maxH == 0) 1 else if (maxH < 4) 4 else 8
       val mined = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
           maxHamming = maxH, blocks = blocks)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -381,6 +383,10 @@ class DedupSpec extends SparkSpec {
       Dedup.flagAgainstIndex(batch, tmp, "doc_id", "text")
     }
     assert(e.getMessage.contains("compactMinhashIndex"))
+    // a zero cap must refuse, not stamp an emptied index as hygienic
+    intercept[IllegalArgumentException] {
+      Dedup.compactMinhashIndex(spark, tmp, maxBucket = 0)
+    }
     // one-time upgrade: dedups the forged duplicates, caps, stamps
     Dedup.compactMinhashIndex(spark, tmp, maxBucket = 4)
     val bands = spark.read.parquet(s"$tmp/bands")
