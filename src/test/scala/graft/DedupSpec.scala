@@ -277,7 +277,13 @@ class DedupSpec extends SparkSpec {
 
     Dedup.saveMinhashIndex(hist, tmp, "doc_id", "text",
       shingleN = 2, numHashes = 16, bands = 8)
-    val inc = Dedup.incrementalMinhashPairs(batch, tmp, "doc_id", "text")
+    val incDf = Dedup.incrementalMinhashPairs(batch, tmp, "doc_id", "text")
+    // default cap = the index's write-time cap → the per-probe cap
+    // window is skipped entirely (the batch-internal pair stage's
+    // bucket-size window remains — it sizes the BATCH, not history)
+    assert(!PlanFingerprint.signature(incDf)
+      .replace("InMemoryScan[Window", "").contains("Window"))
+    val inc = incDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ground truth: full-corpus candidates restricted to pairs touching
     // the batch (ids >= 10)
