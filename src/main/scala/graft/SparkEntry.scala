@@ -1016,7 +1016,28 @@ object SparkEntry {
     "q84_simhash_pairs" -> ((s, d) =>
       Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
           maxHamming = 3, blocks = 4, maxBucket = 1 << 20, portable = true)
-        .orderBy(col("id1"), col("id2")))
+        .orderBy(col("id1"), col("id2"))),
+
+    // INCREMENTAL SimHash: first half of the corpus persisted as the
+    // 16-byte-per-doc fingerprint index, second half arrives as a batch
+    // and mines pairs against index + itself without re-reading any
+    // history text — q80's workflow on the cheap index. Oracle = q84's
+    // brute-force pair set restricted to pairs touching the batch; the
+    // ample maxBucket keeps the star/cap paths out of the contract (same
+    // reasoning as q84).
+    "q85_incremental_simhash" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cut = cachedCount(s, d, "documents") / 2
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_sh_idx_${Integer.toHexString(d.hashCode)}").getPath
+      Dedup.saveSimhashIndex(doc.filter(col("doc_id") < cut), idxPath,
+        "doc_id", "text", portable = true)
+      Dedup.incrementalSimhashPairs(doc.filter(col("doc_id") >= cut),
+          idxPath, "doc_id", "text",
+          maxHamming = 3, blocks = 4, maxBucket = 1 << 20)
+        .orderBy(col("id1"), col("id2"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2408,24 +2429,42 @@ object SparkEntry {
     // pigeonhole makes the engine's block-join recall exact, so the
     // brute-force form IS the oracle
     "q84_simhash_pairs" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |  CAST(list_sum(list_transform(generate_series(0, 63), j ->
-        |    CASE WHEN list_sum(list_transform(hs, h ->
-        |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |         THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
-        |                   ELSE CAST(1::BIGINT << j AS HUGEINT) END
-        |         ELSE 0 END)) AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, list_transform(regexp_extract_all(trim(text), '\S+'),
-        |      t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hs
-        |    FROM documents
-        |  )
-        |)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+      s"""WITH $portableSimhashFpCte
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    // q85: the same true pair set restricted to pairs touching the new
+    // batch (id1 < id2, so "touches the batch" is exactly id2 >= cut —
+    // the q80 trick)
+    "q85_incremental_simhash" ->
+      s"""WITH $portableSimhashFpCte
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  AND b.doc_id >= (SELECT count(*) // 2 FROM documents)
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
   )
+
+  // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared
+  // by the q84/q85 pair oracles (token hash = first 8 bytes of
+  // md5(token); per-bit ±1 votes; bit 63 carries the sign)
+  private val portableSimhashFpCte: String =
+    """fp AS (
+      |  SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 63), j ->
+      |    CASE WHEN list_sum(list_transform(hs, h ->
+      |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |                   ELSE CAST(1::BIGINT << j AS HUGEINT) END
+      |         ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, list_transform(regexp_extract_all(trim(text), '\S+'),
+      |      t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hs
+      |    FROM documents
+      |  )
+      |)""".stripMargin
 }

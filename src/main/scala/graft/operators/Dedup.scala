@@ -969,6 +969,128 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Persist the SimHash FINGERPRINT index: one (id, 8-byte fp) row per
+    * doc — 16 bytes of index per document, vs bands × (hash + signature)
+    * for the MinHash band table. The cheap screening index of the
+    * incremental family: probes ([[incrementalSimhashPairs]]) derive
+    * block buckets from the fingerprints at probe time, so block count /
+    * Hamming threshold are PROBE parameters, not baked into the index —
+    * one index serves every threshold. `meta` pins only the fingerprint
+    * family (`portable`), which must match between index and probes or
+    * nothing would ever collide.
+    */
+  def saveSimhashIndex(docs: DataFrame, path: String, idCol: String,
+                       textCol: String, portable: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fpExpr =
+      if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
+    docs.select(col(idCol).as("id"), fpExpr.as("fp"))
+      .dropDuplicates("id")
+      .sortWithinPartitions(col("fp")) // row-group stats on fp
+      .write.mode("overwrite").parquet(s"$path/fp")
+    Seq(Tuple1(portable)).toDF("portable")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Grow the fingerprint index with a processed batch: batch-internal
+    * duplicate ids collapse, already-indexed ids are anti-joined away
+    * (idempotent re-appends; the batch broadcasts against the index
+    * scan — no history shuffle). Serialized appends per path.
+    */
+  def appendSimhashIndex(newDocs: DataFrame, path: String, idCol: String,
+                         textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val fpExpr =
+      if (readSimhashMeta(spark, path)) simhash64Portable(col(textCol))
+      else simhash64(col(textCol))
+    newDocs.select(col(idCol).as("id"), fpExpr.as("fp"))
+      .dropDuplicates("id")
+      .join(spark.read.parquet(s"$path/fp").select(col("id")),
+        Seq("id"), "left_anti")
+      .sortWithinPartitions(col("fp"))
+      .write.mode("append").parquet(s"$path/fp")
+  }
+
+  private[graft] def readSimhashMeta(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Boolean =
+    spark.read.parquet(s"$path/meta").head().getBoolean(0)
+
+  /** SimHash near-dup pairs of a NEW batch against the persisted
+    * fingerprint index plus within itself — [[incrementalMinhashPairs]]'
+    * cheap sibling: history TEXT is never re-read and historical
+    * fingerprints are never recomputed (the whole history contribution
+    * is one 16-byte-per-doc scan). Output matches
+    * [[simhashNearDupPairs]]: (id1 < id2, hamming ≤ maxHamming), exact
+    * recall by the same pigeonhole argument.
+    *
+    * Scale shape: block buckets are DERIVED from the fingerprint at
+    * probe time (the index stores no blocks), then the index side is
+    * pruned to the buckets the batch touches via a semi-join BEFORE any
+    * window work; the per-bucket cap (lowest ids, deterministic) bounds
+    * a boilerplate flood's join fan-out to batch × maxBucket. Because
+    * blocks are probe-derived, the cap window cannot move to write time
+    * here — its input is already restricted to batch-touched buckets,
+    * so the window's cost is bounded by what the batch touches, never
+    * by history size.
+    */
+  def incrementalSimhashPairs(newDocs: DataFrame, path: String,
+                              idCol: String, textCol: String,
+                              maxHamming: Int = 3, blocks: Int = 4,
+                              maxBucket: Int = 10000): DataFrame = {
+    require(blocks > maxHamming,
+      s"pigeonhole recall needs blocks ($blocks) > maxHamming ($maxHamming)")
+    require(blocks >= 1 && 64 % blocks == 0,
+      s"blocks ($blocks) must be in 1..64 and divide 64")
+    require(maxBucket >= 1, "maxBucket must be positive")
+    val spark = newDocs.sparkSession
+    val portable = readSimhashMeta(spark, path)
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def explodeBlocks(fp: DataFrame): DataFrame = fp
+      .select(col("id"), col("fp"),
+        explode(array((0 until blocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit(mask))
+              .as("bval"))): _*)).as("tb"))
+      .select(col("id"), col("fp"),
+        col("tb.blk").as("blk"), col("tb.bval").as("bval"))
+    val fpExpr =
+      if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
+    val newBlocks = explodeBlocks(
+        newDocs.select(col(idCol).as("id"), fpExpr.as("fp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = explodeBlocks(spark.read.parquet(s"$path/fp"))
+      .join(newBlocks.select(col("blk"), col("bval")).distinct(),
+        Seq("blk", "bval"), "left_semi")
+    val capW = Window.partitionBy(col("blk"), col("bval")).orderBy(col("id"))
+    val capped = touched.withColumn("__bn", row_number().over(capW))
+      .filter(col("__bn") <= maxBucket)
+    val cross = newBlocks
+      .select(col("blk"), col("bval"), col("id").as("__nid"), col("fp").as("__nfp"))
+      .join(capped.select(col("blk"), col("bval"),
+        col("id").as("__oid"), col("fp").as("__ofp")), Seq("blk", "bval"))
+      .filter(col("__nid") =!= col("__oid"))
+      .select(least(col("__nid"), col("__oid")).as("id1"),
+        greatest(col("__nid"), col("__oid")).as("id2"),
+        col("__nfp").as("fp1"), col("__ofp").as("fp2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("fp1")).as("fp1"), first(col("fp2")).as("fp2"))
+      .withColumn("hamming",
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+    // batch-internal pairs re-fingerprint the (small) batch — one extra
+    // pass over the batch, zero passes over history
+    val newNew = simhashNearDupPairs(newDocs, idCol, textCol,
+      maxHamming, blocks, maxBucket, portable)
+    cross.unionByName(newNew)
+      // idempotent re-runs: a batch doc already in the index surfaces
+      // from both paths — keep one row
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key (e.g. an LSH
     * bucket or source partition): exact cosine on pairs that share the
     * block, id1 < id2, above `threshold`.

@@ -147,6 +147,42 @@ class DedupSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("incremental simhash: index probe equals brute-force pairs touching the batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sh_idx").toString
+    val docs = (1L to 24L).map { i =>
+      val txt =
+        if (i % 3 == 0) s"shared boilerplate header about terms of service clause ${i % 2}"
+        else s"document $i with its own unrelated content about topic number ${i * 7}"
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val hist = docs.filter($"doc_id" <= 12)
+    val batch = docs.filter($"doc_id" > 12)
+    Dedup.saveSimhashIndex(hist, tmp, "doc_id", "text")
+    val inc = Dedup.incrementalSimhashPairs(batch, tmp, "doc_id", "text",
+        maxHamming = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: full-corpus mining (spec-verified ≡ brute force
+    // above) restricted to pairs with a side in the batch (id2 > 12
+    // since id1 < id2 and history ids are all <= 12)
+    val full = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 > 12L).toSet
+    assert(inc == full && inc.nonEmpty)
+    // append survivors; idempotent for duplicate ids and re-appends
+    Dedup.appendSimhashIndex(batch, tmp, "doc_id", "text")
+    Dedup.appendSimhashIndex(batch, tmp, "doc_id", "text") // retry no-op
+    assert(spark.read.parquet(s"$tmp/fp").count() == 24)
+    // a later batch sees appended history
+    val b2 = Seq((30L, "shared boilerplate header about terms of service clause 0"))
+      .toDF("doc_id", "text")
+    val inc2 = Dedup.incrementalSimhashPairs(b2, tmp, "doc_id", "text",
+        maxHamming = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2.exists(_._2 == 30L) && inc2.forall(_._2 == 30L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("simhash: identical text → distance 0, near text small, unrelated large") {
     val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
