@@ -184,7 +184,7 @@ object BenchCurve {
       spark.sharedState.cacheManager.clearCache()
       dt
     }.min
-    def incRun(hist: DataFrame, tag: String): (Double, Double) = {
+    def incRun(hist: DataFrame, tag: String): (Double, Double, Double) = {
       val p = s"/tmp/graft_inc_$tag"
       graft.operators.Dedup.saveMinhashIndex(hist, p, "doc_id", "text")
       val inc = timed2(graft.operators.Dedup
@@ -193,11 +193,17 @@ object BenchCurve {
       val flag = timed2(graft.operators.Dedup
         .flagAgainstIndex(incBatch, p, "doc_id", "text")
         .write.format("noop").mode("overwrite").save())
-      (inc, flag)
+      // the cheap tier: 16-byte/doc fingerprint index, same batch
+      val sp = s"/tmp/graft_incsh_$tag"
+      graft.operators.Dedup.saveSimhashIndex(hist, sp, "doc_id", "text")
+      val sh = timed2(graft.operators.Dedup
+        .incrementalSimhashPairs(incBatch, sp, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+      (inc, flag, sh)
     }
-    val (inc1x, flag1x) = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
-    val (inc4x, flag4x) = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
-    val (inc10x, flag10x) = incRun(doc10x.filter(col("doc_id") >= 500), "10x")
+    val (inc1x, flag1x, sh1x) = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
+    val (inc4x, flag4x, sh4x) = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
+    val (inc10x, flag10x, sh10x) = incRun(doc10x.filter(col("doc_id") >= 500), "10x")
 
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
@@ -254,7 +260,9 @@ object BenchCurve {
     println(s"""{"metric":"curve","points":$pts,""" +
       f""""incremental":{"hist_1x_sec":$inc1x%.3f,"hist_4x_sec":$inc4x%.3f,""" +
       f""""hist_10x_sec":$inc10x%.3f,"flag_1x_sec":$flag1x%.3f,""" +
-      f""""flag_4x_sec":$flag4x%.3f,"flag_10x_sec":$flag10x%.3f},""" +
+      f""""flag_4x_sec":$flag4x%.3f,"flag_10x_sec":$flag10x%.3f,""" +
+      f""""simhash_1x_sec":$sh1x%.3f,"simhash_4x_sec":$sh4x%.3f,""" +
+      f""""simhash_10x_sec":$sh10x%.3f},""" +
       f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f},""" +
       f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
       f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +
