@@ -75,7 +75,25 @@ object Bench {
     // loses plan hashes, which the committed snapshot file holds anyway,
     // never the per-query timings — BENCH_r04 lost all 84 of them the
     // other way around).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","plans":$ps,"queries":$qs}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","plans":$ps,"queries":$qs}"""
+    // The driver's stdout capture keeps a fixed-size tail, which truncated
+    // the r5 and r6 artifacts; the complete record also goes to a repo file
+    // (committed per round) so no timing or hash is ever lost to capture.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val cfg =
+        s"""{"cpus":$cpus,"shufflePartitions":$cpus,"aqe":true,"timeZone":"UTC"}"""
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"queries":$qs}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

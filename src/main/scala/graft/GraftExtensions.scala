@@ -49,6 +49,21 @@ import graft.operators.{Dedup, Joins, Profiling, TimeSeries}
   *    ([[graft.operators.Dedup.dedupCorpus]]; a BUILD-style operator —
   *    its connected-components fixpoint runs jobs while the SQL query is
   *    analyzed, like the Scala call it inlines)
+  *  - `graft_simhash_pairs(table, idCol, textCol[, maxHamming, blocks,
+  *    maxBucket])` — SimHash near-dup pair mining
+  *    ([[graft.operators.Dedup.simhashNearDupPairs]]; persists its band
+  *    table for the session like `graft_flag_index` — same CLEAR CACHE
+  *    guidance for long-lived SQL sessions)
+  *  - `graft_incremental_exact(table, indexPath, idCol, textCol)` —
+  *    batch survivors vs a persisted digest history
+  *    ([[graft.operators.Dedup.incrementalExact]])
+  *  - `graft_incremental_minhash(table, indexPath, idCol, textCol[,
+  *    maxBucket])` — batch-vs-index MinHash near-dup pairs
+  *    ([[graft.operators.Dedup.incrementalMinhashPairs]])
+  *  - `graft_incremental_simhash(table, indexPath, idCol, textCol[,
+  *    maxHamming, blocks, maxBucket])` — batch-vs-index SimHash pairs
+  *    ([[graft.operators.Dedup.incrementalSimhashPairs]]; session
+  *    persist, as above)
   *  - `graft_flag_index(table, indexPath, idCol, textCol)` — flag which
   *    rows near-duplicate a persisted MinHash index
   *    ([[graft.operators.Dedup.flagAgainstIndex]]). Each call persists
@@ -264,6 +279,59 @@ object GraftExtensions {
             strArg(text, "textCol")))
         case _ => throw new IllegalArgumentException(
           "graft_flag_index(table, indexPath, idCol, textCol)")
+      }),
+    (new FunctionIdentifier("graft_simhash_pairs"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_simhash_pairs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text) =>
+          plan(Dedup.simhashNearDupPairs(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol")))
+        case Seq(t, id, text, mh, b, mb) =>
+          plan(Dedup.simhashNearDupPairs(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"),
+            intArg(mh, "maxHamming"), intArg(b, "blocks"),
+            intArg(mb, "maxBucket")))
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash_pairs(table, idCol, textCol[, maxHamming, blocks, maxBucket])")
+      }),
+    (new FunctionIdentifier("graft_incremental_exact"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_incremental_exact"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, path, id, text) =>
+          plan(Dedup.incrementalExact(tableArg(t, "table"),
+            strArg(path, "indexPath"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_incremental_exact(table, indexPath, idCol, textCol)")
+      }),
+    (new FunctionIdentifier("graft_incremental_minhash"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_incremental_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, path, id, text) =>
+          plan(Dedup.incrementalMinhashPairs(tableArg(t, "table"),
+            strArg(path, "indexPath"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case Seq(t, path, id, text, mb) =>
+          plan(Dedup.incrementalMinhashPairs(tableArg(t, "table"),
+            strArg(path, "indexPath"), strArg(id, "idCol"),
+            strArg(text, "textCol"), intArg(mb, "maxBucket")))
+        case _ => throw new IllegalArgumentException(
+          "graft_incremental_minhash(table, indexPath, idCol, textCol[, maxBucket])")
+      }),
+    (new FunctionIdentifier("graft_incremental_simhash"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_incremental_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, path, id, text) =>
+          plan(Dedup.incrementalSimhashPairs(tableArg(t, "table"),
+            strArg(path, "indexPath"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case Seq(t, path, id, text, mh, b, mb) =>
+          plan(Dedup.incrementalSimhashPairs(tableArg(t, "table"),
+            strArg(path, "indexPath"), strArg(id, "idCol"),
+            strArg(text, "textCol"), intArg(mh, "maxHamming"),
+            intArg(b, "blocks"), intArg(mb, "maxBucket")))
+        case _ => throw new IllegalArgumentException(
+          "graft_incremental_simhash(table, indexPath, idCol, textCol[, maxHamming, blocks, maxBucket])")
       }))
 
   /** Register the same functions on an ALREADY-RUNNING session (extensions

@@ -150,6 +150,26 @@ object Dedup {
     docs.select(md5(col(textCol)).as("digest")).distinct()
       .write.mode("append").parquet(path)
 
+  /** Rewrite the digest history as one compact, globally-distinct,
+    * digest-range-partitioned table. [[appendDigestIndex]] adds a file
+    * set per batch and only dedups WITHIN the batch — a thousand-batch
+    * year leaves thousands of small files carrying cross-batch duplicate
+    * digests (harmless for membership, wasteful to scan). Run this at a
+    * quiet moment (same serialized-writers contract as the appends: no
+    * concurrent append, probes re-opened after the swap — see
+    * [[compactMinhashIndex]]); membership results are identical before
+    * and after. Staged-swap, never delete-then-write.
+    */
+  def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val staged = s"${path}_compacting"
+    spark.read.parquet(path).distinct()
+      .repartitionByRange(col("digest"))
+      .sortWithinPartitions(col("digest"))
+      .write.mode("overwrite").parquet(staged)
+    swapTable(spark, path, staged)
+  }
+
   /** Exact-dedup an arriving batch against the digest history AND within
     * itself: drop rows whose text was ever seen before, keep the lowest
     * id per batch-internal duplicate group. Returns surviving rows (all
@@ -256,23 +276,31 @@ object Dedup {
     val staged = s"$path/bands_compacting"
     writeBands(spark.read.parquet(s"$path/bands"), staged, maxBucket,
       "overwrite")
-    // swap by renaming the OLD table aside first (never delete-then-
-    // rename: a failed second rename would have destroyed the only
-    // copy), checking every rename — object-store renames return false
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val retired = s"$path/bands_retired"
-    fs.delete(p(retired), true)
-    require(fs.rename(p(s"$path/bands"), p(retired)),
-      s"compactMinhashIndex: could not retire $path/bands — index unchanged")
-    require(fs.rename(p(staged), p(s"$path/bands")),
-      s"compactMinhashIndex: could not promote $staged — the original " +
-        s"table is intact at $retired; rename it back to recover")
-    fs.delete(p(retired), true)
+    swapTable(spark, s"$path/bands", staged)
     Seq((sn, nh, b, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Promote a staged rewrite over a live parquet table by renaming the
+    * OLD table aside first (never delete-then-rename: a failed second
+    * rename would have destroyed the only copy), checking every rename —
+    * object-store renames return false. Shared by the index compactions;
+    * callers must have finished writing `staged` before calling.
+    */
+  private def swapTable(spark: org.apache.spark.sql.SparkSession,
+                        live: String, staged: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val retired = s"${live}_retired"
+    fs.delete(p(retired), true)
+    require(fs.rename(p(live), p(retired)),
+      s"compact: could not retire $live — table unchanged")
+    require(fs.rename(p(staged), p(live)),
+      s"compact: could not promote $staged — the original table is " +
+        s"intact at $retired; rename it back to recover")
+    fs.delete(p(retired), true)
   }
 
   /** Append a processed batch's band rows to a persisted index (same
@@ -985,31 +1013,85 @@ object Dedup {
     import spark.implicits._
     val fpExpr =
       if (portable) simhash64Portable(col(textCol)) else simhash64(col(textCol))
+    // ID-sorted layout, deliberately: no reader ever filters by fp (the
+    // probe derives block buckets and semi-joins — fp stats would prune
+    // nothing), but every APPEND's idempotence check filters by id range,
+    // and id-range-partitioned files + sorted row groups let parquet
+    // stats answer it without scanning history (see [[simhashAppendRows]])
     docs.select(col(idCol).as("id"), fpExpr.as("fp"))
       .dropDuplicates("id")
-      .sortWithinPartitions(col("fp")) // row-group stats on fp
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(s"$path/fp")
     Seq(Tuple1(portable)).toDF("portable")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Grow the fingerprint index with a processed batch: batch-internal
-    * duplicate ids collapse, already-indexed ids are anti-joined away
-    * (idempotent re-appends; the batch broadcasts against the index
-    * scan — no history shuffle). Serialized appends per path.
+  /** The rows an append would add: the batch (internal duplicate ids
+    * collapsed) minus already-indexed ids. The idempotence anti-join
+    * first prunes the index scan to the batch's [min, max] id span — an
+    * indexed id OUTSIDE the span cannot equal any batch id, so the
+    * restriction is lossless — and the id-sorted layout the writers keep
+    * turns that pushed range predicate into parquet row-group/file skips.
+    * Append cost is therefore bounded by the id-range OVERLAP between
+    * batch and history (≈ zero under monotonic id assignment, the normal
+    * batch-pipeline case; at worst, fully interleaved ids degrade to the
+    * old full-id-set scan), never by reading all history ids
+    * unconditionally. Costs one extra driver job computing the batch's
+    * id bounds. Exposed (not private) so DedupSpec can pin the plan
+    * shape: pushed id-range filters on the index scan, id-only
+    * ReadSchema, no full-index sort-merge exchange.
     */
-  def appendSimhashIndex(newDocs: DataFrame, path: String, idCol: String,
-                         textCol: String): Unit = {
+  private[graft] def simhashAppendRows(newDocs: DataFrame, path: String,
+                                       idCol: String,
+                                       textCol: String): DataFrame = {
     val spark = newDocs.sparkSession
     val fpExpr =
       if (readSimhashMeta(spark, path)) simhash64Portable(col(textCol))
       else simhash64(col(textCol))
-    newDocs.select(col(idCol).as("id"), fpExpr.as("fp"))
+    val batch = newDocs.select(col(idCol).as("id"), fpExpr.as("fp"))
       .dropDuplicates("id")
-      .join(spark.read.parquet(s"$path/fp").select(col("id")),
-        Seq("id"), "left_anti")
-      .sortWithinPartitions(col("fp"))
+    val bounds = newDocs.agg(min(col(idCol)), max(col(idCol))).head()
+    val index = spark.read.parquet(s"$path/fp").select(col("id"))
+    val seen =
+      if (bounds.isNullAt(0)) index.limit(0) // no non-null batch ids
+      else index.where(col("id") >= lit(bounds.get(0)) &&
+        col("id") <= lit(bounds.get(1)))
+    batch.join(seen, Seq("id"), "left_anti")
+  }
+
+  /** Grow the fingerprint index with a processed batch: batch-internal
+    * duplicate ids collapse, already-indexed ids are anti-joined away
+    * (idempotent re-appends) with the history side range-pruned to the
+    * batch's id span — O(overlap), not O(history ids); see
+    * [[simhashAppendRows]] for the mechanism. Each appended file is
+    * written id-sorted so future appends can prune it too. Serialized
+    * appends per path.
+    */
+  def appendSimhashIndex(newDocs: DataFrame, path: String, idCol: String,
+                         textCol: String): Unit =
+    simhashAppendRows(newDocs, path, idCol, textCol)
+      .sortWithinPartitions(col("id"))
       .write.mode("append").parquet(s"$path/fp")
+
+  /** Rewrite the fingerprint table as one compact, globally
+    * id-range-partitioned, id-sorted table. Appends keep each FILE
+    * prunable but accumulate a file set per batch; after many batches
+    * this restores the [[saveSimhashIndex]] layout (and collapses any
+    * duplicate ids a legacy fp-sorted index may carry) so append-time
+    * range pruning skips whole files again. Same quiet-moment contract
+    * and staged swap as [[compactMinhashIndex]]; probe and append
+    * results are identical before and after.
+    */
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val staged = s"$path/fp_compacting"
+    spark.read.parquet(s"$path/fp")
+      .groupBy(col("id")).agg(min(col("fp")).as("fp"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(staged)
+    swapTable(spark, s"$path/fp", staged)
   }
 
   private[graft] def readSimhashMeta(spark: org.apache.spark.sql.SparkSession,

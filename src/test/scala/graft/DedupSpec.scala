@@ -183,6 +183,89 @@ class DedupSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("appendSimhashIndex: idempotence anti-join range-prunes the index, never full-scans it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sh_ap").toString
+    val hist = (1L to 50L).map(i => (i, s"history document number $i body"))
+      .toDF("doc_id", "text")
+    Dedup.saveSimhashIndex(hist, tmp, "doc_id", "text")
+    val batch = (100L to 104L).map(i => (i, s"new batch document $i body"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simhashAppendRows(batch, tmp, "doc_id", "text")
+    val sig = PlanFingerprint.signature(rows)
+    // the index side reaches the anti-join as a scan of the id column
+    // ONLY, with the batch's [min,max] id bounds pushed into parquet —
+    // ids outside the span are skipped by row-group stats, so append
+    // cost tracks id-range overlap, not history size
+    assert(sig.contains("cols=[id]"), sig)
+    assert(sig.contains("GreaterThanOrEqual(id,100)") &&
+      sig.contains("LessThanOrEqual(id,104)"), sig)
+    // and no full-index sort-merge exchange anywhere in the append plan
+    assert(!sig.contains("SortMergeJoin"), sig)
+    // the pruned plan anti-joins the same rows the un-pruned one would:
+    // an overlapping retry (ids 104..105) appends only the fresh id
+    assert(rows.count() == 5)
+    Dedup.appendSimhashIndex(batch, tmp, "doc_id", "text")
+    val retry = Seq((104L, "new batch document 104 body"),
+      (105L, "a genuinely fresh document")).toDF("doc_id", "text")
+    assert(Dedup.simhashAppendRows(retry, tmp, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(105L))
+  }
+
+  test("compactSimhashIndex: many appends compact to fewer files, identical results") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sh_cp").toString
+    def mk(lo: Long, hi: Long) = (lo to hi).map { i =>
+      val txt =
+        if (i % 4 == 0) s"common boilerplate paragraph variant ${i % 2}"
+        else s"unique document $i content"
+      (i, txt)
+    }.toDF("doc_id", "text")
+    Dedup.saveSimhashIndex(mk(1, 10), tmp, "doc_id", "text")
+    (1 to 5).foreach(b => Dedup.appendSimhashIndex(
+      mk(b * 10 + 1, b * 10 + 10), tmp, "doc_id", "text"))
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/fp"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val probe = Seq((200L, "common boilerplate paragraph variant 0"))
+      .toDF("doc_id", "text")
+    def probeRows() = Dedup.incrementalSimhashPairs(probe, tmp, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (filesBefore, membershipBefore, pairsBefore) =
+      (files(), spark.read.parquet(s"$tmp/fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet, probeRows())
+    Dedup.compactSimhashIndex(spark, tmp)
+    assert(files() < filesBefore, s"$filesBefore -> ${files()}")
+    assert(spark.read.parquet(s"$tmp/fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == membershipBefore)
+    assert(probeRows() == pairsBefore && pairsBefore.nonEmpty)
+    // appends keep working against the compacted layout
+    Dedup.appendSimhashIndex(mk(61, 62), tmp, "doc_id", "text")
+    assert(spark.read.parquet(s"$tmp/fp").count() == membershipBefore.size + 2)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("compactDigestIndex: cross-batch duplicate digests collapse, membership identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dg_cp")
+      .toString + "/digests"
+    val mk = (s: Seq[String]) => s.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Dedup.saveDigestIndex(mk(Seq("alpha", "beta")), tmp, "text")
+    // five appends re-shipping "alpha" plus one fresh text each
+    (1 to 5).foreach(b =>
+      Dedup.appendDigestIndex(mk(Seq("alpha", s"fresh $b")), tmp, "text"))
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val batch = mk(Seq("alpha", "fresh 3", "never seen"))
+    def survivors() = Dedup.incrementalExact(batch, tmp, "doc_id", "text")
+      .collect().map(_.getString(1)).toSet
+    val (filesBefore, rowsBefore, survBefore) =
+      (files(), spark.read.parquet(tmp).count(), survivors())
+    assert(survBefore == Set("never seen"))
+    Dedup.compactDigestIndex(spark, tmp)
+    assert(files() < filesBefore, s"$filesBefore -> ${files()}")
+    // 7 distinct digests remain of the 12 appended rows
+    assert(spark.read.parquet(tmp).count() == 7 && rowsBefore == 12)
+    assert(survivors() == survBefore)
+  }
+
   test("simhash: identical text → distance 0, near text small, unrelated large") {
     val h = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

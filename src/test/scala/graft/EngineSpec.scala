@@ -291,4 +291,74 @@ class EngineSpec extends SparkSpec {
       Set(1L, 3L, 5L))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("extensions: simhash + incremental dedup family callable from SQL, row-identical") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "shared boilerplate terms of service text appears here"),
+      (3L, "completely different content about something else entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),   // = 1
+      (11L, "shared boilerplate terms of service text appears here"), // = 2
+      (12L, "a genuinely novel document unlike any in history"),
+      (13L, "a genuinely novel document unlike any in history"))      // internal dup
+      .toDF("doc_id", "text")
+    val corpus = hist.unionByName(batch)
+    batch.createOrReplaceTempView("sql_batch")
+    corpus.createOrReplaceTempView("sql_corpus")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    val shSql = spark.sql(
+      "SELECT * FROM graft_simhash_pairs('sql_corpus', 'doc_id', 'text') ORDER BY id1, id2")
+    val shRows = rows(shSql)
+    spark.sharedState.cacheManager.clearCache() // operator persists its band table
+    assert(shRows == rows(Dedup.simhashNearDupPairs(corpus, "doc_id", "text")
+      .orderBy("id1", "id2")))
+    spark.sharedState.cacheManager.clearCache()
+    // the three exact-copy pairs mine at hamming 0
+    assert(shRows.filter(_(2) == 0L).map(r => (r(0), r(1))).toSet
+      .intersect(Set[(Any, Any)]((1L, 10L), (2L, 11L), (12L, 13L))).size == 3)
+
+    val dgTmp = java.nio.file.Files.createTempDirectory("graft_sqldg")
+      .toString + "/digests"
+    Dedup.saveDigestIndex(hist, dgTmp, "text")
+    val exSql = spark.sql(
+      s"SELECT * FROM graft_incremental_exact('sql_batch', '$dgTmp', 'doc_id', 'text') ORDER BY doc_id")
+    assert(rows(exSql) ==
+      rows(Dedup.incrementalExact(batch, dgTmp, "doc_id", "text").orderBy("doc_id")))
+    // 10/11 seen in history, 13 loses to batch-internal 12
+    assert(exSql.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(12L))
+
+    val mhTmp = java.nio.file.Files.createTempDirectory("graft_sqlmh").toString
+    Dedup.saveMinhashIndex(hist, mhTmp, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8)
+    val imSql = spark.sql(
+      s"SELECT * FROM graft_incremental_minhash('sql_batch', '$mhTmp', 'doc_id', 'text') ORDER BY id1, id2")
+    val imRows = rows(imSql)
+    spark.sharedState.cacheManager.clearCache()
+    assert(imRows ==
+      rows(Dedup.incrementalMinhashPairs(batch, mhTmp, "doc_id", "text")
+        .orderBy("id1", "id2")))
+    spark.sharedState.cacheManager.clearCache()
+    assert(imRows.map(r => (r(0), r(1))).toSet.contains((1L, 10L)))
+
+    val shTmp = java.nio.file.Files.createTempDirectory("graft_sqlsh").toString
+    Dedup.saveSimhashIndex(hist, shTmp, "doc_id", "text")
+    val isSql = spark.sql(
+      s"SELECT * FROM graft_incremental_simhash('sql_batch', '$shTmp', 'doc_id', 'text') ORDER BY id1, id2")
+    val isRows = rows(isSql)
+    spark.sharedState.cacheManager.clearCache()
+    assert(isRows ==
+      rows(Dedup.incrementalSimhashPairs(batch, shTmp, "doc_id", "text")
+        .orderBy("id1", "id2")))
+    spark.sharedState.cacheManager.clearCache()
+    // cross pairs (1,10), (2,11) and the batch-internal (12,13) all surface
+    assert(isRows.map(r => (r(0), r(1))).toSet
+      .intersect(Set[(Any, Any)]((1L, 10L), (2L, 11L), (12L, 13L))).size == 3)
+  }
 }
