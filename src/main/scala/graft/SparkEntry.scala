@@ -1037,7 +1037,24 @@ object SparkEntry {
           idxPath, "doc_id", "text",
           maxHamming = 3, blocks = 4, maxBucket = 1 << 20)
         .orderBy(col("id1"), col("id2"))
-    })
+    }),
+
+    // Audio/video container metadata: synthesize REAL WAV / MP4 bytes
+    // per doc (parameters derived from the row by integer arithmetic),
+    // then detectMeta parses them back from the headers alone — the
+    // oracle recomputes the expected fields directly, so a parser or
+    // synthesizer bug on either side breaks the hash
+    "q86_container_meta" -> ((s, d) =>
+      Multimodal.detectMeta(
+          Multimodal.withContainerColumn(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.n_tracks").as("n_tracks"))
+        .orderBy(col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2446,7 +2463,30 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |  AND b.doc_id >= (SELECT count(*) // 2 FROM documents)
-         |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    // q86: the synthesizer's parameter derivations recomputed directly
+    // (WAV: rate 8000+(id%5)*4000, 1+(id//2)%2 channels, (n%1000+1)
+    // frames → floor(frames*1000/rate) ms, 44 header bytes; MP4:
+    // 600*(id%120)+(id%7) units @ timescale 600, 1+id%3 traks,
+    // 132+8*traks bytes). Integer division throughout (DuckDB //)
+    "q86_container_meta" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 44
+        |  ELSE 132 + 8 * (1 + doc_id % 3) END AS BIGINT) AS n_bytes,
+        |CASE WHEN doc_id % 2 = 0
+        |  THEN CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) END AS sample_rate,
+        |CASE WHEN doc_id % 2 = 0
+        |  THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER) END AS channels,
+        |CAST(CASE WHEN doc_id % 2 = 0
+        |  THEN ((coalesce(octet_length(encode(text)), 0) % 1000 + 1) * 1000)
+        |    // (8000 + (doc_id % 5) * 4000)
+        |  ELSE ((600 * (doc_id % 120) + doc_id % 7) * 1000) // 600
+        |  END AS BIGINT) AS duration_ms,
+        |CASE WHEN doc_id % 2 = 1
+        |  THEN CAST(1 + doc_id % 3 AS INTEGER) END AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

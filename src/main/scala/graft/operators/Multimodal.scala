@@ -23,13 +23,21 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Media metadata the pipeline carries next to the bytes. */
+  /** Media metadata the pipeline carries next to the bytes. One struct
+    * for all modalities — the type-specific fields (image dims / audio
+    * format / container duration+tracks) are null where the modality
+    * doesn't define them, so a mixed corpus keeps one schema.
+    */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType)))
 
   /** Feature row produced by the partition-wise extractor. */
   val featureSchema: StructType = StructType(Seq(
@@ -125,6 +133,131 @@ object Multimodal {
     def sniff(b: Array[Byte]): Option[(String, Int, Int)] =
       pngDims(b).map { case (w, h) => ("image/png", w, h) }
         .orElse(jpegDims(b).map { case (w, h) => ("image/jpeg", w, h) })
+
+    // ---- audio/video CONTAINER metadata (real parses, pure JVM) ----
+    // The sample/frame DECODE for these types stays stubbed (no codec
+    // libraries here), but the container fields below are honest header
+    // reads, not stand-ins: WAV per RIFF/WAVE (the fmt chunk layout is
+    // in the original 1991 IBM/Microsoft RIFF spec), MP4 per ISO/IEC
+    // 14496-12 (box walk to moov/mvhd).
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def isWav(b: Array[Byte]): Boolean =
+      b.length >= 44 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE"
+
+    /** (sample_rate, channels, duration_ms) from the RIFF chunk walk:
+      * the `fmt ` chunk carries channels (u16 LE @ +2), sample rate
+      * (u32 LE @ +4) and byte rate (u32 LE @ +8); duration is the
+      * `data` chunk's DECLARED size over the byte rate (a truncated
+      * file keeps its declared duration — the honest header read).
+      * None for non-WAV bytes or a walk that never finds both chunks;
+      * never throws on garbage.
+      */
+    def wavMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (!isWav(b)) return None
+      var i = 12L
+      var fmt: Option[(Int, Int, Long)] = None // (channels, rate, byteRate)
+      var dataLen = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+        val id = fourcc(b, i.toInt)
+        val sz = le32(b, i.toInt + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+          val j = i.toInt + 8
+          fmt = Some((le16(b, j + 2), le32(b, j + 4).toInt, le32(b, j + 8)))
+        } else if (id == "data" && dataLen < 0) dataLen = sz
+        i += 8 + sz + (sz & 1) // chunks pad to even length
+      }
+      for ((ch, sr, br) <- fmt if dataLen >= 0 && ch > 0 && sr > 0 && br > 0)
+        yield (sr, ch, dataLen * 1000L / br)
+    }
+
+    def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && fourcc(b, 4) == "ftyp"
+
+    /** (duration_ms, track_count) from the ISO-BMFF box walk: top-level
+      * boxes to `moov`, then its `mvhd` (timescale + duration, version
+      * 0 u32s or version 1 u64s) and a count of `trak` children. None
+      * for non-MP4 bytes or a moov without mvhd; never throws.
+      */
+    def mp4Meta(b: Array[Byte]): Option[(Long, Int)] = {
+      if (!isMp4(b)) return None
+      var i = 0L
+      while (i + 8 <= b.length) {
+        val sz = u32(b, i.toInt)
+        val tp = fourcc(b, i.toInt + 4)
+        val (hdr, boxSz) =
+          if (sz == 1 && i + 16 <= b.length) (16L, u64(b, i.toInt + 8))
+          else (8L, sz)
+        if (boxSz < hdr) return None // malformed; also halts a 0-size loop
+        if (tp == "moov")
+          return moovMeta(b, (i + hdr).toInt,
+            math.min(b.length.toLong, i + boxSz).toInt)
+        i += boxSz
+      }
+      None
+    }
+
+    private def moovMeta(b: Array[Byte], start: Int, end: Int): Option[(Long, Int)] = {
+      var i = start
+      var dur: Option[Long] = None
+      var tracks = 0
+      while (i + 8 <= end) {
+        val sz = u32(b, i)
+        if (sz < 8) return None
+        fourcc(b, i + 4) match {
+          case "trak" => tracks += 1
+          case "mvhd" if i + 12 <= end =>
+            val v = b(i + 8) & 0xff
+            // v0: +12 creation u32, +16 modification u32, +20 timescale
+            // u32, +24 duration u32; v1 widens the times to u64
+            if (v == 0 && i + 28 <= end) {
+              val ts = u32(b, i + 20)
+              if (ts > 0) dur = Some(u32(b, i + 24) * 1000L / ts)
+            } else if (v == 1 && i + 40 <= end) {
+              val ts = u32(b, i + 28)
+              if (ts > 0) dur = Some(u64(b, i + 32) * 1000L / ts)
+            }
+          case _ => ()
+        }
+        i += sz.toInt
+      }
+      dur.map((_, tracks))
+    }
+
+    /** Container metadata for every recognized payload type, one row
+      * shape ([[mediaMetaSchema]]'s type-specific tail). Fields the
+      * sniffed type doesn't define stay None.
+      */
+    case class MediaInfo(mediaType: String,
+                         width: Option[Int] = None, height: Option[Int] = None,
+                         sampleRate: Option[Int] = None,
+                         channels: Option[Int] = None,
+                         durationMs: Option[Long] = None,
+                         nTracks: Option[Int] = None)
+
+    /** Full content sniff across the four container formats. */
+    def sniffMeta(b: Array[Byte]): Option[MediaInfo] =
+      pngDims(b).map { case (w, h) =>
+        MediaInfo("image/png", width = Some(w), height = Some(h)) }
+      .orElse(jpegDims(b).map { case (w, h) =>
+        MediaInfo("image/jpeg", width = Some(w), height = Some(h)) })
+      .orElse(wavMeta(b).map { case (sr, ch, ms) =>
+        MediaInfo("audio/wav", sampleRate = Some(sr), channels = Some(ch),
+          durationMs = Some(ms)) })
+      .orElse(mp4Meta(b).map { case (ms, tr) =>
+        MediaInfo("video/mp4", durationMs = Some(ms), nTracks = Some(tr)) })
   }
 
   /** PNG dimensions as pure BUILT-IN columns (codegen'd, no JVM codec in
@@ -143,25 +276,46 @@ object Multimodal {
     octet_length(payload) >= 24 &&
       hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
 
-  /** Partition-wise header sniff: rewrites `meta` with the real media type
-    * and dimensions parsed from the payload's header bytes (PNG/JPEG),
-    * keeping the prior metadata for unrecognized payloads. mapPartitions
-    * for the same reason as [[extractFeatures]]: one parser context per
-    * partition, rows stream through it.
+  /** Partition-wise header sniff: rewrites `meta` with the real media
+    * type and the container fields parsed from the payload's header
+    * bytes — PNG/JPEG dims, WAV sample rate / channels / duration, MP4
+    * duration / track count — keeping the prior metadata for
+    * unrecognized payloads. Fields are written BY NAME into whatever
+    * meta struct the caller carries (absent fields are skipped, extra
+    * caller fields ride through untouched); on a sniff hit the
+    * type-specific fields of OTHER modalities are nulled — stale image
+    * dims on a payload that turned out to be audio would be a lie.
+    * mapPartitions for the same reason as [[extractFeatures]]: one
+    * parser context per partition, rows stream through it.
     */
   def detectMeta(media: DataFrame): DataFrame = {
     val schema = media.schema
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val pi = schema.fieldIndex("payload")
     val mi = schema.fieldIndex("meta")
+    val metaFields = schema(mi).dataType.asInstanceOf[StructType].fieldNames
+    val typed = Seq("width", "height", "sample_rate", "channels",
+      "duration_ms", "n_tracks")
     media.mapPartitions { rows =>
+      val idx = metaFields.zipWithIndex.toMap
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](pi)
-        HeaderCodec.sniff(bytes) match {
-          case Some((mt, w, h)) =>
+        HeaderCodec.sniffMeta(bytes) match {
+          case Some(info) =>
+            val meta = r.getAs[Row](mi).toSeq.toArray
+            def set(n: String, v: Any): Unit =
+              idx.get(n).foreach(j => meta(j) = v)
+            typed.foreach(set(_, null))
+            set("media_type", info.mediaType)
+            set("n_bytes", bytes.length.toLong)
+            info.width.foreach(set("width", _))
+            info.height.foreach(set("height", _))
+            info.sampleRate.foreach(set("sample_rate", _))
+            info.channels.foreach(set("channels", _))
+            info.durationMs.foreach(set("duration_ms", _))
+            info.nTracks.foreach(set("n_tracks", _))
             val vals = r.toSeq.toArray
-            vals(mi) = Row(mt, bytes.length.toLong, w, h,
-              r.getAs[Row](mi).getAs[Any]("n_frames"))
+            vals(mi) = Row.fromSeq(meta.toSeq)
             Row.fromSeq(vals.toSeq)
           case None => r
         }
@@ -181,7 +335,89 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("n_bytes"),
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height"),
-        lit(null).cast("int").as("n_frames")))
+        lit(null).cast("int").as("n_frames"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("n_tracks")))
+  }
+
+  /** Synthesize a REAL audio/video container per doc for the driver
+    * testdata (real ingestion reads files via `binaryFile`): even
+    * doc_ids get a RIFF/WAVE with PCM parameters derived from the doc,
+    * odd doc_ids an ISO-BMFF ftyp+moov/mvhd with derived duration and
+    * empty trak boxes. The bytes are honest containers — [[detectMeta]]
+    * must round-trip every parameter from the header walk alone, and
+    * the derivations are plain integer arithmetic so a SQL oracle can
+    * recompute the expected fields from the table (q86).
+    */
+  def withContainerColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(octet_length(col(textCol)), lit(0)).cast("long").as("n_text"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nText = r.getLong(1)
+        Row(id, if (id % 2 == 0) wavBytes(id, nText) else mp4Bytes(id))
+      }
+    }(enc)
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("n_tracks")))
+  }
+
+  /** 16-bit PCM WAV: rate 8000 + (id mod 5)·4000, channels 1 + (id/2
+    * mod 2), data chunk of (n_text mod 1000 + 1) frames — all header,
+    * zero sample payload (declared sizes are what the parser reads).
+    */
+  private[operators] def wavBytes(id: Long, nText: Long): Array[Byte] = {
+    val rate = (8000 + (id % 5) * 4000).toInt
+    val channels = (1 + (id / 2) % 2).toInt
+    val blockAlign = channels * 2
+    val dataSize = ((nText % 1000) + 1).toInt * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  /** ftyp + moov(mvhd v0 + empty traks): timescale 600, duration
+    * 600·(id mod 120) + (id mod 7) units, 1 + (id mod 3) tracks.
+    */
+  private[operators] def mp4Bytes(id: Long): Array[Byte] = {
+    val timescale = 600
+    val duration = 600L * (id % 120) + (id % 7)
+    val tracks = (1 + id % 3).toInt
+    val moovSize = 8 + 108 + 8 * tracks
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration.toInt)
+    bb.position(bb.position() + 108 - 28) // rate/volume/matrix/... zeros
+    (0 until tracks).foreach { _ =>
+      bb.putInt(8).put("trak".getBytes("US-ASCII"))
+    }
+    bb.array()
   }
 
   /** Partition-wise decode + feature extraction (mapPartitions — one
@@ -218,11 +454,8 @@ object Multimodal {
     * (a real impl transforms bytes; the plan shape is identical).
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta", struct(
-      col("meta.media_type").as("media_type"),
-      col("meta.n_bytes").as("n_bytes"),
-      lit(w).as("width"), lit(h).as("height"),
-      col("meta.n_frames").as("n_frames")))
+    media.withColumn("meta",
+      col("meta").withField("width", lit(w)).withField("height", lit(h)))
 
   /** Frame sampling stub for video-like payloads: emits every `stride`-th
     * chunk of the payload as a frame row (explode BEFORE feature

@@ -493,6 +493,71 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(cols.toSeq == Seq((Some(320), Some(240)), (None, None), (None, None)))
   }
 
+  test("header codec parses real WAV and MP4 container bytes") {
+    import Multimodal.HeaderCodec
+    import spark.implicits._
+    // hand-assembled RIFF/WAVE, 44-byte header: PCM, 2ch @ 22050 Hz,
+    // 16-bit, data chunk declaring 88200 bytes = exactly 1000 ms
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + 88200) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(22050) ++
+      le32(22050 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(88200)
+    assert(HeaderCodec.wavMeta(wav).contains((22050, 2, 1000L)))
+    assert(HeaderCodec.sniffMeta(wav).get ==
+      HeaderCodec.MediaInfo("audio/wav", sampleRate = Some(22050),
+        channels = Some(2), durationMs = Some(1000L)))
+    // an extra LIST chunk before fmt must be walked over, odd size padded
+    val list = "LIST".getBytes ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val wav2 = wav.take(12) ++ list ++ wav.drop(12)
+    assert(HeaderCodec.wavMeta(wav2).contains((22050, 2, 1000L)))
+
+    // hand-assembled ISO-BMFF: ftyp, then moov with mvhd v0 (timescale
+    // 600, duration 1500 units = 2500 ms) and two empty trak boxes
+    def be32(v: Int) = Array(v >> 24, v >> 16, v >> 8, v).map(_.toByte)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(600) ++ be32(1500) ++ new Array[Byte](108 - 28)
+    val traks = be32(8) ++ "trak".getBytes ++ be32(8) ++ "trak".getBytes
+    val moov = be32(8 + mvhd.length + traks.length) ++ "moov".getBytes ++
+      mvhd ++ traks
+    val mp4 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++ moov
+    assert(HeaderCodec.mp4Meta(mp4).contains((2500L, 2)))
+    assert(HeaderCodec.sniffMeta(mp4).get ==
+      HeaderCodec.MediaInfo("video/mp4", durationMs = Some(2500L),
+        nTracks = Some(2)))
+    // mvhd v1 (64-bit times): same timescale/duration, widened fields
+    val mvhd1 = be32(120) ++ "mvhd".getBytes ++
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(600) ++ be32(0) ++ be32(1500) ++ new Array[Byte](120 - 40)
+    val moov1 = be32(8 + mvhd1.length) ++ "moov".getBytes ++ mvhd1
+    val mp41 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++ moov1
+    assert(HeaderCodec.mp4Meta(mp41).contains((2500L, 0)))
+
+    // garbage, truncation, and wrong-type bytes decline, never throw
+    assert(HeaderCodec.wavMeta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(HeaderCodec.wavMeta(mp4).isEmpty)
+    assert(HeaderCodec.mp4Meta(wav).isEmpty)
+    assert(HeaderCodec.mp4Meta(mp4.take(20)).isEmpty)
+    assert(HeaderCodec.sniffMeta(new Array[Byte](3)).isEmpty)
+
+    // the synthesizer emits real containers the parser round-trips, and
+    // detectMeta carries the fields into the meta struct by name
+    val media = Multimodal.withContainerColumn(
+      Seq((4L, "even doc text"), (7L, "odd doc text"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.detectMeta(media)
+      .select("doc_id", "meta.media_type", "meta.sample_rate",
+        "meta.channels", "meta.duration_ms", "meta.n_tracks")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val w = out(4L) // rate 8000+(4%5)*4000=24000, ch 1+(2%2)=1, 14 frames
+    assert(w.getString(1) == "audio/wav" && w.getInt(2) == 24000 &&
+      w.getInt(3) == 1 && w.getLong(4) == 14L * 1000 / 24000)
+    val v = out(7L) // 600*7+0 units @600 = 7000ms... (7%120=7, 7%7=0)
+    assert(v.getString(1) == "video/mp4" && v.isNullAt(2) &&
+      v.getLong(4) == 7000L && v.getInt(5) == (1 + 7 % 3).toInt)
+  }
+
   test("multimodal: media column carries bytes + typed metadata") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(20)
     val media = Multimodal.withMediaColumn(docs, "doc_id", "text")
