@@ -36,10 +36,24 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Checkpoints {
 
-  /** Truncate `df`'s lineage: reliable checkpoint when the session has a
-    * checkpoint directory, executor-local otherwise.
+  /** Session conf escape hatch: `true` forces `localCheckpoint()` even
+    * when the context has a checkpoint directory. For sessions whose
+    * checkpoint dir serves OTHER jobs (a shared notebook context, a
+    * test JVM) where graft's iterative builds should stay
+    * executor-local — and it is settable per session and un-settable,
+    * unlike the context's checkpoint dir, which has no public unset.
     */
-  def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+  val ForceLocalKey = "spark.graft.localCheckpoint"
+
+  /** Truncate `df`'s lineage: reliable checkpoint when the session has a
+    * checkpoint directory (unless [[ForceLocalKey]] overrides),
+    * executor-local otherwise.
+    */
+  def truncate(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val forceLocal = sess.conf.get(ForceLocalKey, "false").toBoolean
+    if (!forceLocal && sess.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
     else df.localCheckpoint()
+  }
 }

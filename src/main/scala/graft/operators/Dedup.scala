@@ -262,6 +262,15 @@ object Dedup {
     * Idempotent; probes REFUSE un-stamped indexes (see
     * [[readMinhashMeta]]) because their duplicate rows would double-emit
     * flags and their uncapped flood buckets make probe cost unbounded.
+    *
+    * QUIESCENCE: run at a quiet moment for the index path. Writers are
+    * serialized per path (every writer here's contract), so no append
+    * may run between this call's read and its swap — a concurrent
+    * append's rows would land in the retired table and be lost. Readers
+    * holding the OLD table's file listing (a probe planned before the
+    * swap) fail on the renamed-away files and must re-open; probes
+    * planned after the swap see the compacted table. Same contract for
+    * [[compactDigestIndex]] and [[compactSimhashIndex]].
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, maxBucket: Int = 10000): Unit = {
@@ -947,7 +956,21 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, blocks: Int = 4,
                           maxBucket: Int = 10000,
-                          portable: Boolean = false): DataFrame = {
+                          portable: Boolean = false): DataFrame =
+    simhashPairsCore(docs, idCol, textCol, maxHamming, blocks, maxBucket,
+      portable)._1
+
+  /** [[simhashNearDupPairs]] plus the handle of the persisted band
+    * frame, for drivers that mine many corpora in one session and
+    * release per call once the pairs are consumed —
+    * [[graft.streaming.StreamingDedup.simhashNearDupsEachBatch]] is the
+    * per-micro-batch consumer. The public face keeps the
+    * session-lifetime cache contract from the header scaladoc.
+    */
+  private[graft] def simhashPairsCore(docs: DataFrame, idCol: String,
+                                      textCol: String, maxHamming: Int,
+                                      blocks: Int, maxBucket: Int,
+                                      portable: Boolean): (DataFrame, DataFrame) = {
     require(blocks > maxHamming,
       s"pigeonhole recall needs blocks ($blocks) > maxHamming ($maxHamming)")
     require(blocks >= 1 && 64 % blocks == 0,
@@ -984,7 +1007,7 @@ object Dedup {
       .filter(col("id") =!= col("__rid"))
       .select(col("__rid").as("id1"), col("id").as("id2"),
         col("__rfp").as("fp1"), col("fp").as("fp2"))
-    clique.unionByName(star)
+    val pairs = clique.unionByName(star)
       // multi-block duplicates collapse in the same shuffle that pairs
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("fp1")).as("fp1"), first(col("fp2")).as("fp2"))
@@ -992,6 +1015,7 @@ object Dedup {
         bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
+    (pairs, banded)
   }
 
   /** Hamming distance between two simhashes. */
@@ -1119,7 +1143,19 @@ object Dedup {
   def incrementalSimhashPairs(newDocs: DataFrame, path: String,
                               idCol: String, textCol: String,
                               maxHamming: Int = 3, blocks: Int = 4,
-                              maxBucket: Int = 10000): DataFrame = {
+                              maxBucket: Int = 10000): DataFrame =
+    incrementalSimhashCore(newDocs, path, idCol, textCol, maxHamming,
+      blocks, maxBucket)._1
+
+  /** [[incrementalSimhashPairs]] plus the handles of its persisted
+    * frames (the batch block table and the batch-internal miner's band
+    * frame), for per-batch drivers that release after each sink —
+    * [[graft.streaming.StreamingDedup.simhashNearDupsEachBatch]].
+    */
+  private[graft] def incrementalSimhashCore(newDocs: DataFrame, path: String,
+                                            idCol: String, textCol: String,
+                                            maxHamming: Int, blocks: Int,
+                                            maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
     require(blocks > maxHamming,
       s"pigeonhole recall needs blocks ($blocks) > maxHamming ($maxHamming)")
     require(blocks >= 1 && 64 % blocks == 0,
@@ -1164,13 +1200,14 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
     // batch-internal pairs re-fingerprint the (small) batch — one extra
     // pass over the batch, zero passes over history
-    val newNew = simhashNearDupPairs(newDocs, idCol, textCol,
+    val (newNew, nnBanded) = simhashPairsCore(newDocs, idCol, textCol,
       maxHamming, blocks, maxBucket, portable)
-    cross.unionByName(newNew)
+    val pairs = cross.unionByName(newNew)
       // idempotent re-runs: a batch doc already in the index surfaces
       // from both paths — keep one row
       .groupBy(col("id1"), col("id2"))
       .agg(first(col("hamming")).as("hamming"))
+    (pairs, Seq(newBlocks, nnBanded))
   }
 
   /** Embedding cosine near-dup pairs within a blocking key (e.g. an LSH

@@ -23,10 +23,6 @@ package graft.operators
   */
 object JpegCodec {
 
-  // in-memory stream handling: ImageIO's default temp-FILE cache would
-  // write every payload to executor-local disk
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** Decode a JPEG payload to RGB pixels, or None if the payload is not
     * a JPEG, is malformed/truncated, or would exceed `maxPixels`.
     */
@@ -43,7 +39,15 @@ object JpegCodec {
       case _ => return None
     }
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      // an explicit in-memory ImageInputStream per call: passing a plain
+      // InputStream would route through ImageIO's stream-cache factory,
+      // whose default writes every payload to an executor-local temp
+      // FILE — and flipping that off via ImageIO.setUseCache(false) is
+      // JVM-global state this library must not own (the host application
+      // may want the file cache for its own ImageIO use)
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b)))
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight

@@ -139,6 +139,38 @@ object StreamingDedup {
     }
   }
 
+  /** SimHash twin of [[nearDupsEachBatch]]: per micro-batch, mine
+    * near-dup pairs (batch×history via the persisted fingerprint index's
+    * pigeonhole blocks, plus batch-internal pairs) with
+    * [[graft.operators.Dedup.incrementalSimhashPairs]] semantics, hand
+    * them to `sink`, then release the batch's persisted frames — the
+    * cheap 16-byte-per-doc tier for streams whose history is too large
+    * for a MinHash band table.
+    *
+    * Per-batch work is bounded by the batch plus the touched-block index
+    * rows (the core's semi-join prunes history BEFORE the pair join);
+    * the caller may grow the index from inside `sink` via
+    * [[graft.operators.Dedup.appendSimhashIndex]] — appended rows are
+    * seen from the next micro-batch's index scan, mirroring the MinHash
+    * face's restart-visibility note.
+    */
+  def simhashNearDupsEachBatch(docs: DataFrame, idCol: String,
+                               textCol: String, indexPath: String,
+                               maxHamming: Int = 3, blocks: Int = 4,
+                               maxBucket: Int = 10000)
+                              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val (pairs, handles) = Dedup.incrementalSimhashCore(batch,
+          indexPath, idCol, textCol, maxHamming, blocks, maxBucket)
+        try sink(pairs, batchId)
+        finally handles.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Deterministic batch twin of the streaming first-wins semantics: for
     * each value of `digestCol`, keep the row that is FIRST in
     * (orderCol, tieCol) order — exactly the row a streaming dedup sees

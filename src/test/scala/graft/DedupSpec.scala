@@ -559,8 +559,11 @@ class DedupSpec extends SparkSpec {
   test("connected components & pageRank: reliable-checkpoint mode matches local mode") {
     // Checkpoints.truncate follows the session: setCheckpointDir switches
     // CC/PageRank to fault-tolerant .checkpoint() (the cluster deployment
-    // mode) with identical results. The dir is reset afterwards via the
-    // private field so other suites keep the localCheckpoint default.
+    // mode) with identical results. SparkContext has no public unset for
+    // the dir, so afterwards the suite pins graft back to local mode via
+    // the supported session conf (Checkpoints.ForceLocalKey) — behavior
+    // for the remaining suites is identical to the no-dir default (the
+    // mode never changes results or plan shape, per Checkpoints' doc).
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "expected no checkpoint dir at start")
     // diameter-4 chain: exercises multiple propagation rounds in both modes
@@ -582,13 +585,16 @@ class DedupSpec extends SparkSpec {
         .filter(_.toFile.isFile).count()
       assert(wrote > 0, "reliable checkpoint mode wrote nothing")
     } finally {
-      // SparkContext has no public unset; restore via the private var so
-      // the rest of the suite runs in the default local mode
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
-      assert(sc.getCheckpointDir.isEmpty)
+      spark.conf.set(graft.operators.Checkpoints.ForceLocalKey, "true")
     }
+    // the override really does route back to localCheckpoint: a run
+    // under it writes nothing new beneath the (still-set) checkpoint dir
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(_.toFile.isFile).count()
+    assert(ccRun() == ccLocal)
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(_.toFile.isFile).count()
+    assert(after == before, "forced-local run wrote reliable checkpoints")
   }
 
   test("connected components: empty edge set yields all-singleton clusters") {

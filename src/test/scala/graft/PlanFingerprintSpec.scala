@@ -18,9 +18,20 @@ import scala.jdk.CollectionConverters._
   * so an intended change also shows up reviewably in `git diff`.
   *
   * When a signature change is INTENDED (a query or operator was
-  * deliberately restructured), regenerate the snapshot and commit it:
+  * deliberately restructured), regenerate the snapshot and commit it.
+  * Regeneration is APPEND-ONLY by policy (round 7): the common regen
+  * adds entries for new queries and drops removed ones, and REFUSES to
+  * rewrite an existing query's signature — a changed plan must be named
+  * explicitly, so every rewrite is a reviewed, per-query decision that
+  * shows up in `git diff` next to the code that caused it:
   *
   *   SPARK_GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanFingerprintSpec"
+  *     append-only: new queries in, removed queries out, changes refused
+  *   SPARK_GRAFT_REGEN_PLANS=q08_topk_other,q37_dedup_clusters ...
+  *     additionally allow exactly these queries' signatures to change
+  *   SPARK_GRAFT_REGEN_PLANS=all ...
+  *     full rewrite — exceptional (fingerprint-format changes only),
+  *     note it in BASELINE.md's snapshot changelog
   *
   * The snapshot is pinned to (sf0.001, the shared test session's config);
   * signatures only compare within one environment — static broadcast
@@ -45,6 +56,28 @@ class PlanFingerprintSpec extends SparkSpec {
       .map { case (n, s) => s"$n\t$s" }.mkString("", "\n", "\n")
 
     if (sys.env.contains("SPARK_GRAFT_REGEN_PLANS")) {
+      // append-only policy (see class scaladoc): rewriting an EXISTING
+      // query's signature requires naming it in the env value (or
+      // `all`); a bare `1` only appends new queries / drops removed ones
+      val mode = sys.env("SPARK_GRAFT_REGEN_PLANS")
+      val mayChange: String => Boolean =
+        if (mode == "all") _ => true
+        else mode.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          .filterNot(_ == "1")
+      if (Files.exists(snapshot)) {
+        val existing = Files.readAllLines(snapshot).asScala
+          .filter(_.nonEmpty)
+          .map { l => val Array(n, s) = l.split("\t", 2); n -> s }.toMap
+        val blocked = actual.collect {
+          case (n, s) if existing.get(n).exists(_ != s) && !mayChange(n) => n
+        }.toSeq.sorted
+        assert(blocked.isEmpty,
+          "append-only snapshot policy: these queries' committed " +
+            "signatures would change — if the plan changes are intended, " +
+            "re-run with SPARK_GRAFT_REGEN_PLANS=" +
+            blocked.mkString(",") + " (reviewed per query), never a " +
+            "blanket rewrite:\n" + blocked.mkString("\n"))
+      }
       Files.createDirectories(snapshot.getParent)
       Files.write(snapshot, rendered.getBytes(StandardCharsets.UTF_8))
       info(s"snapshot regenerated: $snapshot (${actual.size} queries)")

@@ -163,6 +163,58 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch simhash flagging matches per-batch incremental calls, caches released") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shndb").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    graft.operators.Dedup.saveSimhashIndex(hist, tmp, "doc_id", "text")
+    spark.sharedState.cacheManager.clearCache() // clean slate for the leak check
+    val input = MemoryStream[(Long, String)]
+    val batches = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = graft.streaming.StreamingDedup.simhashNearDupsEachBatch(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", tmp) {
+          (pairs, id) =>
+            batches(id) = pairs.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        }
+      .start()
+    try {
+      val b0 = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+        (11L, "completely unrelated fresh content"),
+        (12L, "alpha beta gamma delta epsilon zeta eta theta")) // = 1 & 10
+      val b1 = Seq((13L, "one two three four five six seven eight nine")) // = doc 2
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // per-batch persisted frames (batch block table + internal miner's
+      // band frame) were released after each sink call — checked BEFORE
+      // the batch-API comparison below, whose public face legitimately
+      // caches for the session
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "per-batch caches not released")
+      // each micro-batch produced exactly what the batch API produces for
+      // that batch against the same (un-appended) index
+      Seq(b0, b1).zipWithIndex.foreach { case (docs, id) =>
+        val expect = graft.operators.Dedup.incrementalSimhashPairs(
+            docs.toDF("doc_id", "text"), tmp, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(batches(id.toLong) == expect, s"batch $id mismatch")
+      }
+      assert(batches(0L).exists(p => p._1 == 1L && p._2 == 10L)) // vs history
+      assert(batches(0L).exists(p => p._1 == 10L && p._2 == 12L)) // in-batch
+      assert(!batches.values.flatten.exists(p => p._1 == 11L || p._2 == 11L))
+      assert(batches(1L).exists(p => p._1 == 2L && p._2 == 13L))
+      spark.sharedState.cacheManager.clearCache() // drop batch-API residue
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark: near-in-time dups collapse, state evicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
