@@ -105,8 +105,16 @@ object BenchCurve {
       // token-set fuzzy join — the three heaviest non-ANN ops
       "q37_dedup_clusters", "q68_cooccur", "q69_fuzzy_join")
 
+    // re-measure one section without paying for the others (the full run
+    // is ~15 min; a BASELINE.md update usually touches one table):
+    //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
+    // the JSON line carries only the sections that ran
+    val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
+      "curve,profile,inc,skew").split(",").map(_.trim).filter(_.nonEmpty).toSet
+
     val x4 = "/tmp/graft_bench_x4"
-    ensureX4(spark, "/root/testdata/sf0.1", x4)
+    if (sections("curve") || sections("inc") || sections("skew"))
+      ensureX4(spark, "/root/testdata/sf0.1", x4)
 
     val points = Seq(
       "sf0.001" -> "/root/testdata/sf0.001",
@@ -114,7 +122,7 @@ object BenchCurve {
       "sf0.1" -> "/root/testdata/sf0.1",
       "sf0.1x4" -> x4)
 
-    val curve = points.map { case (label, dir) =>
+    val curve = if (!sections("curve")) Seq.empty else points.map { case (label, dir) =>
       graft.engine.Tables.all.foreach { n =>
         try graft.engine.Tables.load(spark, dir, n).count()
         catch { case _: Throwable => () }
@@ -147,7 +155,6 @@ object BenchCurve {
     // the HLL path ([[operators.Profiling.profile]] approxDistinct = true,
     // or the ApproxDistinctRewrite session rule). Measure both on the same
     // frame so the trade is a number, not a claim.
-    val liProf = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     val profCols = Seq("l_partkey", "l_quantity", "l_extendedprice",
       "l_discount", "l_returnflag")
     def minOf2(f: => Unit): Double = (1 to 2).map { _ =>
@@ -155,11 +162,15 @@ object BenchCurve {
       spark.sharedState.cacheManager.clearCache()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val profExact = minOf2(graft.operators.Profiling.profile(liProf, profCols)
-      .write.format("noop").mode("overwrite").save())
-    val profHll = minOf2(graft.operators.Profiling.profile(liProf, profCols,
-        approxDistinct = true)
-      .write.format("noop").mode("overwrite").save())
+    val profile = if (!sections("profile")) None else {
+      val liProf = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val profExact = minOf2(graft.operators.Profiling.profile(liProf, profCols)
+        .write.format("noop").mode("overwrite").save())
+      val profHll = minOf2(graft.operators.Profiling.profile(liProf, profCols,
+          approxDistinct = true)
+        .write.format("noop").mode("overwrite").save())
+      Some((profExact, profHll))
+    }
 
     // --- incremental dedup: per-batch cost vs history size ---
     // The operator's contract is that a batch's cost does not grow with
@@ -169,12 +180,6 @@ object BenchCurve {
     // both the batch incremental pass (index + batch-internal pairs) and
     // the streaming flagger's per-micro-batch plan (flagAgainstIndex —
     // exactly what nearDupsEachBatch runs per batch).
-    val x10docs = "/tmp/graft_bench_x10docs"
-    ensureDocsXn(spark, "/root/testdata/sf0.1", x10docs, 10)
-    val doc1x = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val doc4x = spark.read.parquet(s"$x4/documents.parquet")
-    val doc10x = spark.read.parquet(s"$x10docs/documents.parquet")
-    val incBatch = doc1x.filter(col("doc_id") < 500)
     def timed2(f: => Unit): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       f
@@ -184,26 +189,47 @@ object BenchCurve {
       spark.sharedState.cacheManager.clearCache()
       dt
     }.min
-    def incRun(hist: DataFrame, tag: String): (Double, Double, Double) = {
-      val p = s"/tmp/graft_inc_$tag"
-      graft.operators.Dedup.saveMinhashIndex(hist, p, "doc_id", "text")
-      val inc = timed2(graft.operators.Dedup
-        .incrementalMinhashPairs(incBatch, p, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save())
-      val flag = timed2(graft.operators.Dedup
-        .flagAgainstIndex(incBatch, p, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save())
-      // the cheap tier: 16-byte/doc fingerprint index, same batch
-      val sp = s"/tmp/graft_incsh_$tag"
-      graft.operators.Dedup.saveSimhashIndex(hist, sp, "doc_id", "text")
-      val sh = timed2(graft.operators.Dedup
-        .incrementalSimhashPairs(incBatch, sp, "doc_id", "text")
-        .write.format("noop").mode("overwrite").save())
-      (inc, flag, sh)
+    val inc = if (!sections("inc")) None else {
+      val x10docs = "/tmp/graft_bench_x10docs"
+      ensureDocsXn(spark, "/root/testdata/sf0.1", x10docs, 10)
+      // 30× exists to separate two readings of the 10× SimHash number:
+      // replica corpora make every batch doc near-dup its replicas, so
+      // touched buckets (and the PAIR OUTPUT) grow with replica count —
+      // a probe that is linear in touched work but sub-linear in history
+      // should grow much slower 10×→30× than a full-history probe would
+      val x30docs = "/tmp/graft_bench_x30docs"
+      ensureDocsXn(spark, "/root/testdata/sf0.1", x30docs, 30)
+      val doc1x = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val doc4x = spark.read.parquet(s"$x4/documents.parquet")
+      val doc10x = spark.read.parquet(s"$x10docs/documents.parquet")
+      val doc30x = spark.read.parquet(s"$x30docs/documents.parquet")
+      val incBatch = doc1x.filter(col("doc_id") < 500)
+      def simhashRun(hist: DataFrame, tag: String): Double = {
+        val sp = s"/tmp/graft_incsh_$tag"
+        graft.operators.Dedup.saveSimhashIndex(hist, sp, "doc_id", "text")
+        timed2(graft.operators.Dedup
+          .incrementalSimhashPairs(incBatch, sp, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save())
+      }
+      def incRun(hist: DataFrame, tag: String): (Double, Double, Double) = {
+        val p = s"/tmp/graft_inc_$tag"
+        graft.operators.Dedup.saveMinhashIndex(hist, p, "doc_id", "text")
+        val inc = timed2(graft.operators.Dedup
+          .incrementalMinhashPairs(incBatch, p, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save())
+        val flag = timed2(graft.operators.Dedup
+          .flagAgainstIndex(incBatch, p, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save())
+        // the cheap tier: 16-byte/doc fingerprint index, same batch
+        (inc, flag, simhashRun(hist, tag))
+      }
+      val r1 = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
+      val r4 = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
+      val r10 = incRun(doc10x.filter(col("doc_id") >= 500), "10x")
+      // SimHash-only at 30×: the deep point the 16-byte tier is for
+      val sh30 = simhashRun(doc30x.filter(col("doc_id") >= 500), "30x")
+      Some((r1, r4, r10, sh30))
     }
-    val (inc1x, flag1x, sh1x) = incRun(doc1x.filter(col("doc_id") >= 500), "1x")
-    val (inc4x, flag4x, sh4x) = incRun(doc4x.filter(col("doc_id") >= 500), "4x")
-    val (inc10x, flag10x, sh10x) = incRun(doc10x.filter(col("doc_id") >= 500), "10x")
 
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
@@ -213,60 +239,72 @@ object BenchCurve {
     // AQE's skew thresholds are scaled to the toy data size (defaults
     // trigger at 256 MB partitions) so the runtime splitter is actually
     // exercised — the same mechanism, smaller trigger.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    val li = spark.read.parquet(s"$x4/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_quantity"),
-        when(pmod(col("l_orderkey"), lit(5)) =!= 0, lit(1L))
-          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"))
-    import spark.implicits._
-    val dim = (0L until 1000L).toDF("k")
-      .withColumn("p", expr("transform(sequence(1, 200), i -> i * 0.001 + k)"))
-    val work = sum(aggregate(col("p"), lit(0.0), (a, x) => a + x) * col("l_quantity"))
-    def measure(f: => Double): (Double, Double, Long) = {
-      val l = new TaskTimes
-      spark.sparkContext.addSparkListener(l)
-      val t0 = System.nanoTime()
-      val n = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.removeSparkListener(l)
-      val (spread, maxMs) = l.spread()
-      require(!n.isNaN)
-      (sec, spread, maxMs)
+    val skew = if (!sections("skew")) None else {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val li = spark.read.parquet(s"$x4/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"),
+          when(pmod(col("l_orderkey"), lit(5)) =!= 0, lit(1L))
+            .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"))
+      import spark.implicits._
+      val dim = (0L until 1000L).toDF("k")
+        .withColumn("p", expr("transform(sequence(1, 200), i -> i * 0.001 + k)"))
+      val work = sum(aggregate(col("p"), lit(0.0), (a, x) => a + x) * col("l_quantity"))
+      def measure(f: => Double): (Double, Double, Long) = {
+        val l = new TaskTimes
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val n = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(l)
+        val (spread, maxMs) = l.spread()
+        require(!n.isNaN)
+        (sec, spread, maxMs)
+      }
+      val plainN = () => li.join(dim, Seq("k"))
+        .agg(work).head().getDouble(0)
+      val saltedN = () => graft.operators.Skew.saltedJoin(li, dim, "k", cpus.toInt)
+        .agg(work).head().getDouble(0)
+      plainN(); saltedN() // warm
+      // three regimes: AQE's runtime skew-split (the first line of defense),
+      // the naked skew with that mitigation off (what a pre-AQE engine or a
+      // non-join skewed shuffle sees), and the salt fixing the naked case
+      val aqe = measure(plainN())
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = measure(plainN())
+      val salted = measure(saltedN())
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      Some((aqe, plain, salted))
     }
-    val plainN = () => li.join(dim, Seq("k"))
-      .agg(work).head().getDouble(0)
-    val saltedN = () => graft.operators.Skew.saltedJoin(li, dim, "k", cpus.toInt)
-      .agg(work).head().getDouble(0)
-    plainN(); saltedN() // warm
-    // three regimes: AQE's runtime skew-split (the first line of defense),
-    // the naked skew with that mitigation off (what a pre-AQE engine or a
-    // non-join skewed shuffle sees), and the salt fixing the naked case
-    val (ps, pspread, pmax) = measure(plainN())
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    val (ns, nspread, nmax) = measure(plainN())
-    val (ss, sspread, smax) = measure(saltedN())
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     def fmtQs(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val pts = curve.map { case (l, qs) =>
-      "\"" + l + "\":{\"total\":" + f"${qs.map(_._2).sum}%.3f" +
-        ",\"queries\":" + fmtQs(qs) + "}"
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"curve","points":$pts,""" +
-      f""""incremental":{"hist_1x_sec":$inc1x%.3f,"hist_4x_sec":$inc4x%.3f,""" +
-      f""""hist_10x_sec":$inc10x%.3f,"flag_1x_sec":$flag1x%.3f,""" +
-      f""""flag_4x_sec":$flag4x%.3f,"flag_10x_sec":$flag10x%.3f,""" +
-      f""""simhash_1x_sec":$sh1x%.3f,"simhash_4x_sec":$sh4x%.3f,""" +
-      f""""simhash_10x_sec":$sh10x%.3f},""" +
-      f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f},""" +
-      f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
-      f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +
-      f""""noaqe_salted_sec":$ss%.3f,"noaqe_salted_task_spread":$sspread%.1f,"noaqe_salted_max_task_ms":$smax}}""")
+    val frags = Seq(
+      if (curve.isEmpty) None else Some("\"points\":" + curve.map { case (l, qs) =>
+        "\"" + l + "\":{\"total\":" + f"${qs.map(_._2).sum}%.3f" +
+          ",\"queries\":" + fmtQs(qs) + "}"
+      }.mkString("{", ",", "}")),
+      inc.map { case ((inc1x, flag1x, sh1x), (inc4x, flag4x, sh4x),
+                      (inc10x, flag10x, sh10x), sh30x) =>
+        f""""incremental":{"hist_1x_sec":$inc1x%.3f,"hist_4x_sec":$inc4x%.3f,""" +
+          f""""hist_10x_sec":$inc10x%.3f,"flag_1x_sec":$flag1x%.3f,""" +
+          f""""flag_4x_sec":$flag4x%.3f,"flag_10x_sec":$flag10x%.3f,""" +
+          f""""simhash_1x_sec":$sh1x%.3f,"simhash_4x_sec":$sh4x%.3f,""" +
+          f""""simhash_10x_sec":$sh10x%.3f,"simhash_30x_sec":$sh30x%.3f}"""
+      },
+      profile.map { case (profExact, profHll) =>
+        f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f}"""
+      },
+      skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
+        f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
+          f""""noaqe_plain_sec":$ns%.3f,"noaqe_plain_task_spread":$nspread%.1f,"noaqe_plain_max_task_ms":$nmax,""" +
+          f""""noaqe_salted_sec":$ss%.3f,"noaqe_salted_task_spread":$sspread%.1f,"noaqe_salted_max_task_ms":$smax}"""
+      })
+    println(("\"metric\":\"curve\"" +: frags.flatten)
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }
