@@ -109,8 +109,14 @@ object BenchCurve {
     // is ~15 min; a BASELINE.md update usually touches one table):
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
+    val knownSections = Set("curve", "profile", "inc", "skew")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
       "curve,profile,inc,skew").split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // fail fast on a typo: a silently-empty run costs a full Spark
+    // startup and looks like a measurement problem, not a misspelling
+    require(sections.subsetOf(knownSections),
+      s"unknown SPARK_GRAFT_CURVE_SECTIONS ${(sections -- knownSections).mkString(",")}" +
+        s" — known: ${knownSections.mkString(",")}")
 
     val x4 = "/tmp/graft_bench_x4"
     if (sections("curve") || sections("inc") || sections("skew"))

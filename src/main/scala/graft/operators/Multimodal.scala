@@ -210,28 +210,32 @@ object Multimodal {
     }
 
     private def moovMeta(b: Array[Byte], start: Int, end: Int): Option[(Long, Int)] = {
-      var i = start
+      // Long cursor: a child box declaring an unsigned-32 size >= 2^31
+      // must walk PAST end and exit, not wrap negative through .toInt
+      // and crash the task on a hostile payload (never-throws contract)
+      var i = start.toLong
       var dur: Option[Long] = None
       var tracks = 0
       while (i + 8 <= end) {
-        val sz = u32(b, i)
+        val p = i.toInt // i < end <= b.length here, so the cast is exact
+        val sz = u32(b, p)
         if (sz < 8) return None
-        fourcc(b, i + 4) match {
+        fourcc(b, p + 4) match {
           case "trak" => tracks += 1
-          case "mvhd" if i + 12 <= end =>
-            val v = b(i + 8) & 0xff
+          case "mvhd" if p + 12 <= end =>
+            val v = b(p + 8) & 0xff
             // v0: +12 creation u32, +16 modification u32, +20 timescale
             // u32, +24 duration u32; v1 widens the times to u64
-            if (v == 0 && i + 28 <= end) {
-              val ts = u32(b, i + 20)
-              if (ts > 0) dur = Some(u32(b, i + 24) * 1000L / ts)
-            } else if (v == 1 && i + 40 <= end) {
-              val ts = u32(b, i + 28)
-              if (ts > 0) dur = Some(u64(b, i + 32) * 1000L / ts)
+            if (v == 0 && p + 28 <= end) {
+              val ts = u32(b, p + 20)
+              if (ts > 0) dur = Some(u32(b, p + 24) * 1000L / ts)
+            } else if (v == 1 && p + 40 <= end) {
+              val ts = u32(b, p + 28)
+              if (ts > 0) dur = Some(u64(b, p + 32) * 1000L / ts)
             }
           case _ => ()
         }
-        i += sz.toInt
+        i += sz
       }
       dur.map((_, tracks))
     }
@@ -294,8 +298,16 @@ object Multimodal {
     val pi = schema.fieldIndex("payload")
     val mi = schema.fieldIndex("meta")
     val metaFields = schema(mi).dataType.asInstanceOf[StructType].fieldNames
-    val typed = Seq("width", "height", "sample_rate", "channels",
-      "duration_ms", "n_tracks")
+    val typed = Seq("width", "height", "n_frames", "sample_rate",
+      "channels", "duration_ms", "n_tracks")
+    // which typed fields BELONG to each sniffed type: fields of other
+    // modalities are nulled; same-modality fields the header walk can't
+    // see (n_frames on video — mvhd has no frame count) ride through
+    val fieldsOf = Map(
+      "image/png" -> Set("width", "height"),
+      "image/jpeg" -> Set("width", "height"),
+      "audio/wav" -> Set("sample_rate", "channels", "duration_ms"),
+      "video/mp4" -> Set("duration_ms", "n_tracks", "n_frames"))
     media.mapPartitions { rows =>
       val idx = metaFields.zipWithIndex.toMap
       rows.map { r =>
@@ -305,7 +317,7 @@ object Multimodal {
             val meta = r.getAs[Row](mi).toSeq.toArray
             def set(n: String, v: Any): Unit =
               idx.get(n).foreach(j => meta(j) = v)
-            typed.foreach(set(_, null))
+            typed.filterNot(fieldsOf(info.mediaType)).foreach(set(_, null))
             set("media_type", info.mediaType)
             set("n_bytes", bytes.length.toLong)
             info.width.foreach(set("width", _))
@@ -323,6 +335,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** The meta struct in its pre-sniff state over a `payload` column:
+    * declared media type + byte count known, every type-specific field
+    * null. ONE definition so a [[mediaMetaSchema]] field addition can't
+    * drift between the two payload builders (detectMeta writes by name
+    * into whatever shape this produced).
+    */
+  private def initialMeta(mediaType: String): Column = struct(
+    lit(mediaType).as("media_type"),
+    octet_length(col("payload")).cast("long").as("n_bytes"),
+    lit(null).cast("int").as("width"),
+    lit(null).cast("int").as("height"),
+    lit(null).cast("int").as("n_frames"),
+    lit(null).cast("int").as("sample_rate"),
+    lit(null).cast("int").as("channels"),
+    lit(null).cast("long").as("duration_ms"),
+    lit(null).cast("int").as("n_tracks"))
+
   /** Attach a binary payload column + metadata struct. For the driver
     * testdata we synthesize the payload from the text bytes (UTF-8) —
     * real ingestion reads files via `binaryFile` format.
@@ -330,16 +359,7 @@ object Multimodal {
   def withMediaColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val payload = encode(col(textCol), "utf-8")
     df.select(col(idCol).cast("long").as("doc_id"), payload.as("payload"))
-      .withColumn("meta", struct(
-        lit("image/fake").as("media_type"),
-        octet_length(col("payload")).cast("long").as("n_bytes"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
-        lit(null).cast("int").as("n_frames"),
-        lit(null).cast("int").as("sample_rate"),
-        lit(null).cast("int").as("channels"),
-        lit(null).cast("long").as("duration_ms"),
-        lit(null).cast("int").as("n_tracks")))
+      .withColumn("meta", initialMeta("image/fake"))
   }
 
   /** Synthesize a REAL audio/video container per doc for the driver
@@ -364,16 +384,7 @@ object Multimodal {
         Row(id, if (id % 2 == 0) wavBytes(id, nText) else mp4Bytes(id))
       }
     }(enc)
-      .withColumn("meta", struct(
-        lit("application/octet-stream").as("media_type"),
-        octet_length(col("payload")).cast("long").as("n_bytes"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
-        lit(null).cast("int").as("n_frames"),
-        lit(null).cast("int").as("sample_rate"),
-        lit(null).cast("int").as("channels"),
-        lit(null).cast("long").as("duration_ms"),
-        lit(null).cast("int").as("n_tracks")))
+      .withColumn("meta", initialMeta("application/octet-stream"))
   }
 
   /** 16-bit PCM WAV: rate 8000 + (id mod 5)·4000, channels 1 + (id/2

@@ -41,6 +41,19 @@ class PlanFingerprintSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private val snapshot = Paths.get("src/test/resources/plan_fingerprints_sf0.001.txt")
 
+  /** Snapshot lines are `name<TAB>signature`. A malformed line (stray
+    * merge marker, hand edit) fails with the offending text, not a bare
+    * MatchError from a destructuring split.
+    */
+  private def readSnapshot(): Map[String, String] =
+    Files.readAllLines(snapshot).asScala
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        assert(i > 0, s"malformed snapshot line (expected name<TAB>signature): $l")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+
   private def firstDivergence(a: String, b: String): String = {
     val i = a.zip(b).indexWhere { case (x, y) => x != y }
     val at = if (i < 0) math.min(a.length, b.length) else i
@@ -65,9 +78,7 @@ class PlanFingerprintSpec extends SparkSpec {
         else mode.split(",").map(_.trim).filter(_.nonEmpty).toSet
           .filterNot(_ == "1")
       if (Files.exists(snapshot)) {
-        val existing = Files.readAllLines(snapshot).asScala
-          .filter(_.nonEmpty)
-          .map { l => val Array(n, s) = l.split("\t", 2); n -> s }.toMap
+        val existing = readSnapshot()
         val blocked = actual.collect {
           case (n, s) if existing.get(n).exists(_ != s) && !mayChange(n) => n
         }.toSeq.sorted
@@ -85,9 +96,7 @@ class PlanFingerprintSpec extends SparkSpec {
       assert(Files.exists(snapshot),
         s"no committed snapshot at $snapshot — generate one with " +
           "SPARK_GRAFT_REGEN_PLANS=1 sbt 'testOnly graft.PlanFingerprintSpec'")
-      val expected = Files.readAllLines(snapshot).asScala
-        .filter(_.nonEmpty)
-        .map { l => val Array(n, s) = l.split("\t", 2); n -> s }.toMap
+      val expected = readSnapshot()
       val changed = actual.collect {
         case (n, s) if expected.get(n).exists(_ != s) =>
           s"$n: ${firstDivergence(expected(n), s)}"
@@ -109,9 +118,7 @@ class PlanFingerprintSpec extends SparkSpec {
 
   test("signatures see through persisted lineage, grouping-set arity, native expressions") {
     assume(Files.exists(snapshot), "snapshot not generated yet")
-    val sigs = Files.readAllLines(snapshot).asScala
-      .filter(_.nonEmpty)
-      .map { l => val Array(n, s) = l.split("\t", 2); n -> s }.toMap
+    val sigs = readSnapshot()
 
     // persisted-lineage blind spot (VERDICT r4): q19 (corpus LSH pass)
     // and q80 (incremental probe of a persisted index) both end at
