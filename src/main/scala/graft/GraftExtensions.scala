@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, SimHash64, WinnowFingerprints}
-import graft.operators.{Dedup, Joins, Profiling, TimeSeries}
+import graft.functions.{DotProductII, HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, Quantize8, SimHash64, WinnowFingerprints}
+import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * expressions as SQL functions AND its table-level operators as SQL
@@ -71,6 +71,27 @@ import graft.operators.{Dedup, Joins, Profiling, TimeSeries}
   *    contract): a long-lived SQL session screening many batches should
   *    `CLEAR CACHE` between them, or run the stream-shaped Scala face
   *    (`StreamingDedup.nearDupsEachBatch`) which releases per batch
+  *  - `graft_cosine_topk(corpus, queries, idCol, vecCol, k)` — exact
+  *    brute-force cosine top-k ([[graft.operators.Similarity.bruteForceTopK]])
+  *  - `graft_quantized_topk(corpus, queries, idCol, vecCol, k)` — top-k
+  *    over int8-quantized vectors
+  *    ([[graft.operators.Similarity.quantizedTopK]])
+  *  - `graft_ivf_topk(corpus, queries, idCol, vecCol, k[, nCells,
+  *    nProbe])` — IVF ANN ([[graft.operators.Similarity.ivfTopK]]; a
+  *    BUILD-style operator — its k-means runs jobs at analysis time)
+  *  - `graft_lsh_topk(corpus, idCol, vecCol, k, prefixBits[, tables,
+  *    multiProbe])` — LSH-bucketed ANN self-search
+  *    ([[graft.operators.Similarity.lshTopK]]; prefixBits is REQUIRED in
+  *    the SQL face so plan construction never runs a hidden count() job)
+  *  - `graft_embedding_neardups(table, idCol, vecCol, blockCol,
+  *    threshold)` — blocked exact-cosine near-dup pairs
+  *    ([[graft.operators.Dedup.embeddingNearDups]])
+  *  - `graft_ngram_top_neighbor(table, idCol, textCol, blockCol[, n])` —
+  *    per-doc best Jaccard neighbor within a block
+  *    ([[graft.operators.Dedup.ngramJaccardTopNeighbor]])
+  *  - `graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])` —
+  *    shared n-gram span detection
+  *    ([[graft.operators.Dedup.duplicateSpans]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -172,6 +193,18 @@ object GraftExtensions {
           HyperplaneSignature(vec, intArg(bits, "bits"), intArg(seed, "seed").toLong)
         case _ => throw new IllegalArgumentException(
           "hyperplane_signature(vec, bits[, seed])")
+      }),
+    (new FunctionIdentifier("quantize8"),
+      new ExpressionInfo(classOf[Quantize8].getName, "quantize8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec) => Quantize8(vec)
+        case _ => throw new IllegalArgumentException("quantize8(vec)")
+      }),
+    (new FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotProductII].getName, "dot_i8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductII(a, b)
+        case _ => throw new IllegalArgumentException("dot_i8(a, b)")
       }))
 
   /** Table-level operators as SQL table functions: each builder resolves
@@ -332,6 +365,97 @@ object GraftExtensions {
             intArg(b, "blocks"), intArg(mb, "maxBucket")))
         case _ => throw new IllegalArgumentException(
           "graft_incremental_simhash(table, indexPath, idCol, textCol[, maxHamming, blocks, maxBucket])")
+      }),
+    (new FunctionIdentifier("graft_cosine_topk"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_cosine_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, id, vec, k) =>
+          plan(Similarity.bruteForceTopK(tableArg(c, "corpus"),
+            tableArg(q, "queries"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k")))
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine_topk(corpus, queries, idCol, vecCol, k)")
+      }),
+    (new FunctionIdentifier("graft_quantized_topk"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_quantized_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, id, vec, k) =>
+          plan(Similarity.quantizedTopK(tableArg(c, "corpus"),
+            tableArg(q, "queries"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k")))
+        case _ => throw new IllegalArgumentException(
+          "graft_quantized_topk(corpus, queries, idCol, vecCol, k)")
+      }),
+    (new FunctionIdentifier("graft_ivf_topk"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_ivf_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, id, vec, k) =>
+          plan(Similarity.ivfTopK(tableArg(c, "corpus"), tableArg(q, "queries"),
+            strArg(id, "idCol"), strArg(vec, "vecCol"), intArg(k, "k")))
+        case Seq(c, q, id, vec, k, cells, probe) =>
+          plan(Similarity.ivfTopK(tableArg(c, "corpus"), tableArg(q, "queries"),
+            strArg(id, "idCol"), strArg(vec, "vecCol"), intArg(k, "k"),
+            nCells = intArg(cells, "nCells"), nProbe = intArg(probe, "nProbe")))
+        case _ => throw new IllegalArgumentException(
+          "graft_ivf_topk(corpus, queries, idCol, vecCol, k[, nCells, nProbe])")
+      }),
+    (new FunctionIdentifier("graft_lsh_topk"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_lsh_topk"),
+      (args: Seq[Expression]) => args match {
+        // prefixBits is mandatory here: the Scala API's auto mode sizes
+        // buckets from a corpus count() JOB at plan-build time, which a
+        // SQL table function must never hide inside analysis
+        case Seq(c, id, vec, k, pb) =>
+          plan(Similarity.lshTopK(tableArg(c, "corpus"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k"),
+            prefixBits = intArg(pb, "prefixBits")))
+        case Seq(c, id, vec, k, pb, tbl) =>
+          plan(Similarity.lshTopK(tableArg(c, "corpus"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k"),
+            prefixBits = intArg(pb, "prefixBits"), tables = intArg(tbl, "tables")))
+        case Seq(c, id, vec, k, pb, tbl, mp) =>
+          plan(Similarity.lshTopK(tableArg(c, "corpus"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k"),
+            prefixBits = intArg(pb, "prefixBits"), tables = intArg(tbl, "tables"),
+            multiProbe = boolArg(mp, "multiProbe")))
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_topk(corpus, idCol, vecCol, k, prefixBits[, tables, multiProbe])")
+      }),
+    (new FunctionIdentifier("graft_embedding_neardups"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_embedding_neardups"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, vec, blk, thr) =>
+          plan(Dedup.embeddingNearDups(tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), strArg(blk, "blockCol"),
+            doubleArg(thr, "threshold")))
+        case _ => throw new IllegalArgumentException(
+          "graft_embedding_neardups(table, idCol, vecCol, blockCol, threshold)")
+      }),
+    (new FunctionIdentifier("graft_ngram_top_neighbor"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_ngram_top_neighbor"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text, blk) =>
+          plan(Dedup.ngramJaccardTopNeighbor(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"), strArg(blk, "blockCol")))
+        case Seq(t, id, text, blk, n) =>
+          plan(Dedup.ngramJaccardTopNeighbor(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"), strArg(blk, "blockCol"),
+            n = intArg(n, "n")))
+        case _ => throw new IllegalArgumentException(
+          "graft_ngram_top_neighbor(table, idCol, textCol, blockCol[, n])")
+      }),
+    (new FunctionIdentifier("graft_dup_spans"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_dup_spans"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text) =>
+          plan(Dedup.duplicateSpans(tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(text, "textCol")))
+        case Seq(t, id, text, n, msg) =>
+          plan(Dedup.duplicateSpans(tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(text, "textCol"), n = intArg(n, "n"),
+            minSpanGrams = intArg(msg, "minSpanGrams")))
+        case _ => throw new IllegalArgumentException(
+          "graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])")
       }))
 
   /** Register the same functions on an ALREADY-RUNNING session (extensions

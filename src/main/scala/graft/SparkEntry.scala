@@ -1054,7 +1054,21 @@ object SparkEntry {
           col("meta.channels").as("channels"),
           col("meta.duration_ms").as("duration_ms"),
           col("meta.n_tracks").as("n_tracks"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Int8-quantized cosine top-k: the q22 search over 4×-smaller
+    // vectors (quantize once at ingest; scales cancel, so the search is
+    // integer-only). The oracle re-derives the quantization with the
+    // same floor(·+0.5) arithmetic, so a rounding or scale bug on
+    // either side breaks the hash.
+    "q87_quantized_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2486,7 +2500,40 @@ object SparkEntry {
         |  END AS BIGINT) AS duration_ms,
         |CASE WHEN doc_id % 2 = 1
         |  THEN CAST(1 + doc_id % 3 AS INTEGER) END AS n_tracks
-        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q87: the int8 quantization re-derived in SQL — max-abs scale in
+    // double, floor(x*127/s + 0.5) rounding (spelled floor, not round(),
+    // so both engines use identical IEEE ops), then integer-exact dot
+    // products; only the final sqrt/divide is floating point
+    "q87_quantized_topk" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |  CASE WHEN s > 0 THEN list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT))
+        |       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |        FROM embeddings)
+        |), qq AS (SELECT vec_id AS query_id, q AS qv FROM q8 WHERE vec_id < 5),
+        |p AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.q[i])) AS d,
+        |  sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+        |  sqrt(CAST(list_sum(list_transform(c.q, x -> x * x)) AS DOUBLE)) AS nn
+        |  FROM qq, q8 c WHERE c.vec_id != query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |  CASE WHEN nn = 0 THEN 0.0 ELSE CAST(d AS DOUBLE) / nn END AS cos_raw,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY CASE WHEN nn = 0 THEN 0.0 ELSE CAST(d AS DOUBLE) / nn END DESC,
+        |    neighbor_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
+        |CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

@@ -419,6 +419,40 @@ case class DotProductFF(left: Expression, right: Expression)
       : DotProductFF = copy(left = l, right = r)
 }
 
+/** `quantize8(vec)` → array<tinyint>: symmetric per-vector int8
+  * quantization of an array<float> embedding (max-abs scale, floor(·+0.5)
+  * rounding — see [[NativeKernels.quantize8]] for the bit-reproducibility
+  * contract and the scale-cancellation property that makes cosine over
+  * quantized vectors integer-only).
+  */
+case class Quantize8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.quantize8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.quantize8($c);")
+  override protected def withNewChildInternal(c: Expression): Quantize8 =
+    copy(child = c)
+}
+
+/** `dot_i8(a, b)` → bigint: exact integer dot product of two
+  * array<tinyint> quantized embeddings — the quantized hot loop pairing
+  * [[Quantize8]], 4× less data per row than [[DotProductFF]]'s input.
+  */
+case class DotProductII(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(NativeKernels.dotII(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeKernels.dotII($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProductII = copy(left = l, right = r)
+}
+
 /** `hyperplane_sig(vec, bits)` → bigint: random-hyperplane LSH signature
   * of an array<float> embedding. Plane components are deterministic
   * pseudo-randoms derived from (plane, dim) via fmix64, folded to [-1, 1] —
@@ -443,6 +477,11 @@ object HashFunctions {
     GraftInternal.column(HyperplaneSignature(GraftInternal.expression(vec), bits, seed))
   def dotFF(a: Column, b: Column): Column =
     GraftInternal.column(DotProductFF(GraftInternal.expression(a),
+      GraftInternal.expression(b)))
+  def quantize8(vec: Column): Column =
+    GraftInternal.column(Quantize8(GraftInternal.expression(vec)))
+  def dotII(a: Column, b: Column): Column =
+    GraftInternal.column(DotProductII(GraftInternal.expression(a),
       GraftInternal.expression(b)))
   def ngramHashes(tokens: Column, n: Int): Column =
     GraftInternal.column(NgramHashes(GraftInternal.expression(tokens), n))

@@ -74,4 +74,51 @@ object NativeKernels {
   }
 
   def textProfile(s: UTF8String): InternalRow = TextProfileKernel.profile(s)
+
+  /** Symmetric per-vector int8 quantization of an array<float> embedding:
+    * scale = max |x_i| (in double), q_i = floor(x_i·127/scale + 0.5).
+    * The rounding is spelled floor(·+0.5) — NOT a library round() — so an
+    * engine reproducing this in SQL gets bit-identical bytes regardless
+    * of its round-half conventions; every step is double IEEE arithmetic.
+    * An all-zero vector quantizes to all zeros. Values lie in [-127, 127]
+    * (|x_i| <= scale bounds the scaled magnitude), so they fit a signed
+    * byte with -128 never produced.
+    *
+    * Scale-free cosine: for vectors quantized this way,
+    * cos(deq(q1), deq(q2)) = dot(q1,q2)/(|q1||q2|) — the per-vector
+    * scales cancel — so similarity search over quantized vectors needs
+    * only integer dot products (exact in long) and never stores the
+    * scale. 4 bytes/dim becomes 1 byte/dim in parquet, shuffle, and cache.
+    */
+  def quantize8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val a = Math.abs(v.getFloat(i).toDouble)
+      if (a > s) s = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (s > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = Math.floor(v.getFloat(i).toDouble * 127.0 / s + 0.5).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer dot product of two array<tinyint> quantized embeddings,
+    * accumulated exactly in long (|q_i| <= 127 so 2^47 dims would be
+    * needed to overflow — unreachable).
+    */
+  def dotII(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    acc
+  }
 }

@@ -361,4 +361,77 @@ class EngineSpec extends SparkSpec {
     assert(isRows.map(r => (r(0), r(1))).toSet
       .intersect(Set[(Any, Any)]((1L, 10L), (2L, 11L), (12L, 13L))).size == 3)
   }
+
+  test("extensions: similarity + text-pair family callable from SQL, row-identical") {
+    import graft.operators.{Dedup, Similarity}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    emb.createOrReplaceTempView("sql_emb")
+    queries.createOrReplaceTempView("sql_emb_q")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    val cosSql = spark.sql(
+      """SELECT * FROM graft_cosine_topk('sql_emb', 'sql_emb_q',
+        |  'vec_id', 'embedding', 5) ORDER BY query_id, rank""".stripMargin)
+    assert(rows(cosSql) ==
+      rows(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")))
+
+    val qSql = spark.sql(
+      """SELECT * FROM graft_quantized_topk('sql_emb', 'sql_emb_q',
+        |  'vec_id', 'embedding', 5) ORDER BY query_id, rank""".stripMargin)
+    assert(rows(qSql) ==
+      rows(Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")))
+
+    // BUILD-style: k-means jobs run during analysis, like the Scala call
+    val ivfSql = spark.sql(
+      """SELECT * FROM graft_ivf_topk('sql_emb', 'sql_emb_q',
+        |  'vec_id', 'embedding', 5, 8, 2) ORDER BY query_id, rank""".stripMargin)
+    assert(rows(ivfSql) ==
+      rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 2).orderBy("query_id", "rank")))
+
+    val lshSql = spark.sql(
+      """SELECT * FROM graft_lsh_topk('sql_emb',
+        |  'vec_id', 'embedding', 5, 6) ORDER BY query_id, rank""".stripMargin)
+    assert(rows(lshSql) ==
+      rows(Similarity.lshTopK(emb, "vec_id", "embedding", k = 5, prefixBits = 6)
+        .orderBy("query_id", "rank")))
+
+    val ndSql = spark.sql(
+      """SELECT * FROM graft_embedding_neardups('sql_emb',
+        |  'vec_id', 'embedding', 'label', 0.5) ORDER BY id1, id2""".stripMargin)
+    assert(rows(ndSql) ==
+      rows(Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.5)
+        .orderBy("id1", "id2")))
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).cache()
+    docs.createOrReplaceTempView("sql_sim_docs")
+    val nnSql = spark.sql(
+      """SELECT * FROM graft_ngram_top_neighbor('sql_sim_docs',
+        |  'doc_id', 'text', 'lang') ORDER BY doc_id""".stripMargin)
+    assert(rows(nnSql) ==
+      rows(Dedup.ngramJaccardTopNeighbor(docs, "doc_id", "text", "lang")
+        .orderBy("doc_id")))
+
+    val dsSql = spark.sql(
+      """SELECT * FROM graft_dup_spans('sql_sim_docs',
+        |  'doc_id', 'text') ORDER BY id1, id2, start1""".stripMargin)
+    assert(rows(dsSql) ==
+      rows(Dedup.duplicateSpans(docs, "doc_id", "text")
+        .orderBy("id1", "id2", "start1")))
+    docs.unpersist()
+
+    // misuse still reads as usage guidance
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lsh_topk('sql_emb', 'vec_id', 'embedding', 5)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_lsh_topk(corpus, idCol, vecCol, k, prefixBits"))
+  }
 }

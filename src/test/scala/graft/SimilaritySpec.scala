@@ -180,6 +180,56 @@ class SimilaritySpec extends SparkSpec {
     assert(q50.toSeq == Seq(0L, 1L, 2L)) // exact under tie ordering
   }
 
+  test("int8 quantization: byte range, zero vector, max-abs hits ±127, scale cancels in cosine") {
+    import graft.functions.HashFunctions.{dotII, quantize8}
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),     // all-zero → all-zero bytes
+      (2L, Array(3.0f, 3.0f, -3.0f)),    // uniform magnitude → ±127 everywhere
+      (3L, Array(1e-8f, -2e-8f, 1.5e-8f)) // tiny but nonzero scale still quantizes
+    ).toDF("vec_id", "v")
+    val q = df.select($"vec_id", quantize8($"v").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(q(0L) == Seq[Byte](64, -127, 32)) // floor(±x·127 + .5) exactly
+    assert(q(1L) == Seq[Byte](0, 0, 0))
+    assert(q(2L) == Seq[Byte](127, 127, -127))
+    assert(q(3L).max <= 127 && q(3L).min >= -127 && q(3L) != Seq[Byte](0, 0, 0))
+
+    // scale cancellation: integer cosine over q equals double cosine over
+    // the dequantized floats (the operator never needs the scales)
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(quantize8($"a.v").as("qa"), quantize8($"b.v").as("qb"))
+      .withColumn("di", dotII($"qa", $"qb").cast("double"))
+      .withColumn("na", sqrt(dotII($"qa", $"qa").cast("double")))
+      .withColumn("nb", sqrt(dotII($"qb", $"qb").cast("double")))
+      .withColumn("cos_int", when($"na" * $"nb" === 0.0, 0.0)
+        .otherwise($"di" / ($"na" * $"nb")))
+      .withColumn("deq_a", transform($"qa", b => b.cast("float")))
+      .withColumn("deq_b", transform($"qb", b => b.cast("float")))
+      .withColumn("cos_deq", VectorOps.cosine($"deq_a", $"deq_b"))
+      .collect()
+    assert(pairs.forall(r =>
+      math.abs(r.getAs[Double]("cos_int") - r.getAs[Double]("cos_deq")) < 1e-12))
+  }
+
+  test("quantized top-k: recall floor vs brute force; deterministic tie-break") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+    // int8 keeps ~1% relative error per component; top-10 overlap stays high
+    val hits = quant.intersect(exact).count().toDouble
+    val recall = hits / exact.count()
+    assert(recall >= 0.9, s"quantized recall@10 $recall below floor")
+    // determinism: a repeat run is row-identical (tie-break is total)
+    val again = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+    assert(quant.exceptAll(again).isEmpty && again.exceptAll(quant).isEmpty)
+  }
+
   test("minhash hot-bucket cap: identical-doc flood emits a linear star, same clustering") {
     val flood = (0L until 60L).map(i => (i, "the same boilerplate text repeated " +
       "in every single document of this degenerate corpus block", "s"))
