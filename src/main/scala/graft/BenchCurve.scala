@@ -109,9 +109,9 @@ object BenchCurve {
     // is ~15 min; a BASELINE.md update usually touches one table):
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
-    val knownSections = Set("curve", "profile", "inc", "skew")
+    val knownSections = Set("curve", "profile", "inc", "skew", "quant")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "curve,profile,inc,skew,quant").split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
     require(sections.subsetOf(knownSections),
@@ -119,7 +119,8 @@ object BenchCurve {
         s" — known: ${knownSections.mkString(",")}")
 
     val x4 = "/tmp/graft_bench_x4"
-    if (sections("curve") || sections("inc") || sections("skew"))
+    if (sections("curve") || sections("inc") || sections("skew") ||
+        sections("quant"))
       ensureX4(spark, "/root/testdata/sf0.1", x4)
 
     val points = Seq(
@@ -237,6 +238,39 @@ object BenchCurve {
       Some((r1, r4, r10, sh30))
     }
 
+    // --- quant: float32 vs int8 similarity search, time and bytes ---
+    // The quantized path's claim is 4× less data per row through scan/
+    // shuffle/cache for near-identical top-k (recall floor in
+    // SimilaritySpec). Measure the search at two corpus sizes AND the
+    // on-disk parquet footprint of the same embedding column both ways —
+    // the storage number is what an ingest-time quantize buys every
+    // downstream reader at 100 TB.
+    val quant = if (!sections("quant")) None else {
+      import graft.operators.Similarity
+      val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val emb4 = spark.read.parquet(s"$x4/embeddings.parquet")
+      def search(corpus: DataFrame, quantized: Boolean): Double = timed2 {
+        val q = corpus.filter(col("vec_id") < 5)
+        (if (quantized) Similarity.quantizedTopK(corpus, q, "vec_id", "embedding", 10)
+         else Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 10))
+          .write.format("noop").mode("overwrite").save()
+      }
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(p))
+      }
+      val f32 = "/tmp/graft_quant_f32"
+      val i8 = "/tmp/graft_quant_i8"
+      emb1.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(f32)
+      Similarity.quantizeEmbeddings(emb1, "embedding").select(col("vec_id"), col("q8"))
+        .write.mode("overwrite").parquet(i8)
+      Some((search(emb1, false), search(emb1, true),
+        search(emb4, false), search(emb4, true), dirBytes(f32), dirBytes(i8)))
+    }
+
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
     // payload folded per joined row, so the hot reducer's work is real
@@ -303,6 +337,11 @@ object BenchCurve {
       },
       profile.map { case (profExact, profHll) =>
         f""""profile":{"exact_sec":$profExact%.3f,"hll_sec":$profHll%.3f}"""
+      },
+      quant.map { case (f1, q1, f4, q4, fb, qb) =>
+        f""""quant":{"float_1x_sec":$f1%.3f,"int8_1x_sec":$q1%.3f,""" +
+          f""""float_4x_sec":$f4%.3f,"int8_4x_sec":$q4%.3f,""" +
+          s""""float_bytes":$fb,"int8_bytes":$qb}"""
       },
       skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
         f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
