@@ -76,6 +76,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_quantized_topk(corpus, queries, idCol, vecCol, k)` — top-k
   *    over int8-quantized vectors
   *    ([[graft.operators.Similarity.quantizedTopK]])
+  *  - `graft_rescored_topk(corpus, queries, idCol, vecCol, k[,
+  *    candidateFactor])` — int8 candidates + exact float rescore
+  *    ([[graft.operators.Similarity.rescoredTopK]])
   *  - `graft_ivf_topk(corpus, queries, idCol, vecCol, k[, nCells,
   *    nProbe])` — IVF ANN ([[graft.operators.Similarity.ivfTopK]]; a
   *    BUILD-style operator — its k-means runs jobs at analysis time)
@@ -385,6 +388,21 @@ object GraftExtensions {
             strArg(vec, "vecCol"), intArg(k, "k")))
         case _ => throw new IllegalArgumentException(
           "graft_quantized_topk(corpus, queries, idCol, vecCol, k)")
+      }),
+    (new FunctionIdentifier("graft_rescored_topk"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_rescored_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, id, vec, k) =>
+          plan(Similarity.rescoredTopK(tableArg(c, "corpus"),
+            tableArg(q, "queries"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k")))
+        case Seq(c, q, id, vec, k, cf) =>
+          plan(Similarity.rescoredTopK(tableArg(c, "corpus"),
+            tableArg(q, "queries"), strArg(id, "idCol"),
+            strArg(vec, "vecCol"), intArg(k, "k"),
+            candidateFactor = intArg(cf, "candidateFactor")))
+        case _ => throw new IllegalArgumentException(
+          "graft_rescored_topk(corpus, queries, idCol, vecCol, k[, candidateFactor])")
       }),
     (new FunctionIdentifier("graft_ivf_topk"),
       new ExpressionInfo("graft.operators.Similarity", "graft_ivf_topk"),

@@ -1068,6 +1068,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Two-stage retrieval: int8 candidates (q87's arithmetic, k×4) →
+    // exact float rescore of candidates only. The oracle composes both
+    // stages, so the candidate cut AND the rescore must both agree.
+    "q88_rescored_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rescoredTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2529,6 +2541,55 @@ object SparkEntry {
         |    ORDER BY CASE WHEN nn = 0 THEN 0.0 ELSE CAST(d AS DOUBLE) / nn END DESC,
         |    neighbor_id) AS rank
         |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
+        |CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " "),
+
+    // q88: q87's quantized CTE chain cut at rank <= 40 (k=10 × factor 4),
+    // then the float rescore — q22's exact-cosine formula over only the
+    // candidate pairs — re-ranked to the final 10
+    "q88_rescored_topk" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |  CASE WHEN s > 0 THEN list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT))
+        |       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |        FROM embeddings)
+        |), qq AS (SELECT vec_id AS query_id, q AS qv FROM q8 WHERE vec_id < 5),
+        |p AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.q[i])) AS d,
+        |  sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+        |  sqrt(CAST(list_sum(list_transform(c.q, x -> x * x)) AS DOUBLE)) AS nn
+        |  FROM qq, q8 c WHERE c.vec_id != query_id
+        |), cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY CASE WHEN nn = 0 THEN 0.0 ELSE CAST(d AS DOUBLE) / nn END DESC,
+        |      neighbor_id) AS crank
+        |    FROM p
+        |  ) WHERE crank <= 40
+        |), resc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |  list_sum(list_transform(generate_series(1, len(qe.embedding)),
+        |    i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(qe.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(ne.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_raw
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM resc
         |)
         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
         |CAST(rank AS INTEGER) AS rank

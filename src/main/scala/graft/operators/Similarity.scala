@@ -80,6 +80,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Two-stage retrieval — the production ANN idiom: a cheap int8
+    * candidate scan ([[quantizedTopK]], k·candidateFactor per query) then
+    * an EXACT float rescore of only the candidates. At 100 TB the first
+    * stage reads 1 byte/dim across the corpus; the float column is read
+    * only for the k·factor·|queries| candidate rows the join touches —
+    * with the corpus stored as separate int8/float32 column families
+    * (ingest-time [[quantizeEmbeddings]]), the heavy float scan never
+    * happens. Both stages are deterministic portable arithmetic, so the
+    * composed pipeline stays oracle-checkable end to end.
+    *
+    * Recall: a true top-k neighbor is missed only if quantization noise
+    * pushes it below rank k·factor — SimilaritySpec floors the composed
+    * recall@10 above plain quantized search.
+    */
+  def rescoredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1)
+    val cand = quantizedTopK(corpus, queries, idCol, vecCol, k * candidateFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorOps.norm(col(vecCol)).as("qn")))
+    val cf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      VectorOps.norm(col(vecCol)).as("nn"))
+    val nn = col("qn") * col("nn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(cf, Seq("neighbor_id"))
+      .join(qf, Seq("query_id"))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of plane·vector,
     * packed into a long (native expression; plane components are
     * deterministic fmix64-derived pseudo-randoms — no RNG state, stable

@@ -387,6 +387,13 @@ class EngineSpec extends SparkSpec {
       rows(Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")))
 
+    val rSql = spark.sql(
+      """SELECT * FROM graft_rescored_topk('sql_emb', 'sql_emb_q',
+        |  'vec_id', 'embedding', 5, 3) ORDER BY query_id, rank""".stripMargin)
+    assert(rows(rSql) ==
+      rows(Similarity.rescoredTopK(emb, queries, "vec_id", "embedding", k = 5,
+        candidateFactor = 3).orderBy("query_id", "rank")))
+
     // BUILD-style: k-means jobs run during analysis, like the Scala call
     val ivfSql = spark.sql(
       """SELECT * FROM graft_ivf_topk('sql_emb', 'sql_emb_q',

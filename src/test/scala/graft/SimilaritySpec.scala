@@ -230,6 +230,32 @@ class SimilaritySpec extends SparkSpec {
     assert(quant.exceptAll(again).isEmpty && again.exceptAll(quant).isEmpty)
   }
 
+  test("rescored top-k: cosines are the exact float values; recall >= plain quantized") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+    val resc = Similarity.rescoredTopK(emb, queries, "vec_id", "embedding", k = 10)
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 10)
+
+    // every rescored cosine is THE float cosine for that pair (stage 2 is
+    // exact — only membership can differ from brute force)
+    val mismatch = resc.select($"query_id", $"neighbor_id", $"cos")
+      .join(exact.select($"query_id", $"neighbor_id", $"cos".as("bf_cos")),
+        Seq("query_id", "neighbor_id"))
+      .filter(abs($"cos" - $"bf_cos") > 1e-12)
+    assert(mismatch.isEmpty)
+
+    val ex = exact.select($"query_id", $"neighbor_id")
+    val n = ex.count().toDouble
+    val rRecall = resc.select($"query_id", $"neighbor_id").intersect(ex).count() / n
+    val qRecall = quant.select($"query_id", $"neighbor_id").intersect(ex).count() / n
+    // the float rescore can only fix quantization-order mistakes inside
+    // the candidate window, never introduce new ones
+    assert(rRecall >= qRecall, s"rescored $rRecall < quantized $qRecall")
+    assert(rRecall >= 0.95, s"rescored recall@10 $rRecall below floor")
+  }
+
   test("minhash hot-bucket cap: identical-doc flood emits a linear star, same clustering") {
     val flood = (0L until 60L).map(i => (i, "the same boilerplate text repeated " +
       "in every single document of this degenerate corpus block", "s"))
