@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftInternal
@@ -273,7 +273,8 @@ object HashOps {
   * hash fingerprints (see [[HashOps.winnow]]).
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.winnow(input.asInstanceOf[UTF8String], k, w)
@@ -288,7 +289,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * array<string> element set.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.minhashShingles(input.asInstanceOf[ArrayData], numHashes)
@@ -303,7 +305,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * token multiset.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(NativeKernels.simhashTokens(input.asInstanceOf[ArrayData]))
@@ -320,7 +323,8 @@ case class SimHash64(child: Expression)
   * [[HashOps.winnowMd5]]).
   */
 case class WinnowFingerprintsMd5(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.winnowMd5(input.asInstanceOf[UTF8String], k, w)
@@ -338,7 +342,8 @@ case class WinnowFingerprintsMd5(child: Expression, k: Int, w: Int)
   * family). Same voting scheme, same Hamming-distance semantics.
   */
 case class SimHash64Md5(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(NativeKernels.simhashMd5Tokens(input.asInstanceOf[ArrayData]))
@@ -354,7 +359,8 @@ case class SimHash64Md5(child: Expression)
   * (no shingle-string construction).
   */
 case class NgramHashes(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.ngramHashesDistinct(input.asInstanceOf[ArrayData], n)
@@ -373,7 +379,8 @@ case class NgramHashes(child: Expression, n: Int)
   * would skew ratios).
   */
 case class NgramHashesAll(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.ngramHashesAll(input.asInstanceOf[ArrayData], n)
@@ -389,7 +396,8 @@ case class NgramHashesAll(child: Expression, n: Int)
   * hash → per-seed minima) in one pass; no intermediate shingle arrays.
   */
 case class MinHashTokens(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.minhashTokens(input.asInstanceOf[ArrayData], shingleN, numHashes)
@@ -407,7 +415,10 @@ case class MinHashTokens(child: Expression, shingleN: Int, numHashes: Int)
   * at sf0.1).
   */
 case class DotProductFF(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Double.valueOf(NativeKernels.dotFF(
@@ -425,7 +436,9 @@ case class DotProductFF(left: Expression, right: Expression)
   * contract and the scale-cancellation property that makes cosine over
   * quantized vectors integer-only).
   */
-case class Quantize8(child: Expression) extends UnaryExpression {
+case class Quantize8(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     NativeKernels.quantize8(input.asInstanceOf[ArrayData])
@@ -441,7 +454,10 @@ case class Quantize8(child: Expression) extends UnaryExpression {
   * [[Quantize8]], 4× less data per row than [[DotProductFF]]'s input.
   */
 case class DotProductII(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(NativeKernels.dotII(
@@ -459,7 +475,8 @@ case class DotProductII(left: Expression, right: Expression)
   * same family as the Column-level formulation but computed in one loop.
   */
 case class HyperplaneSignature(child: Expression, bits: Int, seed: Long = 0L)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(

@@ -89,6 +89,12 @@ object NativeKernels {
     * scales cancel — so similarity search over quantized vectors needs
     * only integer dot products (exact in long) and never stores the
     * scale. 4 bytes/dim becomes 1 byte/dim in parquet, shuffle, and cache.
+    *
+    * Non-finite components are REJECTED (IllegalArgumentException): no
+    * portable bit pattern exists for quantized NaN/Infinity — a SQL
+    * engine reproducing the arithmetic errors on them too — so mapping
+    * them silently to 0 here would fork the bit-reproducibility
+    * contract. Filter or clamp upstream.
     */
   def quantize8(v: ArrayData): ArrayData = {
     val n = v.numElements()
@@ -96,6 +102,9 @@ object NativeKernels {
     var i = 0
     while (i < n) {
       val a = Math.abs(v.getFloat(i).toDouble)
+      if (!(a <= java.lang.Double.MAX_VALUE)) // NaN and ±Infinity
+        throw new IllegalArgumentException(
+          s"quantize8: non-finite component at index $i; filter or clamp upstream")
       if (a > s) s = a
       i += 1
     }

@@ -199,6 +199,10 @@ object Multimodal {
         val tp = fourcc(b, i.toInt + 4)
         val (hdr, boxSz) =
           if (sz == 1 && i + 16 <= b.length) (16L, u64(b, i.toInt + 8))
+          // size 0 = "extends to end of file", legal for the last
+          // top-level box (ISO/IEC 14496-12 §4.2) — streaming muxers
+          // write a trailing size-0 moov this way
+          else if (sz == 0) (8L, b.length - i)
           else (8L, sz)
         if (boxSz < hdr) return None // malformed; also halts a 0-size loop
         if (tp == "moov")
@@ -303,9 +307,12 @@ object Multimodal {
     // which typed fields BELONG to each sniffed type: fields of other
     // modalities are nulled; same-modality fields the header walk can't
     // see (n_frames on video — mvhd has no frame count) ride through
+    // n_frames is same-modality for images too (animated PNG / multi-
+    // frame pipelines): the header walk can't see it, so a caller-set
+    // value rides through rather than being nulled
     val fieldsOf = Map(
-      "image/png" -> Set("width", "height"),
-      "image/jpeg" -> Set("width", "height"),
+      "image/png" -> Set("width", "height", "n_frames"),
+      "image/jpeg" -> Set("width", "height", "n_frames"),
       "audio/wav" -> Set("sample_rate", "channels", "duration_ms"),
       "video/mp4" -> Set("duration_ms", "n_tracks", "n_frames"))
     media.mapPartitions { rows =>

@@ -83,12 +83,13 @@ object Similarity {
   /** Two-stage retrieval — the production ANN idiom: a cheap int8
     * candidate scan ([[quantizedTopK]], k·candidateFactor per query) then
     * an EXACT float rescore of only the candidates. At 100 TB the first
-    * stage reads 1 byte/dim across the corpus; the float column is read
-    * only for the k·factor·|queries| candidate rows the join touches —
-    * with the corpus stored as separate int8/float32 column families
-    * (ingest-time [[quantizeEmbeddings]]), the heavy float scan never
-    * happens. Both stages are deterministic portable arithmetic, so the
-    * composed pipeline stays oracle-checkable end to end.
+    * stage reads 1 byte/dim across the corpus; stage 2 streams the float
+    * corpus past a BROADCAST of the tiny candidate id set (k·factor·
+    * |queries| pairs), so per-row work on non-candidates is one hash
+    * probe — norm and dot arithmetic run only on the matched candidate
+    * rows, after the join. Both stages are deterministic portable
+    * arithmetic, so the composed pipeline stays oracle-checkable end to
+    * end.
     *
     * Recall: a true top-k neighbor is missed only if quantization noise
     * pushes it below rank k·factor — SimilaritySpec floors the composed
@@ -101,12 +102,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val qf = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), VectorOps.norm(col(vecCol)).as("qn")))
-    val cf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      VectorOps.norm(col(vecCol)).as("nn"))
+    val cf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val nn = col("qn") * col("nn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(cf, Seq("neighbor_id"))
+    // candidate ids are the build side: the corpus (with its wide float
+    // column) must stream, never broadcast or hash-build
+    broadcast(cand).join(cf, Seq("neighbor_id"))
+      .withColumn("nn", VectorOps.norm(col("nv")))
       .join(qf, Seq("query_id"))
       .withColumn("cos", when(nn === 0.0, 0.0)
         .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))

@@ -394,6 +394,20 @@ class EngineSpec extends SparkSpec {
       rows(Similarity.rescoredTopK(emb, queries, "vec_id", "embedding", k = 5,
         candidateFactor = 3).orderBy("query_id", "rank")))
 
+    // scalar faces type-check at analysis: a SQL double-array literal
+    // implicit-casts to array<float> (it would otherwise misread the
+    // 8-byte double slots as floats), and an uncastable input is an
+    // AnalysisException, not runtime garbage
+    val litQ = spark.sql("SELECT quantize8(array(0.5D, -1.0D, 0.25D)) AS q")
+      .collect()(0).getSeq[Byte](0)
+    assert(litQ == Seq[Byte](64, -127, 32))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quantize8(map(1, 2))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_i8(map(1, 2), map(3, 4))").collect()
+    }
+
     // BUILD-style: k-means jobs run during analysis, like the Scala call
     val ivfSql = spark.sql(
       """SELECT * FROM graft_ivf_topk('sql_emb', 'sql_emb_q',

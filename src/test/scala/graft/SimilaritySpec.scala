@@ -212,6 +212,21 @@ class SimilaritySpec extends SparkSpec {
       math.abs(r.getAs[Double]("cos_int") - r.getAs[Double]("cos_deq")) < 1e-12))
   }
 
+  test("quantize8 rejects non-finite components loudly, matching the oracle") {
+    import graft.functions.HashFunctions.quantize8
+    // the DuckDB oracle's floor(x*127/s + .5) errors on NaN/Infinity; a
+    // silent NaN→0 here would fork the bit-reproducibility contract
+    for (bad <- Seq(Array(1.0f, Float.NaN, 0.5f),
+                    Array(Float.PositiveInfinity, 0.0f))) {
+      val e = intercept[Exception] {
+        Seq((1L, bad)).toDF("vec_id", "v").select(quantize8($"v")).collect()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("; ")
+      assert(chain.contains("quantize8") && chain.contains("non-finite"), chain)
+    }
+  }
+
   test("quantized top-k: recall floor vs brute force; deterministic tie-break") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

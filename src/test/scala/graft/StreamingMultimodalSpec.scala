@@ -528,14 +528,17 @@ class StreamingMultimodalSpec extends SparkSpec {
         octet_length(col("payload")).cast("long").as("n_bytes"),
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height"),
-        lit(null).cast("int").as("n_frames")))
+        // caller-set and same-modality for images: the header walk can't
+        // see a frame count, so the value must ride through the sniff
+        lit(9).cast("int").as("n_frames")))
     val out = Multimodal.detectMeta(rows)
-      .select(col("doc_id"), col("meta.media_type"), col("meta.width"), col("meta.height"))
+      .select(col("doc_id"), col("meta.media_type"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames"))
       .collect().map(r => r.getLong(0) ->
-        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
-    assert(out(1L) == (("image/png", Some(320), Some(240))))
-    assert(out(2L) == (("image/jpeg", Some(320), Some(240))))
-    assert(out(3L) == (("application/octet-stream", None, None)))
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(1L) == (("image/png", Some(320), Some(240), Some(9))))
+    assert(out(2L) == (("image/jpeg", Some(320), Some(240), Some(9))))
+    assert(out(3L) == (("application/octet-stream", None, None, Some(9))))
 
     // and the codegen'd builtin PNG columns agree with the JVM parser
     val cols = rows.select(
@@ -585,6 +588,12 @@ class StreamingMultimodalSpec extends SparkSpec {
     val moov1 = be32(8 + mvhd1.length) ++ "moov".getBytes ++ mvhd1
     val mp41 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++ moov1
     assert(HeaderCodec.mp4Meta(mp41).contains((2500L, 0)))
+    // trailing size-0 moov = "box extends to end of file" — legal for
+    // the LAST top-level box (ISO/IEC 14496-12 §4.2); streaming muxers
+    // that can't seek back to patch the size write exactly this
+    val moov0 = be32(0) ++ "moov".getBytes ++ mvhd ++ traks
+    val mp40 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++ moov0
+    assert(HeaderCodec.mp4Meta(mp40).contains((2500L, 2)))
 
     // garbage, truncation, and wrong-type bytes decline, never throw
     assert(HeaderCodec.wavMeta("RIFFxxxxWAVE".getBytes).isEmpty)
