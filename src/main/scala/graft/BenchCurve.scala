@@ -72,6 +72,21 @@ object BenchCurve {
     new java.io.File(s"$dstDir/_DONE").createNewFile()
   }
 
+  /** n× replica of the embeddings table only — history depth for the
+    * incremental-IVF append table without replicating the fact tables.
+    */
+  private def ensureEmbXn(spark: SparkSession, srcDir: String,
+                          dstDir: String, n: Int): Unit = {
+    if (new java.io.File(s"$dstDir/_DONE").exists()) return
+    new java.io.File(dstDir).mkdirs()
+    (0 until n).map { r =>
+      spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(r.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    new java.io.File(s"$dstDir/_DONE").createNewFile()
+  }
+
   /** Collects per-task durations, keyed by stage. */
   private class TaskTimes extends org.apache.spark.scheduler.SparkListener {
     val byStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
@@ -109,9 +124,9 @@ object BenchCurve {
     // is ~15 min; a BASELINE.md update usually touches one table):
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
-    val knownSections = Set("curve", "profile", "inc", "skew", "quant")
+    val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "curve,profile,inc,skew,quant,ivf").split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
     require(sections.subsetOf(knownSections),
@@ -120,7 +135,7 @@ object BenchCurve {
 
     val x4 = "/tmp/graft_bench_x4"
     if (sections("curve") || sections("inc") || sections("skew") ||
-        sections("quant"))
+        sections("quant") || sections("ivf"))
       ensureX4(spark, "/root/testdata/sf0.1", x4)
 
     val points = Seq(
@@ -279,6 +294,38 @@ object BenchCurve {
     // AQE's skew thresholds are scaled to the toy data size (defaults
     // trigger at 256 MB partitions) so the runtime splitter is actually
     // exercised — the same mechanism, smaller trigger.
+    // --- ivf: frozen-centroid append cost vs history size ---
+    // appendIvfIndex's claim: an append pays for the BATCH (centroid
+    // broadcast + id-span anti-join against file-stat-pruned history),
+    // never for history size. Fresh monotonically-higher ids are the
+    // realistic ingest shape — history row groups prune on the span —
+    // so the curve should stay flat while the index grows 10×.
+    val ivf = if (!sections("ivf")) None else {
+      import graft.operators.Similarity
+      val x10emb = "/tmp/graft_bench_x10emb"
+      ensureEmbXn(spark, "/root/testdata/sf0.1", x10emb, 10)
+      val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      var off = 1000000000L
+      def run(hist: DataFrame, tag: String): Double = {
+        val p = s"/tmp/graft_incivf_$tag"
+        val (cells, cents) =
+          Similarity.ivfAssign(hist, "vec_id", "embedding", nCells = 16)
+        Similarity.saveIvfIndex(cells, cents, p)
+        cells.unpersist(blocking = false)
+        timed2 {
+          // a fresh id block per run: timed2's second pass must append
+          // real rows, not measure the idempotence no-op
+          val batch = emb1.filter(col("vec_id") < 250)
+            .withColumn("vec_id", col("vec_id") + lit(off))
+          off += 1000000L
+          Similarity.appendIvfIndex(batch, p, "vec_id", "embedding")
+        }
+      }
+      Some((run(emb1, "1x"),
+        run(spark.read.parquet(s"$x4/embeddings.parquet"), "4x"),
+        run(spark.read.parquet(s"$x10emb/embeddings.parquet"), "10x")))
+    }
+
     val skew = if (!sections("skew")) None else {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -342,6 +389,10 @@ object BenchCurve {
         f""""quant":{"float_1x_sec":$f1%.3f,"int8_1x_sec":$q1%.3f,""" +
           f""""float_4x_sec":$f4%.3f,"int8_4x_sec":$q4%.3f,""" +
           s""""float_bytes":$fb,"int8_bytes":$qb}"""
+      },
+      ivf.map { case (i1, i4, i10) =>
+        f""""ivf_append":{"hist_1x_sec":$i1%.3f,""" +
+          f""""hist_4x_sec":$i4%.3f,"hist_10x_sec":$i10%.3f}"""
       },
       skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
         f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +

@@ -1080,6 +1080,32 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Incremental IVF: history (vec_id >= 250) trains the index, the
+    // batch appends under FROZEN centroids — appended TWICE, so the
+    // idempotence anti-join is under oracle check too — then one search
+    // over the loaded index must see both sides. The oracle re-derives
+    // the whole build (q28's unrolled k-means on history only), assigns
+    // the batch against the final centroids, and probes the union.
+    "q89_incremental_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_idx_${Integer.toHexString(d.hashCode)}").getPath
+      val (cells, cents) = Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding", nCells = 16)
+      Similarity.saveIvfIndex(cells, cents, idxPath)
+      cells.unpersist(blocking = false)
+      val batch = emb.filter(col("vec_id") < 250)
+      Similarity.appendIvfIndex(batch, idxPath, "vec_id", "embedding")
+      Similarity.appendIvfIndex(batch, idxPath, "vec_id", "embedding")
+      val (loaded, loadedCents) = Similarity.loadIvfIndex(s, idxPath)
+      Similarity.ivfSearch(loaded, loadedCents, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1141,6 +1167,52 @@ object SparkEntry {
        |  FROM probes p
        |  JOIN q ON q.id = p.query_id
        |  JOIN a3 a ON a.cell = p.cell AND a.id != p.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      .replace("\n", " ")
+
+  // q89: q28's unrolled-k-means chain restricted to the history rows,
+  // then the batch assigned against the FINAL centroids (the frozen-
+  // centroid append), the union probed. Engine-side idempotence (the
+  // double append) has no oracle analogue beyond the result itself: a
+  // duplicated neighbor row would double-hit `scored` and break the hash.
+  private def q89OracleSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |h AS (SELECT id, v FROM v WHERE id >= 250),
+       |q AS (SELECT id, v, sqrt(${vdot("v", "v")}) AS qn FROM v WHERE id < 5),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM h ORDER BY id LIMIT 16)
+       |),
+       |a1 AS (${ivfAssignSql("h", "c0")}),
+       |c1 AS (${ivfRecentroidSql("a1", "c0")}),
+       |a2 AS (${ivfAssignSql("h", "c1")}),
+       |c2 AS (${ivfRecentroidSql("a2", "c1")}),
+       |a3 AS (${ivfAssignSql("h", "c2")}),
+       |b AS (SELECT id, v FROM v WHERE id < 250),
+       |ab AS (${ivfAssignSql("b", "c2")}),
+       |cells AS (SELECT * FROM a3 UNION ALL SELECT * FROM ab),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        ${vdot("c.cv", "c.cv")} - 2.0 * ${vdot("q.v", "c.cv")}, c.cell) AS pr
+       |    FROM q CROSS JOIN c2 c
+       |  ) WHERE pr <= 4
+       |),
+       |scored AS (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |    CASE WHEN q.qn * sqrt(${vdot("a.v", "a.v")}) = 0.0 THEN 0.0
+       |         ELSE ${vdot("q.v", "a.v")} / (q.qn * sqrt(${vdot("a.v", "a.v")})) END AS cos
+       |  FROM probes p
+       |  JOIN q ON q.id = p.query_id
+       |  JOIN cells a ON a.cell = p.cell AND a.id != p.query_id
        |),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
@@ -2594,7 +2666,9 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
         |CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    "q89_incremental_ivf" -> q89OracleSql
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

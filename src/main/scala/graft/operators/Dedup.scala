@@ -297,8 +297,8 @@ object Dedup {
     * object-store renames return false. Shared by the index compactions;
     * callers must have finished writing `staged` before calling.
     */
-  private def swapTable(spark: org.apache.spark.sql.SparkSession,
-                        live: String, staged: String): Unit = {
+  private[graft] def swapTable(spark: org.apache.spark.sql.SparkSession,
+                               live: String, staged: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(live)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -304,6 +304,81 @@ object Similarity {
     (spark.read.parquet(s"$path/cells"), centroids)
   }
 
+  /** Grow a persisted IVF index with a new batch against FROZEN
+    * centroids — the incremental member of the IVF family, mirroring
+    * the dedup indexes' append contract ([[graft.operators.Dedup]]):
+    * history VECTORS are never re-read and centroids never retrain (only
+    * the K×dim matrix comes to the driver; retraining is a deliberate
+    * rebuild, not an append side effect). Idempotent: already-indexed
+    * ids are anti-joined away with the history side range-pruned to the
+    * batch's id span — O(overlap), not O(history ids) — and each
+    * appended file is written id-sorted so future appends can prune it
+    * too. Cell `partitionBy` on the appended files keeps search-time
+    * partition pruning intact. Serialized appends per path.
+    *
+    * Drift is the operator's honest limit: vectors assigned under
+    * frozen centroids degrade recall as the distribution moves —
+    * measure with the spec's recall floor and rebuild (or
+    * [[compactIvfIndex]] + retrain) on a quiet moment.
+    */
+  def appendIvfIndex(newRows: DataFrame, path: String, idCol: String,
+                     vecCol: String): Unit =
+    ivfAppendRows(newRows, path, idCol, vecCol)
+      .sortWithinPartitions(col(idCol))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+
+  private[graft] def ivfAppendRows(newRows: DataFrame, path: String,
+                                   idCol: String, vecCol: String): DataFrame = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "cv")
+      .withColumn("c2", VectorOps.dot(col("cv"), col("cv"))))
+    val batch = newRows.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+    val bounds = newRows.agg(min(col(idCol)), max(col(idCol))).head()
+    val indexIds = spark.read.parquet(s"$path/cells").select(col(idCol))
+    val seen =
+      if (bounds.isNullAt(0)) indexIds.limit(0) // no non-null batch ids
+      else indexIds.where(col(idCol) >= lit(bounds.get(0)) &&
+        col(idCol) <= lit(bounds.get(1)))
+    batch.join(seen, Seq(idCol), "left_anti")
+      .crossJoin(cdf)
+      .withColumn("d", col("c2") - lit(2.0) * VectorOps.dot(col(vecCol), col("cv")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** Rewrite the cell table as one compact layout: still `partitionBy`
+    * cell (search-time partition pruning), id-range-partitioned and
+    * id-sorted within each task (append-time range pruning skips whole
+    * files again after many small appends), duplicate ids a legacy
+    * index may carry collapsed deterministically. Centroids are
+    * untouched — compaction is a storage operation, not a retrain.
+    * Same quiet-moment contract and staged swap as the dedup
+    * compactions; search and append results are identical before and
+    * after.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String): Unit = {
+    val staged = s"$path/cells_compacting"
+    val cells = spark.read.parquet(s"$path/cells")
+    val others = cells.columns.filter(c => c != idCol && c != "cell").toSeq
+    cells
+      .groupBy(col(idCol))
+      // min_by keyed on the SAME cell as the min: a legacy duplicate id
+      // collapses to one consistent (cell, vector) row, never a mix
+      .agg(min(col("cell")).as("cell"),
+        others.map(c => min_by(col(c), col("cell")).as(c)): _*)
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    Dedup.swapTable(spark, s"$path/cells", staged)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
               iters: Int = 2): DataFrame = {

@@ -69,6 +69,70 @@ class SimilaritySpec extends SparkSpec {
     assert(run(cells, cents) == run(cells2, cents2))
   }
 
+  test("incremental IVF: frozen-centroid append is idempotent and range-pruned; compact keeps results") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_ap").toString
+    val hist = emb.filter($"vec_id" >= 250)
+    val batch = emb.filter($"vec_id" < 250)
+    val (cells, cents) = Similarity.ivfAssign(hist, "vec_id", "embedding", nCells = 16)
+    Similarity.saveIvfIndex(cells, cents, tmp)
+    cells.unpersist(blocking = false)
+
+    // the idempotence anti-join reaches the index as an id-only scan with
+    // the batch's [min,max] span pushed into parquet — append cost tracks
+    // id-range overlap, not history size — and never sort-merge-shuffles
+    val rows = Similarity.ivfAppendRows(batch, tmp, "vec_id", "embedding")
+    val sig = PlanFingerprint.signature(rows)
+    // cell rides along as the partition column; the data read is id-only
+    assert(sig.contains("cols=[cell,vec_id]"), sig)
+    assert(sig.contains("GreaterThanOrEqual(vec_id,0)") &&
+      sig.contains("LessThanOrEqual(vec_id,249)"), sig)
+    assert(!sig.contains("SortMergeJoin"), sig)
+
+    // membership: one append indexes the batch; a retried append is a no-op
+    Similarity.appendIvfIndex(batch, tmp, "vec_id", "embedding")
+    val n1 = spark.read.parquet(s"$tmp/cells").count()
+    Similarity.appendIvfIndex(batch, tmp, "vec_id", "embedding")
+    assert(n1 == emb.count() &&
+      spark.read.parquet(s"$tmp/cells").count() == n1)
+
+    // (the frozen-assignment arithmetic itself is oracle-checked end to
+    // end by q89: DuckDB re-derives the batch cells from the final
+    // centroids and the row hashes must agree)
+
+    // search over the incremental index: recall comparable to a same-
+    // parameter one-shot index built over the full corpus
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+    val (loaded, lc) = Similarity.loadIvfIndex(spark, tmp)
+    val inc = Similarity.ivfSearch(loaded, lc, queries, "vec_id", "embedding",
+      k = 10, nProbe = 4)
+    val n = exact.count().toDouble
+    val recall = inc.select($"query_id", $"neighbor_id")
+      .intersect(exact).count() / n
+    assert(recall >= 0.5, s"incremental IVF recall@10 $recall below floor")
+
+    // compaction: fewer files, identical membership and search rows
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/cells"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = files()
+    val searchBefore = inc.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    Similarity.compactIvfIndex(spark, tmp, "vec_id")
+    assert(files() < before, s"$before -> ${files()}")
+    val (l2, c2) = Similarity.loadIvfIndex(spark, tmp)
+    assert(c2.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+      lc.map { case (c, v) => (c, v.toSeq) }.toSeq)
+    val searchAfter = Similarity.ivfSearch(l2, c2, queries, "vec_id", "embedding",
+        k = 10, nProbe = 4).orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(searchAfter == searchBefore)
+    // appends keep working against the compacted layout
+    Similarity.appendIvfIndex(
+      batch.withColumn("vec_id", $"vec_id" + 100000L), tmp, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$tmp/cells").count() == n1 + batch.count())
+  }
+
   test("LSH index persistence: probe search equals self-search, scan prunes to probed buckets") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
