@@ -1106,6 +1106,35 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Incremental LSH over the PORTABLE plane family (q23b's): history
+    // builds the index, the batch appends under the meta-PINNED planes
+    // and bucket geometry (twice — the anti-join idempotence is in the
+    // flow), then a multi-probe search of the loaded index runs under
+    // the oracle: DuckDB re-derives every signature from md5 arithmetic
+    // and the Hamming<=1 bucket predicate, cosine-ranks, and the row
+    // hashes must agree.
+    "q90_incremental_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lsh_idx_${Integer.toHexString(d.hashCode)}").getPath
+      // prefixBits sized to the corpus (16 buckets/table ≈ 100+ rows
+      // each), the same sizing rule lshTopK's auto-prefix applies — a
+      // 256-dir layout over 2 k vectors pays file-creation, not search
+      Similarity.saveLshIndex(emb.filter(col("vec_id") >= 250), idxPath,
+        "vec_id", "embedding", bits = 8, prefixBits = 4, tables = 2,
+        portableDim = 64)
+      val batch = emb.filter(col("vec_id") < 250)
+      Similarity.appendLshIndex(batch, idxPath, "vec_id", "embedding")
+      Similarity.appendLshIndex(batch, idxPath, "vec_id", "embedding")
+      Similarity.lshSearch(s, idxPath, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, multiProbe = true,
+          maxBucket = Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1230,7 +1259,14 @@ object SparkEntry {
   // the bucket-join + Hamming-1 multi-probe collapses to the pair predicate
   // ∃table: bit_count(sigA ⊕ sigB) ≤ 1 — equivalent because a query probes
   // exactly its own bucket and every bucket one flipped prefix bit away.
-  private def q23bOracleSql: String =
+  private def q23bOracleSql: String = portableLshOracleSql("TRUE", 255)
+
+  // Shared by q23b (all ids as queries, bucket = full 8-bit signature)
+  // and q90 (the incremental index probe: queries restricted, bucket =
+  // the 4-bit prefix → mask 15) — the index's persisted-vs-appended
+  // split is invisible to the math: every signature is the same pure
+  // function of (vector, pinned planes), so one SQL covers both flows.
+  private def portableLshOracleSql(queryPred: String, mask: Int): String =
     s"""WITH p AS (
        |  SELECT tt.t AS t, bb.b AS b,
        |    list_transform(generate_series(1, 64), i ->
@@ -1246,7 +1282,7 @@ object SparkEntry {
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM s a JOIN s b ON a.t = b.t AND a.vec_id != b.vec_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= 1
+       |  WHERE ($queryPred) AND bit_count(xor(a.sig & $mask, b.sig & $mask)) <= 1
        |), scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    CASE WHEN sqrt(${vdot("qe.embedding", "qe.embedding")})
@@ -2668,7 +2704,9 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " "),
 
-    "q89_incremental_ivf" -> q89OracleSql
+    "q89_incremental_ivf" -> q89OracleSql,
+
+    "q90_incremental_lsh" -> portableLshOracleSql("a.vec_id < 5", 15)
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

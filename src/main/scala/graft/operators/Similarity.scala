@@ -393,26 +393,112 @@ object Similarity {
     * probed buckets' directories (partition pruning does the
     * bucket-fraction cost cut at the storage layer).
     */
-  def saveLshIndex(corpus: DataFrame, path: String, idCol: String,
-                   vecCol: String, bits: Int = 16, prefixBits: Int = 8,
-                   tables: Int = 1): Unit = {
-    require(prefixBits >= 1 && prefixBits <= bits && tables >= 1)
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** The plane family a persisted LSH index is stamped with:
+    * `portableDim = 0` → the fast engine-local [[hyperplaneSignature]];
+    * `> 0` → [[portableSignature]] over that dimensionality, bit-for-bit
+    * recomputable by an external engine (the q23b family) — which makes
+    * every probe of the index oracle-checkable.
+    */
+  private def lshSigFn(portableDim: Int): (Column, Int, Long) => Column =
+    if (portableDim > 0) portableSignature(portableDim)
+    else (v, b, s) => hyperplaneSignature(v, b, s)
+
+  private def lshBucketRows(df: DataFrame, idCol: String, vecCol: String,
+                            bits: Int, prefixBits: Int, tables: Int,
+                            portableDim: Int): DataFrame = {
     val mask = (1L << prefixBits) - 1
+    val sig = lshSigFn(portableDim)
     val tb = explode(array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        hyperplaneSignature(col(vecCol), bits, t.toLong).bitwiseAND(mask)
+        sig(col(vecCol), bits, t.toLong).bitwiseAND(mask)
           .as("bucket"))): _*))
-    corpus
-      .select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
+    df.select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
         tb.as("tb"))
       .select(col(idCol), col(vecCol), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  def saveLshIndex(corpus: DataFrame, path: String, idCol: String,
+                   vecCol: String, bits: Int = 16, prefixBits: Int = 8,
+                   tables: Int = 1, portableDim: Int = 0): Unit = {
+    require(prefixBits >= 1 && prefixBits <= bits && tables >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lshBucketRows(corpus, idCol, vecCol, bits, prefixBits, tables, portableDim)
       .write.mode("overwrite").partitionBy("tbl", "bucket")
       .parquet(s"$path/sig")
-    Seq((bits, prefixBits, tables)).toDF("bits", "prefix_bits", "tables")
+    Seq((bits, prefixBits, tables, portableDim))
+      .toDF("bits", "prefix_bits", "tables", "portable_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Int, Int, Int, Int) = {
+    val df = spark.read.parquet(s"$path/meta")
+    val m = df.head()
+    // pre-portable indexes lack the column; they were written with the
+    // engine-local family, which portable_dim = 0 states exactly
+    val pd = if (df.columns.contains("portable_dim"))
+      m.getAs[Int]("portable_dim") else 0
+    (m.getAs[Int]("bits"), m.getAs[Int]("prefix_bits"),
+      m.getAs[Int]("tables"), pd)
+  }
+
+  /** Grow a persisted LSH index with a new batch under the index's
+    * PINNED plane family and bucket geometry (meta decides — an append
+    * can't fork the signature scheme). Same incremental contract as
+    * [[appendIvfIndex]]: idempotent via an id anti-join range-pruned to
+    * the batch's id span, against ONE table's partition of the signature
+    * rows (every id appears in every table, so table 0 is a complete id
+    * census at 1/tables of the rows); appended files are id-sorted for
+    * future pruning; (tbl, bucket) `partitionBy` keeps probe-time
+    * partition pruning intact. Serialized appends per path.
+    */
+  def appendLshIndex(newRows: DataFrame, path: String, idCol: String,
+                     vecCol: String): Unit =
+    lshAppendRows(newRows, path, idCol, vecCol)
+      .sortWithinPartitions(col(idCol))
+      .write.mode("append").partitionBy("tbl", "bucket").parquet(s"$path/sig")
+
+  private[graft] def lshAppendRows(newRows: DataFrame, path: String,
+                                   idCol: String, vecCol: String): DataFrame = {
+    val spark = newRows.sparkSession
+    val (bits, pb, tables, pd) = readLshMeta(spark, path)
+    val batch = newRows.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+    val bounds = newRows.agg(min(col(idCol)), max(col(idCol))).head()
+    val indexIds = spark.read.parquet(s"$path/sig")
+      .filter(col("tbl") === 0).select(col(idCol))
+    val seen =
+      if (bounds.isNullAt(0)) indexIds.limit(0) // no non-null batch ids
+      else indexIds.where(col(idCol) >= lit(bounds.get(0)) &&
+        col(idCol) <= lit(bounds.get(1)))
+    lshBucketRows(batch.join(seen, Seq(idCol), "left_anti"),
+      idCol, vecCol, bits, pb, tables, pd)
+  }
+
+  /** Rewrite the signature table compactly after many small appends:
+    * still (tbl, bucket)-partitioned, id-range-clustered and id-sorted
+    * within tasks so append-time range pruning skips whole files again;
+    * duplicate (id, tbl) rows a legacy index may carry collapse. Meta is
+    * untouched. Same staged swap and quiet-moment contract as the other
+    * index compactions.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String,
+                      targetRowsPerRange: Long = 1L << 22): Unit = {
+    val staged = s"$path/sig_compacting"
+    val sig = spark.read.parquet(s"$path/sig").dropDuplicates(idCol, "tbl")
+    // output files ≈ ranges × touched buckets per range: size the id
+    // ranges explicitly — the default shuffle.partitions count of tiny
+    // ranges, multiplied by high-cardinality bucket dirs, would FRAGMENT
+    // the table this op exists to compact
+    val n = sig.count()
+    val ranges = math.max(1L,
+      (n + targetRowsPerRange - 1) / targetRowsPerRange).toInt
+    sig.repartitionByRange(ranges, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(staged)
+    Dedup.swapTable(spark, s"$path/sig", staged)
   }
 
   /** Probe a persisted LSH index for a SMALL query set (the per-request
@@ -427,11 +513,11 @@ object Similarity {
                 queries: DataFrame, idCol: String, vecCol: String, k: Int,
                 multiProbe: Boolean = true, maxBucket: Int = 4096,
                 maxProbes: Int = 65536): DataFrame = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    val bits = m.getInt(0); val pb = m.getInt(1); val tables = m.getInt(2)
+    val (bits, pb, tables, pd) = readLshMeta(spark, path)
     val mask = (1L << pb) - 1
+    val sigFn = lshSigFn(pd)
     val perTable = (0 until tables).map { t =>
-      val sig = hyperplaneSignature(col(vecCol), bits, t.toLong).bitwiseAND(mask)
+      val sig = sigFn(col(vecCol), bits, t.toLong).bitwiseAND(mask)
       val buckets =
         if (!multiProbe) array(sig)
         else array(sig +: (0 until pb).map(i => sig.bitwiseXOR(lit(1L << i))): _*)

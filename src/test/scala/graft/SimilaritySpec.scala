@@ -184,6 +184,56 @@ class SimilaritySpec extends SparkSpec {
       spark.read.parquet(s"$tmp/sig").schema("vec_id").dataType)
   }
 
+  test("incremental LSH: pinned-family append is idempotent and range-pruned; equals one-shot index") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_ap").toString
+    Similarity.saveLshIndex(emb.filter($"vec_id" >= 250), tmp, "vec_id",
+      "embedding", bits = 8, prefixBits = 4, tables = 2, portableDim = 64)
+    val batch = emb.filter($"vec_id" < 250)
+
+    // idempotence census: ONE table's partitions (a complete id set at
+    // 1/tables of the rows), with the batch id span pushed into parquet;
+    // no sort-merge exchange anywhere
+    val rows = Similarity.lshAppendRows(batch, tmp, "vec_id", "embedding")
+    val sig = PlanFingerprint.signature(rows)
+    assert(sig.contains("GreaterThanOrEqual(vec_id,0)") &&
+      sig.contains("LessThanOrEqual(vec_id,249)"), sig)
+    assert(!sig.contains("SortMergeJoin"), sig)
+
+    // membership: one append indexes the batch in every table; a retried
+    // append is a no-op
+    Similarity.appendLshIndex(batch, tmp, "vec_id", "embedding")
+    val n1 = spark.read.parquet(s"$tmp/sig").count()
+    Similarity.appendLshIndex(batch, tmp, "vec_id", "embedding")
+    assert(n1 == emb.count() * 2 &&
+      spark.read.parquet(s"$tmp/sig").count() == n1)
+
+    // the incremental index probes EXACTLY like a one-shot index over the
+    // union: signatures are pure functions of (vector, pinned planes), so
+    // history/appended provenance must be invisible to search
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_lsh_os").toString
+    Similarity.saveLshIndex(emb, oneShot, "vec_id", "embedding",
+      bits = 8, prefixBits = 4, tables = 2, portableDim = 64)
+    val q = emb.filter($"vec_id" < 10)
+    def probe(p: String): Seq[Seq[Any]] =
+      Similarity.lshSearch(spark, p, q, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val incRows = probe(tmp)
+    assert(incRows == probe(oneShot) && incRows.nonEmpty)
+
+    // compaction: fewer files, identical probe rows, appends keep working
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/sig"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = files()
+    Similarity.compactLshIndex(spark, tmp, "vec_id")
+    assert(files() < before, s"$before -> ${files()}")
+    assert(probe(tmp) == incRows)
+    Similarity.appendLshIndex(
+      batch.withColumn("vec_id", $"vec_id" + 100000L), tmp, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$tmp/sig").count() == n1 + batch.count() * 2)
+  }
+
   test("LSH ANN: same-vector pairs always share a bucket; recall vs brute force sane") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
