@@ -135,7 +135,7 @@ object BenchCurve {
 
     val x4 = "/tmp/graft_bench_x4"
     if (sections("curve") || sections("inc") || sections("skew") ||
-        sections("quant") || sections("ivf"))
+        sections("quant"))
       ensureX4(spark, "/root/testdata/sf0.1", x4)
 
     val points = Seq(
@@ -286,14 +286,6 @@ object BenchCurve {
         search(emb4, false), search(emb4, true), dirBytes(f32), dirBytes(i8)))
     }
 
-    // --- skew: hot-key join, plain vs salted, per-task spread ---
-    // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
-    // payload folded per joined row, so the hot reducer's work is real
-    // compute, not a hash probe the scan stage can hide. Broadcast is off
-    // (a 1k-row dim would broadcast and no reducer skew would exist), and
-    // AQE's skew thresholds are scaled to the toy data size (defaults
-    // trigger at 256 MB partitions) so the runtime splitter is actually
-    // exercised — the same mechanism, smaller trigger.
     // --- ivf: frozen-centroid append cost vs history size ---
     // appendIvfIndex's claim: an append pays for the BATCH (centroid
     // broadcast + id-span anti-join against file-stat-pruned history),
@@ -302,7 +294,11 @@ object BenchCurve {
     // so the curve should stay flat while the index grows 10×.
     val ivf = if (!sections("ivf")) None else {
       import graft.operators.Similarity
+      // embeddings-only replicas (same vec_id offsets as ensureX4's) —
+      // a standalone ivf run must not pay for fact-table replication
+      val x4emb = "/tmp/graft_bench_x4emb"
       val x10emb = "/tmp/graft_bench_x10emb"
+      ensureEmbXn(spark, "/root/testdata/sf0.1", x4emb, 4)
       ensureEmbXn(spark, "/root/testdata/sf0.1", x10emb, 10)
       val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       var off = 1000000000L
@@ -322,10 +318,18 @@ object BenchCurve {
         }
       }
       Some((run(emb1, "1x"),
-        run(spark.read.parquet(s"$x4/embeddings.parquet"), "4x"),
+        run(spark.read.parquet(s"$x4emb/embeddings.parquet"), "4x"),
         run(spark.read.parquet(s"$x10emb/embeddings.parquet"), "10x")))
     }
 
+    // --- skew: hot-key join, plain vs salted, per-task spread ---
+    // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
+    // payload folded per joined row, so the hot reducer's work is real
+    // compute, not a hash probe the scan stage can hide. Broadcast is off
+    // (a 1k-row dim would broadcast and no reducer skew would exist), and
+    // AQE's skew thresholds are scaled to the toy data size (defaults
+    // trigger at 256 MB partitions) so the runtime splitter is actually
+    // exercised — the same mechanism, smaller trigger.
     val skew = if (!sections("skew")) None else {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")

@@ -296,13 +296,19 @@ object Similarity {
     * collected to the driver; cell assignments stay distributed.
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): (DataFrame, Array[(Int, Array[Float])]) = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+                   path: String): (DataFrame, Array[(Int, Array[Float])]) =
+    (spark.read.parquet(s"$path/cells"), readIvfCentroids(spark, path))
+
+  /** The one place the persisted centroid layout is interpreted —
+    * load and append both go through here.
+    */
+  private[graft] def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    (spark.read.parquet(s"$path/cells"), centroids)
-  }
 
   /** Grow a persisted IVF index with a new batch against FROZEN
     * centroids — the incremental member of the IVF family, mirroring
@@ -331,12 +337,13 @@ object Similarity {
                                    idCol: String, vecCol: String): DataFrame = {
     val spark = newRows.sparkSession
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val centroids = readIvfCentroids(spark, path)
     val cdf = broadcast(centroids.toSeq.toDF("cell", "cv")
       .withColumn("c2", VectorOps.dot(col("cv"), col("cv"))))
-    val batch = newRows.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+    // null ids can never anti-join away (null keys match nothing), so a
+    // null-id row would re-append on every retry — drop them up front
+    val batch = newRows.select(col(idCol), col(vecCol))
+      .filter(col(idCol).isNotNull).dropDuplicates(idCol)
     val bounds = newRows.agg(min(col(idCol)), max(col(idCol))).head()
     val indexIds = spark.read.parquet(s"$path/cells").select(col(idCol))
     val seen =
@@ -363,17 +370,26 @@ object Similarity {
     * after.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, idCol: String): Unit = {
+                      path: String, idCol: String,
+                      targetRowsPerRange: Long = 1L << 22): Unit = {
     val staged = s"$path/cells_compacting"
     val cells = spark.read.parquet(s"$path/cells")
     val others = cells.columns.filter(c => c != idCol && c != "cell").toSeq
-    cells
+    val dedup = cells
       .groupBy(col(idCol))
       // min_by keyed on the SAME cell as the min: a legacy duplicate id
       // collapses to one consistent (cell, vector) row, never a mix
       .agg(min(col("cell")).as("cell"),
         others.map(c => min_by(col(c), col("cell")).as(c)): _*)
-      .repartitionByRange(col(idCol))
+    // output files ≈ ranges × touched cells per range: size the id
+    // ranges explicitly (same rule as compactLshIndex) — the default
+    // shuffle.partitions count of tiny ranges, multiplied by the cell
+    // dirs, would FRAGMENT the table this op exists to compact
+    val n = dedup.count()
+    val ranges = math.max(1L,
+      (n + targetRowsPerRange - 1) / targetRowsPerRange).toInt
+    dedup
+      .repartitionByRange(ranges, col(idCol))
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
     Dedup.swapTable(spark, s"$path/cells", staged)
@@ -464,7 +480,10 @@ object Similarity {
                                    idCol: String, vecCol: String): DataFrame = {
     val spark = newRows.sparkSession
     val (bits, pb, tables, pd) = readLshMeta(spark, path)
-    val batch = newRows.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+    // same null-id rule as ivfAppendRows: a null id defeats the
+    // idempotence anti-join, so it never enters the index
+    val batch = newRows.select(col(idCol), col(vecCol))
+      .filter(col(idCol).isNotNull).dropDuplicates(idCol)
     val bounds = newRows.agg(min(col(idCol)), max(col(idCol))).head()
     val indexIds = spark.read.parquet(s"$path/sig")
       .filter(col("tbl") === 0).select(col(idCol))

@@ -97,6 +97,13 @@ class SimilaritySpec extends SparkSpec {
     assert(n1 == emb.count() &&
       spark.read.parquet(s"$tmp/cells").count() == n1)
 
+    // a null id can never anti-join away, so it must be dropped up front
+    // — otherwise every retry re-appends it and the index grows unbounded
+    val nullBatch = batch.unionByName(
+      batch.limit(1).withColumn("vec_id", lit(null).cast(batch.schema("vec_id").dataType)))
+    Similarity.appendIvfIndex(nullBatch, tmp, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$tmp/cells").count() == n1)
+
     // (the frozen-assignment arithmetic itself is oracle-checked end to
     // end by q89: DuckDB re-derives the batch cells from the final
     // centroids and the row hashes must agree)
@@ -208,6 +215,13 @@ class SimilaritySpec extends SparkSpec {
     Similarity.appendLshIndex(batch, tmp, "vec_id", "embedding")
     assert(n1 == emb.count() * 2 &&
       spark.read.parquet(s"$tmp/sig").count() == n1)
+
+    // null ids never anti-join away — dropped up front, same rule as IVF
+    Similarity.appendLshIndex(
+      batch.unionByName(batch.limit(1).withColumn("vec_id",
+        lit(null).cast(batch.schema("vec_id").dataType))),
+      tmp, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$tmp/sig").count() == n1)
 
     // the incremental index probes EXACTLY like a one-shot index over the
     // union: signatures are pure functions of (vector, pinned planes), so
