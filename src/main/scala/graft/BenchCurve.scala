@@ -124,9 +124,9 @@ object BenchCurve {
     // is ~15 min; a BASELINE.md update usually touches one table):
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
-    val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf")
+    val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf", "layout")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant,ivf").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "curve,profile,inc,skew,quant,ivf,layout").split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
     require(sections.subsetOf(knownSections),
@@ -322,6 +322,47 @@ object BenchCurve {
         run(spark.read.parquet(s"$x10emb/embeddings.parquet"), "10x")))
     }
 
+    // --- layout: Z-order clustering vs 1-D sort vs natural layout ---
+    // Same sf0.1 lineitem written three ways, same 2-D slice (one year
+    // × 1.5% of the partkey domain) answered over each. What is
+    // measured: files the manifest keeps (skip rate — the quantity that
+    // scales, at 100 TB "files" are the unit of I/O admission) and the
+    // wall clock of the pruned aggregate. The 1-D control shows why
+    // Z-order exists: sorted-by-shipdate files prune the date dimension
+    // exactly as well but keep ~every file for the partkey dimension.
+    val layout = if (!sections("layout")) None else {
+      import graft.sources.Layout
+      import graft.sources.Layout.ColRange
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val dims = Seq("l_shipdate", "l_partkey")
+      val zDir = "/tmp/graft_layout_z"
+      val oneDir = "/tmp/graft_layout_1d"
+      Layout.writeZOrdered(li, zDir, "l_shipdate", "l_partkey", files = 64)
+      Layout.writeManifest(spark, zDir, dims)
+      li.repartitionByRange(64, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(oneDir)
+      Layout.writeManifest(spark, oneDir, dims)
+      val ranges = Seq(
+        ColRange("l_shipdate", lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")),
+        ColRange("l_partkey", lit(100L), lit(999L)))
+      val (zKept, zTotal) = Layout.pruneFiles(spark, zDir, ranges)
+      val (oneKept, oneTotal) = Layout.pruneFiles(spark, oneDir, ranges)
+      // sum a real column so the scan cannot degenerate to metadata-only
+      def slice(df: DataFrame): Unit = {
+        val n = df.agg(sum(col("l_quantity")).cast("double")).head().getDouble(0)
+        require(!n.isNaN)
+      }
+      val fullSec = timed2(slice(li
+        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")) &&
+          col("l_partkey").between(100L, 999L))))
+      val zSec = timed2(slice(Layout.prunedRead(spark, zDir, ranges)))
+      val oneSec = timed2(slice(Layout.prunedRead(spark, oneDir, ranges)))
+      Some((zKept.size, zTotal, oneKept.size, oneTotal, fullSec, zSec, oneSec))
+    }
+
     // --- skew: hot-key join, plain vs salted, per-task spread ---
     // 80% of the ×4 fact lands on key 1; the dim carries a 200-double
     // payload folded per joined row, so the hot reducer's work is real
@@ -397,6 +438,12 @@ object BenchCurve {
       ivf.map { case (i1, i4, i10) =>
         f""""ivf_append":{"hist_1x_sec":$i1%.3f,""" +
           f""""hist_4x_sec":$i4%.3f,"hist_10x_sec":$i10%.3f}"""
+      },
+      layout.map { case (zk, zt, ok, ot, fs, zs, os) =>
+        s""""layout":{"z_files_kept":$zk,"z_files_total":$zt,""" +
+          s""""sorted1d_files_kept":$ok,"sorted1d_files_total":$ot,""" +
+          f""""natural_scan_sec":$fs%.3f,"z_pruned_sec":$zs%.3f,""" +
+          f""""sorted1d_pruned_sec":$os%.3f}"""
       },
       skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
         f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +

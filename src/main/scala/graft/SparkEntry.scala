@@ -1135,6 +1135,36 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Z-order clustered layout + manifest-pruned read. The query
+    // Z-order-writes lineitem clustered on (l_shipdate, l_partkey),
+    // builds the file-stats manifest, then answers a two-dimensional
+    // range slice through the pruned path. Results are LAYOUT-INVARIANT
+    // — the oracle is the same filter + aggregate over the original
+    // table — so the gate checks that clustering, manifest pruning, and
+    // the null-conservative keep rule lose and invent nothing.
+    "q91_zorder_slice" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_partkey")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_zorder_${Integer.toHexString(d.hashCode)}").getPath
+      Layout.writeZOrdered(t(s, d, "lineitem"), dir,
+        "l_shipdate", "l_partkey", files = 16)
+      Layout.writeManifest(s, dir, dims)
+      Layout.prunedRead(s, dir, Seq(
+          Layout.ColRange("l_shipdate",
+            lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")),
+          Layout.ColRange("l_partkey", lit(10L), lit(59L))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2706,7 +2736,16 @@ object SparkEntry {
 
     "q89_incremental_ivf" -> q89OracleSql,
 
-    "q90_incremental_lsh" -> portableLshOracleSql("a.vec_id < 5", 15)
+    "q90_incremental_lsh" -> portableLshOracleSql("a.vec_id < 5", 15),
+
+    "q91_zorder_slice" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_partkey BETWEEN 10 AND 59
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

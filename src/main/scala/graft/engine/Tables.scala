@@ -65,15 +65,30 @@ object Tables {
       }
     }
 
-  /** Nanos → microsecond TimestampType. `div` is INTEGRAL division —
-    * `/` would promote the ~1.7e18 epoch-nanos to double, whose 256 ns
-    * spacing at that magnitude can shift a midnight-exact event into the
-    * previous microsecond (and day bucket).
+  /** Normalize `ts` to a microsecond TimestampType, whatever the file
+    * encodes (the driver has shipped both INT64 TIMESTAMP(NANOS) and
+    * plain TIMESTAMP(MICROS) generations of the events table):
+    *
+    *  - LongType (nanos read via `nanosAsLong`): integral `div` — `/`
+    *    would promote the ~1.7e18 epoch-nanos to double, whose 256 ns
+    *    spacing at that magnitude can shift a midnight-exact event into
+    *    the previous microsecond (and day bucket);
+    *  - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false): cast, which under
+    *    the project-wide UTC session interprets the wall time as UTC —
+    *    the same micros value, now zone-tagged like the nanos path;
+    *  - TimestampType: already the target.
     */
-  def eventsFromRaw(raw: DataFrame): DataFrame =
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def eventsFromRaw(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other")
+    }
+  }
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** Z-order (Morton-curve) file layout — the data-skipping tool for
   * multi-dimensional predicates at 100 TB. Sorting files by ONE column
@@ -41,20 +42,36 @@ object Layout {
       greatest(lit(0L), least(lit(65535L),
         floor((x.cast("double") - lo) / (hi - lo) * 65536.0).cast("long"))))
 
-  /** The z-order key for two numeric columns with in-plan bounds: one
+  /** Orderable double image of a clustering column: numerics cast,
+    * dates to epoch days, timestamps to epoch micros (NTZ interpreted in
+    * the project-wide UTC session). Types without range semantics are
+    * rejected loudly — a silent null image would z-cluster nothing.
+    */
+  private def ord(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case _: NumericType  => col(c).cast("double")
+      case DateType        => unix_date(col(c)).cast("double")
+      case TimestampType   => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"z-order dimension '$c' has unordered type $other; " +
+          "cluster on numeric, date, or timestamp columns")
+    }
+
+  /** The z-order key for two orderable columns with in-plan bounds: one
     * 1-row min/max aggregate broadcast into the scan, then pure bitwise
     * arithmetic. Column name `zkey`.
     */
   def withZKey(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val (a, b) = (ord(df, colA), ord(df, colB))
     val mm = df.agg(
-      min(col(colA)).cast("double").as("__loa"),
-      max(col(colA)).cast("double").as("__hia"),
-      min(col(colB)).cast("double").as("__lob"),
-      max(col(colB)).cast("double").as("__hib"))
+      min(a).as("__loa"), max(a).as("__hia"),
+      min(b).as("__lob"), max(b).as("__hib"))
     df.crossJoin(broadcast(mm))
       .withColumn("zkey", mortonKey(
-        norm16(col(colA), col("__loa"), col("__hia")),
-        norm16(col(colB), col("__lob"), col("__hib"))))
+        norm16(a, col("__loa"), col("__hia")),
+        norm16(b, col("__lob"), col("__hib"))))
       .drop("__loa", "__hia", "__lob", "__hib")
   }
 
@@ -71,4 +88,75 @@ object Layout {
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
       .write.mode("overwrite").parquet(path)
+
+  // --- file-stats manifest + manifest-pruned reads ------------------
+  //
+  // The read-side half of the layout story: a Delta-style per-file
+  // min/max/null-count table, built in one column-pruned scan after the
+  // write, lets a reader skip whole FILES before Spark even lists them
+  // into a scan — the level above parquet's own row-group stats (which
+  // still apply inside every file that survives, the two compose). The
+  // manifest is file-count-sized, never data-sized: at 100 TB it is a
+  // few MB where the data is a few hundred thousand files.
+
+  /** Inclusive range predicate on one clustered column, used both to
+    * prune the manifest and to filter the surviving rows. */
+  final case class ColRange(colName: String, lo: Column, hi: Column)
+
+  /** Manifest location: a SIBLING directory, never inside the data path
+    * (a reader globbing the data must not ingest stats rows). */
+  def manifestPath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "_manifest"
+
+  /** Build the file-level stats manifest for `dims`: one row per data
+    * file with row count and per-dimension min/max/null-count. */
+  def writeManifest(spark: SparkSession, dataPath: String,
+                    dims: Seq[String]): Unit = {
+    val aggs = dims.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file_name"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(dataPath))
+  }
+
+  /** Files whose per-dimension [min, max] intersects every requested
+    * range, plus the total file count for skip-rate evidence. Files
+    * holding nulls in a ranged dimension are conservatively kept (stats
+    * cannot prove their rows miss; the row filter still excludes them).
+    * The collect is bounded by FILE count — manifest rows, never data
+    * rows.
+    */
+  def pruneFiles(spark: SparkSession, dataPath: String,
+                 ranges: Seq[ColRange]): (Seq[String], Long) = {
+    val m = spark.read.parquet(manifestPath(dataPath))
+    val kept = ranges.foldLeft(m) { (df, r) =>
+      df.filter(col(s"max_${r.colName}") >= r.lo &&
+                col(s"min_${r.colName}") <= r.hi ||
+                col(s"nulls_${r.colName}") > 0)
+    }
+    val files = kept.select(col("file_name")).collect()
+      .map(_.getString(0)).toSeq.sorted
+    (files, m.count())
+  }
+
+  /** Manifest-pruned read: open only files that can hold matching rows,
+    * then apply the real range filters (which also push to the parquet
+    * scan, so surviving files keep pruning at ROW-GROUP granularity).
+    * Row-identical to a full scan with the same filters under ANY
+    * layout; the layout only decides how much gets skipped.
+    */
+  def prunedRead(spark: SparkSession, dataPath: String,
+                 ranges: Seq[ColRange]): DataFrame = {
+    val (files, _) = pruneFiles(spark, dataPath, ranges)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataPath).limit(0)
+      else spark.read.parquet(files: _*)
+    ranges.foldLeft(base) { (df, r) =>
+      df.filter(col(r.colName) >= r.lo && col(r.colName) <= r.hi)
+    }
+  }
 }

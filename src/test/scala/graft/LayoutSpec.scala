@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+import graft.sources.Layout.ColRange
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_layout_$tag").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "data").getPath
+  }
+
+  /** Morton interleave of two 16-bit ranks, reference implementation. */
+  private def morton2(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, j) =>
+      acc | (((a >> j) & 1L) << (j * 2)) | (((b >> j) & 1L) << (j * 2 + 1))
+    }
+
+  test("z-order write clusters rows by the Morton interleave of dim ranks") {
+    // A 2-D grid with known ranks: x,y in 0..15 so scaled rank == value
+    // scaled up to 16 bits — verify ORDER, the only thing the layout is.
+    val n = 16
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).cast("long").as("x"),
+              (col("id") / n).cast("long").as("y"))
+    val dir = tmpDir("grid")
+    Layout.writeZOrdered(grid, dir, "x", "y", files = 1)
+    val written = spark.read.parquet(dir).select("x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ranks scale to 16 bits with norm16's exact FP operation order
+    // ((v - lo) / (hi - lo) * 65536, clamped) — a mathematically
+    // equivalent formula can differ by 1 ulp and Morton order is not
+    // monotone-transform invariant
+    def rank(v: Long): Long =
+      math.max(0L, math.min(65535L,
+        math.floor((v - 0.0) / (15.0 - 0.0) * 65536.0).toLong))
+    val expected = written.sortBy { case (x, y) => morton2(rank(x), rank(y)) }
+    assert(written.toSeq == expected.toSeq,
+      "file order must be exactly the Morton order of the scaled ranks")
+  }
+
+  test("pruned read is row-identical to a full-scan filter, and skips files") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val dir = tmpDir("li")
+    Layout.writeZOrdered(li, dir, "l_shipdate", "l_partkey", files = 16)
+    Layout.writeManifest(spark, dir, dims)
+
+    val ranges = Seq(
+      ColRange("l_shipdate",
+        lit("1996-01-01").cast("timestamp"),
+        lit("1996-06-30").cast("timestamp")),
+      ColRange("l_partkey", lit(1L), lit(50L)))
+
+    val pruned = Layout.prunedRead(spark, dir, ranges)
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect()
+    val full = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <= lit("1996-06-30").cast("timestamp") &&
+              col("l_partkey").between(1L, 50L))
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect()
+    assert(pruned.toSeq == full.toSeq)
+
+    val (files, total) = Layout.pruneFiles(spark, dir, ranges)
+    assert(total == 16, s"expected 16 data files, manifest saw $total")
+    assert(files.nonEmpty && files.size < total.toInt,
+      s"selective 2-D slice should skip files: kept ${files.size}/$total")
+  }
+
+  test("a z-ordered layout prunes more files than a 1-D sorted layout " +
+       "on the second dimension") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+
+    val zDir = tmpDir("z")
+    Layout.writeZOrdered(li, zDir, "l_shipdate", "l_partkey", files = 16)
+    Layout.writeManifest(spark, zDir, dims)
+
+    // 1-D control: range-sorted by shipdate ONLY, same file count
+    val oneDir = tmpDir("one")
+    li.repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(oneDir)
+    Layout.writeManifest(spark, oneDir, dims)
+
+    // predicate on the SECOND dimension only — the one the 1-D sort
+    // cannot cluster. Z-order keeps partkey ranges tight per file; the
+    // shipdate sort leaves every file spanning ~the full partkey domain.
+    val pk = Seq(ColRange("l_partkey", lit(1L), lit(40L)))
+    val (zKept, zTotal) = Layout.pruneFiles(spark, zDir, pk)
+    val (oneKept, oneTotal) = Layout.pruneFiles(spark, oneDir, pk)
+    assert(zTotal == 16 && oneTotal == 16)
+    assert(zKept.size < oneKept.size,
+      s"z-order should skip more: z kept ${zKept.size}, 1-D kept ${oneKept.size}")
+    // and the pruned read over the control layout is still CORRECT —
+    // pruning is conservative for any layout
+    val a = Layout.prunedRead(spark, oneDir, pk).agg(count(lit(1))).head().getLong(0)
+    val b = li.filter(col("l_partkey").between(1L, 40L)).count()
+    assert(a == b)
+  }
+
+  test("files holding nulls in a ranged dimension survive pruning") {
+    val dir = tmpDir("nulls")
+    // one file per row via four single-partition appends → the null row
+    // is alone in a file whose v-stats are all-null
+    Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, Some(20L)),
+        (3L, None), (4L, Some(40L))).foreach { row =>
+      Seq(row).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    Layout.writeManifest(spark, dir, Seq("v"))
+    val (files, total) = Layout.pruneFiles(spark, dir,
+      Seq(ColRange("v", lit(15L), lit(25L))))
+    assert(total == 4)
+    // kept: the v=20 file (range hit) AND the null file (conservative);
+    // the v=10 and v=40 files are provably disjoint
+    assert(files.size == 2, s"kept ${files.size}, expected 2")
+    // the final filter still excludes the null row
+    val rows = Layout.prunedRead(spark, dir,
+        Seq(ColRange("v", lit(15L), lit(25L))))
+      .select("id").as[Long].collect().toSeq
+    assert(rows == Seq(2L))
+  }
+
+  test("range filters push to the parquet scan of the pruned read") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val dir = tmpDir("push")
+    Layout.writeZOrdered(li, dir, "l_shipdate", "l_partkey", files = 4)
+    Layout.writeManifest(spark, dir, dims)
+    val df = Layout.prunedRead(spark, dir,
+      Seq(ColRange("l_partkey", lit(1L), lit(40L))))
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.inputPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_partkey") &&
+           pushed.contains("LessThanOrEqual(l_partkey"),
+      s"range must reach the scan, got: $pushed")
+  }
+
+  test("empty prune result yields a schema-stable empty frame") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(100)
+    val dir = tmpDir("empty")
+    Layout.writeZOrdered(li, dir, "l_partkey", "l_orderkey", files = 2)
+    Layout.writeManifest(spark, dir, Seq("l_partkey"))
+    val out = Layout.prunedRead(spark, dir,
+      Seq(ColRange("l_partkey", lit(-10L), lit(-1L))))
+    assert(out.schema.fieldNames.toSeq ==
+           spark.read.parquet(dir).schema.fieldNames.toSeq)
+    assert(out.count() == 0)
+  }
+
+  test("unordered dimension types are rejected loudly") {
+    val df = Seq(("a", 1L)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(df, tmpDir("bad"), "s", "v", files = 1)
+    }
+    assert(e.getMessage.contains("unordered type"))
+  }
+}
