@@ -349,6 +349,11 @@ object BenchCurve {
         ColRange("l_partkey", lit(100L), lit(999L)))
       val (zKept, zTotal) = Layout.pruneFiles(spark, zDir, ranges)
       val (oneKept, oneTotal) = Layout.pruneFiles(spark, oneDir, ranges)
+      // second-dimension-only predicate: the case a 1-D date sort cannot
+      // cluster at all — every file spans ~the whole partkey domain
+      val pkOnly = ranges.tail
+      val zPk = Layout.pruneFiles(spark, zDir, pkOnly)._1.size
+      val onePk = Layout.pruneFiles(spark, oneDir, pkOnly)._1.size
       // sum a real column so the scan cannot degenerate to metadata-only
       def slice(df: DataFrame): Unit = {
         val n = df.agg(sum(col("l_quantity")).cast("double")).head().getDouble(0)
@@ -360,7 +365,8 @@ object BenchCurve {
           col("l_partkey").between(100L, 999L))))
       val zSec = timed2(slice(Layout.prunedRead(spark, zDir, ranges)))
       val oneSec = timed2(slice(Layout.prunedRead(spark, oneDir, ranges)))
-      Some((zKept.size, zTotal, oneKept.size, oneTotal, fullSec, zSec, oneSec))
+      Some((zKept.size, zTotal, oneKept.size, oneTotal, zPk, onePk,
+        fullSec, zSec, oneSec))
     }
 
     // --- skew: hot-key join, plain vs salted, per-task spread ---
@@ -439,9 +445,10 @@ object BenchCurve {
         f""""ivf_append":{"hist_1x_sec":$i1%.3f,""" +
           f""""hist_4x_sec":$i4%.3f,"hist_10x_sec":$i10%.3f}"""
       },
-      layout.map { case (zk, zt, ok, ot, fs, zs, os) =>
+      layout.map { case (zk, zt, ok, ot, zpk, opk, fs, zs, os) =>
         s""""layout":{"z_files_kept":$zk,"z_files_total":$zt,""" +
           s""""sorted1d_files_kept":$ok,"sorted1d_files_total":$ot,""" +
+          s""""z_files_kept_dim2only":$zpk,"sorted1d_files_kept_dim2only":$opk,""" +
           f""""natural_scan_sec":$fs%.3f,"z_pruned_sec":$zs%.3f,""" +
           f""""sorted1d_pruned_sec":$os%.3f}"""
       },
