@@ -1165,6 +1165,47 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Incremental layout: base write + batch append + manifest UPDATE
+    // (stats only the new files — never a base rescan) must answer a
+    // range slice exactly like a plain filter over the whole table. The
+    // oracle is layout-blind, so a lost file, a double-statted file, or
+    // a manifest row that prunes a live file all break the hash.
+    "q92_layout_append" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_partkey")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_zappend_${Integer.toHexString(d.hashCode)}").getPath
+      // fresh lifecycle per run: a prior run's manifest must not hold
+      // rows for files the base overwrite below just deleted
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(dir))
+      rmrf(new java.io.File(Layout.manifestPath(dir)))
+      val li = t(s, d, "lineitem")
+      val base = li.filter(col("l_orderkey") % 4 =!= 0)
+      val batch = li.filter(col("l_orderkey") % 4 === 0)
+      Layout.writeZOrdered(base, dir, "l_shipdate", "l_partkey", files = 8)
+      Layout.updateManifest(s, dir, dims)
+      Layout.appendZOrdered(batch, dir, "l_shipdate", "l_partkey", files = 2)
+      Layout.updateManifest(s, dir, dims)
+      Layout.updateManifest(s, dir, dims) // idempotent no-op under the gate
+      Layout.prunedRead(s, dir, Seq(
+          Layout.ColRange("l_shipdate",
+            lit("1997-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")),
+          Layout.ColRange("l_partkey", lit(10L), lit(59L))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2744,6 +2785,15 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_partkey BETWEEN 10 AND 59
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "q92_layout_append" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
         |  AND l_partkey BETWEEN 10 AND 59
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
   )

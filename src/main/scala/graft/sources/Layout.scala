@@ -108,20 +108,21 @@ object Layout {
   def manifestPath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_manifest"
 
-  /** Build the file-level stats manifest for `dims`: one row per data
-    * file with row count and per-dimension min/max/null-count. */
-  def writeManifest(spark: SparkSession, dataPath: String,
-                    dims: Seq[String]): Unit = {
-    val aggs = dims.flatMap { c =>
+  private def statsAggs(dims: Seq[String]): Seq[Column] =
+    dims.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     }
+
+  /** Build the file-level stats manifest for `dims`: one row per data
+    * file with row count and per-dimension min/max/null-count. */
+  def writeManifest(spark: SparkSession, dataPath: String,
+                    dims: Seq[String]): Unit =
     spark.read.parquet(dataPath)
       .groupBy(input_file_name().as("file_name"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(dataPath))
-  }
 
   /** Files whose per-dimension [min, max] intersects every requested
     * range, plus the total file count for skip-rate evidence. Files
@@ -141,6 +142,69 @@ object Layout {
     val files = kept.select(col("file_name")).collect()
       .map(_.getString(0)).toSeq.sorted
     (files, m.count())
+  }
+
+  /** Append `df` to an existing z-ordered table as `files` new parquet
+    * files, clustered within the BATCH's own bounds. Pruning correctness
+    * never depends on clustering quality — the manifest records each
+    * file's ACTUAL min/max — so bounds drift between batches only
+    * loosens skip rates, never results. Exactly-once is the ingestion
+    * layer's job: this is a file-level append (a blindly retried batch
+    * writes duplicate ROWS, unlike the id-keyed index appends); route
+    * at-least-once sources through [[graft.operators.Dedup]] first.
+    */
+  def appendZOrdered(df: DataFrame, path: String, colA: String,
+                     colB: String, files: Int): Unit =
+    withZKey(df, colA, colB)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("append").parquet(path)
+
+  /** Incremental manifest update: stat ONLY data files not yet in the
+    * manifest and append their rows — cost is O(new files' rows), never
+    * a rescan of the table (the point at 100 TB, where the base is the
+    * whole lake and a batch is one day). Files are matched by NAME
+    * (globally unique `part-…-uuid` parquet names), which survives the
+    * `file:/` vs `file:///` URI-form split between Hadoop listings and
+    * `input_file_name`. Returns how many new files were statted; 0 is
+    * the idempotent no-op (calling twice appends nothing). Creates the
+    * manifest when none exists.
+    */
+  def updateManifest(spark: SparkSession, dataPath: String,
+                     dims: Seq[String]): Int = {
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    val mp = manifestPath(dataPath)
+    val known: Set[String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(mp))) Set.empty
+      else spark.read.parquet(mp).select(col("file_name")).collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+        .toSet
+    val fresh = dataFiles.filterNot(p => known.contains(p.getName))
+    if (fresh.isEmpty) return 0
+    spark.read.parquet(fresh.map(_.toString): _*)
+      .groupBy(input_file_name().as("file_name"))
+      .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
+      .coalesce(1)
+      .write.mode("append").parquet(mp)
+    fresh.length
+  }
+
+  /** Rewrite a many-file manifest (one file per [[updateManifest]] call)
+    * down to one, preserving rows exactly — the same staged-write + swap
+    * as the dedup index compactions, safe against concurrent readers of
+    * the old files. Quiesce WRITERS first (an update landing mid-compact
+    * is lost with the old directory).
+    */
+  def compactManifest(spark: SparkSession, dataPath: String): Unit = {
+    val mp = manifestPath(dataPath)
+    val staged = mp + "_compacting"
+    spark.read.parquet(mp).coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    graft.operators.Dedup.swapTable(spark, mp, staged)
   }
 
   /** Manifest-pruned read: open only files that can hold matching rows,

@@ -167,6 +167,75 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("incremental append + manifest update equal a one-shot build; " +
+       "the update never rescans the base") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val base  = li.filter(col("l_orderkey") % 4 =!= 0) // ~4500 rows
+    val batch = li.filter(col("l_orderkey") % 4 === 0) // ~1500 rows
+    val dir = tmpDir("inc")
+    Layout.writeZOrdered(base, dir, "l_shipdate", "l_partkey", files = 8)
+    assert(Layout.updateManifest(spark, dir, dims) == 8) // bootstrap path
+
+    // records read while updating after the append must be batch-sized,
+    // not table-sized — THE incremental claim, pinned behaviorally
+    Layout.appendZOrdered(batch, dir, "l_shipdate", "l_partkey", files = 2)
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val statted =
+      try {
+        val n = Layout.updateManifest(spark, dir, dims)
+        Thread.sleep(1000) // listener bus is async; let task-end events drain
+        n
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(statted == 2, s"update statted $statted files, appended 2")
+    val batchRows = batch.count()
+    val baseRows = base.count()
+    assert(read.get() < batchRows + 100,
+      s"manifest update read ${read.get()} records — more than the " +
+        s"$batchRows-row batch + manifest; it must never rescan the " +
+        s"$baseRows-row base")
+    // idempotent no-op
+    assert(Layout.updateManifest(spark, dir, dims) == 0)
+
+    // the incrementally-built manifest answers exactly like a full scan
+    val ranges = Seq(
+      ColRange("l_shipdate",
+        lit("1997-01-01").cast("timestamp"),
+        lit("1997-12-31").cast("timestamp")),
+      ColRange("l_partkey", lit(10L), lit(59L)))
+    val pruned = Layout.prunedRead(spark, dir, ranges)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val full = li
+      .filter(col("l_shipdate").between(lit("1997-01-01").cast("timestamp"),
+                lit("1997-12-31").cast("timestamp")) &&
+              col("l_partkey").between(10L, 59L))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(pruned.toSeq == full.toSeq)
+
+    // compaction: many manifest files -> one, identical rows
+    val before = spark.read.parquet(Layout.manifestPath(dir))
+      .orderBy("file_name").collect()
+    def manifestFiles(): Int =
+      new java.io.File(Layout.manifestPath(dir)).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(manifestFiles() >= 2) // bootstrap + append wrote separately
+    Layout.compactManifest(spark, dir)
+    assert(manifestFiles() == 1)
+    val after = spark.read.parquet(Layout.manifestPath(dir))
+      .orderBy("file_name").collect()
+    assert(after.toSeq == before.toSeq)
+    // and pruning still answers identically off the compacted manifest
+    val pruned2 = Layout.prunedRead(spark, dir, ranges)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(pruned2.toSeq == full.toSeq)
+  }
+
   test("unordered dimension types are rejected loudly") {
     val df = Seq(("a", 1L)).toDF("s", "v")
     val e = intercept[IllegalArgumentException] {
