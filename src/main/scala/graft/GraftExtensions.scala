@@ -95,6 +95,15 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])` —
   *    shared n-gram span detection
   *    ([[graft.operators.Dedup.duplicateSpans]])
+  *  - `graft_zorder_write(table, dataPath, colA, colB, files)` — Z-order
+  *    clustered parquet write ([[graft.sources.Layout.writeZOrdered]];
+  *    BUILD-style, returns a one-row receipt)
+  *  - `graft_update_manifest(dataPath, 'dim1,dim2')` — incremental
+  *    file-stats manifest update, new files only
+  *    ([[graft.sources.Layout.updateManifest]]; BUILD-style)
+  *  - `graft_pruned_read(dataPath, col1, lo1, hi1[, col2, lo2, hi2, …])`
+  *    — manifest-pruned scan; bounds are strings cast to each
+  *    dimension's type ([[graft.sources.Layout.prunedRead]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -474,6 +483,57 @@ object GraftExtensions {
             minSpanGrams = intArg(msg, "minSpanGrams")))
         case _ => throw new IllegalArgumentException(
           "graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])")
+      }),
+    // layout family (graft.sources.Layout) — write/update are BUILD-style
+    // operators like graft_dedup_corpus: their jobs run while the SQL is
+    // analyzed, and the returned row reports what was done
+    (new FunctionIdentifier("graft_zorder_write"),
+      new ExpressionInfo("graft.sources.Layout", "graft_zorder_write"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, a, b, f) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val files = intArg(f, "files")
+          graft.sources.Layout.writeZOrdered(tableArg(t, "table"), path,
+            strArg(a, "colA"), strArg(b, "colB"), files)
+          import spark.implicits._
+          plan(Seq((path, files)).toDF("data_path", "files_written"))
+        case _ => throw new IllegalArgumentException(
+          "graft_zorder_write(table, dataPath, colA, colB, files)")
+      }),
+    (new FunctionIdentifier("graft_update_manifest"),
+      new ExpressionInfo("graft.sources.Layout", "graft_update_manifest"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, dims) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val n = graft.sources.Layout.updateManifest(spark, path,
+            colsArg(dims, "dims"))
+          import spark.implicits._
+          plan(Seq((path, n)).toDF("data_path", "files_statted"))
+        case _ => throw new IllegalArgumentException(
+          "graft_update_manifest(dataPath, 'dim1,dim2')")
+      }),
+    (new FunctionIdentifier("graft_pruned_read"),
+      new ExpressionInfo("graft.sources.Layout", "graft_pruned_read"),
+      (args: Seq[Expression]) => args match {
+        // variadic (col, lo, hi) triples; bounds are STRING literals cast
+        // to each dimension's actual type, so timestamps, dates, and
+        // numerics all ride the same SQL face
+        case Seq(p, rest @ _*) if rest.nonEmpty && rest.size % 3 == 0 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val schema = spark.read.parquet(path).schema
+          val ranges = rest.grouped(3).map { case Seq(c, lo, hi) =>
+            val cn = strArg(c, "col")
+            val dt = schema(cn).dataType
+            graft.sources.Layout.ColRange(cn,
+              org.apache.spark.sql.functions.lit(strArg(lo, "lo")).cast(dt),
+              org.apache.spark.sql.functions.lit(strArg(hi, "hi")).cast(dt))
+          }.toSeq
+          plan(graft.sources.Layout.prunedRead(spark, path, ranges))
+        case _ => throw new IllegalArgumentException(
+          "graft_pruned_read(dataPath, col1, lo1, hi1[, col2, lo2, hi2, ...])")
       }))
 
   /** Register the same functions on an ALREADY-RUNNING session (extensions

@@ -455,4 +455,50 @@ class EngineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_lsh_topk(corpus, idCol, vecCol, k, prefixBits"))
   }
+
+  test("extensions: layout family callable from SQL, row-identical") {
+    import graft.sources.Layout
+    GraftExtensions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("sql_li")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlz").toString + "/data"
+
+    val wSql = spark.sql(
+      s"SELECT * FROM graft_zorder_write('sql_li', '$dir', 'l_shipdate', 'l_partkey', 8)")
+    assert(rows(wSql) == Seq(Seq(dir, 8)))
+    val uSql = spark.sql(
+      s"SELECT * FROM graft_update_manifest('$dir', 'l_shipdate,l_partkey')")
+    assert(rows(uSql) == Seq(Seq(dir, 8))) // statted all 8 fresh files
+    // second update: nothing fresh
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_update_manifest('$dir', 'l_shipdate,l_partkey')"))
+      == Seq(Seq(dir, 0)))
+
+    val prSql = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n FROM graft_pruned_read('$dir',
+         |  'l_shipdate', '1996-01-01', '1996-12-31',
+         |  'l_partkey', '10', '59')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    val scalaPr = Layout.prunedRead(spark, dir, Seq(
+        Layout.ColRange("l_shipdate",
+          org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp"),
+          org.apache.spark.sql.functions.lit("1996-12-31").cast("timestamp")),
+        Layout.ColRange("l_partkey",
+          org.apache.spark.sql.functions.lit(10L).cast("bigint"),
+          org.apache.spark.sql.functions.lit(59L).cast("bigint"))))
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(rows(prSql) == rows(scalaPr) && rows(prSql).nonEmpty)
+
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_pruned_read('$dir', 'l_partkey', '1')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_pruned_read(dataPath, col1, lo1, hi1"))
+  }
 }
