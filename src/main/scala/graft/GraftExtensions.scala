@@ -95,6 +95,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])` —
   *    shared n-gram span detection
   *    ([[graft.operators.Dedup.duplicateSpans]])
+  *  - `graft_lm_index_score(table, indexPath, idCol, textCol)` — LM
+  *    quality scores against a persisted incremental stats index
+  *    ([[graft.operators.Corpus.lmScoreAgainstStats]])
   *  - `graft_zorder_write(table, dataPath, colA, colB, files)` — Z-order
   *    clustered parquet write ([[graft.sources.Layout.writeZOrdered]];
   *    BUILD-style, returns a one-row receipt)
@@ -487,6 +490,16 @@ object GraftExtensions {
     // layout family (graft.sources.Layout) — write/update are BUILD-style
     // operators like graft_dedup_corpus: their jobs run while the SQL is
     // analyzed, and the returned row reports what was done
+    (new FunctionIdentifier("graft_lm_index_score"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_lm_index_score"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id, text) =>
+          plan(graft.operators.Corpus.lmScoreAgainstStats(
+            tableArg(t, "table"), strArg(p, "indexPath"),
+            strArg(id, "idCol"), strArg(text, "textCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_lm_index_score(table, indexPath, idCol, textCol)")
+      }),
     (new FunctionIdentifier("graft_zorder_write"),
       new ExpressionInfo("graft.sources.Layout", "graft_zorder_write"),
       (args: Seq[Expression]) => args match {

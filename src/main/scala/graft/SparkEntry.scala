@@ -1206,6 +1206,31 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Incremental LM statistics: history counts saved, two batch slices
+    // appended (one REPLAYED under its original batch id — the ledger
+    // must skip it or every count doubles and the hash breaks), then
+    // documents scored against the merged index. hist ∪ batches == the
+    // whole documents table, so the oracle recomputes q70's count tables
+    // over `documents` and scores the same subset — bit-equality via the
+    // shared (bc+1)/(uc+V) arithmetic and sorted-fold mean.
+    "q93_incremental_lm" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lmstats_${Integer.toHexString(d.hashCode)}").getPath
+      val hist = doc.filter(col("doc_id") % 3 =!= 0)
+      val batchA = doc.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+      val batchB = doc.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+      Corpus.saveLmStats(hist, path, "doc_id", "text")
+      Corpus.appendLmStats(batchA, path, "doc_id", "text", "batchA")
+      Corpus.appendLmStats(batchA, path, "doc_id", "text", "batchA") // replay: no-op
+      Corpus.appendLmStats(batchB, path, "doc_id", "text", "batchB")
+      Corpus.compactLmStats(s, path) // must not change any merged count
+      Corpus.lmScoreAgainstStats(doc.filter(col("doc_id") < 50), path,
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2795,7 +2820,40 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
         |  AND l_partkey BETWEEN 10 AND 59
-        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    // q70's count tables over the WHOLE documents table (== hist plus the
+    // two appended batches), scoring only doc_id < 50 — scored docs are
+    // inside the count corpus, so inner joins see every gram and the
+    // engine's left-join smoothing never fires; bit-equality rides the
+    // shared exact-integer division and sorted-fold mean.
+    "q93_incremental_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    [lower(x) for x in regexp_extract_all(trim(text), '\S+')] AS l
+        |  FROM documents
+        |), ucnt AS (
+        |  SELECT u AS tok, count(*) AS c
+        |  FROM (SELECT unnest(l) AS u FROM toks) GROUP BY 1
+        |), v AS (
+        |  SELECT count(*) AS nv FROM ucnt
+        |), pairs AS (
+        |  SELECT doc_id, s['p'] AS prefix, s['b'] AS bigram FROM (
+        |    SELECT doc_id, unnest([{'p': l[i], 'b': l[i] || ' ' || l[i+1]}
+        |      for i in generate_series(1, len(l)-1)]) AS s
+        |    FROM toks)
+        |), bcnt AS (
+        |  SELECT bigram, count(*) AS bc FROM pairs GROUP BY 1
+        |), ratios AS (
+        |  SELECT doc_id, CAST(bc + 1 AS DOUBLE) / (uc.c + v.nv) AS r
+        |  FROM pairs JOIN bcnt USING (bigram)
+        |  JOIN ucnt uc ON pairs.prefix = uc.tok CROSS JOIN v
+        |  WHERE doc_id < 50
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  list_sum(list_sort(list(r))) / count(*) AS lm_score
+        |FROM ratios GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

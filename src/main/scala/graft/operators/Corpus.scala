@@ -260,6 +260,118 @@ object Corpus {
         (Folds.sortedSum(col("__r")) / count(lit(1))).as("lm_score"))
   }
 
+  // --- incremental LM statistics (persisted unigram/bigram counts) ---
+  //
+  // The count tables behind [[lmScore]] are ADDITIVE: counts from two
+  // disjoint corpus slices sum to the counts of their union, exactly.
+  // That makes the LM index the cheapest member of the incremental
+  // family — an append writes the BATCH's own count rows and reads no
+  // history at all (not even ids; contrast the dedup indexes' anti-join).
+  // Merging is deferred to read time as a sum-merge over segments, and
+  // [[compactLmStats]] restores the one-row-per-gram form — the LSM
+  // pattern: O(batch vocab) writes, O(segments) read overhead, compaction
+  // on your schedule. At 100 TB the history corpus is never re-tokenized;
+  // the only thing that grows with appends is segment count, which
+  // compaction resets.
+
+  private def lmTokens(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol),
+      transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("__l"))
+
+  /** The batch's own (gram, count) segments, written under `path` —
+    * shared by save and append. One persisted tokenize pass feeds both
+    * tables (the lmScore multi-consumer rule). */
+  private def writeLmSegments(batch: DataFrame, path: String, idCol: String,
+                              textCol: String, mode: String): Unit = {
+    val toks = lmTokens(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks.select(explode(col("__l")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .write.mode(mode).parquet(s"$path/unigrams")
+      toks.select(explode(adjacentPairs(col("__l"))).as("__s"))
+        .select(col("__s.b").as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .write.mode(mode).parquet(s"$path/bigrams")
+    } finally { toks.unpersist(blocking = false); () }
+  }
+
+  /** Build a persisted LM-stats index from a history corpus. */
+  def saveLmStats(hist: DataFrame, path: String, idCol: String,
+                  textCol: String): Unit = {
+    writeLmSegments(hist, path, idCol, textCol, "overwrite")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    Seq("__base__").toDF("batch_id")
+      .write.mode("overwrite").parquet(s"$path/batches")
+  }
+
+  /** Append one batch's counts under an EXPLICIT batch id. Counts are not
+    * idempotent by value (appending the same rows twice doubles them —
+    * unlike the id-keyed dedup indexes, nothing downstream can tell), so
+    * replay safety is a LEDGER: a batch id already recorded is skipped
+    * wholesale. Returns false for the skip. The ledger read is
+    * batch-count-sized, driver-local.
+    */
+  def appendLmStats(batch: DataFrame, path: String, idCol: String,
+                    textCol: String, batchId: String): Boolean = {
+    val spark = batch.sparkSession
+    val seen = spark.read.parquet(s"$path/batches")
+      .collect().map(_.getString(0)).toSet
+    if (seen.contains(batchId)) return false
+    writeLmSegments(batch, path, idCol, textCol, "append")
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(s"$path/batches")
+    true
+  }
+
+  /** Sum-merge the appended segments back to one row per gram (staged
+    * write + swap, like the index compactions; quiesce writers first).
+    * Read results are IDENTICAL before and after — addition is the merge.
+    */
+  def compactLmStats(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit =
+    Seq("unigrams" -> "tok", "bigrams" -> "bigram").foreach {
+      case (table, key) =>
+        val live = s"$path/$table"
+        val staged = s"$live" + "_compacting"
+        spark.read.parquet(live)
+          .groupBy(col(key)).agg(sum(col("c")).as("c"))
+          .coalesce(1).write.mode("overwrite").parquet(staged)
+        Dedup.swapTable(spark, live, staged)
+    }
+
+  /** Score documents against the PERSISTED stats — [[lmScore]]'s exact
+    * arithmetic ((bc+1)/(uc+V), sorted-fold mean) with counts sum-merged
+    * from the index segments instead of recomputed from a corpus scan.
+    * Grams the index never saw smooth to bc=0 / uc=0 (left joins), so
+    * out-of-corpus documents score without error. When the index covers
+    * exactly the corpus, results are bit-identical to the one-shot
+    * [[lmScore]] over it.
+    */
+  def lmScoreAgainstStats(docs: DataFrame, path: String, idCol: String,
+                          textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val ucnt = spark.read.parquet(s"$path/unigrams")
+      .groupBy(col("tok").as("__prefix")).agg(sum(col("c")).as("__uc"))
+    val bcnt = spark.read.parquet(s"$path/bigrams")
+      .groupBy(col("bigram").as("__bigram")).agg(sum(col("c")).as("__bc"))
+    val v = ucnt.agg(count(lit(1)).as("__nv"))
+    val pairs = lmTokens(docs, idCol, textCol)
+      .select(col(idCol), explode(adjacentPairs(col("__l"))).as("__s"))
+      .select(col(idCol), col("__s.p").as("__prefix"), col("__s.b").as("__bigram"))
+    pairs.join(bcnt, Seq("__bigram"), "left")
+      .join(ucnt, Seq("__prefix"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__r",
+        (coalesce(col("__bc"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__uc"), lit(0L)) + col("__nv")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (Folds.sortedSum(col("__r")) / count(lit(1))).as("lm_score"))
+  }
+
   /** Decontamination: drop every document sharing ANY word n-gram with the
     * probe set (the standard "remove benchmark/test-set text from training
     * data" step; n = 8–13 in practice — lower n is aggressive). Probe

@@ -245,4 +245,48 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(m.sortBy(_._1).toSeq == m2.sortBy(_._1).toSeq)
   }
+
+  test("incremental LM stats: append is additive, ledger blocks replays, " +
+       "compaction preserves merged counts, scoring equals one-shot") {
+    val hist = Seq((0L, "the cat sat"), (1L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "the cat sat"), (3L, "xq zv qqq"))
+      .toDF("doc_id", "text")
+    val all = hist.unionByName(batch)
+    val path = java.nio.file.Files.createTempDirectory("graft_lm").toString
+
+    Corpus.saveLmStats(hist, path, "doc_id", "text")
+    assert(Corpus.appendLmStats(batch, path, "doc_id", "text", "b1"))
+    // replay under the SAME id: skipped — counts must not double
+    assert(!Corpus.appendLmStats(batch, path, "doc_id", "text", "b1"))
+
+    def score(df: org.apache.spark.sql.DataFrame) =
+      Corpus.lmScoreAgainstStats(df, path, "doc_id", "text")
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+        .toMap
+    val oneShot = Corpus.lmScore(all, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // index over hist+batch ≡ one-shot over the union, bit for bit
+    assert(score(all) == oneShot)
+    // merged-count arithmetic, V = 6 (the,cat,sat,xq,zv,qqq): doc 0
+    // scores mean((3+1)/(3+6), (3+1)/(3+6)) = 4/9
+    assert(math.abs(score(all)(0L)._2 - 4.0 / 9.0) < 1e-15)
+
+    // segment files exist pre-compaction; compaction changes NO count
+    val segs = new java.io.File(s"$path/unigrams").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(segs >= 2, s"expected >=2 segment files, saw $segs")
+    Corpus.compactLmStats(spark, path)
+    val segsAfter = new java.io.File(s"$path/unigrams").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(segsAfter == 1)
+    assert(score(all) == oneShot)
+
+    // out-of-corpus grams smooth to (0+1)/(0+V) instead of erroring:
+    // "nope nope2" has one bigram, unseen prefix → r = (0+1)/(0+6) = 1/6
+    val foreign = score(Seq((99L, "nope nope2")).toDF("doc_id", "text"))
+    assert(foreign(99L)._1 == 1)
+    assert(math.abs(foreign(99L)._2 - 1.0 / 6.0) < 1e-15)
+  }
 }

@@ -501,4 +501,22 @@ class EngineSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("graft_pruned_read(dataPath, col1, lo1, hi1"))
   }
+
+  test("extensions: LM index scoring callable from SQL, row-identical") {
+    import graft.operators.Corpus
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val corpus = Seq((0L, "the cat sat"), (1L, "the cat sat"),
+      (2L, "xq zv qqq")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_sqllm").toString
+    Corpus.saveLmStats(corpus, path, "doc_id", "text")
+    corpus.createOrReplaceTempView("sql_lm_docs")
+    val sqlR = spark.sql(
+      s"""SELECT * FROM graft_lm_index_score('sql_lm_docs', '$path',
+         |  'doc_id', 'text') ORDER BY doc_id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaR = Corpus.lmScoreAgainstStats(corpus, path, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sqlR == scalaR && sqlR.nonEmpty)
+  }
 }
