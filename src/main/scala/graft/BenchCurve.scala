@@ -124,9 +124,11 @@ object BenchCurve {
     // is ~15 min; a BASELINE.md update usually touches one table):
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
-    val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf", "layout")
+    val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
+      "layout", "lm")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant,ivf,layout").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "curve,profile,inc,skew,quant,ivf,layout,lm")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
     require(sections.subsetOf(knownSections),
@@ -322,6 +324,41 @@ object BenchCurve {
         run(spark.read.parquet(s"$x10emb/embeddings.parquet"), "10x")))
     }
 
+    // --- lm: incremental LM-stats append cost vs history size ---
+    // The additivity claim made concrete: an append writes the batch's
+    // own count segments and reads NO history (not even ids), so its
+    // cost must be flat in history size — unlike the dedup appends,
+    // which at least probe an index. A fresh batch id per run keeps the
+    // ledger from short-circuiting the second timed rep.
+    val lm = if (!sections("lm")) None else {
+      import graft.operators.Corpus
+      val x10docs = "/tmp/graft_bench_x10docs"
+      ensureDocsXn(spark, "/root/testdata/sf0.1", x10docs, 10)
+      val doc1x = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val doc10x = spark.read.parquet(s"$x10docs/documents.parquet")
+      val lmBatch = doc1x.filter(col("doc_id") < 500)
+      var n = 0
+      def run(hist: DataFrame, tag: String): Double = {
+        val p = s"/tmp/graft_inclm_$tag"
+        Corpus.saveLmStats(hist, p, "doc_id", "text")
+        timed2 {
+          n += 1
+          Corpus.appendLmStats(lmBatch, p, "doc_id", "text", s"b$n"): Unit
+        }
+      }
+      val a1 = run(doc1x.filter(col("doc_id") >= 500), "1x")
+      val a10 = run(doc10x.filter(col("doc_id") >= 500), "10x")
+      // and the read side the appends defer to: score the batch against
+      // the 10x index before and after compaction (segment overhead)
+      val p10 = "/tmp/graft_inclm_10x"
+      val score = () => Corpus.lmScoreAgainstStats(lmBatch, p10,
+        "doc_id", "text").write.format("noop").mode("overwrite").save()
+      val sPre = timed2(score())
+      Corpus.compactLmStats(spark, p10)
+      val sPost = timed2(score())
+      Some((a1, a10, sPre, sPost))
+    }
+
     // --- layout: Z-order clustering vs 1-D sort vs natural layout ---
     // Same sf0.1 lineitem written three ways, same 2-D slice (one year
     // × 1.5% of the partkey domain) answered over each. What is
@@ -444,6 +481,10 @@ object BenchCurve {
       ivf.map { case (i1, i4, i10) =>
         f""""ivf_append":{"hist_1x_sec":$i1%.3f,""" +
           f""""hist_4x_sec":$i4%.3f,"hist_10x_sec":$i10%.3f}"""
+      },
+      lm.map { case (a1, a10, sPre, sPost) =>
+        f""""lm_append":{"hist_1x_sec":$a1%.3f,"hist_10x_sec":$a10%.3f,""" +
+          f""""score_presegments_sec":$sPre%.3f,"score_compacted_sec":$sPost%.3f}"""
       },
       layout.map { case (zk, zt, ok, ot, zpk, opk, fs, zs, os) =>
         s""""layout":{"z_files_kept":$zk,"z_files_total":$zt,""" +
