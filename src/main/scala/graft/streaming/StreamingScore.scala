@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Corpus
+
+/** Streaming faces for corpus quality scoring against the persisted
+  * incremental LM-stats index ([[graft.operators.Corpus.saveLmStats]]
+  * family) — the stream-side of the "never re-tokenize history" story.
+  */
+object StreamingScore {
+
+  /** Per micro-batch LM quality scoring: each batch is scored against
+    * the index with [[Corpus.lmScoreAgainstStats]]'s exact arithmetic
+    * and handed to `sink`. Per-batch cost is the batch's own tokenize +
+    * vocab-bounded count joins; history documents are never read.
+    *
+    * Score-and-learn: the caller may grow the index from inside `sink`
+    * via [[Corpus.appendLmStats]] keyed by this batch id (e.g.
+    * `s"stream-$batchId"`). foreachBatch is AT-LEAST-ONCE — a recovered
+    * query can re-run a batch — and doubled counts are undetectable
+    * downstream, which is exactly what the index's batch-id ledger
+    * guards: the replayed append is skipped wholesale, making index
+    * growth effectively exactly-once. Appended counts are visible from
+    * the NEXT micro-batch's index read (this batch already resolved its
+    * count frames), matching the dedup faces' visibility note.
+    */
+  def lmScoreEachBatch(docs: DataFrame, idCol: String, textCol: String,
+                       indexPath: String)(sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        sink(Corpus.lmScoreAgainstStats(batch, indexPath, idCol, textCol),
+          batchId)
+    }
+}

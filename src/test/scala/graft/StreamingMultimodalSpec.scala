@@ -895,6 +895,66 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(math.abs(feats(2L).sum - 1.0) < 1e-9)
   }
 
+  test("streaming LM scoring: per-batch scores equal the batch API; " +
+       "ledger makes score-and-learn appends exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slm").toString
+    val hist = Seq((1L, "the cat sat"), (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    Corpus.saveLmStats(hist, tmp, "doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = graft.streaming.StreamingScore.lmScoreEachBatch(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", tmp) {
+          (scores, batchId) =>
+            got ++= scores.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            // score-and-learn, with a deliberate REPLAY of the same
+            // batch id — the ledger must absorb it or counts double
+            val batchDf = scores.sparkSession
+              .table("graft_slm_current") // registered below per batch
+            Corpus.appendLmStats(batchDf, tmp, "doc_id", "text",
+              s"stream-$batchId")
+            Corpus.appendLmStats(batchDf, tmp, "doc_id", "text",
+              s"stream-$batchId"): Unit
+        }
+      .start()
+    // the sink needs the raw batch rows to learn from; the simplest
+    // spec-side channel is a temp view refreshed before each addData
+    try {
+      Seq((10L, "the cat sat")).toDF("doc_id", "text")
+        .createOrReplaceTempView("graft_slm_current")
+      input.addData((10L, "the cat sat"))
+      q.processAllAvailable()
+      // batch 0 scored against the PRE-append index: uc(the)=2, V=3:
+      // r = (2+1)/(2+3) for both bigrams → 0.6
+      assert(got.toSeq == Seq((10L, 2L, 0.6)))
+
+      Seq((11L, "the cat sat")).toDF("doc_id", "text")
+        .createOrReplaceTempView("graft_slm_current")
+      input.addData((11L, "the cat sat"))
+      q.processAllAvailable()
+      // batch 1 sees batch 0's counts (uc(the)=3): r = (3+1)/(3+3)
+      val second = got.toSeq.filter(_._1 == 11L)
+      assert(second == Seq((11L, 2L, 4.0 / 6.0)))
+    } finally q.stop()
+
+    // exactly-once learning: despite double appends per batch, merged
+    // counts equal one shot over hist + both batches
+    val all = hist.unionByName(
+      Seq((10L, "the cat sat"), (11L, "the cat sat")).toDF("doc_id", "text"))
+    val fromIndex = Corpus.lmScoreAgainstStats(all, tmp, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Corpus.lmScore(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == oneShot)
+    spark.sharedState.cacheManager.clearCache() // lmScore's token frame
+  }
+
   test("sinks: csv with reference headers round-trips; json writes rows") {
     import spark.implicits._
     val df = Seq(("Noise", 10L, 3L), ("Heat", 5L, 1L))
