@@ -1231,6 +1231,26 @@ object SparkEntry {
       Corpus.lmScoreAgainstStats(doc.filter(col("doc_id") < 50), path,
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental heavy hitters: three user_id slices of events (their
+    // union is the whole table) contribute Misra–Gries segments — one
+    // appended twice under its batch id, so the ledger is under the gate
+    // — then the compacted merge must equal q71's exact count table
+    // (capacity 64 >> 5 event types: no truncation ever fires and the
+    // mergeable-summaries sum is exact).
+    "q94_incremental_hh" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_hh_${Integer.toHexString(d.hashCode)}").getPath
+      Profiling.saveHhSketch(ev.filter(col("user_id") % 3 === 0), path,
+        "event_type", capacity = 64)
+      Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 1), path, "hhA")
+      Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 1), path, "hhA")
+      Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 2), path, "hhB")
+      Profiling.compactHhSketch(s, path)
+      Profiling.mergedHeavyHitters(s, path)
     })
   )
 
@@ -2853,6 +2873,14 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  list_sum(list_sort(list(r))) / count(*) AS lm_score
         |FROM ratios GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    // q71's exact regime carries to the merged segments: every slice
+    // sketch is exact (cardinality <= capacity), sums of exacts are exact
+    "q94_incremental_hh" ->
+      """SELECT event_type AS item, count(*) AS n FROM events
+        |WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, item"""
         .stripMargin.replace("\n", " ")
   )
 

@@ -236,6 +236,89 @@ object Profiling {
       .orderBy(col("n").desc, col("item"))
   }
 
+  // --- incremental heavy hitters (persisted Misra–Gries segments) ---
+  //
+  // The MG sketch is a mergeable summary (Agarwal et al., PODS 2012), so
+  // the streaming-history version of [[heavyHitters]] never re-reads
+  // history rows: each batch contributes its own <= capacity-row sketch
+  // SEGMENT, reads sum the segments pointwise and truncate ONCE to
+  // capacity with the (k+1)-th-largest subtraction. One deferred
+  // truncation is at least as accurate as the pairwise merge rule (fewer
+  // subtractions, same Σnᵢ/(k+1) undercount bound), and when true
+  // cardinality <= capacity nothing ever truncates and every merged
+  // count is EXACT — the oracle-checkable regime. A batch-id ledger
+  // guards replays (a doubled segment silently inflates counts — same
+  // hazard class as the LM index).
+
+  private def hhMetaDf(spark: org.apache.spark.sql.SparkSession,
+                       path: String) = spark.read.parquet(s"$path/meta")
+
+  /** Build the persisted sketch: meta + the history corpus's segment. */
+  def saveHhSketch(df: DataFrame, path: String, column: String,
+                   capacity: Int): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((column, capacity)).toDF("column", "capacity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    heavyHitters(df, column, capacity)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/segments")
+    Seq("__base__").toDF("batch_id")
+      .write.mode("overwrite").parquet(s"$path/batches")
+  }
+
+  /** Ledger-guarded append of one batch's sketch segment (column and
+    * capacity are pinned by the index meta so batches cannot diverge).
+    * Returns false when the batch id was already recorded.
+    */
+  def appendHhSketch(batch: DataFrame, path: String,
+                     batchId: String): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val seen = spark.read.parquet(s"$path/batches")
+      .collect().map(_.getString(0)).toSet
+    if (seen.contains(batchId)) return false
+    val m = hhMetaDf(spark, path).head()
+    heavyHitters(batch, m.getString(0), m.getInt(1))
+      .coalesce(1).write.mode("append").parquet(s"$path/segments")
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(s"$path/batches")
+    true
+  }
+
+  /** Merged heavy hitters across all segments: pointwise sum, then one
+    * capacity truncation. The (k+1)-th-largest lookup collects at most
+    * capacity+1 rows — k-bounded by construction, never data-sized.
+    */
+  def mergedHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val capacity = hhMetaDf(spark, path).head().getInt(1)
+    val summed = spark.read.parquet(s"$path/segments")
+      .groupBy(col("item")).agg(sum(col("n")).as("n"))
+    val top = summed.select(col("n")).orderBy(col("n").desc)
+      .limit(capacity + 1).collect()
+    val out =
+      if (top.length <= capacity) summed
+      else {
+        val d = top.last.getLong(0)
+        summed.withColumn("n", col("n") - d).filter(col("n") > 0)
+      }
+    out.orderBy(col("n").desc, col("item"))
+  }
+
+  /** Collapse the per-append segment litter to one merged segment
+    * (staged write + swap; quiesce writers). [[mergedHeavyHitters]]
+    * output is identical before and after: the merged segment is the
+    * truncated sum, and truncation is a no-op on <= capacity items.
+    */
+  def compactHhSketch(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val live = s"$path/segments"
+    val staged = live + "_compacting"
+    mergedHeavyHitters(spark, path)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    Dedup.swapTable(spark, live, staged)
+  }
+
   /** Quantile segmentation: each row's n-tile (1..n) within its group
     * under a total order — "which value quartile is this event in, among
     * its type". `orderCols` must totally order each group's rows or tile

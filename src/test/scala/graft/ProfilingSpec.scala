@@ -171,4 +171,45 @@ class ProfilingSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(99L))
     assert(math.abs(out.head.getDouble(3)) > 3.0)
   }
+
+  test("incremental heavy hitters: merged segments exact under capacity, " +
+       "ledger blocks replays, compaction preserves output") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    val a = Seq("x", "x", "y").toDF("v")
+    val b = Seq("x", "z", "z", "z").toDF("v")
+    Profiling.saveHhSketch(a, path, "v", capacity = 8)
+    assert(Profiling.appendHhSketch(b, path, "b1"))
+    assert(!Profiling.appendHhSketch(b, path, "b1")) // replay: skipped
+    def merged() = Profiling.mergedHeavyHitters(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // cardinality 3 <= capacity 8: exact counts, ordered n desc then item
+    assert(merged() == Seq("x" -> 3L, "z" -> 3L, "y" -> 1L))
+    val segs = () => new java.io.File(s"$path/segments").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(segs() >= 2)
+    Profiling.compactHhSketch(spark, path)
+    assert(segs() == 1)
+    assert(merged() == Seq("x" -> 3L, "z" -> 3L, "y" -> 1L))
+    // appends after compaction keep merging
+    assert(Profiling.appendHhSketch(Seq("y", "y").toDF("v"), path, "b2"))
+    assert(merged() == Seq("x" -> 3L, "y" -> 3L, "z" -> 3L))
+  }
+
+  test("incremental heavy hitters: overflow truncation keeps the MG bound") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hh_of").toString
+    // two segments whose UNION overflows capacity 2: hot survives the
+    // (k+1)-th-largest subtraction with the merged undercount bound
+    val a = ((1 to 50).map(_ => "hot") ++ (1 to 10).map(i => s"a$i")).toDF("v")
+    val b = ((1 to 30).map(_ => "hot") ++ (1 to 10).map(i => s"b$i")).toDF("v")
+    Profiling.saveHhSketch(a, path, "v", capacity = 2)
+    Profiling.appendHhSketch(b, path, "b1")
+    val got = Profiling.mergedHeavyHitters(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= 2)
+    // n = 100 rows total, k = 2 → undercount <= n/(k+1) ≈ 33 per stage;
+    // two sketch stages + one merge truncation still must surface an
+    // 80-count item and report <= truth
+    assert(got.contains("hot"), s"hot missing from $got")
+    assert(got("hot") <= 80L && got("hot") >= 80L - 67L, s"hot=$got")
+  }
 }
