@@ -95,6 +95,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])` —
   *    shared n-gram span detection
   *    ([[graft.operators.Dedup.duplicateSpans]])
+  *  - `graft_hh_merged(indexPath)` — merged heavy hitters from a
+  *    persisted incremental Misra–Gries segment index
+  *    ([[graft.operators.Profiling.mergedHeavyHitters]])
   *  - `graft_lm_index_score(table, indexPath, idCol, textCol)` — LM
   *    quality scores against a persisted incremental stats index
   *    ([[graft.operators.Corpus.lmScoreAgainstStats]])
@@ -490,6 +493,15 @@ object GraftExtensions {
     // layout family (graft.sources.Layout) — write/update are BUILD-style
     // operators like graft_dedup_corpus: their jobs run while the SQL is
     // analyzed, and the returned row reports what was done
+    (new FunctionIdentifier("graft_hh_merged"),
+      new ExpressionInfo("graft.operators.Profiling", "graft_hh_merged"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(Profiling.mergedHeavyHitters(SparkSession.active,
+            strArg(p, "indexPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_hh_merged(indexPath)")
+      }),
     (new FunctionIdentifier("graft_lm_index_score"),
       new ExpressionInfo("graft.operators.Corpus", "graft_lm_index_score"),
       (args: Seq[Expression]) => args match {

@@ -518,5 +518,14 @@ class EngineSpec extends SparkSpec {
     val scalaR = Corpus.lmScoreAgainstStats(corpus, path, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(sqlR == scalaR && sqlR.nonEmpty)
+
+    // the HH index's read face, same row-identity contract
+    import graft.operators.Profiling
+    val hhPath = java.nio.file.Files.createTempDirectory("graft_sqlhh").toString
+    Profiling.saveHhSketch(corpus.select($"text".as("v")), hhPath, "v", 8)
+    val hhSql = spark.sql(s"SELECT * FROM graft_hh_merged('$hhPath')")
+      .collect().map(_.toSeq).toSeq
+    assert(hhSql == Profiling.mergedHeavyHitters(spark, hhPath)
+      .collect().map(_.toSeq).toSeq && hhSql.nonEmpty)
   }
 }
