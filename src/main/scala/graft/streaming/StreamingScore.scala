@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.operators.Corpus
+import graft.sources.Layout
 
 /** Streaming faces for corpus quality scoring against the persisted
   * incremental LM-stats index ([[graft.operators.Corpus.saveLmStats]]
@@ -33,5 +34,30 @@ object StreamingScore {
       (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         sink(Corpus.lmScoreAgainstStats(batch, indexPath, idCol, textCol),
           batchId)
+    }
+
+  /** Z-ordered streaming ingest: each micro-batch lands as
+    * [[Layout.appendZOrdered]] files (clustered within the batch — at
+    * 100 TB a batch is a day, and a day clusters itself) followed by the
+    * new-files-only [[Layout.updateManifest]], so the landed table is
+    * manifest-prunable the moment the batch commits and the manifest
+    * work per batch is O(batch), never a table rescan.
+    *
+    * foreachBatch is AT-LEAST-ONCE and a raw file append has no ledger —
+    * a replayed batch writes duplicate ROWS (the scaladoc caveat on
+    * [[Layout.appendZOrdered]]). Route at-least-once upstreams through
+    * the streaming dedup faces first, or fence replays at the source;
+    * this sink's own job is layout, not delivery semantics. `files` is
+    * per batch; empty batches write nothing and stat nothing.
+    */
+  def zorderedSinkEachBatch(rows: DataFrame, dataPath: String,
+                            colA: String, colB: String, files: Int,
+                            dims: Seq[String]): DataStreamWriter[Row] =
+    rows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          Layout.appendZOrdered(batch.toDF(), dataPath, colA, colB, files)
+          Layout.updateManifest(batch.sparkSession, dataPath, dims): Unit
+        }
     }
 }

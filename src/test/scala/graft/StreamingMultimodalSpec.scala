@@ -955,6 +955,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // lmScore's token frame
   }
 
+  test("z-ordered streaming ingest: each batch lands clustered with an " +
+       "incremental manifest; pruned reads see committed batches exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Layout
+    import graft.sources.Layout.ColRange
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsink")
+      .toString + "/data"
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingScore.zorderedSinkEachBatch(
+        input.toDS().toDF("id", "x", "y"), dir, "x", "y", files = 2,
+        dims = Seq("x", "y"))
+      .start()
+    try {
+      val b1 = (0L until 50L).map(i => (i, i % 10, i / 10))
+      val b2 = (50L until 100L).map(i => (i, 100L + i % 10, 100L + i / 10))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+
+      val manifest = spark.read.parquet(Layout.manifestPath(dir))
+      assert(manifest.count() == 4) // 2 files per batch, statted once each
+      assert(manifest.agg(org.apache.spark.sql.functions.sum("n_rows"))
+        .head().getLong(0) == 100L)
+
+      // a slice inside batch 1's value region: batch 2's files are
+      // provably disjoint (x >= 100) and must be skipped
+      val ranges = Seq(ColRange("x",
+        org.apache.spark.sql.functions.lit(0L),
+        org.apache.spark.sql.functions.lit(9L)))
+      val (kept, total) = Layout.pruneFiles(spark, dir, ranges)
+      assert(total == 4 && kept.size == 2, s"kept ${kept.size}/$total")
+      val got = Layout.prunedRead(spark, dir, ranges)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == (0L until 50L).toSeq)
+    } finally q.stop()
+  }
+
   test("sinks: csv with reference headers round-trips; json writes rows") {
     import spark.implicits._
     val df = Seq(("Noise", 10L, 3L), ("Heat", 5L, 1L))
