@@ -490,9 +490,8 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])")
       }),
-    // layout family (graft.sources.Layout) — write/update are BUILD-style
-    // operators like graft_dedup_corpus: their jobs run while the SQL is
-    // analyzed, and the returned row reports what was done
+    // read faces over persisted incremental indexes (lazy plans; the
+    // only construction-time read is the HH index's 1-row meta)
     (new FunctionIdentifier("graft_hh_merged"),
       new ExpressionInfo("graft.operators.Profiling", "graft_hh_merged"),
       (args: Seq[Expression]) => args match {
@@ -512,6 +511,9 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_lm_index_score(table, indexPath, idCol, textCol)")
       }),
+    // layout family (graft.sources.Layout) — write/update are BUILD-style
+    // operators like graft_dedup_corpus: their jobs run while the SQL is
+    // analyzed, and the returned row reports what was done
     (new FunctionIdentifier("graft_zorder_write"),
       new ExpressionInfo("graft.sources.Layout", "graft_zorder_write"),
       (args: Seq[Expression]) => args match {

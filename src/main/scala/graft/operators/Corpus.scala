@@ -300,29 +300,21 @@ object Corpus {
   def saveLmStats(hist: DataFrame, path: String, idCol: String,
                   textCol: String): Unit = {
     writeLmSegments(hist, path, idCol, textCol, "overwrite")
-    val spark = hist.sparkSession
-    import spark.implicits._
-    Seq("__base__").toDF("batch_id")
-      .write.mode("overwrite").parquet(s"$path/batches")
+    Ledger.init(hist.sparkSession, s"$path/batches")
   }
 
   /** Append one batch's counts under an EXPLICIT batch id. Counts are not
     * idempotent by value (appending the same rows twice doubles them —
     * unlike the id-keyed dedup indexes, nothing downstream can tell), so
-    * replay safety is a LEDGER: a batch id already recorded is skipped
-    * wholesale. Returns false for the skip. The ledger read is
-    * batch-count-sized, driver-local.
+    * replay safety is the shared [[Ledger]]: a batch id already recorded
+    * is skipped wholesale. Returns false for the skip.
     */
   def appendLmStats(batch: DataFrame, path: String, idCol: String,
                     textCol: String, batchId: String): Boolean = {
     val spark = batch.sparkSession
-    val seen = spark.read.parquet(s"$path/batches")
-      .collect().map(_.getString(0)).toSet
-    if (seen.contains(batchId)) return false
+    if (Ledger.contains(spark, s"$path/batches", batchId)) return false
     writeLmSegments(batch, path, idCol, textCol, "append")
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(s"$path/batches")
+    Ledger.record(spark, s"$path/batches", batchId)
     true
   }
 

@@ -262,47 +262,51 @@ object Profiling {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     heavyHitters(df, column, capacity)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/segments")
-    Seq("__base__").toDF("batch_id")
-      .write.mode("overwrite").parquet(s"$path/batches")
+    Ledger.init(spark, s"$path/batches")
   }
 
-  /** Ledger-guarded append of one batch's sketch segment (column and
+  /** [[Ledger]]-guarded append of one batch's sketch segment (column and
     * capacity are pinned by the index meta so batches cannot diverge).
     * Returns false when the batch id was already recorded.
     */
   def appendHhSketch(batch: DataFrame, path: String,
                      batchId: String): Boolean = {
     val spark = batch.sparkSession
-    import spark.implicits._
-    val seen = spark.read.parquet(s"$path/batches")
-      .collect().map(_.getString(0)).toSet
-    if (seen.contains(batchId)) return false
+    if (Ledger.contains(spark, s"$path/batches", batchId)) return false
     val m = hhMetaDf(spark, path).head()
     heavyHitters(batch, m.getString(0), m.getInt(1))
       .coalesce(1).write.mode("append").parquet(s"$path/segments")
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(s"$path/batches")
+    Ledger.record(spark, s"$path/batches", batchId)
     true
   }
 
   /** Merged heavy hitters across all segments: pointwise sum, then one
-    * capacity truncation. The (k+1)-th-largest lookup collects at most
-    * capacity+1 rows — k-bounded by construction, never data-sized.
+    * capacity truncation, computed ENTIRELY in-plan — the truncation
+    * branch and the (k+1)-th-largest delta ride a broadcast 1-row
+    * aggregate of the same lazy `summed` frame, so every action sees one
+    * consistent snapshot of the segments (an eager driver-side branch
+    * decision would bake stale truncation state into a plan whose scan
+    * re-reads segments appended later). Only the capacity is read
+    * eagerly (one row of meta; `limit` needs a literal). The summed
+    * aggregate appears twice in the plan — segment tables are
+    * k × appends rows, so the double aggregation is metadata-sized.
     */
   def mergedHeavyHitters(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
     val capacity = hhMetaDf(spark, path).head().getInt(1)
     val summed = spark.read.parquet(s"$path/segments")
       .groupBy(col("item")).agg(sum(col("n")).as("n"))
-    val top = summed.select(col("n")).orderBy(col("n").desc)
-      .limit(capacity + 1).collect()
-    val out =
-      if (top.length <= capacity) summed
-      else {
-        val d = top.last.getLong(0)
-        summed.withColumn("n", col("n") - d).filter(col("n") > 0)
-      }
-    out.orderBy(col("n").desc, col("item"))
+    // count and min over the top capacity+1 counts: count <= capacity
+    // means no overflow (keep n); otherwise min IS the (k+1)-th largest
+    val thr = summed.select(col("n")).orderBy(col("n").desc)
+      .limit(capacity + 1)
+      .agg(count(lit(1)).as("__cnt"), min(col("n")).as("__d"))
+    summed.crossJoin(broadcast(thr))
+      .withColumn("n", when(col("__cnt") <= capacity, col("n"))
+        .otherwise(col("n") - col("__d")))
+      .filter(col("n") > 0)
+      .select(col("item"), col("n"))
+      .orderBy(col("n").desc, col("item"))
   }
 
   /** Collapse the per-append segment litter to one merged segment

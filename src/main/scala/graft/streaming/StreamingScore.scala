@@ -40,8 +40,13 @@ object StreamingScore {
     * [[Layout.appendZOrdered]] files (clustered within the batch — at
     * 100 TB a batch is a day, and a day clusters itself) followed by the
     * new-files-only [[Layout.updateManifest]], so the landed table is
-    * manifest-prunable the moment the batch commits and the manifest
-    * work per batch is O(batch), never a table rescan.
+    * manifest-prunable the moment the batch commits. Per-batch DATA work
+    * is O(batch) — no table rescan, ever — but the manifest update's
+    * METADATA side (the directory listing and the manifest-name read)
+    * grows with cumulative file count over the stream's lifetime, like
+    * any parquet directory read; bound it by compacting files or by
+    * partitioning the landing path (e.g. by date) so each sub-path's
+    * file count stays flat.
     *
     * foreachBatch is AT-LEAST-ONCE and a raw file append has no ledger —
     * a replayed batch writes duplicate ROWS (the scaladoc caveat on
