@@ -25,16 +25,21 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(path(sfDir, name))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader refuses; read them as raw nanos and convert
-    * to a microsecond timestamp column (UTC, floor division — identical
-    * bucketing to engines that read nanos natively).
+  /** The events table's `ts` encoding has varied across test-data
+    * generations — INT64 TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader refuses; read as raw nanos and converted) and, since the
+    * round-7 regeneration, plain TIMESTAMP(MICROS) NTZ.
+    * [[eventsFromRaw]] normalizes whichever this directory holds to a
+    * microsecond UTC TimestampType.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     eventsFromRaw(eventsRaw(spark, sfDir))
 
-  /** Raw events frame: `ts` is the parquet file's INT64 nanos as LongType
-    * (also the schema to use for a streaming file source on these files).
+  /** Raw events frame: `ts` exactly as the file encodes it — LongType
+    * nanos for TIMESTAMP(NANOS) generations (via `nanosAsLong`),
+    * TIMESTAMP_NTZ for TIMESTAMP(MICROS) ones (the conf is a no-op
+    * there). Also the schema to use for a streaming file source on
+    * these files.
     *
     * `nanosAsLong` is a session-level SQL conf (there is no per-read
     * option); the nanos→long mapping is captured when the DataFrame is
