@@ -1251,6 +1251,22 @@ object SparkEntry {
       Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 2), path, "hhB")
       Profiling.compactHhSketch(s, path)
       Profiling.mergedHeavyHitters(s, path)
+    }),
+
+    // Decontamination against the PERSISTED probe-gram index: q38's
+    // exact semantics (same hash family, n pinned in index meta) with
+    // the probe side a saved artifact — the oracle is q38's, so a
+    // missed contaminated doc, a stale n, or a hash-family drift
+    // between save and probe all break the hash.
+    "q95_decontaminate_index" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_probes_${Integer.toHexString(d.hashCode)}").getPath
+      Corpus.saveProbeGrams(doc.filter(col("doc_id") < 5), path, "text", n = 3)
+      Corpus.decontaminateAgainstIndex(doc, path, "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2881,7 +2897,28 @@ object SparkEntry {
       """SELECT event_type AS item, count(*) AS n FROM events
         |WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, item"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    // q38's oracle verbatim: the persisted probe index must make the
+    // SAME contamination decisions as the one-shot probe tokenize
+    "q95_decontaminate_index" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gs
+        |  FROM (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), probe AS (
+        |  SELECT DISTINCT unnest(gs) AS pg FROM g WHERE doc_id < 5
+        |), contaminated AS (
+        |  SELECT DISTINCT dg.doc_id FROM
+        |    (SELECT doc_id, unnest(gs) AS gg FROM g) dg
+        |    JOIN probe ON dg.gg = probe.pg
+        |)
+        |SELECT doc_id, lang FROM g
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

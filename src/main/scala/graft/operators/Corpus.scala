@@ -392,6 +392,47 @@ object Corpus {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Persist the probe set's distinct n-gram hashes — the
+    * decontamination screen as an ARTIFACT: benchmark suites change on
+    * releases, corpora stream daily, so the probe side is tokenized once
+    * per suite release and every later batch joins against the saved
+    * 8-byte hash set without touching probe text again. `n` is pinned in
+    * meta so the probe and document gram lengths can never diverge
+    * (mismatched n silently screens nothing — hashes of different-length
+    * grams don't collide usefully).
+    */
+  def saveProbeGrams(probes: DataFrame, path: String, textCol: String,
+                     n: Int = 8): Unit = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    Seq(n).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    probes.select(
+        explode(graft.functions.HashFunctions.ngramHashes(
+          TextAnalysis.tokens(col(textCol)), n)).as("g"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+  }
+
+  /** [[decontaminate]] against a persisted probe-gram index: identical
+    * contamination decisions (same hash family, `n` from the index
+    * meta), with the probe side a pruned parquet read instead of a
+    * tokenize pass. The gram set's size is bounded by the benchmark
+    * suite, so at scale it broadcast-joins; the corpus is scanned once.
+    */
+  def decontaminateAgainstIndex(docs: DataFrame, path: String,
+                                idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val n = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val docGrams = docs.select(col(idCol),
+        explode(graft.functions.HashFunctions.ngramHashes(
+          TextAnalysis.tokens(col(textCol)), n)).as("g"))
+    val contaminated = docGrams
+      .join(spark.read.parquet(s"$path/grams"), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Top-`k` TF-IDF terms per document, with a RATIONAL idf —
     * `tf × (N+1)/(df+1)` instead of the textbook `tf × ln((N+1)/(df+1))`:
     * log implementations are not guaranteed correctly-rounded across

@@ -36,6 +36,23 @@ object StreamingScore {
           batchId)
     }
 
+  /** Per micro-batch decontamination against a persisted probe-gram
+    * index ([[Corpus.saveProbeGrams]]): `sink` receives each batch's
+    * CLEAN rows — documents sharing any n-gram with the benchmark suite
+    * are dropped before they ever land in training data. Probe text is
+    * never re-tokenized; per-batch cost is the batch scan plus a join
+    * against the suite-bounded gram set.
+    */
+  def decontaminateEachBatch(docs: DataFrame, idCol: String,
+                             textCol: String, indexPath: String)
+                            (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        sink(Corpus.decontaminateAgainstIndex(batch.toDF(), indexPath,
+          idCol, textCol), batchId)
+    }
+
   /** Z-ordered streaming ingest: each micro-batch lands as
     * [[Layout.appendZOrdered]] files (clustered within the batch — at
     * 100 TB a batch is a day, and a day clusters itself) followed by the

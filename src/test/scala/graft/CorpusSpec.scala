@@ -289,4 +289,27 @@ class CorpusSpec extends SparkSpec {
     assert(foreign(99L)._1 == 1)
     assert(math.abs(foreign(99L)._2 - 1.0 / 6.0) < 1e-15)
   }
+
+  test("probe-gram index: identical decisions to one-shot decontaminate; " +
+       "n pinned by meta") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma delta epsilon"), // shares trigram "beta gamma delta"
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" === 1L)
+    val path = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    Corpus.saveProbeGrams(probes, path, "text", n = 3)
+    val viaIndex = Corpus.decontaminateAgainstIndex(docs, path, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Corpus.decontaminate(docs, probes, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == direct)
+    assert(viaIndex == Seq(3L)) // 1 self-removes, 2 shares a trigram
+    // n comes from meta, not the caller — a re-save with different n
+    // changes decisions without any probe re-supply at query time
+    Corpus.saveProbeGrams(probes, path, "text", n = 4)
+    val n4 = Corpus.decontaminateAgainstIndex(docs, path, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(n4 == Seq(2L, 3L)) // no shared 4-gram between docs 1 and 2
+  }
 }

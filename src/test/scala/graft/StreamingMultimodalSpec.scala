@@ -955,6 +955,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // lmScore's token frame
   }
 
+  test("streaming decontamination: per-batch clean rows equal the batch " +
+       "API against the persisted probe index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Corpus
+    val path = java.nio.file.Files.createTempDirectory("graft_sprobe").toString
+    val probes = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Corpus.saveProbeGrams(probes, path, "text", n = 3)
+
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.StreamingScore.decontaminateEachBatch(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", path) {
+          (clean, _) => got ++= clean.select("doc_id").as[Long].collect()
+        }
+      .start()
+    try {
+      input.addData(
+        (10L, "beta gamma delta epsilon"), // contaminated (shared trigram)
+        (11L, "totally clean text here"))
+      q.processAllAvailable()
+      input.addData((12L, "alpha beta gamma delta")) // probe copy: dropped
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(11L))
+    } finally q.stop()
+  }
+
   test("z-ordered streaming ingest: each batch lands clustered with an " +
        "incremental manifest; pruned reads see committed batches exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
