@@ -95,6 +95,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])` —
   *    shared n-gram span detection
   *    ([[graft.operators.Dedup.duplicateSpans]])
+  *  - `graft_decontaminate_index(table, indexPath, idCol, textCol)` —
+  *    clean rows vs a persisted probe-gram index
+  *    ([[graft.operators.Corpus.decontaminateAgainstIndex]])
   *  - `graft_hh_merged(indexPath)` — merged heavy hitters from a
   *    persisted incremental Misra–Gries segment index
   *    ([[graft.operators.Profiling.mergedHeavyHitters]])
@@ -491,7 +494,17 @@ object GraftExtensions {
           "graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])")
       }),
     // read faces over persisted incremental indexes (lazy plans; the
-    // only construction-time read is the HH index's 1-row meta)
+    // only construction-time reads are 1-row metas)
+    (new FunctionIdentifier("graft_decontaminate_index"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_decontaminate_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id, text) =>
+          plan(graft.operators.Corpus.decontaminateAgainstIndex(
+            tableArg(t, "table"), strArg(p, "indexPath"),
+            strArg(id, "idCol"), strArg(text, "textCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_decontaminate_index(table, indexPath, idCol, textCol)")
+      }),
     (new FunctionIdentifier("graft_hh_merged"),
       new ExpressionInfo("graft.operators.Profiling", "graft_hh_merged"),
       (args: Seq[Expression]) => args match {

@@ -527,5 +527,16 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(hhSql == Profiling.mergedHeavyHitters(spark, hhPath)
       .collect().map(_.toSeq).toSeq && hhSql.nonEmpty)
+
+    // the probe-gram index's read face
+    val prPath = java.nio.file.Files.createTempDirectory("graft_sqlpr").toString
+    Corpus.saveProbeGrams(corpus.filter($"doc_id" === 0L), prPath, "text", n = 2)
+    val deSql = spark.sql(
+      s"""SELECT doc_id FROM graft_decontaminate_index('sql_lm_docs',
+         |  '$prPath', 'doc_id', 'text') ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val deScala = Corpus.decontaminateAgainstIndex(corpus, prPath, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(deSql == deScala && deSql == Seq(2L)) // docs 0,1 share bigrams
   }
 }
