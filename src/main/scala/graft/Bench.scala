@@ -37,22 +37,68 @@ object Bench {
     // reuse, not the query. A failing query records a 9999s sentinel
     // (NOT its time-to-throw — a broken build must read as slow, never
     // as fast) + a stderr line.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+    //
+    // NOISE CANARY: one fixed cheap query (q01, a broadcast dim lookup
+    // whose plan never changes) is re-timed single-rep before each
+    // quartile of the suite and once at the end. Identical plans have
+    // flapped 2–27× run-to-run on this shared VM (BASELINE.md), and two
+    // of three driver rounds lost their bench signal to such a window —
+    // the canary vector lets any reader deflate a degraded window
+    // WITHOUT a local rerun: flat canaries + one slow query = that
+    // query regressed; inflated canaries = the whole window is weather.
+    //
+    // Lifecycle queries (q89–q95) also report PER-STAGE wall times
+    // (build/append/compact/...; see [[Stages]]) from the winning rep,
+    // plus `final_read` = headline minus eager stages = the returned
+    // frame's own evaluation. One bundled number was unattributable
+    // (VERDICT r7 on q92's 73.8 s driver reading).
+    val canaryName = "q01_dim_lookup"
+    def canaryTime(): Double =
+      SparkEntry.queries.get(canaryName).fold(-1.0) { fn =>
         try {
+          val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sharedState.cacheManager.clearCache()
           dt
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            9999.0
+        } catch { case _: Throwable => -1.0 }
+      }
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val stageMap =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
+    val qseq = SparkEntry.queries.toSeq
+    val quartile = math.max(1, (qseq.size + 3) / 4)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    qseq.grouped(quartile).foreach { chunk =>
+      canaries += canaryTime()
+      chunk.foreach { case (name, fn) =>
+        var best = Double.MaxValue
+        var bestStages = Seq.empty[(String, Double)]
+        (1 to 2).foreach { _ =>
+          Stages.clear(name)
+          val t0 = System.nanoTime()
+          val dt =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              val d = (System.nanoTime() - t0) / 1e9
+              spark.sharedState.cacheManager.clearCache()
+              d
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                9999.0
+            }
+          if (dt < best) { best = dt; bestStages = Stages.snapshot(name) }
+        }
+        results += name -> best
+        if (bestStages.nonEmpty) {
+          val eager = bestStages.map(_._2).sum
+          stageMap += name ->
+            (bestStages :+ ("final_read" -> math.max(0.0, best - eager)))
         }
       }
-      name -> times.min
     }
+    canaries += canaryTime()
     // Plan fingerprints LAST (construction-time build jobs would
     // otherwise pre-warm the timed reps' caches), then the cache cleared
     // per query for the same reason in reverse. A changed hash between
@@ -69,14 +115,21 @@ object Bench {
       .mkString("{", ",", "}")
     val ps = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val cs = canaries.mkString("[", ",", "]")
+    val ss = stageMap.map { case (q, st) =>
+      "\"" + q + "\":" +
+        st.map { case (s, v) => "\"" + s + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Key order matters for the driver artifact: its capture keeps the
-    // TAIL of this line, so the timings map goes LAST (a truncated capture
-    // loses plan hashes, which the committed snapshot file holds anyway,
-    // never the per-query timings — BENCH_r04 lost all 84 of them the
-    // other way around).
+    // TAIL of this line, so the timings map goes LAST and the canary
+    // vector + stage maps (small, and the keys a degraded window needs
+    // for interpretation) go right before it; the large plans map is
+    // first to be sacrificed to truncation (the committed snapshot file
+    // holds the hashes anyway — BENCH_r04 lost all 84 timings the other
+    // way around).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","plans":$ps,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","plans":$ps,"canary":$cs,"stages":$ss,"queries":$qs}"""
     // The driver's stdout capture keeps a fixed-size tail, which truncated
     // the r5 and r6 artifacts; the complete record also goes to a repo file
     // (committed per round) so no timing or hash is ever lost to capture.
@@ -85,7 +138,7 @@ object Bench {
       val cfg =
         s"""{"cpus":$cpus,"shufflePartitions":$cpus,"aqe":true,"timeZone":"UTC"}"""
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"queries":$qs}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"canary":$cs,"stages":$ss,"queries":$qs}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1093,13 +1093,19 @@ object SparkEntry {
       val idxPath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_ivf_idx_${Integer.toHexString(d.hashCode)}").getPath
-      val (cells, cents) = Similarity.ivfAssign(
-        emb.filter(col("vec_id") >= 250), "vec_id", "embedding", nCells = 16)
-      Similarity.saveIvfIndex(cells, cents, idxPath)
-      cells.unpersist(blocking = false)
+      Stages.timed("q89_incremental_ivf", "build_save") {
+        val (cells, cents) = Similarity.ivfAssign(
+          emb.filter(col("vec_id") >= 250), "vec_id", "embedding", nCells = 16)
+        Similarity.saveIvfIndex(cells, cents, idxPath)
+        cells.unpersist(blocking = false)
+      }
       val batch = emb.filter(col("vec_id") < 250)
-      Similarity.appendIvfIndex(batch, idxPath, "vec_id", "embedding")
-      Similarity.appendIvfIndex(batch, idxPath, "vec_id", "embedding")
+      Stages.timed("q89_incremental_ivf", "append") {
+        Similarity.appendIvfIndex(batch, idxPath, "vec_id", "embedding")
+      }
+      Stages.timed("q89_incremental_ivf", "append_replay") {
+        Similarity.appendIvfIndex(batch, idxPath, "vec_id", "embedding")
+      }
       val (loaded, loadedCents) = Similarity.loadIvfIndex(s, idxPath)
       Similarity.ivfSearch(loaded, loadedCents, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nProbe = 4)
@@ -1123,12 +1129,18 @@ object SparkEntry {
       // prefixBits sized to the corpus (16 buckets/table ≈ 100+ rows
       // each), the same sizing rule lshTopK's auto-prefix applies — a
       // 256-dir layout over 2 k vectors pays file-creation, not search
-      Similarity.saveLshIndex(emb.filter(col("vec_id") >= 250), idxPath,
-        "vec_id", "embedding", bits = 8, prefixBits = 4, tables = 2,
-        portableDim = 64)
+      Stages.timed("q90_incremental_lsh", "build_save") {
+        Similarity.saveLshIndex(emb.filter(col("vec_id") >= 250), idxPath,
+          "vec_id", "embedding", bits = 8, prefixBits = 4, tables = 2,
+          portableDim = 64)
+      }
       val batch = emb.filter(col("vec_id") < 250)
-      Similarity.appendLshIndex(batch, idxPath, "vec_id", "embedding")
-      Similarity.appendLshIndex(batch, idxPath, "vec_id", "embedding")
+      Stages.timed("q90_incremental_lsh", "append") {
+        Similarity.appendLshIndex(batch, idxPath, "vec_id", "embedding")
+      }
+      Stages.timed("q90_incremental_lsh", "append_replay") {
+        Similarity.appendLshIndex(batch, idxPath, "vec_id", "embedding")
+      }
       Similarity.lshSearch(s, idxPath, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, multiProbe = true,
           maxBucket = Int.MaxValue)
@@ -1149,9 +1161,13 @@ object SparkEntry {
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_zorder_${Integer.toHexString(d.hashCode)}").getPath
-      Layout.writeZOrdered(t(s, d, "lineitem"), dir,
-        "l_shipdate", "l_partkey", files = 16)
-      Layout.writeManifest(s, dir, dims)
+      Stages.timed("q91_zorder_slice", "zorder_write") {
+        Layout.writeZOrdered(t(s, d, "lineitem"), dir,
+          "l_shipdate", "l_partkey", files = 16)
+      }
+      Stages.timed("q91_zorder_slice", "manifest") {
+        Layout.writeManifest(s, dir, dims)
+      }
       Layout.prunedRead(s, dir, Seq(
           Layout.ColRange("l_shipdate",
             lit("1996-01-01").cast("timestamp"),
@@ -1188,11 +1204,21 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
       val base = li.filter(col("l_orderkey") % 4 =!= 0)
       val batch = li.filter(col("l_orderkey") % 4 === 0)
-      Layout.writeZOrdered(base, dir, "l_shipdate", "l_partkey", files = 8)
-      Layout.updateManifest(s, dir, dims)
-      Layout.appendZOrdered(batch, dir, "l_shipdate", "l_partkey", files = 2)
-      Layout.updateManifest(s, dir, dims)
-      Layout.updateManifest(s, dir, dims) // idempotent no-op under the gate
+      Stages.timed("q92_layout_append", "base_write") {
+        Layout.writeZOrdered(base, dir, "l_shipdate", "l_partkey", files = 8)
+      }
+      Stages.timed("q92_layout_append", "manifest") {
+        Layout.updateManifest(s, dir, dims)
+      }
+      Stages.timed("q92_layout_append", "append") {
+        Layout.appendZOrdered(batch, dir, "l_shipdate", "l_partkey", files = 2)
+      }
+      Stages.timed("q92_layout_append", "manifest_update") {
+        Layout.updateManifest(s, dir, dims)
+      }
+      Stages.timed("q92_layout_append", "manifest_noop") {
+        Layout.updateManifest(s, dir, dims) // idempotent no-op under the gate
+      }
       Layout.prunedRead(s, dir, Seq(
           Layout.ColRange("l_shipdate",
             lit("1997-01-01").cast("timestamp"),
@@ -1223,11 +1249,21 @@ object SparkEntry {
       val hist = doc.filter(col("doc_id") % 3 =!= 0)
       val batchA = doc.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
       val batchB = doc.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
-      Corpus.saveLmStats(hist, path, "doc_id", "text")
-      Corpus.appendLmStats(batchA, path, "doc_id", "text", "batchA")
-      Corpus.appendLmStats(batchA, path, "doc_id", "text", "batchA") // replay: no-op
-      Corpus.appendLmStats(batchB, path, "doc_id", "text", "batchB")
-      Corpus.compactLmStats(s, path) // must not change any merged count
+      Stages.timed("q93_incremental_lm", "build_save") {
+        Corpus.saveLmStats(hist, path, "doc_id", "text")
+      }
+      Stages.timed("q93_incremental_lm", "append") {
+        Corpus.appendLmStats(batchA, path, "doc_id", "text", "batchA")
+      }
+      Stages.timed("q93_incremental_lm", "append_replay") {
+        Corpus.appendLmStats(batchA, path, "doc_id", "text", "batchA") // replay: no-op
+      }
+      Stages.timed("q93_incremental_lm", "append_b") {
+        Corpus.appendLmStats(batchB, path, "doc_id", "text", "batchB")
+      }
+      Stages.timed("q93_incremental_lm", "compact") {
+        Corpus.compactLmStats(s, path) // must not change any merged count
+      }
       Corpus.lmScoreAgainstStats(doc.filter(col("doc_id") < 50), path,
           "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -1244,12 +1280,22 @@ object SparkEntry {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_hh_${Integer.toHexString(d.hashCode)}").getPath
-      Profiling.saveHhSketch(ev.filter(col("user_id") % 3 === 0), path,
-        "event_type", capacity = 64)
-      Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 1), path, "hhA")
-      Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 1), path, "hhA")
-      Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 2), path, "hhB")
-      Profiling.compactHhSketch(s, path)
+      Stages.timed("q94_incremental_hh", "build_save") {
+        Profiling.saveHhSketch(ev.filter(col("user_id") % 3 === 0), path,
+          "event_type", capacity = 64)
+      }
+      Stages.timed("q94_incremental_hh", "append") {
+        Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 1), path, "hhA")
+      }
+      Stages.timed("q94_incremental_hh", "append_replay") {
+        Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 1), path, "hhA")
+      }
+      Stages.timed("q94_incremental_hh", "append_b") {
+        Profiling.appendHhSketch(ev.filter(col("user_id") % 3 === 2), path, "hhB")
+      }
+      Stages.timed("q94_incremental_hh", "compact") {
+        Profiling.compactHhSketch(s, path)
+      }
       Profiling.mergedHeavyHitters(s, path)
     }),
 
@@ -1263,7 +1309,9 @@ object SparkEntry {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_probes_${Integer.toHexString(d.hashCode)}").getPath
-      Corpus.saveProbeGrams(doc.filter(col("doc_id") < 5), path, "text", n = 3)
+      Stages.timed("q95_decontaminate_index", "build_save") {
+        Corpus.saveProbeGrams(doc.filter(col("doc_id") < 5), path, "text", n = 3)
+      }
       Corpus.decontaminateAgainstIndex(doc, path, "doc_id", "text")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
