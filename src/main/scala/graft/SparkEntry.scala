@@ -1315,6 +1315,93 @@ object SparkEntry {
       Corpus.decontaminateAgainstIndex(doc, path, "doc_id", "text")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Tombstone lifecycle on the digest index: history saved, a slice
+    // DELETED by text (replayed — idempotent), a sub-slice revived by
+    // re-append, the index compacted (sidecar applied + dropped), then
+    // a batch exact-deduped against it. The oracle re-derives effective
+    // membership as history-digests minus (deleted minus revived) with
+    // null-safe set algebra — a tombstone that leaks, fails to clear,
+    // or survives compaction breaks the hash. Content-keyed semantics:
+    // deleting one doc's text deletes membership for every doc sharing
+    // that text, exactly what the digest index stores.
+    "q96_tombstone_exact" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_digdel_${Integer.toHexString(d.hashCode)}").getPath
+      val hist = doc.filter(col("doc_id") % 3 =!= 0)
+      Stages.timed("q96_tombstone_exact", "build_save") {
+        Dedup.saveDigestIndex(hist, path, "text")
+      }
+      val del = hist.filter(col("doc_id") % 5 === 0)
+      Stages.timed("q96_tombstone_exact", "delete") {
+        Dedup.deleteFromDigestIndex(del, path, "text")
+      }
+      Stages.timed("q96_tombstone_exact", "delete_replay") {
+        Dedup.deleteFromDigestIndex(del, path, "text") // idempotent no-op
+      }
+      Stages.timed("q96_tombstone_exact", "revive_append") {
+        Dedup.appendDigestIndex(hist.filter(col("doc_id") % 10 === 0),
+          path, "text")
+      }
+      Stages.timed("q96_tombstone_exact", "compact") {
+        Dedup.compactDigestIndex(s, path) // applies sidecar, drops it
+      }
+      Dedup.incrementalExact(doc.filter(col("doc_id") % 3 === 0), path,
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tombstone lifecycle on the IVF index: q89's build/append flow,
+    // then four ids deleted (replayed), one revived via re-append, the
+    // index compacted, and the search re-run. The oracle is q89's full
+    // SQL re-derivation with the three effectively-deleted ids excluded
+    // from the neighbor side — so a probe that still returns a deleted
+    // id, a revive that fails, or a compaction that drops a live row
+    // all break the hash.
+    "q97_tombstone_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfdel_${Integer.toHexString(d.hashCode)}").getPath
+      Stages.timed("q97_tombstone_ivf", "build_save") {
+        val (cells, cents) = Similarity.ivfAssign(
+          emb.filter(col("vec_id") >= 250), "vec_id", "embedding",
+          nCells = 16)
+        Similarity.saveIvfIndex(cells, cents, idxPath)
+        cells.unpersist(blocking = false)
+      }
+      Stages.timed("q97_tombstone_ivf", "append") {
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") < 250), idxPath,
+          "vec_id", "embedding")
+      }
+      import s.implicits._
+      val delIds = Seq(10L, 11L, 300L, 301L).toDF("vec_id")
+      Stages.timed("q97_tombstone_ivf", "delete") {
+        Similarity.deleteFromIvfIndex(delIds, idxPath, "vec_id")
+      }
+      Stages.timed("q97_tombstone_ivf", "delete_replay") {
+        Similarity.deleteFromIvfIndex(delIds, idxPath, "vec_id")
+      }
+      Stages.timed("q97_tombstone_ivf", "revive_append") {
+        // clears 10's tombstone; its persisted cell row revives, and
+        // the idempotence anti-join appends nothing
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") === 10L),
+          idxPath, "vec_id", "embedding")
+      }
+      Stages.timed("q97_tombstone_ivf", "compact") {
+        Similarity.compactIvfIndex(s, idxPath, "vec_id")
+      }
+      val (loaded, loadedCents) = Similarity.loadIvfIndex(s, idxPath)
+      Similarity.ivfSearch(loaded, loadedCents,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1391,7 +1478,18 @@ object SparkEntry {
   // centroid append), the union probed. Engine-side idempotence (the
   // double append) has no oracle analogue beyond the result itself: a
   // duplicated neighbor row would double-hit `scored` and break the hash.
-  private def q89OracleSql: String =
+  // q97 reuses the chain with the effectively-deleted ids excluded from
+  // the neighbor side (tombstone lifecycle under the same arithmetic).
+  private def q89OracleSql: String = ivfIncrementalOracleSql(Nil)
+
+  private def ivfIncrementalOracleSql(excludeNeighbors: Seq[Long]): String = {
+    val excl =
+      if (excludeNeighbors.isEmpty) ""
+      else s" AND a.id NOT IN (${excludeNeighbors.mkString(", ")})"
+    ivfIncrementalOracleCore(excl)
+  }
+
+  private def ivfIncrementalOracleCore(neighborExtraPred: String): String =
     s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |h AS (SELECT id, v FROM v WHERE id >= 250),
        |q AS (SELECT id, v, sqrt(${vdot("v", "v")}) AS qn FROM v WHERE id < 5),
@@ -1421,7 +1519,7 @@ object SparkEntry {
        |         ELSE ${vdot("q.v", "a.v")} / (q.qn * sqrt(${vdot("a.v", "a.v")})) END AS cos
        |  FROM probes p
        |  JOIN q ON q.id = p.query_id
-       |  JOIN cells a ON a.cell = p.cell AND a.id != p.query_id
+       |  JOIN cells a ON a.cell = p.cell AND a.id != p.query_id$neighborExtraPred
        |),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
@@ -2966,7 +3064,45 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang FROM g
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // Effective membership = history digests minus (deleted minus
+    // revived), all set steps null-safe (md5(NULL) is NULL on both
+    // engines; IS NOT DISTINCT FROM makes the null digest behave like a
+    // value, matching the engine's <=> joins). Survivors then keep the
+    // lowest doc_id per batch digest group — incrementalExact's min_by.
+    "q96_tombstone_exact" ->
+      """WITH histdg AS (
+        |  SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 3 <> 0
+        |), del AS (
+        |  SELECT DISTINCT md5(text) AS dg FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+        |), rev AS (
+        |  SELECT DISTINCT md5(text) AS dg FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 0
+        |), dmr AS (
+        |  SELECT dg FROM del d WHERE NOT EXISTS (
+        |    SELECT 1 FROM rev r WHERE r.dg IS NOT DISTINCT FROM d.dg)
+        |), eff AS (
+        |  SELECT dg FROM histdg h WHERE NOT EXISTS (
+        |    SELECT 1 FROM dmr m WHERE m.dg IS NOT DISTINCT FROM h.dg)
+        |), batch AS (
+        |  SELECT doc_id, lang, md5(text) AS dg FROM documents
+        |  WHERE doc_id % 3 = 0
+        |), fresh AS (
+        |  SELECT * FROM batch b WHERE NOT EXISTS (
+        |    SELECT 1 FROM eff e WHERE e.dg IS NOT DISTINCT FROM b.dg)
+        |)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+        |  FROM fresh
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q89's chain with {11, 300, 301} excluded from the neighbor side:
+    // 10 was deleted then revived (tombstone cleared), the others stay
+    // deleted through the compaction
+    "q97_tombstone_ivf" -> ivfIncrementalOracleSql(Seq(11L, 300L, 301L))
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

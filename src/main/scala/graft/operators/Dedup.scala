@@ -139,16 +139,52 @@ object Dedup {
     * text) — the cheap sibling of the MinHash band index below, and the
     * static side of [[graft.streaming.StreamingDedup.againstHistory]].
     */
-  def saveDigestIndex(docs: DataFrame, path: String, textCol: String): Unit =
+  def saveDigestIndex(docs: DataFrame, path: String, textCol: String): Unit = {
     docs.select(md5(col(textCol)).as("digest")).distinct()
       .write.mode("overwrite").parquet(path)
+    // a fresh index must not inherit a previous incarnation's deletes
+    Tombstones.drop(docs.sparkSession, digestTombPath(path))
+  }
+
+  /** The digest table is FLAT at `path` (no subdirectories), so its
+    * tombstone sidecar lives next to it, not under it — a `tombstones`
+    * child would corrupt the parquet directory listing.
+    */
+  private def digestTombPath(path: String): String = s"${path}_tombstones"
+
+  /** Delete documents from the digest history by TEXT: their digests go
+    * to the tombstone sidecar, and every membership probe
+    * ([[incrementalExact]], [[loadDigestIndex]]) stops treating those
+    * texts as seen — the digest index is content-keyed, so deleting a
+    * doc deletes the membership of every doc sharing its text.
+    * Idempotent; physically applied (and the sidecar dropped) by
+    * [[compactDigestIndex]]. See [[Tombstones]] for the contract.
+    */
+  def deleteFromDigestIndex(docs: DataFrame, path: String,
+                            textCol: String): Unit =
+    Tombstones.add(docs.select(md5(col(textCol)).as("digest")),
+      "digest", digestTombPath(path))
 
   /** Grow the digest history with a processed batch (idempotent for the
     * membership test — duplicate digest rows change nothing downstream).
+    * Re-appending a tombstoned text REVIVES it: the batch's digests are
+    * cleared from the tombstone sidecar first.
     */
-  def appendDigestIndex(docs: DataFrame, path: String, textCol: String): Unit =
-    docs.select(md5(col(textCol)).as("digest")).distinct()
-      .write.mode("append").parquet(path)
+  def appendDigestIndex(docs: DataFrame, path: String, textCol: String): Unit = {
+    val dg = docs.select(md5(col(textCol)).as("digest")).distinct()
+    Tombstones.clear(dg, "digest", digestTombPath(path))
+    dg.write.mode("append").parquet(path)
+  }
+
+  /** The digest history as probes must see it: tombstoned digests
+    * anti-joined away. The loader for callers that take a digest FRAME
+    * (e.g. [[graft.streaming.StreamingDedup.againstHistory]]) — reading
+    * the path directly would resurrect deleted texts.
+    */
+  def loadDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    Tombstones.applyTo(spark.read.parquet(path), "digest",
+      digestTombPath(path))
 
   /** Rewrite the digest history as one compact, globally-distinct,
     * digest-range-partitioned table. [[appendDigestIndex]] adds a file
@@ -163,11 +199,14 @@ object Dedup {
   def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
     val staged = s"${path}_compacting"
-    spark.read.parquet(path).distinct()
+    Tombstones.applyTo(spark.read.parquet(path), "digest",
+        digestTombPath(path))
+      .distinct()
       .repartitionByRange(col("digest"))
       .sortWithinPartitions(col("digest"))
       .write.mode("overwrite").parquet(staged)
     swapTable(spark, path, staged)
+    Tombstones.drop(spark, digestTombPath(path))
   }
 
   /** Exact-dedup an arriving batch against the digest history AND within
@@ -179,7 +218,7 @@ object Dedup {
     */
   def incrementalExact(newDocs: DataFrame, path: String, idCol: String,
                        textCol: String): DataFrame = {
-    val hist = newDocs.sparkSession.read.parquet(path)
+    val hist = loadDigestIndex(newDocs.sparkSession, path)
     val keyed = newDocs.withColumn("__dg", md5(col(textCol)))
     // NULL-SAFE anti-join: md5(NULL) is NULL, and a plain equality never
     // matches NULL = NULL — null-text rows would survive every batch even
@@ -235,7 +274,22 @@ object Dedup {
     Seq((shingleN, numHashes, bands, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a fresh index must not inherit a previous incarnation's deletes
+    Tombstones.drop(spark, s"$path/tombstones")
   }
+
+  /** Delete documents from the MinHash band index by id: tombstoned ids
+    * stop surfacing from every probe ([[flagAgainstIndex]],
+    * [[incrementalMinhashPairs]], the streaming faces) immediately;
+    * their band rows are physically removed — and the sidecar dropped —
+    * at the next [[compactMinhashIndex]]. Until then the dead rows
+    * still occupy their bucket-cap slots (conservative; see
+    * [[Tombstones]]). Re-appending a deleted id revives it.
+    */
+  def deleteFromMinhashIndex(ids: DataFrame, path: String,
+                             idCol: String): Unit =
+    Tombstones.add(ids.select(col(idCol).as("id")), "id",
+      s"$path/tombstones")
 
   /** Dedup (duplicate input rows — a doc ingested twice in one frame —
     * would otherwise write two identical band rows each) + per-bucket cap
@@ -283,12 +337,15 @@ object Dedup {
     // stage next to the live table, then swap — can't overwrite a table
     // that is being read
     val staged = s"$path/bands_compacting"
-    writeBands(spark.read.parquet(s"$path/bands"), staged, maxBucket,
-      "overwrite")
+    writeBands(
+      Tombstones.applyTo(spark.read.parquet(s"$path/bands"), "id",
+        s"$path/tombstones"),
+      staged, maxBucket, "overwrite")
     swapTable(spark, s"$path/bands", staged)
     Seq((sn, nh, b, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   /** Promote a staged rewrite over a live parquet table by renaming the
@@ -333,6 +390,11 @@ object Dedup {
                          textCol: String): Unit = {
     val spark = newDocs.sparkSession
     val meta = readMinhashMeta(spark, path)
+    // append-after-delete revives: a re-ingested doc's tombstone is
+    // cleared, and its still-persisted band rows (which the idempotence
+    // anti-join below will decline to duplicate) become live again
+    Tombstones.clear(newDocs.select(col(idCol).as("id")), "id",
+      s"$path/tombstones")
     val batch = bandRows(newDocs, idCol, textCol,
         meta.shingleN, meta.numHashes, meta.bands)
       // batch-internal dedup: a doc appearing twice in one batch would
@@ -393,10 +455,14 @@ object Dedup {
     // cap computed over the whole index would shuffle all of history
     // every increment. The semi-join keys are the batch's distinct
     // bucket ids (small), and the sorted index layout lets parquet
-    // row-group min/max statistics cut the scan.
-    val touched = idx.join(
-      newBands.select(col("band_idx"), col("band_hash")).distinct(),
-      Seq("band_idx", "band_hash"), "left_semi")
+    // row-group min/max statistics cut the scan. Tombstoned ids are
+    // anti-joined AFTER the bucket restriction (the sidecar filter
+    // costs touched-slice × deletions, never index × deletions).
+    val touched = Tombstones.applyTo(
+      idx.join(
+        newBands.select(col("band_idx"), col("band_hash")).distinct(),
+        Seq("band_idx", "band_hash"), "left_semi"),
+      "id", s"$path/tombstones")
     // per-bucket cap on the INDEX side (lowest ids win — deterministic,
     // same contract as minhashCandidatePairs' star fallback). A stamped
     // index is already write-time capped at meta.maxBucket, so the
@@ -487,9 +553,11 @@ object Dedup {
     val banded = bandRows(docs, idCol, textCol,
         meta.shingleN, meta.numHashes, meta.bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = spark.read.parquet(s"$path/bands")
-      .join(banded.select(col("band_idx"), col("band_hash")).distinct(),
-        Seq("band_idx", "band_hash"), "left_semi")
+    val touched = Tombstones.applyTo(
+      spark.read.parquet(s"$path/bands")
+        .join(banded.select(col("band_idx"), col("band_hash")).distinct(),
+          Seq("band_idx", "band_hash"), "left_semi"),
+      "id", s"$path/tombstones")
     (firstBandPairs(banded, touched, meta.numHashes / meta.bands, idCol),
       banded)
   }
@@ -1049,6 +1117,8 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/fp")
     Seq(Tuple1(portable)).toDF("portable")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a fresh index must not inherit a previous incarnation's deletes
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   /** The rows an append would add: the batch (internal duplicate ids
@@ -1093,10 +1163,26 @@ object Dedup {
     * appends per path.
     */
   def appendSimhashIndex(newDocs: DataFrame, path: String, idCol: String,
-                         textCol: String): Unit =
+                         textCol: String): Unit = {
+    // append-after-delete revives (see [[Tombstones]]): the cleared
+    // id's persisted fingerprint row becomes live again, and the
+    // idempotence anti-join below declines to duplicate it
+    Tombstones.clear(newDocs.select(col(idCol).as("id")), "id",
+      s"$path/tombstones")
     simhashAppendRows(newDocs, path, idCol, textCol)
       .sortWithinPartitions(col("id"))
       .write.mode("append").parquet(s"$path/fp")
+  }
+
+  /** Delete documents from the SimHash fingerprint index by id —
+    * probes ([[incrementalSimhashPairs]], the streaming face) stop
+    * matching them immediately; [[compactSimhashIndex]] applies the
+    * sidecar physically and drops it. Re-appending revives.
+    */
+  def deleteFromSimhashIndex(ids: DataFrame, path: String,
+                             idCol: String): Unit =
+    Tombstones.add(ids.select(col(idCol).as("id")), "id",
+      s"$path/tombstones")
 
   /** Rewrite the fingerprint table as one compact, globally
     * id-range-partitioned, id-sorted table. Appends keep each FILE
@@ -1110,12 +1196,14 @@ object Dedup {
   def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     val staged = s"$path/fp_compacting"
-    spark.read.parquet(s"$path/fp")
+    Tombstones.applyTo(spark.read.parquet(s"$path/fp"), "id",
+        s"$path/tombstones")
       .groupBy(col("id")).agg(min(col("fp")).as("fp"))
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(staged)
     swapTable(spark, s"$path/fp", staged)
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   private[graft] def readSimhashMeta(spark: org.apache.spark.sql.SparkSession,
@@ -1178,9 +1266,11 @@ object Dedup {
     val newBlocks = explodeBlocks(
         newDocs.select(col(idCol).as("id"), fpExpr.as("fp")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = explodeBlocks(spark.read.parquet(s"$path/fp"))
-      .join(newBlocks.select(col("blk"), col("bval")).distinct(),
-        Seq("blk", "bval"), "left_semi")
+    val touched = Tombstones.applyTo(
+      explodeBlocks(spark.read.parquet(s"$path/fp"))
+        .join(newBlocks.select(col("blk"), col("bval")).distinct(),
+          Seq("blk", "bval"), "left_semi"),
+      "id", s"$path/tombstones")
     val capW = Window.partitionBy(col("blk"), col("bval")).orderBy(col("id"))
     val capped = touched.withColumn("__bn", row_number().over(capW))
       .filter(col("__bn") <= maxBucket)

@@ -290,14 +290,31 @@ object Similarity {
     cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.toSeq.toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // a fresh index must not inherit a previous incarnation's deletes
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   /** Load a persisted IVF index. Only the K×dim centroid matrix is
     * collected to the driver; cell assignments stay distributed.
+    * Tombstoned ids ([[deleteFromIvfIndex]]) are anti-joined away — the
+    * sidecar is self-describing (its single column carries the index's
+    * id column name), so the load needs no idCol argument.
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): (DataFrame, Array[(Int, Array[Float])]) =
-    (spark.read.parquet(s"$path/cells"), readIvfCentroids(spark, path))
+    (Tombstones.applySelfTo(spark.read.parquet(s"$path/cells"),
+      s"$path/tombstones"), readIvfCentroids(spark, path))
+
+  /** Delete vectors from a persisted IVF index by id: searches over a
+    * freshly [[loadIvfIndex]]-ed frame stop returning them immediately;
+    * [[compactIvfIndex]] removes the rows physically and drops the
+    * sidecar. Re-appending a deleted id revives it (the append clears
+    * its tombstone; its persisted cell row was never rewritten).
+    * Centroids are untouched — deletion is a membership operation, not
+    * a retrain.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, path: String, idCol: String): Unit =
+    Tombstones.add(ids.select(col(idCol)), idCol, s"$path/tombstones")
 
   /** The one place the persisted centroid layout is interpreted —
     * load and append both go through here.
@@ -328,10 +345,16 @@ object Similarity {
     * [[compactIvfIndex]] + retrain) on a quiet moment.
     */
   def appendIvfIndex(newRows: DataFrame, path: String, idCol: String,
-                     vecCol: String): Unit =
+                     vecCol: String): Unit = {
+    // append-after-delete revives (see [[Tombstones]]): the cleared
+    // id's persisted cell row becomes live again, and the idempotence
+    // anti-join inside ivfAppendRows declines to duplicate it
+    Tombstones.clear(newRows.select(col(idCol)), idCol,
+      s"$path/tombstones")
     ivfAppendRows(newRows, path, idCol, vecCol)
       .sortWithinPartitions(col(idCol))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
 
   private[graft] def ivfAppendRows(newRows: DataFrame, path: String,
                                    idCol: String, vecCol: String): DataFrame = {
@@ -373,7 +396,8 @@ object Similarity {
                       path: String, idCol: String,
                       targetRowsPerRange: Long = 1L << 22): Unit = {
     val staged = s"$path/cells_compacting"
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = Tombstones.applyTo(
+      spark.read.parquet(s"$path/cells"), idCol, s"$path/tombstones")
     val others = cells.columns.filter(c => c != idCol && c != "cell").toSeq
     val dedup = cells
       .groupBy(col(idCol))
@@ -393,6 +417,7 @@ object Similarity {
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
     Dedup.swapTable(spark, s"$path/cells", staged)
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -446,6 +471,8 @@ object Similarity {
     Seq((bits, prefixBits, tables, portableDim))
       .toDF("bits", "prefix_bits", "tables", "portable_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a fresh index must not inherit a previous incarnation's deletes
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
@@ -471,10 +498,23 @@ object Similarity {
     * partition pruning intact. Serialized appends per path.
     */
   def appendLshIndex(newRows: DataFrame, path: String, idCol: String,
-                     vecCol: String): Unit =
+                     vecCol: String): Unit = {
+    // append-after-delete revives; see [[Tombstones]] and appendIvfIndex
+    Tombstones.clear(newRows.select(col(idCol)), idCol,
+      s"$path/tombstones")
     lshAppendRows(newRows, path, idCol, vecCol)
       .sortWithinPartitions(col(idCol))
       .write.mode("append").partitionBy("tbl", "bucket").parquet(s"$path/sig")
+  }
+
+  /** Delete vectors from a persisted LSH index by id: [[lshSearch]]
+    * stops returning them immediately (and their bucket-cap slots free
+    * up at once — the search filters before its cap window);
+    * [[compactLshIndex]] removes the signature rows physically and
+    * drops the sidecar. Re-appending a deleted id revives it.
+    */
+  def deleteFromLshIndex(ids: DataFrame, path: String, idCol: String): Unit =
+    Tombstones.add(ids.select(col(idCol)), idCol, s"$path/tombstones")
 
   private[graft] def lshAppendRows(newRows: DataFrame, path: String,
                                    idCol: String, vecCol: String): DataFrame = {
@@ -506,7 +546,9 @@ object Similarity {
                       path: String, idCol: String,
                       targetRowsPerRange: Long = 1L << 22): Unit = {
     val staged = s"$path/sig_compacting"
-    val sig = spark.read.parquet(s"$path/sig").dropDuplicates(idCol, "tbl")
+    val sig = Tombstones.applyTo(spark.read.parquet(s"$path/sig"), idCol,
+        s"$path/tombstones")
+      .dropDuplicates(idCol, "tbl")
     // output files ≈ ranges × touched buckets per range: size the id
     // ranges explicitly — the default shuffle.partitions count of tiny
     // ranges, multiplied by high-cardinality bucket dirs, would FRAGMENT
@@ -518,6 +560,7 @@ object Similarity {
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(staged)
     Dedup.swapTable(spark, s"$path/sig", staged)
+    Tombstones.drop(spark, s"$path/tombstones")
   }
 
   /** Probe a persisted LSH index for a SMALL query set (the per-request
@@ -579,8 +622,11 @@ object Similarity {
     val cond = probed.groupBy(_._1).map { case (t, ps) =>
       col("tbl") === t && col("bucket").isin(ps.map(_._2).toSeq: _*)
     }.reduce(_ || _)
-    val idx = spark.read.parquet(s"$path/sig")
-      .filter(cond)
+    // tombstones filtered BEFORE the cap window: a deleted id both
+    // stops matching and frees its bucket-cap slot at search time
+    val idx = Tombstones.applyTo(
+      spark.read.parquet(s"$path/sig").filter(cond),
+      idCol, s"$path/tombstones")
       .withColumn("bucket", col("bucket").cast("long"))
     val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
     val r = idx.withColumn("__bn", row_number().over(capW))
