@@ -1404,6 +1404,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Three-dimensional Z-order: lineitem clustered on (shipdate,
+    // partkey, suppkey) via the N-way bit interleave, manifest built,
+    // then a 3-D box slice answered through the pruned path. Same
+    // layout-invariant oracle contract as q91 — the plain filter +
+    // aggregate over the original table — so the generalized interleave,
+    // its per-dim stats, and the 3-range pruning lose and invent
+    // nothing.
+    "q99_zorder3" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_partkey", "l_suppkey")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_zorder3_${Integer.toHexString(d.hashCode)}").getPath
+      Stages.timed("q99_zorder3", "zorder_write") {
+        Layout.writeZOrdered(t(s, d, "lineitem"), dir, dims, files = 16)
+      }
+      Stages.timed("q99_zorder3", "manifest") {
+        Layout.writeManifest(s, dir, dims)
+      }
+      Layout.prunedRead(s, dir, Seq(
+          Layout.ColRange("l_shipdate",
+            lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")),
+          Layout.ColRange("l_partkey", lit(10L), lit(59L)),
+          Layout.ColRange("l_suppkey", lit(2L), lit(5L))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Real PCM audio features: every doc gets a synthesized 16-bit WAV
     // whose samples are plain integer arithmetic over (doc_id, frame,
     // channel); WavCodec decodes them back and emits per-channel
@@ -3118,6 +3152,17 @@ object SparkEntry {
     // 10 was deleted then revived (tombstone cleared), the others stay
     // deleted through the compaction
     "q97_tombstone_ivf" -> ivfIncrementalOracleSql(Seq(11L, 300L, 301L)),
+
+    // layout-invariant like q91: the plain 3-predicate filter + agg
+    "q99_zorder3" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_partkey BETWEEN 10 AND 59
+        |  AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
     // The synthesized PCM samples regenerated in SQL (same integer
     // arithmetic as Multimodal.wavPcmBytes), statistics recomputed with

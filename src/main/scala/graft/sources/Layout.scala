@@ -7,11 +7,12 @@ import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, Time
 /** Z-order (Morton-curve) file layout — the data-skipping tool for
   * multi-dimensional predicates at 100 TB. Sorting files by ONE column
   * gives parquet min/max pruning on that column and nothing else; sorting
-  * by the interleaved bits of TWO columns gives useful min/max bounds on
-  * BOTH, so a box predicate (x range AND y range) skips most files on
-  * either dimension. All pure built-in bitwise expressions (codegen'd, no
-  * UDFs) and SQL-portable, so the key an engine writes is reproducible by
-  * any other.
+  * by the interleaved bits of N columns gives useful min/max bounds on
+  * ALL of them, so a box predicate skips most files on any clustered
+  * dimension (the typical lake layout clusters 2–3: date, key, source).
+  * All pure built-in bitwise expressions (codegen'd, no UDFs) and
+  * SQL-portable, so the key an engine writes is reproducible by any
+  * other.
   */
 object Layout {
 
@@ -31,6 +32,39 @@ object Layout {
   def mortonKey(a16: Column, b16: Column): Column =
     spread16(a16).bitwiseOR(shiftleft(spread16(b16), 1))
 
+  /** N-way Morton interleave: dim d's bit i lands at key position
+    * i·n + d, so equal-prefix key ranges are boxes in ALL n dimensions
+    * — the generalization a lake layout clustered on (date, source,
+    * language) needs. Inputs must already be `bits`-bit ranks
+    * ([[normBits]]). The 2-dim/16-bit case routes through the
+    * [[spread16]] twiddle (identical value, ~an eighth of the
+    * expression nodes); the general case is the definitional per-bit
+    * shift/mask/or chain — still pure built-ins, still codegen'd.
+    */
+  def mortonKeyN(parts: Seq[Column], bits: Int): Column = {
+    val n = parts.size
+    require(n >= 1 && n * bits <= 62,
+      s"$n dims × $bits bits exceeds a positive Long key")
+    if (n == 1) parts.head
+    else if (n == 2 && bits == 16) mortonKey(parts(0), parts(1))
+    else {
+      val terms = for {
+        (p, d) <- parts.zipWithIndex
+        i <- 0 until bits
+      } yield shiftleft(
+        shiftrightunsigned(p, i).bitwiseAND(lit(1L)), i * n + d)
+      terms.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** Bits per dimension for an n-way key: 16 where it fits (the 2-dim
+    * legacy resolution), else the largest width keeping the whole key
+    * in a positive Long — 3 dims keep 16, 4 dims drop to 15, etc.
+    * Resolution only shapes skip RATES, never results (the manifest
+    * records actual file min/max).
+    */
+  private def bitsFor(n: Int): Int = math.min(16, 62 / n)
+
   /** Normalize a numeric column to a 16-bit rank over its [min, max]
     * (supplied by the caller — at scale these come from table stats or an
     * in-plan 1-row aggregate): `floor((x-lo)/(hi-lo)*65536)` clamped to
@@ -38,9 +72,15 @@ object Layout {
     * range (hi == lo) maps everything to 0.
     */
   def norm16(x: Column, lo: Column, hi: Column): Column =
+    normBits(x, lo, hi, 16)
+
+  /** [[norm16]] at any width: `floor((x-lo)/(hi-lo)·2^bits)` clamped to
+    * [0, 2^bits − 1]. */
+  def normBits(x: Column, lo: Column, hi: Column, bits: Int): Column =
     when(hi === lo, lit(0L)).otherwise(
-      greatest(lit(0L), least(lit(65535L),
-        floor((x.cast("double") - lo) / (hi - lo) * 65536.0).cast("long"))))
+      greatest(lit(0L), least(lit((1L << bits) - 1),
+        floor((x.cast("double") - lo) / (hi - lo) * (1L << bits).toDouble)
+          .cast("long"))))
 
   /** Orderable double image of a clustering column: numerics cast,
     * dates to epoch days, timestamps to epoch micros (NTZ interpreted in
@@ -59,35 +99,47 @@ object Layout {
           "cluster on numeric, date, or timestamp columns")
     }
 
-  /** The z-order key for two orderable columns with in-plan bounds: one
+  /** The z-order key for N orderable columns with in-plan bounds: one
     * 1-row min/max aggregate broadcast into the scan, then pure bitwise
     * arithmetic. Column name `zkey`.
     */
-  def withZKey(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val (a, b) = (ord(df, colA), ord(df, colB))
-    val mm = df.agg(
-      min(a).as("__loa"), max(a).as("__hia"),
-      min(b).as("__lob"), max(b).as("__hib"))
+  def withZKey(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty && dims.distinct.size == dims.size,
+      s"z-order dims must be distinct and non-empty: $dims")
+    val bits = bitsFor(dims.size)
+    val ords = dims.map(c => ord(df, c))
+    val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
+      Seq(min(o).as(s"__zlo$i"), max(o).as(s"__zhi$i")) }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
     df.crossJoin(broadcast(mm))
-      .withColumn("zkey", mortonKey(
-        norm16(a, col("__loa"), col("__hia")),
-        norm16(b, col("__lob"), col("__hib"))))
-      .drop("__loa", "__hia", "__lob", "__hib")
+      .withColumn("zkey", mortonKeyN(
+        ords.zipWithIndex.map { case (o, i) =>
+          normBits(o, col(s"__zlo$i"), col(s"__zhi$i"), bits) }, bits))
+      .drop(ords.indices.flatMap(i => Seq(s"__zlo$i", s"__zhi$i")): _*)
   }
 
+  /** Two-column [[withZKey]] (the common date+key case). */
+  def withZKey(df: DataFrame, colA: String, colB: String): DataFrame =
+    withZKey(df, Seq(colA, colB))
+
   /** Write `df` as `files` parquet files laid out along the z-curve of
-    * (colA, colB): range-partition by zkey (contiguous curve segments per
+    * `dims`: range-partition by zkey (contiguous curve segments per
     * file) and sort within each file, so every file's parquet min/max
-    * covers a compact box in BOTH dimensions. The key itself is dropped
-    * from the files — it is a layout device, not data.
+    * covers a compact box in EVERY clustered dimension. The key itself
+    * is dropped from the files — it is a layout device, not data.
     */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
                     files: Int): Unit =
-    withZKey(df, colA, colB)
+    withZKey(df, dims)
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** Two-column [[writeZOrdered]]. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), files)
 
   // --- file-stats manifest + manifest-pruned reads ------------------
   //
@@ -153,13 +205,18 @@ object Layout {
     * writes duplicate ROWS, unlike the id-keyed index appends); route
     * at-least-once sources through [[graft.operators.Dedup]] first.
     */
-  def appendZOrdered(df: DataFrame, path: String, colA: String,
-                     colB: String, files: Int): Unit =
-    withZKey(df, colA, colB)
+  def appendZOrdered(df: DataFrame, path: String, dims: Seq[String],
+                     files: Int): Unit =
+    withZKey(df, dims)
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
       .write.mode("append").parquet(path)
+
+  /** Two-column [[appendZOrdered]]. */
+  def appendZOrdered(df: DataFrame, path: String, colA: String,
+                     colB: String, files: Int): Unit =
+    appendZOrdered(df, path, Seq(colA, colB), files)
 
   /** Incremental manifest update: stat ONLY data files not yet in the
     * manifest and append their rows — cost is O(new files' rows), never

@@ -63,13 +63,13 @@ class LayoutSpec extends SparkSpec {
       ColRange("l_partkey", lit(1L), lit(50L)))
 
     val pruned = Layout.prunedRead(spark, dir, ranges)
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       .collect()
     val full = li
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") <= lit("1996-06-30").cast("timestamp") &&
               col("l_partkey").between(1L, 50L))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       .collect()
     assert(pruned.toSeq == full.toSeq)
 
@@ -109,6 +109,65 @@ class LayoutSpec extends SparkSpec {
     val a = Layout.prunedRead(spark, oneDir, pk).agg(count(lit(1))).head().getLong(0)
     val b = li.filter(col("l_partkey").between(1L, 40L)).count()
     assert(a == b)
+  }
+
+  /** N-way Morton interleave, reference implementation: dim d bit j →
+    * key bit j·n + d. */
+  private def mortonN(ranks: Seq[Long], bits: Int): Long = {
+    val n = ranks.size
+    ranks.zipWithIndex.foldLeft(0L) { case (acc, (v, d)) =>
+      (0 until bits).foldLeft(acc) { (a, j) =>
+        a | (((v >> j) & 1L) << (j * n + d))
+      }
+    }
+  }
+
+  test("3-D z-order write clusters rows by the N-way Morton interleave") {
+    val n = 8
+    val grid = spark.range(n.toLong * n * n)
+      .select((col("id") % n).cast("long").as("x"),
+              ((col("id") / n) % n).cast("long").as("y"),
+              (col("id") / (n * n)).cast("long").as("z"))
+    val dir = tmpDir("grid3")
+    Layout.writeZOrdered(grid, dir, Seq("x", "y", "z"), files = 1)
+    val written = spark.read.parquet(dir).select("x", "y", "z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def rank(v: Long): Long =
+      math.max(0L, math.min(65535L,
+        math.floor((v - 0.0) / (7.0 - 0.0) * 65536.0).toLong))
+    val expected = written.sortBy { case (x, y, z) =>
+      mortonN(Seq(rank(x), rank(y), rank(z)), 16) }
+    assert(written.toSeq == expected.toSeq,
+      "file order must be exactly the 3-way Morton order of scaled ranks")
+  }
+
+  test("a 3-D z-order layout prunes on the THIRD dimension; the 2-D layout cannot") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims3 = Seq("l_shipdate", "l_partkey", "l_suppkey")
+
+    val z3 = tmpDir("z3")
+    Layout.writeZOrdered(li, z3, dims3, files = 16)
+    Layout.writeManifest(spark, z3, dims3)
+
+    // 2-D control clustered on (shipdate, partkey) only — but statted
+    // for all three dims, so both manifests can evaluate the predicate
+    val z2 = tmpDir("z2ctl")
+    Layout.writeZOrdered(li, z2, "l_shipdate", "l_partkey", files = 16)
+    Layout.writeManifest(spark, z2, dims3)
+
+    // suppkey-only predicate: the dimension only the 3-D layout clusters
+    val lo = li.agg(min(col("l_suppkey"))).head().getLong(0)
+    val sk = Seq(ColRange("l_suppkey", lit(lo), lit(lo + 1)))
+    val (kept3, t3) = Layout.pruneFiles(spark, z3, sk)
+    val (kept2, t2) = Layout.pruneFiles(spark, z2, sk)
+    assert(t3 == 16 && t2 == 16)
+    assert(kept3.size < kept2.size,
+      s"3-D should skip on suppkey: z3 kept ${kept3.size}, 2-D kept ${kept2.size}")
+
+    // correctness invariant holds for the 3-D pruned path
+    val a = Layout.prunedRead(spark, z3, sk)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(a == li.filter(col("l_suppkey").between(lo, lo + 1)).count())
   }
 
   test("files holding nulls in a ranged dimension survive pruning") {
@@ -210,12 +269,12 @@ class LayoutSpec extends SparkSpec {
         lit("1997-12-31").cast("timestamp")),
       ColRange("l_partkey", lit(10L), lit(59L)))
     val pruned = Layout.prunedRead(spark, dir, ranges)
-      .orderBy("l_orderkey", "l_linenumber").collect()
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").collect()
     val full = li
       .filter(col("l_shipdate").between(lit("1997-01-01").cast("timestamp"),
                 lit("1997-12-31").cast("timestamp")) &&
               col("l_partkey").between(10L, 59L))
-      .orderBy("l_orderkey", "l_linenumber").collect()
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").collect()
     assert(pruned.toSeq == full.toSeq)
 
     // compaction: many manifest files -> one, identical rows
@@ -232,7 +291,7 @@ class LayoutSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq)
     // and pruning still answers identically off the compacted manifest
     val pruned2 = Layout.prunedRead(spark, dir, ranges)
-      .orderBy("l_orderkey", "l_linenumber").collect()
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").collect()
     assert(pruned2.toSeq == full.toSeq)
   }
 
