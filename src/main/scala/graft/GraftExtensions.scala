@@ -104,6 +104,20 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_lm_index_score(table, indexPath, idCol, textCol)` — LM
   *    quality scores against a persisted incremental stats index
   *    ([[graft.operators.Corpus.lmScoreAgainstStats]])
+  *  - `graft_chunk(table, idCol, textCol, size, stride)` — overlapping
+  *    token-window chunks ([[graft.operators.Corpus.chunk]])
+  *  - `graft_pack(table, shardCol, keyCol, tokenCol, budget)` — greedy
+  *    sequence packing into token budgets
+  *    ([[graft.operators.Corpus.packSequences]])
+  *  - `graft_balance(table, strataCol, keyCol)` — per-stratum
+  *    downsampling to the smallest stratum
+  *    ([[graft.operators.Corpus.balanceStrata]])
+  *  - `graft_shards(table, keyCol, nShards)` — deterministic shard
+  *    assignment + within-shard position
+  *    ([[graft.operators.Corpus.shardAssignment]])
+  *  - `graft_weighted_sample(table, keyCol, weightCol, fraction)` —
+  *    deterministic weight-tilted sampling
+  *    ([[graft.operators.Corpus.weightedSample]])
   *  - `graft_zorder_write(table, dataPath, colA, colB, files)` — Z-order
   *    clustered parquet write ([[graft.sources.Layout.writeZOrdered]];
   *    BUILD-style, returns a one-row receipt)
@@ -523,6 +537,57 @@ object GraftExtensions {
             strArg(id, "idCol"), strArg(text, "textCol")))
         case _ => throw new IllegalArgumentException(
           "graft_lm_index_score(table, indexPath, idCol, textCol)")
+      }),
+    // corpus-prep family (graft.operators.Corpus) — the training-data
+    // shaping operators, closing the last Scala-only asymmetry against
+    // the reference's SQL-text-only API
+    (new FunctionIdentifier("graft_chunk"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_chunk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text, size, stride) =>
+          plan(graft.operators.Corpus.chunk(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"),
+            intArg(size, "size"), intArg(stride, "stride")))
+        case _ => throw new IllegalArgumentException(
+          "graft_chunk(table, idCol, textCol, size, stride)")
+      }),
+    (new FunctionIdentifier("graft_pack"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_pack"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, shard, key, tok, budget) =>
+          plan(graft.operators.Corpus.packSequences(tableArg(t, "table"),
+            strArg(shard, "shardCol"), strArg(key, "keyCol"),
+            strArg(tok, "tokenCol"), intArg(budget, "budget").toLong))
+        case _ => throw new IllegalArgumentException(
+          "graft_pack(table, shardCol, keyCol, tokenCol, budget)")
+      }),
+    (new FunctionIdentifier("graft_balance"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_balance"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, strata, key) =>
+          plan(graft.operators.Corpus.balanceStrata(tableArg(t, "table"),
+            strArg(strata, "strataCol"), strArg(key, "keyCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_balance(table, strataCol, keyCol)")
+      }),
+    (new FunctionIdentifier("graft_shards"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_shards"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, key, n) =>
+          plan(graft.operators.Corpus.shardAssignment(tableArg(t, "table"),
+            strArg(key, "keyCol"), intArg(n, "nShards")))
+        case _ => throw new IllegalArgumentException(
+          "graft_shards(table, keyCol, nShards)")
+      }),
+    (new FunctionIdentifier("graft_weighted_sample"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_weighted_sample"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, key, w, f) =>
+          plan(graft.operators.Corpus.weightedSample(tableArg(t, "table"),
+            strArg(key, "keyCol"), strArg(w, "weightCol"),
+            doubleArg(f, "fraction")))
+        case _ => throw new IllegalArgumentException(
+          "graft_weighted_sample(table, keyCol, weightCol, fraction)")
       }),
     // layout family (graft.sources.Layout) — write/update are BUILD-style
     // operators like graft_dedup_corpus: their jobs run while the SQL is

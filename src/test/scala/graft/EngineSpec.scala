@@ -502,6 +502,59 @@ class EngineSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_pruned_read(dataPath, col1, lo1, hi1"))
   }
 
+  test("extensions: corpus-prep family callable from SQL, row-identical") {
+    import graft.operators.Corpus
+    GraftExtensions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120).cache()
+    docs.createOrReplaceTempView("sql_cp_docs")
+
+    val cSql = spark.sql(
+      """SELECT * FROM graft_chunk('sql_cp_docs', 'doc_id', 'text', 32, 24)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+    assert(rows(cSql) ==
+      rows(Corpus.chunk(docs, "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "chunk_idx")) && rows(cSql).nonEmpty)
+
+    val pSql = spark.sql(
+      """SELECT * FROM graft_pack('sql_cp_docs', 'lang', 'doc_id',
+        |  'n_chars', 10000) ORDER BY doc_id""".stripMargin)
+    assert(rows(pSql) ==
+      rows(Corpus.packSequences(docs, "lang", "doc_id", "n_chars", 10000L)
+        .orderBy("doc_id")) && rows(pSql).nonEmpty)
+
+    val bSql = spark.sql(
+      """SELECT * FROM graft_balance('sql_cp_docs', 'source', 'doc_id')
+        |ORDER BY doc_id""".stripMargin)
+    assert(rows(bSql) ==
+      rows(Corpus.balanceStrata(docs, "source", "doc_id")
+        .orderBy("doc_id")) && rows(bSql).nonEmpty)
+
+    val sSql = spark.sql(
+      """SELECT * FROM graft_shards('sql_cp_docs', 'doc_id', 8)
+        |ORDER BY doc_id""".stripMargin)
+    assert(rows(sSql) ==
+      rows(Corpus.shardAssignment(docs, "doc_id", 8)
+        .orderBy("doc_id")) && rows(sSql).nonEmpty)
+
+    val wSql = spark.sql(
+      """SELECT * FROM graft_weighted_sample('sql_cp_docs', 'doc_id',
+        |  'n_chars', 0.5) ORDER BY doc_id""".stripMargin)
+    assert(rows(wSql) ==
+      rows(Corpus.weightedSample(docs, "doc_id", "n_chars", 0.5)
+        .orderBy("doc_id")) && rows(wSql).nonEmpty)
+    docs.unpersist()
+
+    // misuse still reads as usage guidance
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_pack('sql_cp_docs', 'lang')").collect()
+    }
+    assert(e.getMessage.contains(
+      "graft_pack(table, shardCol, keyCol, tokenCol, budget)"))
+  }
+
   test("extensions: LM index scoring callable from SQL, row-identical") {
     import graft.operators.Corpus
     GraftExtensions.register(spark)
