@@ -308,12 +308,52 @@ object Corpus {
     * unlike the id-keyed dedup indexes, nothing downstream can tell), so
     * replay safety is the shared [[Ledger]]: a batch id already recorded
     * is skipped wholesale. Returns false for the skip.
+    *
+    * CRASH SAFETY (ADVICE r7): the unigram and bigram tables are two
+    * payloads, so a naive two-append could die between them leaving a
+    * torn index whose retry double-counts unigrams. Both tables are
+    * therefore STAGED under a batch-id-named directory first, then
+    * promoted file-by-file under DETERMINISTIC batch-tagged names —
+    * and every attempt begins by deleting any `batch_<id>_*` files a
+    * previously crashed promotion left in the live tables. Net effect:
+    * a retry of any crash point converges to exactly-one application of
+    * the batch, and the ledger record (written last) closes the replay
+    * window entirely.
     */
   def appendLmStats(batch: DataFrame, path: String, idCol: String,
                     textCol: String, batchId: String): Boolean = {
     val spark = batch.sparkSession
     if (Ledger.contains(spark, s"$path/batches", batchId)) return false
-    writeLmSegments(batch, path, idCol, textCol, "append")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // path-safe, collision-free image of the caller's batch id
+    val tag = batchId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+    // 1. a crashed promotion's partial files are removed first, so the
+    //    retry can never double-land a file
+    Seq("unigrams", "bigrams").foreach { t =>
+      Option(fs.globStatus(p(s"$path/$t/batch_${tag}_*"))).toSeq.flatten
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    // 2. stage both tables away from the live directories
+    val staging = s"$path/staging_$tag"
+    fs.delete(p(staging), true)
+    writeLmSegments(batch, staging, idCol, textCol, "overwrite")
+    // 3. promote: rename each staged part file into its live table
+    //    under the batch-tagged deterministic name
+    Seq("unigrams", "bigrams").foreach { t =>
+      val parts = fs.listStatus(p(s"$staging/$t"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f.getPath,
+          p(s"$path/$t/batch_${tag}_$i.parquet")),
+          s"appendLmStats: could not promote ${f.getPath} — " +
+            "retry the append (promotion is crash-idempotent)")
+      }
+    }
+    fs.delete(p(staging), true)
     Ledger.record(spark, s"$path/batches", batchId)
     true
   }
@@ -323,7 +363,7 @@ object Corpus {
     * Read results are IDENTICAL before and after — addition is the merge.
     */
   def compactLmStats(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit =
+                     path: String): Unit = {
     Seq("unigrams" -> "tok", "bigrams" -> "bigram").foreach {
       case (table, key) =>
         val live = s"$path/$table"
@@ -333,6 +373,10 @@ object Corpus {
           .coalesce(1).write.mode("overwrite").parquet(staged)
         Dedup.swapTable(spark, live, staged)
     }
+    // the ledger accumulates one file per append; fold it on the same
+    // schedule (rows preserved — replay protection is not weakened)
+    Ledger.compact(spark, s"$path/batches")
+  }
 
   /** Score documents against the PERSISTED stats — [[lmScore]]'s exact
     * arithmetic ((bc+1)/(uc+V), sorted-fold mean) with counts sum-merged

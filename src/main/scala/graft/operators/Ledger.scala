@@ -11,11 +11,15 @@ import org.apache.spark.sql.SparkSession
   * foreachBatch's at-least-once replays into effective exactly-once
   * index growth.
   *
-  * The membership read collects the ledger to the driver — rows = number
-  * of appends over the index's lifetime, never data-sized. Sequential
-  * writers only (the read-check-append pair is not fenced against a
-  * concurrent append of the same id — same single-writer contract as the
-  * index compactions).
+  * The membership read is a pushed-down point filter over the ledger
+  * table — NOTHING is collected to the driver, so driver memory is flat
+  * no matter how many appends the index has seen (a per-minute
+  * streaming sink writes ~525 k ledger rows/year; the check stays one
+  * small filtered scan, and [[compact]] folds the accumulated
+  * one-row files down on the operator's schedule). Sequential writers
+  * only (the read-check-append pair is not fenced against a concurrent
+  * append of the same id — same single-writer contract as the index
+  * compactions).
   */
 private[graft] object Ledger {
 
@@ -29,19 +33,33 @@ private[graft] object Ledger {
   /** Is `batchId` already recorded? Callers check BEFORE writing their
     * payload and [[record]] AFTER it succeeds — so a crash inside the
     * payload write leaves the id unrecorded and the retry re-runs (the
-    * replay window is the gap between payload completion and the record
-    * landing; closing it needs a transactional table format, out of
-    * scope — a failed append should be inspected, not blindly retried).
+    * retry converges when the payload write is crash-idempotent, as
+    * `appendLmStats`'s staged promotion is). A pushed-down equality
+    * filter + limit 1, never a driver-side set.
     */
   def contains(spark: SparkSession, path: String, batchId: String)
-      : Boolean =
+      : Boolean = {
+    import org.apache.spark.sql.functions.col
     spark.read.parquet(path)
-      .collect().map(_.getString(0)).toSet
-      .contains(batchId)
+      .filter(col("batch_id") === batchId)
+      .limit(1).head(1).nonEmpty
+  }
 
   /** Record `batchId` after its payload write succeeded. */
   def record(spark: SparkSession, path: String, batchId: String): Unit = {
     import spark.implicits._
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(path)
+  }
+
+  /** Fold the one-file-per-append ledger down to one file, rows exactly
+    * preserved (staged write + swap, single-writer contract). Run on
+    * the same schedule as the owning index's compaction — the ledger's
+    * cost is file COUNT, not row count.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val staged = s"${path}_compacting"
+    spark.read.parquet(path).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    Dedup.swapTable(spark, path, staged)
   }
 }

@@ -313,6 +313,18 @@ object Profiling {
     * (staged write + swap; quiesce writers). [[mergedHeavyHitters]]
     * output is identical before and after: the merged segment is the
     * truncated sum, and truncation is a no-op on <= capacity items.
+    *
+    * ACCURACY ACROSS COMPACT/APPEND CYCLES (ADVICE r7): when a
+    * compaction's sum DID overflow capacity, its truncation is baked
+    * into the compacted segment — appends after it merge against
+    * already-truncated counts, so each compaction fixes one truncation
+    * into the history and repeated compact/append cycles walk the error
+    * toward the pairwise-merge bound (one subtraction per cycle, still
+    * within Σnᵢ/(k+1) overall). The "one deferred truncation" claim in
+    * the section comment holds only between compactions; the EXACT
+    * regime (true cardinality <= capacity — nothing ever truncates) is
+    * the only one unaffected by compaction frequency. Compact rarely if
+    * you live near the capacity boundary.
     */
   def compactHhSketch(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
@@ -321,6 +333,7 @@ object Profiling {
     mergedHeavyHitters(spark, path)
       .coalesce(1).write.mode("overwrite").parquet(staged)
     Dedup.swapTable(spark, live, staged)
+    Ledger.compact(spark, s"$path/batches")
   }
 
   /** Quantile segmentation: each row's n-tile (1..n) within its group

@@ -160,6 +160,24 @@ object Layout {
   def manifestPath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_manifest"
 
+  /** Manifests are PER-FLAT-DIRECTORY (ADVICE r7): the listing that
+    * matches manifest rows to data files is non-recursive, so a
+    * partitioned landing path (date=… subdirectories) must carry one
+    * manifest per leaf directory, never one at the root — a root
+    * manifest would see no files and prune everything. Enforced loudly
+    * everywhere the listing happens.
+    */
+  private def requireFlatDir(fs: org.apache.hadoop.fs.FileSystem,
+                             hp: org.apache.hadoop.fs.Path): Unit = {
+    val subdirs = fs.listStatus(hp).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subdirs.isEmpty,
+      s"manifests are per-flat-directory, but $hp contains " +
+        s"subdirectories ${subdirs.mkString(", ")} — build one manifest " +
+        "per leaf partition directory instead")
+  }
+
   private def statsAggs(dims: Seq[String]): Seq[Column] =
     dims.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
@@ -169,12 +187,16 @@ object Layout {
   /** Build the file-level stats manifest for `dims`: one row per data
     * file with row count and per-dimension min/max/null-count. */
   def writeManifest(spark: SparkSession, dataPath: String,
-                    dims: Seq[String]): Unit =
+                    dims: Seq[String]): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    requireFlatDir(hp.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      hp)
     spark.read.parquet(dataPath)
       .groupBy(input_file_name().as("file_name"))
       .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(dataPath))
+  }
 
   /** Files whose per-dimension [min, max] intersects every requested
     * range, plus the total file count for skip-rate evidence. Files
@@ -182,6 +204,15 @@ object Layout {
     * cannot prove their rows miss; the row filter still excludes them).
     * The collect is bounded by FILE count — manifest rows, never data
     * rows.
+    *
+    * STALENESS GUARD (ADVICE r7): the manifest is NOT the source of
+    * truth — the data directory is. Data files present in the directory
+    * but absent from the manifest (a batch landed whose
+    * [[updateManifest]] hasn't run, an external writer) are
+    * conservatively KEPT UNPRUNED: a stale manifest may only cost skip
+    * rate, never rows. The guard is one directory listing — the same
+    * file-count-sized call updateManifest makes — so pruning cost stays
+    * metadata-sized.
     */
   def pruneFiles(spark: SparkSession, dataPath: String,
                  ranges: Seq[ColRange]): (Seq[String], Long) = {
@@ -191,9 +222,19 @@ object Layout {
                 col(s"min_${r.colName}") <= r.hi ||
                 col(s"nulls_${r.colName}") > 0)
     }
-    val files = kept.select(col("file_name")).collect()
-      .map(_.getString(0)).toSeq.sorted
-    (files, m.count())
+    val manifested = m.select(col("file_name")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      .toSet
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireFlatDir(fs, hp)
+    val unmanifested = fs.listStatus(hp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .filterNot(p => manifested.contains(p.getName))
+      .map(_.toString)
+    val files = (kept.select(col("file_name")).collect()
+      .map(_.getString(0)) ++ unmanifested).toSeq.sorted
+    (files, m.count() + unmanifested.length)
   }
 
   /** Append `df` to an existing z-ordered table as `files` new parquet
@@ -232,6 +273,7 @@ object Layout {
                      dims: Seq[String]): Int = {
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireFlatDir(fs, hp)
     val dataFiles = fs.listStatus(hp).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
     val mp = manifestPath(dataPath)

@@ -22,8 +22,11 @@ object StreamingScore {
     * `s"stream-$batchId"`). foreachBatch is AT-LEAST-ONCE — a recovered
     * query can re-run a batch — and doubled counts are undetectable
     * downstream, which is exactly what the index's batch-id ledger
-    * guards: the replayed append is skipped wholesale, making index
-    * growth effectively exactly-once. Appended counts are visible from
+    * guards: a replayed RECORDED append is skipped wholesale, and a
+    * crash mid-append converges on retry because `appendLmStats` stages
+    * both count tables and promotes them under batch-tagged names (the
+    * retry removes any partial promotion first) — together, exactly-once
+    * index growth for any crash point. Appended counts are visible from
     * the NEXT micro-batch's index read (this batch already resolved its
     * count frames), matching the dedup faces' visibility note.
     */
@@ -61,9 +64,13 @@ object StreamingScore {
     * is O(batch) — no table rescan, ever — but the manifest update's
     * METADATA side (the directory listing and the manifest-name read)
     * grows with cumulative file count over the stream's lifetime, like
-    * any parquet directory read; bound it by compacting files or by
-    * partitioning the landing path (e.g. by date) so each sub-path's
-    * file count stays flat.
+    * any parquet directory read; bound it by compacting files, or by
+    * ROTATING the sink across per-period landing paths (one flat
+    * directory per day, each with its OWN manifest — a manifest is
+    * per-flat-directory, and [[Layout.updateManifest]] rejects a
+    * subdirectory-partitioned path loudly; a single manifest at the
+    * root of a partitioned tree would see no files and prune
+    * everything).
     *
     * foreachBatch is AT-LEAST-ONCE and a raw file append has no ledger —
     * a replayed batch writes duplicate ROWS (the scaladoc caveat on

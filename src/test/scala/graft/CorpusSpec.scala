@@ -290,6 +290,54 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(foreign(99L)._2 - 1.0 / 6.0) < 1e-15)
   }
 
+  test("LM append converges after a crashed promotion; ledger scales without collecting") {
+    import graft.operators.Ledger
+    val hist = Seq((0L, "the cat sat")).toDF("doc_id", "text")
+    val batch = Seq((2L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lmcrash").toString
+    Corpus.saveLmStats(hist, path, "doc_id", "text")
+
+    // simulate a crash that promoted ONE unigram file of batch "bX" but
+    // never reached the bigrams or the ledger: plant a batch-tagged file
+    // with bogus counts in the live unigram table
+    val tag = "bX".getBytes("UTF-8").map("%02x".format(_)).mkString
+    val bogus = Seq(("the", 1000000L)).toDF("tok", "c")
+    bogus.coalesce(1).write.parquet(s"$path/unigrams_bogus")
+    val part = new java.io.File(s"$path/unigrams_bogus").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$path/unigrams/batch_${tag}_0.parquet"))
+    // the torn state is visible (counts inflated) ...
+    val inflated = spark.read.parquet(s"$path/unigrams")
+      .filter(col("tok") === "the")
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(inflated > 1000000L)
+
+    // ... and the RETRY of the same batch id heals it: partial files are
+    // removed before promotion, so totals equal a clean save+append
+    assert(Corpus.appendLmStats(batch, path, "doc_id", "text", "bX"))
+    val healed = spark.read.parquet(s"$path/unigrams")
+      .filter(col("tok") === "the")
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(healed == 3L, s"expected 1 (hist) + 2 (batch), got $healed")
+    // recorded: a replay is now a no-op
+    assert(!Corpus.appendLmStats(batch, path, "doc_id", "text", "bX"))
+
+    // ledger membership is a pushed filter, not a driver set: a 10k-id
+    // ledger answers point checks and compacts to one file, rows intact
+    val lp = s"$path/bigledger"
+    Ledger.init(spark, lp)
+    (1 to 10000).map(i => s"batch-$i").toDF("batch_id")
+      .write.mode("append").parquet(lp)
+    assert(Ledger.contains(spark, lp, "batch-9999"))
+    assert(!Ledger.contains(spark, lp, "batch-10001"))
+    Ledger.compact(spark, lp)
+    assert(new java.io.File(lp).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(lp).count() == 10001L) // 10k + __base__
+    assert(Ledger.contains(spark, lp, "batch-9999"))
+  }
+
   test("probe-gram index: identical decisions to one-shot decontaminate; " +
        "n pinned by meta") {
     val docs = Seq(

@@ -170,6 +170,44 @@ class LayoutSpec extends SparkSpec {
     assert(a == li.filter(col("l_suppkey").between(lo, lo + 1)).count())
   }
 
+  test("stale manifest: unmanifested data files are kept unpruned, never lost") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val dir = tmpDir("stale")
+    val base = li.filter(col("l_orderkey") % 4 =!= 0)
+    val batch = li.filter(col("l_orderkey") % 4 === 0)
+    Layout.writeZOrdered(base, dir, "l_shipdate", "l_partkey", files = 4)
+    Layout.updateManifest(spark, dir, dims)
+    // a batch lands WITHOUT its manifest update (crash between sink and
+    // updateManifest, or an external writer): readers must still see it
+    Layout.appendZOrdered(batch, dir, "l_shipdate", "l_partkey", files = 2)
+    val ranges = Seq(ColRange("l_partkey", lit(10L), lit(59L)))
+    val (kept, total) = Layout.pruneFiles(spark, dir, ranges)
+    assert(total == 6, s"guard must count the 2 unmanifested files: $total")
+    val got = Layout.prunedRead(spark, dir, ranges)
+      .agg(count(lit(1))).head().getLong(0)
+    val want = li.filter(col("l_partkey").between(10L, 59L)).count()
+    assert(got == want,
+      s"stale manifest lost rows: pruned=$got full=$want (kept ${kept.size}/$total)")
+    // after the manifest catches up, the same read prunes again
+    Layout.updateManifest(spark, dir, dims)
+    assert(Layout.prunedRead(spark, dir, ranges)
+      .agg(count(lit(1))).head().getLong(0) == want)
+  }
+
+  test("manifests are per-flat-directory: a partitioned path is rejected loudly") {
+    val dir = tmpDir("part")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.partitionBy("k").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.updateManifest(spark, dir, Seq("id"))
+    }
+    assert(e.getMessage.contains("per-flat-directory"))
+    intercept[IllegalArgumentException] {
+      Layout.writeManifest(spark, dir, Seq("id"))
+    }
+  }
+
   test("files holding nulls in a ranged dimension survive pruning") {
     val dir = tmpDir("nulls")
     // one file per row via four single-partition appends → the null row
