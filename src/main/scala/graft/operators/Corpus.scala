@@ -367,11 +367,11 @@ object Corpus {
     Seq("unigrams" -> "tok", "bigrams" -> "bigram").foreach {
       case (table, key) =>
         val live = s"$path/$table"
-        val staged = s"$live" + "_compacting"
-        spark.read.parquet(live)
-          .groupBy(col(key)).agg(sum(col("c")).as("c"))
-          .coalesce(1).write.mode("overwrite").parquet(staged)
-        Dedup.swapTable(spark, live, staged)
+        Lifecycle.stagedSwap(spark, live) { staged =>
+          spark.read.parquet(live)
+            .groupBy(col(key)).agg(sum(col("c")).as("c"))
+            .coalesce(1).write.mode("overwrite").parquet(staged)
+        }
     }
     // the ledger accumulates one file per append; fold it on the same
     // schedule (rows preserved — replay protection is not weakened)

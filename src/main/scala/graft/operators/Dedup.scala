@@ -198,14 +198,14 @@ object Dedup {
     */
   def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
-    val staged = s"${path}_compacting"
-    Tombstones.applyTo(spark.read.parquet(path), "digest",
-        digestTombPath(path))
-      .distinct()
-      .repartitionByRange(col("digest"))
-      .sortWithinPartitions(col("digest"))
-      .write.mode("overwrite").parquet(staged)
-    swapTable(spark, path, staged)
+    Lifecycle.stagedSwap(spark, path) { staged =>
+      Tombstones.applyTo(spark.read.parquet(path), "digest",
+          digestTombPath(path))
+        .distinct()
+        .repartitionByRange(col("digest"))
+        .sortWithinPartitions(col("digest"))
+        .write.mode("overwrite").parquet(staged)
+    }
     Tombstones.drop(spark, digestTombPath(path))
   }
 
@@ -336,12 +336,12 @@ object Dedup {
     val (sn, nh, b) = (i("shingle_n"), i("num_hashes"), i("bands"))
     // stage next to the live table, then swap — can't overwrite a table
     // that is being read
-    val staged = s"$path/bands_compacting"
-    writeBands(
-      Tombstones.applyTo(spark.read.parquet(s"$path/bands"), "id",
-        s"$path/tombstones"),
-      staged, maxBucket, "overwrite")
-    swapTable(spark, s"$path/bands", staged)
+    Lifecycle.stagedSwap(spark, s"$path/bands") { staged =>
+      writeBands(
+        Tombstones.applyTo(spark.read.parquet(s"$path/bands"), "id",
+          s"$path/tombstones"),
+        staged, maxBucket, "overwrite")
+    }
     Seq((sn, nh, b, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -1145,13 +1145,8 @@ object Dedup {
       else simhash64(col(textCol))
     val batch = newDocs.select(col(idCol).as("id"), fpExpr.as("fp"))
       .dropDuplicates("id")
-    val bounds = newDocs.agg(min(col(idCol)), max(col(idCol))).head()
-    val index = spark.read.parquet(s"$path/fp").select(col("id"))
-    val seen =
-      if (bounds.isNullAt(0)) index.limit(0) // no non-null batch ids
-      else index.where(col("id") >= lit(bounds.get(0)) &&
-        col("id") <= lit(bounds.get(1)))
-    batch.join(seen, Seq("id"), "left_anti")
+    Lifecycle.freshByIdRange(batch, newDocs, idCol,
+      spark.read.parquet(s"$path/fp").select(col("id")), "id")
   }
 
   /** Grow the fingerprint index with a processed batch: batch-internal
@@ -1195,14 +1190,14 @@ object Dedup {
     */
   def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
-    val staged = s"$path/fp_compacting"
-    Tombstones.applyTo(spark.read.parquet(s"$path/fp"), "id",
-        s"$path/tombstones")
-      .groupBy(col("id")).agg(min(col("fp")).as("fp"))
-      .repartitionByRange(col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.mode("overwrite").parquet(staged)
-    swapTable(spark, s"$path/fp", staged)
+    Lifecycle.stagedSwap(spark, s"$path/fp") { staged =>
+      Tombstones.applyTo(spark.read.parquet(s"$path/fp"), "id",
+          s"$path/tombstones")
+        .groupBy(col("id")).agg(min(col("fp")).as("fp"))
+        .repartitionByRange(col("id"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").parquet(staged)
+    }
     Tombstones.drop(spark, s"$path/tombstones")
   }
 

@@ -56,10 +56,9 @@ private[graft] object Ledger {
     * the same schedule as the owning index's compaction — the ledger's
     * cost is file COUNT, not row count.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val staged = s"${path}_compacting"
-    spark.read.parquet(path).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(staged)
-    Dedup.swapTable(spark, path, staged)
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    Lifecycle.stagedSwap(spark, path) { staged =>
+      spark.read.parquet(path).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(staged)
+    }
 }

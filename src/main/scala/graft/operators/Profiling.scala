@@ -328,11 +328,10 @@ object Profiling {
     */
   def compactHhSketch(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
-    val live = s"$path/segments"
-    val staged = live + "_compacting"
-    mergedHeavyHitters(spark, path)
-      .coalesce(1).write.mode("overwrite").parquet(staged)
-    Dedup.swapTable(spark, live, staged)
+    Lifecycle.stagedSwap(spark, s"$path/segments") { staged =>
+      mergedHeavyHitters(spark, path)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+    }
     Ledger.compact(spark, s"$path/batches")
   }
 

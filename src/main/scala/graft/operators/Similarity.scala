@@ -367,13 +367,8 @@ object Similarity {
     // null-id row would re-append on every retry — drop them up front
     val batch = newRows.select(col(idCol), col(vecCol))
       .filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val bounds = newRows.agg(min(col(idCol)), max(col(idCol))).head()
-    val indexIds = spark.read.parquet(s"$path/cells").select(col(idCol))
-    val seen =
-      if (bounds.isNullAt(0)) indexIds.limit(0) // no non-null batch ids
-      else indexIds.where(col(idCol) >= lit(bounds.get(0)) &&
-        col(idCol) <= lit(bounds.get(1)))
-    batch.join(seen, Seq(idCol), "left_anti")
+    Lifecycle.freshByIdRange(batch, newRows, idCol,
+        spark.read.parquet(s"$path/cells").select(col(idCol)), idCol)
       .crossJoin(cdf)
       .withColumn("d", col("c2") - lit(2.0) * VectorOps.dot(col(vecCol), col("cv")))
       .groupBy(col(idCol))
@@ -395,7 +390,6 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String,
                       targetRowsPerRange: Long = 1L << 22): Unit = {
-    val staged = s"$path/cells_compacting"
     val cells = Tombstones.applyTo(
       spark.read.parquet(s"$path/cells"), idCol, s"$path/tombstones")
     val others = cells.columns.filter(c => c != idCol && c != "cell").toSeq
@@ -412,11 +406,12 @@ object Similarity {
     val n = dedup.count()
     val ranges = math.max(1L,
       (n + targetRowsPerRange - 1) / targetRowsPerRange).toInt
-    dedup
-      .repartitionByRange(ranges, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
-    Dedup.swapTable(spark, s"$path/cells", staged)
+    Lifecycle.stagedSwap(spark, s"$path/cells") { staged =>
+      dedup
+        .repartitionByRange(ranges, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    }
     Tombstones.drop(spark, s"$path/tombstones")
   }
 
@@ -524,14 +519,10 @@ object Similarity {
     // idempotence anti-join, so it never enters the index
     val batch = newRows.select(col(idCol), col(vecCol))
       .filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val bounds = newRows.agg(min(col(idCol)), max(col(idCol))).head()
     val indexIds = spark.read.parquet(s"$path/sig")
       .filter(col("tbl") === 0).select(col(idCol))
-    val seen =
-      if (bounds.isNullAt(0)) indexIds.limit(0) // no non-null batch ids
-      else indexIds.where(col(idCol) >= lit(bounds.get(0)) &&
-        col(idCol) <= lit(bounds.get(1)))
-    lshBucketRows(batch.join(seen, Seq(idCol), "left_anti"),
+    lshBucketRows(
+      Lifecycle.freshByIdRange(batch, newRows, idCol, indexIds, idCol),
       idCol, vecCol, bits, pb, tables, pd)
   }
 
@@ -545,7 +536,6 @@ object Similarity {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String,
                       targetRowsPerRange: Long = 1L << 22): Unit = {
-    val staged = s"$path/sig_compacting"
     val sig = Tombstones.applyTo(spark.read.parquet(s"$path/sig"), idCol,
         s"$path/tombstones")
       .dropDuplicates(idCol, "tbl")
@@ -556,10 +546,11 @@ object Similarity {
     val n = sig.count()
     val ranges = math.max(1L,
       (n + targetRowsPerRange - 1) / targetRowsPerRange).toInt
-    sig.repartitionByRange(ranges, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(staged)
-    Dedup.swapTable(spark, s"$path/sig", staged)
+    Lifecycle.stagedSwap(spark, s"$path/sig") { staged =>
+      sig.repartitionByRange(ranges, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(staged)
+    }
     Tombstones.drop(spark, s"$path/tombstones")
   }
 

@@ -82,10 +82,10 @@ private[graft] object Tombstones {
     val hit = tomb.join(ks, col(keyCol) <=> col("__clr"), "left_semi")
       .limit(1).head(1).nonEmpty
     if (!hit) return
-    val staged = s"${tombPath}_clearing"
-    tomb.join(ks, col(keyCol) <=> col("__clr"), "left_anti")
-      .write.mode("overwrite").parquet(staged)
-    Dedup.swapTable(spark, tombPath, staged)
+    Lifecycle.stagedSwap(spark, tombPath) { staged =>
+      tomb.join(ks, col(keyCol) <=> col("__clr"), "left_anti")
+        .write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Anti-join `df` against the sidecar on `joinCol` <=> sidecar key

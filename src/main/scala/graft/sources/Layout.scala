@@ -300,10 +300,10 @@ object Layout {
     */
   def compactManifest(spark: SparkSession, dataPath: String): Unit = {
     val mp = manifestPath(dataPath)
-    val staged = mp + "_compacting"
-    spark.read.parquet(mp).coalesce(1)
-      .write.mode("overwrite").parquet(staged)
-    graft.operators.Dedup.swapTable(spark, mp, staged)
+    graft.operators.Lifecycle.stagedSwap(spark, mp) { staged =>
+      spark.read.parquet(mp).coalesce(1)
+        .write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Manifest-pruned read: open only files that can hold matching rows,
