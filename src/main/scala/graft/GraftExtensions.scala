@@ -118,7 +118,16 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_weighted_sample(table, keyCol, weightCol, fraction)` —
   *    deterministic weight-tilted sampling
   *    ([[graft.operators.Corpus.weightedSample]])
-  *  - `graft_zorder_write(table, dataPath, colA, colB, files)` — Z-order
+  *  - `graft_delete_digest(table, indexPath, textCol)` /
+  *    `graft_delete_minhash(ids, indexPath, idCol)` /
+  *    `graft_delete_simhash(ids, indexPath, idCol)` /
+  *    `graft_delete_ivf(ids, indexPath, idCol)` /
+  *    `graft_delete_lsh(ids, indexPath, idCol)` — index tombstones
+  *    (BUILD-style receipts; see [[graft.operators.Tombstones]])
+  *  - `graft_wav_features(table)` — per-channel PCM energy rows over
+  *    WAV payloads ([[graft.operators.Multimodal.wavChannelFeatures]])
+  *  - `graft_zorder_write(table, dataPath, 'd1,d2[,d3…]', files)` (or
+  *    legacy `(table, dataPath, colA, colB, files)`) — Z-order
   *    clustered parquet write ([[graft.sources.Layout.writeZOrdered]];
   *    BUILD-style, returns a one-row receipt)
   *  - `graft_update_manifest(dataPath, 'dim1,dim2')` — incremental
@@ -182,6 +191,13 @@ object GraftExtensions {
     SparkSession.active.table(strArg(e, name))
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** One-row receipt for the BUILD-style tombstone faces. */
+  private def deleteReceipt(indexPath: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    plan(Seq(Tuple1(indexPath)).toDF("index_path"))
+  }
 
   private val scalarFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -589,12 +605,89 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_weighted_sample(table, keyCol, weightCol, fraction)")
       }),
+    // index tombstones (BUILD-style: the sidecar write runs at analysis,
+    // the receipt row reports the delete) — one face per family, same
+    // names as the Scala API
+    (new FunctionIdentifier("graft_delete_digest"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_delete_digest"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, text) =>
+          val path = strArg(p, "indexPath")
+          Dedup.deleteFromDigestIndex(tableArg(t, "table"), path,
+            strArg(text, "textCol"))
+          deleteReceipt(path)
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_digest(table, indexPath, textCol)")
+      }),
+    (new FunctionIdentifier("graft_delete_minhash"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_delete_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id) =>
+          val path = strArg(p, "indexPath")
+          Dedup.deleteFromMinhashIndex(tableArg(t, "ids"), path,
+            strArg(id, "idCol"))
+          deleteReceipt(path)
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_minhash(ids, indexPath, idCol)")
+      }),
+    (new FunctionIdentifier("graft_delete_simhash"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_delete_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id) =>
+          val path = strArg(p, "indexPath")
+          Dedup.deleteFromSimhashIndex(tableArg(t, "ids"), path,
+            strArg(id, "idCol"))
+          deleteReceipt(path)
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_simhash(ids, indexPath, idCol)")
+      }),
+    (new FunctionIdentifier("graft_delete_ivf"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_delete_ivf"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id) =>
+          val path = strArg(p, "indexPath")
+          Similarity.deleteFromIvfIndex(tableArg(t, "ids"), path,
+            strArg(id, "idCol"))
+          deleteReceipt(path)
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_ivf(ids, indexPath, idCol)")
+      }),
+    (new FunctionIdentifier("graft_delete_lsh"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_delete_lsh"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id) =>
+          val path = strArg(p, "indexPath")
+          Similarity.deleteFromLshIndex(tableArg(t, "ids"), path,
+            strArg(id, "idCol"))
+          deleteReceipt(path)
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_lsh(ids, indexPath, idCol)")
+      }),
+    // multimodal: per-channel PCM energy features over WAV payloads
+    (new FunctionIdentifier("graft_wav_features"),
+      new ExpressionInfo("graft.operators.Multimodal", "graft_wav_features"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          plan(graft.operators.Multimodal.wavChannelFeatures(
+            tableArg(t, "table")))
+        case _ => throw new IllegalArgumentException(
+          "graft_wav_features(table) — table needs doc_id + payload columns")
+      }),
     // layout family (graft.sources.Layout) — write/update are BUILD-style
     // operators like graft_dedup_corpus: their jobs run while the SQL is
     // analyzed, and the returned row reports what was done
     (new FunctionIdentifier("graft_zorder_write"),
       new ExpressionInfo("graft.sources.Layout", "graft_zorder_write"),
       (args: Seq[Expression]) => args match {
+        // 4-arg form: dims as one comma list (2..N dimensions)
+        case Seq(t, p, dims, f) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val files = intArg(f, "files")
+          graft.sources.Layout.writeZOrdered(tableArg(t, "table"), path,
+            colsArg(dims, "dims"), files)
+          import spark.implicits._
+          plan(Seq((path, files)).toDF("data_path", "files_written"))
         case Seq(t, p, a, b, f) =>
           val spark = SparkSession.active
           val path = strArg(p, "dataPath")
@@ -604,7 +697,8 @@ object GraftExtensions {
           import spark.implicits._
           plan(Seq((path, files)).toDF("data_path", "files_written"))
         case _ => throw new IllegalArgumentException(
-          "graft_zorder_write(table, dataPath, colA, colB, files)")
+          "graft_zorder_write(table, dataPath, 'dim1,dim2[,dim3…]', files)" +
+            " or (table, dataPath, colA, colB, files)")
       }),
     (new FunctionIdentifier("graft_update_manifest"),
       new ExpressionInfo("graft.sources.Layout", "graft_update_manifest"),

@@ -555,6 +555,61 @@ class EngineSpec extends SparkSpec {
       "graft_pack(table, shardCol, keyCol, tokenCol, budget)"))
   }
 
+  test("extensions: tombstone deletes, WAV features, N-dim zorder from SQL") {
+    import graft.operators.{Dedup, Multimodal}
+    GraftExtensions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    // tombstone delete via SQL: flagging stops, receipt row returned
+    val base = "the quick brown fox jumps over the lazy dog and runs home"
+    val hist = Seq(1L -> base, 2L -> "unrelated words entirely different")
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_sqlts")
+      .toString + "/idx"
+    Dedup.saveMinhashIndex(hist, path, "doc_id", "text", bands = 16)
+    Seq(50L -> base).toDF("doc_id", "text")
+      .createOrReplaceTempView("sql_ts_probe")
+    Seq(Tuple1(1L)).toDF("doc_id").createOrReplaceTempView("sql_ts_ids")
+    def flagged() = spark.sql(
+      s"SELECT * FROM graft_flag_index('sql_ts_probe', '$path', 'doc_id', 'text')")
+      .collect().map(_.getLong(1)).toSet
+    assert(flagged() == Set(1L))
+    val receipt = spark.sql(
+      s"SELECT * FROM graft_delete_minhash('sql_ts_ids', '$path', 'doc_id')")
+    assert(rows(receipt) == Seq(Seq(path)))
+    assert(flagged() == Set.empty[Long])
+    spark.sharedState.cacheManager.clearCache()
+
+    // WAV features: SQL face row-identical to the Scala operator
+    val media = Multimodal.withPcmColumn(
+      Seq((7L, "hello world"), (8L, "abc")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    media.createOrReplaceTempView("sql_ts_media")
+    val wSql = spark.sql(
+      "SELECT * FROM graft_wav_features('sql_ts_media') ORDER BY doc_id, channel")
+    assert(rows(wSql) ==
+      rows(Multimodal.wavChannelFeatures(media)
+        .orderBy("doc_id", "channel")) && rows(wSql).nonEmpty)
+
+    // 3-dim zorder write via the comma-list form + pruned read over it
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("sql_ts_li")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlz3")
+      .toString + "/data"
+    assert(rows(spark.sql(
+      s"""SELECT * FROM graft_zorder_write('sql_ts_li', '$dir',
+         |  'l_shipdate,l_partkey,l_suppkey', 4)""".stripMargin))
+      == Seq(Seq(dir, 4)))
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_update_manifest('$dir', 'l_shipdate,l_partkey,l_suppkey')"))
+      == Seq(Seq(dir, 4)))
+    val n = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_pruned_read('$dir',
+         |  'l_suppkey', '1', '2')""".stripMargin).head().getLong(0)
+    assert(n == li.filter(col("l_suppkey").between(1L, 2L)).count())
+  }
+
   test("extensions: LM index scoring callable from SQL, row-identical") {
     import graft.operators.Corpus
     GraftExtensions.register(spark)
