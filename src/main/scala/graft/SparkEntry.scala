@@ -1451,7 +1451,50 @@ object SparkEntry {
           Multimodal.withPcmColumn(t(s, d, "documents"), "doc_id", "text"))
         .select(col("doc_id"), col("channel"), col("sample_rate"),
           col("n_frames"), round(col("rms"), 6).as("rms"), col("peak"))
-        .orderBy(col("doc_id"), col("channel")))
+        .orderBy(col("doc_id"), col("channel"))),
+
+    // Physical row deletes on a z-ordered table: write, manifest, then
+    // deleteByIds rewrites ONLY the files whose manifest id range can
+    // hold a doomed key (plus a replay that must be a 0-file no-op),
+    // and the pruned read answers a slice over what remains. The
+    // oracle is the plain filter with the deleted keys excluded — a
+    // retained doomed row, a dropped survivor, an orphaned manifest
+    // row that crashes the pruned read, or a non-idempotent replay all
+    // break the hash.
+    "q100_layout_delete" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_orderkey")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_zdelete_${Integer.toHexString(d.hashCode)}").getPath
+      val li = t(s, d, "lineitem")
+      Stages.timed("q100_layout_delete", "zorder_write") {
+        Layout.writeZOrdered(li, dir, dims, files = 16)
+      }
+      Stages.timed("q100_layout_delete", "manifest") {
+        Layout.writeManifest(s, dir, dims)
+      }
+      val doomed = li.filter(col("l_orderkey") % 10 === 3)
+        .select(col("l_orderkey"))
+      Stages.timed("q100_layout_delete", "delete") {
+        Layout.deleteByIds(s, dir, dims, "l_orderkey", doomed): Unit
+      }
+      Stages.timed("q100_layout_delete", "delete_replay") {
+        // same ids again: candidates hold no matching rows — no rewrite
+        Layout.deleteByIds(s, dir, dims, "l_orderkey", doomed): Unit
+      }
+      Layout.prunedRead(s, dir, Seq(
+          Layout.ColRange("l_shipdate",
+            lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp"))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3042,6 +3085,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |  AND l_partkey BETWEEN 10 AND 59
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "q100_layout_delete" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
     "q92_layout_append" ->

@@ -306,6 +306,156 @@ object Layout {
     }
   }
 
+  // --- targeted row deletes (manifest-pruned file rewrite) ----------
+  //
+  // The data-file half of the delete story the five index families got
+  // in round 8 (takedown / license retraction — routine in
+  // training-data pipelines; the reference models deletes via FK
+  // cascade actions, schema.sql:60-64). An index tombstone hides rows
+  // a PROBE would surface; the lake table itself still holds the bytes
+  // until they are physically rewritten. At 100 TB a whole-table
+  // rewrite for a thousand-row takedown is absurd — the manifest's
+  // per-file min/max on the id dimension bounds the rewrite to the
+  // files that can actually hold a doomed id, exactly the way Delta's
+  // stats-pruned DELETE works.
+
+  /** Physically remove rows whose `idCol` value appears in `ids` from a
+    * z-ordered table, rewriting ONLY the files whose manifest id range
+    * (or presence of null ids, for null deletions — matched null-safely
+    * throughout) intersects the delete set. `idCol` must be one of the
+    * manifest `dims` — that is what makes the rewrite targeted; pruning
+    * on a column without file stats would silently mean "rewrite
+    * everything".
+    *
+    * Staleness-conservative, mirroring [[pruneFiles]]'s guard in the
+    * direction a DELETE needs: data files absent from the manifest
+    * (landed batch, external writer) are always rewrite candidates — a
+    * stale manifest may cost rewrite work, never retain a doomed row.
+    * With no manifest at all, every file is a candidate (the honest
+    * degenerate case).
+    *
+    * Idempotent: a replayed delete finds no matching rows in the
+    * candidate files and returns 0 without writing anything. Returns
+    * the number of files rewritten otherwise.
+    *
+    * Commit discipline: surviving rows are staged as new z-clustered
+    * files NEXT TO the table, then promoted with the retire-first
+    * rename rule ([[graft.operators.Dedup.swapTable]]'s, per file):
+    * candidates rename into a retired directory, staged files rename
+    * in, retired/staged directories drop, manifest reconciles. Quiesce
+    * readers and writers across the call, like every index compaction
+    * here; a crash mid-commit leaves the originals intact under
+    * `<path>_delete_retired` and is recovered by [[reconcileManifest]]
+    * once the files are restored or the promotion finished by hand.
+    */
+  def deleteByIds(spark: SparkSession, dataPath: String, dims: Seq[String],
+                  idCol: String, ids: DataFrame): Int = {
+    require(dims.contains(idCol),
+      s"delete column '$idCol' is not a manifest dimension $dims — " +
+        "file pruning needs its per-file stats; cluster and manifest " +
+        "on the delete key")
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireFlatDir(fs, hp)
+    val dataFiles = fs.listStatus(hp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (dataFiles.isEmpty) return 0
+    val idv = ids.select(col(idCol).as("__del")).distinct()
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
+    val (candidateNames, knownNames) =
+      if (!fs.exists(mp)) (Set.empty[String], Set.empty[String])
+      else {
+        val m = spark.read.parquet(manifestPath(dataPath))
+        // a file can hold id x iff min<=x<=max; null ids live only in
+        // files whose null count says so
+        val cand = m.join(broadcast(idv),
+            (col("__del") >= col(s"min_$idCol") &&
+             col("__del") <= col(s"max_$idCol")) ||
+            (col("__del").isNull && col(s"nulls_$idCol") > 0),
+            "left_semi")
+          .select(col("file_name")).collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+          .toSet
+        val known = m.select(col("file_name")).collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+          .toSet
+        (cand, known)
+      }
+    val candidates = dataFiles.filter(p =>
+      candidateNames.contains(p.getName) || !knownNames.contains(p.getName))
+    if (candidates.isEmpty) return 0
+    val candDf = spark.read.parquet(candidates.map(_.toString).toIndexedSeq: _*)
+    val doomed = candDf.join(idv, col(idCol) <=> col("__del"), "left_semi")
+    if (doomed.limit(1).head(1).isEmpty) return 0 // replayed delete
+    val surviving = candDf.join(idv, col(idCol) <=> col("__del"), "left_anti")
+    val staged = dataPath.stripSuffix("/") + "_deleting"
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    fs.delete(sp, true)
+    // re-cluster the surviving subset along the table's own curve —
+    // the manifest records actual min/max, so subset bounds only shape
+    // skip rates, never results (same contract as appendZOrdered)
+    withZKey(surviving, dims)
+      .repartitionByRange(math.max(1, candidates.length), col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(staged)
+    val retired = new org.apache.hadoop.fs.Path(
+      dataPath.stripSuffix("/") + "_delete_retired")
+    fs.delete(retired, true)
+    fs.mkdirs(retired)
+    candidates.foreach { p =>
+      require(fs.rename(p, new org.apache.hadoop.fs.Path(retired, p.getName)),
+        s"delete: could not retire $p — table unchanged so far; " +
+          s"restore any files already under $retired and retry")
+    }
+    fs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        require(fs.rename(p, new org.apache.hadoop.fs.Path(hp, p.getName)),
+          s"delete: could not promote $p — originals intact under " +
+            s"$retired; rename them back to recover")
+      }
+    fs.delete(sp, true)
+    fs.delete(retired, true)
+    if (fs.exists(mp)) reconcileManifest(spark, dataPath, dims): Unit
+    candidates.length
+  }
+
+  /** Reconcile the manifest with the data directory in BOTH directions:
+    * drop rows whose file no longer exists (a [[deleteByIds]] rewrite,
+    * an external compaction) and stat files the manifest has never seen
+    * ([[updateManifest]]'s incremental path). Idempotent; file-count-
+    * sized in both the listing and the collect; O(new files' rows) in
+    * data read. Returns (rows dropped, files newly statted). This is
+    * also the crash-recovery command for an interrupted delete commit:
+    * once the directory holds the files you mean to keep, one call
+    * makes the manifest agree with it.
+    */
+  def reconcileManifest(spark: SparkSession, dataPath: String,
+                        dims: Seq[String]): (Int, Int) = {
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireFlatDir(fs, hp)
+    val present = fs.listStatus(hp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val mp = manifestPath(dataPath)
+    var dropped = 0
+    if (fs.exists(new org.apache.hadoop.fs.Path(mp))) {
+      val m = spark.read.parquet(mp)
+      val names = m.select(col("file_name")).collect().map(_.getString(0))
+      val keep = names.filter(n =>
+        present.contains(new org.apache.hadoop.fs.Path(n).getName))
+      dropped = names.length - keep.length
+      if (dropped > 0) {
+        val keepSet = keep.toSeq
+        graft.operators.Lifecycle.stagedSwap(spark, mp) { staged =>
+          m.filter(col("file_name").isin(keepSet: _*)).coalesce(1)
+            .write.mode("overwrite").parquet(staged)
+        }
+      }
+    }
+    (dropped, updateManifest(spark, dataPath, dims))
+  }
+
   /** Manifest-pruned read: open only files that can hold matching rows,
     * then apply the real range filters (which also push to the parquet
     * scan, so surviving files keep pruning at ROW-GROUP granularity).

@@ -340,4 +340,132 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unordered type"))
   }
+
+  // --- targeted deletes ---------------------------------------------
+
+  private def dataFileNames(dir: String): Set[String] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+  test("deleteByIds removes doomed rows, rewrites ONLY candidate files, " +
+       "and leaves the manifest orphan-free") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_orderkey")
+    val dir = tmpDir("del")
+    Layout.writeZOrdered(li, dir, dims, files = 16)
+    Layout.writeManifest(spark, dir, dims)
+    val before = dataFileNames(dir)
+
+    // a narrow band of consecutive order keys — only files whose
+    // manifest orderkey range intersects it should be rewritten
+    val keys = li.select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val ids = keys.toDF("l_orderkey")
+    val rewritten = Layout.deleteByIds(spark, dir, dims, "l_orderkey", ids)
+    assert(rewritten > 0, "the doomed keys exist, so some file must rewrite")
+    assert(rewritten < 16,
+      s"a 5-key band must not force a full-table rewrite ($rewritten/16)")
+    val untouched = before.intersect(dataFileNames(dir))
+    assert(untouched.size == 16 - rewritten,
+      "non-candidate files must survive byte-identically by name")
+
+    // surviving content is exactly the table minus the doomed keys
+    // ((l_orderkey, l_linenumber) is not unique in this data, so
+    // compare full-row multisets)
+    val got = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val want = li.filter(!col("l_orderkey").isin(keys: _*))
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+
+    // manifest agrees with the directory: no orphan rows, no unseen
+    // files — a pruned full-range read covers everything
+    val (kept, total) = Layout.pruneFiles(spark, dir, Seq.empty)
+    assert(total.toInt == dataFileNames(dir).size)
+    assert(kept.map(n => new org.apache.hadoop.fs.Path(n).getName).toSet ==
+      dataFileNames(dir))
+
+    // replay: same ids again — no candidate holds a matching row now
+    assert(Layout.deleteByIds(spark, dir, dims, "l_orderkey", ids) == 0)
+    // absent ids — manifest range pruning may select candidates, but
+    // no row matches, so nothing rewrites
+    assert(Layout.deleteByIds(spark, dir, dims, "l_orderkey",
+      Seq(-1L).toDF("l_orderkey")) == 0)
+  }
+
+  test("stale manifest: doomed rows in unmanifested files are still deleted") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_orderkey")
+    val dir = tmpDir("delstale")
+    val batchKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val base = li.filter(col("l_orderkey") =!= batchKey)
+    val batch = li.filter(col("l_orderkey") === batchKey)
+    Layout.writeZOrdered(base, dir, dims, files = 4)
+    Layout.writeManifest(spark, dir, dims)
+    Layout.appendZOrdered(batch, dir, dims, files = 1)
+    // NO updateManifest: the batch's file is invisible to the manifest,
+    // but its rows must still die — staleness may only cost rewrite
+    // work, never retain a doomed row
+    val n = Layout.deleteByIds(spark, dir, dims, "l_orderkey",
+      Seq(batchKey).toDF("l_orderkey"))
+    assert(n >= 1)
+    assert(spark.read.parquet(dir)
+      .filter(col("l_orderkey") === batchKey).count() == 0)
+    // the reconcile that ran inside delete also adopted every file the
+    // manifest had never seen
+    val (kept, total) = Layout.pruneFiles(spark, dir, Seq.empty)
+    assert(total.toInt == dataFileNames(dir).size &&
+      kept.size == total.toInt)
+  }
+
+  test("deleteByIds matches null ids null-safely") {
+    val df = Seq[(java.lang.Long, Long)]((1L, 10L), (2L, 20L),
+      (null, 30L), (3L, 40L)).toDF("id", "v")
+    val dims = Seq("id", "v")
+    val dir = tmpDir("delnull")
+    Layout.writeZOrdered(df, dir, dims, files = 2)
+    Layout.writeManifest(spark, dir, dims)
+    val ids = Seq[java.lang.Long](null).toDF("id")
+    assert(Layout.deleteByIds(spark, dir, dims, "id", ids) >= 1)
+    val left = spark.read.parquet(dir).orderBy("v")
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSeq
+    assert(left == Seq((Some(1L), 10L), (Some(2L), 20L), (Some(3L), 40L)))
+  }
+
+  test("delete column must be a manifest dimension, loudly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(10)
+    val dir = tmpDir("delbad")
+    Layout.writeZOrdered(li, dir, Seq("l_shipdate", "l_partkey"), files = 1)
+    val e = intercept[IllegalArgumentException] {
+      Layout.deleteByIds(spark, dir, Seq("l_shipdate", "l_partkey"),
+        "l_orderkey", Seq(1L).toDF("l_orderkey"))
+    }
+    assert(e.getMessage.contains("not a manifest dimension"))
+  }
+
+  test("reconcileManifest drops rows for vanished files and adopts " +
+       "unseen ones — the delete-crash recovery path") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val dir = tmpDir("reconcile")
+    Layout.writeZOrdered(li, dir, dims, files = 8)
+    Layout.writeManifest(spark, dir, dims)
+    // simulate an interrupted rewrite: one file vanishes, one lands
+    // outside the manifest's knowledge
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val lost = spark.read.parquet(victim.getPath).collect().length
+    assert(victim.delete())
+    li.limit(7).write.mode("append").parquet(dir)
+    val (dropped, added) = Layout.reconcileManifest(spark, dir, dims)
+    assert(dropped == 1 && added >= 1)
+    // manifest and directory agree again; pruned full read works
+    val (kept, total) = Layout.pruneFiles(spark, dir, Seq.empty)
+    assert(total.toInt == dataFileNames(dir).size &&
+      kept.size == total.toInt)
+    assert(Layout.prunedRead(spark, dir, Seq.empty).count() ==
+      li.count() - lost + 7)
+    // idempotent
+    assert(Layout.reconcileManifest(spark, dir, dims) == ((0, 0)))
+  }
 }
