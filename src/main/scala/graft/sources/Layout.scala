@@ -349,7 +349,20 @@ object Layout {
     * once the files are restored or the promotion finished by hand.
     */
   def deleteByIds(spark: SparkSession, dataPath: String, dims: Seq[String],
-                  idCol: String, ids: DataFrame): Int = {
+                  idCol: String, ids: DataFrame): Int =
+    deleteRetaining(spark, dataPath, dims, idCol, ids, vault = None)
+
+  /** [[deleteByIds]] with a retention hook: when `vault` is set, the
+    * rewritten (pre-delete) files are MOVED there instead of dropped —
+    * the storage half of snapshot time travel ([[Snapshots]] reads old
+    * versions out of the vault until vacuumed). File names are globally
+    * unique (`part-…-uuid`), so the vault is a flat name-keyed store
+    * that never collides across deletes.
+    */
+  private[sources] def deleteRetaining(spark: SparkSession, dataPath: String,
+                                       dims: Seq[String], idCol: String,
+                                       ids: DataFrame,
+                                       vault: Option[String]): Int = {
     require(dims.contains(idCol),
       s"delete column '$idCol' is not a manifest dimension $dims — " +
         "file pruning needs its per-file stats; cluster and manifest " +
@@ -415,9 +428,55 @@ object Layout {
             s"$retired; rename them back to recover")
       }
     fs.delete(sp, true)
-    fs.delete(retired, true)
+    vault match {
+      case None => fs.delete(retired, true)
+      case Some(v) =>
+        val vp = new org.apache.hadoop.fs.Path(v)
+        fs.mkdirs(vp)
+        fs.listStatus(retired).map(_.getPath).foreach { p =>
+          require(fs.rename(p, new org.apache.hadoop.fs.Path(vp, p.getName)),
+            s"delete: could not vault $p — the table is already " +
+              s"promoted; move the remaining files under $retired to $v " +
+              "by hand to keep old snapshots readable")
+        }
+        fs.delete(retired, true)
+    }
     if (fs.exists(mp)) reconcileManifest(spark, dataPath, dims): Unit
     candidates.length
+  }
+
+  /** Keyed upsert (MERGE): replace every row whose `idCol` value appears
+    * in `updates` with the update batch's rows for that key, and insert
+    * rows for keys the table has never seen — the CDC apply step a lake
+    * table needs (the reference's row updates are SQL UPDATEs through
+    * its app layer, `server.py` write paths; here they arrive as a
+    * batch). Semantics are per-KEY, not per-row: all existing rows for
+    * a matched key are removed, then the batch's rows for it land — so
+    * a key's row count may change, which is exactly what replacing an
+    * order's line set means.
+    *
+    * Cost model is the point: the delete half rewrites ONLY the files
+    * whose manifest id range can hold a matched key ([[deleteByIds]]'s
+    * pruning), the insert half is a plain clustered append — at 100 TB
+    * an upsert touching one day's keys rewrites a few files, never the
+    * table. The manifest is reconciled (delete) and incrementally
+    * updated (append) so pruned reads stay exact.
+    *
+    * NOT idempotent under replay: the delete half replays as a no-op
+    * (updates' rows match themselves... they are removed and re-landed)
+    * — concretely, a replayed upsert deletes the rows the first run
+    * inserted and inserts them again, converging to the same TABLE
+    * state, but each replay rewrites files. Route at-least-once feeds
+    * through an applied-batch ledger upstream if replays are routine.
+    * Returns the number of files the delete half rewrote.
+    */
+  def upsertByIds(spark: SparkSession, dataPath: String, dims: Seq[String],
+                  idCol: String, updates: DataFrame, files: Int): Int = {
+    val rewritten = deleteByIds(spark, dataPath, dims, idCol,
+      updates.select(col(idCol)))
+    appendZOrdered(updates, dataPath, dims, files)
+    updateManifest(spark, dataPath, dims): Unit
+    rewritten
   }
 
   /** Reconcile the manifest with the data directory in BOTH directions:
