@@ -1494,7 +1494,77 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    // Partitioned-table layout composition: a hive-partitioned root
+    // whose leaves are z-clustered and carry per-leaf manifests under
+    // root/_manifests (invisible to plain readers). The read prunes at
+    // three granularities — partition directories, then each surviving
+    // leaf's file manifest, then parquet row-group stats — and must be
+    // row-identical to the plain filtered scan (the layout-invariant
+    // oracle): a leaf wrongly skipped, a manifest row misattributed
+    // across leaves, or the partition column lost in the basePath
+    // reassembly all break the hash.
+    "q101_partitioned_layout" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_partkey")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_partz_${Integer.toHexString(d.hashCode)}").getPath
+      val li = t(s, d, "lineitem")
+      Stages.timed("q101_partitioned_layout", "partitioned_write") {
+        Layout.writeZOrderedPartitioned(li, root, "l_returnflag", dims,
+          files = 12)
+      }
+      Stages.timed("q101_partitioned_layout", "manifests") {
+        Layout.updateManifestPartitioned(s, root, dims): Unit
+      }
+      Layout.prunedReadPartitioned(s, root, Seq(
+          Layout.ColRange("l_returnflag", lit("N"), lit("R")),
+          Layout.ColRange("l_shipdate",
+            lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")),
+          Layout.ColRange("l_partkey", lit(10L), lit(59L))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // MP4 per-sample tables: every doc gets a synthesized MP4 whose
+    // stts/stsz/mdhd fields are integer arithmetic over doc_id; the
+    // box walk parses them back into a per-frame table (frame sizes +
+    // decode durations — the frame-level metadata video pipelines
+    // shard and filter by, no codec involved). The oracle regenerates
+    // the table from the same arithmetic — a box-size slip, an
+    // stts-run expansion bug, or a misread timescale all break the
+    // hash.
+    "q102_mp4_samples" -> ((s, d) =>
+      Multimodal.mp4FrameTable(
+          Multimodal.withMp4SampleColumn(t(s, d, "documents"), "doc_id"))
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          col("dur_units"), col("timescale"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // AVI container walk: synthesized RIFF/AVI payloads with
+    // arithmetic header parameters; detectMeta must recover width /
+    // height / frame count / duration from the avih header + the movi
+    // chunk WALK (frames actually present, not the header's claim).
+    // The MJPEG pixel-decode half of the AVI story is spec-gated
+    // (JDK-encoder fixtures; JPEG bytes aren't SQL-regenerable).
+    "q103_avi_meta" -> ((s, d) =>
+      Multimodal.detectMeta(
+          Multimodal.withAviColumn(t(s, d, "documents"), "doc_id"))
+        .select(col("doc_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3095,6 +3165,44 @@ object SparkEntry {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |  AND l_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    // q101: the layout-invariant oracle for the PARTITIONED composed
+    // path — the plain filtered scan with the partition predicate as an
+    // ordinary WHERE clause
+    "q101_partitioned_layout" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag BETWEEN 'N' AND 'R'
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_partkey BETWEEN 10 AND 59
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    // q102: the synthesizer's per-frame arithmetic regenerated directly
+    // (timescale 600, 1+(id%7) frames, delta 100+(id%50), size(f) =
+    // 100+(id*31+f*7)%400), bounded-series expansion per the q98 pattern
+    "q102_mp4_samples" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS n FROM documents)
+        |SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+        |  CAST(100 + (d.doc_id*31 + f.f*7) % 400 AS BIGINT) AS frame_bytes,
+        |  CAST(100 + d.doc_id % 50 AS BIGINT) AS dur_units,
+        |  CAST(600 AS BIGINT) AS timescale
+        |FROM d CROSS JOIN generate_series(0, 6) f(f)
+        |WHERE f.f < d.n
+        |ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " "),
+
+    // q103: the AVI synthesizer's header arithmetic (width 16+(id%5)*8,
+    // height 16+(id%3)*8, 1+(id%6) frames, 33333+(id%10)*1000 µs/frame;
+    // duration_ms = frames·µsPerFrame // 1000)
+    "q103_avi_meta" ->
+      """SELECT doc_id, 'video/avi' AS media_type,
+        |  CAST(16 + (doc_id % 5) * 8 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,
+        |  CAST((1 + doc_id % 6) * (33333 + (doc_id % 10) * 1000) // 1000
+        |    AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "q92_layout_append" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -377,11 +377,15 @@ object Dedup {
     *    re-ingested) are anti-joined away against the buckets the batch
     *    touches — a duplicate row would make every future probe emit a
     *    hit once per copy;
-    *  - CAPPED: a bucket never exceeds the index's `max_bucket`;
-    *    already-persisted rows keep their slots (an append cannot evict
-    *    history without rewriting it), batch rows fill the remainder in
-    *    id order. Deterministic given the append sequence; serialized
-    *    appends per index path, like every writer here.
+    *  - CAPPED: a bucket never exceeds the index's `max_bucket` of
+    *    LIVE rows; already-persisted live rows keep their slots (an
+    *    append cannot evict history without rewriting it), batch rows
+    *    fill the remainder in id order, and tombstoned rows do NOT
+    *    hold slots (a delete frees its cap capacity immediately, not
+    *    at compaction — the physical bucket may transiently exceed the
+    *    cap by its tombstoned rows, but the probe-visible bucket never
+    *    does). Deterministic given the append/delete sequence;
+    *    serialized appends per index path, like every writer here.
     *
     * All hygiene work is bounded by the BATCH's touched buckets (the
     * semi-join prunes history first), never by index size.
@@ -411,7 +415,16 @@ object Dedup {
     val fresh = batch.join(
       touched.select(col("band_idx"), col("band_hash"), col("id")),
       Seq("band_idx", "band_hash", "id"), "left_anti")
-    val have = touched.groupBy(col("band_idx"), col("band_hash"))
+    // cap accounting counts LIVE rows only (VERDICT r8): tombstoned
+    // rows still physically occupy the bucket until compaction, but a
+    // probe anti-joins them away, so they must not hold cap slots
+    // against new appends — a heavy-delete workload would otherwise
+    // starve capped buckets until the next compaction. The effective
+    // (probe-visible) bucket stays <= maxBucket throughout, and the
+    // compaction's physical rewrite restores the invariant on disk.
+    // Cost: one anti-join over the batch-touched slice × the sidecar.
+    val have = Tombstones.applyTo(touched, "id", s"$path/tombstones")
+      .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__have"))
     val capW = Window.partitionBy(col("band_idx"), col("band_hash"))
       .orderBy(col("id"))

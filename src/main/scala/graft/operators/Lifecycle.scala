@@ -15,10 +15,30 @@ private[graft] object Lifecycle {
     * live one, then [[Dedup.swapTable]] it into place (retire-first
     * rename discipline, never delete-then-write). The staged path is
     * handed to `write` so each family keeps its own layout choices.
+    *
+    * COLLISION DETECTION (VERDICT r8): writers are serialized per index
+    * path by contract, but the contract is now mechanical, not
+    * documentary — a staged directory that already exists means either
+    * a live concurrent writer mid-swap or a dead writer's crash residue,
+    * and both fail LOUDLY here instead of silently clobbering the other
+    * writer's half-written staged table (the failure mode of two
+    * compactions racing: whichever promoted second would swap in a
+    * directory the first was still writing). The live table is intact
+    * in every branch of this failure; recovery is in the message.
     */
   def stagedSwap(spark: SparkSession, live: String)
                 (write: String => Unit): Unit = {
     val staged = s"${live}_compacting"
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    if (fs.exists(sp))
+      throw new IllegalStateException(
+        s"staged directory $staged already exists: either a concurrent " +
+          s"writer is mid-rewrite on $live (writers must be serialized " +
+          "per index path) or a previous writer crashed before its swap. " +
+          s"The live table at $live is intact. After confirming no other " +
+          s"writer is running, delete $staged and retry.")
     write(staged)
     Dedup.swapTable(spark, live, staged)
   }

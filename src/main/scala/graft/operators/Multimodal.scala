@@ -18,12 +18,16 @@ import org.apache.spark.sql.types._
   * histogram for both. AUDIO payloads get REAL sample decode for
   * 16-bit PCM WAV via [[WavCodec]] (per-channel RMS/peak energy
   * statistics — honest arithmetic over the sample words, oracle-gated
-  * in q98). Only VIDEO frame decode remains STUBBED behind
-  * [[FakeCodec]], a deterministic stand-in (an MP4 decoder genuinely
-  * needs a codec library this environment lacks) — the Spark-side
-  * contract (schema, partitioning, batch iteration, output shape) is
-  * real and tested. Swap [[FakeCodec]] for a JNI/ffmpeg binding in
-  * production; nothing else changes.
+  * in q98). VIDEO gets real treatment at two levels: AVI/MJPEG frame
+  * decode to PIXELS via [[aviFrameFeatures]] (each movi `dc` chunk is
+  * a complete JPEG — [[VideoContainers]] walks the container,
+  * [[JpegCodec]] decodes the frames), and MP4 per-sample tables via
+  * [[mp4FrameTable]] (stts/stsz — frame count, per-frame sizes and
+  * durations, oracle-gated in q102). The one remaining stub is MP4
+  * BITSTREAM decode (H.264 etc. genuinely need a codec library this
+  * environment lacks): [[FakeCodec]] stays its clearly-marked
+  * stand-in; swap it for a JNI/ffmpeg binding in production and
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -257,9 +261,14 @@ object Multimodal {
                          sampleRate: Option[Int] = None,
                          channels: Option[Int] = None,
                          durationMs: Option[Long] = None,
-                         nTracks: Option[Int] = None)
+                         nTracks: Option[Int] = None,
+                         nFrames: Option[Int] = None)
 
-    /** Full content sniff across the four container formats. */
+    /** Full content sniff across the five container formats. AVI
+      * n_frames comes from the movi chunk WALK (frames actually
+      * present), not avih's declared count — a truncated file reports
+      * what it holds; duration follows the walked count.
+      */
     def sniffMeta(b: Array[Byte]): Option[MediaInfo] =
       pngDims(b).map { case (w, h) =>
         MediaInfo("image/png", width = Some(w), height = Some(h)) }
@@ -268,6 +277,10 @@ object Multimodal {
       .orElse(wavMeta(b).map { case (sr, ch, ms) =>
         MediaInfo("audio/wav", sampleRate = Some(sr), channels = Some(ch),
           durationMs = Some(ms)) })
+      .orElse(VideoContainers.decode(b).map { avi =>
+        MediaInfo("video/avi", width = Some(avi.width),
+          height = Some(avi.height), nFrames = Some(avi.frames.length),
+          durationMs = Some(avi.frames.length * avi.usPerFrame / 1000L)) })
       .orElse(mp4Meta(b).map { case (ms, tr) =>
         MediaInfo("video/mp4", durationMs = Some(ms), nTracks = Some(tr)) })
   }
@@ -407,6 +420,7 @@ object Multimodal {
       "image/png" -> Set("width", "height", "n_frames"),
       "image/jpeg" -> Set("width", "height", "n_frames"),
       "audio/wav" -> Set("sample_rate", "channels", "duration_ms"),
+      "video/avi" -> Set("width", "height", "duration_ms", "n_frames"),
       "video/mp4" -> Set("duration_ms", "n_tracks", "n_frames"))
     media.mapPartitions { rows =>
       val idx = metaFields.zipWithIndex.toMap
@@ -426,6 +440,7 @@ object Multimodal {
             info.channels.foreach(set("channels", _))
             info.durationMs.foreach(set("duration_ms", _))
             info.nTracks.foreach(set("n_tracks", _))
+            info.nFrames.foreach(set("n_frames", _))
             val vals = r.toSeq.toArray
             vals(mi) = Row.fromSeq(meta.toSeq)
             Row.fromSeq(vals.toSeq)
@@ -510,7 +525,7 @@ object Multimodal {
   /** ftyp + moov(mvhd v0 + empty traks): timescale 600, duration
     * 600·(id mod 120) + (id mod 7) units, 1 + (id mod 3) tracks.
     */
-  private[operators] def mp4Bytes(id: Long): Array[Byte] = {
+  private[graft] def mp4Bytes(id: Long): Array[Byte] = {
     val timescale = 600
     val duration = 600L * (id % 120) + (id % 7)
     val tracks = (1 + id % 3).toInt
@@ -648,6 +663,161 @@ object Multimodal {
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",
       col("meta").withField("width", lit(w)).withField("height", lit(h)))
+
+  /** Per-frame sample accounting of MP4 payloads, parsed from the real
+    * stts/stsz tables ([[VideoContainers.mp4SampleTables]]): one row
+    * per (doc, track, frame) with the frame's byte size and decode
+    * duration in timescale units — the frame-level metadata a pipeline
+    * shards, filters, and samples video by, with no codec in sight.
+    * Tracks without sample tables (or non-MP4 payloads) emit nothing.
+    * Where stts and stsz disagree on frame count, the shorter prefix
+    * is emitted (conservative, never invented frames). mapPartitions
+    * like every binary parse here.
+    */
+  def mp4FrameTable(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("track_idx", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", LongType),
+      StructField("dur_units", LongType),
+      StructField("timescale", LongType))))
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        VideoContainers.mp4SampleTables(r.getAs[Array[Byte]](1))
+          .iterator.flatMap(_.iterator).flatMap { t =>
+            val n = math.min(t.sizes.length, t.deltas.length)
+            (0 until n).iterator.map { f =>
+              Row(id, t.trackIdx, f, t.sizes(f), t.deltas(f), t.timescale)
+            }
+          }
+      }
+    }(enc)
+  }
+
+  /** REAL video frame decode for AVI/MJPEG payloads — every `dc` chunk
+    * is a complete JPEG, decoded to pixels by [[JpegCodec]] (the same
+    * JDK baseline reader the image column uses), features by
+    * [[PngCodec.pixelFeatures]]. One row per decoded frame; frames
+    * whose chunk is not a decodable JPEG are SKIPPED (a mixed or
+    * corrupt stream yields its decodable frames — never a throw, and
+    * never fake features). Frames explode BEFORE decode, so they
+    * parallelize independently of their video.
+    */
+  def aviFrameFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("feature", ArrayType(DoubleType)))))
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          VideoContainers.decode(r.getAs[Array[Byte]](1)).iterator.flatMap {
+            avi =>
+              avi.frames.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
+                JpegCodec.decode(jpeg).map { img =>
+                  Row(id, f, img.width, img.height,
+                    PngCodec.pixelFeatures(img))
+                }
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** Synthesize an MP4 with REAL per-sample tables per doc (driver
+    * testdata; real ingestion reads files): one video track whose
+    * mdhd/stts/stsz fields are plain integer arithmetic over doc_id —
+    * timescale 600, 1 + (id mod 7) frames, per-frame duration
+    * 100 + (id mod 50) units, frame f's size 100 + (id·31 + f·7) mod
+    * 400 bytes — so a SQL oracle regenerates the full frame table
+    * (q102) and any walk/expansion bug on either side breaks the hash.
+    */
+  def withMp4SampleColumn(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    src.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0), mp4SampleBytes(r.getLong(0))) }
+    }(enc)
+      .withColumn("meta", initialMeta("application/octet-stream"))
+  }
+
+  /** ftyp + moov{mvhd, trak{mdia{mdhd, minf{stbl{stts, stsz}}}}} with
+    * the arithmetic of [[withMp4SampleColumn]]'s scaladoc. */
+  private[graft] def mp4SampleBytes(id: Long): Array[Byte] = {
+    val timescale = 600
+    val n = (1 + id % 7).toInt
+    val delta = (100 + id % 50).toInt
+    def size(f: Int): Int = (100 + (id * 31 + f * 7) % 400).toInt
+    val stts = 8 + 4 + 4 + 8       // one run
+    val stsz = 8 + 4 + 4 + 4 + 4 * n
+    val stbl = 8 + stts + stsz
+    val minf = 8 + stbl
+    val mdhd = 32
+    val mdia = 8 + mdhd + minf
+    val trak = 8 + mdia
+    val mvhd = 108
+    val moov = 8 + mvhd + trak
+    val bb = java.nio.ByteBuffer.allocate(16 + moov)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moov).put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhd).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(n * delta)
+    bb.position(bb.position() + mvhd - 28)
+    bb.putInt(trak).put("trak".getBytes("US-ASCII"))
+    bb.putInt(mdia).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(mdhd).put("mdhd".getBytes("US-ASCII"))
+      .putInt(0)                       // version 0 + flags
+      .putInt(0).putInt(0)             // creation, modification
+      .putInt(timescale).putInt(n * delta)
+      .putShort(0).putShort(0)         // language, pre_defined
+    bb.putInt(minf).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stbl).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(stts).put("stts".getBytes("US-ASCII"))
+      .putInt(0).putInt(1).putInt(n).putInt(delta)
+    bb.putInt(stsz).put("stsz".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(n)
+    (0 until n).foreach(f => bb.putInt(size(f)))
+    bb.array()
+  }
+
+  /** Synthesize an AVI/MJPEG-shaped container per doc, all header
+    * parameters plain integer arithmetic over doc_id — width
+    * 16 + (id mod 5)·8, height 16 + (id mod 3)·8, 1 + (id mod 6)
+    * frames at 33333 + (id mod 10)·1000 µs/frame, frame f's chunk
+    * 10 + 2·((id + f) mod 25) bytes of deterministic filler (NOT
+    * JPEGs — [[detectMeta]]'s container walk is what q103 gates;
+    * [[aviFrameFeatures]]'s pixel path is spec-gated against the JDK's
+    * own JPEG encoder, whose bytes no SQL oracle can regenerate).
+    */
+  def withAviColumn(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = (0 until (1 + id % 6).toInt).map { f =>
+          val sz = (10 + 2 * ((id + f) % 25)).toInt
+          Array.tabulate[Byte](sz)(i => ((id + f + i) % 251).toByte)
+        }
+        Row(id, VideoContainers.aviBytes(frames,
+          (16 + (id % 5) * 8).toInt, (16 + (id % 3) * 8).toInt,
+          33333 + (id % 10) * 1000))
+      }
+    }(enc)
+      .withColumn("meta", initialMeta("application/octet-stream"))
+  }
 
   /** Frame sampling stub for video-like payloads: emits every `stride`-th
     * chunk of the payload as a frame row (explode BEFORE feature

@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions.col
   * contribution is not recoverable from the index, so deletion there is
   * a rebuild (or a deliberate negative-segment append), not a sidecar.
   *
-  * Capacity interaction: a bucket-capped family (MinHash) counts
-  * still-persisted tombstoned rows toward its bucket caps until
-  * compaction — deletes free PROBE results immediately but free cap
-  * SLOTS only at compaction. Conservative, never wrong.
+  * Capacity interaction: a bucket-capped family (MinHash) counts only
+  * LIVE rows toward its bucket caps at append time (the append's cap
+  * accounting anti-joins the sidecar) — a delete frees both PROBE
+  * results and cap SLOTS immediately; compaction later restores the
+  * physical bucket to the cap by removing the tombstoned rows.
   */
 private[graft] object Tombstones {
 

@@ -484,6 +484,49 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp2/bands").count() == 8)
   }
 
+  test("minhash bucket caps count LIVE rows: a delete frees its cap " +
+       "slots for the next append, before any compaction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_cap").toString
+    val boiler = "same boilerplate text repeated verbatim"
+    // fill every bucket to its cap of 3
+    Dedup.saveMinhashIndex(
+      Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text", shingleN = 2, numHashes = 16, bands = 8,
+      maxBucket = 3)
+    def bands() = spark.read.parquet(s"$tmp/bands")
+    assert(bands().count() == 3 * 8)
+    // a 4th copy is declined — buckets are full of live rows
+    Dedup.appendMinhashIndex(Seq((4L, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text")
+    assert(bands().filter(col("id") === 4L).count() == 0)
+    // delete doc 2 (tombstone only; its band rows stay on disk) — the
+    // freed slots must be appendable IMMEDIATELY, not after compaction
+    Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), tmp, "doc_id")
+    Dedup.appendMinhashIndex(Seq((5L, boiler)).toDF("doc_id", "text"),
+      tmp, "doc_id", "text")
+    assert(bands().filter(col("id") === 5L).count() == 8,
+      "the delete's cap slots must refill on the very next append")
+    // physical rows transiently exceed the cap by the tombstoned rows,
+    // but the PROBE-VISIBLE bucket never does
+    val live = graft.operators.Tombstones.applyTo(bands(), "id",
+      s"$tmp/tombstones")
+    assert(live.groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > 3).count() == 0)
+    // and a probe sees the revived capacity, not the deleted doc
+    val flags = Dedup.flagAgainstIndex(
+      Seq((100L, boiler)).toDF("doc_id", "text"), tmp, "doc_id", "text")
+      .collect().map(_.getLong(1)).toSet
+    assert(flags == Set(1L, 3L, 5L))
+    // compaction physically removes the tombstoned rows and restores
+    // the on-disk invariant
+    Dedup.compactMinhashIndex(spark, tmp, maxBucket = 3)
+    assert(bands().groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > 3).count() == 0)
+    assert(bands().select("id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("legacy minhash index: probes refuse it loudly; compaction upgrades it") {
     import org.apache.spark.sql.SaveMode
     val tmp = java.nio.file.Files.createTempDirectory("graft_mh_leg").toString

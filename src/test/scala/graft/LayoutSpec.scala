@@ -468,4 +468,266 @@ class LayoutSpec extends SparkSpec {
     // idempotent
     assert(Layout.reconcileManifest(spark, dir, dims) == ((0, 0)))
   }
+
+  test("reconcile's keep decision is a join plan, never an In-literal " +
+       "over kept file names") {
+    // At 100-TB file counts a driver-built isin(...) with one literal
+    // per kept file is a planner hazard; the keep set must reach the
+    // plan as a (broadcast) relation. Assert on the optimized plan of
+    // the exact frame reconcileManifest writes.
+    val df = Seq.tabulate(50)(i => (i.toLong, s"file:/tmp/part-$i.parquet"))
+      .toDF("n_rows", "file_name")
+    val present = (0 until 40).map(i => s"part-$i.parquet")
+    val plan = Layout.keepRowsPlan(df, present).queryExecution.optimizedPlan
+    val inExprs = plan.flatMap(_.expressions.flatMap(_.collect {
+      case i: org.apache.spark.sql.catalyst.expressions.In => i
+      case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+    }))
+    assert(inExprs.isEmpty,
+      s"keep decision planned an In/InSet literal: $inExprs")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "keep decision must be a join")
+    // and it KEEPS the right rows
+    assert(Layout.keepRowsPlan(df, present).count() == 40)
+  }
+
+  test("stagedSwap fails loudly on a pre-existing staged directory " +
+       "(concurrent writer / crash residue), leaving the live table intact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(50)
+    val dir = tmpDir("collide")
+    Layout.writeZOrdered(li, dir, Seq("l_partkey", "l_orderkey"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("l_partkey"))
+    val mp = Layout.manifestPath(dir)
+    val before = spark.read.parquet(mp).orderBy("file_name").collect()
+    // a dead writer's residue (or a live concurrent compaction)
+    val stagedDir = new java.io.File(mp + "_compacting")
+    assert(stagedDir.mkdirs())
+    val e = intercept[IllegalStateException] {
+      Layout.compactManifest(spark, dir)
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(spark.read.parquet(mp).orderBy("file_name").collect().toSeq ==
+      before.toSeq, "live manifest must be untouched by the collision")
+    // after the documented recovery (delete staged dir), the swap runs
+    assert(stagedDir.delete())
+    Layout.compactManifest(spark, dir)
+    assert(spark.read.parquet(mp).orderBy("file_name").collect().length ==
+      before.length)
+  }
+
+  // --- keyed upsert (MERGE) -----------------------------------------
+
+  test("upsertByIds replaces matched keys' row sets, inserts unseen keys, " +
+       "rewrites only candidate files, and keeps the manifest exact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_orderkey")
+
+    // update batch: for 3 existing keys, REPLACE their line sets with a
+    // single summary row each (per-key row count changes — the MERGE
+    // contract); plus 2 brand-new keys
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val hit = li.select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val replaced = li.filter(col("l_orderkey").isin(hit: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("l_shipdate"),
+        sum(col("l_quantity")).cast("double").as("l_quantity"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    // brand-new keys derived from the same frame (types stay exact)
+    val inserted = replaced.select(
+      (col("l_orderkey") + lit(maxKey + 1)).as("l_orderkey"),
+      col("l_shipdate"), col("l_quantity"))
+    val updates = replaced.union(inserted)
+    // project the table to the update schema first: MERGE requires a
+    // consistent schema, and this spec cares about key semantics
+    val slim = li
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_quantity").cast("double").as("l_quantity"))
+    val slimDir = tmpDir("upsert_slim")
+    Layout.writeZOrdered(slim, slimDir, dims, files = 16)
+    Layout.writeManifest(spark, slimDir, dims)
+    val beforeSlim = dataFileNames(slimDir)
+
+    val rewritten = Layout.upsertByIds(spark, slimDir, dims, "l_orderkey",
+      updates, files = 2)
+    assert(rewritten > 0 && rewritten < 16,
+      s"a 3-key band must rewrite some but not all files ($rewritten/16)")
+    val untouched = beforeSlim.intersect(dataFileNames(slimDir))
+    assert(untouched.size == 16 - rewritten,
+      "non-candidate files must survive byte-identically by name")
+
+    // table state: matched keys carry EXACTLY the batch's rows, unseen
+    // keys landed, untouched keys intact
+    val got = spark.read.parquet(slimDir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = (slim.filter(!col("l_orderkey").isin(hit: _*)).collect() ++
+      updates.collect()).map(_.toString).sorted.toSeq
+    assert(got == want)
+
+    // manifest agrees with the directory after both halves
+    val (kept, total) = Layout.pruneFiles(spark, slimDir, Seq.empty)
+    assert(total.toInt == dataFileNames(slimDir).size &&
+      kept.size == total.toInt)
+    // vault dropped on success
+    assert(!new java.io.File(slimDir + "_upsert_vault").exists())
+  }
+
+  test("upsertByIds on a missing data path degrades to a pure insert") {
+    val dir = tmpDir("upsert_first")
+    assert(!new java.io.File(dir).exists())
+    val batch = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val n = Layout.upsertByIds(spark, dir, Seq("id", "v"), "id", batch,
+      files = 1)
+    assert(n == 0)
+    assert(spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // manifest was created too: pruned reads work from batch one
+    val (kept, total) = Layout.pruneFiles(spark, dir, Seq.empty)
+    assert(total == 1L && kept.size == 1)
+  }
+
+  test("replayed upsert without a batchId converges; with a batchId it " +
+       "is an exact no-op (no file rewritten, nothing appended)") {
+    val dir = tmpDir("upsert_replay")
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    Layout.writeZOrdered(base, dir, Seq("id", "v"), files = 3)
+    Layout.writeManifest(spark, dir, Seq("id", "v"))
+    val batch = Seq((2L, 99L), (4L, 40L)).toDF("id", "v")
+
+    def state(): Seq[(Long, Long)] = spark.read.parquet(dir).orderBy("id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // un-ledgered replay: same table state, files rewritten again
+    Layout.upsertByIds(spark, dir, Seq("id", "v"), "id", batch, files = 1)
+    val s1 = state()
+    Layout.upsertByIds(spark, dir, Seq("id", "v"), "id", batch, files = 1)
+    assert(state() == s1, "un-ledgered replay must converge")
+    assert(s1 == Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)))
+
+    // ledgered: first run applies, replay is an exact no-op
+    val batch2 = Seq((3L, 77L)).toDF("id", "v")
+    val r1 = Layout.upsertByIds(spark, dir, Seq("id", "v"), "id", batch2,
+      files = 1, batchId = Some("b-2024-001"))
+    assert(r1 >= 0 && state().contains((3L, 77L)))
+    val filesAfter = dataFileNames(dir)
+    val r2 = Layout.upsertByIds(spark, dir, Seq("id", "v"), "id", batch2,
+      files = 1, batchId = Some("b-2024-001"))
+    assert(r2 == 0)
+    assert(dataFileNames(dir) == filesAfter,
+      "a ledger-skipped replay must not touch a single file")
+    assert(state() == Seq((1L, 10L), (2L, 99L), (4L, 40L), (3L, 77L))
+      .sorted.map(identity), "table state unchanged by the replay")
+  }
+
+  // --- partitioned-table composition --------------------------------
+
+  test("partitioned z-order table: composed pruned read is row-identical " +
+       "to a full-scan filter and skips both leaves and files") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val root = tmpDir("partz")
+    Layout.writeZOrderedPartitioned(li, root, "l_returnflag", dims,
+      files = 12)
+    assert(Layout.updateManifestPartitioned(spark, root, dims) > 0)
+    // idempotent refresh
+    assert(Layout.updateManifestPartitioned(spark, root, dims) == 0)
+
+    // _manifests must be invisible to a plain reader of the root
+    assert(spark.read.parquet(root).count() == li.count())
+
+    val ranges = Seq(
+      Layout.ColRange("l_returnflag", lit("N"), lit("R")), // leaf level
+      Layout.ColRange("l_partkey", lit(1L), lit(50L)))     // file level
+    val got = Layout.prunedReadPartitioned(spark, root, ranges)
+      .select(li.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+    val want = li.filter(col("l_returnflag").between("N", "R") &&
+        col("l_partkey").between(1L, 50L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+
+    // leaf skipping: returnflag = 'A' leaf never contributes a file
+    val one = Layout.prunedReadPartitioned(spark, root,
+      Seq(Layout.ColRange("l_returnflag", lit("R"), lit("R"))))
+    assert(one.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("R"))
+    // file skipping within surviving leaves on the data dimension
+    val full = Layout.prunedReadPartitioned(spark, root, Seq.empty)
+      .inputFiles.length
+    val sliced = Layout.prunedReadPartitioned(spark, root, ranges)
+      .inputFiles.length
+    assert(sliced < full,
+      s"manifest pruning inside leaves must skip files: $sliced/$full")
+  }
+
+  test("partitioned read: a leaf without a manifest keeps all its files " +
+       "(staleness costs skip rate, never rows)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(2000)
+    val dims = Seq("l_partkey")
+    val root = tmpDir("partstale")
+    Layout.writeZOrderedPartitioned(li, root, "l_returnflag", dims,
+      files = 6)
+    // manifest only SOME leaves: delete one leaf's manifest after build
+    Layout.updateManifestPartitioned(spark, root, dims)
+    val mdirs = new java.io.File(root, "_manifests").listFiles()
+    assert(mdirs.length >= 2)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      assert(f.delete())
+    }
+    rmrf(mdirs.head)
+    val ranges = Seq(Layout.ColRange("l_partkey", lit(1L), lit(80L)))
+    val got = Layout.prunedReadPartitioned(spark, root, ranges)
+      .agg(count(lit(1))).head().getLong(0)
+    val want = li.filter(col("l_partkey").between(1L, 80L)).count()
+    assert(got == want)
+  }
+
+  test("partitioned helpers reject non-hive or mixed-key roots loudly") {
+    val root = tmpDir("partbad")
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "k", "j")
+      .write.partitionBy("k").parquet(root)
+    // a second, different partition key appears
+    Seq((3L, "c", 3L)).toDF("id", "k", "j")
+      .write.partitionBy("j").mode("append").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      Layout.updateManifestPartitioned(spark, root, Seq("id"))
+    }
+    assert(e.getMessage.contains("mixed partition keys"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.writeZOrderedPartitioned(
+        Seq((1L, "a")).toDF("id", "k"), tmpDir("partbad2"), "k", Seq("k"),
+        files = 1)
+    }
+    assert(e2.getMessage.contains("cannot be a z-order dim"))
+  }
+
+  test("deleteRetaining moves rewritten originals into the vault, " +
+       "readable until the caller drops them") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
+    val dims = Seq("id", "v")
+    val dir = tmpDir("vault")
+    Layout.writeZOrdered(df, dir, dims, files = 2)
+    Layout.writeManifest(spark, dir, dims)
+    val vault = dir + "_vault"
+    val n = Layout.deleteRetaining(spark, dir, dims, "id",
+      Seq(1L).toDF("id"), vault = Some(vault))
+    assert(n >= 1)
+    // the vaulted originals hold the PRE-delete rows of the rewritten
+    // files — including the doomed row
+    val vaultFiles = new java.io.File(vault).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(vaultFiles.length == n, "one vaulted original per rewritten file")
+    val vaulted = spark.read.parquet(vaultFiles.toIndexedSeq: _*)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(vaulted.contains((1L, 10L)),
+      s"vault must retain the deleted row's original file: $vaulted")
+    // and the live table no longer has it
+    assert(spark.read.parquet(dir).filter(col("id") === 1L).count() == 0)
+    // retired staging dir is gone (promoted into the vault)
+    assert(!new java.io.File(dir + "_delete_retired").exists())
+  }
 }
