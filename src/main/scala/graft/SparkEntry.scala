@@ -1564,7 +1564,85 @@ object SparkEntry {
           col("meta.height").as("height"),
           col("meta.n_frames").as("n_frames"),
           col("meta.duration_ms").as("duration_ms"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The partitioned table's full WRITE lifecycle under the
+    // layout-invariant oracle: initial load, a second batch appended
+    // through the hive router (small files pile up per leaf), manifest
+    // refresh, leaf compaction (retire-first promotion per leaf), and
+    // a cross-partition id takedown — then the composed three-level
+    // pruned read. The oracle is the plain filtered scan minus the
+    // doomed ids: a row lost in compaction's rename dance, a delete
+    // that missed a leaf, or a manifest left stale by either breaks
+    // the hash.
+    "q104_partitioned_lifecycle" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_partkey")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_partlc_${Integer.toHexString(d.hashCode)}").getPath
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val li = t(s, d, "lineitem")
+      Stages.timed("q104_partitioned_lifecycle", "initial_write") {
+        Layout.writeZOrderedPartitioned(
+          li.filter(col("l_orderkey") % 2 === 0), root, "l_returnflag",
+          dims, files = 8)
+      }
+      Stages.timed("q104_partitioned_lifecycle", "append") {
+        Layout.appendZOrderedPartitioned(
+          li.filter(col("l_orderkey") % 2 =!= 0), root, "l_returnflag",
+          dims, files = 8)
+      }
+      Stages.timed("q104_partitioned_lifecycle", "manifests") {
+        Layout.updateManifestPartitioned(s, root, dims): Unit
+      }
+      Stages.timed("q104_partitioned_lifecycle", "compact") {
+        Layout.compactPartitioned(s, root, dims, filesPerLeaf = 2,
+          maxFilesPerLeaf = 3): Unit
+      }
+      Stages.timed("q104_partitioned_lifecycle", "delete") {
+        Layout.deleteByIdsPartitioned(s, root, dims, "l_partkey",
+          li.select(col("l_partkey")).distinct()
+            .filter(col("l_partkey") % 10 === 3)): Unit
+      }
+      Layout.prunedReadPartitioned(s, root, Seq(
+          Layout.ColRange("l_returnflag", lit("N"), lit("R")),
+          Layout.ColRange("l_shipdate",
+            lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")),
+          Layout.ColRange("l_partkey", lit(10L), lit(79L))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Skew-aware join: the fact's heaviest keys route through a
+    // broadcast hash join (no shuffle for the rows that would form the
+    // hotspot partition), cold keys stay on the shuffle path, and the
+    // union must be EXACTLY the plain join — the hot set is a
+    // performance hint, never a semantic input. The oracle is the
+    // plain join: a row double-counted across branches, a hot key
+    // leaking into the cold path, or a null key mishandled by the
+    // split all break the hash.
+    "q105_skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      SkewJoin.joinSkewed(li, part, "l_partkey",
+          SkewJoin.hotKeys(li, "l_partkey", topN = 32))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("p_brand"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3203,6 +3281,29 @@ object SparkEntry {
         |  CAST((1 + doc_id % 6) * (33333 + (doc_id % 10) * 1000) // 1000
         |    AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q104: the layout-invariant oracle across the whole partitioned
+    // write lifecycle — load + append must together hold every row,
+    // compaction must move rows without losing any, and the takedown
+    // subtracts exactly the l_partkey % 10 = 3 ids
+    "q104_partitioned_lifecycle" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag BETWEEN 'N' AND 'R'
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_partkey BETWEEN 10 AND 79
+        |  AND l_partkey % 10 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    // q105: the plain join IS the oracle — the hot/cold split must be
+    // invisible in the result
+    "q105_skew_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
     "q92_layout_append" ->
       """SELECT l_returnflag, count(*) AS n,

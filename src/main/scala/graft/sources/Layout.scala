@@ -375,7 +375,24 @@ object Layout {
   private[graft] def deleteRetaining(spark: SparkSession, dataPath: String,
                                        dims: Seq[String], idCol: String,
                                        ids: DataFrame,
-                                       vault: Option[String]): Int = {
+                                       vault: Option[String]): Int =
+    deleteRetainingAt(spark, dataPath, manifestPath(dataPath),
+      dataPath.stripSuffix("/") + "_deleting",
+      dataPath.stripSuffix("/") + "_delete_retired",
+      dims, idCol, ids, vault)
+
+  /** [[deleteRetaining]] with every side location explicit — the flat
+    * table passes its sibling-directory defaults; a partitioned leaf
+    * passes its `root/_manifests/<leaf>` manifest and stages under the
+    * root's underscore-prefixed scratch area (a sibling of a `k=v`
+    * leaf would itself parse as a partition directory to any
+    * concurrent partition discovery).
+    */
+  private def deleteRetainingAt(spark: SparkSession, dataPath: String,
+                                mpStr: String, stagedStr: String,
+                                retiredStr: String, dims: Seq[String],
+                                idCol: String, ids: DataFrame,
+                                vault: Option[String]): Int = {
     require(dims.contains(idCol),
       s"delete column '$idCol' is not a manifest dimension $dims — " +
         "file pruning needs its per-file stats; cluster and manifest " +
@@ -388,11 +405,11 @@ object Layout {
       .filter(_.getName.endsWith(".parquet"))
     if (dataFiles.isEmpty) return 0
     val idv = ids.select(col(idCol).as("__del")).distinct()
-    val mp = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
+    val mp = new org.apache.hadoop.fs.Path(mpStr)
     val (candidateNames, knownNames) =
       if (!fs.exists(mp)) (Set.empty[String], Set.empty[String])
       else {
-        val m = spark.read.parquet(manifestPath(dataPath))
+        val m = spark.read.parquet(mpStr)
         // a file can hold id x iff min<=x<=max; null ids live only in
         // files whose null count says so
         val cand = m.join(broadcast(idv),
@@ -415,7 +432,7 @@ object Layout {
     val doomed = candDf.join(idv, col(idCol) <=> col("__del"), "left_semi")
     if (doomed.limit(1).head(1).isEmpty) return 0 // replayed delete
     val surviving = candDf.join(idv, col(idCol) <=> col("__del"), "left_anti")
-    val staged = dataPath.stripSuffix("/") + "_deleting"
+    val staged = stagedStr
     val sp = new org.apache.hadoop.fs.Path(staged)
     fs.delete(sp, true)
     // re-cluster the surviving subset along the table's own curve —
@@ -426,8 +443,7 @@ object Layout {
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
       .write.mode("overwrite").parquet(staged)
-    val retired = new org.apache.hadoop.fs.Path(
-      dataPath.stripSuffix("/") + "_delete_retired")
+    val retired = new org.apache.hadoop.fs.Path(retiredStr)
     fs.delete(retired, true)
     fs.mkdirs(retired)
     candidates.foreach { p =>
@@ -455,7 +471,7 @@ object Layout {
         }
         fs.delete(retired, true)
     }
-    if (fs.exists(mp)) reconcileManifest(spark, dataPath, dims): Unit
+    if (fs.exists(mp)) reconcileManifestAt(spark, dataPath, mpStr, dims): Unit
     candidates.length
   }
 
@@ -751,5 +767,172 @@ object Layout {
     ranges.foldLeft(base) { (df, r) =>
       df.filter(col(r.colName) >= r.lo && col(r.colName) <= r.hi)
     }
+  }
+
+  // --- partitioned-table WRITE lifecycle ----------------------------
+  //
+  // The ingestion half of the composition above: a 100-TB lake is not
+  // written once — batches land daily, small files accumulate, old
+  // partitions age out, and takedowns cut across every partition. Each
+  // of those is a per-LEAF application of the flat-directory machinery
+  // (append, compact, delete), with all scratch space under
+  // underscore-prefixed root subdirectories — a staged directory
+  // SIBLING to a `k=v` leaf would itself parse as a partition to any
+  // concurrent partition discovery, so nothing transient may ever live
+  // next to a leaf.
+
+  /** Append a batch to a hive-partitioned z-ordered table: one global
+    * z-key pass over the batch, a range partitioning on (partition,
+    * curve) so each task writes contiguous curve segments of one
+    * partition, and the hive writer routes files into their `k=v`
+    * leaves — whatever partitions the batch touches, including ones
+    * the table has never seen. `files` budgets the BATCH's file count
+    * (spread across its leaves by rows), not the table's. Clustering
+    * uses the batch's own dim bounds, same contract as
+    * [[appendZOrdered]]: the per-leaf manifests record actual file
+    * min/max, so bounds drift between batches only loosens skip rates,
+    * never results. Run [[updateManifestPartitioned]] after (one call,
+    * 0-cost for untouched leaves) to keep pruned reads at full skip
+    * rate; until then the new files are conservatively unpruned.
+    * File-level append: exactly-once is the ingestion layer's job,
+    * like [[appendZOrdered]].
+    */
+  def appendZOrderedPartitioned(df: DataFrame, root: String,
+                                partCol: String, dims: Seq[String],
+                                files: Int): Unit = {
+    require(!dims.contains(partCol),
+      s"partition column '$partCol' cannot be a z-order dim: hive " +
+        "layout stores it in the directory name, not the data files")
+    withZKey(df, dims)
+      .repartitionByRange(files, col(partCol), col("zkey"))
+      .sortWithinPartitions(col(partCol), col("zkey"))
+      .drop("zkey")
+      .write.partitionBy(partCol).mode("append").parquet(root)
+  }
+
+  /** Re-cluster every leaf holding more than `maxFilesPerLeaf` files
+    * down to `filesPerLeaf` z-ordered files — the small-files
+    * compaction a daily-append table needs (each append adds files per
+    * leaf; a year of daily batches is 365× the file count the same
+    * rows deserve, and file COUNT is what degrades listing, manifest,
+    * and scan-planning cost at 100 TB). Untouched leaves cost one
+    * directory listing, nothing else.
+    *
+    * Per-leaf commit discipline is [[deleteByIds]]'s retire-first
+    * promotion, staged under `root/_compact/<leaf>__staged` /
+    * `__retired`: originals rename out only after the replacement is
+    * fully written, a crash mid-promotion leaves them recoverable
+    * under `__retired`, and a pre-existing staged directory fails
+    * loudly ([[graft.operators.Lifecycle.stagedSwap]]'s collision
+    * contract). The leaf manifest is reconciled after each promoted
+    * leaf, so pruned reads stay exact. Quiesce readers and writers of
+    * the compacted leaves across the call. Returns the number of
+    * leaves compacted.
+    */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         dims: Seq[String], filesPerLeaf: Int,
+                         maxFilesPerLeaf: Int): Int = {
+    require(filesPerLeaf >= 1 && maxFilesPerLeaf >= filesPerLeaf,
+      s"need maxFilesPerLeaf >= filesPerLeaf >= 1, " +
+        s"got $maxFilesPerLeaf / $filesPerLeaf")
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leaves(fs, rp).count { case (leaf, _, _) =>
+      val leafDir = root.stripSuffix("/") + "/" + leaf
+      val lp = new org.apache.hadoop.fs.Path(leafDir)
+      val originals = fs.listStatus(lp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      originals.length > maxFilesPerLeaf && {
+        val scratch = root.stripSuffix("/") + "/_compact/" + leaf
+        val sp = new org.apache.hadoop.fs.Path(scratch + "__staged")
+        val retired = new org.apache.hadoop.fs.Path(scratch + "__retired")
+        if (fs.exists(sp))
+          throw new IllegalStateException(
+            s"staged directory $sp already exists: either a concurrent " +
+              s"compaction is mid-rewrite on $leafDir (writers must be " +
+              "serialized per table) or a previous one crashed before " +
+              s"its promotion. The leaf at $leafDir is intact. After " +
+              s"confirming no other writer is running, delete $sp and " +
+              "retry.")
+        withZKey(spark.read.parquet(leafDir), dims)
+          .repartitionByRange(filesPerLeaf, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .drop("zkey")
+          .write.mode("overwrite").parquet(sp.toString)
+        fs.mkdirs(retired)
+        originals.foreach { p =>
+          require(fs.rename(p, new org.apache.hadoop.fs.Path(retired,
+              p.getName)),
+            s"compact: could not retire $p — leaf unchanged so far; " +
+              s"restore any files already under $retired and retry")
+        }
+        fs.listStatus(sp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { p =>
+            require(fs.rename(p, new org.apache.hadoop.fs.Path(lp,
+                p.getName)),
+              s"compact: could not promote $p — originals intact under " +
+                s"$retired; rename them back to recover")
+          }
+        fs.delete(sp, true)
+        fs.delete(retired, true)
+        reconcileManifestAt(spark, leafDir,
+          partitionManifestPath(root, leaf), dims): Unit
+        true
+      }
+    }
+  }
+
+  /** Drop one partition outright — the retention path (age out a date,
+    * retract a source): the leaf directory and its manifest go
+    * together, so a recreated partition of the same name starts with a
+    * clean manifest instead of inheriting stale rows. O(1) in data
+    * (two directory deletes). Returns false (and touches nothing) when
+    * the leaf does not exist. The name must be `k=v`-shaped — passing
+    * a bare value would silently delete nothing forever.
+    */
+  def dropPartition(spark: SparkSession, root: String,
+                    leafName: String): Boolean = {
+    require(leafName.indexOf('=') > 0,
+      s"'$leafName' is not a k=v partition directory name")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = new org.apache.hadoop.fs.Path(
+      root.stripSuffix("/") + "/" + leafName)
+    val existed = fs.exists(lp)
+    if (existed) {
+      require(fs.delete(lp, true), s"dropPartition: could not delete $lp")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        partitionManifestPath(root, leafName)), true): Unit
+    }
+    existed
+  }
+
+  /** Physically remove rows whose `idCol` appears in `ids` from EVERY
+    * partition of a hive-partitioned z-ordered table — the takedown
+    * that cuts across dates ([[deleteByIds]] per leaf, manifest-pruned
+    * inside each). A leaf whose manifest id ranges exclude the whole
+    * delete set does no data read at all, so at 1000 partitions a
+    * takedown of one day's ids costs one manifest probe per leaf and
+    * rewrites only where doomed rows can live. Scratch space lives
+    * under `root/_delete/<leaf>__staged` / `__retired` (never sibling
+    * to a leaf). Idempotent per leaf; returns total files rewritten.
+    */
+  def deleteByIdsPartitioned(spark: SparkSession, root: String,
+                             dims: Seq[String], idCol: String,
+                             ids: DataFrame): Int = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return 0
+    // computed once, lineage cut: the per-leaf loop must see one
+    // consistent delete set even from a non-deterministic source
+    val idv = ids.localCheckpoint()
+    leaves(fs, rp).map { case (leaf, _, _) =>
+      val scratch = root.stripSuffix("/") + "/_delete/" + leaf
+      deleteRetainingAt(spark, root.stripSuffix("/") + "/" + leaf,
+        partitionManifestPath(root, leaf),
+        scratch + "__staged", scratch + "__retired",
+        dims, idCol, idv, vault = None)
+    }.sum
   }
 }

@@ -730,4 +730,166 @@ class LayoutSpec extends SparkSpec {
     // retired staging dir is gone (promoted into the vault)
     assert(!new java.io.File(dir + "_delete_retired").exists())
   }
+
+  test("partitioned append routes rows to their leaves — including new " +
+       "ones — and the composed read stays row-identical before AND " +
+       "after the manifest refresh") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val root = tmpDir("partapp")
+    val first = li.filter(col("l_orderkey") % 2 === 0)
+    val second = li.filter(col("l_orderkey") % 2 =!= 0)
+    Layout.writeZOrderedPartitioned(
+      first.filter(col("l_returnflag") =!= "A"), root, "l_returnflag",
+      dims, files = 8)
+    Layout.updateManifestPartitioned(spark, root, dims)
+    // the append touches existing leaves AND creates the 'A' leaf the
+    // table has never seen
+    Layout.appendZOrderedPartitioned(
+      second.unionAll(first.filter(col("l_returnflag") === "A")),
+      root, "l_returnflag", dims, files = 8)
+    val ranges = Seq(
+      Layout.ColRange("l_returnflag", lit("A"), lit("N")),
+      Layout.ColRange("l_partkey", lit(1L), lit(60L)))
+    def got(): Seq[String] =
+      Layout.prunedReadPartitioned(spark, root, ranges)
+        .select(li.columns.map(col).toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    val want = li.filter(col("l_returnflag").between("A", "N") &&
+        col("l_partkey").between(1L, 60L))
+      .collect().map(_.toString).sorted.toSeq
+    // BEFORE the refresh: appended files are unmanifested in old
+    // leaves, and the 'A' leaf has no manifest at all — both are
+    // conservatively kept, so staleness costs skip rate, never rows
+    assert(got() == want)
+    assert(Layout.updateManifestPartitioned(spark, root, dims) > 0)
+    assert(got() == want)
+  }
+
+  test("compactPartitioned rewrites only over-budget leaves, preserves " +
+       "rows exactly, and keeps pruned reads manifest-consistent") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val root = tmpDir("partcomp")
+    Layout.writeZOrderedPartitioned(li, root, "l_returnflag", dims,
+      files = 6)
+    // pile small files onto every leaf via 4 appends
+    (1 to 4).foreach { i =>
+      Layout.appendZOrderedPartitioned(
+        li.filter(col("l_orderkey") % 4 === i % 4), root, "l_returnflag",
+        dims, files = 6)
+    }
+    Layout.updateManifestPartitioned(spark, root, dims)
+    val before = spark.read.parquet(root)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    val filesBefore = before.inputFiles.length
+    val compacted =
+      Layout.compactPartitioned(spark, root, dims, filesPerLeaf = 2,
+        maxFilesPerLeaf = 3)
+    assert(compacted >= 1)
+    val after = spark.read.parquet(root)
+    assert(after.inputFiles.length < filesBefore,
+      s"compaction must shrink file count: ${after.inputFiles.length}" +
+        s"/$filesBefore")
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+    // idempotent once under budget
+    assert(Layout.compactPartitioned(spark, root, dims, filesPerLeaf = 2,
+      maxFilesPerLeaf = 3) == 0)
+    // manifests reconciled: pruned read row-identical and skipping
+    val ranges = Seq(Layout.ColRange("l_partkey", lit(1L), lit(40L)))
+    val got = Layout.prunedReadPartitioned(spark, root, ranges)
+      .agg(count(lit(1))).head().getLong(0)
+    val want = spark.read.parquet(root)
+      .filter(col("l_partkey").between(1L, 40L)).count()
+    assert(got == want)
+  }
+
+  test("compactPartitioned fails loudly on a pre-existing staged " +
+       "directory instead of clobbering a concurrent writer") {
+    val df = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L))
+      .toDF("id", "k", "v")
+    val root = tmpDir("partcollide")
+    (1 to 4).foreach { _ =>
+      Layout.appendZOrderedPartitioned(df, root, "k", Seq("id", "v"),
+        files = 1)
+    }
+    val staged = new java.io.File(
+      new java.io.File(root, "_compact"), "k=a__staged")
+    assert(staged.mkdirs())
+    val e = intercept[IllegalStateException] {
+      Layout.compactPartitioned(spark, root, Seq("id", "v"),
+        filesPerLeaf = 1, maxFilesPerLeaf = 2)
+    }
+    assert(e.getMessage.contains("already exists"))
+    // the leaf is untouched
+    assert(spark.read.parquet(root).count() == 12)
+  }
+
+  test("dropPartition removes the leaf AND its manifest; a recreated " +
+       "partition starts clean") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "k")
+    val root = tmpDir("partdrop")
+    Layout.writeZOrderedPartitioned(df, root, "k", Seq("id"), files = 2)
+    Layout.updateManifestPartitioned(spark, root, Seq("id"))
+    assert(Layout.dropPartition(spark, root, "k=b"))
+    assert(!new java.io.File(new java.io.File(root, "_manifests"), "k=b")
+      .exists())
+    assert(Layout.prunedReadPartitioned(spark, root, Seq.empty)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // dropping again: no-op, false
+    assert(!Layout.dropPartition(spark, root, "k=b"))
+    // recreate the partition — the read must NOT see stale manifest rows
+    Layout.appendZOrderedPartitioned(Seq((9L, "b")).toDF("id", "k"),
+      root, "k", Seq("id"), files = 1)
+    Layout.updateManifestPartitioned(spark, root, Seq("id"))
+    assert(Layout.prunedReadPartitioned(spark, root,
+        Seq(Layout.ColRange("id", lit(1L), lit(9L))))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 9L))
+    // bare values are rejected, not silently ignored
+    intercept[IllegalArgumentException] {
+      Layout.dropPartition(spark, root, "b")
+    }
+  }
+
+  test("deleteByIdsPartitioned removes the ids from every leaf and " +
+       "rewrites nothing in leaves whose manifest excludes them") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val root = tmpDir("partdel")
+    Layout.writeZOrderedPartitioned(li, root, "l_returnflag", dims,
+      files = 24)
+    Layout.updateManifestPartitioned(spark, root, dims)
+    // a NARROW id set (one corner of the key range): the z-layout's
+    // per-file partkey boxes must exclude it for most files — the
+    // manifest-bounded rewrite is the point of the per-leaf pruning
+    val doomed = li.select(col("l_partkey")).distinct()
+      .filter(col("l_partkey").between(1L, 5L))
+    val doomedSet = doomed.collect().map(_.getLong(0)).toSet
+    assert(doomedSet.nonEmpty)
+    val filesBefore = spark.read.parquet(root).inputFiles.toSet
+    val rewritten =
+      Layout.deleteByIdsPartitioned(spark, root, dims, "l_partkey", doomed)
+    assert(rewritten >= 1)
+    val after = spark.read.parquet(root)
+    assert(after.filter(col("l_partkey").isin(doomedSet.toSeq: _*))
+      .count() == 0)
+    assert(after.count() ==
+      li.filter(!col("l_partkey").isin(doomedSet.toSeq: _*)).count())
+    // untouched files keep their names: the rewrite is bounded by the
+    // per-leaf manifest candidates, not the table
+    val filesAfter = after.inputFiles.toSet
+    assert((filesBefore intersect filesAfter).nonEmpty,
+      "a partition-wide delete must not rewrite every file")
+    // replay: nothing left to delete anywhere
+    assert(Layout.deleteByIdsPartitioned(spark, root, dims, "l_partkey",
+      doomed) == 0)
+    // composed pruned read agrees post-delete
+    val got = Layout.prunedReadPartitioned(spark, root,
+        Seq(Layout.ColRange("l_partkey", lit(1L), lit(80L))))
+      .agg(count(lit(1))).head().getLong(0)
+    val want = li.filter(col("l_partkey").between(1L, 80L) &&
+      !col("l_partkey").isin(doomedSet.toSeq: _*)).count()
+    assert(got == want)
+  }
 }
