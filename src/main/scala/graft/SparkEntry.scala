@@ -1642,7 +1642,39 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
         .orderBy(col("p_brand"))
-    })
+    }),
+
+    // Declarative validation suite: the reference's CHECK / NOT NULL /
+    // UNIQUE / FK constraints (schema.sql:9-71) as a one-pass batch
+    // report — every scalar rule a counter in ONE aggregate,
+    // uniqueness a key-only shuffle, the FK an anti-join. The oracle
+    // re-derives each counter as plain SQL; the suite includes a rule
+    // that FAILS (l_extendedprice cap) so both report outcomes are
+    // pinned.
+    "q106_validation" -> ((s, d) =>
+      Validation.report(t(s, d, "lineitem"), Seq(
+        Validation.NotNull("l_orderkey"),
+        Validation.InRange("l_quantity", lit(1), lit(50)),
+        Validation.InRange("l_extendedprice", lit(0), lit(50000)),
+        Validation.InSet("l_returnflag", Seq("A", "N", "R")),
+        Validation.Matches("l_linestatus", "^[OF]$"),
+        Validation.Unique(Seq("l_orderkey", "l_linenumber")),
+        Validation.FkExists("l_orderkey", t(s, d, "orders"),
+          "o_orderkey")))),
+
+    // Deterministic hash split: train/val/test membership as a pure
+    // function of the id (md5-prefix bucket vs cumulative-weight
+    // thresholds) — re-derivable by any engine from the id alone,
+    // which is exactly what the oracle does: DuckDB recomputes every
+    // row's bucket and split from scratch and the per-(split, lang)
+    // counts must agree exactly. No sampling, no seed, no stored
+    // assignment state.
+    "q107_hash_split" -> ((s, d) =>
+      Splits.assignSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3304,6 +3336,62 @@ object SparkEntry {
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    // q106: each rule's counter re-derived as plain SQL under CHECK
+    // null semantics (NULL never violates range/set/regex; NULL FKs
+    // pass)
+    "q106_validation" ->
+      """WITH tot AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT rule, target, violations, tot.n AS total,
+        |  violations = 0 AS pass
+        |FROM (
+        |  SELECT 'fk_exists' AS rule, 'l_orderkey' AS target,
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |    AS violations
+        |  UNION ALL
+        |  SELECT 'in_range', 'l_extendedprice',
+        |    (SELECT count(*) FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |       AND l_extendedprice NOT BETWEEN 0 AND 50000)
+        |  UNION ALL
+        |  SELECT 'in_range', 'l_quantity',
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL
+        |       AND l_quantity NOT BETWEEN 1 AND 50)
+        |  UNION ALL
+        |  SELECT 'in_set', 'l_returnflag',
+        |    (SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+        |       AND l_returnflag NOT IN ('A','N','R'))
+        |  UNION ALL
+        |  SELECT 'matches', 'l_linestatus',
+        |    (SELECT count(*) FROM lineitem WHERE l_linestatus IS NOT NULL
+        |       AND NOT regexp_matches(l_linestatus, '^[OF]$'))
+        |  UNION ALL
+        |  SELECT 'not_null', 'l_orderkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'unique', 'l_orderkey,l_linenumber',
+        |    (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+        |      (SELECT count(*) AS c FROM lineitem
+        |       GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |) r CROSS JOIN tot
+        |ORDER BY rule, target""".stripMargin.replace("\n", " "),
+
+    // q107: the split function re-derived from scratch — same md5
+    // prefix, same hex parse, same floor(cum·2^32) thresholds
+    // (0.8 → 3435973836, 0.9 → 3865470566)
+    "q107_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 3435973836 THEN 'train'
+        |            WHEN bkt < 3865470566 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("\n", " "),
 
     "q92_layout_append" ->
       """SELECT l_returnflag, count(*) AS n,
