@@ -1674,7 +1674,26 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("split"), col("lang")))
+        .orderBy(col("split"), col("lang"))),
+
+    // Product quantization, end to end under the oracle: train 4×8
+    // subspace codebooks (one deterministic Lloyd iteration), encode
+    // the corpus to 4 code ints + a true norm, ADC-score via per-query
+    // lookup tables, shortlist 40, exact-rescore to top-10. The oracle
+    // unrolls ALL of it in SQL — init slices, per-subspace argmin,
+    // decimal-exact recentroids, LUT sums, the ADC tie-break, and the
+    // rescore — so a drift anywhere in the train→encode→search chain
+    // breaks the hash (the q28 discipline, applied to PQ).
+    "q108_pq_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqRescoredTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, m = 4, kCodes = 8, iters = 1,
+          candidateFactor = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1744,6 +1763,95 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       .replace("\n", " ")
+
+  // q108: PQ's whole train→encode→search chain unrolled, the q28
+  // discipline per SUBSPACE: init codebooks are slices of the first 8
+  // vectors, one Lloyd iteration with decimal-exact recentroids, the
+  // final assignment is the encoding, ADC sums the per-subspace LUT
+  // terms decimal-exactly, and the 40-candidate shortlist is rescored
+  // with the exact float cosine.
+  private def q108OracleSql: String = {
+    val dsub = 16
+    def sv(v: String, sub: String): String =
+      s"list_transform(generate_series(1, $dsub), i -> $v[$sub*$dsub + i])"
+    def sdot(v: String, sub: String, cv: String): String =
+      s"list_sum(list_transform(generate_series(1, $dsub), " +
+        s"i -> CAST($v[$sub*$dsub + i] AS DOUBLE) * CAST($cv[i] AS DOUBLE)))"
+    def assignSql(csrc: String): String =
+      s"""SELECT id, sub, code, sv FROM (
+         |  SELECT vv.id, b.sub, b.code, ${sv("vv.v", "b.sub")} AS sv,
+         |    row_number() OVER (PARTITION BY vv.id, b.sub ORDER BY
+         |      ${vdot("b.cv", "b.cv")}
+         |        - 2.0 * ${sdot("vv.v", "b.sub", "b.cv")},
+         |      b.code) AS rn
+         |  FROM v vv CROSS JOIN $csrc b
+         |) WHERE rn = 1""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |q AS (SELECT id, v, sqrt(${vdot("v", "v")}) AS qn FROM v WHERE id < 5),
+       |b0 AS (
+       |  SELECT s.s AS sub, sd.code, ${sv("sd.v", "s.s")} AS cv
+       |  FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+       |        FROM (SELECT id, v FROM v ORDER BY id LIMIT 8)) sd
+       |  CROSS JOIN generate_series(0, 3) s(s)
+       |),
+       |a1 AS (${assignSql("b0")}),
+       |c1 AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT sub, code, g.i AS pos,
+       |      CAST(CAST(SUM(CAST(CAST(sv[g.i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+       |        / COUNT(*) AS FLOAT) AS m
+       |    FROM a1 CROSS JOIN generate_series(1, $dsub) g(i)
+       |    GROUP BY sub, code, g.i
+       |  ) GROUP BY sub, code
+       |  UNION ALL
+       |  SELECT b0.sub, b0.code, b0.cv FROM b0
+       |  WHERE NOT EXISTS (SELECT 1 FROM a1
+       |                    WHERE a1.sub = b0.sub AND a1.code = b0.code)
+       |),
+       |enc AS (${assignSql("c1")}),
+       |nrm AS (SELECT id, sqrt(${vdot("v", "v")}) AS nn FROM v),
+       |lut AS (
+       |  SELECT q.id AS query_id, q.qn, b.sub, b.code,
+       |    ${sdot("q.v", "b.sub", "b.cv")} AS l
+       |  FROM q CROSS JOIN c1 b
+       |),
+       |adc AS (
+       |  SELECT l.query_id, e.id AS neighbor_id,
+       |    CASE WHEN first(l.qn) * first(n.nn) = 0.0 THEN 0.0
+       |         ELSE CAST(SUM(CAST(l.l AS DECIMAL(25,12))) AS DOUBLE)
+       |              / (first(l.qn) * first(n.nn)) END AS cos_adc
+       |  FROM enc e
+       |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  JOIN nrm n ON n.id = e.id
+       |  WHERE e.id != l.query_id
+       |  GROUP BY l.query_id, e.id
+       |),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_adc DESC, neighbor_id) AS r
+       |    FROM adc) WHERE r <= 40
+       |),
+       |resc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CASE WHEN q.qn * n.nn = 0.0 THEN 0.0
+       |         ELSE ${vdot("q.v", "a.v")} / (q.qn * n.nn) END AS cos
+       |  FROM short s
+       |  JOIN q ON q.id = s.query_id
+       |  JOIN v a ON a.id = s.neighbor_id
+       |  JOIN nrm n ON n.id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM resc)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+       |CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+      .stripMargin.replace("\n", " ")
+  }
 
   // q89: q28's unrolled-k-means chain restricted to the history rows,
   // then the batch assigned against the FINAL centroids (the frozen-
@@ -3255,6 +3363,8 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
 
     "q89_incremental_ivf" -> q89OracleSql,
+
+    "q108_pq_search" -> q108OracleSql,
 
     "q90_incremental_lsh" -> portableLshOracleSql("a.vec_id < 5", 15),
 

@@ -732,4 +732,179 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"),
         col("rank"))
   }
+
+  // --- product quantization (Jégou, Douze, Schmid, TPAMI 2011) ------
+  //
+  // The compression axis the int8 path only starts: split each vector
+  // into M subspaces, k-means each subspace independently, and store a
+  // vector as M small code ints — 64 floats (256 B) become 4 ints that
+  // fit a single word, a 16–64× scan/shuffle reduction. Search is
+  // asymmetric distance computation (ADC): the query stays full-
+  // precision, each (subspace, code) inner product is computed ONCE
+  // into a lookup table of M×K entries per query, and scoring a corpus
+  // row is M table lookups + one divide by its stored true norm. All
+  // portable arithmetic (the same sequential-fold dots and decimal-
+  // exact sums as the IVF family), so train → encode → search is
+  // oracle-checkable end to end.
+
+  /** One trained codebook entry: (subspace, code, centroid of the
+    * subspace's slice). */
+  type PqBooks = Array[(Int, Int, Array[Float])]
+
+  private def pqBooksDf(spark: org.apache.spark.sql.SparkSession,
+                        books: PqBooks): DataFrame = {
+    import spark.implicits._
+    broadcast(books.toSeq.toDF("sub", "code", "cv")
+      .withColumn("c2", VectorOps.dot(col("cv"), col("cv"))))
+  }
+
+  /** Per-(row, subspace) nearest code under the |sv−c|² = |c|² − 2·sv·c
+    * identity (|sv|² is constant per row), ties to the smaller code.
+    * `base` must carry (id, v, n); emits (id, sub, code, sv, n).
+    */
+  private def pqAssign(base: DataFrame, books: PqBooks,
+                       dsub: Int): DataFrame =
+    base.crossJoin(pqBooksDf(base.sparkSession, books))
+      .withColumn("sv", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
+      .withColumn("d",
+        col("c2") - lit(2.0) * VectorOps.dot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+        first(col("sv")).as("sv"), first(col("n")).as("n"))
+
+  /** Train M×K codebooks with deterministic Lloyd iterations —
+    * [[ivfAssign]]'s recipe per subspace: init code j of every subspace
+    * from the j-th corpus vector in id order, decimal-EXACT centroid
+    * means (partition order cannot perturb them), empty codes keep
+    * their centroid. The training crossJoin is corpus × (m·k) rows of
+    * broadcast codebook — the standard PQ encode cost, with each
+    * distance over dsub dims, not the full dimension.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 1): PqBooks = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorOps.norm(col(vecCol)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(m >= 1 && dim % m == 0,
+      s"PQ needs dim divisible by m: dim=$dim, m=$m")
+    val dsub = dim / m
+    val seed = base.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Float](0).toArray)
+    require(seed.length == k, s"PQ k=$k exceeds corpus size ${seed.length}")
+    var books: PqBooks = (for {
+      s <- 0 until m; j <- seed.indices
+    } yield (s, j, seed(j).slice(s * dsub, (s + 1) * dsub))).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = pqAssign(base, books, dsub)
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("x").cast("double").cast("decimal(25,12)"))
+          .cast("double") / count(lit(1))).as("mean"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.map { case (s, c, old) =>
+        byKey.get((s, c)) match {
+          case Some(rows) =>
+            val nv = old.clone()
+            rows.foreach(r => nv(r.getInt(2)) = r.getDouble(3).toFloat)
+            (s, c, nv)
+          case None => (s, c, old)
+        }
+      }
+      it += 1
+    }
+    base.unpersist(blocking = false)
+    books
+  }
+
+  /** Encode a corpus against trained codebooks: one row per input id
+    * with `codes` (the M nearest-code ints, subspace order) and `norm`
+    * (the EXACT float norm, kept so ADC cosine divides by truth — norm
+    * error is the avoidable half of PQ's approximation). This frame is
+    * the index: M ints + a double per vector, persist it where the
+    * float corpus would not fit.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: PqBooks): DataFrame = {
+    val dsub = books.head._3.length
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("n"))
+    pqAssign(base, books, dsub)
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x("code")).as("codes"),
+        first(col("n")).as("norm"))
+  }
+
+  /** ADC top-k: build each query's M×K inner-product lookup table once
+    * (a broadcast of |queries|·m·k rows), explode each corpus row's M
+    * codes, join on (sub, code), and sum the M looked-up terms
+    * decimal-exactly into the approximate inner product; cosine
+    * divides by the stored true norm. Returns (query_id, neighbor_id,
+    * cos_adc, rank) with the family's (score desc, id) tie-break.
+    */
+  def pqAdcTopK(codes: DataFrame, books: PqBooks, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dsub = books.head._3.length
+    val lut = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          VectorOps.norm(col(vecCol)).as("qn"))
+        .crossJoin(pqBooksDf(queries.sparkSession, books))
+        .select(col("query_id"), col("qn"), col("sub"), col("code"),
+          VectorOps.dot(
+            slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
+            col("cv")).as("lut")))
+    val ex = codes.select(col("id").as("neighbor_id"), col("norm"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val nn = col("qn") * col("norm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_adc").desc, col("neighbor_id"))
+    ex.join(lut, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("lut").cast("decimal(25,12)")).cast("double").as("ip"),
+        first(col("qn")).as("qn"), first(col("norm")).as("norm"))
+      .withColumn("cos_adc",
+        when(nn === 0.0, 0.0).otherwise(col("ip") / nn))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_adc"),
+        col("rank"))
+  }
+
+  /** The production two-stage: ADC over the compressed index proposes
+    * k·candidateFactor candidates per query, then ONLY those rows are
+    * rescored with the exact float cosine — the [[rescoredTopK]] shape
+    * with PQ's 16–64× cheaper first stage. Composed recall is floored
+    * in SimilaritySpec against the brute-force truth.
+    */
+  def pqRescoredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, m: Int, kCodes: Int,
+                     iters: Int = 1, candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1)
+    val books = pqTrain(corpus, idCol, vecCol, m, kCodes, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+    val cand = pqAdcTopK(enc, books, queries, idCol, vecCol,
+        k * candidateFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), VectorOps.norm(col(vecCol)).as("qn")))
+    val cf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val nn = col("qn") * col("nn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(cand).join(cf, Seq("neighbor_id"))
+      .withColumn("nn", VectorOps.norm(col("nv")))
+      .join(qf, Seq("query_id"))
+      .withColumn("cos", when(nn === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
 }

@@ -409,4 +409,57 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_.getLong(0) == 0L)) // id1 is always the lowest id
     assert(pairs.forall(_.getDouble(2) == 1.0)) // identical docs → est 1.0
   }
+
+  test("PQ: codes are m ints in [0,k); the index is m ints + a norm " +
+       "per vector; encode is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1)
+    assert(books.length == 32)
+    assert(books.forall(_._3.length == 16)) // 64 dims / 4 subspaces
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    assert(enc.columns.toSeq == Seq("id", "codes", "norm"))
+    assert(enc.count() == emb.count())
+    val codes = enc.select($"codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    val again = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    assert(enc.exceptAll(again).isEmpty && again.exceptAll(enc).isEmpty)
+    // the stored norm is the exact float norm
+    val normOff = enc.join(emb, $"id" === $"vec_id")
+      .filter(abs($"norm" - VectorOps.norm($"embedding")) > 0.0)
+    assert(normOff.isEmpty)
+  }
+
+  test("PQ rescored top-k: exact cosines on the shortlist, recall " +
+       "floored vs brute force, and rescore never hurts ADC") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 10)
+    // synthetic gaussian embeddings are PQ's worst case (no subspace
+    // correlation to exploit) — use 8×16 codes (32 bits/vector, still
+    // a 64× compression of 64 floats) and an 8× shortlist
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val adc = Similarity.pqAdcTopK(enc, books, queries, "vec_id",
+      "embedding", k = 10)
+    val resc = Similarity.pqRescoredTopK(emb, queries, "vec_id",
+      "embedding", k = 10, m = 8, kCodes = 16, iters = 2,
+      candidateFactor = 8)
+    // stage 2 cosines are THE float cosines for their pairs
+    val mismatch = resc.select($"query_id", $"neighbor_id", $"cos")
+      .join(exact.select($"query_id", $"neighbor_id", $"cos".as("bf")),
+        Seq("query_id", "neighbor_id"))
+      .filter(abs($"cos" - $"bf") > 1e-12)
+    assert(mismatch.isEmpty)
+    val ex = exact.select($"query_id", $"neighbor_id")
+    val n = ex.count().toDouble
+    val aR = adc.select($"query_id", $"neighbor_id").intersect(ex).count() / n
+    val rR = resc.select($"query_id", $"neighbor_id").intersect(ex).count() / n
+    assert(rR >= aR, s"rescore must not lose recall: adc $aR -> $rR")
+    assert(rR >= 0.6, s"PQ rescored recall@10 $rR below floor")
+  }
 }
