@@ -1693,7 +1693,21 @@ object SparkEntry {
           round(col("cos"), 6).as("cos"),
           col("rank").cast("int").as("rank"))
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // Gap-based sessionization through Spark's native session_window
+    // (the same expression runs incrementally under a watermark in
+    // Structured Streaming — the batch face is what the oracle can
+    // check). The oracle re-derives sessions the classic SQL way
+    // (lag + running-sum islands, breaking when silence EXCEEDS the
+    // gap — the touching-windows-merge boundary SessionizeSpec pins),
+    // so the two formulations must agree session for session.
+    "q109_sessionize" -> ((s, d) =>
+      graft.streaming.Sessionize.sessions(t(s, d, "events"), "user_id",
+          "ts", "6 hours",
+          Seq(sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value")))
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3365,6 +3379,25 @@ object SparkEntry {
     "q89_incremental_ivf" -> q89OracleSql,
 
     "q108_pq_search" -> q108OracleSql,
+
+    // q109: lag + running-sum session islands; break strictly BEYOND
+    // the gap (touching windows merge)
+    "q109_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
 
     "q90_incremental_lsh" -> portableLshOracleSql("a.vec_id < 5", 15),
 

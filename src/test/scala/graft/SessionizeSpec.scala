@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("events merge into sessions by gap; boundaries and counts exact") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2.0),
+      (1L, ts("2024-01-01 00:59:00"), 3.0), // 49 min after prev: merges
+      (1L, ts("2024-01-01 07:00:00"), 4.0), // > 1h silence: new session
+      (2L, ts("2024-01-01 00:05:00"), 5.0)  // another user, own session
+    ).toDF("user_id", "tstamp", "value")
+    val got = Sessionize.sessions(ev, "user_id", "tstamp", "1 hour",
+        Seq(sum(col("value")).as("total")))
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:59:00"), 3L, 6.0),
+      (1L, ts("2024-01-01 07:00:00"), ts("2024-01-01 07:00:00"), 1L, 4.0),
+      (2L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:05:00"), 1L, 5.0)))
+  }
+
+  test("an event exactly `gap` after its predecessor still MERGES — " +
+       "the session breaks only when silence EXCEEDS the gap, the " +
+       "> boundary the SQL oracle mirrors") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 01:00:00")) // exactly gap later: touching merges
+    ).toDF("user_id", "tstamp")
+    assert(Sessionize.sessions(ev, "user_id", "tstamp", "1 hour")
+      .count() == 1L)
+    // one microsecond beyond the gap: new session
+    val ev2 = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00.000001"))
+    ).toDF("user_id", "tstamp")
+    assert(Sessionize.sessions(ev2, "user_id", "tstamp", "1 hour")
+      .count() == 2L)
+  }
+
+  test("sessionize equals an independent sort+lag derivation on real " +
+       "events") {
+    val ev = graft.engine.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val got = Sessionize.sessions(ev, "user_id", "ts", "6 hours")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect().map(_.toString).sorted.toSeq
+    // reference: boundary when ts - lag(ts) EXCEEDS the gap, islands
+    // by running sum — the classic batch formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val want = ev
+      .withColumn("brk", when(unix_micros($"ts") -
+        unix_micros(lag($"ts", 1).over(w)) > 6L * 3600 * 1000000, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("streaming sessions under a watermark equal the batch transform") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = input.toDS().toDF("user_id", "tstamp")
+    val q = Sessionize.sessions(stream, "user_id", "tstamp", "1 hour",
+        watermark = Some("2 hours"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_test").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:45:00")), // merges across batches
+        (1L, ts("2024-01-01 05:00:00")),
+        (2L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Sessionize.sessions(
+        Seq((1L, ts("2024-01-01 00:00:00")),
+          (1L, ts("2024-01-01 00:30:00")),
+          (1L, ts("2024-01-01 00:45:00")),
+          (1L, ts("2024-01-01 05:00:00")),
+          (2L, ts("2024-01-01 01:00:00"))).toDF("user_id", "tstamp"),
+        "user_id", "tstamp", "1 hour")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionStats summarizes per user") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:30:00")),
+      (1L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "tstamp")
+    val st = Sessionize.sessionStats(
+      Sessionize.sessions(ev, "user_id", "tstamp", "1 hour"), "user_id")
+      .head()
+    assert(st.getLong(1) == 2L)            // sessions
+    assert(st.getLong(2) == 3L)            // events
+    assert(st.getDouble(3) == 1.5)         // events/session
+    assert(st.getDouble(4) == 900.0)       // (1800 + 0) / 2 seconds
+  }
+}
