@@ -136,6 +136,36 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_pruned_read(dataPath, col1, lo1, hi1[, col2, lo2, hi2, …])`
   *    — manifest-pruned scan; bounds are strings cast to each
   *    dimension's type ([[graft.sources.Layout.prunedRead]])
+  *  - `graft_zorder_write_partitioned(table, root, partCol, 'dims',
+  *    files)` / `graft_append_partitioned(…)` — hive-partitioned
+  *    z-ordered write / batch append
+  *    ([[graft.sources.Layout.writeZOrderedPartitioned]] /
+  *    [[graft.sources.Layout.appendZOrderedPartitioned]]; BUILD-style)
+  *  - `graft_update_manifest_partitioned(root, 'dims')` — per-leaf
+  *    incremental manifest refresh (BUILD-style)
+  *  - `graft_pruned_read_partitioned(root, col1, lo1, hi1[, …])` — the
+  *    three-level composed pruned scan
+  *    ([[graft.sources.Layout.prunedReadPartitioned]])
+  *  - `graft_compact_partitioned(root, 'dims', filesPerLeaf,
+  *    maxFilesPerLeaf)` / `graft_drop_partition(root, 'k=v')` /
+  *    `graft_delete_partitioned(ids, root, 'dims', idCol)` — leaf
+  *    compaction / retention drop / cross-partition id takedown
+  *    (BUILD-style receipts)
+  *  - `graft_assign_split(table, idCol, 'train:0.8,val:0.1,test:0.1'
+  *    [, salt])` / `graft_assign_fold(table, idCol, k[, salt])` —
+  *    deterministic hash split / k-fold columns
+  *    ([[graft.operators.Splits]])
+  *  - `graft_sessionize(table, userCol, tsCol, gap)` — gap-based
+  *    sessions ([[graft.streaming.Sessionize.sessions]])
+  *  - `graft_skew_join(fact, dim, key, topN)` — hot-key-split equi-join
+  *    with auto-detected hot set ([[graft.operators.SkewJoin]])
+  *  - `graft_validate(table, 'not_null:c;in_range:c:lo:hi;in_set:c:a|b;
+  *    matches:c:re;unique:c1,c2')` — declarative rule report
+  *    ([[graft.operators.Validation.report]]; numeric ranges only on
+  *    this face — the Scala API takes typed bounds)
+  *  - `graft_pq_search(corpus, queries, idCol, vecCol, k, m, kCodes)`
+  *    — product-quantization two-stage ANN
+  *    ([[graft.operators.Similarity.pqRescoredTopK]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -733,6 +763,207 @@ object GraftExtensions {
           plan(graft.sources.Layout.prunedRead(spark, path, ranges))
         case _ => throw new IllegalArgumentException(
           "graft_pruned_read(dataPath, col1, lo1, hi1[, col2, lo2, hi2, ...])")
+      }),
+    // partitioned layout family — the same BUILD-style receipts as the
+    // flat faces, per-leaf mechanics inside
+    (new FunctionIdentifier("graft_zorder_write_partitioned"),
+      new ExpressionInfo("graft.sources.Layout",
+        "graft_zorder_write_partitioned"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, r, pc, dims, f) =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val files = intArg(f, "files")
+          graft.sources.Layout.writeZOrderedPartitioned(
+            tableArg(t, "table"), root, strArg(pc, "partCol"),
+            colsArg(dims, "dims"), files)
+          import spark.implicits._
+          plan(Seq((root, files)).toDF("root", "files_written"))
+        case _ => throw new IllegalArgumentException(
+          "graft_zorder_write_partitioned(table, root, partCol, " +
+            "'dim1,dim2', files)")
+      }),
+    (new FunctionIdentifier("graft_append_partitioned"),
+      new ExpressionInfo("graft.sources.Layout", "graft_append_partitioned"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, r, pc, dims, f) =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val files = intArg(f, "files")
+          graft.sources.Layout.appendZOrderedPartitioned(
+            tableArg(t, "table"), root, strArg(pc, "partCol"),
+            colsArg(dims, "dims"), files)
+          import spark.implicits._
+          plan(Seq((root, files)).toDF("root", "files_appended"))
+        case _ => throw new IllegalArgumentException(
+          "graft_append_partitioned(table, root, partCol, 'dim1,dim2', " +
+            "files)")
+      }),
+    (new FunctionIdentifier("graft_update_manifest_partitioned"),
+      new ExpressionInfo("graft.sources.Layout",
+        "graft_update_manifest_partitioned"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r, dims) =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val n = graft.sources.Layout.updateManifestPartitioned(spark,
+            root, colsArg(dims, "dims"))
+          import spark.implicits._
+          plan(Seq((root, n)).toDF("root", "files_statted"))
+        case _ => throw new IllegalArgumentException(
+          "graft_update_manifest_partitioned(root, 'dim1,dim2')")
+      }),
+    (new FunctionIdentifier("graft_pruned_read_partitioned"),
+      new ExpressionInfo("graft.sources.Layout",
+        "graft_pruned_read_partitioned"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r, rest @ _*) if rest.size % 3 == 0 =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val schema = spark.read.parquet(root).schema
+          val ranges = rest.grouped(3).map { case Seq(c, lo, hi) =>
+            val cn = strArg(c, "col")
+            val dt = schema(cn).dataType
+            graft.sources.Layout.ColRange(cn,
+              org.apache.spark.sql.functions.lit(strArg(lo, "lo")).cast(dt),
+              org.apache.spark.sql.functions.lit(strArg(hi, "hi")).cast(dt))
+          }.toSeq
+          plan(graft.sources.Layout.prunedReadPartitioned(spark, root,
+            ranges))
+        case _ => throw new IllegalArgumentException(
+          "graft_pruned_read_partitioned(root[, col1, lo1, hi1, ...])")
+      }),
+    (new FunctionIdentifier("graft_compact_partitioned"),
+      new ExpressionInfo("graft.sources.Layout", "graft_compact_partitioned"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r, dims, fpl, mfl) =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val n = graft.sources.Layout.compactPartitioned(spark, root,
+            colsArg(dims, "dims"), intArg(fpl, "filesPerLeaf"),
+            intArg(mfl, "maxFilesPerLeaf"))
+          import spark.implicits._
+          plan(Seq((root, n)).toDF("root", "leaves_compacted"))
+        case _ => throw new IllegalArgumentException(
+          "graft_compact_partitioned(root, 'dim1,dim2', filesPerLeaf, " +
+            "maxFilesPerLeaf)")
+      }),
+    (new FunctionIdentifier("graft_drop_partition"),
+      new ExpressionInfo("graft.sources.Layout", "graft_drop_partition"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r, leaf) =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val existed = graft.sources.Layout.dropPartition(spark, root,
+            strArg(leaf, "leafName"))
+          import spark.implicits._
+          plan(Seq((root, existed)).toDF("root", "dropped"))
+        case _ => throw new IllegalArgumentException(
+          "graft_drop_partition(root, 'k=v')")
+      }),
+    (new FunctionIdentifier("graft_delete_partitioned"),
+      new ExpressionInfo("graft.sources.Layout", "graft_delete_partitioned"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ids, r, dims, id) =>
+          val spark = SparkSession.active
+          val root = strArg(r, "root")
+          val n = graft.sources.Layout.deleteByIdsPartitioned(spark, root,
+            colsArg(dims, "dims"), strArg(id, "idCol"), tableArg(ids, "ids"))
+          import spark.implicits._
+          plan(Seq((root, n)).toDF("root", "files_rewritten"))
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_partitioned(ids, root, 'dim1,dim2', idCol)")
+      }),
+    // deterministic splits
+    (new FunctionIdentifier("graft_assign_split"),
+      new ExpressionInfo("graft.operators.Splits", "graft_assign_split"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, spec, rest @ _*) if rest.size <= 1 =>
+          val weights = strArg(spec, "weights").split(",").map(_.trim)
+            .filter(_.nonEmpty).map { w =>
+              w.split(":") match {
+                case Array(n, f) => (n.trim, f.trim.toDouble)
+                case _ => throw new IllegalArgumentException(
+                  s"weight '$w' is not name:fraction")
+              }
+            }.toSeq
+          val salt = rest.headOption.map(strArg(_, "salt")).getOrElse("")
+          plan(graft.operators.Splits.assignSplit(tableArg(t, "table"),
+            strArg(id, "idCol"), weights, salt))
+        case _ => throw new IllegalArgumentException(
+          "graft_assign_split(table, idCol, 'train:0.8,val:0.1,test:0.1'" +
+            "[, salt])")
+      }),
+    (new FunctionIdentifier("graft_assign_fold"),
+      new ExpressionInfo("graft.operators.Splits", "graft_assign_fold"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, k, rest @ _*) if rest.size <= 1 =>
+          plan(graft.operators.Splits.assignFold(tableArg(t, "table"),
+            strArg(id, "idCol"), intArg(k, "k"),
+            rest.headOption.map(strArg(_, "salt")).getOrElse("fold")))
+        case _ => throw new IllegalArgumentException(
+          "graft_assign_fold(table, idCol, k[, salt])")
+      }),
+    // gap sessions (batch face)
+    (new FunctionIdentifier("graft_sessionize"),
+      new ExpressionInfo("graft.streaming.Sessionize", "graft_sessionize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, u, ts, gap) =>
+          plan(graft.streaming.Sessionize.sessions(tableArg(t, "table"),
+            strArg(u, "userCol"), strArg(ts, "tsCol"), strArg(gap, "gap")))
+        case _ => throw new IllegalArgumentException(
+          "graft_sessionize(table, userCol, tsCol, '30 minutes')")
+      }),
+    // hot-key-split join, hot set auto-detected from the fact
+    (new FunctionIdentifier("graft_skew_join"),
+      new ExpressionInfo("graft.operators.SkewJoin", "graft_skew_join"),
+      (args: Seq[Expression]) => args match {
+        case Seq(f, d, key, topN) =>
+          plan(graft.operators.SkewJoin.joinSkewedAuto(
+            tableArg(f, "fact"), tableArg(d, "dim"), strArg(key, "key"),
+            intArg(topN, "topN")))
+        case _ => throw new IllegalArgumentException(
+          "graft_skew_join(fact, dim, key, topN)")
+      }),
+    // declarative validation; numeric ranges only on this face
+    (new FunctionIdentifier("graft_validate"),
+      new ExpressionInfo("graft.operators.Validation", "graft_validate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, spec) =>
+          import graft.operators.Validation
+          import org.apache.spark.sql.functions.lit
+          val rules = strArg(spec, "rules").split(";").map(_.trim)
+            .filter(_.nonEmpty).map { r =>
+              r.split(":").map(_.trim).toSeq match {
+                case Seq("not_null", c)       => Validation.NotNull(c)
+                case Seq("in_range", c, lo, hi) =>
+                  Validation.InRange(c, lit(lo.toDouble), lit(hi.toDouble))
+                case Seq("in_set", c, vs) =>
+                  Validation.InSet(c, vs.split("\\|").map(_.trim).toSeq)
+                case Seq("matches", c, re)    => Validation.Matches(c, re)
+                case Seq("unique", cs) =>
+                  Validation.Unique(cs.split(",").map(_.trim).toSeq)
+                case other => throw new IllegalArgumentException(
+                  s"unknown validation rule '$r' (parsed $other); " +
+                    "fk_exists needs the typed Scala API")
+              }
+            }.toSeq
+          plan(Validation.report(tableArg(t, "table"), rules))
+        case _ => throw new IllegalArgumentException(
+          "graft_validate(table, 'not_null:c;in_range:c:lo:hi;" +
+            "in_set:c:a|b;matches:c:re;unique:c1,c2')")
+      }),
+    // product-quantization two-stage ANN
+    (new FunctionIdentifier("graft_pq_search"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_pq_search"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, id, vec, k, m, kc) =>
+          plan(graft.operators.Similarity.pqRescoredTopK(
+            tableArg(c, "corpus"), tableArg(q, "queries"),
+            strArg(id, "idCol"), strArg(vec, "vecCol"), intArg(k, "k"),
+            intArg(m, "m"), intArg(kc, "kCodes")))
+        case _ => throw new IllegalArgumentException(
+          "graft_pq_search(corpus, queries, idCol, vecCol, k, m, kCodes)")
       }))
 
   /** Register the same functions on an ALREADY-RUNNING session (extensions

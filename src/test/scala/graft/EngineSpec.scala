@@ -647,4 +647,136 @@ class EngineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(deSql == deScala && deSql == Seq(2L)) // docs 0,1 share bigrams
   }
+
+  test("extensions: partitioned layout lifecycle callable from SQL, " +
+       "row-identical") {
+    import graft.sources.Layout
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlpart")
+      .toString + "/root"
+    val rows = (1L to 12L).map(i =>
+      (i, if (i % 3 == 0) "b" else "a", i * 10L)).toDF("id", "k", "v")
+    rows.createOrReplaceTempView("sql_part_rows")
+    assert(spark.sql(
+      s"""SELECT * FROM graft_zorder_write_partitioned('sql_part_rows',
+         |  '$root', 'k', 'id,v', 2)""".stripMargin)
+      .head().getInt(1) == 2)
+    assert(spark.sql(
+      s"SELECT * FROM graft_update_manifest_partitioned('$root', 'id,v')")
+      .head().getInt(1) > 0)
+    rows.filter($"id" <= 4).createOrReplaceTempView("sql_part_more")
+    spark.sql(
+      s"""SELECT * FROM graft_append_partitioned('sql_part_more',
+         |  '$root', 'k', 'id,v', 2)""".stripMargin).collect()
+    spark.sql(
+      s"SELECT * FROM graft_update_manifest_partitioned('$root', 'id,v')")
+      .collect()
+    assert(spark.sql(
+      s"SELECT * FROM graft_compact_partitioned('$root', 'id,v', 1, 2)")
+      .head().getInt(1) >= 1)
+    Seq(4L).toDF("id").createOrReplaceTempView("sql_part_doomed")
+    spark.sql(
+      s"""SELECT * FROM graft_delete_partitioned('sql_part_doomed',
+         |  '$root', 'id,v', 'id')""".stripMargin).collect()
+    val sqlRead = spark.sql(
+      s"""SELECT id, k, v FROM graft_pruned_read_partitioned('$root',
+         |  'id', '1', '10') ORDER BY id, k""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaRead = Layout.prunedReadPartitioned(spark, root, Seq(
+        Layout.ColRange("id",
+          org.apache.spark.sql.functions.lit("1").cast("bigint"),
+          org.apache.spark.sql.functions.lit("10").cast("bigint"))))
+      .select(col("id"), col("k"), col("v")).orderBy("id", "k")
+      .collect().map(_.toSeq).toSeq
+    assert(sqlRead == scalaRead && sqlRead.nonEmpty)
+    // the takedown removed id=4 everywhere; appended dup ids remain
+    assert(!sqlRead.exists(_.head == 4L))
+    assert(spark.sql(
+      s"SELECT * FROM graft_drop_partition('$root', 'k=b')")
+      .head().getBoolean(1))
+    assert(spark.sql(
+      s"SELECT * FROM graft_pruned_read_partitioned('$root')")
+      .select("k").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("a"))
+  }
+
+  test("extensions: splits, sessions, validation, skew join, PQ from " +
+       "SQL, row-identical") {
+    import graft.operators.{SkewJoin, Similarity, Splits, Validation}
+    import org.apache.spark.sql.functions.{col, lit}
+    GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val docs = spark.range(200).select($"id")
+    docs.createOrReplaceTempView("sql_split_ids")
+    val sqlSplit = spark.sql(
+      """SELECT id, split FROM graft_assign_split('sql_split_ids', 'id',
+        |  'train:0.8,val:0.1,test:0.1') ORDER BY id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaSplit = Splits.assignSplit(docs, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(sqlSplit == scalaSplit && sqlSplit.nonEmpty)
+    assert(spark.sql(
+      "SELECT DISTINCT fold FROM graft_assign_fold('sql_split_ids', 'id', 3)")
+      .collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))
+    ).toDF("user_id", "tstamp")
+    ev.createOrReplaceTempView("sql_sess_ev")
+    val sqlSess = spark.sql(
+      """SELECT * FROM graft_sessionize('sql_sess_ev', 'user_id',
+        |  'tstamp', '1 hour') ORDER BY session_start""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaSess = graft.streaming.Sessionize
+      .sessions(ev, "user_id", "tstamp", "1 hour")
+      .orderBy("session_start").collect().map(_.toSeq).toSeq
+    assert(sqlSess == scalaSess && sqlSess.size == 2)
+
+    val messy = Seq((1L, 5.0), (2L, -1.0), (2L, 7.0))
+      .toDF("id", "v")
+    messy.createOrReplaceTempView("sql_val_rows")
+    val sqlVal = spark.sql(
+      """SELECT * FROM graft_validate('sql_val_rows',
+        |  'not_null:id;in_range:v:0:10;unique:id')""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaVal = Validation.report(messy, Seq(
+        Validation.NotNull("id"),
+        Validation.InRange("v", lit(0.0), lit(10.0)),
+        Validation.Unique(Seq("id"))))
+      .collect().map(_.toSeq).toSeq
+    assert(sqlVal == scalaVal && sqlVal.size == 3)
+
+    val fact = spark.range(300).select(($"id" % 3).as("k"), $"id".as("x"))
+    val dim = spark.range(3).select($"id".as("k"),
+      concat(lit("d"), $"id").as("nm"))
+    fact.createOrReplaceTempView("sql_skew_fact")
+    dim.createOrReplaceTempView("sql_skew_dim")
+    val sqlJoin = spark.sql(
+      """SELECT * FROM graft_skew_join('sql_skew_fact', 'sql_skew_dim',
+        |  'k', 2) ORDER BY k, x""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaJoin = SkewJoin.joinSkewedAuto(fact, dim, "k", topN = 2)
+      .orderBy("k", "x").collect().map(_.toSeq).toSeq
+    assert(sqlJoin == scalaJoin && sqlJoin.size == 300)
+
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("sql_pq_corpus")
+    emb.filter($"vec_id" < 3).createOrReplaceTempView("sql_pq_queries")
+    val sqlPq = spark.sql(
+      """SELECT * FROM graft_pq_search('sql_pq_corpus', 'sql_pq_queries',
+        |  'vec_id', 'embedding', 5, 4, 8)
+        |ORDER BY query_id, rank""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaPq = Similarity.pqRescoredTopK(emb, emb.filter($"vec_id" < 3),
+        "vec_id", "embedding", k = 5, m = 4, kCodes = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlPq == scalaPq && sqlPq.size == 15)
+  }
 }
