@@ -155,8 +155,6 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    [, salt])` / `graft_assign_fold(table, idCol, k[, salt])` —
   *    deterministic hash split / k-fold columns
   *    ([[graft.operators.Splits]])
-  *  - `graft_sessionize(table, userCol, tsCol, gap)` — gap-based
-  *    sessions ([[graft.streaming.Sessionize.sessions]])
   *  - `graft_skew_join(fact, dim, key, topN)` — hot-key-split equi-join
   *    with auto-detected hot set ([[graft.operators.SkewJoin]])
   *  - `graft_validate(table, 'not_null:c;in_range:c:lo:hi;in_set:c:a|b;
@@ -903,16 +901,6 @@ object GraftExtensions {
             rest.headOption.map(strArg(_, "salt")).getOrElse("fold")))
         case _ => throw new IllegalArgumentException(
           "graft_assign_fold(table, idCol, k[, salt])")
-      }),
-    // gap sessions (batch face)
-    (new FunctionIdentifier("graft_sessionize"),
-      new ExpressionInfo("graft.streaming.Sessionize", "graft_sessionize"),
-      (args: Seq[Expression]) => args match {
-        case Seq(t, u, ts, gap) =>
-          plan(graft.streaming.Sessionize.sessions(tableArg(t, "table"),
-            strArg(u, "userCol"), strArg(ts, "tsCol"), strArg(gap, "gap")))
-        case _ => throw new IllegalArgumentException(
-          "graft_sessionize(table, userCol, tsCol, '30 minutes')")
       }),
     // hot-key-split join, hot set auto-detected from the fact
     (new FunctionIdentifier("graft_skew_join"),

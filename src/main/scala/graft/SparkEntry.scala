@@ -1707,7 +1707,25 @@ object SparkEntry {
           "ts", "6 hours",
           Seq(sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("total_value")))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Line-level boilerplate removal over a synthesized multi-line
+    // corpus (the documents table is single-line, so template lines
+    // are composed from doc_id arithmetic — the q102 pattern): a
+    // shared header on every doc, a promo line on even ids, one of
+    // five footers. All three families cross the minDocs=5 threshold
+    // and must vanish; each doc's unique body line must survive in
+    // place. The oracle rebuilds the same corpus and re-derives the
+    // line frequencies from scratch.
+    "q110_boilerplate" -> ((s, d) =>
+      Corpus.stripBoilerplate(
+        t(s, d, "documents").select(col("doc_id"),
+          concat_ws("\n", lit("shared header"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("promo banner")),
+            concat(lit("footer "), (col("doc_id") % 5).cast("string")))
+            .as("text")),
+        "doc_id", "text", minDocs = 5)
+        .orderBy(col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3379,6 +3397,28 @@ object SparkEntry {
     "q89_incremental_ivf" -> q89OracleSql,
 
     "q108_pq_search" -> q108OracleSql,
+
+    // q110: the synthesized corpus rebuilt, line frequencies
+    // re-derived, boilerplate anti-joined away, survivors re-stitched
+    // in line order (empty docs keep an empty string)
+    "q110_boilerplate" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, concat_ws(chr(10), 'shared header', text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'promo banner' END,
+        |    'footer ' || (doc_id % 5)) AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d2),
+        |l AS (SELECT doc_id, g.i AS pos, parts[g.i] AS line
+        |      FROM p CROSS JOIN generate_series(1, 4) g(i)
+        |      WHERE g.i <= len(parts)),
+        |b AS (SELECT line FROM l WHERE trim(line) <> ''
+        |      GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN b USING (line)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept
+        |      FROM k GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.kept, '') AS text
+        |FROM d2 LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q109: lag + running-sum session islands; break strictly BEYOND
     // the gap (touching windows merge)

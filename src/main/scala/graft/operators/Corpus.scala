@@ -545,4 +545,42 @@ object Corpus {
       .select(col(idCol), col("chunk_idx"), col("c.n_tokens").as("n_tokens"),
         col("c.chunk_text").as("chunk_text"))
   }
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb cleaning
+    * step): a non-empty line whose EXACT text appears in at least
+    * `minDocs` distinct documents is boilerplate — headers, nav bars,
+    * cookie banners, footers — and is dropped from every document;
+    * survivors reassemble in original line order (documents stripped
+    * to nothing keep an empty string, never vanish). Empty/whitespace
+    * lines are never boilerplate candidates (blank separators carry
+    * layout, not template noise) and always survive.
+    *
+    * Scale shape: one explode, one line-keyed countDistinct whose
+    * partial aggregation collapses each boilerplate line to a row per
+    * partition BEFORE the shuffle (boilerplate is by definition the
+    * high-frequency tail — exactly what map-side combine eats), one
+    * anti-join, one per-doc regroup. Exact line matching keeps the
+    * operator oracle-portable; normalize upstream (trim, casefold) if
+    * the corpus needs fuzzy template matching.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line"))).as("__kept"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
+  }
 }

@@ -199,7 +199,10 @@ object Profiling {
     * names are free text (dots, backticks, anything). Rules are scalar
     * predicates over the row; referential checks are a join, not a scan
     * — use [[graft.operators.Joins.referentialSplit]] and count its
-    * orphans alongside.
+    * orphans alongside. For the declarative rule vocabulary (typed
+    * not-null/range/set/regex plus Unique and FkExists, with CHECK
+    * null semantics and a SQL face) see [[Validation]] — this stays
+    * the raw predicate counter underneath.
     */
   def checkConstraints(df: DataFrame,
                        rules: Seq[(String, Column)]): DataFrame = {

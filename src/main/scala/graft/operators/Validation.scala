@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * routing decision (land / quarantine / alert) — so the output is a
   * small report frame, not an exception.
   *
+  * Relation to [[Profiling.checkConstraints]]: that is the raw tool —
+  * arbitrary Column predicates counted in one pass; this is the
+  * declarative face a pipeline configures and a SQL caller can reach
+  * (`graft_validate`), adding the rules a predicate-counter cannot
+  * express (Unique needs its own groupBy, FkExists an anti-join) and
+  * pinning CHECK null semantics per rule type.
+  *
   * Cost shape is the point: every scalar rule (not-null, range, set
   * membership, regex) compiles into ONE aggregate pass over the data —
   * adding a tenth rule adds a counter to the same pass, never a scan.

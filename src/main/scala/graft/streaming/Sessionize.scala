@@ -3,20 +3,22 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Gap-based sessionization — the §2.8 stateful-session operator as
-  * ONE transform with a batch and a streaming face: group each user's
-  * events into sessions separated by at least `gap` of silence, via
-  * Spark's native `session_window` (merging-interval state, not a
-  * sort+lag pass, so the SAME expression runs incrementally under a
-  * watermark in Structured Streaming — state per in-flight session,
-  * evicted once the watermark passes its close).
+/** The streaming face of gap-based sessionization, layered on the
+  * batch operator ([[graft.operators.TimeSeries.sessionize]], the q33
+  * §2.7 entry — ONE session_window call site, this wrapper adds no
+  * second implementation): a watermark hook so the same transform runs
+  * incrementally in Structured Streaming (merging-interval state per
+  * in-flight session, evicted once the watermark passes its close), a
+  * last-EVENT `session_end` (the batch operator reports the window
+  * end, which includes the trailing gap), and per-user session
+  * statistics.
   *
   * Semantics (pinned in SessionizeSpec): an event's window is
   * [ts, ts+gap]; windows merge when they TOUCH, so an event exactly
   * `gap` after its predecessor still extends the session and a break
   * needs silence strictly EXCEEDING the gap — the lag-based SQL
   * equivalent breaks when `ts - lag(ts) > gap`, which is exactly how
-  * the oracle re-derives it.
+  * the q109 oracle re-derives it.
   *
   * Scale: the groupBy shuffles once on (user, merged window) with
   * partial aggregation; batch cost is the one shuffle, streaming state
@@ -35,14 +37,16 @@ object Sessionize {
                gap: String, extraAggs: Seq[Column] = Nil,
                watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark(tsCol, w))
-    val aggs = Seq(max(col(tsCol)).as("session_end"),
-      count(lit(1)).as("n_events")) ++ extraAggs
-    val aggd = src
-      .groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))
-      .agg(aggs.head, aggs.tail: _*)
-    val rest = aggd.columns.filterNot(Set(userCol, "sw"))
-    aggd.select(col(userCol) +: col("sw.start").as("session_start") +:
-      rest.map(col).toSeq: _*)
+    val aggd = graft.operators.TimeSeries.sessionize(src, userCol, tsCol,
+        gap,
+        Seq(max(col(tsCol)).as("__last"),
+          count(lit(1)).as("n_events")) ++ extraAggs)
+      .withColumn("session_end", col("__last")) // last event, not +gap
+      .drop("__last")
+    val rest = aggd.columns
+      .filterNot(Set(userCol, "session_start", "session_end", "n_events"))
+    aggd.select(col(userCol) +: col("session_start") +:
+      col("session_end") +: col("n_events") +: rest.map(col).toSeq: _*)
   }
 
   /** Per-user session summary over [[sessions]]' output: the dashboard

@@ -360,4 +360,37 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(n4 == Seq(2L, 3L)) // no shared 4-gram between docs 1 and 2
   }
+
+  test("stripBoilerplate drops cross-doc template lines, keeps unique " +
+       "and blank lines in order, and empties — never drops — fully-" +
+       "boilerplate docs") {
+    val docs = Seq(
+      (1L, "NAV BAR\nunique one\n\nNAV BAR again no\nFOOTER"),
+      (2L, "NAV BAR\nunique two\nFOOTER"),
+      (3L, "NAV BAR\nunique three\nFOOTER"),
+      (4L, "NAV BAR\nFOOTER"), // nothing survives
+      (5L, "  \nonly body five") // blank line is never a candidate
+    ).toDF("doc_id", "text")
+    val got = Corpus.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "unique one\n\nNAV BAR again no"), // order + blank preserved
+      (2L, "unique two"),
+      (3L, "unique three"),
+      (4L, ""),                               // present, emptied
+      (5L, "  \nonly body five")))
+    // a line in only minDocs-1 docs survives everywhere
+    val docs2 = Seq((1L, "twice\na"), (2L, "twice\nb"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.stripBoilerplate(docs2, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(kept == Seq("twice\na", "twice\nb", "c"))
+    // multiplicity within ONE doc never promotes a line to boilerplate
+    val docs3 = Seq((1L, "x\nx\nx\nx"), (2L, "x\ny"), (3L, "z"))
+      .toDF("doc_id", "text")
+    assert(Corpus.stripBoilerplate(docs3, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      Seq("x\nx\nx\nx", "x\ny", "z")) // only 2 DISTINCT docs hold x
+  }
 }

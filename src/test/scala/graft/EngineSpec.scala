@@ -702,8 +702,8 @@ class EngineSpec extends SparkSpec {
       Seq("a"))
   }
 
-  test("extensions: splits, sessions, validation, skew join, PQ from " +
-       "SQL, row-identical") {
+  test("extensions: splits, validation, skew join, PQ from SQL, " +
+       "row-identical") {
     import graft.operators.{SkewJoin, Similarity, Splits, Validation}
     import org.apache.spark.sql.functions.{col, lit}
     GraftExtensions.register(spark)
@@ -722,21 +722,6 @@ class EngineSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT DISTINCT fold FROM graft_assign_fold('sql_split_ids', 'id', 3)")
       .collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
-
-    val ev = Seq(
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))
-    ).toDF("user_id", "tstamp")
-    ev.createOrReplaceTempView("sql_sess_ev")
-    val sqlSess = spark.sql(
-      """SELECT * FROM graft_sessionize('sql_sess_ev', 'user_id',
-        |  'tstamp', '1 hour') ORDER BY session_start""".stripMargin)
-      .collect().map(_.toSeq).toSeq
-    val scalaSess = graft.streaming.Sessionize
-      .sessions(ev, "user_id", "tstamp", "1 hour")
-      .orderBy("session_start").collect().map(_.toSeq).toSeq
-    assert(sqlSess == scalaSess && sqlSess.size == 2)
 
     val messy = Seq((1L, 5.0), (2L, -1.0), (2L, 7.0))
       .toDF("id", "v")
