@@ -122,7 +122,8 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    `graft_delete_minhash(ids, indexPath, idCol)` /
   *    `graft_delete_simhash(ids, indexPath, idCol)` /
   *    `graft_delete_ivf(ids, indexPath, idCol)` /
-  *    `graft_delete_lsh(ids, indexPath, idCol)` — index tombstones
+  *    `graft_delete_lsh(ids, indexPath, idCol)` /
+  *    `graft_delete_pq(ids, indexPath, idCol)` — index tombstones
   *    (BUILD-style receipts; see [[graft.operators.Tombstones]])
   *  - `graft_wav_features(table)` — per-channel PCM energy rows over
   *    WAV payloads ([[graft.operators.Multimodal.wavChannelFeatures]])
@@ -690,6 +691,17 @@ object GraftExtensions {
           deleteReceipt(path)
         case _ => throw new IllegalArgumentException(
           "graft_delete_lsh(ids, indexPath, idCol)")
+      }),
+    (new FunctionIdentifier("graft_delete_pq"),
+      new ExpressionInfo("graft.operators.Similarity", "graft_delete_pq"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id) =>
+          val path = strArg(p, "indexPath")
+          Similarity.deleteFromPqIndex(tableArg(t, "ids"), path,
+            strArg(id, "idCol"))
+          deleteReceipt(path)
+        case _ => throw new IllegalArgumentException(
+          "graft_delete_pq(ids, indexPath, idCol)")
       }),
     // multimodal: per-channel PCM energy features over WAV payloads
     (new FunctionIdentifier("graft_wav_features"),

@@ -1725,7 +1725,52 @@ object SparkEntry {
             concat(lit("footer "), (col("doc_id") % 5).cast("string")))
             .as("text")),
         "doc_id", "text", minDocs = 5)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The PQ index's full persisted lifecycle, the sixth index family:
+    // codebooks trained on HISTORY only, history encoded and saved,
+    // the batch appended twice against frozen codebooks (the replay
+    // must be an exact no-op — a duplicated code row double-hits the
+    // ADC sum's group and breaks the hash), five ids tombstoned, then
+    // ADC shortlist + exact rescore from the loaded index. The oracle
+    // re-derives the chain with training restricted to history and the
+    // deleted ids excluded from the neighbor side.
+    "q111_incremental_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val hist = emb.filter(col("vec_id") < 400)
+      val batch = emb.filter(col("vec_id") >= 400)
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_pqidx_${Integer.toHexString(d.hashCode)}").getPath
+      Stages.timed("q111_incremental_pq", "build") {
+        val books = Similarity.pqTrain(hist, "vec_id", "embedding",
+          m = 4, k = 8, iters = 1)
+        Similarity.savePqIndex(
+          Similarity.pqEncode(hist, "vec_id", "embedding", books),
+          books, path, "vec_id")
+      }
+      Stages.timed("q111_incremental_pq", "append") {
+        Similarity.appendPqIndex(batch, path, "vec_id", "embedding")
+        // the replay: every id anti-joins away, range-pruned
+        Similarity.appendPqIndex(batch, path, "vec_id", "embedding")
+      }
+      Stages.timed("q111_incremental_pq", "delete") {
+        Similarity.deleteFromPqIndex(
+          emb.filter(col("vec_id").between(100L, 104L))
+            .select(col("vec_id")), path, "vec_id")
+      }
+      val (codes, books) = Similarity.loadPqIndex(s, path)
+      val queries = emb.filter(col("vec_id") < 5)
+      val cand = Similarity.pqAdcTopK(
+        codes.withColumnRenamed("vec_id", "id"), books, queries,
+        "vec_id", "embedding", k = 40)
+      Similarity.exactRescore(emb, queries, "vec_id", "embedding",
+          cand, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -1802,31 +1847,48 @@ object SparkEntry {
   // final assignment is the encoding, ADC sums the per-subspace LUT
   // terms decimal-exactly, and the 40-candidate shortlist is rescored
   // with the exact float cosine.
-  private def q108OracleSql: String = {
+  private def q108OracleSql: String = pqOracleSql("", Nil)
+
+  // q111: the q108 chain with codebooks trained on the HISTORY rows
+  // only (the frozen-codebook append — batch rows are ENCODED against
+  // c1 but never shaped it) and the tombstoned ids excluded from the
+  // neighbor side. Engine-side append idempotence (the double append)
+  // has no oracle analogue beyond the result itself: a duplicated
+  // neighbor row would double-hit the ADC sum's group and break the
+  // hash.
+  private def q111OracleSql: String =
+    pqOracleSql("WHERE id < 400", 100L to 104L)
+
+  private def pqOracleSql(historyFilter: String,
+                          excludeNeighbors: Seq[Long]): String = {
     val dsub = 16
+    val excl =
+      if (excludeNeighbors.isEmpty) ""
+      else s" AND e.id NOT IN (${excludeNeighbors.mkString(", ")})"
     def sv(v: String, sub: String): String =
       s"list_transform(generate_series(1, $dsub), i -> $v[$sub*$dsub + i])"
     def sdot(v: String, sub: String, cv: String): String =
       s"list_sum(list_transform(generate_series(1, $dsub), " +
         s"i -> CAST($v[$sub*$dsub + i] AS DOUBLE) * CAST($cv[i] AS DOUBLE)))"
-    def assignSql(csrc: String): String =
+    def assignSql(vsrc: String, csrc: String): String =
       s"""SELECT id, sub, code, sv FROM (
          |  SELECT vv.id, b.sub, b.code, ${sv("vv.v", "b.sub")} AS sv,
          |    row_number() OVER (PARTITION BY vv.id, b.sub ORDER BY
          |      ${vdot("b.cv", "b.cv")}
          |        - 2.0 * ${sdot("vv.v", "b.sub", "b.cv")},
          |      b.code) AS rn
-         |  FROM v vv CROSS JOIN $csrc b
+         |  FROM $vsrc vv CROSS JOIN $csrc b
          |) WHERE rn = 1""".stripMargin
     s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |h AS (SELECT id, v FROM v $historyFilter),
        |q AS (SELECT id, v, sqrt(${vdot("v", "v")}) AS qn FROM v WHERE id < 5),
        |b0 AS (
        |  SELECT s.s AS sub, sd.code, ${sv("sd.v", "s.s")} AS cv
        |  FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
-       |        FROM (SELECT id, v FROM v ORDER BY id LIMIT 8)) sd
+       |        FROM (SELECT id, v FROM h ORDER BY id LIMIT 8)) sd
        |  CROSS JOIN generate_series(0, 3) s(s)
        |),
-       |a1 AS (${assignSql("b0")}),
+       |a1 AS (${assignSql("h", "b0")}),
        |c1 AS (
        |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
        |    SELECT sub, code, g.i AS pos,
@@ -1840,7 +1902,7 @@ object SparkEntry {
        |  WHERE NOT EXISTS (SELECT 1 FROM a1
        |                    WHERE a1.sub = b0.sub AND a1.code = b0.code)
        |),
-       |enc AS (${assignSql("c1")}),
+       |enc AS (${assignSql("v", "c1")}),
        |nrm AS (SELECT id, sqrt(${vdot("v", "v")}) AS nn FROM v),
        |lut AS (
        |  SELECT q.id AS query_id, q.qn, b.sub, b.code,
@@ -1855,7 +1917,7 @@ object SparkEntry {
        |  FROM enc e
        |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
        |  JOIN nrm n ON n.id = e.id
-       |  WHERE e.id != l.query_id
+       |  WHERE e.id != l.query_id$excl
        |  GROUP BY l.query_id, e.id
        |),
        |short AS (
@@ -3397,6 +3459,8 @@ object SparkEntry {
     "q89_incremental_ivf" -> q89OracleSql,
 
     "q108_pq_search" -> q108OracleSql,
+
+    "q111_incremental_pq" -> q111OracleSql,
 
     // q110: the synthesized corpus rebuilt, line frequencies
     // re-derived, boilerplate anti-joined away, survivors re-stitched

@@ -100,15 +100,26 @@ object Similarity {
     require(candidateFactor >= 1)
     val cand = quantizedTopK(corpus, queries, idCol, vecCol, k * candidateFactor)
       .select(col("query_id"), col("neighbor_id"))
+    exactRescore(corpus, queries, idCol, vecCol, cand, k)
+  }
+
+  /** Stage 2 of every two-stage retrieval here: exact float cosine over
+    * ONLY the proposed `cand` (query_id, neighbor_id) pairs, top-k per
+    * query under the family tie-break. The candidate ids are the build
+    * side — the corpus with its wide float column must stream, never
+    * broadcast or hash-build; per-row work on non-candidates is one
+    * hash probe.
+    */
+  def exactRescore(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, cand: DataFrame, k: Int): DataFrame = {
     val qf = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), VectorOps.norm(col(vecCol)).as("qn")))
     val cf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val nn = col("qn") * col("nn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    // candidate ids are the build side: the corpus (with its wide float
-    // column) must stream, never broadcast or hash-build
-    broadcast(cand).join(cf, Seq("neighbor_id"))
+    broadcast(cand.select(col("query_id"), col("neighbor_id")))
+      .join(cf, Seq("neighbor_id"))
       .withColumn("nn", VectorOps.norm(col("nv")))
       .join(qf, Seq("query_id"))
       .withColumn("cos", when(nn === 0.0, 0.0)
@@ -877,6 +888,94 @@ object Similarity {
         col("rank"))
   }
 
+  /** Persist a PQ index: the codes table (id-sorted — future appends
+    * range-prune against it) under `path/codes` with the caller's id
+    * column name (the tombstone sidecar is self-describing, like the
+    * other five families), the M×K codebooks under `path/books`. A
+    * fresh save drops any previous incarnation's tombstones.
+    */
+  def savePqIndex(enc: DataFrame, books: PqBooks, path: String,
+                  idCol: String): Unit = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    enc.select(col("id").as(idCol), col("codes"), col("norm"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    books.toSeq.toDF("sub", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    Tombstones.drop(spark, s"$path/tombstones")
+  }
+
+  /** Load a persisted PQ index: codes with tombstoned ids anti-joined
+    * away, plus the codebooks (M×K×dsub floats — driver-sized by
+    * construction). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (DataFrame, PqBooks) = {
+    val books = spark.read.parquet(s"$path/books")
+      .select(col("sub"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(b => (b._1, b._2))
+    (Tombstones.applySelfTo(spark.read.parquet(s"$path/codes"),
+      s"$path/tombstones"), books)
+  }
+
+  /** Grow a persisted PQ index with a new batch against FROZEN
+    * codebooks — the same incremental contract as [[appendIvfIndex]]:
+    * history vectors are never re-read, codebooks never retrain (a
+    * retrain is a deliberate rebuild), already-indexed ids anti-join
+    * away with the history side range-pruned to the batch's id span,
+    * appended files are id-sorted so future appends prune them too,
+    * and an append revives any tombstoned batch id. Drift under frozen
+    * codebooks degrades recall exactly as IVF's doc describes —
+    * rebuild on a quiet moment when the distribution moves.
+    */
+  def appendPqIndex(newRows: DataFrame, path: String, idCol: String,
+                    vecCol: String): Unit = {
+    val spark = newRows.sparkSession
+    Tombstones.clear(newRows.select(col(idCol)), idCol,
+      s"$path/tombstones")
+    val books = loadPqIndex(spark, path)._2
+    val batch = newRows.select(col(idCol), col(vecCol))
+      .filter(col(idCol).isNotNull).dropDuplicates(idCol)
+    val fresh = Lifecycle.freshByIdRange(batch, newRows, idCol,
+      spark.read.parquet(s"$path/codes").select(col(idCol)), idCol)
+    pqEncode(fresh, idCol, vecCol, books)
+      .select(col("id").as(idCol), col("codes"), col("norm"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Tombstone ids out of a persisted PQ index: searches over a fresh
+    * [[loadPqIndex]] stop returning them immediately;
+    * [[compactPqIndex]] removes the rows physically. Codebooks are
+    * untouched — deletion is membership, not a retrain. */
+  def deleteFromPqIndex(ids: DataFrame, path: String, idCol: String): Unit =
+    Tombstones.add(ids.select(col(idCol)), idCol, s"$path/tombstones")
+
+  /** Apply tombstones physically and collapse duplicate ids a legacy
+    * index may carry, rewriting the codes table id-range-partitioned
+    * and id-sorted (append-time range pruning skips whole files again
+    * after many small appends). Same staged swap and quiet-moment
+    * contract as every compaction here. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, idCol: String,
+                     targetRowsPerRange: Long = 1L << 22): Unit = {
+    val codes = Tombstones.applyTo(
+      spark.read.parquet(s"$path/codes"), idCol, s"$path/tombstones")
+    val dedup = codes.groupBy(col(idCol))
+      .agg(min_by(struct(col("codes"), col("norm")), col("norm")).as("r"))
+      .select(col(idCol), col("r.codes").as("codes"), col("r.norm").as("norm"))
+    val n = dedup.count()
+    val ranges = math.max(1L,
+      (n + targetRowsPerRange - 1) / targetRowsPerRange).toInt
+    Lifecycle.stagedSwap(spark, s"$path/codes") { staged =>
+      dedup.repartitionByRange(ranges, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .write.mode("overwrite").parquet(staged)
+    }
+    Tombstones.drop(spark, s"$path/tombstones")
+  }
+
   /** The production two-stage: ADC over the compressed index proposes
     * k·candidateFactor candidates per query, then ONLY those rows are
     * rescored with the exact float cosine — the [[rescoredTopK]] shape
@@ -890,21 +989,7 @@ object Similarity {
     val books = pqTrain(corpus, idCol, vecCol, m, kCodes, iters)
     val enc = pqEncode(corpus, idCol, vecCol, books)
     val cand = pqAdcTopK(enc, books, queries, idCol, vecCol,
-        k * candidateFactor)
-      .select(col("query_id"), col("neighbor_id"))
-    val qf = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), VectorOps.norm(col(vecCol)).as("qn")))
-    val cf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-    val nn = col("qn") * col("nn")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(cand).join(cf, Seq("neighbor_id"))
-      .withColumn("nn", VectorOps.norm(col("nv")))
-      .join(qf, Seq("query_id"))
-      .withColumn("cos", when(nn === 0.0, 0.0)
-        .otherwise(VectorOps.dot(col("qv"), col("nv")) / nn))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      k * candidateFactor)
+    exactRescore(corpus, queries, idCol, vecCol, cand, k)
   }
 }

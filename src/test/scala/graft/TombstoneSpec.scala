@@ -201,4 +201,56 @@ class TombstoneSpec extends SparkSpec {
       .filter(col("vec_id") === victim).count() == 0)
     assert(hits() == all - victim)
   }
+
+  // --- PQ index (sixth family) ---------------------------------------
+
+  test("pq: deleted id vanishes from ADC search, revives on re-append " +
+       "without a duplicate code row, compact applies+drops") {
+    val path = tmpDir("graft_ts_pq") + "/idx"
+    val corpus = vecRows(1L to 40L: _*)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    Similarity.savePqIndex(
+      Similarity.pqEncode(corpus, "vec_id", "embedding", books),
+      books, path, "vec_id")
+    val queries = vecRows(1L)
+    def hits() = {
+      val (codes, b) = Similarity.loadPqIndex(spark, path)
+      Similarity.pqAdcTopK(codes.withColumnRenamed("vec_id", "id"), b,
+          queries, "vec_id", "embedding", k = 40)
+        .collect().map(_.getLong(1)).toSet
+    }
+    val all = hits()
+    assert(all.contains(2L) && all.size == 39) // everyone but the query
+
+    Similarity.deleteFromPqIndex(Seq(2L).toDF("vec_id"), path, "vec_id")
+    assert(hits() == all - 2L)
+    // idempotent replay
+    Similarity.deleteFromPqIndex(Seq(2L).toDF("vec_id"), path, "vec_id")
+    assert(hits() == all - 2L)
+
+    // revive via append against frozen codebooks: one code row, and the
+    // replayed append is an exact no-op
+    Similarity.appendPqIndex(vecRows(2L), path, "vec_id", "embedding")
+    Similarity.appendPqIndex(vecRows(2L), path, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 2L).count() == 1)
+    assert(hits() == all)
+    // frozen codebooks: the appended row's codes re-derive from the
+    // saved books, bit-identically
+    val reEnc = Similarity.pqEncode(vecRows(2L), "vec_id", "embedding",
+        Similarity.loadPqIndex(spark, path)._2)
+      .select(col("codes")).head().getSeq[Int](0)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 2L)
+      .select(col("codes")).head().getSeq[Int](0) == reEnc)
+
+    Similarity.deleteFromPqIndex(Seq(3L).toDF("vec_id"), path, "vec_id")
+    val before = hits()
+    Similarity.compactPqIndex(spark, path, "vec_id")
+    assert(!sidecarExists(s"$path/tombstones"))
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 3L).count() == 0)
+    assert(hits() == before)
+  }
 }
