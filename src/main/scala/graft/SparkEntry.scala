@@ -1598,13 +1598,23 @@ object SparkEntry {
         Layout.updateManifestPartitioned(s, root, dims): Unit
       }
       Stages.timed("q104_partitioned_lifecycle", "compact") {
-        Layout.compactPartitioned(s, root, dims, filesPerLeaf = 2,
-          maxFilesPerLeaf = 3): Unit
+        // budget 4/6: only the over-populated leaf compacts (the
+        // returnflag=N leaf holds ~half the rows and crosses the file
+        // budget; A and R stay untouched — compaction selectivity is
+        // part of what the stage map shows), and 4 files keep each
+        // file's partkey box a curve segment the delete below can
+        // prune against instead of rewriting every file
+        Layout.compactPartitioned(s, root, dims, filesPerLeaf = 4,
+          maxFilesPerLeaf = 6): Unit
       }
       Stages.timed("q104_partitioned_lifecycle", "delete") {
+        // a NARROW id corner: per-leaf manifests bound the rewrite to
+        // the files whose partkey boxes can hold it — the takedown
+        // cost model (a scattered set would honestly rewrite the
+        // table; that shape is q100's flat-table territory)
         Layout.deleteByIdsPartitioned(s, root, dims, "l_partkey",
           li.select(col("l_partkey")).distinct()
-            .filter(col("l_partkey") % 10 === 3)): Unit
+            .filter(col("l_partkey").between(10L, 14L))): Unit
       }
       Layout.prunedReadPartitioned(s, root, Seq(
           Layout.ColRange("l_returnflag", lit("N"), lit("R")),
@@ -3564,7 +3574,7 @@ object SparkEntry {
     // q104: the layout-invariant oracle across the whole partitioned
     // write lifecycle — load + append must together hold every row,
     // compaction must move rows without losing any, and the takedown
-    // subtracts exactly the l_partkey % 10 = 3 ids
+    // subtracts exactly the partkey ∈ [10,14] ids
     "q104_partitioned_lifecycle" ->
       """SELECT l_returnflag, count(*) AS n,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -3572,8 +3582,7 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_returnflag BETWEEN 'N' AND 'R'
         |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
-        |  AND l_partkey BETWEEN 10 AND 79
-        |  AND l_partkey % 10 <> 3
+        |  AND l_partkey BETWEEN 15 AND 79
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
     // q105: the plain join IS the oracle — the hot/cold split must be

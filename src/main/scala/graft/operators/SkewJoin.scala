@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * violations per building joined to the building dim) hits exactly
   * this at city scale: a handful of mega-buildings hold orders of
   * magnitude more violation rows than the median BBL.
+  *
+  * Relation to [[Skew.saltedJoin]] (the third tool next to AQE's
+  * runtime skew-split; BASELINE.md measures all three): salting
+  * spreads EVERY row across n replicas of the dim — no hot-key
+  * knowledge needed, but the whole dim is replicated n× and every
+  * fact row pays the salt hash. The hot-key split here is surgical:
+  * only the known-hot rows change route (to a broadcast of just the
+  * dim's hot slice), the cold path is untouched, and it supports
+  * left-outer. Know your hot keys → split; don't → salt or let AQE
+  * split at runtime.
   */
 object SkewJoin {
 
