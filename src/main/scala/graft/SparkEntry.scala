@@ -1780,6 +1780,31 @@ object SparkEntry {
           round(col("cos"), 6).as("cos"),
           col("rank").cast("int").as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Needle lookup through a bloom-filtered z-layout: the probe
+    // column (l_orderkey) is NOT a z-order dim — min/max boxes can't
+    // prune it — so the read relies on the pushed IN plus the per-row-
+    // group bloom filters the write laid down. Layout-invariant
+    // oracle: the plain IN filter; a bloom false-negative (impossible
+    // by construction, which is the point) or a lookup that dropped a
+    // file would lose rows and break the hash.
+    "q112_point_lookup" -> ((s, d) => {
+      val dims = Seq("l_shipdate", "l_partkey")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bloomz_${Integer.toHexString(d.hashCode)}").getPath
+      val li = t(s, d, "lineitem")
+      Stages.timed("q112_point_lookup", "bloom_write") {
+        Layout.writeZOrdered(li, dir, dims, files = 12,
+          bloomFor = Seq("l_orderkey"))
+        Layout.writeManifest(s, dir, dims)
+      }
+      Layout.lookupByIds(s, dir, "l_orderkey",
+          Seq(3L, 7L, 500L, 999L, 1200L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -3471,6 +3496,13 @@ object SparkEntry {
     "q108_pq_search" -> q108OracleSql,
 
     "q111_incremental_pq" -> q111OracleSql,
+
+    // q112: the plain IN filter is the oracle for the bloom-probed
+    // needle lookup
+    "q112_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey IN (3, 7, 500, 999, 1200)
+        |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
 
     // q110: the synthesized corpus rebuilt, line frequencies
     // re-derived, boilerplate anti-joined away, survivors re-stitched

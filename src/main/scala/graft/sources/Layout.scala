@@ -127,14 +127,39 @@ object Layout {
     * file) and sort within each file, so every file's parquet min/max
     * covers a compact box in EVERY clustered dimension. The key itself
     * is dropped from the files — it is a layout device, not data.
+    *
+    * `bloomFor` columns additionally get parquet BLOOM FILTERS — the
+    * point-lookup complement to range stats: min/max prunes boxes, but
+    * an equality probe on a HIGH-CARDINALITY column not clustered
+    * tightly enough (or not clustered at all) still opens every
+    * surviving row group; a bloom filter answers "definitely absent"
+    * per row group from a few KB of footer metadata, so a needle query
+    * on 100 TB touches only the row groups that can hold the needle.
+    * Costs a few KB per column per row group; spend it on the id-like
+    * columns takedowns and lookups probe. Parquet itself DROPS the
+    * bloom for any column chunk that ends up fully dictionary-encoded
+    * — the dictionary is already an exact membership filter there, so
+    * the footer carries one screening structure or the other, never
+    * neither (LayoutSpec pins both regimes). `options` passes through
+    * further parquet writer tuning (dictionary, page sizes, ndv
+    * hints).
     */
   def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
-                    files: Int): Unit =
-    withZKey(df, dims)
-      .repartitionByRange(files, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop("zkey")
-      .write.mode("overwrite").parquet(path)
+                    files: Int, bloomFor: Seq[String] = Nil,
+                    options: Map[String, String] = Map.empty): Unit =
+    bloomOpts(
+      withZKey(df, dims)
+        .repartitionByRange(files, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode("overwrite"), bloomFor)
+      .options(options)
+      .parquet(path)
+
+  private def bloomOpts(w: org.apache.spark.sql.DataFrameWriter[
+      org.apache.spark.sql.Row], cols: Seq[String]) =
+    cols.foldLeft(w)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
 
   /** Two-column [[writeZOrdered]]. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
@@ -252,12 +277,60 @@ object Layout {
     * at-least-once sources through [[graft.operators.Dedup]] first.
     */
   def appendZOrdered(df: DataFrame, path: String, dims: Seq[String],
-                     files: Int): Unit =
-    withZKey(df, dims)
-      .repartitionByRange(files, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop("zkey")
-      .write.mode("append").parquet(path)
+                     files: Int, bloomFor: Seq[String] = Nil): Unit =
+    bloomOpts(
+      withZKey(df, dims)
+        .repartitionByRange(files, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode("append"), bloomFor)
+      .parquet(path)
+
+  /** Needle lookup: rows whose `idCol` equals one of the literal `ids`.
+    * Three pruning levels compose: when `idCol` is a manifest dimension
+    * the per-file [min, max] drops whole files first (staleness-
+    * conservative, like every pruned read here); the pushed `IN` then
+    * drives parquet row-group skipping via min/max stats inside each
+    * surviving file; and when the table was written with `bloomFor`
+    * the column, row groups whose stats can't disprove the needle are
+    * still skipped by the bloom filter — the level that matters for a
+    * high-cardinality probe column the z-order doesn't cluster.
+    * `ids` are driver literals by design (a needle query's ids ARE
+    * metadata; a large id FRAME is [[deleteByIds]]/join territory).
+    */
+  def lookupByIds(spark: SparkSession, dataPath: String, idCol: String,
+                  ids: Seq[Any]): DataFrame = {
+    require(ids.nonEmpty && ids.size <= 10000,
+      s"lookupByIds wants a bounded literal needle set, got ${ids.size}")
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStats = fs.exists(mp) &&
+      spark.read.parquet(manifestPath(dataPath))
+        .columns.contains(s"min_$idCol")
+    val base =
+      if (!hasStats) spark.read.parquet(dataPath)
+      else {
+        val m = spark.read.parquet(manifestPath(dataPath))
+        val hit = ids.map(i =>
+          col(s"min_$idCol") <= lit(i) && col(s"max_$idCol") >= lit(i))
+          .reduce(_ || _) || col(s"nulls_$idCol") > 0
+        val kept = m.filter(hit).select(col("file_name")).collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+          .toSet
+        val hp = new org.apache.hadoop.fs.Path(dataPath)
+        requireFlatDir(fs, hp)
+        val known = m.select(col("file_name")).collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+          .toSet
+        val files = fs.listStatus(hp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .filter(p => kept.contains(p.getName) || !known.contains(p.getName))
+          .map(_.toString).toSeq.sorted
+        if (files.isEmpty) spark.read.parquet(dataPath).limit(0)
+        else spark.read.parquet(files: _*)
+      }
+    base.filter(col(idCol).isin(ids: _*))
+  }
 
   /** Two-column [[appendZOrdered]]. */
   def appendZOrdered(df: DataFrame, path: String, colA: String,

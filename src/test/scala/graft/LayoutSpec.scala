@@ -731,6 +731,77 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(dir + "_delete_retired").exists())
   }
 
+  test("bloomFor columns carry a screening structure in every row " +
+       "group — a bloom filter, or parquet's full dictionary when the " +
+       "chunk dict-encodes completely; unrequested columns pay for " +
+       "neither") {
+    import scala.jdk.CollectionConverters._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def chunks(dir: String) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .map(c => (c.getPath.toDotString, c.getBloomFilterOffset,
+            c.getEncodingStats != null &&
+              !c.getEncodingStats.hasNonDictionaryEncodedPages))
+          .toSeq
+        finally r.close()
+      }.toSeq
+    }
+    // dictionary disabled: the bloom filter MUST be physically present
+    // (this is what proves the option reaches the parquet writer)
+    val dir = tmpDir("bloom")
+    Layout.writeZOrdered(li, dir, Seq("l_shipdate", "l_partkey"),
+      files = 4, bloomFor = Seq("l_orderkey"),
+      options = Map("parquet.enable.dictionary" -> "false"))
+    val cs = chunks(dir)
+    assert(cs.nonEmpty)
+    assert(cs.filter(_._1 == "l_orderkey").forall(_._2 > 0),
+      s"l_orderkey must carry a bloom filter in every row group: $cs")
+    assert(cs.filter(_._1 == "l_partkey").forall(_._2 <= 0),
+      "unrequested columns must not pay for bloom filters")
+    // default write: low-cardinality chunks dict-encode fully and
+    // parquet drops the redundant bloom — one exact screening
+    // structure or the other, never neither
+    val dir2 = tmpDir("bloomdict")
+    Layout.writeZOrdered(li, dir2, Seq("l_shipdate", "l_partkey"),
+      files = 4, bloomFor = Seq("l_orderkey"))
+    assert(chunks(dir2).filter(_._1 == "l_orderkey")
+      .forall(c => c._2 > 0 || c._3),
+      "every requested chunk needs bloom OR a complete dictionary")
+  }
+
+  test("lookupByIds: row-identical to the plain IN filter; a manifest-" +
+       "dim probe opens fewer files; the IN pushes to the scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dims = Seq("l_shipdate", "l_partkey")
+    val dir = tmpDir("needle")
+    Layout.writeZOrdered(li, dir, dims, files = 16,
+      bloomFor = Seq("l_orderkey"))
+    Layout.writeManifest(spark, dir, dims)
+    // non-dim probe column: no file-level stats, bloom territory
+    val ids = Seq(3L, 7L, 500L)
+    val got = Layout.lookupByIds(spark, dir, "l_orderkey", ids)
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      li.filter(col("l_orderkey").isin(ids: _*))
+        .collect().map(_.toString).sorted.toSeq)
+    val pushed = got.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("In(l_orderkey"),
+      s"the IN must reach the parquet scan:\n$pushed")
+    // manifest-dim probe: per-file [min,max] drops files before the scan
+    val byDim = Layout.lookupByIds(spark, dir, "l_partkey", Seq(42L))
+    assert(byDim.collect().map(_.toString).sorted.toSeq ==
+      li.filter(col("l_partkey") === 42L)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(byDim.inputFiles.length < 16,
+      s"dim-stat pruning must drop files: ${byDim.inputFiles.length}/16")
+  }
+
   test("partitioned append routes rows to their leaves — including new " +
        "ones — and the composed read stays row-identical before AND " +
        "after the manifest refresh") {
