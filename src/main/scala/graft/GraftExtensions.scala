@@ -152,6 +152,11 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    `graft_delete_partitioned(ids, root, 'dims', idCol)` — leaf
   *    compaction / retention drop / cross-partition id takedown
   *    (BUILD-style receipts)
+  *  - `graft_lookup(dataPath, idCol, '1,2,3')` — bloom/stats-screened
+  *    needle lookup ([[graft.sources.Layout.lookupByIds]])
+  *  - `graft_strip_boilerplate(table, idCol, textCol, minDocs)` —
+  *    line-level template removal
+  *    ([[graft.operators.Corpus.stripBoilerplate]])
   *  - `graft_assign_split(table, idCol, 'train:0.8,val:0.1,test:0.1'
   *    [, salt])` / `graft_assign_fold(table, idCol, k[, salt])` —
   *    deterministic hash split / k-fold columns
@@ -883,6 +888,30 @@ object GraftExtensions {
           plan(Seq((root, n)).toDF("root", "files_rewritten"))
         case _ => throw new IllegalArgumentException(
           "graft_delete_partitioned(ids, root, 'dim1,dim2', idCol)")
+      }),
+    (new FunctionIdentifier("graft_lookup"),
+      new ExpressionInfo("graft.sources.Layout", "graft_lookup"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, id, ids) =>
+          val spark = SparkSession.active
+          val needles = strArg(ids, "ids").split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toSeq
+          plan(graft.sources.Layout.lookupByIds(spark,
+            strArg(p, "dataPath"), strArg(id, "idCol"), needles))
+        case _ => throw new IllegalArgumentException(
+          "graft_lookup(dataPath, idCol, '1,2,3') — long ids on this " +
+            "face; the Scala API takes any literal type")
+      }),
+    (new FunctionIdentifier("graft_strip_boilerplate"),
+      new ExpressionInfo("graft.operators.Corpus",
+        "graft_strip_boilerplate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, txt, n) =>
+          plan(graft.operators.Corpus.stripBoilerplate(
+            tableArg(t, "table"), strArg(id, "idCol"),
+            strArg(txt, "textCol"), intArg(n, "minDocs")))
+        case _ => throw new IllegalArgumentException(
+          "graft_strip_boilerplate(table, idCol, textCol, minDocs)")
       }),
     // deterministic splits
     (new FunctionIdentifier("graft_assign_split"),

@@ -723,6 +723,30 @@ class EngineSpec extends SparkSpec {
       "SELECT DISTINCT fold FROM graft_assign_fold('sql_split_ids', 'id', 3)")
       .collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
 
+    val docsB = Seq((1L, "NAV\none"), (2L, "NAV\ntwo"), (3L, "NAV\nthree"))
+      .toDF("doc_id", "text")
+    docsB.createOrReplaceTempView("sql_boiler_docs")
+    val sqlBp = spark.sql(
+      """SELECT * FROM graft_strip_boilerplate('sql_boiler_docs',
+        |  'doc_id', 'text', 3) ORDER BY doc_id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val scalaBp = graft.operators.Corpus
+      .stripBoilerplate(docsB, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sqlBp == scalaBp && sqlBp.map(_(1)) ==
+      Seq("one", "two", "three"))
+
+    val lkDir = java.nio.file.Files.createTempDirectory("graft_sqllk")
+      .toString + "/t"
+    graft.sources.Layout.writeZOrdered(
+      spark.range(100).select($"id", ($"id" * 2).as("v")), lkDir,
+      Seq("id", "v"), files = 4, bloomFor = Seq("id"))
+    graft.sources.Layout.writeManifest(spark, lkDir, Seq("id", "v"))
+    val sqlLk = spark.sql(
+      s"SELECT * FROM graft_lookup('$lkDir', 'id', '3,7,99') ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    assert(sqlLk == Seq(Seq(3L, 6L), Seq(7L, 14L), Seq(99L, 198L)))
+
     val messy = Seq((1L, 5.0), (2L, -1.0), (2L, 7.0))
       .toDF("id", "v")
     messy.createOrReplaceTempView("sql_val_rows")
