@@ -125,9 +125,9 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm")
+      "layout", "lm", "pq")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant,ivf,layout,lm")
+      "curve,profile,inc,skew,quant,ivf,layout,lm,pq")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
@@ -324,6 +324,38 @@ object BenchCurve {
         run(spark.read.parquet(s"$x10emb/embeddings.parquet"), "10x")))
     }
 
+    // --- pq: frozen-codebook append cost vs history size ---
+    // appendPqIndex's claim, same shape as ivf's: the batch pays for
+    // its own encode (codebooks are driver-sized) plus an id-span
+    // anti-join against range-pruned history ids — flat while the
+    // codes table grows 10×. Fresh monotonically-higher ids per run.
+    val pq = if (!sections("pq")) None else {
+      import graft.operators.Similarity
+      val x4emb = "/tmp/graft_bench_x4emb"
+      val x10emb = "/tmp/graft_bench_x10emb"
+      ensureEmbXn(spark, "/root/testdata/sf0.1", x4emb, 4)
+      ensureEmbXn(spark, "/root/testdata/sf0.1", x10emb, 10)
+      val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      var off = 2000000000L
+      def run(hist: DataFrame, tag: String): Double = {
+        val p = s"/tmp/graft_incpq_$tag"
+        val books = Similarity.pqTrain(hist, "vec_id", "embedding",
+          m = 8, k = 16, iters = 1)
+        Similarity.savePqIndex(
+          Similarity.pqEncode(hist, "vec_id", "embedding", books),
+          books, p, "vec_id")
+        timed2 {
+          val batch = emb1.filter(col("vec_id") < 250)
+            .withColumn("vec_id", col("vec_id") + lit(off))
+          off += 1000000L
+          Similarity.appendPqIndex(batch, p, "vec_id", "embedding")
+        }
+      }
+      Some((run(emb1, "1x"),
+        run(spark.read.parquet(s"$x4emb/embeddings.parquet"), "4x"),
+        run(spark.read.parquet(s"$x10emb/embeddings.parquet"), "10x")))
+    }
+
     // --- lm: incremental LM-stats append cost vs history size ---
     // The additivity claim made concrete: an append writes the batch's
     // own count segments and reads NO history (not even ids), so its
@@ -481,6 +513,10 @@ object BenchCurve {
       ivf.map { case (i1, i4, i10) =>
         f""""ivf_append":{"hist_1x_sec":$i1%.3f,""" +
           f""""hist_4x_sec":$i4%.3f,"hist_10x_sec":$i10%.3f}"""
+      },
+      pq.map { case (p1, p4, p10) =>
+        f""""pq_append":{"hist_1x_sec":$p1%.3f,""" +
+          f""""hist_4x_sec":$p4%.3f,"hist_10x_sec":$p10%.3f}"""
       },
       lm.map { case (a1, a10, sPre, sPost) =>
         f""""lm_append":{"hist_1x_sec":$a1%.3f,"hist_10x_sec":$a10%.3f,""" +
