@@ -1805,6 +1805,30 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Distributed BPE training, the q28/q108 discipline applied to a
+    // LOOP the driver steers: 12 merge decisions, each an aggregation
+    // over the vocabulary table (never the corpus) with a (count desc,
+    // left, right) argmax. The oracle re-runs the entire loop in SQL —
+    // same sentinel-wrapped symbol strings, same literal left-to-right
+    // replace, same tie-break — so any divergence in ANY of the 12
+    // decisions (or in the pair arithmetic feeding them) breaks the
+    // hash.
+    "q113_bpe_train" -> ((s, d) =>
+      Bpe.train(t(s, d, "documents"), "text", numMerges = 12)
+        .orderBy(col("rank"))),
+
+    // The trained tokenizer's corpus token frequencies, computed from
+    // the word table alone (token count = Σ word count × occurrences
+    // in word); the oracle folds its own 12 re-derived merges over its
+    // own word table and must land on the identical vocabulary.
+    "q114_bpe_vocab" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 12)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.vocab(docs, "text", merges).orderBy(col("token"))
     })
   )
 
@@ -1981,6 +2005,61 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
       .stripMargin.replace("\n", " ")
   }
+
+  // q113/q114: the BPE training loop, unrolled — one CTE pair per
+  // merge decision. Symbols live as chr(1)-wrapped substrings of one
+  // string per word, so merge application is DuckDB's literal
+  // left-to-right replace, exactly the engine's; pair counts come from
+  // the split symbol list zipped against its own tail.
+  private val bpeMerges = 12
+
+  private def bpeOracleCtes: String = {
+    val c = "chr(1)"
+    val init =
+      s"""w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |wt0 AS (
+         |  SELECT n,
+         |    string_agg($c || substr(word, g.i, 1) || $c, '' ORDER BY g.i)
+         |      AS w
+         |  FROM w0 CROSS JOIN generate_series(1, 64) g(i)
+         |  WHERE g.i <= len(word)
+         |  GROUP BY word, n)""".stripMargin
+    val iters = (0 until bpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT ts[g.j] AS l, ts[g.j + 1] AS r,
+         |    CAST(SUM(n) AS BIGINT) AS c
+         |  FROM (SELECT n, list_filter(string_split(w, $c),
+         |          t -> t <> '') AS ts FROM wt$i)
+         |  CROSS JOIN generate_series(1, 200) g(j)
+         |  WHERE g.j < len(ts)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |wt${i + 1} AS (
+         |  SELECT n, replace(w, $c || m.l || $c || $c || m.r || $c,
+         |    $c || m.l || m.r || $c) AS w
+         |  FROM wt$i CROSS JOIN m$i m)""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
+
+  private def q113OracleSql: String =
+    (s"""WITH $bpeOracleCtes
+        |SELECT * FROM (""" +
+      (0 until bpeMerges).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS "rank", l AS "left", """ +
+          s"""r AS "right", c AS pair_count FROM m$i""")
+        .mkString(" UNION ALL ") +
+      """) ORDER BY "rank"""").stripMargin.replace("\n", " ")
+
+  private def q114OracleSql: String =
+    s"""WITH $bpeOracleCtes
+       |SELECT token, CAST(SUM(n) AS BIGINT) AS n FROM (
+       |  SELECT n, unnest(list_filter(string_split(w, chr(1)),
+       |    t -> t <> '')) AS token FROM wt$bpeMerges)
+       |GROUP BY token ORDER BY token""".stripMargin.replace("\n", " ")
 
   // q89: q28's unrolled-k-means chain restricted to the history rows,
   // then the batch assigned against the FINAL centroids (the frozen-
@@ -3496,6 +3575,10 @@ object SparkEntry {
     "q108_pq_search" -> q108OracleSql,
 
     "q111_incremental_pq" -> q111OracleSql,
+
+    "q113_bpe_train" -> q113OracleSql,
+
+    "q114_bpe_vocab" -> q114OracleSql,
 
     // q112: the plain IN filter is the oracle for the bloom-probed
     // needle lookup

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE corpus (Sennrich et al. 2016, §3.2 example shape):
+  // low×5 lower×2 newest×6 widest×3
+  private def corpus() = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("train learns the classic merge sequence with deterministic " +
+       "(count desc, left, right) tie-breaks") {
+    val m = Bpe.train(corpus(), "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // hand-derived: es/st tie at 9 → left-asc picks (e,s); then (es,t);
+    // lo/ow tie at 7 → (l,o); then (lo,w); then ew/ne/w-est tie at 6 →
+    // (e,w)
+    assert(m == Seq(
+      (0, "e", "s", 9L),
+      (1, "es", "t", 9L),
+      (2, "l", "o", 7L),
+      (3, "lo", "w", 7L),
+      (4, "e", "w", 6L)))
+  }
+
+  test("train is deterministic and stops early when no pairs remain") {
+    val a = Bpe.train(corpus(), "text", 5).collect().map(_.toString).toSeq
+    val b = Bpe.train(corpus(), "text", 5).collect().map(_.toString).toSeq
+    assert(a == b)
+    // a one-letter vocabulary has nothing to merge
+    val tiny = Seq((1L, "a a a")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, "text", 3).count() == 0)
+    // "ab ab": exactly one merge possible, then done
+    val ab = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(ab, "text", 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m == Seq(("a", "b")))
+  }
+
+  test("encode applies merges in rank order via the word dictionary; " +
+       "tokens concatenate in word order") {
+    val merges = Bpe.train(corpus(), "text", 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encode(
+      Seq((10L, "lowest newest"), (11L, "low low")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // lowest: es→est→(l,o)→(lo,w)→ low|est ; newest: es→est→(e,w) → n|ew|est
+    assert(enc(10L) == Seq("low", "est", "n", "ew", "est"))
+    assert(enc(11L) == Seq("low", "low"))
+  }
+
+  test("vocab aggregates token frequencies from the word table alone") {
+    val merges = Bpe.train(corpus(), "text", 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val v = Bpe.vocab(corpus(), "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // low×5 → [low]; lower×2 → [low, e, r]; newest×6 → [n, ew, est];
+    // widest×3 → [w, i, d, est]
+    assert(v("low") == 7L)   // 5 + 2
+    assert(v("est") == 9L)   // 6 + 3
+    assert(v("ew") == 6L)
+    assert(v("r") == 2L)
+    assert(v("w") == 3L)     // only widest's leading w survives unmerged
+  }
+
+  test("overlapping runs merge left-to-right non-overlapping, " +
+       "identically to any engine's literal replace") {
+    // 'aaa': merging (a,a) gives [aa, a], never [a, aa] or [aa, aa]
+    val tri = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m1 = Bpe.train(tri, "text", 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m1 == Seq(("a", "a")))
+    val enc = Bpe.encode(tri, "doc_id", "text", m1.toSeq)
+      .head().getSeq[String](1)
+    assert(enc == Seq("aa", "a", "aa", "a"))
+  }
+
+  test("a corpus carrying the sentinel is rejected loudly") {
+    val bad = Seq((1L, "ok \u0001bad")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(bad, "text", 1)
+    }
+    assert(e.getMessage.contains("sentinel"))
+  }
+}
