@@ -154,6 +154,13 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    (BUILD-style receipts)
   *  - `graft_lookup(dataPath, idCol, '1,2,3')` — bloom/stats-screened
   *    needle lookup ([[graft.sources.Layout.lookupByIds]])
+  *  - `graft_bpe_train(table, textCol, numMerges)` /
+  *    `graft_bpe_encode(table, idCol, textCol, 'l:r,…')` /
+  *    `graft_bpe_vocab(table, textCol, 'l:r,…')` — BPE tokenizer
+  *    training / encoding / vocabulary ([[graft.operators.Bpe]])
+  *  - `graft_leaf_census(root)` — per-leaf file/byte/manifest census of
+  *    a partitioned table (the compaction dry-run;
+  *    [[graft.sources.Layout.leafCensus]])
   *  - `graft_strip_boilerplate(table, idCol, textCol, minDocs)` —
   *    line-level template removal
   *    ([[graft.operators.Corpus.stripBoilerplate]])
@@ -217,6 +224,17 @@ object GraftExtensions {
   /** Comma-separated plain column names ('a,b,c') → trimmed Seq. */
   private def colsArg(e: Expression, name: String): Seq[String] =
     strArg(e, name).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Ordered BPE merge list, `'l:r,l:r'` (rank order). */
+  private def mergesArg(e: Expression): Seq[(String, String)] =
+    strArg(e, "merges").split(",").map(_.trim).filter(_.nonEmpty)
+      .map { m =>
+        m.split(":") match {
+          case Array(l, r) => (l, r)
+          case _ => throw new IllegalArgumentException(
+            s"merge '$m' is not left:right")
+        }
+      }.toSeq
 
   /** Resolve a table-by-name argument against the session analyzing the
     * enclosing query (table-function builders run inside its analyzer).
@@ -863,6 +881,15 @@ object GraftExtensions {
           "graft_compact_partitioned(root, 'dim1,dim2', filesPerLeaf, " +
             "maxFilesPerLeaf)")
       }),
+    (new FunctionIdentifier("graft_leaf_census"),
+      new ExpressionInfo("graft.sources.Layout", "graft_leaf_census"),
+      (args: Seq[Expression]) => args match {
+        case Seq(r) =>
+          plan(graft.sources.Layout.leafCensus(SparkSession.active,
+            strArg(r, "root")))
+        case _ => throw new IllegalArgumentException(
+          "graft_leaf_census(root)")
+      }),
     (new FunctionIdentifier("graft_drop_partition"),
       new ExpressionInfo("graft.sources.Layout", "graft_drop_partition"),
       (args: Seq[Expression]) => args match {
@@ -912,6 +939,37 @@ object GraftExtensions {
             strArg(txt, "textCol"), intArg(n, "minDocs")))
         case _ => throw new IllegalArgumentException(
           "graft_strip_boilerplate(table, idCol, textCol, minDocs)")
+      }),
+    // BPE tokenizer: train is BUILD-style (the merge loop runs while
+    // the SQL analyzes); encode/vocab take the merge list as an
+    // 'l:r,l:r' spec in rank order
+    (new FunctionIdentifier("graft_bpe_train"),
+      new ExpressionInfo("graft.operators.Bpe", "graft_bpe_train"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, txt, n) =>
+          plan(graft.operators.Bpe.train(tableArg(t, "table"),
+            strArg(txt, "textCol"), intArg(n, "numMerges")))
+        case _ => throw new IllegalArgumentException(
+          "graft_bpe_train(table, textCol, numMerges)")
+      }),
+    (new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo("graft.operators.Bpe", "graft_bpe_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, txt, m) =>
+          plan(graft.operators.Bpe.encode(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(txt, "textCol"),
+            mergesArg(m)))
+        case _ => throw new IllegalArgumentException(
+          "graft_bpe_encode(table, idCol, textCol, 'l:r,l:r,...')")
+      }),
+    (new FunctionIdentifier("graft_bpe_vocab"),
+      new ExpressionInfo("graft.operators.Bpe", "graft_bpe_vocab"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, txt, m) =>
+          plan(graft.operators.Bpe.vocab(tableArg(t, "table"),
+            strArg(txt, "textCol"), mergesArg(m)))
+        case _ => throw new IllegalArgumentException(
+          "graft_bpe_vocab(table, textCol, 'l:r,l:r,...')")
       }),
     // deterministic splits
     (new FunctionIdentifier("graft_assign_split"),

@@ -956,6 +956,28 @@ object Layout {
     }
   }
 
+  /** Maintenance dry-run: per-leaf census of a partitioned table —
+    * file and byte counts plus whether the leaf carries a manifest —
+    * so an operator (or a scheduler) can decide which leaves a
+    * [[compactPartitioned]] pass would touch WITHOUT reading any data:
+    * the whole census is directory listings. Returns
+    * `(leaf, files, bytes, has_manifest)` ordered by leaf.
+    */
+  def leafCensus(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leaves(fs, rp).map { case (leaf, _, _) =>
+      val st = fs.listStatus(new org.apache.hadoop.fs.Path(
+          root.stripSuffix("/") + "/" + leaf))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      (leaf, st.length, st.map(_.getLen).sum,
+        fs.exists(new org.apache.hadoop.fs.Path(
+          partitionManifestPath(root, leaf))))
+    }.sortBy(_._1)
+      .toDF("leaf", "files", "bytes", "has_manifest")
+  }
+
   /** Drop one partition outright — the retention path (age out a date,
     * retract a source): the leaf directory and its manifest go
     * together, so a recreated partition of the same name starts with a

@@ -700,6 +700,13 @@ class EngineSpec extends SparkSpec {
       s"SELECT * FROM graft_pruned_read_partitioned('$root')")
       .select("k").distinct().collect().map(_.getString(0)).toSeq ==
       Seq("a"))
+    // maintenance dry-run: listings only, matches the Scala twin
+    val census = spark.sql(s"SELECT * FROM graft_leaf_census('$root')")
+      .collect().map(_.toSeq).toSeq
+    assert(census == graft.sources.Layout.leafCensus(spark, root)
+      .collect().map(_.toSeq).toSeq)
+    assert(census.map(_.head) == Seq("k=a") &&
+      census.forall(_(3) == true))
   }
 
   test("extensions: splits, validation, skew join, PQ from SQL, " +
@@ -722,6 +729,31 @@ class EngineSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT DISTINCT fold FROM graft_assign_fold('sql_split_ids', 'id', 3)")
       .collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+
+    val bpeDocs = Seq((1L, "low low low low low"), (2L, "lower lower"))
+      .toDF("doc_id", "text")
+    bpeDocs.createOrReplaceTempView("sql_bpe_docs")
+    val sqlM = spark.sql(
+      "SELECT * FROM graft_bpe_train('sql_bpe_docs', 'text', 3) ORDER BY rank")
+      .collect().map(_.toSeq).toSeq
+    val scalaM = graft.operators.Bpe.train(bpeDocs, "text", 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(sqlM == scalaM && sqlM.size == 3)
+    val mergeSpec = scalaM.map(r => s"${r(1)}:${r(2)}").mkString(",")
+    val sqlEnc = spark.sql(
+      s"""SELECT * FROM graft_bpe_encode('sql_bpe_docs', 'doc_id',
+         |  'text', '$mergeSpec') ORDER BY doc_id""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlEnc == graft.operators.Bpe.encode(bpeDocs, "doc_id",
+      "text", scalaM.map(r => (r(1).toString, r(2).toString)))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    assert(spark.sql(
+      s"""SELECT * FROM graft_bpe_vocab('sql_bpe_docs', 'text',
+         |  '$mergeSpec') ORDER BY token""".stripMargin)
+      .collect().map(_.toSeq).toSeq ==
+      graft.operators.Bpe.vocab(bpeDocs, "text",
+        scalaM.map(r => (r(1).toString, r(2).toString)))
+        .orderBy("token").collect().map(_.toSeq).toSeq)
 
     val docsB = Seq((1L, "NAV\none"), (2L, "NAV\ntwo"), (3L, "NAV\nthree"))
       .toDF("doc_id", "text")
