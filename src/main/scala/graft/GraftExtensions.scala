@@ -101,6 +101,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_hh_merged(indexPath)` — merged heavy hitters from a
   *    persisted incremental Misra–Gries segment index
   *    ([[graft.operators.Profiling.mergedHeavyHitters]])
+  *  - `graft_hist_merged(indexPath)` — merged EXACT histogram from a
+  *    persisted additive-segment index
+  *    ([[graft.operators.Profiling.mergedHistogramIndex]])
   *  - `graft_lm_index_score(table, indexPath, idCol, textCol)` — LM
   *    quality scores against a persisted incremental stats index
   *    ([[graft.operators.Corpus.lmScoreAgainstStats]])
@@ -595,6 +598,15 @@ object GraftExtensions {
             strArg(p, "indexPath")))
         case _ => throw new IllegalArgumentException(
           "graft_hh_merged(indexPath)")
+      }),
+    (new FunctionIdentifier("graft_hist_merged"),
+      new ExpressionInfo("graft.operators.Profiling", "graft_hist_merged"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(Profiling.mergedHistogramIndex(SparkSession.active,
+            strArg(p, "indexPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_hist_merged(indexPath)")
       }),
     (new FunctionIdentifier("graft_lm_index_score"),
       new ExpressionInfo("graft.operators.Corpus", "graft_lm_index_score"),

@@ -1829,6 +1829,35 @@ object SparkEntry {
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.vocab(docs, "text", merges).orderBy(col("token"))
+    }),
+
+    // The incremental histogram index — the EXACT member of the
+    // incremental-profiling family: fixed-bounds bin counts are
+    // additive, so build + ledgered append (replayed id is a no-op) +
+    // lossless compaction must land on exactly the one-shot counts the
+    // oracle derives with the same bin arithmetic, explicit
+    // underflow/overflow bins included.
+    "q115_incremental_histogram" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_histidx_${Integer.toHexString(d.hashCode)}").getPath
+      Stages.timed("q115_incremental_histogram", "build") {
+        Profiling.saveHistogramIndex(
+          li.filter(col("l_orderkey") % 2 === 1), path,
+          "l_extendedprice", bins = 20, lo = 1000.0, hi = 100000.0)
+      }
+      Stages.timed("q115_incremental_histogram", "append") {
+        Profiling.appendHistogramIndex(
+          li.filter(col("l_orderkey") % 2 === 0), path, "b1"): Unit
+        // the replay: ledger-recorded id, nothing appended
+        Profiling.appendHistogramIndex(
+          li.filter(col("l_orderkey") % 2 === 0), path, "b1"): Unit
+      }
+      Stages.timed("q115_incremental_histogram", "compact") {
+        Profiling.compactHistogramIndex(s, path)
+      }
+      Profiling.mergedHistogramIndex(s, path)
     })
   )
 
@@ -3579,6 +3608,25 @@ object SparkEntry {
     "q113_bpe_train" -> q113OracleSql,
 
     "q114_bpe_vocab" -> q114OracleSql,
+
+    // q115: the same fixed-bounds bin arithmetic over the whole table
+    // (both index halves together), same double op order for edges
+    "q115_incremental_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN v < 1000 THEN -1
+        |              WHEN v > 100000 THEN 20
+        |              ELSE LEAST(CAST(floor((v - 1000.0)
+        |                / ((100000.0 - 1000.0) / 20)) AS BIGINT), 19)
+        |         END AS bin_id
+        |  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |        FROM lineitem)
+        |  WHERE v IS NOT NULL)
+        |SELECT bin_id,
+        |  1000.0 + bin_id * ((100000.0 - 1000.0) / 20) AS bin_lo,
+        |  1000.0 + (bin_id + 1) * ((100000.0 - 1000.0) / 20) AS bin_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
+        .replace("\n", " "),
 
     // q112: the plain IN filter is the oracle for the bloom-probed
     // needle lookup

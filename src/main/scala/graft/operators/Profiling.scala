@@ -338,6 +338,104 @@ object Profiling {
     Ledger.compact(spark, s"$path/batches")
   }
 
+  // --- incremental histogram index ----------------------------------
+  //
+  // The EXACT member of the incremental-profiling family (next to the
+  // approximate HH sketch): fixed-bounds equi-width bin counts are
+  // ADDITIVE, so a persisted index is meta (column, bins, lo, hi) plus
+  // per-batch count segments — appends write their own segment and
+  // read no history, merges are a pointwise sum, and unlike the
+  // sketch there is no accuracy regime to reason about: every number
+  // is exact at any compaction frequency. The fixed [lo, hi] is what
+  // buys additivity (data-driven bounds would re-bin history on every
+  // batch); at 100 TB bounds come from table stats or domain
+  // knowledge, and the explicit underflow (−1) / overflow (`bins`)
+  // bins make a wrong guess VISIBLE instead of silently folded.
+
+  private def histMetaDf(spark: org.apache.spark.sql.SparkSession,
+                         path: String) = spark.read.parquet(s"$path/meta")
+
+  /** The bin id of a value under (lo, hi, bins): −1 below lo, `bins`
+    * above hi, else floor((x−lo)/w) clamped so x == hi lands in the
+    * last real bin. Fixed double op order (w = (hi−lo)/bins computed
+    * in-plan), engine-reproducible; NULLs are excluded by the caller.
+    */
+  private def histBin(x: Column, lo: Column, hi: Column,
+                      bins: Int): Column = {
+    val w = (hi - lo) / bins
+    when(x < lo, lit(-1L))
+      .when(x > hi, lit(bins.toLong))
+      .otherwise(least(floor((x - lo) / w).cast("long"),
+        lit(bins - 1L)))
+  }
+
+  private def histSegment(df: DataFrame, column: String, bins: Int,
+                          lo: Double, hi: Double): DataFrame =
+    df.select(col(column).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .select(histBin(col("__x"), lit(lo), lit(hi), bins).as("bin_id"))
+      .groupBy(col("bin_id")).agg(count(lit(1)).as("n"))
+
+  /** Build the persisted histogram index: meta + the history corpus's
+    * segment + a fresh applied-batch ledger. */
+  def saveHistogramIndex(df: DataFrame, path: String, column: String,
+                         bins: Int, lo: Double, hi: Double): Unit = {
+    require(bins >= 1 && hi > lo,
+      s"need hi > lo and bins >= 1, got [$lo, $hi] / $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((column, bins, lo, hi)).toDF("column", "bins", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    histSegment(df, column, bins, lo, hi)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/segments")
+    Ledger.init(spark, s"$path/batches")
+  }
+
+  /** [[Ledger]]-guarded append of one batch's segment (binning pinned
+    * by the index meta). Returns false for a replayed batch id. */
+  def appendHistogramIndex(batch: DataFrame, path: String,
+                           batchId: String): Boolean = {
+    val spark = batch.sparkSession
+    if (Ledger.contains(spark, s"$path/batches", batchId)) return false
+    val m = histMetaDf(spark, path).head()
+    histSegment(batch, m.getString(0), m.getInt(1), m.getDouble(2),
+        m.getDouble(3))
+      .coalesce(1).write.mode("append").parquet(s"$path/segments")
+    Ledger.record(spark, s"$path/batches", batchId)
+    true
+  }
+
+  /** Merged histogram across all segments: pointwise sum plus the bin
+    * edges re-derived from meta (`lo + bin·w`, same op order any
+    * engine reproduces). Underflow/overflow edges follow the same
+    * formula — their ids are the signal, the edges just locate them.
+    */
+  def mergedHistogramIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    val m = histMetaDf(spark, path).head()
+    val (bins, lo, hi) = (m.getInt(1), m.getDouble(2), m.getDouble(3))
+    val w = lit(hi) - lit(lo)
+    spark.read.parquet(s"$path/segments")
+      .groupBy(col("bin_id")).agg(sum(col("n")).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin_id") * (w / bins))
+      .withColumn("bin_hi", lit(lo) + (col("bin_id") + 1) * (w / bins))
+      .select(col("bin_id"), col("bin_lo"), col("bin_hi"), col("n"))
+      .orderBy(col("bin_id"))
+  }
+
+  /** Collapse segment litter to one summed segment (staged swap;
+    * quiesce writers). Lossless at any frequency — the counts are
+    * exact sums, nothing truncates. */
+  def compactHistogramIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    Lifecycle.stagedSwap(spark, s"$path/segments") { staged =>
+      spark.read.parquet(s"$path/segments")
+        .groupBy(col("bin_id")).agg(sum(col("n")).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+    }
+    Ledger.compact(spark, s"$path/batches")
+  }
+
   /** Quantile segmentation: each row's n-tile (1..n) within its group
     * under a total order — "which value quartile is this event in, among
     * its type". `orderCols` must totally order each group's rows or tile

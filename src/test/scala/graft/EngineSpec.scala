@@ -636,6 +636,15 @@ class EngineSpec extends SparkSpec {
     assert(hhSql == Profiling.mergedHeavyHitters(spark, hhPath)
       .collect().map(_.toSeq).toSeq && hhSql.nonEmpty)
 
+    // the histogram index's read face, same row-identity contract
+    val hiPath = java.nio.file.Files.createTempDirectory("graft_sqlhi").toString
+    Profiling.saveHistogramIndex(corpus.select(length($"text").as("v")),
+      hiPath, "v", bins = 4, lo = 0.0, hi = 20.0)
+    val hiSql = spark.sql(s"SELECT * FROM graft_hist_merged('$hiPath')")
+      .collect().map(_.toSeq).toSeq
+    assert(hiSql == Profiling.mergedHistogramIndex(spark, hiPath)
+      .collect().map(_.toSeq).toSeq && hiSql.nonEmpty)
+
     // the probe-gram index's read face
     val prPath = java.nio.file.Files.createTempDirectory("graft_sqlpr").toString
     Corpus.saveProbeGrams(corpus.filter($"doc_id" === 0L), prPath, "text", n = 2)

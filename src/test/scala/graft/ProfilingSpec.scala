@@ -212,4 +212,43 @@ class ProfilingSpec extends SparkSpec {
     assert(got.contains("hot"), s"hot missing from $got")
     assert(got("hot") <= 80L && got("hot") >= 80L - 67L, s"hot=$got")
   }
+
+  test("incremental histogram: build + ledgered appends sum to the " +
+       "one-shot counts; under/overflow visible; compaction lossless; " +
+       "replays are no-ops") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_histidx").toString + "/idx"
+    // values straddling the [10, 50] bounds with 4 bins of width 10
+    val all = Seq(5.0, 10.0, 12.0, 22.0, 35.0, 47.0, 50.0, 61.0, 9.9)
+    val (h1, h2) = all.splitAt(5)
+    Profiling.saveHistogramIndex(h1.toDF("v"), path, "v",
+      bins = 4, lo = 10.0, hi = 50.0)
+    assert(Profiling.appendHistogramIndex(h2.toDF("v"), path, "b1"))
+    assert(!Profiling.appendHistogramIndex(h2.toDF("v"), path, "b1"),
+      "a recorded batch id must be a no-op")
+    def merged() = Profiling.mergedHistogramIndex(spark, path)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val m = merged()
+    assert(m(-1L)._3 == 2L)          // 5.0, 9.9 underflow
+    assert(m(0L) == ((10.0, 20.0, 2L)))  // 10, 12
+    assert(m(1L)._3 == 1L)           // 22
+    assert(m(2L)._3 == 1L)           // 35
+    assert(m(3L) == ((40.0, 50.0, 2L)))  // 47 and the hi edge 50
+    assert(m(4L)._3 == 1L)           // 61 overflow
+    assert(m.values.map(_._3).sum == all.size)
+    // nulls are excluded, not binned
+    assert(Profiling.appendHistogramIndex(
+      Seq(Option.empty[Double], Some(11.0)).toDF("v"), path, "b2"))
+    assert(merged()(0L)._3 == 3L)
+    // compaction: one segment file, identical merged output
+    val before = merged()
+    Profiling.compactHistogramIndex(spark, path)
+    assert(merged() == before)
+    assert(new java.io.File(s"$path/segments").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // the ledger survives compaction: b1 still refuses
+    assert(!Profiling.appendHistogramIndex(h2.toDF("v"), path, "b1"))
+  }
 }
