@@ -1858,7 +1858,20 @@ object SparkEntry {
         Profiling.compactHistogramIndex(s, path)
       }
       Profiling.mergedHistogramIndex(s, path)
-    })
+    }),
+
+    // Duration-capped sessions — the session shape session_window
+    // cannot express (close on inactivity OR on hitting a max
+    // duration), so assignment is a per-user sorted fold (the
+    // flatMapGroupsWithState streaming face shares the rule;
+    // SessionizeSpec pins their equivalence). The oracle walks the
+    // same rule as a RECURSIVE CTE — event i's session start depends
+    // on event i−1's, which is exactly what recursion expresses — and
+    // must agree session for session.
+    "q116_capped_sessions" -> ((s, d) =>
+      graft.streaming.Sessionize.cappedSessions(t(s, d, "events"),
+          "user_id", "ts", gap = "6 hours", cap = "12 hours")
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -3626,6 +3639,28 @@ object SparkEntry {
         |  1000.0 + (bin_id + 1) * ((100000.0 - 1000.0) / 20) AS bin_hi,
         |  count(*) AS n
         |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
+        .replace("\n", " "),
+
+    // q116: the capped fold as a recursive walk — join iff BOTH the
+    // inactivity gap and the running duration admit the event
+    "q116_capped_sessions" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, ts, rn, ts AS ss FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.ts, e.rn,
+        |    CASE WHEN e.ts - w.ts <= INTERVAL 6 HOUR
+        |          AND e.ts - w.ss <= INTERVAL 12 HOUR
+        |         THEN w.ss ELSE e.ts END
+        |  FROM e JOIN walk w ON e.user_id = w.user_id
+        |    AND e.rn = w.rn + 1)
+        |SELECT user_id, ss AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM walk GROUP BY user_id, ss
+        |ORDER BY user_id, session_start""".stripMargin
         .replace("\n", " "),
 
     // q112: the plain IN filter is the oracle for the bloom-probed

@@ -49,6 +49,152 @@ object Sessionize {
       col("session_end") +: col("n_events") +: rest.map(col).toSeq: _*)
   }
 
+  // --- duration-capped sessions (custom state, not session_window) --
+  //
+  // The session shape session_window CANNOT express: a session closes
+  // on inactivity (> gap, the usual rule) OR when admitting an event
+  // would stretch it past a maximum duration `cap` — the analytics
+  // contract behind "a session is at most 24 h" reporting. The cap
+  // makes assignment inherently SEQUENTIAL per user (whether event i
+  // starts a session depends on where the previous session started),
+  // so the batch face is a per-user sorted fold and the streaming face
+  // is flatMapGroupsWithState with an event-time timeout — the one
+  // §2.8 state API the engine had not yet needed.
+
+  /** Join rule, shared by both faces and the q116 oracle: an event
+    * extends the current session iff `ts − lastTs <= gap` AND
+    * `ts − sessionStart <= cap` (both inclusive, matching
+    * [[sessions]]' touching-merges boundary); otherwise it starts a
+    * new one. Events fold in (ts) order; equal timestamps fold to the
+    * same sessions whatever their mutual order (a 0 gap always joins).
+    */
+  private def foldSessions(ts: Seq[Long], gapUs: Long,
+                           capUs: Long): Seq[(Long, Long, Long)] = {
+    // (start, end, n) per session, over epoch-micros sorted ascending
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    ts.foreach { t =>
+      if (out.nonEmpty && t - out.last._2 <= gapUs &&
+          t - out.last._1 <= capUs) {
+        val (s, _, n) = out.remove(out.size - 1)
+        out += ((s, t, n + 1))
+      } else out += ((t, t, 1L))
+    }
+    out.toSeq
+  }
+
+  private def intervalMicros(s: String, name: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s))
+    require(iv.months == 0, s"$name must not use month units: '$s'")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  /** Batch face: sessions per user under the gap AND the duration cap.
+    * One shuffle on the user key, a sorted in-partition fold, no
+    * window over history. Returns
+    * `(userCol, session_start, session_end, n_events)`.
+    */
+  def cappedSessions(events: DataFrame, userCol: String, tsCol: String,
+                     gap: String, cap: String): DataFrame = {
+    val gapUs = intervalMicros(gap, "gap")
+    val capUs = intervalMicros(cap, "cap")
+    require(capUs >= gapUs, s"cap $cap below gap $gap closes every " +
+      "multi-event session at birth — surely not intended")
+    val spark = events.sparkSession
+    val src = events.select(col(userCol), col(tsCol))
+      .repartition(col(userCol))
+      .sortWithinPartitions(col(userCol), col(tsCol))
+    val userType = src.schema(userCol).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(userCol, userType),
+      org.apache.spark.sql.types.StructField("session_start",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("session_end",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType)))
+    val micros = src.withColumn("__us", unix_micros(col(tsCol)))
+    micros.mapPartitions { it =>
+      // partition holds whole users, sorted (user, ts): fold each run
+      val rows = scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row]()
+      var curUser: Any = null
+      var buf = scala.collection.mutable.ArrayBuffer[Long]()
+      def flush(): Unit = if (buf.nonEmpty) {
+        foldSessions(buf.toSeq, gapUs, capUs).foreach { case (s, e, n) =>
+          rows += org.apache.spark.sql.Row(curUser,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              s / 1000000L, (s % 1000000L) * 1000L)),
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              e / 1000000L, (e % 1000000L) * 1000L)), n)
+        }
+        buf = scala.collection.mutable.ArrayBuffer[Long]()
+      }
+      it.foreach { r =>
+        val u = r.get(0)
+        if (u != curUser) { flush(); curUser = u }
+        buf += r.getLong(2)
+      }
+      flush()
+      rows.iterator
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema))
+      .toDF(userCol, "session_start", "session_end", "n_events")
+  }
+
+  /** Streaming face (Long user keys, the typed-state convention of
+    * [[graft.engine.Bookmarks]]): events buffer per user in
+    * flatMapGroupsWithState state; an EVENT-TIME timeout fires once
+    * the watermark passes `last buffered ts + gap`, the buffer folds
+    * with the SAME rule as the batch face, sessions whose
+    * `end + gap < watermark` are emitted (no future event can extend
+    * them — anything later than the watermark is, by the fold rule,
+    * a new session), and the still-extendable tail stays buffered.
+    * State per user = events inside the watermark horizon.
+    */
+  def cappedSessionsStream(events: DataFrame, userCol: String,
+                           tsCol: String, gap: String, cap: String,
+                           watermark: String): DataFrame = {
+    val gapUs = intervalMicros(gap, "gap")
+    val capUs = intervalMicros(cap, "cap")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(userCol).cast("long").as("u"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, java.sql.Timestamp,
+          java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, it, state) =>
+          def toTs(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L))
+          val buffered = (state.getOption.getOrElse(Seq.empty) ++
+            it.map(e => e._2.getTime * 1000L +
+              (e._2.getNanos / 1000) % 1000)).sorted
+          if (buffered.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs() * 1000L
+            val sessions = foldSessions(buffered, gapUs, capUs)
+            val (closed, open) =
+              sessions.partition { case (_, e, _) => e + gapUs < wm }
+            val keep = open.flatMap { case (s, e, _) =>
+              buffered.filter(t => t >= s && t <= e) }
+            if (keep.isEmpty) state.remove() else state.update(keep)
+            if (keep.nonEmpty)
+              state.setTimeoutTimestamp((keep.max + gapUs) / 1000L + 1L)
+            closed.iterator.map { case (s, e, n) =>
+              (user, toTs(s), toTs(e), n) }
+          }
+      }
+      .toDF(userCol, "session_start", "session_end", "n_events")
+  }
+
   /** Per-user session summary over [[sessions]]' output: the dashboard
     * row a behavioral pipeline derives (session counts, mean events
     * per session, mean session seconds). Duration is end − start in

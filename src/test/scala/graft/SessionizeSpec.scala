@@ -105,6 +105,92 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capped sessions: the duration cap splits what the gap alone " +
+       "would merge; boundaries inclusive on both rules") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:50:00")),
+      (1L, ts("2024-01-01 01:40:00")), // dur 1h40 <= 2h: joins
+      (1L, ts("2024-01-01 02:30:00")), // would be dur 2h30 > cap: new
+      (2L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 02:00:00"))  // dur exactly cap: joins
+    ).toDF("user_id", "tstamp")
+    val got = graft.streaming.Sessionize.cappedSessions(ev, "user_id",
+        "tstamp", gap = "2 hours", cap = "2 hours")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:40:00"), 3L),
+      (1L, ts("2024-01-01 02:30:00"), ts("2024-01-01 02:30:00"), 1L),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 2L)))
+    intercept[IllegalArgumentException] {
+      graft.streaming.Sessionize.cappedSessions(ev, "user_id", "tstamp",
+        gap = "2 hours", cap = "1 hour")
+    }
+  }
+
+  test("an unreachable cap degenerates to plain gap sessionization — " +
+       "the two session operators agree on real events") {
+    val ev = graft.engine.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val capped = graft.streaming.Sessionize.cappedSessions(ev, "user_id",
+        "ts", gap = "6 hours", cap = "3650 days")
+      .collect().map(_.toString).sorted.toSeq
+    val plain = Sessionize.sessions(ev, "user_id", "ts", "6 hours")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(capped == plain)
+    // and a REACHABLE cap actually splits something
+    val tight = graft.streaming.Sessionize.cappedSessions(ev, "user_id",
+      "ts", gap = "6 hours", cap = "12 hours").count()
+    assert(tight > plain.size,
+      s"a 12 h cap must split some 6 h-gap sessions: $tight/${plain.size}")
+  }
+
+  test("streaming capped sessions (flatMapGroupsWithState) emit the " +
+       "batch fold's sessions as the watermark closes them, " +
+       "out-of-order arrivals included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.Sessionize.cappedSessionsStream(
+        input.toDS().toDF("user_id", "tstamp"), "user_id", "tstamp",
+        gap = "1 hour", cap = "2 hours", watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("capped_test").start()
+    try {
+      val evs = Seq(
+        (1L, ts("2024-01-01 00:50:00")), // arrives BEFORE 00:00 row
+        (1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 01:40:00")),
+        (1L, ts("2024-01-01 02:30:00")))
+      input.addData(evs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(1): _*) // out-of-order within watermark
+      q.processAllAvailable()
+      // advance the watermark far past every session's close
+      input.addData((99L, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      input.addData((98L, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("capped_test")
+        .filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSeq
+      val batch = graft.streaming.Sessionize.cappedSessions(
+          evs.toDF("user_id", "tstamp"), "user_id", "tstamp",
+          "1 hour", "2 hours")
+        .orderBy("session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSeq
+      assert(streamed == batch,
+        s"streaming $streamed must equal batch $batch")
+    } finally q.stop()
+  }
+
   test("sessionStats summarizes per user") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00")),
