@@ -171,6 +171,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    [, salt])` / `graft_assign_fold(table, idCol, k[, salt])` —
   *    deterministic hash split / k-fold columns
   *    ([[graft.operators.Splits]])
+  *  - `graft_capped_sessions(table, userCol, tsCol, gap, cap)` —
+  *    duration-capped gap sessions
+  *    ([[graft.streaming.Sessionize.cappedSessions]])
   *  - `graft_skew_join(fact, dim, key, topN)` — hot-key-split equi-join
   *    with auto-detected hot set ([[graft.operators.SkewJoin]])
   *  - `graft_validate(table, 'not_null:c;in_range:c:lo:hi;in_set:c:a|b;
@@ -1012,6 +1015,20 @@ object GraftExtensions {
             rest.headOption.map(strArg(_, "salt")).getOrElse("fold")))
         case _ => throw new IllegalArgumentException(
           "graft_assign_fold(table, idCol, k[, salt])")
+      }),
+    // duration-capped sessions (batch face; the streaming face needs a
+    // writeStream and stays Scala-side)
+    (new FunctionIdentifier("graft_capped_sessions"),
+      new ExpressionInfo("graft.streaming.Sessionize",
+        "graft_capped_sessions"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, u, ts, gap, cap) =>
+          plan(graft.streaming.Sessionize.cappedSessions(
+            tableArg(t, "table"), strArg(u, "userCol"),
+            strArg(ts, "tsCol"), strArg(gap, "gap"), strArg(cap, "cap")))
+        case _ => throw new IllegalArgumentException(
+          "graft_capped_sessions(table, userCol, tsCol, '30 minutes', " +
+            "'24 hours')")
       }),
     // hot-key-split join, hot set auto-detected from the fact
     (new FunctionIdentifier("graft_skew_join"),

@@ -365,7 +365,7 @@ object Layout {
         .toSet
     val fresh = dataFiles.filterNot(p => known.contains(p.getName))
     if (fresh.isEmpty) return 0
-    spark.read.parquet(fresh.map(_.toString): _*)
+    spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*)
       .groupBy(input_file_name().as("file_name"))
       .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
       .coalesce(1)

@@ -788,6 +788,21 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(sqlLk == Seq(Seq(3L, 6L), Seq(7L, 14L), Seq(99L, 198L)))
 
+    val capEv = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:50:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:30:00"))
+    ).toDF("user_id", "tstamp")
+    capEv.createOrReplaceTempView("sql_cap_ev")
+    val sqlCap = spark.sql(
+      """SELECT * FROM graft_capped_sessions('sql_cap_ev', 'user_id',
+        |  'tstamp', '2 hours', '2 hours') ORDER BY session_start"""
+        .stripMargin).collect().map(_.toSeq).toSeq
+    assert(sqlCap == graft.streaming.Sessionize.cappedSessions(capEv,
+      "user_id", "tstamp", "2 hours", "2 hours")
+      .orderBy("session_start").collect().map(_.toSeq).toSeq)
+    assert(sqlCap.size == 2)
+
     val messy = Seq((1L, 5.0), (2L, -1.0), (2L, 7.0))
       .toDF("id", "v")
     messy.createOrReplaceTempView("sql_val_rows")
