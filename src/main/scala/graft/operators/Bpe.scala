@@ -134,6 +134,34 @@ object Bpe {
         x => x("__toks"))).as("tokens"))
   }
 
+  /** Persist a trained model ([[train]]'s output frame) — one small
+    * parquet, rank-ordered on read. */
+  def saveModel(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted model as the ordered merge list [[encode]] and
+    * [[encodeCol]] take. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toIndexedSeq
+
+  /** Per-ROW tokenizer column: the same merges folded over each row's
+    * own words — pure built-in expressions (split / transform /
+    * replace / flatten), so it runs ANYWHERE a column does, including
+    * a streaming projection (stateless, no watermark, no aggregation —
+    * the face a `readStream → tokenize → writeStream` pipeline needs).
+    * Cost is O(text length × merges) per row, against [[encode]]'s
+    * vocabulary-sized dictionary fold — use the dictionary join for
+    * batch corpora, this for streams and expression contexts. The two
+    * agree token-for-token (BpeSpec pins it).
+    */
+  def encodeCol(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(
+      filter(split(text, " "), w => w =!= ""),
+      w => symbols(applyMerges(wrapChars(w), merges))))
+
   /** Corpus subword frequencies under the trained merges, straight
     * from the word table: token count = Σ word-count ×
     * occurrences-in-word. Vocabulary-sized, never re-reads the corpus.

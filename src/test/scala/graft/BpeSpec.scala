@@ -87,6 +87,46 @@ class BpeSpec extends SparkSpec {
     assert(enc == Seq("aa", "a", "aa", "a"))
   }
 
+  test("save/load round-trips the model; encodeCol agrees with the " +
+       "dictionary-join encode token for token — including on a " +
+       "stream") {
+    val merges = Bpe.train(corpus(), "text", 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString + "/m"
+    Bpe.saveModel(merges, path)
+    val loaded = Bpe.loadModel(spark, path)
+    assert(loaded == merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+    val docs = Seq((10L, "lowest newest"), (11L, "low low"),
+      (12L, "")).toDF("doc_id", "text")
+    val viaCol = docs.select($"doc_id",
+        Bpe.encodeCol($"text", loaded).as("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaDict = Bpe.encode(docs, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the dictionary join drops empty docs (no words to join); the
+    // column face keeps them with empty token arrays
+    assert(viaCol(12L) == Seq.empty[String])
+    assert(viaDict.keySet.forall(k => viaCol(k) == viaDict(k)))
+    assert(viaCol(10L) == Seq("low", "est", "n", "ew", "est"))
+
+    // streaming: a stateless projection, no watermark needed
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .select($"doc_id", Bpe.encodeCol($"text", loaded).as("tokens"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_stream").start()
+    try {
+      input.addData((20L, "lowest newest"))
+      q.processAllAvailable()
+      assert(spark.table("bpe_stream").head().getSeq[String](1) ==
+        Seq("low", "est", "n", "ew", "est"))
+    } finally q.stop()
+  }
+
   test("a corpus carrying the sentinel is rejected loudly") {
     val bad = Seq((1L, "ok \u0001bad")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
