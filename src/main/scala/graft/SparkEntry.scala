@@ -1871,7 +1871,31 @@ object SparkEntry {
     "q116_capped_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.cappedSessions(t(s, d, "events"),
           "user_id", "ts", gap = "6 hours", cap = "12 hours")
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // IVF-PQ — the two ANN families composed the production way:
+    // coarse cells bound WHICH rows a query scores, residual PQ codes
+    // bound what each row costs, and the score decomposes exactly as
+    // q·c (one term per probed cell) + the residual ADC sum. The
+    // oracle chains BOTH unrolled trainings — cell k-means, then
+    // per-subspace k-means over the float residuals — through probes,
+    // LUTs, the decomposed ADC, and the exact rescore; a drift in
+    // either training, the residual arithmetic, or the decomposition
+    // breaks the hash.
+    "q117_ivfpq_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val (enc, cents, books) = Similarity.ivfPqBuild(emb, "vec_id",
+        "embedding", nCells = 8, m = 4, kCodes = 8)
+      val cand = Similarity.ivfPqSearch(enc, cents, books, queries,
+        "vec_id", "embedding", k = 40, nProbe = 4)
+      Similarity.exactRescore(emb, queries, "vec_id", "embedding",
+          cand, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -2102,6 +2126,120 @@ object SparkEntry {
        |  SELECT n, unnest(list_filter(string_split(w, chr(1)),
        |    t -> t <> '')) AS token FROM wt$bpeMerges)
        |GROUP BY token ORDER BY token""".stripMargin.replace("\n", " ")
+
+  // q117: BOTH trainings unrolled and composed — q28's cell k-means
+  // (one Lloyd round), float residuals against the final centroids,
+  // q108's per-subspace k-means over those residuals, then probes +
+  // cell-dot correction + residual ADC + exact rescore.
+  private def q117OracleSql: String = {
+    val dsub = 16
+    def sv(v: String, sub: String): String =
+      s"list_transform(generate_series(1, $dsub), i -> $v[$sub*$dsub + i])"
+    def sdot(v: String, sub: String, cv: String): String =
+      s"list_sum(list_transform(generate_series(1, $dsub), " +
+        s"i -> CAST($v[$sub*$dsub + i] AS DOUBLE) * CAST($cv[i] AS DOUBLE)))"
+    def rAssignSql(csrc: String): String =
+      s"""SELECT id, sub, code, sv FROM (
+         |  SELECT vv.id, b.sub, b.code, ${sv("vv.rv", "b.sub")} AS sv,
+         |    row_number() OVER (PARTITION BY vv.id, b.sub ORDER BY
+         |      ${vdot("b.cv", "b.cv")}
+         |        - 2.0 * ${sdot("vv.rv", "b.sub", "b.cv")},
+         |      b.code) AS rn
+         |  FROM res vv CROSS JOIN $csrc b
+         |) WHERE rn = 1""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |q AS (SELECT id, v, sqrt(${vdot("v", "v")}) AS qn FROM v WHERE id < 5),
+       |nrm AS (SELECT id, sqrt(${vdot("v", "v")}) AS nn FROM v),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM v ORDER BY id LIMIT 8)
+       |),
+       |a1 AS (${ivfAssignSql("v", "c0")}),
+       |c1 AS (${ivfRecentroidSql("a1", "c0")}),
+       |a2 AS (${ivfAssignSql("v", "c1")}),
+       |res AS (
+       |  SELECT a.id, a.cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(a.v[i] - c.cv[i] AS FLOAT)) AS rv
+       |  FROM a2 a JOIN c1 c ON c.cell = a.cell
+       |),
+       |rb0 AS (
+       |  SELECT s.s AS sub, sd.code, ${sv("sd.rv", "s.s")} AS cv
+       |  FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS code, rv
+       |        FROM (SELECT id, rv FROM res ORDER BY id LIMIT 8)) sd
+       |  CROSS JOIN generate_series(0, 3) s(s)
+       |),
+       |ra1 AS (${rAssignSql("rb0")}),
+       |rc1 AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT sub, code, g.i AS pos,
+       |      CAST(CAST(SUM(CAST(CAST(sv[g.i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+       |        / COUNT(*) AS FLOAT) AS m
+       |    FROM ra1 CROSS JOIN generate_series(1, $dsub) g(i)
+       |    GROUP BY sub, code, g.i
+       |  ) GROUP BY sub, code
+       |  UNION ALL
+       |  SELECT rb0.sub, rb0.code, rb0.cv FROM rb0
+       |  WHERE NOT EXISTS (SELECT 1 FROM ra1
+       |                    WHERE ra1.sub = rb0.sub AND ra1.code = rb0.code)
+       |),
+       |renc AS (${rAssignSql("rc1")}),
+       |probes AS (
+       |  SELECT query_id, qn, cell, qc FROM (
+       |    SELECT q.id AS query_id, q.qn, c.cell,
+       |      ${vdot("q.v", "c.cv")} AS qc,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        ${vdot("c.cv", "c.cv")} - 2.0 * ${vdot("q.v", "c.cv")},
+       |        c.cell) AS pr
+       |    FROM q CROSS JOIN c1 c
+       |  ) WHERE pr <= 4
+       |),
+       |lut AS (
+       |  SELECT q.id AS query_id, b.sub, b.code,
+       |    ${sdot("q.v", "b.sub", "b.cv")} AS l
+       |  FROM q CROSS JOIN rc1 b
+       |),
+       |adc AS (
+       |  SELECT p.query_id, e.id AS neighbor_id,
+       |    CASE WHEN first(p.qn) * first(n.nn) = 0.0 THEN 0.0
+       |         ELSE (first(p.qc)
+       |               + CAST(SUM(CAST(l.l AS DECIMAL(25,12))) AS DOUBLE))
+       |              / (first(p.qn) * first(n.nn)) END AS cos_adc
+       |  FROM renc e
+       |  JOIN res rs ON rs.id = e.id
+       |  JOIN probes p ON p.cell = rs.cell
+       |  JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub
+       |    AND l.code = e.code
+       |  JOIN nrm n ON n.id = e.id
+       |  WHERE e.id != p.query_id
+       |  GROUP BY p.query_id, e.id
+       |),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_adc DESC, neighbor_id) AS r
+       |    FROM adc) WHERE r <= 40
+       |),
+       |resc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CASE WHEN q.qn * n.nn = 0.0 THEN 0.0
+       |         ELSE ${vdot("q.v", "a.v")} / (q.qn * n.nn) END AS cos
+       |  FROM short s
+       |  JOIN q ON q.id = s.query_id
+       |  JOIN v a ON a.id = s.neighbor_id
+       |  JOIN nrm n ON n.id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM resc)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+       |CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+      .stripMargin.replace("\n", " ")
+  }
 
   // q89: q28's unrolled-k-means chain restricted to the history rows,
   // then the batch assigned against the FINAL centroids (the frozen-
@@ -3617,6 +3755,8 @@ object SparkEntry {
     "q108_pq_search" -> q108OracleSql,
 
     "q111_incremental_pq" -> q111OracleSql,
+
+    "q117_ivfpq_search" -> q117OracleSql,
 
     "q113_bpe_train" -> q113OracleSql,
 

@@ -976,6 +976,111 @@ object Similarity {
     Tombstones.drop(spark, s"$path/tombstones")
   }
 
+  // --- IVF-PQ: coarse cells + PQ on residuals ----------------------
+  //
+  // The two index families composed the way production ANN engines
+  // ship them: IVF's cells bound WHICH rows a query scores (partition
+  // pruning) and PQ compresses WHAT each scored row costs (M code
+  // ints per vector) — but the codes quantize the RESIDUAL v − c(v)
+  // rather than the vector, because residuals concentrate near zero
+  // and the same codebook budget spends itself on a far smaller
+  // volume. Scoring decomposes exactly: q·v ≈ q·c + q·r̂, where q·c
+  // is one dot per PROBED CELL (nProbe terms, not per-row) and q·r̂
+  // is the plain M-lookup ADC sum — so the per-row cost is identical
+  // to flat PQ while touching only the probed cells' rows.
+
+  /** Build: one frozen-centroid IVF pass (`cellIters` Lloyd rounds),
+    * per-row float residuals against the final centroids, PQ trained
+    * on the residuals, residual codes per row with the ORIGINAL
+    * vector's norm (the cosine denominator must be truth, like flat
+    * PQ's). Returns (codes frame `(id, cell, codes, norm)`, cell
+    * centroids, residual codebooks).
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int, m: Int, kCodes: Int, cellIters: Int = 1,
+                 pqIters: Int = 1)
+      : (DataFrame, Array[(Int, Array[Float])], PqBooks) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cells, cents) =
+      ivfAssign(corpus, idCol, vecCol, nCells, iters = cellIters)
+    val cdf = broadcast(cents.toSeq.toDF("cell", "ccv"))
+    // float32 subtraction — the arithmetic any engine reproduces
+    val res = cells.join(cdf, Seq("cell"))
+      .select(col(idCol).as("id"),
+        zip_with(col(vecCol), col("ccv"), (a, b) => a - b).as("rv"),
+        VectorOps.norm(col(vecCol)).as("n"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    cells.unpersist(blocking = false)
+    val books = pqTrain(res, "id", "rv", m, kCodes, pqIters)
+    val dsub = books.head._3.length
+    val enc = pqAssign(res.select(col("id"), col("rv").as("v"),
+        col("n")), books, dsub)
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x("code")).as("codes"),
+        first(col("n")).as("norm"))
+      .join(res.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id"), col("cell"), col("codes"), col("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    enc.count()
+    res.unpersist(blocking = false)
+    (enc, cents, books)
+  }
+
+  /** Search: nProbe nearest cells per query (the |q|²-free identity),
+    * one residual LUT per query (cell-independent — that is what the
+    * residual decomposition buys), one q·c term per probed cell, ADC
+    * over ONLY the probed cells' code rows, cosine against the stored
+    * true norms. Same (score desc, id) tie-break as every family.
+    */
+  def ivfPqSearch(enc: DataFrame, cents: Array[(Int, Array[Float])],
+                  books: PqBooks, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val dsub = books.head._3.length
+    val cdf = broadcast(cents.toSeq.toDF("cell", "ccv")
+      .withColumn("c2", VectorOps.dot(col("ccv"), col("ccv"))))
+    val qf = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.norm(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("cell"))
+    val probes = broadcast(qf.crossJoin(cdf)
+      .withColumn("d",
+        col("c2") - lit(2.0) * VectorOps.dot(col("qv"), col("ccv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qn"), col("cell"),
+        VectorOps.dot(col("qv"), col("ccv")).as("qc")))
+    val lut = broadcast(qf
+      .crossJoin(pqBooksDf(spark, books))
+      .select(col("query_id"), col("sub"), col("code"),
+        VectorOps.dot(
+          slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
+          col("cv")).as("lut")))
+    val ex = enc.select(col("id").as("neighbor_id"), col("cell"),
+      col("norm"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val nn = col("qn") * col("norm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_adc").desc, col("neighbor_id"))
+    ex.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("lut").cast("decimal(25,12)")).cast("double").as("rdot"),
+        first(col("qc")).as("qc"), first(col("qn")).as("qn"),
+        first(col("norm")).as("norm"))
+      .withColumn("cos_adc",
+        when(nn === 0.0, 0.0).otherwise((col("qc") + col("rdot")) / nn))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_adc"),
+        col("rank"))
+  }
+
   /** The production two-stage: ADC over the compressed index proposes
     * k·candidateFactor candidates per query, then ONLY those rows are
     * rescored with the exact float cosine — the [[rescoredTopK]] shape

@@ -462,4 +462,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rR >= aR, s"rescore must not lose recall: adc $aR -> $rR")
     assert(rR >= 0.6, s"PQ rescored recall@10 $rR below floor")
   }
+
+  test("IVF-PQ: probed cells bound the candidate set, the residual " +
+       "decomposition scores sanely, and the rescored recall floors") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val (enc, cents, books) = Similarity.ivfPqBuild(emb, "vec_id",
+      "embedding", nCells = 8, m = 8, kCodes = 16, pqIters = 2)
+    assert(enc.count() == emb.count())
+    assert(cents.length == 8 && books.length == 8 * 16)
+    // nProbe bounds candidates: fewer probed cells, fewer rows scored
+    val cand1 = Similarity.ivfPqSearch(enc, cents, books, queries,
+      "vec_id", "embedding", k = 500, nProbe = 1).count()
+    val cand4 = Similarity.ivfPqSearch(enc, cents, books, queries,
+      "vec_id", "embedding", k = 500, nProbe = 4).count()
+    assert(cand1 < cand4,
+      s"one probed cell must score fewer rows ($cand1 / $cand4)")
+    // composed two-stage recall vs truth
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 10).select($"query_id", $"neighbor_id")
+    val shortl = Similarity.ivfPqSearch(enc, cents, books, queries,
+      "vec_id", "embedding", k = 80, nProbe = 6)
+    val resc = Similarity.exactRescore(emb, queries, "vec_id",
+      "embedding", shortl, k = 10)
+    val n = exact.count().toDouble
+    val recall = resc.select($"query_id", $"neighbor_id")
+      .intersect(exact).count() / n
+    // 8 probed-of-8 would be exhaustive; 6-of-8 cells + coarse codes
+    // over random gaussians: the floor is deliberately modest
+    assert(recall >= 0.5, s"IVF-PQ rescored recall@10 $recall")
+    enc.unpersist(blocking = false)
+  }
 }
