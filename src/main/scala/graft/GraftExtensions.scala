@@ -183,6 +183,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_pq_search(corpus, queries, idCol, vecCol, k, m, kCodes)`
   *    — product-quantization two-stage ANN
   *    ([[graft.operators.Similarity.pqRescoredTopK]])
+  *  - `graft_ivfpq_search(corpus, queries, idCol, vecCol, k, nCells,
+  *    m, kCodes)` — IVF-PQ build + decomposed-ADC search + exact
+  *    rescore ([[graft.operators.Similarity.ivfPqBuild]] /
+  *    [[graft.operators.Similarity.ivfPqSearch]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -1068,6 +1072,27 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_validate(table, 'not_null:c;in_range:c:lo:hi;" +
             "in_set:c:a|b;matches:c:re;unique:c1,c2')")
+      }),
+    // IVF-PQ one-call build + decomposed-ADC search + exact rescore
+    (new FunctionIdentifier("graft_ivfpq_search"),
+      new ExpressionInfo("graft.operators.Similarity",
+        "graft_ivfpq_search"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, id, vec, k, nc, m, kc) =>
+          import graft.operators.Similarity
+          val (corpus, queries) = (tableArg(c, "corpus"),
+            tableArg(q, "queries"))
+          val (idc, vecc) = (strArg(id, "idCol"), strArg(vec, "vecCol"))
+          val kk = intArg(k, "k")
+          val (enc, cents, books) = Similarity.ivfPqBuild(corpus, idc,
+            vecc, intArg(nc, "nCells"), intArg(m, "m"),
+            intArg(kc, "kCodes"))
+          plan(Similarity.exactRescore(corpus, queries, idc, vecc,
+            Similarity.ivfPqSearch(enc, cents, books, queries, idc,
+              vecc, kk * 4), kk))
+        case _ => throw new IllegalArgumentException(
+          "graft_ivfpq_search(corpus, queries, idCol, vecCol, k, " +
+            "nCells, m, kCodes)")
       }),
     // product-quantization two-stage ANN
     (new FunctionIdentifier("graft_pq_search"),

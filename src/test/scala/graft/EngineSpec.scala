@@ -843,5 +843,21 @@ class EngineSpec extends SparkSpec {
         "vec_id", "embedding", k = 5, m = 4, kCodes = 8)
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(sqlPq == scalaPq && sqlPq.size == 15)
+
+    val sqlIvfPq = spark.sql(
+      """SELECT * FROM graft_ivfpq_search('sql_pq_corpus',
+        |  'sql_pq_queries', 'vec_id', 'embedding', 5, 8, 4, 8)
+        |ORDER BY query_id, rank""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val (encX, centsX, booksX) = Similarity.ivfPqBuild(emb, "vec_id",
+      "embedding", nCells = 8, m = 4, kCodes = 8)
+    val scalaIvfPq = Similarity.exactRescore(emb,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding",
+        Similarity.ivfPqSearch(encX, centsX, booksX,
+          emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 20),
+        k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlIvfPq == scalaIvfPq && sqlIvfPq.size == 15)
+    encX.unpersist(blocking = false)
   }
 }
