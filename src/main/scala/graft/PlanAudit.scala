@@ -15,7 +15,11 @@ object PlanAudit {
         "q25_embedding_neardups", "q26_corpus_pipeline", "q23_ann_lsh",
         "q30_vocab", "q31_chunks", "q38_decontaminate", "q40_tfidf",
         "q58_snapshot_diff", "q63_dup_spans",
-        "q78_semantic_clusters", "q80_incremental_dedup")
+        "q78_semantic_clusters", "q80_incremental_dedup",
+        // round-9 headliners: the hot/cold split join, the one-pass
+        // validation aggregate, PQ and IVF-PQ search, sessionization
+        "q105_skew_join", "q106_validation", "q108_pq_search",
+        "q109_sessionize", "q117_ivfpq_search")
     val spark = graft.engine.Tables.session("local[4]", 4)
     names.foreach { n =>
       println(s"\n================ $n ================")
