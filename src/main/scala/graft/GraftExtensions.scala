@@ -180,6 +180,8 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    matches:c:re;unique:c1,c2')` — declarative rule report
   *    ([[graft.operators.Validation.report]]; numeric ranges only on
   *    this face — the Scala API takes typed bounds)
+  *  - `graft_validate_fk(table, col, dim, dimCol)` — the referential
+  *    rule as its own face (it needs a second table argument)
   *  - `graft_pq_search(corpus, queries, idCol, vecCol, k, m, kCodes)`
   *    — product-quantization two-stage ANN
   *    ([[graft.operators.Similarity.pqRescoredTopK]])
@@ -1093,6 +1095,19 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_ivfpq_search(corpus, queries, idCol, vecCol, k, " +
             "nCells, m, kCodes)")
+      }),
+    // the referential half graft_validate's spec string cannot carry
+    // (it needs a second table): one FK rule, same report shape
+    (new FunctionIdentifier("graft_validate_fk"),
+      new ExpressionInfo("graft.operators.Validation", "graft_validate_fk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, c, d, dc) =>
+          import graft.operators.Validation
+          plan(Validation.report(tableArg(t, "table"), Seq(
+            Validation.FkExists(strArg(c, "col"), tableArg(d, "dim"),
+              strArg(dc, "dimCol")))))
+        case _ => throw new IllegalArgumentException(
+          "graft_validate_fk(table, col, dim, dimCol)")
       }),
     // product-quantization two-stage ANN
     (new FunctionIdentifier("graft_pq_search"),

@@ -817,6 +817,16 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(sqlVal == scalaVal && sqlVal.size == 3)
 
+    Seq(1L, 3L).toDF("ref").createOrReplaceTempView("sql_val_dim")
+    val sqlFk = spark.sql(
+      """SELECT * FROM graft_validate_fk('sql_val_rows', 'id',
+        |  'sql_val_dim', 'ref')""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlFk == Validation.report(messy, Seq(
+        Validation.FkExists("id", Seq(1L, 3L).toDF("ref"), "ref")))
+      .collect().map(_.toSeq).toSeq)
+    assert(sqlFk.head(2) == 2L, "both id=2 rows are orphans")
+
     val fact = spark.range(300).select(($"id" % 3).as("k"), $"id".as("x"))
     val dim = spark.range(3).select($"id".as("k"),
       concat(lit("d"), $"id").as("nm"))
