@@ -24,6 +24,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions += "-deprecation"
+// VERDICT r9: sbt prints "[success] Total time: ..." AFTER main() returns,
+// defeating Bench's "compact JSON is the last stdout line" contract
+// (BENCH_r09.json parsed:null). Suppress the footer entirely.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
