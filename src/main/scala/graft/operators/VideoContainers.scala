@@ -144,6 +144,200 @@ object VideoContainers {
     }
   }
 
+  // ---- MJPEG-in-MP4: sample LOCATION + decode profile --------------
+  //
+  // mp4SampleTables reads the frame ACCOUNTING (sizes, durations); the
+  // tables below additionally read where each sample's bytes LIVE —
+  // stsd (codec fourcc), stsc (samples-per-chunk runs), stco/co64
+  // (chunk offsets) — which is everything needed to slice samples out
+  // of mdat. For the MJPEG profile ('jpeg'/'mjpa'/'mjpb' sample
+  // entries) each slice IS a complete JPEG, so decode-to-pixels needs
+  // nothing beyond [[JpegCodec]], exactly like the AVI path. H.264
+  // ('avc1') and friends remain located-but-opaque: the slice is
+  // returned as bytes, decode genuinely needs a codec library.
+
+  /** One track's located samples: stsd codec fourcc plus each sample's
+    * absolute (offset, size) in the file — stsz sizes walked through
+    * stsc's chunk runs against stco/co64 chunk offsets. Samples whose
+    * declared range falls outside the payload are dropped (truncated
+    * mdat yields the samples present, never an out-of-bounds read).
+    */
+  final case class LocatedTrack(trackIdx: Int, codec: String,
+                                timescale: Long,
+                                offsets: IndexedSeq[Long],
+                                sizes: IndexedSeq[Long])
+
+  /** First sample-entry fourcc of stsd ("" if absent/short). */
+  private def parseStsdCodec(b: Array[Byte], s: Long, e: Long): String =
+    if (s + 16 > e) "" else fourcc(b, s.toInt + 12)
+
+  /** stsc runs expanded to a per-chunk sample count, given nChunks. */
+  private def parseStsc(b: Array[Byte], s: Long, e: Long,
+                        nChunks: Int): Option[IndexedSeq[Int]] = {
+    if (s + 8 > e) return None
+    val n = u32(b, s.toInt + 4)
+    if (s + 8 + n * 12 > e) return None
+    val runs = (0L until n).map { i =>
+      val base = (s + 8 + i * 12).toInt
+      (u32(b, base), u32(b, base + 4)) // (first_chunk 1-based, per_chunk)
+    }
+    if (runs.exists(r => r._1 < 1 || r._2 < 0)) return None
+    val out = new Array[Int](nChunks)
+    runs.zipWithIndex.foreach { case ((first, per), ri) =>
+      val until =
+        if (ri + 1 < runs.length) math.min(runs(ri + 1)._1 - 1, nChunks.toLong)
+        else nChunks.toLong
+      var c = first - 1
+      while (c < until) { out(c.toInt) = per.toInt; c += 1 }
+    }
+    Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
+  /** stco (u32) / co64 (u64) chunk offsets. */
+  private def parseChunkOffsets(b: Array[Byte], sbS: Long,
+                                sbE: Long): Option[IndexedSeq[Long]] =
+    findBox(b, sbS, sbE, "stco").flatMap { case (s, e) =>
+      if (s + 8 > e) None
+      else {
+        val n = u32(b, s.toInt + 4)
+        if (n > MaxSamples || s + 8 + n * 4 > e) None
+        else Some((0L until n).map(i => u32(b, (s + 8 + i * 4).toInt)))
+      }
+    }.orElse(findBox(b, sbS, sbE, "co64").flatMap { case (s, e) =>
+      if (s + 8 > e) None
+      else {
+        val n = u32(b, s.toInt + 4)
+        if (n > MaxSamples || s + 8 + n * 8 > e) None
+        else Some((0L until n).map { i =>
+          val base = (s + 8 + i * 8).toInt
+          (u32(b, base) << 32) | u32(b, base + 4)
+        })
+      }
+    })
+
+  /** Every track whose stbl carries the full location chain (stsd +
+    * stsz + stsc + stco/co64), with per-sample absolute offsets
+    * resolved; [] for an MP4 without one, None for a non-MP4.
+    */
+  def mp4LocatedTracks(b: Array[Byte]): Option[Seq[LocatedTrack]] = {
+    if (!Multimodal.HeaderCodec.isMp4(b)) return None
+    findBox(b, 0L, b.length.toLong, "moov").map { case (ms, me) =>
+      boxes(b, ms, me).collect { case ("trak", ts, te) => (ts, te) }
+        .zipWithIndex.flatMap { case ((ts, te), idx) =>
+          for {
+            (mdS, mdE) <- findBox(b, ts, te, "mdia")
+            (mfS, mfE) <- findBox(b, mdS, mdE, "minf")
+            (sbS, sbE) <- findBox(b, mfS, mfE, "stbl")
+            codec = findBox(b, sbS, sbE, "stsd")
+              .map { case (s, e) => parseStsdCodec(b, s, e) }.getOrElse("")
+            sizes <- findBox(b, sbS, sbE, "stsz")
+              .flatMap { case (s, e) => parseStsz(b, s, e) }
+            chunkOffs <- parseChunkOffsets(b, sbS, sbE)
+            perChunk <- findBox(b, sbS, sbE, "stsc")
+              .flatMap { case (s, e) => parseStsc(b, s, e, chunkOffs.length) }
+          } yield {
+            val offs = new ArrayBuffer[Long](sizes.length)
+            var sample = 0
+            chunkOffs.indices.foreach { c =>
+              var off = chunkOffs(c)
+              var k = 0
+              while (k < perChunk(c) && sample < sizes.length) {
+                offs += off
+                off += sizes(sample)
+                sample += 1; k += 1
+              }
+            }
+            // keep only samples fully inside the payload (zip to the
+            // located prefix; a lying stsc/stco drops, never invents)
+            val n = offs.length
+            val keep = (0 until n).filter(i =>
+              offs(i) >= 0 && offs(i) + sizes(i) <= b.length)
+            LocatedTrack(idx, codec, mdhdTimescale(b, mdS, mdE),
+              keep.map(offs(_)), keep.map(sizes(_)))
+          }
+        }.toSeq
+    }
+  }
+
+  /** MJPEG sample-entry fourccs: each located sample is a complete
+    * JPEG. ('avc1' etc. locate fine but stay opaque bytes.) */
+  private val MjpegCodecs = Set("jpeg", "mjpa", "mjpb")
+
+  /** The MJPEG frames of an MP4: (trackIdx, frameIdx, jpegBytes) for
+    * every sample of every MJPEG-profile track. Empty for MP4s with
+    * no MJPEG track; empty for non-MP4 payloads.
+    */
+  def mp4MjpegFrames(b: Array[Byte]): Seq[(Int, Int, Array[Byte])] =
+    mp4LocatedTracks(b).getOrElse(Nil)
+      .filter(t => MjpegCodecs.contains(t.codec))
+      .flatMap { t =>
+        t.offsets.indices.map { i =>
+          (t.trackIdx, i,
+            java.util.Arrays.copyOfRange(b, t.offsets(i).toInt,
+              (t.offsets(i) + t.sizes(i)).toInt))
+        }
+      }
+
+  /** Pack frames into a minimal MJPEG-profile MP4 (fixture writer,
+    * mirroring [[aviBytes]]): ftyp + mdat(frames, one chunk) +
+    * moov{mvhd, trak{mdia{mdhd, minf{stbl{stsd 'jpeg', stts, stsc,
+    * stsz, stco}}}}}. `delta` is per-frame duration in `timescale`
+    * units. Round-trips through [[mp4LocatedTracks]] /
+    * [[mp4MjpegFrames]] byte-exactly.
+    */
+  def mp4MjpegBytes(frames: Seq[Array[Byte]], timescale: Int,
+                    delta: Int): Array[Byte] = {
+    val n = frames.length
+    val mdatBody = frames.map(_.length).sum
+    val mdat = 8 + mdatBody
+    val mdatStart = 16L // after ftyp
+    val stsd = 8 + 8 + 16 // header + entry_count + minimal sample entry
+    val stts = 8 + 8 + 8
+    val stsc = 8 + 8 + 12
+    val stsz = 8 + 12 + 4 * n
+    val stco = 8 + 8 + 4
+    val stbl = 8 + stsd + stts + stsc + stsz + stco
+    val minf = 8 + stbl
+    val mdhd = 32
+    val mdia = 8 + mdhd + minf
+    val trak = 8 + mdia
+    val mvhd = 108
+    val moov = 8 + mvhd + trak
+    val bb = java.nio.ByteBuffer.allocate(16 + mdat + moov)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def tag(s: String) = bb.put(s.getBytes("US-ASCII")): Unit
+    bb.putInt(16); tag("ftyp"); tag("isom"); bb.putInt(0)
+    bb.putInt(mdat); tag("mdat")
+    frames.foreach(bb.put)
+    bb.putInt(moov); tag("moov")
+    bb.putInt(mvhd); tag("mvhd")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(n * delta)
+    bb.position(bb.position() + mvhd - 28)
+    bb.putInt(trak); tag("trak")
+    bb.putInt(mdia); tag("mdia")
+    bb.putInt(mdhd); tag("mdhd")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(n * delta)
+      .putShort(0).putShort(0)
+    bb.putInt(minf); tag("minf")
+    bb.putInt(stbl); tag("stbl")
+    bb.putInt(stsd); tag("stsd")
+    bb.putInt(0).putInt(1)           // version/flags, entry_count
+    bb.putInt(16); tag("jpeg")       // minimal sample entry
+    bb.putInt(0).putInt(0)           // reserved(6)+data_ref_idx, pad
+    bb.putInt(stts); tag("stts")
+    bb.putInt(0).putInt(1).putInt(n).putInt(delta)
+    bb.putInt(stsc); tag("stsc")
+    bb.putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
+    bb.putInt(stsz); tag("stsz")
+    bb.putInt(0).putInt(0).putInt(n)
+    frames.foreach(f => bb.putInt(f.length))
+    bb.putInt(stco); tag("stco")
+    bb.putInt(0).putInt(1).putInt((mdatStart + 8).toInt)
+    bb.array()
+  }
+
   // ---- AVI (RIFF) / MJPEG ------------------------------------------
 
   /** A decoded AVI container: header facts from `avih` plus the raw
