@@ -40,12 +40,15 @@ object Bench {
     //
     // NOISE CANARY: one fixed cheap query (q01, a broadcast dim lookup
     // whose plan never changes) is re-timed single-rep before each
-    // quartile of the suite and once at the end. Identical plans have
-    // flapped 2–27× run-to-run on this shared VM (BASELINE.md), and two
-    // of three driver rounds lost their bench signal to such a window —
-    // the canary vector lets any reader deflate a degraded window
-    // WITHOUT a local rerun: flat canaries + one slow query = that
-    // query regressed; inflated canaries = the whole window is weather.
+    // DECILE of the suite and once at the end (VERDICT r10: the r10
+    // window's q73–q75 burst fell between quartile samples and could
+    // only be called weather by a local re-run; eleven samples bracket
+    // every ~12-query stretch). Identical plans have flapped 2–27×
+    // run-to-run on this shared VM (BASELINE.md), and two of three
+    // driver rounds lost their bench signal to such a window — the
+    // canary vector lets any reader deflate a degraded window WITHOUT
+    // a local rerun: flat canaries + one slow query = that query
+    // regressed; inflated canaries = the whole window is weather.
     //
     // Lifecycle queries (q89–q95) also report PER-STAGE wall times
     // (build/append/compact/...; see [[Stages]]) from the winning rep,
@@ -67,9 +70,9 @@ object Bench {
     val stageMap =
       scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     val qseq = SparkEntry.queries.toSeq
-    val quartile = math.max(1, (qseq.size + 3) / 4)
+    val decile = math.max(1, (qseq.size + 9) / 10)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    qseq.grouped(quartile).foreach { chunk =>
+    qseq.grouped(decile).foreach { chunk =>
       canaries += canaryTime()
       chunk.foreach { case (name, fn) =>
         var best = Double.MaxValue
@@ -144,16 +147,27 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // Stdout layout (VERDICT r8: BENCH_r08.parsed was null even with
-    // timings tail-last): the big plans/stages record prints FIRST and
-    // the LAST line is a compact, self-contained JSON record — metric +
-    // canary + per-query timings only, a few KB — so a tail-keeping
-    // capture always ends with one complete parseable line. Plan hashes
-    // and stage maps live in the committed bench_out.json.
+    // Stdout layout (VERDICT r10: the driver keeps EXACTLY a 2000-char
+    // stdout tail; the r10 "compact" last line was 10,541 bytes, so
+    // `parsed` was null two rounds running even though every query was
+    // green). The full record prints first (sacrificial — it also lives
+    // in the committed bench_out.json), then the LAST line is a short
+    // summary — total + count + canary vector + the slowest queries —
+    // asserted under 1,500 bytes BY CONSTRUCTION so any tail ≥2000
+    // chars always ends with one complete parseable JSON line.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","plans":$ps,"stages":$ss}""")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary":$cs,"queries":$qs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    val slow = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val csShort = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val summaryLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n":${results.size},"canary":$csShort,"slowest":$slow,"detail":"bench_out.json"}"""
+    require(summaryLine.length <= 1500,
+      s"bench summary line is ${summaryLine.length} bytes; must fit a 2000-char tail")
+    println(summaryLine)
     spark.stop()
   }
 }

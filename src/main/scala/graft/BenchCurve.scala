@@ -118,7 +118,11 @@ object BenchCurve {
       // round-4 additions: connected components (iterative label
       // propagation), pair mining (inverted-index self-join), and the
       // token-set fuzzy join — the three heaviest non-ANN ops
-      "q37_dedup_clusters", "q68_cooccur", "q69_fuzzy_join")
+      "q37_dedup_clusters", "q68_cooccur", "q69_fuzzy_join",
+      // round-11 additions (VERDICT r10: the curve predates q100+):
+      // the full partitioned-layout write lifecycle and the composed
+      // IVF-PQ search — the heaviest lifecycle and ANN paths
+      "q104_partitioned_lifecycle", "q117_ivfpq_search")
 
     // re-measure one section without paying for the others (the full run
     // is ~15 min; a BASELINE.md update usually touches one table):

@@ -237,7 +237,16 @@ object GraftExtensions {
   private def colsArg(e: Expression, name: String): Seq[String] =
     strArg(e, name).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  /** Ordered BPE merge list, `'l:r,l:r'` (rank order). */
+  /** Ordered BPE merge list, `'l:r,l:r'` (rank order). DELIMITER
+    * RESTRICTION: merge symbols containing ':' or ',' are not
+    * expressible through this SQL face (the spec string has no escape
+    * syntax — a symbol like ':' would be ambiguous against the
+    * delimiters, and the parse rejects it LOUDLY below). Such
+    * vocabularies exist (punctuation-heavy corpora learn ':'-bearing
+    * merges); train and encode them through the typed Scala API
+    * ([[graft.operators.Bpe.encodeCol]]), which takes the merge list
+    * structurally and has no delimiter at all.
+    */
   private def mergesArg(e: Expression): Seq[(String, String)] =
     strArg(e, "merges").split(",").map(_.trim).filter(_.nonEmpty)
       .map { m =>
@@ -1056,19 +1065,28 @@ object GraftExtensions {
           import org.apache.spark.sql.functions.lit
           val rules = strArg(spec, "rules").split(";").map(_.trim)
             .filter(_.nonEmpty).map { r =>
-              r.split(":").map(_.trim).toSeq match {
+              // 'matches' uses a BOUNDED split (limit 3): everything
+              // after the column name is the regex VERBATIM, so
+              // colon-bearing patterns like '^\d{2}:\d{2}$' work from
+              // SQL (ADVICE r9). Only the regex is not trimmed —
+              // whitespace can be syntactically significant in it.
+              val boundedMatches = r.split(":", 3).toSeq match {
+                case Seq(kw, c, re) if kw.trim == "matches" =>
+                  Some(Validation.Matches(c.trim, re))
+                case _ => None
+              }
+              boundedMatches.getOrElse(r.split(":").map(_.trim).toSeq match {
                 case Seq("not_null", c)       => Validation.NotNull(c)
                 case Seq("in_range", c, lo, hi) =>
                   Validation.InRange(c, lit(lo.toDouble), lit(hi.toDouble))
                 case Seq("in_set", c, vs) =>
                   Validation.InSet(c, vs.split("\\|").map(_.trim).toSeq)
-                case Seq("matches", c, re)    => Validation.Matches(c, re)
                 case Seq("unique", cs) =>
                   Validation.Unique(cs.split(",").map(_.trim).toSeq)
                 case other => throw new IllegalArgumentException(
                   s"unknown validation rule '$r' (parsed $other); " +
                     "fk_exists needs the typed Scala API")
-              }
+              })
             }.toSeq
           plan(Validation.report(tableArg(t, "table"), rules))
         case _ => throw new IllegalArgumentException(

@@ -27,6 +27,24 @@ object Bpe {
   /** Symbol-sequence sentinel (U+0001). */
   val SEP = "\u0001"
 
+  /** a < b in CODE POINT order — Spark's orderBy compares strings as
+    * UTF-8 bytes, which is exactly code-point order, while Java's
+    * String.compareTo is UTF-16 code-unit order (they diverge on
+    * supplementary characters). The chunked stop rule must see the
+    * same order the argmax tie-break used.
+    */
+  private def cpLess(a: String, b: String): Boolean = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      if (x(i) != y(i)) return x(i) < y(i)
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The (word, n) table — the one corpus-sized pass. Words split on
     * single spaces (pre-normalize the corpus upstream if it carries
     * other whitespace); empty tokens dropped.
@@ -72,14 +90,43 @@ object Bpe {
   /** Train `numMerges` merges over `docs`. Returns the ordered merge
     * table `(rank, left, right, pair_count)` — rank 0 is the first
     * merge learned; fewer rows come back iff the vocabulary runs out
-    * of adjacent pairs first. Each iteration is one aggregation over
-    * the vocabulary table, a driver-side argmax (one row), and one
-    * `replace` projection; the evolving table is localCheckpoint'ed so
-    * iteration i never replays iterations 0..i−1.
+    * of adjacent pairs first.
+    *
+    * Each ROUND is one pair-count aggregation over the vocabulary
+    * table, a driver-side top-`chunk` collect, and one multi-`replace`
+    * projection; the evolving table is localCheckpoint'ed per round so
+    * round i never replays rounds 0..i−1. Up to `chunk` merges are
+    * taken from ONE count pass — provably identical to the
+    * one-merge-per-pass loop (the q113 oracle re-runs that loop in SQL
+    * and must match bit for bit): candidates are consumed in argmax
+    * order and the round ENDS (a) before the first candidate that
+    * shares a symbol with a merge already applied this round (its
+    * count may have changed), (b) before the first candidate whose
+    * LEFT symbol sorts after any symbol created this round (a freshly
+    * created symbol s can seed a new pair (s, y) that TIES the
+    * candidate's count and wins the (count, left, right) tie-break;
+    * its generator (r, y) ranks above the candidate only when the
+    * count is strictly larger, so ties are invisible to rule (a) —
+    * BpeSpec's wide corpus catches exactly this), or (c) after
+    * applying a candidate whose concatenation equals a symbol some
+    * EARLIER ROUND created — the collision boosts pairs over that
+    * symbol, poisoning only later candidates' counts, so the
+    * colliding merge itself still applies and every round advances
+    * ≥1 merge. Under (a)+(b), every applied candidate's count is
+    * exact and no changed-or-created pair can outrank it: a strictly
+    * larger such pair implies a generator pair ranked above the
+    * candidate that would have tripped (a), and a tying one implies
+    * either that or a created symbol tripping (b). The applied prefix
+    * is therefore exactly the sequence the one-at-a-time loop picks.
+    * Round trips are bounded by numMerges and in practice are
+    * ~numMerges/chunk on natural corpora (adjacent argmaxes rarely
+    * interact); a 50k-merge training is ~50k/chunk aggregations, not
+    * 50k.
     */
   def train(docs: DataFrame, textCol: String,
-            numMerges: Int): DataFrame = {
+            numMerges: Int, chunk: Int = 8): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
     val spark = docs.sparkSession
     import spark.implicits._
     require(docs.filter(col(textCol).contains(SEP)).isEmpty,
@@ -89,19 +136,49 @@ object Bpe {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[
       (Int, String, String, Long)]()
+    // Every multi-char symbol is some merge's concatenation (initial
+    // symbols are single chars, and l+r is always ≥2 chars), so the
+    // driver knows the full collision universe for stop-rule (c)
+    // without touching the table.
+    val mergedSymbols = scala.collection.mutable.Set[String]()
     var done = false
     while (!done && merges.size < numMerges) {
+      val k = math.min(chunk, numMerges - merges.size)
       val top = pairCounts(wt)
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(k).collect()
       if (top.isEmpty) done = true
       else {
-        val (l, r, c) =
-          (top.head.getString(0), top.head.getString(1),
-            top.head.getLong(2))
-        merges += ((merges.size, l, r, c))
-        wt = wt.select(
-            replace(col("w"), lit(pat(l, r)), lit(rep(l, r))).as("w"),
+        val used = scala.collection.mutable.Set[String]()
+        val created = scala.collection.mutable.ArrayBuffer[String]()
+        val applied =
+          scala.collection.mutable.ArrayBuffer[(String, String)]()
+        var stopped = false
+        top.foreach { row =>
+          if (!stopped) {
+            val (l, r, c) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            if (used(l) || used(r) ||
+                created.exists(s => cpLess(s, l))) stopped = true
+            else {
+              // Safe per rules (a)+(b) → its count is exact and it is
+              // the true argmax at its turn, so apply — even on a
+              // collision (rule c), which only poisons the counts of
+              // LATER candidates (pairs over the colliding symbol gain
+              // occurrences), so it ends the round after applying
+              // rather than before. The first candidate always
+              // applies (both sets start empty) — no livelock.
+              val collides = mergedSymbols(l + r)
+              merges += ((merges.size, l, r, c))
+              applied += ((l, r))
+              used += l; used += r; used += (l + r)
+              created += (l + r)
+              mergedSymbols += (l + r)
+              if (collides) stopped = true
+            }
+          }
+        }
+        wt = wt.select(applyMerges(col("w"), applied.toSeq).as("w"),
             col("n"))
           .localCheckpoint()
       }
@@ -115,7 +192,11 @@ object Bpe {
     * corpus joins word → tokens — the corpus-sized step is a
     * dictionary join, not per-row merge application. Returns
     * `(idCol, tokens)` with each document's subword tokens in word
-    * order.
+    * order. Every distinct document id comes back exactly once:
+    * null/empty/whitespace-only texts — which the explode+join path
+    * drops — are restored by a left join against the id spine with an
+    * empty token array (ADVICE r9: a tokenizer that silently loses
+    * rows corrupts downstream corpus joins).
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
@@ -124,7 +205,7 @@ object Bpe {
       .filter(col("word") =!= "").distinct()
       .select(col("word"),
         symbols(applyMerges(wrapChars(col("word")), merges)).as("__toks"))
-    docs.select(col(idCol),
+    val toks = docs.select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("__p", "word")))
       .filter(col("word") =!= "")
       .join(dict, Seq("word"))
@@ -132,6 +213,10 @@ object Bpe {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__p"), col("__toks")))),
         x => x("__toks"))).as("tokens"))
+    docs.select(col(idCol)).distinct()
+      .join(toks, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), typedLit(Seq.empty[String])).as("tokens"))
   }
 
   /** Persist a trained model ([[train]]'s output frame) — one small

@@ -68,6 +68,15 @@ object SkewJoin {
     * dim-side match bookkeeping across branches and are rejected
     * loudly. Null fact keys ride the cold branch and behave exactly
     * as the plain join's (no match; preserved under left outer).
+    *
+    * DETERMINISM REQUIREMENT: the hot and cold branches are
+    * independent re-evaluations of `fact` (left_semi + left_anti), so
+    * the exactly-one-branch contract relies on the fact lineage being
+    * deterministic. A non-deterministic lineage — sampling, limit over
+    * ties, uuid/rand columns, a source mutating between jobs — can
+    * double-count or drop rows across the branches; persist() such a
+    * frame first. ([[joinSkewedAuto]] persists internally, since it
+    * adds further full evaluations for detection.)
     */
   def joinSkewed(fact: DataFrame, dim: DataFrame, key: String,
                  hot: DataFrame, joinType: String = "inner"): DataFrame = {
@@ -89,14 +98,28 @@ object SkewJoin {
     * exactly via the skew-tolerant count above). One extra
     * metadata-sized job; at 1000 executors the detection aggregate is
     * the cheap part of any join big enough to need this.
+    *
+    * The fact is PERSISTED (memory-and-disk): detection (count +
+    * hotKeys) plus the hot/cold branches make four evaluations of the
+    * same lineage, and persisting both saves the recomputation and
+    * pins one snapshot so a non-deterministic lineage can't route a
+    * row into zero or two branches (ADVICE r9). The count() detection
+    * needs anyway materializes the cache. The cache must outlive this
+    * call — the returned frame's branches read it at THEIR evaluation
+    * time — so it is deliberately not unpersisted here; call
+    * `fact.unpersist()` after consuming the result if the executor
+    * memory matters.
     */
   def joinSkewedAuto(fact: DataFrame, dim: DataFrame, key: String,
                      topN: Int = 64, minShare: Double = 0.001,
                      joinType: String = "inner"): DataFrame = {
     require(minShare > 0.0 && minShare <= 1.0,
       s"minShare must be in (0, 1], got $minShare")
-    val n = fact.count()
+    val cached = fact.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
     val floor = math.max(2L, math.ceil(n * minShare).toLong)
-    joinSkewed(fact, dim, key, hotKeys(fact, key, topN, floor), joinType)
+    joinSkewed(cached, dim, key, hotKeys(cached, key, topN, floor),
+      joinType)
   }
 }

@@ -236,22 +236,29 @@ object VideoContainers {
             perChunk <- findBox(b, sbS, sbE, "stsc")
               .flatMap { case (s, e) => parseStsc(b, s, e, chunkOffs.length) }
           } yield {
+            // Bounds are checked IN the walk, overflow-safely (ADVICE
+            // r10: a hostile co64 offset near 2^63 plus a stsz size
+            // wraps `off + size` negative, sneaking past a naive
+            // `off + size <= length` check into copyOfRange). Inside
+            // the ok-branch `off <= b.length - sz` holds with both
+            // operands small, so the accumulation can never overflow;
+            // once a sample falls outside the payload the rest of its
+            // chunk is unlocatable and stays dropped (sentinel -1 —
+            // a lying stsc/stco drops, never invents).
             val offs = new ArrayBuffer[Long](sizes.length)
             var sample = 0
             chunkOffs.indices.foreach { c =>
               var off = chunkOffs(c)
               var k = 0
               while (k < perChunk(c) && sample < sizes.length) {
-                offs += off
-                off += sizes(sample)
+                val sz = sizes(sample)
+                val ok = off >= 0 && sz >= 0 && off <= b.length - sz
+                offs += (if (ok) off else -1L)
+                off = if (ok) off + sz else -1L
                 sample += 1; k += 1
               }
             }
-            // keep only samples fully inside the payload (zip to the
-            // located prefix; a lying stsc/stco drops, never invents)
-            val n = offs.length
-            val keep = (0 until n).filter(i =>
-              offs(i) >= 0 && offs(i) + sizes(i) <= b.length)
+            val keep = offs.indices.filter(i => offs(i) >= 0)
             LocatedTrack(idx, codec, mdhdTimescale(b, mdS, mdE),
               keep.map(offs(_)), keep.map(sizes(_)))
           }
@@ -279,24 +286,50 @@ object VideoContainers {
       }
 
   /** Pack frames into a minimal MJPEG-profile MP4 (fixture writer,
-    * mirroring [[aviBytes]]): ftyp + mdat(frames, one chunk) +
-    * moov{mvhd, trak{mdia{mdhd, minf{stbl{stsd 'jpeg', stts, stsc,
-    * stsz, stco}}}}}. `delta` is per-frame duration in `timescale`
-    * units. Round-trips through [[mp4LocatedTracks]] /
-    * [[mp4MjpegFrames]] byte-exactly.
+    * mirroring [[aviBytes]]): ftyp + mdat(frames) + moov{mvhd,
+    * trak{mdia{mdhd, minf{stbl{stsd 'jpeg', stts, stsc, stsz,
+    * stco/co64}}}}}. `delta` is per-frame duration in `timescale`
+    * units. `chunkSizes` partitions the frames into mdat chunks
+    * (default: one chunk holding everything); consecutive equal
+    * per-chunk counts compress into stsc RUNS, so a layout like
+    * Seq(2, 2, 1) writes the multi-run stsc the location walk must
+    * expand. `useCo64` writes 64-bit chunk offsets instead of stco.
+    * Round-trips through [[mp4LocatedTracks]] / [[mp4MjpegFrames]]
+    * byte-exactly.
     */
   def mp4MjpegBytes(frames: Seq[Array[Byte]], timescale: Int,
-                    delta: Int): Array[Byte] = {
+                    delta: Int, chunkSizes: Seq[Int] = Nil,
+                    useCo64: Boolean = false): Array[Byte] = {
     val n = frames.length
+    val perChunk: Seq[Int] =
+      if (chunkSizes.nonEmpty) chunkSizes
+      else if (n == 0) Nil
+      else Seq(n)
+    require(perChunk.sum == n && perChunk.forall(_ > 0),
+      s"chunkSizes must partition the $n frames, got $perChunk")
+    val nChunks = perChunk.length
+    // (first_chunk 1-based, samples_per_chunk) runs, equal counts merged
+    val runs = perChunk.zipWithIndex
+      .foldLeft(List.empty[(Int, Int)]) { case (acc, (per, c)) =>
+        acc match {
+          case (_, p) :: _ if p == per => acc
+          case _                       => (c + 1, per) :: acc
+        }
+      }.reverse
     val mdatBody = frames.map(_.length).sum
     val mdat = 8 + mdatBody
     val mdatStart = 16L // after ftyp
+    // absolute offset of each chunk's first sample
+    val cumSize = frames.scanLeft(0L)((a, f) => a + f.length)
+    val firstSample = perChunk.scanLeft(0)(_ + _)
+    val chunkOffs =
+      (0 until nChunks).map(c => mdatStart + 8 + cumSize(firstSample(c)))
     val stsd = 8 + 8 + 16 // header + entry_count + minimal sample entry
     val stts = 8 + 8 + 8
-    val stsc = 8 + 8 + 12
+    val stsc = 8 + 8 + 12 * runs.length
     val stsz = 8 + 12 + 4 * n
-    val stco = 8 + 8 + 4
-    val stbl = 8 + stsd + stts + stsc + stsz + stco
+    val offBox = 8 + 8 + (if (useCo64) 8 else 4) * nChunks
+    val stbl = 8 + stsd + stts + stsc + stsz + offBox
     val minf = 8 + stbl
     val mdhd = 32
     val mdia = 8 + mdhd + minf
@@ -329,12 +362,18 @@ object VideoContainers {
     bb.putInt(stts); tag("stts")
     bb.putInt(0).putInt(1).putInt(n).putInt(delta)
     bb.putInt(stsc); tag("stsc")
-    bb.putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
+    bb.putInt(0).putInt(runs.length)
+    runs.foreach { case (first, per) =>
+      bb.putInt(first).putInt(per).putInt(1) // sample_description_index
+    }
     bb.putInt(stsz); tag("stsz")
     bb.putInt(0).putInt(0).putInt(n)
     frames.foreach(f => bb.putInt(f.length))
-    bb.putInt(stco); tag("stco")
-    bb.putInt(0).putInt(1).putInt((mdatStart + 8).toInt)
+    bb.putInt(offBox); tag(if (useCo64) "co64" else "stco")
+    bb.putInt(0).putInt(nChunks)
+    chunkOffs.foreach { o =>
+      if (useCo64) bb.putLong(o) else bb.putInt(o.toInt)
+    }
     bb.array()
   }
 

@@ -227,8 +227,9 @@ object Layout {
     * range, plus the total file count for skip-rate evidence. Files
     * holding nulls in a ranged dimension are conservatively kept (stats
     * cannot prove their rows miss; the row filter still excludes them).
-    * The collect is bounded by FILE count — manifest rows, never data
-    * rows.
+    * The collects are bounded by SURVIVORS — the kept files a caller is
+    * about to read plus one batch's unmanifested files — never by the
+    * manifest's total row count and never by data rows.
     *
     * STALENESS GUARD (ADVICE r7): the manifest is NOT the source of
     * truth — the data directory is. Data files present in the directory
@@ -252,16 +253,19 @@ object Layout {
                 col(s"min_${r.colName}") <= r.hi ||
                 col(s"nulls_${r.colName}") > 0)
     }
-    val manifested = m.select(col("file_name")).collect()
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
-      .toSet
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireFlatDir(fs, hp)
-    val unmanifested = fs.listStatus(hp).map(_.getPath)
+    val listed = fs.listStatus(hp).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
-      .filterNot(p => manifested.contains(p.getName))
-      .map(_.toString)
+    // staleness guard via the anti-join survivor helper: only the files
+    // the manifest has NEVER seen (one batch's worth) reach the driver,
+    // never the full manifest name set (VERDICT r10 — the last
+    // table-file-count-scaling collect in the layout layer)
+    val fresh =
+      unmanifestedNames(m, listed.map(_.getName).toIndexedSeq)
+    val unmanifested =
+      listed.filter(p => fresh.contains(p.getName)).map(_.toString)
     val files = (kept.select(col("file_name")).collect()
       .map(_.getString(0)) ++ unmanifested).toSeq.sorted
     (files, m.count() + unmanifested.length)

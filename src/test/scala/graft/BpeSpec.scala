@@ -75,6 +75,43 @@ class BpeSpec extends SparkSpec {
     assert(v("w") == 3L)     // only widest's leading w survives unmerged
   }
 
+  test("chunked candidate selection is merge-for-merge identical to " +
+       "the one-at-a-time loop, ties and shared symbols included") {
+    // three corpora stressing the chunk STOP rules: the classic corpus
+    // (adjacent argmaxes share symbols constantly), a tie-heavy one,
+    // and a wider pseudo-random one where disjoint candidates let the
+    // chunk actually batch
+    val tieHeavy = Seq(
+      (1L, "aaa aab abb bbb ab ba"),
+      (2L, "abc bcd cde abc abc bcd")).toDF("doc_id", "text")
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val wide = (0 until 40).map(i => (i.toLong,
+      Seq(words(i % 8), words((i * 3) % 8), words((i * 5 + 1) % 8))
+        .mkString(" "))).toDF("doc_id", "text")
+    Seq(corpus() -> "classic", tieHeavy -> "ties", wide -> "wide")
+      .foreach { case (c, label) =>
+        val one = Bpe.train(c, "text", numMerges = 10, chunk = 1)
+          .collect().map(_.toString).toSeq
+        val batched = Bpe.train(c, "text", numMerges = 10, chunk = 8)
+          .collect().map(_.toString).toSeq
+        assert(one == batched, s"corpus '$label' diverged under chunking")
+      }
+  }
+
+  test("encode preserves null/empty/whitespace-only docs with empty " +
+       "token arrays (ADVICE r9: a tokenizer must not lose rows)") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val docs = Seq((1L, "low low"), (2L, ""),
+      (3L, null.asInstanceOf[String]), (4L, "   "))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc.keySet == Set(1L, 2L, 3L, 4L))
+    assert(enc(1L) == Seq("low", "low"))
+    assert(enc(2L).isEmpty && enc(3L).isEmpty && enc(4L).isEmpty)
+  }
+
   test("overlapping runs merge left-to-right non-overlapping, " +
        "identically to any engine's literal replace") {
     // 'aaa': merging (a,a) gives [aa, a], never [a, aa] or [aa, aa]
@@ -105,9 +142,11 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     val viaDict = Bpe.encode(docs, "doc_id", "text", loaded)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    // the dictionary join drops empty docs (no words to join); the
-    // column face keeps them with empty token arrays
+    // both faces preserve empty docs with empty token arrays (the
+    // dictionary join restores them via the doc-id spine)
     assert(viaCol(12L) == Seq.empty[String])
+    assert(viaDict(12L) == Seq.empty[String])
+    assert(viaDict.keySet == viaCol.keySet)
     assert(viaDict.keySet.forall(k => viaCol(k) == viaDict(k)))
     assert(viaCol(10L) == Seq("low", "est", "n", "ew", "est"))
 

@@ -817,6 +817,21 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(sqlVal == scalaVal && sqlVal.size == 3)
 
+    // a colon-bearing regex is taken VERBATIM after the column name
+    // (bounded split, ADVICE r9) — '^\d:\d$' would otherwise be
+    // rejected as an unknown rule
+    val clocky = Seq((1L, "1:2"), (2L, "99")).toDF("id", "hm")
+    clocky.createOrReplaceTempView("sql_val_clock")
+    val sqlRe = spark.sql(
+      """SELECT * FROM graft_validate('sql_val_clock',
+        |  'matches:hm:^\\d:\\d$')""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(sqlRe == Validation.report(clocky, Seq(
+        Validation.Matches("hm", "^\\d:\\d$")))
+      .collect().map(_.toSeq).toSeq)
+    assert(sqlRe.size == 1 && sqlRe.head(2) == 1L,
+      "exactly the id=2 row fails the colon-bearing regex")
+
     Seq(1L, 3L).toDF("ref").createOrReplaceTempView("sql_val_dim")
     val sqlFk = spark.sql(
       """SELECT * FROM graft_validate_fk('sql_val_rows', 'id',

@@ -494,10 +494,11 @@ class LayoutSpec extends SparkSpec {
 
   test("known-file discovery is an anti-join plan — the full manifest " +
        "name set never reaches the driver (VERDICT r9)") {
-    // lookupByIds / updateManifest / delete discovery all subtract the
-    // manifest's names from the directory listing; that subtraction must
-    // be planned as a join against the manifest relation, with only the
-    // survivors (one batch's unmanifested files) collected.
+    // lookupByIds / updateManifest / delete discovery / pruneFiles'
+    // staleness guard (r11) all subtract the manifest's names from the
+    // directory listing; that subtraction must be planned as a join
+    // against the manifest relation, with only the survivors (one
+    // batch's unmanifested files) collected.
     val m = Seq.tabulate(50)(i => (i.toLong, s"file:/tmp/part-$i.parquet"))
       .toDF("n_rows", "file_name")
     val listed = (45 until 60).map(i => s"part-$i.parquet")

@@ -85,6 +85,21 @@ class SkewJoinSpec extends SparkSpec {
       topN = 8, minShare = 0.05)) == plain)
   }
 
+  test("joinSkewedAuto persists the fact: one snapshot feeds detection " +
+       "and both branches (ADVICE r9 determinism)") {
+    // earlier tests may have cached the same logical plan — start clean
+    spark.sharedState.cacheManager.clearCache()
+    val f = skewedFact()
+    assert(f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val out = SkewJoin.joinSkewedAuto(f, dim(), "k",
+      topN = 8, minShare = 0.05)
+    assert(f.storageLevel ==
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      "the fact must be pinned while the returned frame is live")
+    assert(canon(out) == canon(f.join(dim(), Seq("k"), "inner")))
+    f.unpersist()
+  }
+
   test("right and full outer joins are rejected loudly") {
     for (jt <- Seq("right", "right_outer", "full", "full_outer")) {
       val e = intercept[IllegalArgumentException] {

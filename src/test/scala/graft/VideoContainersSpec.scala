@@ -2,10 +2,32 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, VideoContainers}
+import graft.operators.{JpegCodec, Multimodal, VideoContainers}
 
 class VideoContainersSpec extends SparkSpec {
   import spark.implicits._
+
+  /** First index of a fourcc tag in b (the box body starts 4 bytes
+    * later), -1 if absent. */
+  private def tagIndex(b: Array[Byte], tag: String): Int = {
+    val t = tag.getBytes("US-ASCII")
+    var j = 0
+    while (j + 4 <= b.length) {
+      if (b(j) == t(0) && b(j + 1) == t(1) && b(j + 2) == t(2) &&
+          b(j + 3) == t(3)) return j
+      j += 1
+    }
+    -1
+  }
+
+  private def patchInt(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  private def patchLong(b: Array[Byte], i: Int, v: Long): Unit = {
+    patchInt(b, i, (v >>> 32).toInt); patchInt(b, i + 4, v.toInt)
+  }
 
   // ---- MP4 per-sample tables ---------------------------------------
 
@@ -140,6 +162,113 @@ class VideoContainersSpec extends SparkSpec {
         Seq((7L, broken)).toDF("doc_id", "payload"))
       .collect()
     assert(got.length == 1 && got.head.getInt(1) == 0)
+  }
+
+  // ---- MJPEG-in-MP4: sample location + decode ----------------------
+
+  test("mp4MjpegBytes round-trips through mp4LocatedTracks / " +
+       "mp4MjpegFrames byte-exactly, stco and co64 alike, and each " +
+       "slice decodes to real pixels") {
+    val frames = Seq(solidJpeg(32, 24, 0xc00000),
+      solidJpeg(32, 24, 0x00c000), solidJpeg(32, 24, 0x0000c0))
+    Seq(false, true).foreach { co64 =>
+      val b = VideoContainers.mp4MjpegBytes(frames, 600, 100,
+        chunkSizes = Seq(2, 1), useCo64 = co64)
+      val tracks = VideoContainers.mp4LocatedTracks(b)
+      assert(tracks.isDefined && tracks.get.length == 1, s"co64=$co64")
+      val t = tracks.get.head
+      assert(t.codec == "jpeg" && t.timescale == 600L, s"co64=$co64")
+      assert(t.sizes.map(_.toInt) == frames.map(_.length), s"co64=$co64")
+      val got = VideoContainers.mp4MjpegFrames(b)
+      assert(got.length == 3, s"co64=$co64")
+      got.zip(frames).zipWithIndex.foreach { case (((trk, f, bytes), want), i) =>
+        assert(trk == 0 && f == i && bytes.toSeq == want.toSeq,
+          s"co64=$co64 frame=$i")
+        val img = JpegCodec.decode(bytes)
+        assert(img.exists(x => x.width == 32 && x.height == 24),
+          s"co64=$co64 frame=$i must decode to pixels")
+      }
+    }
+  }
+
+  test("stsc multi-run expansion maps every sample to its chunk: " +
+       "distinct per-chunk counts, distinct frame sizes, byte-exact " +
+       "slices") {
+    // chunks of (1, 2, 3) samples → three stsc runs; frame sizes all
+    // differ, so any run mis-expansion shifts an offset and breaks the
+    // content equality below
+    val frames = (0 until 6).map(i =>
+      Array.tabulate[Byte](10 + 3 * i)(j => (i * 16 + j).toByte))
+    val b = VideoContainers.mp4MjpegBytes(frames, 90000, 3000,
+      chunkSizes = Seq(1, 2, 3))
+    val t = VideoContainers.mp4LocatedTracks(b).get.head
+    assert(t.offsets.length == 6 && t.sizes.map(_.toInt) == frames.map(_.length))
+    VideoContainers.mp4MjpegFrames(b).zip(frames).foreach {
+      case ((_, _, bytes), want) => assert(bytes.toSeq == want.toSeq)
+    }
+  }
+
+  test("a forged stsz size past the payload drops that sample and the " +
+       "rest of its chunk chain, never throws") {
+    val frames = (0 until 4).map(i => Array.fill[Byte](40)((i + 1).toByte))
+    val b = VideoContainers.mp4MjpegBytes(frames, 600, 100)
+    val p = tagIndex(b, "stsz")
+    assert(p > 0)
+    // stsz body: version/flags, const, count, then sizes — frame 1's
+    // entry sits at body+16
+    patchInt(b, p + 4 + 16, 0x7fffffff)
+    val t = VideoContainers.mp4LocatedTracks(b).get.head
+    assert(t.offsets.length == 1,
+      "only the frame before the forged size is locatable")
+    val got = VideoContainers.mp4MjpegFrames(b)
+    assert(got.length == 1 && got.head._3.toSeq == frames.head.toSeq)
+  }
+
+  test("a hostile co64 offset near 2^63 cannot overflow past the " +
+       "bounds check (ADVICE r10)") {
+    val frames = (0 until 2).map(i => Array.fill[Byte](40)((i + 1).toByte))
+    val b = VideoContainers.mp4MjpegBytes(frames, 600, 100,
+      useCo64 = true)
+    val p = tagIndex(b, "co64")
+    assert(p > 0)
+    // co64 body: version/flags, count, then u64 offsets — patch the
+    // one chunk offset so offset + size wraps Long if added naively
+    patchLong(b, p + 4 + 8, 0x7ffffffffffffff0L)
+    val t = VideoContainers.mp4LocatedTracks(b).get.head
+    assert(t.offsets.isEmpty, "no sample may locate past the payload")
+    assert(VideoContainers.mp4MjpegFrames(b).isEmpty)
+  }
+
+  test("a forged stsz sample count past the allocation ceiling drops " +
+       "the track, not the JVM") {
+    val frames = Seq(Array.fill[Byte](24)(7.toByte))
+    val b = VideoContainers.mp4MjpegBytes(frames, 600, 100)
+    val p = tagIndex(b, "stsz")
+    patchInt(b, p + 4 + 8, 0x7fffffff) // sample count at body+8
+    val tracks = VideoContainers.mp4LocatedTracks(b)
+    assert(tracks.isDefined && tracks.get.isEmpty)
+    assert(VideoContainers.mp4MjpegFrames(b).isEmpty)
+    // and plain hostile payloads: None / empty, never a throw
+    assert(VideoContainers.mp4LocatedTracks(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoContainers.mp4MjpegFrames(Array.fill[Byte](64)(0)).isEmpty)
+  }
+
+  test("mjpegMp4FrameTable reproduces the q118 synthesizer arithmetic " +
+       "frame for frame") {
+    val ids = Seq(0L, 1L, 4L, 7L)
+    val rows = Multimodal.mjpegMp4FrameTable(
+        Multimodal.withMjpegMp4Column(ids.toDF("doc_id"), "doc_id"))
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    val want = ids.flatMap { id =>
+      (0 until (1 + id % 5).toInt).map { f =>
+        val sz = (20 + 2 * ((id * 7 + f * 3) % 40)).toInt
+        val sum = (0 until sz).map(i => (id + f + i) % 251).sum
+        (id, 0, f, sz.toLong, sum)
+      }
+    }
+    assert(rows.toSeq == want)
   }
 
   test("detectMeta sniffs AVI containers: walked frame count, not the " +
