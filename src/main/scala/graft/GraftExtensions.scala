@@ -130,6 +130,14 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    (BUILD-style receipts; see [[graft.operators.Tombstones]])
   *  - `graft_wav_features(table)` — per-channel PCM energy rows over
   *    WAV payloads ([[graft.operators.Multimodal.wavChannelFeatures]])
+  *  - `graft_mp4_frames(table)` — per-frame size/duration rows from
+  *    MP4 stts/stsz sample tables
+  *    ([[graft.operators.Multimodal.mp4FrameTable]])
+  *  - `graft_mjpeg_mp4_frames(table)` — located MJPEG-in-MP4 samples
+  *    with byte sizes and unsigned byte sums
+  *    ([[graft.operators.Multimodal.mjpegMp4FrameTable]])
+  *  - `graft_avi_frames(table)` — AVI/MJPEG frames decoded to pixel
+  *    features ([[graft.operators.Multimodal.aviFrameFeatures]])
   *  - `graft_zorder_write(table, dataPath, 'd1,d2[,d3…]', files)` (or
   *    legacy `(table, dataPath, colA, colB, files)`) — Z-order
   *    clustered parquet write ([[graft.sources.Layout.writeZOrdered]];
@@ -765,6 +773,38 @@ object GraftExtensions {
             tableArg(t, "table")))
         case _ => throw new IllegalArgumentException(
           "graft_wav_features(table) — table needs doc_id + payload columns")
+      }),
+    // multimodal: MP4 per-frame sample accounting (sizes + durations)
+    (new FunctionIdentifier("graft_mp4_frames"),
+      new ExpressionInfo("graft.operators.Multimodal", "graft_mp4_frames"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          plan(graft.operators.Multimodal.mp4FrameTable(
+            tableArg(t, "table")))
+        case _ => throw new IllegalArgumentException(
+          "graft_mp4_frames(table) — table needs doc_id + payload columns")
+      }),
+    // multimodal: located MJPEG-in-MP4 samples (sizes + byte sums)
+    (new FunctionIdentifier("graft_mjpeg_mp4_frames"),
+      new ExpressionInfo("graft.operators.Multimodal",
+        "graft_mjpeg_mp4_frames"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          plan(graft.operators.Multimodal.mjpegMp4FrameTable(
+            tableArg(t, "table")))
+        case _ => throw new IllegalArgumentException(
+          "graft_mjpeg_mp4_frames(table) — table needs doc_id + payload " +
+            "columns")
+      }),
+    // multimodal: AVI/MJPEG frames decoded to pixel features
+    (new FunctionIdentifier("graft_avi_frames"),
+      new ExpressionInfo("graft.operators.Multimodal", "graft_avi_frames"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          plan(graft.operators.Multimodal.aviFrameFeatures(
+            tableArg(t, "table")))
+        case _ => throw new IllegalArgumentException(
+          "graft_avi_frames(table) — table needs doc_id + payload columns")
       }),
     // layout family (graft.sources.Layout) — write/update are BUILD-style
     // operators like graft_dedup_corpus: their jobs run while the SQL is

@@ -19,7 +19,11 @@ object PlanAudit {
         // round-9 headliners: the hot/cold split join, the one-pass
         // validation aggregate, PQ and IVF-PQ search, sessionization
         "q105_skew_join", "q106_validation", "q108_pq_search",
-        "q109_sessionize", "q117_ivfpq_search")
+        "q109_sessionize", "q117_ivfpq_search",
+        // round-11: BPE training's per-round count pass feeds a
+        // chunked argmax; MJPEG-in-MP4 location is a mapPartitions
+        // binary parse whose scan must prune to doc_id only
+        "q113_bpe_train", "q118_mjpeg_mp4")
     val spark = graft.engine.Tables.session("local[4]", 4)
     names.foreach { n =>
       println(s"\n================ $n ================")

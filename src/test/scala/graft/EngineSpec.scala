@@ -592,6 +592,34 @@ class EngineSpec extends SparkSpec {
       rows(Multimodal.wavChannelFeatures(media)
         .orderBy("doc_id", "channel")) && rows(wSql).nonEmpty)
 
+    // video family SQL faces: each row-identical to its Scala twin
+    val mp4Media = Multimodal.withMp4SampleColumn(
+      Seq(3L, 9L).toDF("doc_id"), "doc_id")
+    mp4Media.createOrReplaceTempView("sql_mp4_media")
+    val mSql = spark.sql(
+      "SELECT * FROM graft_mp4_frames('sql_mp4_media') " +
+        "ORDER BY doc_id, frame_idx")
+    assert(rows(mSql) == rows(Multimodal.mp4FrameTable(mp4Media)
+      .orderBy("doc_id", "frame_idx")) && rows(mSql).nonEmpty)
+
+    val mjMedia = Multimodal.withMjpegMp4Column(
+      Seq(2L, 5L).toDF("doc_id"), "doc_id")
+    mjMedia.createOrReplaceTempView("sql_mjpeg_media")
+    val mjSql = spark.sql(
+      "SELECT * FROM graft_mjpeg_mp4_frames('sql_mjpeg_media') " +
+        "ORDER BY doc_id, frame_idx")
+    assert(rows(mjSql) == rows(Multimodal.mjpegMp4FrameTable(mjMedia)
+      .orderBy("doc_id", "frame_idx")) && rows(mjSql).nonEmpty)
+
+    val aviMedia = Multimodal.withAviColumn(
+      Seq(1L, 4L).toDF("doc_id"), "doc_id")
+    aviMedia.createOrReplaceTempView("sql_avi_media")
+    // synthesized AVI frames are filler, not JPEGs — the face must
+    // plan and return the (empty) decodable-frame set, not throw
+    val aSql = spark.sql(
+      "SELECT * FROM graft_avi_frames('sql_avi_media')")
+    assert(rows(aSql) == rows(Multimodal.aviFrameFeatures(aviMedia)))
+
     // 3-dim zorder write via the comma-list form + pruned read over it
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     li.createOrReplaceTempView("sql_ts_li")
