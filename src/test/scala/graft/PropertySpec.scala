@@ -85,4 +85,28 @@ class PropertySpec extends SparkSpec {
     assert(stats.getDouble(1) <= stats.getDouble(0)
       && stats.getDouble(0) <= stats.getDouble(2))
   }
+
+  test("BPE chunked training equals the one-at-a-time loop on random " +
+       "tiny-alphabet corpora (the adversarial regime for the chunk " +
+       "stop rules: dense ties, shared symbols, symbol collisions)") {
+    // tiny alphabet + short words maximize pair-count ties and the
+    // chance a candidate's concatenation collides with an existing
+    // symbol — exactly the cases the disjointness/tie/collision stop
+    // rules must catch. Each case is 2 Spark trainings, so keep the
+    // sample count modest; seeds make failures reproducible.
+    val word = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, doc))
+    samples(corpus, n = 12).zipWithIndex.foreach { case (docs, i) =>
+      val df = docs.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val one = graft.operators.Bpe.train(df, "text", numMerges = 8,
+        chunk = 1).collect().map(_.toString).toSeq
+      val batched = graft.operators.Bpe.train(df, "text", numMerges = 8,
+        chunk = 8).collect().map(_.toString).toSeq
+      assert(one == batched, s"seed=$i corpus=$docs")
+    }
+  }
 }
