@@ -1036,6 +1036,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(spark.read.json(s"$tmp/json").count() == 2)
   }
 
+  test("sinks: html table report — headers in order, escaped cells, " +
+       "empty nulls, loud failure past the presentation-size cap") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("<b>Noise</b> & \"loud\""), Option(10L)),
+      (Option.empty[String], Option(5L)))
+      .toDF("Complaint Type", "Total Count")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_html").toString
+    Sinks.writeHtml(df, s"$tmp/report.html", title = "Totals <2024>")
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/report.html")), "UTF-8")
+    assert(html.contains("<th>Complaint Type</th><th>Total Count</th>"),
+      "header row must keep declared column order")
+    assert(html.contains(
+      "<td>&lt;b&gt;Noise&lt;/b&gt; &amp; &quot;loud&quot;</td>"),
+      "cell values must be HTML-escaped")
+    assert(html.contains("<td></td><td>5</td>"), "nulls render empty")
+    assert(html.contains("<h1>Totals &lt;2024&gt;</h1>"))
+    assert(!html.contains("<b>Noise"), "raw markup must never pass through")
+    // presentation-size contract: too many rows fails loudly, never
+    // truncates silently
+    val big = spark.range(0, 50).toDF("n")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeHtml(big, s"$tmp/big.html", maxRows = 10)
+    }
+    assert(e.getMessage.contains("presentation-sized"))
+  }
+
   test("WavCodec: PCM decode exact on a hand-computed fixture; truncation, fallback, hostile bytes") {
     import Multimodal.{WavCodec, FakeCodec}
     import spark.implicits._
