@@ -2388,8 +2388,13 @@ object SparkEntry {
 
   // The true all-pairs word-3-gram Jaccard pair set over documents —
   // shared by q19 (pair listing) and q37 (the component step above it).
+  // sh/j (and the e edge list built over them) are MATERIALIZED: j is
+  // the all-pairs jaccard join — the oracle's one genuinely expensive
+  // term — and inlining re-evaluates it per reference (twice under e's
+  // UNION ALL, and per ITERATION when a recursive CTE walks the edges:
+  // q81 measured 46 s -> 15 s at sf0.01 from this one change).
   private val q19PairsCte: String =
-    """sh AS (
+    """sh AS MATERIALIZED (
       |  SELECT doc_id,
       |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
       |         generate_series(1, len(toks) - 2),
@@ -2398,7 +2403,7 @@ object SparkEntry {
       |       ELSE [] END AS sh
       |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
       |        FROM documents)
-      |), j AS (
+      |), j AS MATERIALIZED (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
       |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
       |    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -2413,7 +2418,7 @@ object SparkEntry {
   // representative the engine's min-label-propagation fixpoint computes.
   private def q37OracleSql: String =
     s"""WITH RECURSIVE $q19PairsCte,
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.8
        |  UNION ALL
        |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
@@ -3595,7 +3600,7 @@ object SparkEntry {
     // the cluster min, carrying the absorbed-duplicate count
     "q81_dedup_survivors" ->
       s"""WITH RECURSIVE $q19PairsCte,
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.8
          |  UNION ALL
          |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
