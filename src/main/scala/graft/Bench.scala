@@ -159,12 +159,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","plans":$ps,"stages":$ss}""")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    // Locale-proof number formatting: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE, fr_FR) would
+    // render 124,883 — invalid JSON in the one line whose whole job is
+    // to always parse. Locale.ROOT pins the dot.
+    def j3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val slow = results.toSeq.sortBy(-_._2).take(8)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val csShort = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val csShort = canaries.map(j3).mkString("[", ",", "]")
     val summaryLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n":${results.size},"canary":$csShort,"slowest":$slow,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"canary":$csShort,"slowest":$slow,"detail":"bench_out.json"}"""
     require(summaryLine.length <= 1500,
       s"bench summary line is ${summaryLine.length} bytes; must fit a 2000-char tail")
     println(summaryLine)

@@ -1090,9 +1090,13 @@ object GraftExtensions {
       new ExpressionInfo("graft.operators.SkewJoin", "graft_skew_join"),
       (args: Seq[Expression]) => args match {
         case Seq(f, d, key, topN) =>
+          // persistFact = false: the named table is file/catalog-backed
+          // (a deterministic snapshot), and SQL callers hold no frame
+          // handle to ever unpersist — a long-lived session would pin
+          // one cached fact copy per distinct plan forever
           plan(graft.operators.SkewJoin.joinSkewedAuto(
             tableArg(f, "fact"), tableArg(d, "dim"), strArg(key, "key"),
-            intArg(topN, "topN")))
+            intArg(topN, "topN"), persistFact = false))
         case _ => throw new IllegalArgumentException(
           "graft_skew_join(fact, dim, key, topN)")
       }),
@@ -1112,6 +1116,12 @@ object GraftExtensions {
               // whitespace can be syntactically significant in it.
               val boundedMatches = r.split(":", 3).toSeq match {
                 case Seq(kw, c, re) if kw.trim == "matches" =>
+                  // an empty regex (trailing-colon typo) would build a
+                  // rule rlike("") that matches EVERYTHING — a silent
+                  // always-pass where the gate must fail loudly
+                  if (re.isEmpty) throw new IllegalArgumentException(
+                    s"validation rule '$r' has an empty regex — " +
+                      "matches:col:<regex> needs a non-empty pattern")
                   Some(Validation.Matches(c.trim, re))
                 case _ => None
               }

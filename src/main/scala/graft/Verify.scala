@@ -21,7 +21,10 @@ import java.nio.file.{Files, Paths}
   * complete artifact for everything attempted — partial credit must never
   * round down to `{}`. Queries are attempted in ascending measured-cost
   * order (cheapest first, from the committed r9 bench) so a tight budget
-  * still covers the bulk of the suite. Set it to 0 or negative to disable.
+  * still covers the bulk of the suite. Set 0/negative or
+  * off/none/unlimited/disable to disable; any other non-numeric value
+  * fails loudly at startup (a typo silently coerced to the default could
+  * quietly skip the lifecycle tail).
   *
   * Extra args after (sfDir, outDir) restrict the dump to the named
   * queries — a dev-loop convenience (single-query oracle checks via
@@ -35,9 +38,23 @@ object Verify {
     val only: String => Boolean =
       if (names.isEmpty) _ => true else names.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val budgetSec = sys.env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .orElse(Some(1200.0)).filter(_ > 0)
+    // strict parse, loud failure AT STARTUP (before any Spark work):
+    // a typo'd budget silently coerced to the default could quietly
+    // skip the lifecycle tail on a slow run — misconfiguration must
+    // error, and erroring in the first second is the loud version
+    val budgetSec: Option[Double] =
+      sys.env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC") match {
+        case None => Some(1200.0)
+        case Some(s) if Set("off", "none", "unlimited", "disable")
+          .contains(s.trim.toLowerCase) => None
+        case Some(s) => scala.util.Try(s.trim.toDouble).toOption match {
+          case Some(v) if v > 0 => Some(v)
+          case Some(_)          => None // 0/negative = explicit disable
+          case None => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_VERIFY_BUDGET_SEC='$s' is not a number — " +
+              "use seconds, 0/negative to disable, or off/none/unlimited")
+        }
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -194,9 +194,11 @@ object Bpe {
     * `(idCol, tokens)` with each document's subword tokens in word
     * order. Every distinct document id comes back exactly once:
     * null/empty/whitespace-only texts — which the explode+join path
-    * drops — are restored by a left join against the id spine with an
-    * empty token array (ADVICE r9: a tokenizer that silently loses
-    * rows corrupts downstream corpus joins).
+    * drops — are restored by a null-safe left join against the id
+    * spine with an empty token array (ADVICE r9: a tokenizer that
+    * silently loses rows corrupts downstream corpus joins). A null id
+    * is a key like any other: its group's real tokens survive the
+    * spine join (`<=>`, not `=`).
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
@@ -213,10 +215,15 @@ object Bpe {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__p"), col("__toks")))),
         x => x("__toks"))).as("tokens"))
-    docs.select(col(idCol)).distinct()
-      .join(toks, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("tokens"), typedLit(Seq.empty[String])).as("tokens"))
+    // null-SAFE spine join (<=>): a plain equi-join would never match a
+    // null doc id, silently swapping that group's real tokens for [] —
+    // the exact row-corruption this spine exists to prevent
+    val spine = docs.select(col(idCol)).distinct().as("__s")
+    spine.join(toks.as("__t"),
+        col(s"__s.$idCol") <=> col(s"__t.$idCol"), "left")
+      .select(col(s"__s.$idCol").as(idCol),
+        coalesce(col("__t.tokens"), typedLit(Seq.empty[String]))
+          .as("tokens"))
   }
 
   /** Persist a trained model ([[train]]'s output frame) — one small

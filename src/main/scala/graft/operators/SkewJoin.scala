@@ -99,24 +99,32 @@ object SkewJoin {
     * metadata-sized job; at 1000 executors the detection aggregate is
     * the cheap part of any join big enough to need this.
     *
-    * The fact is PERSISTED (memory-and-disk): detection (count +
-    * hotKeys) plus the hot/cold branches make four evaluations of the
-    * same lineage, and persisting both saves the recomputation and
-    * pins one snapshot so a non-deterministic lineage can't route a
-    * row into zero or two branches (ADVICE r9). The count() detection
-    * needs anyway materializes the cache. The cache must outlive this
-    * call — the returned frame's branches read it at THEIR evaluation
-    * time — so it is deliberately not unpersisted here; call
-    * `fact.unpersist()` after consuming the result if the executor
-    * memory matters.
+    * With `persistFact` (the default) the fact is PERSISTED
+    * (memory-and-disk): detection (count + hotKeys) plus the hot/cold
+    * branches make four evaluations of the same lineage, and
+    * persisting both saves the recomputation and pins one snapshot so
+    * a non-deterministic lineage can't route a row into zero or two
+    * branches (ADVICE r9). The count() detection needs anyway
+    * materializes the cache. The cache must outlive this call — the
+    * returned frame's branches read it at THEIR evaluation time — so
+    * it is deliberately not unpersisted here; call `fact.unpersist()`
+    * after consuming the result if the executor memory matters. Pass
+    * `persistFact = false` when the fact's lineage is already a
+    * deterministic snapshot AND the caller has no handle to unpersist
+    * — the SQL face does (its named tables are file/catalog-backed),
+    * since a long-lived SQL session would otherwise pin one cached
+    * copy per distinct fact plan forever.
     */
   def joinSkewedAuto(fact: DataFrame, dim: DataFrame, key: String,
                      topN: Int = 64, minShare: Double = 0.001,
-                     joinType: String = "inner"): DataFrame = {
+                     joinType: String = "inner",
+                     persistFact: Boolean = true): DataFrame = {
     require(minShare > 0.0 && minShare <= 1.0,
       s"minShare must be in (0, 1], got $minShare")
-    val cached = fact.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached =
+      if (persistFact)
+        fact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fact
     val n = cached.count()
     val floor = math.max(2L, math.ceil(n * minShare).toLong)
     joinSkewed(cached, dim, key, hotKeys(cached, key, topN, floor),

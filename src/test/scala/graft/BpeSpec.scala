@@ -112,6 +112,20 @@ class BpeSpec extends SparkSpec {
     assert(enc(2L).isEmpty && enc(3L).isEmpty && enc(4L).isEmpty)
   }
 
+  test("encode: a NULL doc id with real text keeps its real tokens " +
+       "through the null-safe spine join") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val docs = Seq((Option(1L), "low"), (Option.empty[Long], "low low"))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getSeq[String](1))).toMap
+    assert(enc(Some(1L)) == Seq("low"))
+    assert(enc(None) == Seq("low", "low"),
+      "a plain equi-join would silently blank the null-id group")
+  }
+
   test("overlapping runs merge left-to-right non-overlapping, " +
        "identically to any engine's literal replace") {
     // 'aaa': merging (a,a) gives [aa, a], never [a, aa] or [aa, aa]

@@ -859,6 +859,15 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq)
     assert(sqlRe.size == 1 && sqlRe.head(2) == 1L,
       "exactly the id=2 row fails the colon-bearing regex")
+    // a trailing-colon typo (empty regex) must fail loudly, never build
+    // an always-pass rlike("") rule
+    val emptyRe = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_validate('sql_val_clock', 'matches:hm:')")
+        .collect()
+    }
+    assert(emptyRe.getMessage.contains("empty regex") ||
+      Option(emptyRe.getCause).exists(_.getMessage.contains("empty regex")))
 
     Seq(1L, 3L).toDF("ref").createOrReplaceTempView("sql_val_dim")
     val sqlFk = spark.sql(
