@@ -1052,12 +1052,72 @@ object Layout {
     // computed once, lineage cut: the per-leaf loop must see one
     // consistent delete set even from a non-deterministic source
     val idv = ids.localCheckpoint()
-    leaves(fs, rp).map { case (leaf, _, _) =>
-      val scratch = root.stripSuffix("/") + "/_delete/" + leaf
-      deleteRetainingAt(spark, root.stripSuffix("/") + "/" + leaf,
-        partitionManifestPath(root, leaf),
-        scratch + "__staged", scratch + "__retired",
-        dims, idCol, idv, vault = None)
-    }.sum
+    val all = leaves(fs, rp)
+    if (all.isEmpty) return 0
+    // LEAF PRE-PRUNING: even a no-op leaf costs its own manifest read
+    // + candidate join + staleness anti-join (3–4 Spark jobs) inside
+    // deleteRetainingAt, so a takedown touching one leaf of a
+    // 1000-partition table would pay ~minutes of serial no-op work.
+    // ONE union read over every leaf manifest decides which leaves can
+    // possibly hold a doomed id (per-file [min,max]/null stats — the
+    // same test the per-leaf path applies), in two Spark jobs total.
+    // Conservative set, never row-losing: a leaf is processed if its
+    // stats hit, if it has NO manifest, or if its directory holds any
+    // file the manifest has never seen (a stale manifest may only cost
+    // skipped pruning, never a missed delete — the same invariant as
+    // pruned reads). The listing side is driver-resident (it came from
+    // fs.listStatus, as in updateManifest); only survivor LEAF names
+    // are collected.
+    val rootStr = root.stripSuffix("/")
+    val withManifest = all.map(_._1).filter(leaf =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        partitionManifestPath(root, leaf))))
+    val noManifest = all.map(_._1).toSet -- withManifest
+    val (hitLeaves, staleLeaves) =
+      if (withManifest.isEmpty) (Set.empty[String], Set.empty[String])
+      else {
+        val m = spark.read.parquet(
+          withManifest.map(l => partitionManifestPath(root, l)): _*)
+        val del = idv.select(col(idCol).as("__del")).distinct()
+        val hits = m.join(broadcast(del),
+            (col("__del") >= col(s"min_$idCol") &&
+             col("__del") <= col(s"max_$idCol")) ||
+            (col("__del").isNull && col(s"nulls_$idCol") > 0),
+            "left_semi")
+          .select(element_at(split(col("file_name"), "/"), -2)
+            .as("__leaf"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val listed = withManifest.flatMap { leaf =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$rootStr/$leaf"))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .map(p => (leaf, p.getName))
+        }
+        val stale =
+          if (listed.isEmpty) Set.empty[String]
+          else {
+            import spark.implicits._
+            listed.toDF("__leaf", "__name")
+              .join(m.select(
+                  element_at(split(col("file_name"), "/"), -2)
+                    .as("__mleaf"),
+                  element_at(split(col("file_name"), "/"), -1)
+                    .as("__mname")),
+                col("__leaf") === col("__mleaf") &&
+                  col("__name") === col("__mname"),
+                "left_anti")
+              .select(col("__leaf")).distinct()
+              .collect().map(_.getString(0)).toSet
+          }
+        (hits, stale)
+      }
+    all.map(_._1)
+      .filter(l => noManifest(l) || hitLeaves(l) || staleLeaves(l))
+      .map { leaf =>
+        val scratch = rootStr + "/_delete/" + leaf
+        deleteRetainingAt(spark, rootStr + "/" + leaf,
+          partitionManifestPath(root, leaf),
+          scratch + "__staged", scratch + "__retired",
+          dims, idCol, idv, vault = None)
+      }.sum
   }
 }

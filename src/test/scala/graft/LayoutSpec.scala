@@ -989,4 +989,37 @@ class LayoutSpec extends SparkSpec {
       !col("l_partkey").isin(doomedSet.toSeq: _*)).count()
     assert(got == want)
   }
+
+  test("deleteByIdsPartitioned leaf pre-pruning is staleness-safe: a " +
+       "doomed id living ONLY in an unmanifested file of a stats-" +
+       "missing leaf is still deleted") {
+    import spark.implicits._
+    val dims = Seq("l_shipdate", "l_partkey")
+    val root = tmpDir("partdelstale")
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_partkey") <= 50L)
+    Layout.writeZOrderedPartitioned(base, root, "l_returnflag", dims,
+      files = 6)
+    Layout.updateManifestPartitioned(spark, root, dims)
+    // land a fresh batch in ONE leaf with partkeys far outside every
+    // manifested file's stats, WITHOUT refreshing that leaf's manifest
+    // — the leaf's stats now exclude the doomed ids, so only the
+    // unmanifested-file guard can route the delete there
+    val leaf = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+      .map(_.getName).sorted.head
+    val fresh = base.limit(3)
+      .withColumn("l_partkey", col("l_partkey") + 100000L)
+    fresh.write.mode("append").parquet(s"$root/$leaf")
+    val freshKeys = fresh.select(col("l_partkey")).distinct()
+      .as[Long].collect().toSet
+    val n = Layout.deleteByIdsPartitioned(spark, root, dims, "l_partkey",
+      freshKeys.toSeq.toDF("l_partkey"))
+    assert(n >= 1, "the stale leaf must be processed, not stats-skipped")
+    val after = spark.read.parquet(root)
+    assert(after.filter(col("l_partkey") >= 100000L).count() == 0,
+      "unmanifested rows outside every manifest's stats must still die")
+    assert(after.count() == base.count(),
+      "exactly the appended fresh rows are gone — base rows intact")
+  }
 }
