@@ -673,6 +673,58 @@ object Layout {
   private def unmanifestedNames(m: DataFrame, listed: Seq[String]): Set[String] =
     unmanifestedNamesPlan(m, listed).collect().map(_.getString(0)).toSet
 
+  // ---- partitioned-table helpers: ONE global pass over every leaf's
+  // manifest instead of per-leaf Spark jobs (r11: updateManifest /
+  // prunedRead / delete each ran 1-4 jobs per leaf even for untouched
+  // leaves, so any operation on a 1000-partition table paid minutes of
+  // serial no-op work; these make the job count O(touched), with
+  // driver-resident listings — one RPC per leaf — as the only
+  // per-leaf cost, the same accepted cost as the flat listing path).
+
+  /** Union frame of the given leaves' manifests, each row tagged with
+    * its leaf name (`__leaf`, the `k=v` path component of file_name). */
+  private def leafManifests(spark: SparkSession, root: String,
+                            ls: Seq[String]): DataFrame =
+    spark.read.parquet(
+        ls.map(l => partitionManifestPath(root, l)): _*)
+      .withColumn("__leaf",
+        element_at(split(col("file_name"), "/"), -2))
+
+  /** (leaf, basename, fullPath) of every data file under the given
+    * leaves; each leaf's flat-dir invariant checked like every flat
+    * listing here. */
+  private def listLeafFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: String, ls: Seq[String])
+      : Seq[(String, String, String)] =
+    ls.flatMap { leaf =>
+      val lp = new org.apache.hadoop.fs.Path(
+        root.stripSuffix("/") + "/" + leaf)
+      requireFlatDir(fs, lp)
+      fs.listStatus(lp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => (leaf, p.getName, p.toString))
+    }
+
+  /** The listed (leaf, basename, path) triples whose leaf's manifest
+    * has never seen them — one global anti-join on (leaf, basename);
+    * only the survivors reach the driver. */
+  private def unmanifestedLeafFiles(m: DataFrame,
+      listed: Seq[(String, String, String)])
+      : Seq[(String, String, String)] = {
+    if (listed.isEmpty) return Nil
+    val spark = m.sparkSession
+    import spark.implicits._
+    val byKey = listed.map(t => (t._1, t._2) -> t._3).toMap
+    listed.map(t => (t._1, t._2)).toDF("__lleaf", "__lname")
+      .join(m.select(col("__leaf").as("__mleaf"),
+          element_at(split(col("file_name"), "/"), -1).as("__mname")),
+        col("__lleaf") === col("__mleaf") &&
+          col("__lname") === col("__mname"),
+        "left_anti")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        byKey((r.getString(0), r.getString(1)))))
+  }
+
   /** Reconcile the manifest with the data directory in BOTH directions:
     * drop rows whose file no longer exists (a [[deleteByIds]] rewrite,
     * an external compaction) and stat files the manifest has never seen
@@ -796,16 +848,32 @@ object Layout {
     * semantics per leaf: stat only unseen files, 0 for an untouched
     * leaf). Creates manifests for new leaves — so one call after any
     * append, whatever partitions it landed in, keeps the whole table
-    * pruned-readable. Returns total files newly statted.
+    * pruned-readable. Returns total files newly statted. Unseen-file
+    * discovery is ONE global anti-join over every leaf's manifest
+    * (r11), so untouched leaves cost a listing RPC, never a Spark job
+    * — job count scales with TOUCHED leaves, not table partitions.
     */
   def updateManifestPartitioned(spark: SparkSession, root: String,
                                 dims: Seq[String]): Int = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    leaves(fs, rp).map { case (leaf, _, _) =>
-      updateManifestAt(spark, root.stripSuffix("/") + "/" + leaf,
-        partitionManifestPath(root, leaf), dims)
-    }.sum
+    val all = leaves(fs, rp).map(_._1)
+    if (all.isEmpty) return 0
+    val (withM, withoutM) = all.partition(l =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        partitionManifestPath(root, l))))
+    val fresh = listLeafFiles(fs, root, withoutM) ++ (
+      if (withM.isEmpty) Nil
+      else unmanifestedLeafFiles(leafManifests(spark, root, withM),
+        listLeafFiles(fs, root, withM)))
+    fresh.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (leaf, fl) =>
+      spark.read.parquet(fl.map(_._3): _*)
+        .groupBy(input_file_name().as("file_name"))
+        .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
+        .coalesce(1)
+        .write.mode("append").parquet(partitionManifestPath(root, leaf))
+    }
+    fresh.length
   }
 
   /** Manifest-pruned read over a one-level hive-partitioned table.
@@ -854,16 +922,26 @@ object Layout {
             (col("__pv") >= r.lo && col("__pv") <= r.hi))
         }.select(col("__leaf")).collect().map(_.getString(0)).toSeq
       }
-    val files = keptLeaves.flatMap { leaf =>
-      val leafDir = root.stripSuffix("/") + "/" + leaf
-      val mp = partitionManifestPath(root, leaf)
-      if (fs.exists(new org.apache.hadoop.fs.Path(mp)))
-        pruneFilesAt(spark, leafDir, mp, dRanges)._1
-      else // no manifest yet: the leaf's files are all candidates
-        fs.listStatus(new org.apache.hadoop.fs.Path(leafDir))
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-          .map(_.toString).toSeq
-    }
+    // file pruning over the SURVIVING leaves in one global pass (r11:
+    // the per-leaf pruneFilesAt loop ran ~3 Spark jobs per leaf, so a
+    // read without a partition predicate on a 1000-partition table
+    // paid thousands of serial jobs): same per-file stats test, same
+    // conservative keep of files a manifest has never seen, 2 jobs
+    // total; manifest-less leaves keep all their files as before.
+    val (withM, withoutM) = keptLeaves.partition(l =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        partitionManifestPath(root, l))))
+    val files = (if (withM.isEmpty) Seq.empty[String]
+      else {
+        val m = leafManifests(spark, root, withM)
+        val kept = dRanges.foldLeft(m) { (df, r) =>
+          df.filter(col(s"max_${r.colName}") >= r.lo &&
+                    col(s"min_${r.colName}") <= r.hi ||
+                    col(s"nulls_${r.colName}") > 0)
+        }.select(col("file_name")).collect().map(_.getString(0)).toSeq
+        kept ++ unmanifestedLeafFiles(m,
+          listLeafFiles(fs, root, withM)).map(_._3)
+      }) ++ listLeafFiles(fs, root, withoutM).map(_._3)
     val base =
       if (files.isEmpty) empty
       else spark.read.option("basePath", root).parquet(files: _*)
