@@ -1090,13 +1090,22 @@ object GraftExtensions {
       new ExpressionInfo("graft.operators.SkewJoin", "graft_skew_join"),
       (args: Seq[Expression]) => args match {
         case Seq(f, d, key, topN) =>
-          // persistFact = false: the named table is file/catalog-backed
-          // (a deterministic snapshot), and SQL callers hold no frame
-          // handle to ever unpersist — a long-lived session would pin
-          // one cached fact copy per distinct plan forever
+          // skip the persist only when the fact's analyzed plan is
+          // expression-deterministic: SQL callers hold no frame handle
+          // to ever unpersist, so a long-lived session would pin one
+          // cached copy per distinct fact plan forever — but a temp
+          // view over rand()/uuid() MUST still be pinned, or the
+          // hot/cold branch re-evaluations drop or double rows (the
+          // r9 determinism contract). Residual non-determinism the
+          // plan cannot reveal (limit over ties, a source mutating
+          // mid-query) needs the Scala API's explicit persist.
+          val fact = tableArg(f, "fact")
+          val exprDeterministic = fact.queryExecution.analyzed
+            .find(p => p.expressions.exists(e => !e.deterministic))
+            .isEmpty
           plan(graft.operators.SkewJoin.joinSkewedAuto(
-            tableArg(f, "fact"), tableArg(d, "dim"), strArg(key, "key"),
-            intArg(topN, "topN"), persistFact = false))
+            fact, tableArg(d, "dim"), strArg(key, "key"),
+            intArg(topN, "topN"), persistFact = !exprDeterministic))
         case _ => throw new IllegalArgumentException(
           "graft_skew_join(fact, dim, key, topN)")
       }),

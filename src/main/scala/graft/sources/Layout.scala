@@ -247,11 +247,17 @@ object Layout {
   private def pruneFilesAt(spark: SparkSession, dataPath: String,
                            mpStr: String,
                            ranges: Seq[ColRange]): (Seq[String], Long) = {
-    val m = spark.read.parquet(mpStr)
+    // mergeSchema + the nulls_<col> IS NULL keep: manifest rows
+    // appended before a dims change lack the newer stat columns, and
+    // those files must stay unpruned, never silently dropped under a
+    // first-file schema (same discriminator as leafManifests — an
+    // authentic row's nulls counter is never null)
+    val m = spark.read.option("mergeSchema", "true").parquet(mpStr)
     val kept = ranges.foldLeft(m) { (df, r) =>
       df.filter(col(s"max_${r.colName}") >= r.lo &&
                 col(s"min_${r.colName}") <= r.hi ||
-                col(s"nulls_${r.colName}") > 0)
+                col(s"nulls_${r.colName}") > 0 ||
+                col(s"nulls_${r.colName}").isNull)
     }
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,16 +314,25 @@ object Layout {
       s"lookupByIds wants a bounded literal needle set, got ${ids.size}")
     val mp = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mergeSchema everywhere the manifest is consulted: under a dims
+    // change only SOME manifest segments carry the idCol stats, and a
+    // first-file schema would either hide them (losing pruning) or
+    // null them out (silently pruning files whose rows it cannot
+    // prove absent — missed needles). Rows lacking the stats keep
+    // their files via the nulls_<col> IS NULL discriminator.
     val hasStats = fs.exists(mp) &&
-      spark.read.parquet(manifestPath(dataPath))
+      spark.read.option("mergeSchema", "true")
+        .parquet(manifestPath(dataPath))
         .columns.contains(s"min_$idCol")
     val base =
       if (!hasStats) spark.read.parquet(dataPath)
       else {
-        val m = spark.read.parquet(manifestPath(dataPath))
+        val m = spark.read.option("mergeSchema", "true")
+          .parquet(manifestPath(dataPath))
         val hit = ids.map(i =>
           col(s"min_$idCol") <= lit(i) && col(s"max_$idCol") >= lit(i))
-          .reduce(_ || _) || col(s"nulls_$idCol") > 0
+          .reduce(_ || _) || col(s"nulls_$idCol") > 0 ||
+          col(s"nulls_$idCol").isNull
         val kept = m.filter(hit).select(col("file_name")).collect()
           .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
           .toSet
@@ -488,13 +503,16 @@ object Layout {
     val (candidateNames, freshNames) =
       if (!fs.exists(mp)) (Set.empty[String], dataFiles.map(_.getName).toSet)
       else {
-        val m = spark.read.parquet(mpStr)
+        val m = spark.read.option("mergeSchema", "true").parquet(mpStr)
         // a file can hold id x iff min<=x<=max; null ids live only in
-        // files whose null count says so
+        // files whose null count says so; a pre-dims-change manifest
+        // row (nulls_<idCol> IS NULL — see pruneFilesAt) cannot be
+        // proven id-free, so its file stays a candidate
         val cand = m.join(broadcast(idv),
             (col("__del") >= col(s"min_$idCol") &&
              col("__del") <= col(s"max_$idCol")) ||
-            (col("__del").isNull && col(s"nulls_$idCol") > 0),
+            (col("__del").isNull && col(s"nulls_$idCol") > 0) ||
+            col(s"nulls_$idCol").isNull,
             "left_semi")
           .select(col("file_name")).collect()
           .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
@@ -682,13 +700,29 @@ object Layout {
   // per-leaf cost, the same accepted cost as the flat listing path).
 
   /** Union frame of the given leaves' manifests, each row tagged with
-    * its leaf name (`__leaf`, the `k=v` path component of file_name). */
+    * its leaf name (`__leaf`, the `k=v` path component of file_name,
+    * URI-DECODED — input_file_name records percent-encoded URIs while
+    * fs listings return raw directory names, so 'k=a b' on disk
+    * appears as 'k=a%20b' in file_name; one decode makes the two
+    * comparable for every encodable character, including Hive's own
+    * %-escapes, which the URI layer double-encodes).
+    *
+    * Read with mergeSchema: manifests appended across a dims change
+    * carry different stat columns, and the default first-file schema
+    * would silently null-out (or drop) the others' stats. Under the
+    * merged schema an old-schema row reads NULL for a missing stat's
+    * `nulls_<col>` counter — which an authentic row can never be
+    * (counts are never null) — so consumers use `nulls_<col> IS NULL`
+    * as the schema-drift discriminator and treat such files
+    * conservatively (kept in reads, processed in deletes): stale stat
+    * schemas may only cost skip rate, never rows.
+    */
   private def leafManifests(spark: SparkSession, root: String,
                             ls: Seq[String]): DataFrame =
-    spark.read.parquet(
+    spark.read.option("mergeSchema", "true").parquet(
         ls.map(l => partitionManifestPath(root, l)): _*)
       .withColumn("__leaf",
-        element_at(split(col("file_name"), "/"), -2))
+        url_decode(element_at(split(col("file_name"), "/"), -2)))
 
   /** (leaf, basename, fullPath) of every data file under the given
     * leaves; each leaf's flat-dir invariant checked like every flat
@@ -706,8 +740,10 @@ object Layout {
     }
 
   /** The listed (leaf, basename, path) triples whose leaf's manifest
-    * has never seen them — one global anti-join on (leaf, basename);
-    * only the survivors reach the driver. */
+    * has never seen them — one global anti-join on (leaf, basename)
+    * against a [[leafManifests]] frame (whose `__leaf` is already
+    * URI-decoded to match raw listing names); only the survivors reach
+    * the driver. */
   private def unmanifestedLeafFiles(m: DataFrame,
       listed: Seq[(String, String, String)])
       : Seq[(String, String, String)] = {
@@ -717,7 +753,8 @@ object Layout {
     val byKey = listed.map(t => (t._1, t._2) -> t._3).toMap
     listed.map(t => (t._1, t._2)).toDF("__lleaf", "__lname")
       .join(m.select(col("__leaf").as("__mleaf"),
-          element_at(split(col("file_name"), "/"), -1).as("__mname")),
+          url_decode(element_at(split(col("file_name"), "/"), -1))
+            .as("__mname")),
         col("__lleaf") === col("__mleaf") &&
           col("__lname") === col("__mname"),
         "left_anti")
@@ -934,13 +971,27 @@ object Layout {
     val files = (if (withM.isEmpty) Seq.empty[String]
       else {
         val m = leafManifests(spark, root, withM)
+        val listedM = listLeafFiles(fs, root, withM)
+        // kept files resolve through the LISTING's raw paths, not the
+        // manifest's file_name strings — input_file_name records
+        // URI-encoded paths ('part=a%20b'), which spark.read cannot
+        // resolve against the raw directory; the (leaf, basename)
+        // pair, both sides decoded, is the stable join key.
+        // nulls_<col> IS NULL = a manifest row written before this dim
+        // joined the stats schema (see leafManifests): its file cannot
+        // be proven to miss, so it is kept — never silently pruned
+        val byKey = listedM.map(t => (t._1, t._2) -> t._3).toMap
         val kept = dRanges.foldLeft(m) { (df, r) =>
           df.filter(col(s"max_${r.colName}") >= r.lo &&
                     col(s"min_${r.colName}") <= r.hi ||
-                    col(s"nulls_${r.colName}") > 0)
-        }.select(col("file_name")).collect().map(_.getString(0)).toSeq
-        kept ++ unmanifestedLeafFiles(m,
-          listLeafFiles(fs, root, withM)).map(_._3)
+                    col(s"nulls_${r.colName}") > 0 ||
+                    col(s"nulls_${r.colName}").isNull)
+        }.select(col("__leaf"),
+            url_decode(element_at(split(col("file_name"), "/"), -1)))
+          .collect()
+          .flatMap(r => byKey.get((r.getString(0), r.getString(1))))
+          .toSeq
+        kept ++ unmanifestedLeafFiles(m, listedM).map(_._3)
       }) ++ listLeafFiles(fs, root, withoutM).map(_._3)
     val base =
       if (files.isEmpty) empty
@@ -1154,38 +1205,23 @@ object Layout {
     val (hitLeaves, staleLeaves) =
       if (withManifest.isEmpty) (Set.empty[String], Set.empty[String])
       else {
-        val m = spark.read.parquet(
-          withManifest.map(l => partitionManifestPath(root, l)): _*)
+        val m = leafManifests(spark, root, withManifest)
         val del = idv.select(col(idCol).as("__del")).distinct()
+        // nulls_<idCol> IS NULL = a pre-dims-change manifest row (see
+        // leafManifests): its file cannot be proven id-free, so its
+        // leaf is processed — deleteRetainingAt then fails loudly on
+        // the stats its own pruning requires, exactly as the old
+        // per-leaf path did, instead of silently missing a takedown
         val hits = m.join(broadcast(del),
             (col("__del") >= col(s"min_$idCol") &&
              col("__del") <= col(s"max_$idCol")) ||
-            (col("__del").isNull && col(s"nulls_$idCol") > 0),
+            (col("__del").isNull && col(s"nulls_$idCol") > 0) ||
+            col(s"nulls_$idCol").isNull,
             "left_semi")
-          .select(element_at(split(col("file_name"), "/"), -2)
-            .as("__leaf"))
+          .select(col("__leaf"))
           .distinct().collect().map(_.getString(0)).toSet
-        val listed = withManifest.flatMap { leaf =>
-          fs.listStatus(new org.apache.hadoop.fs.Path(s"$rootStr/$leaf"))
-            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-            .map(p => (leaf, p.getName))
-        }
-        val stale =
-          if (listed.isEmpty) Set.empty[String]
-          else {
-            import spark.implicits._
-            listed.toDF("__leaf", "__name")
-              .join(m.select(
-                  element_at(split(col("file_name"), "/"), -2)
-                    .as("__mleaf"),
-                  element_at(split(col("file_name"), "/"), -1)
-                    .as("__mname")),
-                col("__leaf") === col("__mleaf") &&
-                  col("__name") === col("__mname"),
-                "left_anti")
-              .select(col("__leaf")).distinct()
-              .collect().map(_.getString(0)).toSet
-          }
+        val stale = unmanifestedLeafFiles(m,
+          listLeafFiles(fs, root, withManifest)).map(_._1).toSet
         (hits, stale)
       }
     all.map(_._1)

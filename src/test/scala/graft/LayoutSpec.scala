@@ -1022,4 +1022,63 @@ class LayoutSpec extends SparkSpec {
     assert(after.count() == base.count(),
       "exactly the appended fresh rows are gone — base rows intact")
   }
+
+  test("stat-schema drift is pruning-conservative: files manifested " +
+       "before a dims change are KEPT on the new dim, never silently " +
+       "pruned (nulls-discriminator under mergeSchema)") {
+    import spark.implicits._
+    val dir = tmpDir("dimsdrift")
+    val oldBatch = (0L until 40L).map(i => (i, i * 10L))
+      .toDF("x", "y")
+    oldBatch.write.parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("x")) // pre-change: x stats only
+    val newBatch = (100L until 140L).map(i => (i, i * 10L))
+      .toDF("x", "y")
+    newBatch.write.mode("append").parquet(dir)
+    Layout.updateManifest(spark, dir, Seq("x", "y")) // post-change dims
+    // range on the NEW dim: old-manifest files carry no y stats and
+    // must all be kept; new files prune by theirs
+    val ranges = Seq(Layout.ColRange("y", lit(0L), lit(200L)))
+    val (kept, total) = Layout.pruneFiles(spark, dir, ranges)
+    assert(total >= 2 && kept.nonEmpty)
+    val got = Layout.prunedRead(spark, dir, ranges)
+      .select(col("x")).as[Long].collect().sorted.toSeq
+    assert(got == (0L until 21L).toSeq,
+      "rows from pre-change files must survive the y-range read")
+    // and the delete side: a doomed y living only in a pre-change file
+    // still dies (its file cannot be proven id-free)
+    val n = Layout.deleteByIds(spark, dir, Seq("x", "y"), "y",
+      Seq(50L).toDF("y"))
+    assert(n >= 1, "pre-change files cannot be proven y-free, so the " +
+      "delete must reach them")
+    assert(spark.read.parquet(dir).filter(col("y") === 50L).count() == 0)
+  }
+
+  test("partition values with URI-encodable characters: manifest " +
+       "matching decodes the leaf segment, so refresh is idempotent " +
+       "and reads stay row-identical") {
+    import spark.implicits._
+    val root = tmpDir("spacedpart")
+    val df = (0L until 60L).map(i =>
+      (if (i % 2 == 0) "a b" else "c:d", i, i * 3L))
+      .toDF("part", "id", "v")
+    Layout.writeZOrderedPartitioned(df, root, "part", Seq("id"),
+      files = 4)
+    val first = Layout.updateManifestPartitioned(spark, root, Seq("id"))
+    assert(first > 0)
+    assert(Layout.updateManifestPartitioned(spark, root, Seq("id")) == 0,
+      "a second refresh must see every file as manifested — an " +
+        "encoding mismatch would re-stat (and duplicate) forever")
+    val ranges = Seq(Layout.ColRange("id", lit(10L), lit(40L)))
+    val got = Layout.prunedReadPartitioned(spark, root, ranges)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(got == (10L to 40L).toSeq,
+      "each row exactly once — an encoding mismatch would duplicate " +
+        "files through the unmanifested path")
+    val n = Layout.deleteByIdsPartitioned(spark, root, Seq("id"), "id",
+      Seq(11L, 12L).toDF("id"))
+    assert(n == 2)
+    assert(spark.read.parquet(root)
+      .filter(col("id").isin(11L, 12L)).count() == 0)
+  }
 }
