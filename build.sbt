@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// VERDICT r11: with fork:=true and no outputStrategy, sbt routes the forked
+// JVM's stdout through its logger, prefixing every line with "[info] " —
+// which breaks the driver's JSON parse of Bench's final summary line
+// (BENCH_r11.parsed was null for exactly this reason). StdoutOutput passes
+// the forked process's stdout through raw, so the summary line begins with
+// '{' as the contract requires.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

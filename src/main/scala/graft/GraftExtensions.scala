@@ -204,6 +204,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // opt-in COUNT(DISTINCT) → HLL++ sketch rewrite (plans package)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     scalarFunctions.foreach(ext.injectFunction)
     tableFunctions.foreach(ext.injectTableFunction)
   }
@@ -272,6 +273,30 @@ object GraftExtensions {
     SparkSession.active.table(strArg(e, name))
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** True iff no expression anywhere in the plan — INCLUDING inside
+    * subquery plans — is non-deterministic. `SubqueryExpression` does
+    * not fold its inner plan's determinism into its own `deterministic`
+    * flag (confirmed against the shipped catalyst jar), so a flat
+    * `p.expressions.exists(!_.deterministic)` scan reports a view
+    * filtered on a `rand()` scalar subquery as deterministic — and the
+    * skew join would then skip the persist that the r9 determinism
+    * contract exists to guarantee (ADVICE r11). Recurse into every
+    * `PlanExpression`'s plan as well.
+    */
+  private def planExprDeterministic(p: LogicalPlan): Boolean =
+    p.find { node =>
+      node.expressions.exists { e =>
+        !e.deterministic || e.exists {
+          case s: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            s.plan match {
+              case lp: LogicalPlan => !planExprDeterministic(lp)
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+    }.isEmpty
 
   /** One-row receipt for the BUILD-style tombstone faces. */
   private def deleteReceipt(indexPath: String): LogicalPlan = {
@@ -1100,9 +1125,8 @@ object GraftExtensions {
           // plan cannot reveal (limit over ties, a source mutating
           // mid-query) needs the Scala API's explicit persist.
           val fact = tableArg(f, "fact")
-          val exprDeterministic = fact.queryExecution.analyzed
-            .find(p => p.expressions.exists(e => !e.deterministic))
-            .isEmpty
+          val exprDeterministic =
+            planExprDeterministic(fact.queryExecution.analyzed)
           plan(graft.operators.SkewJoin.joinSkewedAuto(
             fact, tableArg(d, "dim"), strArg(key, "key"),
             intArg(topN, "topN"), persistFact = !exprDeterministic))

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions.{col, lit, max, min}
   * HH sketch, layout manifest) hand-rolled the same two patterns —
   * factored here so a fix lands once. Pure extraction: call sites keep
   * bit-identical plans and file layouts.
+  *
+  * Public (not `private[graft]`) since r12: [[gcStaged]] is the
+  * crash-recovery command operators point users at, so it must be
+  * callable from outside the package.
   */
-private[graft] object Lifecycle {
+object Lifecycle {
 
   /** Staged rewrite + promote: write the replacement table next to the
     * live one, then [[Dedup.swapTable]] it into place (retire-first
@@ -38,9 +42,50 @@ private[graft] object Lifecycle {
           s"writer is mid-rewrite on $live (writers must be serialized " +
           "per index path) or a previous writer crashed before its swap. " +
           s"The live table at $live is intact. After confirming no other " +
-          s"writer is running, delete $staged and retry.")
+          s"writer is running, delete $staged and retry " +
+          s"(age-gated: Lifecycle.gcStaged(spark, \"$live\", olderThanMs)).")
     write(staged)
     Dedup.swapTable(spark, live, staged)
+  }
+
+  /** Age-gated reclamation of [[stagedSwap]] crash residue. A staged
+    * directory whose NEWEST mtime (the directory or any file under it —
+    * an active writer keeps touching files, so the newest child mtime is
+    * the liveness signal; the dir's own mtime only moves on child
+    * add/remove) is at least `olderThanMs` old is dead residue: delete
+    * it and return true. A YOUNGER staged directory may be a live
+    * concurrent writer mid-rewrite — throw exactly like [[stagedSwap]]
+    * does, so the age gate can never clobber in-flight work. Returns
+    * false when there is no residue at all. The live table is untouched
+    * in every branch.
+    *
+    * Pick `olderThanMs` well above the slowest rewrite you run (e.g. a
+    * day): the cost of a too-large bound is one manual retry later; the
+    * cost of a too-small bound is the race this gate exists to prevent.
+    */
+  def gcStaged(spark: SparkSession, live: String,
+               olderThanMs: Long): Boolean = {
+    val staged = s"${live}_compacting"
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    if (!fs.exists(sp)) return false
+    def newest(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(s => newest(s.getPath)).toSeq).max
+    }
+    val age = System.currentTimeMillis() - newest(sp)
+    if (age < olderThanMs)
+      throw new IllegalStateException(
+        s"staged directory $staged was written ${age}ms ago, younger " +
+          s"than the $olderThanMs ms gc bound — a concurrent writer may " +
+          s"be mid-rewrite on $live. The live table is intact; nothing " +
+          "was deleted. Retry once the staging is provably dead, or " +
+          "delete it manually after confirming no writer is running.")
+    fs.delete(sp, true)
+    true
   }
 
   /** The idempotence anti-join every id-keyed append runs, with its

@@ -722,7 +722,23 @@ object Layout {
     spark.read.option("mergeSchema", "true").parquet(
         ls.map(l => partitionManifestPath(root, l)): _*)
       .withColumn("__leaf",
-        url_decode(element_at(split(col("file_name"), "/"), -2)))
+        uriDecode(element_at(split(col("file_name"), "/"), -2)))
+
+  /** Decode ONLY `%XX` escapes of a URI path component — never `+`.
+    *
+    * `url_decode` follows `java.net.URLDecoder` (form-encoding)
+    * semantics, where a literal `+` decodes to a space; but the
+    * strings decoded here are URI PATH components from
+    * `input_file_name`, whose encoder (Hadoop `Path` → `java.net.URI`)
+    * never escapes `+`. A partition value containing `+` (directory
+    * `part=a+b`) would therefore decode to `a b` and never match its
+    * raw fs-listing name — silently re-statting the leaf's files on
+    * every manifest refresh and appending duplicate manifest rows
+    * unboundedly (ADVICE r11). Pre-escaping `+` as `%2B` makes
+    * `url_decode` an exact %XX-only decoder.
+    */
+  private def uriDecode(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
 
   /** (leaf, basename, fullPath) of every data file under the given
     * leaves; each leaf's flat-dir invariant checked like every flat
@@ -753,7 +769,7 @@ object Layout {
     val byKey = listed.map(t => (t._1, t._2) -> t._3).toMap
     listed.map(t => (t._1, t._2)).toDF("__lleaf", "__lname")
       .join(m.select(col("__leaf").as("__mleaf"),
-          url_decode(element_at(split(col("file_name"), "/"), -1))
+          uriDecode(element_at(split(col("file_name"), "/"), -1))
             .as("__mname")),
         col("__lleaf") === col("__mleaf") &&
           col("__lname") === col("__mname"),
@@ -987,7 +1003,7 @@ object Layout {
                     col(s"nulls_${r.colName}") > 0 ||
                     col(s"nulls_${r.colName}").isNull)
         }.select(col("__leaf"),
-            url_decode(element_at(split(col("file_name"), "/"), -1)))
+            uriDecode(element_at(split(col("file_name"), "/"), -1)))
           .collect()
           .flatMap(r => byKey.get((r.getString(0), r.getString(1))))
           .toSeq

@@ -892,6 +892,29 @@ class EngineSpec extends SparkSpec {
       .orderBy("k", "x").collect().map(_.toSeq).toSeq
     assert(sqlJoin == scalaJoin && sqlJoin.size == 300)
 
+    // ADVICE r11: SubqueryExpression does not surface its inner plan's
+    // non-determinism through `deterministic`, so a fact view filtered
+    // on a rand() scalar subquery used to probe as deterministic — and
+    // the skew join skipped the persist that keeps detection and the
+    // hot/cold branches on ONE snapshot. The probe must recurse into
+    // subquery plans: the persist fires (cache non-empty) and rows are
+    // neither dropped nor doubled.
+    spark.sharedState.cacheManager.clearCache()
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW sql_skew_fact_nd AS
+        |SELECT * FROM sql_skew_fact WHERE (SELECT rand()) >= 0
+        |""".stripMargin)
+    val sqlJoinNd = spark.sql(
+      """SELECT * FROM graft_skew_join('sql_skew_fact_nd',
+        |  'sql_skew_dim', 'k', 2) ORDER BY k, x""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "a rand()-subquery fact must be pinned — the flat expression " +
+        "scan missed subquery plans and skipped the persist")
+    assert(sqlJoinNd == scalaJoin && sqlJoinNd.size == 300,
+      "the always-true rand() filter changes nothing row-wise")
+    spark.sharedState.cacheManager.clearCache()
+
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.createOrReplaceTempView("sql_pq_corpus")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
+import graft.operators.Lifecycle
 import graft.sources.Layout
 import graft.sources.Layout.ColRange
 
@@ -542,6 +543,55 @@ class LayoutSpec extends SparkSpec {
       before.length)
   }
 
+  test("gcStaged: old residue is reclaimed with the table intact, " +
+       "fresh residue still throws, absent residue returns false") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(50)
+    val dir = tmpDir("gcstaged")
+    Layout.writeZOrdered(li, dir, Seq("l_partkey", "l_orderkey"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("l_partkey"))
+    val mp = Layout.manifestPath(dir)
+    val before = spark.read.parquet(mp).orderBy("file_name")
+      .collect().toSeq
+    val hourMs = 60L * 60L * 1000L
+
+    assert(!Lifecycle.gcStaged(spark, mp, hourMs),
+      "no residue: nothing to reclaim, no throw")
+
+    // residue written just now: may be a LIVE writer — must throw,
+    // must delete nothing
+    val stagedDir = new java.io.File(mp + "_compacting")
+    assert(stagedDir.mkdirs())
+    val part = new java.io.File(stagedDir, "part-0.parquet")
+    Files.write(part.toPath, Array[Byte](1, 2, 3))
+    val fresh = intercept[IllegalStateException] {
+      Lifecycle.gcStaged(spark, mp, hourMs)
+    }
+    assert(fresh.getMessage.contains("younger"))
+    assert(stagedDir.exists() && part.exists(),
+      "a fresh staging must never be clobbered by the gc")
+
+    // the liveness signal is the NEWEST mtime anywhere under the
+    // staging: an old dir whose writer just touched a file is live
+    assert(stagedDir.setLastModified(
+      System.currentTimeMillis() - 2 * hourMs))
+    intercept[IllegalStateException] {
+      Lifecycle.gcStaged(spark, mp, hourMs)
+    }
+
+    // age every entry past the bound: dead residue, reclaimed
+    val old = System.currentTimeMillis() - 2 * hourMs
+    assert(part.setLastModified(old) && stagedDir.setLastModified(old))
+    assert(Lifecycle.gcStaged(spark, mp, hourMs))
+    assert(!stagedDir.exists())
+    assert(spark.read.parquet(mp).orderBy("file_name").collect().toSeq ==
+      before, "gc touches only the staging, never the live table")
+
+    // and the path is usable again: the next staged rewrite swaps clean
+    Layout.compactManifest(spark, dir)
+    assert(spark.read.parquet(mp).orderBy("file_name").collect().length ==
+      before.length)
+  }
+
   // --- keyed upsert (MERGE) -----------------------------------------
 
   test("upsertByIds replaces matched keys' row sets, inserts unseen keys, " +
@@ -1059,8 +1109,12 @@ class LayoutSpec extends SparkSpec {
        "and reads stay row-identical") {
     import spark.implicits._
     val root = tmpDir("spacedpart")
+    // 'a+b' is the ADVICE-r11 case: Hive path escaping leaves '+' raw,
+    // but URLDecoder turns a raw '+' into a space — a decoder with
+    // form-encoding semantics maps leaf 'part=a+b' to 'a b', never
+    // matching its own manifest rows (refresh then re-stats forever).
     val df = (0L until 60L).map(i =>
-      (if (i % 2 == 0) "a b" else "c:d", i, i * 3L))
+      (Seq("a b", "c:d", "a+b")((i % 3L).toInt), i, i * 3L))
       .toDF("part", "id", "v")
     Layout.writeZOrderedPartitioned(df, root, "part", Seq("id"),
       files = 4)
