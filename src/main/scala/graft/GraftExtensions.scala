@@ -1223,6 +1223,116 @@ object GraftExtensions {
           "graft_pq_search(corpus, queries, idCol, vecCol, k, m, kCodes)")
       }))
 
+  /** One row of the generated SQL-surface catalog. */
+  case class CatalogEntry(name: String, kind: String, className: String,
+                          usage: String, contract: String)
+
+  /** Contract anchor per SQL function: the `SparkEntry.queries` key whose
+    * DuckDB oracle gates the underlying operator, or (for operators with
+    * no SQL-expressible contract) the ScalaTest suite that pins it.
+    * CatalogSpec enforces totality (every registered function has an
+    * anchor, every anchor resolves) so this map cannot drift from the
+    * registration list.
+    */
+  private[graft] val contractAnchors: Map[String, String] = Map(
+    "winnow_fingerprints" -> "q17_fingerprints",
+    "minhash_signature" -> "q19_minhash_lsh",
+    "simhash64" -> "q20_simhash",
+    "ngram_hashes" -> "q21_ngram_jaccard",
+    "ngram_hashes_all" -> "q21_ngram_jaccard",
+    "hyperplane_signature" -> "q23b_ann_portable",
+    "quantize8" -> "q87_quantized_topk",
+    "dot_i8" -> "q87_quantized_topk",
+    "graft_profile" -> "q47_profile",
+    "graft_key_skew" -> "q65_skew_profile",
+    "graft_check" -> "q77_quality_gate",
+    "graft_sessionize" -> "q33_sessions",
+    "graft_asof_join" -> "q32_asof",
+    "graft_exact_dedup" -> "q18_dedup_exact",
+    "graft_minhash_pairs" -> "q19_minhash_lsh",
+    "graft_dedup_corpus" -> "q81_dedup_survivors",
+    "graft_flag_index" -> "q83_flag_index",
+    "graft_simhash_pairs" -> "q84_simhash_pairs",
+    "graft_incremental_exact" -> "q82_incremental_exact",
+    "graft_incremental_minhash" -> "q80_incremental_dedup",
+    "graft_incremental_simhash" -> "q85_incremental_simhash",
+    "graft_cosine_topk" -> "q22_cosine_topk",
+    "graft_quantized_topk" -> "q87_quantized_topk",
+    "graft_rescored_topk" -> "q88_rescored_topk",
+    "graft_ivf_topk" -> "q28_ivf_topk",
+    "graft_lsh_topk" -> "q23b_ann_portable",
+    "graft_embedding_neardups" -> "q25_embedding_neardups",
+    "graft_ngram_top_neighbor" -> "q21_ngram_jaccard",
+    "graft_dup_spans" -> "q63_dup_spans",
+    "graft_decontaminate_index" -> "q95_decontaminate_index",
+    "graft_hh_merged" -> "q94_incremental_hh",
+    "graft_hist_merged" -> "q115_incremental_histogram",
+    "graft_lm_index_score" -> "q93_incremental_lm",
+    "graft_chunk" -> "q31_chunks",
+    "graft_pack" -> "q54_pack",
+    "graft_balance" -> "q45_source_balance",
+    "graft_shards" -> "q79_shards",
+    "graft_weighted_sample" -> "q49_weighted_sample",
+    "graft_delete_digest" -> "q96_tombstone_exact",
+    "graft_delete_minhash" -> "TombstoneSpec",
+    "graft_delete_simhash" -> "TombstoneSpec",
+    "graft_delete_ivf" -> "q97_tombstone_ivf",
+    "graft_delete_lsh" -> "TombstoneSpec",
+    "graft_delete_pq" -> "TombstoneSpec",
+    "graft_wav_features" -> "q98_wav_features",
+    "graft_mp4_frames" -> "q102_mp4_samples",
+    "graft_mjpeg_mp4_frames" -> "q118_mjpeg_mp4",
+    "graft_avi_frames" -> "q103_avi_meta",
+    "graft_zorder_write" -> "q91_zorder_slice",
+    "graft_update_manifest" -> "q92_layout_append",
+    "graft_pruned_read" -> "q91_zorder_slice",
+    "graft_zorder_write_partitioned" -> "q101_partitioned_layout",
+    "graft_append_partitioned" -> "q104_partitioned_lifecycle",
+    "graft_update_manifest_partitioned" -> "q101_partitioned_layout",
+    "graft_pruned_read_partitioned" -> "q101_partitioned_layout",
+    "graft_compact_partitioned" -> "q104_partitioned_lifecycle",
+    "graft_leaf_census" -> "LayoutSpec",
+    "graft_drop_partition" -> "LayoutSpec",
+    "graft_delete_partitioned" -> "q104_partitioned_lifecycle",
+    "graft_lookup" -> "q112_point_lookup",
+    "graft_strip_boilerplate" -> "q110_boilerplate",
+    "graft_bpe_train" -> "q113_bpe_train",
+    "graft_bpe_encode" -> "BpeSpec",
+    "graft_bpe_vocab" -> "q114_bpe_vocab",
+    "graft_assign_split" -> "q12_validation_split",
+    "graft_assign_fold" -> "q107_hash_split",
+    "graft_capped_sessions" -> "q116_capped_sessions",
+    "graft_skew_join" -> "q105_skew_join",
+    "graft_validate" -> "q106_validation",
+    "graft_validate_fk" -> "q106_validation",
+    "graft_ivfpq_search" -> "q117_ivfpq_search",
+    "graft_pq_search" -> "q108_pq_search",
+  )
+
+  /** The SQL-surface catalog, GENERATED from the registration list: a
+    * function's name and implementing class come from its registration
+    * row, its usage string from its own zero-args rejection message
+    * (every builder's catch-all throws the canonical signature — probing
+    * with `Nil` can never match a real arity), and its contract anchor
+    * from [[contractAnchors]]. [[CatalogDoc]] renders this to
+    * `docs/SQL_SURFACE.md`; CatalogSpec pins the rendered file and the
+    * map's totality, so the doc regenerates rather than drifts.
+    */
+  def catalog: Seq[CatalogEntry] = {
+    def usageOf(b: Seq[Expression] => Any): String =
+      try { b(Nil); "" } catch {
+        case e: IllegalArgumentException => Option(e.getMessage).getOrElse("")
+        case _: Throwable => ""
+      }
+    scalarFunctions.map { case (id, info, b) =>
+      CatalogEntry(id.funcName, "scalar", info.getClassName, usageOf(b),
+        contractAnchors.getOrElse(id.funcName, ""))
+    } ++ tableFunctions.map { case (id, info, b) =>
+      CatalogEntry(id.funcName, "table", info.getClassName, usageOf(b),
+        contractAnchors.getOrElse(id.funcName, ""))
+    }
+  }
+
   /** Register the same functions on an ALREADY-RUNNING session (extensions
     * configs only apply at session construction).
     */
