@@ -963,7 +963,14 @@ object Layout {
       if (pRanges.isEmpty) ls.map(_._1)
       else {
         val lf = ls.map { case (leaf, _, raw) =>
-          val dec = try java.net.URLDecoder.decode(raw, "UTF-8")
+          // %XX-only decode, like [[uriDecode]]: `raw` is a
+          // Hive-escaped DIRECTORY value, whose escaper never writes
+          // '+' for space — URLDecoder's form-encoding '+'-to-space
+          // rule would turn partition value 'a+b' into 'a b' and
+          // mis-evaluate the leaf-selection range (wrong exclusion =
+          // silently dropped rows)
+          val dec = try java.net.URLDecoder.decode(
+                      raw.replace("+", "%2B"), "UTF-8")
                     catch { case _: IllegalArgumentException => raw }
           (leaf, dec)
         }.toDF("__leaf", "__raw")

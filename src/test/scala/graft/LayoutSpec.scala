@@ -1129,6 +1129,15 @@ class LayoutSpec extends SparkSpec {
     assert(got == (10L to 40L).toSeq,
       "each row exactly once — an encoding mismatch would duplicate " +
         "files through the unmanifested path")
+    // a partition-column range that selects EXACTLY the '+' leaf: the
+    // driver-side leaf selection must decode 'a+b' as 'a+b', not 'a b'
+    // (which sorts before 'a+a' and would wrongly prune the leaf —
+    // silent row loss)
+    val plusOnly = Layout.prunedReadPartitioned(spark, root,
+        Seq(Layout.ColRange("part", lit("a+a"), lit("a+c"))))
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(plusOnly == (0L until 60L).filter(_ % 3 == 2).toSeq,
+      "the a+b leaf's rows, all of them, and only them")
     val n = Layout.deleteByIdsPartitioned(spark, root, Seq("id"), "id",
       Seq(11L, 12L).toDF("id"))
     assert(n == 2)
