@@ -24,7 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object BenchCurve {
 
-  private def ensureX4(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+  private def ensureX4(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+    ensureXn(spark, srcDir, dstDir, 4)
+
+  /** n×-replicated full corpus (key-offset facts, replica-tagged
+    * near-dup documents — see the class doc for why that tagging is the
+    * deliberate stress shape).
+    */
+  private def ensureXn(spark: SparkSession, srcDir: String, dstDir: String,
+                       n: Int): Unit = {
     if (new java.io.File(s"$dstDir/_DONE").exists()) return
     new java.io.File(dstDir).mkdirs()
     val dims = Seq("region", "nation", "customer", "supplier", "part")
@@ -33,7 +41,7 @@ object BenchCurve {
         .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
     }
     def rep(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until 4).map(r => f(df, r)).reduce(_ unionByName _)
+      (0 until n).map(r => f(df, r)).reduce(_ unionByName _)
 
     rep(spark.read.parquet(s"$srcDir/orders.parquet"), (d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * 1000000000L)))
@@ -129,9 +137,9 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm", "pq")
+      "layout", "lm", "pq", "decade")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant,ivf,layout,lm,pq")
+      "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
@@ -141,7 +149,7 @@ object BenchCurve {
 
     val x4 = "/tmp/graft_bench_x4"
     if (sections("curve") || sections("inc") || sections("skew") ||
-        sections("quant"))
+        sections("quant") || sections("decade"))
       ensureX4(spark, "/root/testdata/sf0.1", x4)
 
     val points = Seq(
@@ -491,6 +499,51 @@ object BenchCurve {
       Some((aqe, plain, salted))
     }
 
+    // --- decade: the steepest-slope tail one decade past sf0.1 ---
+    // VERDICT r11 item 3: the 400× curve (sf0.001→sf0.1×4) claims
+    // sub-linearity for the iterative ops (q37 label propagation, q73
+    // pagerank), the banded near-dup miner (q19), the bucketed ANN
+    // probe (q23), the probe-bounded IVF-PQ search (q117), and the
+    // composed write lifecycle (q104). One more decade (×10 the sf0.1
+    // corpus: 6 M lineitem rows, 50 k near-dup-tagged docs, 20 k
+    // embeddings) either confirms the slope or finds the knee before a
+    // real cluster does. The ×4 point is RE-MEASURED in the same run so
+    // the ×4→×10 ratio is weather-free; q104 reports its stage map
+    // (the stage mix, not just the total, is the scaling claim).
+    val decade = if (!sections("decade")) None else {
+      val x10 = "/tmp/graft_bench_x10"
+      ensureXn(spark, "/root/testdata/sf0.1", x10, 10)
+      val steep = Seq("q19_minhash_lsh", "q23_ann_lsh",
+        "q37_dedup_clusters", "q73_pagerank", "q117_ivfpq_search",
+        "q104_partitioned_lifecycle")
+      def runPoint(dir: String): Seq[(String, (Double, Seq[(String, Double)]))] = {
+        graft.engine.Tables.all.foreach { n =>
+          try graft.engine.Tables.load(spark, dir, n).count()
+          catch { case _: Throwable => () }
+        }
+        val out = steep.map { name =>
+          val reps = (1 to 2).map { _ =>
+            Stages.clear(name)
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.sharedState.cacheManager.clearCache()
+              (dt, Stages.snapshot(name))
+            } catch { case e: Throwable =>
+              System.err.println(s"[decade] $dir/$name FAILED: ${e.getMessage}")
+              (9999.0, Seq.empty[(String, Double)])
+            }
+          }
+          name -> reps.minBy(_._1)
+        }
+        spark.sharedState.cacheManager.clearCache()
+        out
+      }
+      Some((runPoint(x4), runPoint(x10)))
+    }
+
     def fmtQs(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val frags = Seq(
@@ -532,6 +585,15 @@ object BenchCurve {
           s""""z_files_kept_dim2only":$zpk,"sorted1d_files_kept_dim2only":$opk,""" +
           f""""natural_scan_sec":$fs%.3f,"z_pruned_sec":$zs%.3f,""" +
           f""""sorted1d_pruned_sec":$os%.3f}"""
+      },
+      decade.map { case (at4, at10) =>
+        def fmtPoint(qs: Seq[(String, (Double, Seq[(String, Double)]))]) =
+          qs.map { case (n, (t, st)) =>
+            "\"" + n + "\":" + (if (st.isEmpty) f"$t%.3f"
+              else "{\"total\":" + f"$t%.3f" +
+                ",\"stages\":" + fmtQs(st) + "}")
+          }.mkString("{", ",", "}")
+        s""""decade":{"x4":${fmtPoint(at4)},"x10":${fmtPoint(at10)}}"""
       },
       skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
         f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +

@@ -1916,7 +1916,30 @@ object SparkEntry {
     "q118_mjpeg_mp4" -> ((s, d) =>
       Multimodal.mjpegMp4FrameTable(
           Multimodal.withMjpegMp4Column(t(s, d, "documents"), "doc_id"))
-        .orderBy(col("doc_id"), col("track_idx"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("track_idx"), col("frame_idx"))),
+
+    // Mergeable t-digest percentile (the bounded-memory A4 path, r12):
+    // the estimate itself is approximate, so the CONTRACT is its rank —
+    // the engine computes each group's sketch median, then exactly
+    // counts what fraction of the group lies at or below it; the oracle
+    // pins that rank inside the δ=100 bound for every group. A broken
+    // digest (merge, interpolation, serialization) lands outside the
+    // bound and hash-mismatches. Same verdict-carrying shape as q23b's
+    // recall contract.
+    "q119_tdigest_rank" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val est = li.groupBy("l_returnflag")
+        .agg(graft.functions.TDigestSketch
+            .percentileAgg(col("l_extendedprice"), 0.5).as("est"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg((sum(when(col("l_extendedprice") <= col("est"), 1L)
+            .otherwise(0L)).cast("double") / max(col("n"))).as("rank_q"))
+        .select(col("l_returnflag"),
+          (abs(col("rank_q") - 0.5) <= 0.02).as("within_bound"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4201,7 +4224,15 @@ object SparkEntry {
         |  CAST(SUM((doc_id + frame_idx + i.i) % 251) AS BIGINT) AS byte_sum
         |FROM f CROSS JOIN generate_series(0, 97) i(i) WHERE i.i < sz
         |GROUP BY doc_id, frame_idx, sz
-        |ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")
+        |ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " "),
+
+    // q119: the t-digest median's rank must sit within the δ=100 bound
+    // for every group — the oracle pins the VERDICT (like q23b's recall
+    // contract), not the approximate estimate itself
+    "q119_tdigest_rank" ->
+      """SELECT l_returnflag, true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared
