@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
-import graft.functions.{DotProductII, HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, Quantize8, SimHash64, WinnowFingerprints}
+import graft.functions.{DotProductII, HyperplaneSignature, MinHashSignature, NgramHashes, NgramHashesAll, Quantize8, SimHash64, TDigestQuantile, TDigestSketch, WinnowFingerprints}
 import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
@@ -197,6 +197,12 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    m, kCodes)` — IVF-PQ build + decomposed-ADC search + exact
   *    rescore ([[graft.operators.Similarity.ivfPqBuild]] /
   *    [[graft.operators.Similarity.ivfPqSearch]])
+  *  - `graft_tdigest_sketch(table, valueCol[, 'g1,g2'])` /
+  *    `graft_tdigest_merge(table, sketchCol[, 'g1,g2'])` +
+  *    scalar `tdigest_quantile(sketch, q)` — the mergeable percentile
+  *    sketch lifecycle ([[graft.functions.TDigestSketch]]): build
+  *    per-group/per-batch sketches, persist them like any frame, merge
+  *    histories, read any quantile — all from SQL text
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -362,6 +368,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProductII(a, b)
         case _ => throw new IllegalArgumentException("dot_i8(a, b)")
+      }),
+    (new FunctionIdentifier("tdigest_quantile"),
+      new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sk, q) => TDigestQuantile(sk, q)
+        case _ => throw new IllegalArgumentException(
+          "tdigest_quantile(sketch, q)")
       }))
 
   /** Table-level operators as SQL table functions: each builder resolves
@@ -1211,6 +1224,44 @@ object GraftExtensions {
           "graft_validate_fk(table, col, dim, dimCol)")
       }),
     // product-quantization two-stage ANN
+    // mergeable t-digest percentile sketches (the bounded-memory A4
+    // path): build per-group sketches, persist them like any frame,
+    // merge across batches, read quantiles with tdigest_quantile —
+    // the whole lifecycle from SQL text
+    (new FunctionIdentifier("graft_tdigest_sketch"),
+      new ExpressionInfo("graft.functions.TDigestSketch",
+        "graft_tdigest_sketch"),
+      (args: Seq[Expression]) => {
+        def build(t: Expression, v: Expression, groups: Seq[String]) = {
+          val df = tableArg(t, "table")
+          val vc = strArg(v, "valueCol")
+          plan(df.groupBy(groups.map(df.col): _*)
+            .agg(TDigestSketch.sketchAgg(df.col(vc)).as("sketch")))
+        }
+        args match {
+          case Seq(t, v) => build(t, v, Nil)
+          case Seq(t, v, g) => build(t, v, colsArg(g, "groupCols"))
+          case _ => throw new IllegalArgumentException(
+            "graft_tdigest_sketch(table, valueCol[, 'g1,g2'])")
+        }
+      }),
+    (new FunctionIdentifier("graft_tdigest_merge"),
+      new ExpressionInfo("graft.functions.TDigestSketch",
+        "graft_tdigest_merge"),
+      (args: Seq[Expression]) => {
+        def build(t: Expression, s: Expression, groups: Seq[String]) = {
+          val df = tableArg(t, "table")
+          val sc = strArg(s, "sketchCol")
+          plan(df.groupBy(groups.map(df.col): _*)
+            .agg(TDigestSketch.mergeAgg(df.col(sc)).as("sketch")))
+        }
+        args match {
+          case Seq(t, s) => build(t, s, Nil)
+          case Seq(t, s, g) => build(t, s, colsArg(g, "groupCols"))
+          case _ => throw new IllegalArgumentException(
+            "graft_tdigest_merge(table, sketchCol[, 'g1,g2'])")
+        }
+      }),
     (new FunctionIdentifier("graft_pq_search"),
       new ExpressionInfo("graft.operators.Similarity", "graft_pq_search"),
       (args: Seq[Expression]) => args match {
@@ -1305,6 +1356,9 @@ object GraftExtensions {
     "graft_skew_join" -> "q105_skew_join",
     "graft_validate" -> "q106_validation",
     "graft_validate_fk" -> "q106_validation",
+    "tdigest_quantile" -> "q119_tdigest_rank",
+    "graft_tdigest_sketch" -> "q119_tdigest_rank",
+    "graft_tdigest_merge" -> "q119_tdigest_rank",
     "graft_ivfpq_search" -> "q117_ivfpq_search",
     "graft_pq_search" -> "q108_pq_search",
   )

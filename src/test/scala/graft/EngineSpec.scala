@@ -915,6 +915,34 @@ class EngineSpec extends SparkSpec {
       "the always-true rand() filter changes nothing row-wise")
     spark.sharedState.cacheManager.clearCache()
 
+    // the t-digest lifecycle from SQL text alone: per-batch sketches →
+    // merge → quantile read; the merged median's exact rank must sit
+    // inside the δ=100 bound over the union
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.filter($"l_orderkey" % 2 === 0).createOrReplaceTempView("sql_td_a")
+    li.filter($"l_orderkey" % 2 =!= 0).createOrReplaceTempView("sql_td_b")
+    spark.sql(
+      """SELECT * FROM graft_tdigest_sketch('sql_td_a', 'l_extendedprice',
+        |  'l_returnflag')""".stripMargin)
+      .unionByName(spark.sql(
+        """SELECT * FROM graft_tdigest_sketch('sql_td_b',
+          |  'l_extendedprice', 'l_returnflag')""".stripMargin))
+      .createOrReplaceTempView("sql_td_batches")
+    val medians = spark.sql(
+      """SELECT l_returnflag,
+        |  tdigest_quantile(sketch, 0.5) AS med
+        |FROM graft_tdigest_merge('sql_td_batches', 'sketch',
+        |  'l_returnflag')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(medians.size == 3)
+    medians.foreach { case (flag, med) =>
+      val vals = li.filter($"l_returnflag" === flag)
+        .select($"l_extendedprice").as[Double].collect()
+      val rank = vals.count(_ <= med).toDouble / vals.length
+      assert(math.abs(rank - 0.5) <= 0.02,
+        s"flag $flag: merged-sketch median $med has rank $rank")
+    }
+
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.createOrReplaceTempView("sql_pq_corpus")
