@@ -224,6 +224,16 @@ object GraftExtensions {
       s"$name must be an integer literal, got $other")
   }
 
+  /** Long literal; SQL integer literals parse as INT when they fit, so
+    * accept both widths.
+    */
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   private def strArg(e: Expression, name: String): String = e match {
     case Literal(s, StringType) if s != null => s.toString
     case other => throw new IllegalArgumentException(
@@ -1224,6 +1234,22 @@ object GraftExtensions {
           "graft_validate_fk(table, col, dim, dimCol)")
       }),
     // product-quantization two-stage ANN
+    // staged-swap residue reclamation (BUILD-style, like the delete
+    // faces): age-gated — old residue is reclaimed, anything younger
+    // than the bound still throws Lifecycle.stagedSwap's collision
+    (new FunctionIdentifier("graft_gc_staged"),
+      new ExpressionInfo("graft.operators.Lifecycle", "graft_gc_staged"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, age) =>
+          val path = strArg(p, "livePath")
+          val reclaimed = graft.operators.Lifecycle.gcStaged(
+            SparkSession.active, path, longArg(age, "olderThanMs"))
+          val spark = SparkSession.active
+          import spark.implicits._
+          plan(Seq((path, reclaimed)).toDF("live_path", "reclaimed"))
+        case _ => throw new IllegalArgumentException(
+          "graft_gc_staged(livePath, olderThanMs)")
+      }),
     // mergeable t-digest percentile sketches (the bounded-memory A4
     // path): build per-group sketches, persist them like any frame,
     // merge across batches, read quantiles with tdigest_quantile —
@@ -1357,6 +1383,7 @@ object GraftExtensions {
     "graft_validate" -> "q106_validation",
     "graft_validate_fk" -> "q106_validation",
     "tdigest_quantile" -> "q119_tdigest_rank",
+    "graft_gc_staged" -> "LayoutSpec",
     "graft_tdigest_sketch" -> "q119_tdigest_rank",
     "graft_tdigest_merge" -> "q119_tdigest_rank",
     "graft_ivfpq_search" -> "q117_ivfpq_search",

@@ -57,27 +57,23 @@ object TDigestSketch {
       if (x > hi) hi = x
     }
 
+    /** Merge `other` in: both digests compress, then the centroid sets
+      * concatenate and ONE compress folds them (weighted points cannot
+      * ride the raw buffer; compress re-sorts, so the concatenation
+      * order is irrelevant). One O(n log n) pass per merge, not one per
+      * imported centroid.
+      */
     def addAll(other: Digest): Unit = {
-      var i = 0
-      while (i < other.centM.length) {
-        addWeighted(other.centM(i), other.centW(i)); i += 1
+      other.compress()
+      if (other.centM.length > 0) {
+        compress() // fold own buffer before adopting staged centroids
+        centM = centM ++ other.centM
+        centW = centW ++ other.centW
+        needSort = true
+        compress()
       }
-      i = 0
-      while (i < other.nBuf) { add(other.bufM(i)); i += 1 }
       if (other.lo < lo) lo = other.lo
       if (other.hi > hi) hi = other.hi
-    }
-
-    /** Weighted insert (merge path): weighted points cannot ride the
-      * raw buffer, so stage them as single-element centroids and let
-      * the next compress fold them in.
-      */
-    private def addWeighted(m: Double, w: Double): Unit = {
-      compress()
-      centM = centM :+ m
-      centW = centW :+ w
-      // keep the sorted-by-mean invariant lazily: compress() re-sorts
-      needSort = true
     }
     private var needSort = false
 

@@ -590,6 +590,20 @@ class LayoutSpec extends SparkSpec {
     Layout.compactManifest(spark, dir)
     assert(spark.read.parquet(mp).orderBy("file_name").collect().length ==
       before.length)
+
+    // the SQL face: same semantics, receipt row back
+    GraftExtensions.register(spark)
+    assert(stagedDir.mkdirs())
+    val part2 = new java.io.File(stagedDir, "part-0.parquet")
+    Files.write(part2.toPath, Array[Byte](1))
+    assert(part2.setLastModified(old) && stagedDir.setLastModified(old))
+    val receipt = spark.sql(
+      s"SELECT * FROM graft_gc_staged('$mp', ${hourMs}L)")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(receipt == Seq((mp, true)) && !stagedDir.exists())
+    // nothing left: reclaimed=false, no throw
+    assert(spark.sql(s"SELECT * FROM graft_gc_staged('$mp', ${hourMs}L)")
+      .collect().head.getBoolean(1) == false)
   }
 
   // --- keyed upsert (MERGE) -----------------------------------------
