@@ -51,11 +51,6 @@ object ManifestCeiling {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** %XX-only decode of a Hive-escaped directory value (see
-    * Layout.uriDecode for why never '+').
-    */
-  private def decodeDir(s: String): String =
-    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   def main(args: Array[String]): Unit = {
     val nLeaves = if (args.length > 0) args(0).toInt else 1000
@@ -112,7 +107,7 @@ object ManifestCeiling {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         new java.io.File(mtmp).listFiles().filter(_.isDirectory)
           .foreach { d =>
-            val leaf = decodeDir(d.getName.substring(
+            val leaf = Layout.decodePathComponent(d.getName.substring(
               d.getName.indexOf('=') + 1))
             val dst = new org.apache.hadoop.fs.Path(
               Layout.partitionManifestPath(root, leaf))

@@ -35,12 +35,17 @@ object PercentileBench {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     li.count() // file-cache warmup
 
+    // clock stops BEFORE the cache clear (like Bench / BenchCurve) —
+    // teardown time inside the interval would skew the small approx
+    // numbers proportionally most, distorting exactly the ratios this
+    // file exists to record
     def timeMin(f: => Unit): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         f
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }.min
 
     def run(tag: String)(f: => Unit): Unit =

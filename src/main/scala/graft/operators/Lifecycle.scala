@@ -84,7 +84,12 @@ object Lifecycle {
           s"be mid-rewrite on $live. The live table is intact; nothing " +
           "was deleted. Retry once the staging is provably dead, or " +
           "delete it manually after confirming no writer is running.")
-    fs.delete(sp, true)
+    // HDFS/S3A report failure as `false`, not an exception — a receipt
+    // claiming reclaimed=true over a still-present staging would send
+    // the next stagedSwap straight back into the collision the caller
+    // thought they had cleared
+    require(fs.delete(sp, true),
+      s"gcStaged: filesystem refused to delete $staged — residue intact")
     true
   }
 

@@ -102,7 +102,8 @@ object Sinks {
   def pieSvg(slices: Seq[(String, Double)], size: Int = 360): String = {
     require(slices.nonEmpty, "pieSvg: no slices")
     slices.foreach { case (l, v) =>
-      require(!v.isNaN && v >= 0, s"pieSvg: negative/NaN slice '$l' ($v)") }
+      require(!v.isNaN && !v.isInfinite && v >= 0,
+        s"pieSvg: negative/NaN/infinite slice '$l' ($v)") }
     val total = slices.map(_._2).sum
     require(total > 0, "pieSvg: slice total must be positive")
     val c = size / 2.0

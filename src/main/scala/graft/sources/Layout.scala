@@ -740,6 +740,17 @@ object Layout {
   private def uriDecode(c: Column): Column =
     url_decode(regexp_replace(c, "\\+", "%2B"))
 
+  /** Driver-side twin of [[uriDecode]]: %XX-only decode of a
+    * Hive-escaped directory value or URI path component — never '+'.
+    * The one place the load-bearing invariant ("the Hive and URI path
+    * encoders never write '+' for space, so a literal '+' must survive
+    * decoding") lives for driver-side strings; keep every string-side
+    * decode on this helper so a future escaping fix lands once.
+    */
+  private[graft] def decodePathComponent(s: String): String =
+    try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => s }
+
   /** (leaf, basename, fullPath) of every data file under the given
     * leaves; each leaf's flat-dir invariant checked like every flat
     * listing here. */
@@ -962,17 +973,12 @@ object Layout {
     val keptLeaves: Seq[String] =
       if (pRanges.isEmpty) ls.map(_._1)
       else {
+        // [[decodePathComponent]]: URLDecoder's form-encoding
+        // '+'-to-space rule would turn partition value 'a+b' into
+        // 'a b' and mis-evaluate the leaf-selection range (wrong
+        // exclusion = silently dropped rows)
         val lf = ls.map { case (leaf, _, raw) =>
-          // %XX-only decode, like [[uriDecode]]: `raw` is a
-          // Hive-escaped DIRECTORY value, whose escaper never writes
-          // '+' for space — URLDecoder's form-encoding '+'-to-space
-          // rule would turn partition value 'a+b' into 'a b' and
-          // mis-evaluate the leaf-selection range (wrong exclusion =
-          // silently dropped rows)
-          val dec = try java.net.URLDecoder.decode(
-                      raw.replace("+", "%2B"), "UTF-8")
-                    catch { case _: IllegalArgumentException => raw }
-          (leaf, dec)
+          (leaf, decodePathComponent(raw))
         }.toDF("__leaf", "__raw")
           .withColumn("__pv",
             when(col("__raw") === "__HIVE_DEFAULT_PARTITION__", lit(null))

@@ -32,6 +32,12 @@ class SinksChartSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.pieSvg(Seq("zero" -> 0.0))
     }
+    // an infinite slice satisfies >= 0 and == its infinite total, so an
+    // unchecked path would draw it as 100% of the pie while the legend
+    // lists the rest — refuse like lineSvg does
+    intercept[IllegalArgumentException] {
+      Sinks.pieSvg(Seq("inf" -> Double.PositiveInfinity, "b" -> 5.0))
+    }
   }
 
   test("lineSvg: one polyline per series, points within the plot box, " +
