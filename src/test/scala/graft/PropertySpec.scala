@@ -44,6 +44,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t-digest: quantile monotone in q, endpoints exact, split-merge " +
+       "tracks the one-shot digest, rank bound holds on random data") {
+    import graft.functions.TDigestSketch
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+      .suchThat(_.size >= 20)
+    samples(gen, 40).foreach { xs =>
+      val d = new TDigestSketch.Digest(100.0)
+      xs.foreach(d.add)
+      // monotone in q, endpoints exact
+      val qs = (0 to 20).map(_ / 20.0)
+      val vals = qs.map(d.quantile)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a <= b },
+        s"quantiles must be monotone in q: $vals")
+      assert(d.quantile(0.0) == xs.min && d.quantile(1.0) == xs.max)
+      // rank bound at the median for any input size/order
+      val med = d.quantile(0.5)
+      val rank = xs.count(_ <= med).toDouble / xs.size
+      // discrete data: the achievable rank moves in 1/n steps, so the
+      // bound is the continuous bound plus one step
+      assert(math.abs(rank - 0.5) <= 0.03 + 1.0 / xs.size,
+        s"n=${xs.size} med=$med rank=$rank")
+      // split anywhere, sketch each half, merge: same bound holds on
+      // the merged digest (the persisted-shard contract)
+      val (l, r) = xs.splitAt(xs.size / 3 + 1)
+      val dl = new TDigestSketch.Digest(100.0)
+      val dr = new TDigestSketch.Digest(100.0)
+      l.foreach(dl.add); r.foreach(dr.add)
+      val merged = TDigestSketch.merge(
+        Seq(dl.serialize(), dr.serialize()))
+      val mmed = TDigestSketch.quantile(merged, 0.5)
+      val mrank = xs.count(_ <= mmed).toDouble / xs.size
+      assert(math.abs(mrank - 0.5) <= 0.03 + 1.0 / xs.size,
+        s"merged: n=${xs.size} med=$mmed rank=$mrank")
+      // serialization round-trips bit-exactly
+      val ser = d.serialize()
+      assert(java.util.Arrays.equals(ser,
+        TDigestSketch.deserialize(ser).serialize()))
+    }
+  }
+
   test("gap-filled series has exactly monthsBetween rows and preserves the total") {
     // sampled windows over the fixture data
     val sr = graft.engine.NycFixtures.serviceRequests(spark)
