@@ -244,37 +244,80 @@ object Layout {
                  ranges: Seq[ColRange]): (Seq[String], Long) =
     pruneFilesAt(spark, dataPath, manifestPath(dataPath), ranges)
 
+  /** The conservative per-file stats KEEP predicate for one range — the
+    * single source of truth for flat AND partitioned pruned reads
+    * (their semantics must stay byte-identical): keep when [min, max]
+    * intersects, when the file holds nulls in the dimension (stats
+    * cannot prove its rows miss), or when the manifest row predates the
+    * dimension joining the stats schema (`nulls_<col> IS NULL` — an
+    * authentic row's null counter is never null).
+    */
+  private def rangeKeep(r: ColRange): Column =
+    col(s"max_${r.colName}") >= r.lo && col(s"min_${r.colName}") <= r.hi ||
+      col(s"nulls_${r.colName}") > 0 ||
+      col(s"nulls_${r.colName}").isNull
+
+  /** The doomed-id candidate condition for deletes (manifest row side
+    * vs a `__del` id column) — shared by the flat delete and the
+    * partitioned leaf pre-pruning, which must agree or a leaf the
+    * pre-prune skips could hold a row the per-leaf delete would have
+    * caught: a file can hold id x iff min<=x<=max; null ids live only
+    * in files whose null count says so; a pre-dims-change row cannot be
+    * proven id-free.
+    */
+  private def idCandidateCond(idCol: String): Column =
+    (col("__del") >= col(s"min_$idCol") &&
+      col("__del") <= col(s"max_$idCol")) ||
+      (col("__del").isNull && col(s"nulls_$idCol") > 0) ||
+      col(s"nulls_$idCol").isNull
+
+  /** Directory exists and holds at least one entry — the collision test
+    * for crash-recovery scratch: an EMPTY leftover directory (mkdirs
+    * raced, or everything already recovered out of it) blocks nothing.
+    */
+  private def nonEmptyDir(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+
   private def pruneFilesAt(spark: SparkSession, dataPath: String,
                            mpStr: String,
                            ranges: Seq[ColRange]): (Seq[String], Long) = {
+    val hp = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireFlatDir(fs, hp)
+    val listed = fs.listStatus(hp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    // no manifest yet: the staleness stance, taken whole — every file
+    // is conservatively unmanifested, the read degrades to a full scan
+    // (the partitioned path and lookupByIds already did this; the flat
+    // path used to throw PATH_NOT_FOUND, contradicting its own guard)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mpStr)))
+      return (listed.map(_.toString).toSeq.sorted, listed.length.toLong)
     // mergeSchema + the nulls_<col> IS NULL keep: manifest rows
     // appended before a dims change lack the newer stat columns, and
     // those files must stay unpruned, never silently dropped under a
     // first-file schema (same discriminator as leafManifests — an
     // authentic row's nulls counter is never null)
     val m = spark.read.option("mergeSchema", "true").parquet(mpStr)
-    val kept = ranges.foldLeft(m) { (df, r) =>
-      df.filter(col(s"max_${r.colName}") >= r.lo &&
-                col(s"min_${r.colName}") <= r.hi ||
-                col(s"nulls_${r.colName}") > 0 ||
-                col(s"nulls_${r.colName}").isNull)
-    }
-    val hp = new org.apache.hadoop.fs.Path(dataPath)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireFlatDir(fs, hp)
-    val listed = fs.listStatus(hp).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
+    val kept = ranges.foldLeft(m)((df, r) => df.filter(rangeKeep(r)))
     // staleness guard via the anti-join survivor helper: only the files
     // the manifest has NEVER seen (one batch's worth) reach the driver,
     // never the full manifest name set (VERDICT r10 — the last
     // table-file-count-scaling collect in the layout layer)
     val fresh =
       unmanifestedNames(m, listed.map(_.getName).toIndexedSeq)
-    val unmanifested =
-      listed.filter(p => fresh.contains(p.getName)).map(_.toString)
-    val files = (kept.select(col("file_name")).collect()
-      .map(_.getString(0)) ++ unmanifested).toSeq.sorted
-    (files, m.count() + unmanifested.length)
+    // kept files resolve through the LISTING by base name, never the
+    // manifest's file_name URI verbatim: input_file_name percent-encodes
+    // a data PATH with URI-encodable characters ('/data/events 2024' →
+    // 'events%202024'), which spark.read cannot resolve against the raw
+    // directory — the same hazard the partitioned path already names
+    val keptNames = kept
+      .select(element_at(split(col("file_name"), "/"), -1))
+      .collect().map(_.getString(0)).toSet
+    val files = listed
+      .filter(p => keptNames.contains(p.getName) || fresh.contains(p.getName))
+      .map(_.toString).toSeq.sorted
+    (files, m.count() + listed.count(p => fresh.contains(p.getName)))
   }
 
   /** Append `df` to an existing z-ordered table as `files` new parquet
@@ -320,15 +363,16 @@ object Layout {
     // null them out (silently pruning files whose rows it cannot
     // prove absent — missed needles). Rows lacking the stats keep
     // their files via the nulls_<col> IS NULL discriminator.
-    val hasStats = fs.exists(mp) &&
-      spark.read.option("mergeSchema", "true")
-        .parquet(manifestPath(dataPath))
-        .columns.contains(s"min_$idCol")
-    val base =
-      if (!hasStats) spark.read.parquet(dataPath)
-      else {
-        val m = spark.read.option("mergeSchema", "true")
-          .parquet(manifestPath(dataPath))
+    // read the manifest ONCE: mergeSchema infers by sweeping every
+    // segment's footer, so probing hasStats on one read and pruning on
+    // another paid that sweep twice per lookup
+    val mOpt =
+      if (!fs.exists(mp)) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(manifestPath(dataPath)))
+    val base = mOpt.filter(_.columns.contains(s"min_$idCol")) match {
+      case None => spark.read.parquet(dataPath)
+      case Some(m) =>
         val hit = ids.map(i =>
           col(s"min_$idCol") <= lit(i) && col(s"max_$idCol") >= lit(i))
           .reduce(_ || _) || col(s"nulls_$idCol") > 0 ||
@@ -349,7 +393,7 @@ object Layout {
           .map(_.toString).toSeq.sorted
         if (files.isEmpty) spark.read.parquet(dataPath).limit(0)
         else spark.read.parquet(files: _*)
-      }
+    }
     base.filter(col(idCol).isin(ids: _*))
   }
 
@@ -386,12 +430,54 @@ object Layout {
         dataFiles.map(_.getName).toIndexedSeq)
     val fresh = dataFiles.filter(p => freshNames.contains(p.getName))
     if (fresh.isEmpty) return 0
-    spark.read.parquet(fresh.map(_.toString).toIndexedSeq: _*)
+    appendStatsSegment(spark, mp, fresh.map(_.toString).toIndexedSeq, dims)
+    fresh.length
+  }
+
+  /** Stat `files` and append their rows to the manifest at `mp` — the
+    * one segment writer both the flat and partitioned refreshers use.
+    *
+    * ZERO-ROW files (an all-doomed delete's staged survivor, an empty
+    * appended batch, an external writer's schema-only file) produce no
+    * group row from the stats aggregation, so they would stay
+    * unmanifested FOREVER — every subsequent refresh re-stats them and
+    * appends another empty segment, breaking the documented "0 is the
+    * idempotent no-op". Their rows are SYNTHESIZED: n_rows=0, typed-null
+    * min/max (a null bound never satisfies a range keep — exactly
+    * right, the file has no rows), and ZERO null-counts (null counters
+    * are the schema-drift discriminator; a synthetic row must read as
+    * authentic).
+    */
+  private def appendStatsSegment(spark: SparkSession, mp: String,
+                                 files: Seq[String],
+                                 dims: Seq[String]): Unit = {
+    // localCheckpoint: the stats frame is consumed twice (the write and
+    // the statted-name probe) and must not recompute between them
+    val stats = spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file_name"))
       .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
-      .coalesce(1)
-      .write.mode("append").parquet(mp)
-    fresh.length
+      .localCheckpoint()
+    if (stats.limit(1).head(1).nonEmpty)
+      stats.coalesce(1).write.mode("append").parquet(mp)
+    val statted = stats
+      .select(element_at(split(col("file_name"), "/"), -1))
+      .collect().map(_.getString(0)).toSet
+    val empties = files.filterNot(f =>
+      statted.contains(new org.apache.hadoop.fs.Path(f).getName))
+    if (empties.nonEmpty) {
+      import spark.implicits._
+      val base = empties.map(f => (f, 0L)).toDF("file_name", "n_rows")
+      val withStats = dims.foldLeft(base) { (df, d) =>
+        // typed nulls: parquet cannot write NullType columns, and the
+        // synthetic segment must merge with authentic ones
+        df.withColumn(s"min_$d",
+            lit(null).cast(stats.schema(s"min_$d").dataType))
+          .withColumn(s"max_$d",
+            lit(null).cast(stats.schema(s"max_$d").dataType))
+          .withColumn(s"nulls_$d", lit(0L))
+      }
+      withStats.coalesce(1).write.mode("append").parquet(mp)
+    }
   }
 
   /** Rewrite a many-file manifest (one file per [[updateManifest]] call)
@@ -403,7 +489,12 @@ object Layout {
   def compactManifest(spark: SparkSession, dataPath: String): Unit = {
     val mp = manifestPath(dataPath)
     graft.operators.Lifecycle.stagedSwap(spark, mp) { staged =>
-      spark.read.parquet(mp).coalesce(1)
+      // mergeSchema like every manifest consultation: segments written
+      // across a dims change carry different stat columns, and a
+      // first-file-schema rewrite would PERMANENTLY drop the others'
+      // stats (pruned reads on the lost dimension then throw and the
+      // stats are unrecoverable short of a full re-stat)
+      spark.read.option("mergeSchema", "true").parquet(mp).coalesce(1)
         .write.mode("overwrite").parquet(staged)
     }
   }
@@ -508,11 +599,7 @@ object Layout {
         // files whose null count says so; a pre-dims-change manifest
         // row (nulls_<idCol> IS NULL — see pruneFilesAt) cannot be
         // proven id-free, so its file stays a candidate
-        val cand = m.join(broadcast(idv),
-            (col("__del") >= col(s"min_$idCol") &&
-             col("__del") <= col(s"max_$idCol")) ||
-            (col("__del").isNull && col(s"nulls_$idCol") > 0) ||
-            col(s"nulls_$idCol").isNull,
+        val cand = m.join(broadcast(idv), idCandidateCond(idCol),
             "left_semi")
           .select(col("file_name")).collect()
           .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
@@ -531,6 +618,28 @@ object Layout {
     val surviving = candDf.join(idv, col(idCol) <=> col("__del"), "left_anti")
     val staged = stagedStr
     val sp = new org.apache.hadoop.fs.Path(staged)
+    val retired = new org.apache.hadoop.fs.Path(retiredStr)
+    // CRASH-RESIDUE COLLISION (the stagedSwap contract, not the old
+    // silent clobber): a NON-EMPTY retired directory is a previous
+    // delete that crashed mid-promotion — those files may be the ONLY
+    // copies of their rows, and deleting them here would be permanent,
+    // silent row loss. A non-empty staged directory is a previous
+    // delete's survivors (or a live concurrent writer). Both fail
+    // loudly; the live table is intact in every branch.
+    if (nonEmptyDir(fs, retired))
+      throw new IllegalStateException(
+        s"retired directory $retiredStr is not empty: a previous delete " +
+          s"crashed mid-promotion on $dataPath and those files may be " +
+          "the only copies of their rows. Rename them back into the " +
+          "data directory, run reconcileManifest, and retry. Nothing " +
+          "was touched.")
+    if (nonEmptyDir(fs, sp))
+      throw new IllegalStateException(
+        s"staged directory $stagedStr is not empty: either a concurrent " +
+          s"writer is mid-delete on $dataPath (writers must be " +
+          "serialized per table) or a previous delete crashed before " +
+          "its promotion. The live table is intact; after confirming " +
+          s"no other writer is running, delete $stagedStr and retry.")
     fs.delete(sp, true)
     // re-cluster the surviving subset along the table's own curve —
     // the manifest records actual min/max, so subset bounds only shape
@@ -540,9 +649,7 @@ object Layout {
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
       .write.mode("overwrite").parquet(staged)
-    val retired = new org.apache.hadoop.fs.Path(retiredStr)
-    fs.delete(retired, true)
-    fs.mkdirs(retired)
+    fs.mkdirs(retired) // empty-or-absent: the collision check above ran
     candidates.foreach { p =>
       require(fs.rename(p, new org.apache.hadoop.fs.Path(retired, p.getName)),
         s"delete: could not retire $p — table unchanged so far; " +
@@ -605,12 +712,14 @@ object Layout {
     * rewritten file sit there until the append AND manifest update have
     * landed, and only then is the vault dropped. Recovery after a crash
     * between the halves is therefore never lossy — replay the SAME
-    * upsert batch and it converges (the delete half finds nothing, the
-    * append lands); if the batch itself is unrecoverable, the
-    * pre-upsert rows for the matched keys are intact in the vault (copy
-    * them back into the table and [[reconcileManifest]]). A vault left
-    * by a crashed upsert holds only that upsert's originals — the next
-    * successful upsert drops it.
+    * upsert batch with `resumeVault = true` and it converges (the
+    * delete half finds nothing, the append lands, the vault drops); if
+    * the batch itself is unrecoverable, the pre-upsert rows for the
+    * matched keys are intact in the vault (copy them back into the
+    * table and [[reconcileManifest]]). A non-empty vault BLOCKS any
+    * other upsert loudly (r12): the vaulted files may be the only
+    * copies of their rows, so only the explicit resume — or manual
+    * recovery — may clear them, never an unrelated batch's cleanup.
     *
     * REPLAY (VERDICT r8): pass `batchId` to make replays exact no-ops
     * via the applied-batch [[graft.operators.Ledger]] at
@@ -624,7 +733,8 @@ object Layout {
     */
   def upsertByIds(spark: SparkSession, dataPath: String, dims: Seq[String],
                   idCol: String, updates: DataFrame, files: Int,
-                  batchId: Option[String] = None): Int = {
+                  batchId: Option[String] = None,
+                  resumeVault: Boolean = false): Int = {
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ledger = dataPath.stripSuffix("/") + "_upsert_ledger"
@@ -635,6 +745,21 @@ object Layout {
     }
     val mat = updates.localCheckpoint()
     val vault = dataPath.stripSuffix("/") + "_upsert_vault"
+    // VAULT COLLISION: a non-empty vault is a previous upsert that
+    // crashed between its halves — its files are the pre-delete
+    // originals of keys whose replacement rows never landed, i.e. the
+    // only copies. The old behavior let ANY next upsert succeed and
+    // drop them silently. Now: replaying the SAME batch (the documented
+    // converging recovery) passes `resumeVault = true` — the replay
+    // absorbs the crash and the vault drops with it; a DIFFERENT batch
+    // fails loudly instead of destroying another run's recovery copies.
+    if (!resumeVault && nonEmptyDir(fs, new org.apache.hadoop.fs.Path(vault)))
+      throw new IllegalStateException(
+        s"upsert vault $vault is not empty: a previous upsert crashed " +
+          s"between its delete and append halves on $dataPath. Replay " +
+          "THAT batch with resumeVault = true (it converges and clears " +
+          "the vault), or copy the vaulted files back into the table " +
+          "and reconcileManifest. Nothing was touched.")
     val rewritten =
       if (!fs.exists(hp)) 0
       else deleteRetaining(spark, dataPath, dims, idCol,
@@ -813,13 +938,21 @@ object Layout {
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
     var dropped = 0
     if (fs.exists(new org.apache.hadoop.fs.Path(mp))) {
-      val m = spark.read.parquet(mp)
+      // mergeSchema on BOTH reads: the staged rewrite replaces the whole
+      // manifest, so a first-file-schema read here would permanently
+      // drop every stat column the arbitrarily-chosen first segment
+      // lacks (the exact loss mergeSchema exists to prevent — and this
+      // path runs automatically inside every delete)
+      val m = spark.read.option("mergeSchema", "true").parquet(mp)
       val total = m.count()
       val kept = keepRowsPlan(m, present).count()
       dropped = (total - kept).toInt
       if (dropped > 0) {
         graft.operators.Lifecycle.stagedSwap(spark, mp) { staged =>
-          keepRowsPlan(spark.read.parquet(mp), present).coalesce(1)
+          keepRowsPlan(
+              spark.read.option("mergeSchema", "true").parquet(mp),
+              present)
+            .coalesce(1)
             .write.mode("overwrite").parquet(staged)
         }
       }
@@ -931,11 +1064,8 @@ object Layout {
       else unmanifestedLeafFiles(leafManifests(spark, root, withM),
         listLeafFiles(fs, root, withM)))
     fresh.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (leaf, fl) =>
-      spark.read.parquet(fl.map(_._3): _*)
-        .groupBy(input_file_name().as("file_name"))
-        .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
-        .coalesce(1)
-        .write.mode("append").parquet(partitionManifestPath(root, leaf))
+      appendStatsSegment(spark, partitionManifestPath(root, leaf),
+        fl.map(_._3), dims)
     }
     fresh.length
   }
@@ -1010,12 +1140,8 @@ object Layout {
         // joined the stats schema (see leafManifests): its file cannot
         // be proven to miss, so it is kept — never silently pruned
         val byKey = listedM.map(t => (t._1, t._2) -> t._3).toMap
-        val kept = dRanges.foldLeft(m) { (df, r) =>
-          df.filter(col(s"max_${r.colName}") >= r.lo &&
-                    col(s"min_${r.colName}") <= r.hi ||
-                    col(s"nulls_${r.colName}") > 0 ||
-                    col(s"nulls_${r.colName}").isNull)
-        }.select(col("__leaf"),
+        val kept = dRanges.foldLeft(m)((df, r) => df.filter(rangeKeep(r)))
+          .select(col("__leaf"),
             uriDecode(element_at(split(col("file_name"), "/"), -1)))
           .collect()
           .flatMap(r => byKey.get((r.getString(0), r.getString(1))))
@@ -1101,20 +1227,33 @@ object Layout {
     leaves(fs, rp).count { case (leaf, _, _) =>
       val leafDir = root.stripSuffix("/") + "/" + leaf
       val lp = new org.apache.hadoop.fs.Path(leafDir)
+      val scratch = root.stripSuffix("/") + "/_compact/" + leaf
+      val sp = new org.apache.hadoop.fs.Path(scratch + "__staged")
+      val retired = new org.apache.hadoop.fs.Path(scratch + "__retired")
+      // residue checks run BEFORE the over-budget short-circuit: a
+      // compaction that crashed after retiring every original leaves
+      // the leaf EMPTY (0 files > max is false), and the old order
+      // skipped the leaf as "under budget" — reads then silently
+      // returned zero rows for the partition and the residue was never
+      // surfaced. A non-empty retired dir may hold the only copies.
+      if (nonEmptyDir(fs, retired))
+        throw new IllegalStateException(
+          s"retired directory $retired is not empty: a previous " +
+            s"compaction crashed mid-promotion on $leafDir and those " +
+            "files may be the only copies of their rows. Rename them " +
+            s"back into $leafDir (and delete any staged files under " +
+            s"$sp), then retry. Nothing was touched.")
+      if (fs.exists(sp))
+        throw new IllegalStateException(
+          s"staged directory $sp already exists: either a concurrent " +
+            s"compaction is mid-rewrite on $leafDir (writers must be " +
+            "serialized per table) or a previous one crashed before " +
+            s"its promotion. The leaf at $leafDir is intact. After " +
+            s"confirming no other writer is running, delete $sp and " +
+            "retry.")
       val originals = fs.listStatus(lp).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       originals.length > maxFilesPerLeaf && {
-        val scratch = root.stripSuffix("/") + "/_compact/" + leaf
-        val sp = new org.apache.hadoop.fs.Path(scratch + "__staged")
-        val retired = new org.apache.hadoop.fs.Path(scratch + "__retired")
-        if (fs.exists(sp))
-          throw new IllegalStateException(
-            s"staged directory $sp already exists: either a concurrent " +
-              s"compaction is mid-rewrite on $leafDir (writers must be " +
-              "serialized per table) or a previous one crashed before " +
-              s"its promotion. The leaf at $leafDir is intact. After " +
-              s"confirming no other writer is running, delete $sp and " +
-              "retry.")
         withZKey(spark.read.parquet(leafDir), dims)
           .repartitionByRange(filesPerLeaf, col("zkey"))
           .sortWithinPartitions(col("zkey"))
@@ -1241,11 +1380,7 @@ object Layout {
         // leaf is processed — deleteRetainingAt then fails loudly on
         // the stats its own pruning requires, exactly as the old
         // per-leaf path did, instead of silently missing a takedown
-        val hits = m.join(broadcast(del),
-            (col("__del") >= col(s"min_$idCol") &&
-             col("__del") <= col(s"max_$idCol")) ||
-            (col("__del").isNull && col(s"nulls_$idCol") > 0) ||
-            col(s"nulls_$idCol").isNull,
+        val hits = m.join(broadcast(del), idCandidateCond(idCol),
             "left_semi")
           .select(col("__leaf"))
           .distinct().collect().map(_.getString(0)).toSet

@@ -1158,4 +1158,202 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(root)
       .filter(col("id").isin(11L, 12L)).count() == 0)
   }
+
+  // --- r12 review hardening: crash residue, mixed schemas, empties ---
+
+  test("manifest rewrites keep EVERY stat column across a dims change: " +
+       "compactManifest and the delete's auto-reconcile read merged") {
+    import spark.implicits._
+    val dir = tmpDir("mixschema")
+    val df = (0L until 40L).map(i => (i, i * 2, s"s$i")).toDF("a", "b", "s")
+    Layout.writeZOrdered(df.filter($"a" < 20), dir, Seq("a"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("a"))
+    // dims change: later segments carry b's stats too
+    Layout.appendZOrdered(df.filter($"a" >= 20), dir, Seq("a", "b"), files = 2)
+    Layout.updateManifest(spark, dir, Seq("a", "b"))
+    val mp = Layout.manifestPath(dir)
+    def cols() = spark.read.option("mergeSchema", "true").parquet(mp)
+      .columns.toSet
+    assert(cols().contains("min_b") && cols().contains("min_a"))
+    // the compaction rewrite must not pick one segment's schema
+    Layout.compactManifest(spark, dir)
+    assert(cols().contains("min_b") && cols().contains("min_a"),
+      "compaction permanently dropped a stat column")
+    // pruned reads on BOTH dims still work after the rewrite
+    assert(Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("b", lit(50L), lit(60L))))
+      .select("a").as[Long].collect().sorted.toSeq ==
+      (25L to 30L).toSeq)
+    // the delete path auto-reconciles — that rewrite must merge too
+    Layout.deleteByIds(spark, dir, Seq("a", "b"), "a", Seq(3L).toDF("a"))
+    assert(cols().contains("min_b") && cols().contains("min_a"),
+      "delete's reconcile rewrite dropped a stat column")
+    assert(Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("b", lit(50L), lit(60L))))
+      .select("a").as[Long].collect().sorted.toSeq == (25L to 30L).toSeq)
+  }
+
+  test("delete refuses to clobber crash residue: non-empty retired or " +
+       "staged directories fail loudly with the table intact") {
+    import spark.implicits._
+    val dir = tmpDir("delresidue")
+    val df = (0L until 30L).map(i => (i, i * 3)).toDF("id", "v")
+    Layout.writeZOrdered(df, dir, Seq("id"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("id"))
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    // a crashed delete's retired dir: may be the ONLY copies
+    val retired = new java.io.File(dir + "_delete_retired")
+    assert(retired.mkdirs())
+    Files.write(new java.io.File(retired, "part-old.parquet").toPath,
+      Array[Byte](1))
+    val e1 = intercept[IllegalStateException] {
+      Layout.deleteByIds(spark, dir, Seq("id"), "id", Seq(5L).toDF("id"))
+    }
+    assert(e1.getMessage.contains("only copies"))
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+    assert(new java.io.File(retired, "part-old.parquet").exists(),
+      "residue must be untouched")
+    // recovered (emptied) residue no longer blocks
+    assert(new java.io.File(retired, "part-old.parquet").delete())
+    // a crashed delete's staged survivors block too
+    val staged = new java.io.File(dir + "_deleting")
+    assert(staged.mkdirs())
+    Files.write(new java.io.File(staged, "part-x.parquet").toPath,
+      Array[Byte](1))
+    val e2 = intercept[IllegalStateException] {
+      Layout.deleteByIds(spark, dir, Seq("id"), "id", Seq(5L).toDF("id"))
+    }
+    assert(e2.getMessage.contains("staged directory"))
+    assert(new java.io.File(staged, "part-x.parquet").delete())
+    // clear: the delete now runs
+    assert(Layout.deleteByIds(spark, dir, Seq("id"), "id",
+      Seq(5L).toDF("id")) >= 1)
+    assert(spark.read.parquet(dir).filter($"id" === 5L).count() == 0)
+  }
+
+  test("upsert refuses a non-empty vault from a crashed run unless " +
+       "resuming; the resume converges and clears it") {
+    import spark.implicits._
+    val dir = tmpDir("vaultresidue")
+    val dims = Seq("id", "v")
+    val df = (0L until 20L).map(i => (i, i * 10)).toDF("id", "v")
+    Layout.writeZOrdered(df, dir, dims, files = 2)
+    Layout.writeManifest(spark, dir, dims)
+    // simulate a crash between the halves: vault holds originals
+    val vault = new java.io.File(dir + "_upsert_vault")
+    assert(vault.mkdirs())
+    Files.write(new java.io.File(vault, "part-crashed.parquet").toPath,
+      Array[Byte](1))
+    val batch = Seq((3L, 999L), (50L, 500L)).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      Layout.upsertByIds(spark, dir, dims, "id", batch, files = 1)
+    }
+    assert(e.getMessage.contains("resumeVault"))
+    assert(new java.io.File(vault, "part-crashed.parquet").exists())
+    // the documented recovery: replay the batch as a resume
+    Layout.upsertByIds(spark, dir, dims, "id", batch, files = 1,
+      resumeVault = true)
+    assert(!vault.exists(), "a successful resume clears the vault")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 999L && got(50L) == 500L && got.size == 21)
+  }
+
+  test("compactPartitioned surfaces a leaf emptied by a crashed " +
+       "compaction instead of skipping it as under-budget") {
+    import spark.implicits._
+    val root = tmpDir("emptiedleaf")
+    val df = (0L until 40L).map(i => (s"p${i % 2}", i, i * 2))
+      .toDF("part", "id", "v")
+    Layout.writeZOrderedPartitioned(df, root, "part", Seq("id"), files = 4)
+    Layout.updateManifestPartitioned(spark, root, Seq("id"))
+    // simulate the crash: all of p0's files retired, none promoted
+    val leafDir = new java.io.File(root, "part=p0")
+    val retired = new java.io.File(root, "_compact/part=p0__retired")
+    assert(retired.mkdirs())
+    leafDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      assert(f.renameTo(new java.io.File(retired, f.getName)))
+    }
+    val e = intercept[IllegalStateException] {
+      Layout.compactPartitioned(spark, root, Seq("id"),
+        filesPerLeaf = 1, maxFilesPerLeaf = 1)
+    }
+    assert(e.getMessage.contains("only copies"))
+    // recovery: rename back, retry cleanly
+    retired.listFiles().foreach { f =>
+      assert(f.renameTo(new java.io.File(leafDir, f.getName)))
+    }
+    assert(retired.delete())
+    Layout.compactPartitioned(spark, root, Seq("id"),
+      filesPerLeaf = 1, maxFilesPerLeaf = 1)
+    assert(spark.read.parquet(root).count() == 40L)
+  }
+
+  test("zero-row data files enter the manifest: updateManifest stays " +
+       "idempotent and pruned reads stay row-identical") {
+    import spark.implicits._
+    val dir = tmpDir("emptyfile")
+    val df = (0L until 30L).map(i => (i, i * 2)).toDF("id", "v")
+    Layout.writeZOrdered(df, dir, Seq("id"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("id"))
+    // an empty appended batch produces a schema-only parquet file
+    Layout.appendZOrdered(df.filter($"id" < 0), dir, Seq("id"), files = 1)
+    val fresh = Layout.updateManifest(spark, dir, Seq("id"))
+    assert(fresh >= 1, "the empty file is new to the manifest")
+    assert(Layout.updateManifest(spark, dir, Seq("id")) == 0,
+      "second refresh must be the idempotent no-op — an unmanifested " +
+        "empty file would re-stat forever")
+    val got = Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("id", lit(5L), lit(10L))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (5L to 10L).toSeq)
+    // the synthetic row reads as authentic (null counters present):
+    // no nulls_<dim> IS NULL rows exist in this manifest
+    val m = spark.read.option("mergeSchema", "true")
+      .parquet(Layout.manifestPath(dir))
+    assert(m.filter(col("nulls_id").isNull).count() == 0)
+
+    // partitioned twin: a schema-only file inside a leaf must not
+    // re-stat forever either (same segment writer, same synthesis)
+    val root = tmpDir("emptyleaf2")
+    val pdf = (0L until 20L).map(i => (s"p${i % 2}", i)).toDF("part", "id")
+    Layout.writeZOrderedPartitioned(pdf, root, "part", Seq("id"), files = 2)
+    assert(Layout.updateManifestPartitioned(spark, root, Seq("id")) > 0)
+    spark.range(0).select(col("id"))
+      .coalesce(1).write.mode("append").parquet(s"$root/part=p0")
+    assert(Layout.updateManifestPartitioned(spark, root, Seq("id")) == 1)
+    assert(Layout.updateManifestPartitioned(spark, root, Seq("id")) == 0,
+      "the empty leaf file must be manifested, not re-statted")
+    assert(Layout.prunedReadPartitioned(spark, root,
+        Seq(Layout.ColRange("id", lit(0L), lit(19L)))).count() == 20L)
+  }
+
+  test("prunedRead before any manifest exists degrades to the " +
+       "conservative full scan instead of throwing") {
+    import spark.implicits._
+    val dir = tmpDir("nomanifest")
+    val df = (0L until 25L).map(i => (i, i * 2)).toDF("id", "v")
+    Layout.writeZOrdered(df, dir, Seq("id"), files = 2)
+    val got = Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("id", lit(3L), lit(7L))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (3L to 7L).toSeq)
+  }
+
+  test("prunedRead resolves kept files through the listing, so a data " +
+       "PATH with URI-encodable characters reads after manifesting") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_layout sp").toFile
+    base.deleteOnExit()
+    val dir = new java.io.File(base, "data dir").getPath
+    val df = (0L until 25L).map(i => (i, i * 2)).toDF("id", "v")
+    Layout.writeZOrdered(df, dir, Seq("id"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("id"))
+    // manifest file_names percent-encode the space; reading them
+    // verbatim would double-encode and fail path-not-found
+    val got = Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("id", lit(3L), lit(7L))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (3L to 7L).toSeq)
+  }
 }
