@@ -62,16 +62,21 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
     import graft.functions.HashFunctions.{dotII, quantize8}
+    // self-dot norms are PER-ROW quantities: compute them on each side
+    // before the |corpus|×|queries| join (like bruteForceTopK/lshTopK),
+    // not per PAIR — inside the join each pair would re-run both
+    // self-dots, tripling the O(dim) work of the hot loop this function
+    // exists to make cheap. Same integer-exact arithmetic, same IEEE
+    // sqrt/multiply, so results are bit-identical either way.
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      quantize8(col(vecCol)).as("qv")))
+      quantize8(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotII(col("qv"), col("qv")).cast("double"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize8(col(vecCol)).as("nv"))
+      .withColumn("cn", sqrt(dotII(col("nv"), col("nv")).cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    // integer self-dots are exact; the only floating point is the final
-    // sqrt/divide, identical IEEE ops in any engine reproducing this
-    val nn = sqrt(dotII(col("qv"), col("qv")).cast("double")) *
-      sqrt(dotII(col("nv"), col("nv")).cast("double"))
+    val nn = col("qn") * col("cn")
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", when(nn === 0.0, 0.0)
         .otherwise(dotII(col("qv"), col("nv")).cast("double") / nn))
@@ -404,12 +409,21 @@ object Similarity {
     val cells = Tombstones.applyTo(
       spark.read.parquet(s"$path/cells"), idCol, s"$path/tombstones")
     val others = cells.columns.filter(c => c != idCol && c != "cell").toSeq
+    // ONE row wins per id, picked by a TOTAL order (cell, payload):
+    // min_by keyed on cell alone ties when a legacy duplicate id holds
+    // two rows in the SAME cell with different payloads, and a tied
+    // min_by picks whichever row an executor saw first — two compaction
+    // runs could emit different vectors, violating the determinism
+    // contract above. Keying on the payload too breaks every tie the
+    // same way on every run, and keeps all output columns from the
+    // SAME winning row (never a mix).
+    val payload = struct(others.map(col): _*)
     val dedup = cells
       .groupBy(col(idCol))
-      // min_by keyed on the SAME cell as the min: a legacy duplicate id
-      // collapses to one consistent (cell, vector) row, never a mix
       .agg(min(col("cell")).as("cell"),
-        others.map(c => min_by(col(c), col("cell")).as(c)): _*)
+        min_by(payload, struct(col("cell"), payload)).as("__pick"))
+      .select((col(idCol) +: col("cell") +:
+        others.map(c => col(s"__pick.$c").as(c))): _*)
     // output files ≈ ranges × touched cells per range: size the id
     // ranges explicitly (same rule as compactLshIndex) — the default
     // shuffle.partitions count of tiny ranges, multiplied by the cell
@@ -452,9 +466,21 @@ object Similarity {
 
   private def lshBucketRows(df: DataFrame, idCol: String, vecCol: String,
                             bits: Int, prefixBits: Int, tables: Int,
-                            portableDim: Int): DataFrame = {
+                            portableDim: Int): DataFrame =
+    lshBucketRowsFn(df, idCol, vecCol, bits, prefixBits, tables,
+      lshSigFn(portableDim))
+
+  /** One corpus pass to the (id, vector, norm, tbl, bucket) signature
+    * rows — the single construction site for both the persisted-index
+    * writer ([[saveLshIndex]] via [[lshBucketRows]]) and the in-session
+    * self-search ([[lshTopK]]): the two had drifted into verbatim
+    * copies, and the signature-row shape is load-bearing for every
+    * probe, so a fix must land once.
+    */
+  private def lshBucketRowsFn(df: DataFrame, idCol: String, vecCol: String,
+                              bits: Int, prefixBits: Int, tables: Int,
+                              sig: (Column, Int, Long) => Column): DataFrame = {
     val mask = (1L << prefixBits) - 1
-    val sig = lshSigFn(portableDim)
     val tb = explode(array((0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         sig(col(vecCol), bits, t.toLong).bitwiseAND(mask)
@@ -468,7 +494,14 @@ object Similarity {
   def saveLshIndex(corpus: DataFrame, path: String, idCol: String,
                    vecCol: String, bits: Int = 16, prefixBits: Int = 8,
                    tables: Int = 1, portableDim: Int = 0): Unit = {
-    require(prefixBits >= 1 && prefixBits <= bits && tables >= 1)
+    // bits <= 62, same bound lshTopK enforces: at 63 the signature packs
+    // the sign bit (negative bucket values) and at 64 the prefix mask
+    // (1L << 64) wraps to 0, silently flattening EVERY row into bucket 0
+    // — a persisted index with no probe-time pruning and no error
+    require(prefixBits >= 1 && prefixBits <= bits && bits <= 62 &&
+      tables >= 1,
+      s"need 1 <= prefixBits <= bits <= 62 and tables >= 1, got " +
+        s"bits=$bits prefixBits=$prefixBits tables=$tables")
     val spark = corpus.sparkSession
     import spark.implicits._
     lshBucketRows(corpus, idCol, vecCol, bits, prefixBits, tables, portableDim)
@@ -587,7 +620,12 @@ object Similarity {
         else array(sig +: (0 until pb).map(i => sig.bitwiseXOR(lit(1L << i))): _*)
       struct(lit(t).as("tbl"), buckets.as("buckets"))
     }
+    // a null query vector yields null signatures and therefore null
+    // probe buckets; unguarded, the primitive getLong on the collected
+    // probe rows NPEs and the whole search dies. Such a query can match
+    // nothing — drop it, like the family's other members tolerate nulls
     val q = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorOps.norm(col(vecCol)).as("qn"), explode(array(perTable: _*)).as("tb"))
       .select(col("query_id"), col("qv"), col("qn"),
@@ -692,23 +730,15 @@ object Similarity {
         math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 2.0))
           / math.log(2.0)).toInt.max(4).min(bits)
       }
-    val mask = (1L << pb) - 1
-    // one corpus pass; each row explodes into its per-table (tbl, bucket)
-    val tb = explode(array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-        signatureFn(col(vecCol), bits, t.toLong).bitwiseAND(mask)
-          .as("bucket"))): _*))
-    // PERSISTED signature table: both the bucketed corpus side (cap
-    // window) and the probe side derive from it, and column pruning would
-    // otherwise re-run the corpus-wide signature pass once per side. At
-    // scale this is the LSH index you'd materialize anyway — corpus ×
-    // tables rows of (id, vector, norm, bucket). Session-lifetime cache:
-    // see Dedup's CACHE LIFETIME CONTRACT (clearCache between corpora).
-    val sig = corpus
-      .select(col(idCol), col(vecCol), VectorOps.norm(col(vecCol)).as("nrm"),
-        tb.as("tb"))
-      .select(col(idCol), col(vecCol), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // PERSISTED signature table ([[lshBucketRowsFn]] — one corpus pass):
+    // both the bucketed corpus side (cap window) and the probe side
+    // derive from it, and column pruning would otherwise re-run the
+    // corpus-wide signature pass once per side. At scale this is the
+    // LSH index you'd materialize anyway — corpus × tables rows of
+    // (id, vector, norm, bucket). Session-lifetime cache: see Dedup's
+    // CACHE LIFETIME CONTRACT (clearCache between corpora).
+    val sig = lshBucketRowsFn(corpus, idCol, vecCol, bits, pb, tables,
+        signatureFn)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capW = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
     val r = sig.withColumn("__bn", row_number().over(capW))
@@ -794,9 +824,17 @@ object Similarity {
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int = 1): PqBooks = {
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        VectorOps.norm(col(vecCol)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skip the persist when the CALLER's frame is already cached (e.g.
+    // ivfPqBuild hands in its persisted residual corpus): this cheap
+    // projection then reads the existing cache, instead of pinning a
+    // second corpus-sized MEMORY_AND_DISK copy of the same rows for the
+    // whole training loop — double storage-pool pressure at scale
+    val callerCached =
+      corpus.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val baseRaw = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("n"))
+    val base = if (callerCached) baseRaw
+      else baseRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(m >= 1 && dim % m == 0,
       s"PQ needs dim divisible by m: dim=$dim, m=$m")
@@ -828,7 +866,7 @@ object Similarity {
       }
       it += 1
     }
-    base.unpersist(blocking = false)
+    if (!callerCached) base.unpersist(blocking = false)
     books
   }
 
@@ -860,7 +898,8 @@ object Similarity {
     * cos_adc, rank) with the family's (score desc, id) tie-break.
     */
   def pqAdcTopK(codes: DataFrame, books: PqBooks, queries: DataFrame,
-                idCol: String, vecCol: String, k: Int): DataFrame = {
+                idCol: String, vecCol: String, k: Int,
+                codesIdCol: String = "id"): DataFrame = {
     val dsub = books.head._3.length
     val lut = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -870,7 +909,10 @@ object Similarity {
           VectorOps.dot(
             slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
             col("cv")).as("lut")))
-    val ex = codes.select(col("id").as("neighbor_id"), col("norm"),
+    // codesIdCol: a [[pqEncode]] frame carries "id", but [[loadPqIndex]]
+    // returns the codes under the caller's own id column name — the
+    // documented load-then-search path must not need a rename ritual
+    val ex = codes.select(col(codesIdCol).as("neighbor_id"), col("norm"),
       posexplode(col("codes")).as(Seq("sub", "code")))
     val nn = col("qn") * col("norm")
     val w = Window.partitionBy(col("query_id"))
@@ -910,14 +952,21 @@ object Similarity {
     * away, plus the codebooks (M×K×dsub floats — driver-sized by
     * construction). */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
-                  path: String): (DataFrame, PqBooks) = {
-    val books = spark.read.parquet(s"$path/books")
+                  path: String): (DataFrame, PqBooks) =
+    (Tombstones.applySelfTo(spark.read.parquet(s"$path/codes"),
+      s"$path/tombstones"), readPqBooks(spark, path))
+
+  /** The one place the persisted codebook layout is interpreted (the
+    * analogue of readIvfCentroids) — [[appendPqIndex]] needs ONLY the
+    * books, and routing it through [[loadPqIndex]] built and discarded
+    * the tombstone-filtered codes frame each append.
+    */
+  private def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+                          path: String): PqBooks =
+    spark.read.parquet(s"$path/books")
       .select(col("sub"), col("code"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
       .sortBy(b => (b._1, b._2))
-    (Tombstones.applySelfTo(spark.read.parquet(s"$path/codes"),
-      s"$path/tombstones"), books)
-  }
 
   /** Grow a persisted PQ index with a new batch against FROZEN
     * codebooks — the same incremental contract as [[appendIvfIndex]]:
@@ -934,7 +983,7 @@ object Similarity {
     val spark = newRows.sparkSession
     Tombstones.clear(newRows.select(col(idCol)), idCol,
       s"$path/tombstones")
-    val books = loadPqIndex(spark, path)._2
+    val books = readPqBooks(spark, path)
     val batch = newRows.select(col(idCol), col(vecCol))
       .filter(col(idCol).isNotNull).dropDuplicates(idCol)
     val fresh = Lifecycle.freshByIdRange(batch, newRows, idCol,
@@ -962,8 +1011,13 @@ object Similarity {
                      targetRowsPerRange: Long = 1L << 22): Unit = {
     val codes = Tombstones.applyTo(
       spark.read.parquet(s"$path/codes"), idCol, s"$path/tombstones")
+    // total-order key (norm, codes): min_by on norm alone ties when a
+    // duplicate id carries equal norms with different codes, and a tied
+    // pick is executor-order nondeterministic (same fix as
+    // compactIvfIndex's)
     val dedup = codes.groupBy(col(idCol))
-      .agg(min_by(struct(col("codes"), col("norm")), col("norm")).as("r"))
+      .agg(min_by(struct(col("codes"), col("norm")),
+        struct(col("norm"), col("codes"))).as("r"))
       .select(col(idCol), col("r.codes").as("codes"), col("r.norm").as("norm"))
     val n = dedup.count()
     val ranges = math.max(1L,

@@ -494,4 +494,72 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ rescored recall@10 $recall")
     enc.unpersist(blocking = false)
   }
+
+  test("r12 hardening: null query vectors skip cleanly in lshSearch; " +
+       "loadPqIndex feeds pqAdcTopK without a rename; bits > 62 " +
+       "refused at save; same-cell duplicate ids compact to one " +
+       "consistent row") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sim_r12").toString
+
+    // 1) a null-vector query row must not NPE the whole search
+    Similarity.saveLshIndex(emb, s"$tmp/lsh", "vec_id", "embedding",
+      bits = 8, prefixBits = 8)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val qRows = new java.util.ArrayList[Row]()
+    qRows.add(Row(9999L, null))
+    val withNull = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding")
+      .unionByName(spark.createDataFrame(qRows, qSchema))
+    val got = Similarity.lshSearch(spark, s"$tmp/lsh", withNull,
+      "vec_id", "embedding", k = 3)
+    assert(got.filter($"query_id" === 9999L).count() == 0,
+      "the null-vec query matches nothing")
+    assert(got.select("query_id").distinct().count() == 3,
+      "the real queries still search")
+
+    // 2) the documented load-then-search path, no rename ritual
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
+    Similarity.savePqIndex(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books),
+      books, s"$tmp/pq", "vec_id")
+    val (codes, books2) = Similarity.loadPqIndex(spark, s"$tmp/pq")
+    val adc = Similarity.pqAdcTopK(codes, books2,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5,
+      codesIdCol = "vec_id")
+    assert(adc.count() == 15)
+
+    // 3) a 63/64-bit family would pack the sign bit / wrap the mask to
+    // bucket-everything-at-zero — refused loudly at save like at search
+    intercept[IllegalArgumentException] {
+      Similarity.saveLshIndex(emb, s"$tmp/lsh64", "vec_id", "embedding",
+        bits = 64, prefixBits = 64)
+    }
+
+    // 4) duplicate ids in the SAME cell with different payloads: the
+    // compaction's pick is total-ordered, so repeated runs agree and
+    // the surviving row is one real row, never a column mix
+    val (cells, cents) = Similarity.ivfAssign(
+      emb.filter($"vec_id" < 50), "vec_id", "embedding", nCells = 4)
+    Similarity.saveIvfIndex(cells, cents, s"$tmp/ivf")
+    // legacy duplicate: same id, same cell, a DIFFERENT vector payload
+    val dupRow = cells.filter($"vec_id" === 7L)
+      .withColumn("embedding", reverse($"embedding"))
+    dupRow.write.mode("append")
+      .partitionBy("cell").parquet(s"$tmp/ivf/cells")
+    Similarity.compactIvfIndex(spark, s"$tmp/ivf", "vec_id")
+    val after1 = spark.read.parquet(s"$tmp/ivf/cells")
+      .filter($"vec_id" === 7L).collect()
+    assert(after1.length == 1, "one row survives per id")
+    Similarity.compactIvfIndex(spark, s"$tmp/ivf", "vec_id")
+    val after2 = spark.read.parquet(s"$tmp/ivf/cells")
+      .filter($"vec_id" === 7L).collect()
+    assert(after1.map(_.toString).toSeq == after2.map(_.toString).toSeq,
+      "repeated compactions pick the same winner")
+  }
 }
