@@ -56,4 +56,20 @@ private[graft] object Checkpoints {
       df.checkpoint()
     else df.localCheckpoint()
   }
+
+  /** Release a frame produced by [[truncate]] when the iteration is
+    * done with it. `Dataset.unpersist` is a NO-OP here — it only drops
+    * CacheManager entries, while a checkpointed frame's blocks are
+    * RDD-persisted under a `LogicalRDD` plan — so the old rounds'
+    * label/rank snapshots accumulated in executor storage for the
+    * whole build, waiting on the ContextCleaner's GC. Unpersisting the
+    * underlying RDD frees the blocks immediately (for reliable
+    * checkpoints the FILES still follow the lifetime note above; this
+    * releases their cached blocks only).
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false): Unit
+    case _ => df.unpersist(blocking = false): Unit
+  }
 }

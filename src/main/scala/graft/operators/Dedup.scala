@@ -80,6 +80,8 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands): " +
         "trailing signature positions would silently drop from banding")
+    require(maxBucket >= 1, // 0 would silently star-degrade EVERY bucket
+      s"maxBucket must be positive, got $maxBucket")
     // one signature computation (native tokens→signature pass); bands
     // derive from it and the signature rides along through the bucket
     // join so no re-join/recompute is needed
@@ -128,10 +130,15 @@ object Dedup {
       .select(col("__rep_id").as("id1"), col("id").as("id2"),
         col("__rep_sig").as("sig1"), col("sig").as("sig2"))
     cliquePairs.unionByName(starPairs)
-      // collapse multi-band duplicates in the same shuffle that forms pairs
-      .groupBy(col("id1"), col("id2"))
-      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
+      // est_jaccard BEFORE the pair-dedup shuffle: the estimate is a
+      // function of the two signatures, identical for every band a pair
+      // meets in — computing it here ships 8 bytes per candidate row
+      // through the (id1, id2) shuffle instead of 2 × numHashes longs
+      // of signature payload (~60× on the operator's largest shuffle at
+      // numHashes = 32), and first() then partial-aggregates map-side
       .withColumn("est_jaccard", sigAgreement(col("sig1"), col("sig2")))
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .select("id1", "id2", "est_jaccard")
   }
 
@@ -326,23 +333,39 @@ object Dedup {
     * planned after the swap see the compacted table. Same contract for
     * [[compactDigestIndex]] and [[compactSimhashIndex]].
     */
+  /** Sentinel for [[compactMinhashIndex]]'s `maxBucket`: keep the cap
+    * the index's meta already stamps. */
+  val KeepStampedCap: Int = -1
+
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String, maxBucket: Int = 10000): Unit = {
+                          path: String,
+                          maxBucket: Int = KeepStampedCap): Unit = {
     import spark.implicits._
-    require(maxBucket >= 1, "maxBucket must be positive") // 0 would stamp an EMPTIED index as hygienic
+    require(maxBucket >= 1 || maxBucket == KeepStampedCap,
+      "maxBucket must be positive") // 0 would stamp an EMPTIED index as hygienic
     val metaDf = spark.read.parquet(s"$path/meta")
     val m = metaDf.head()
     def i(n: String): Int = m.getInt(metaDf.schema.fieldIndex(n))
     val (sn, nh, b) = (i("shingle_n"), i("num_hashes"), i("bands"))
+    // default = the index's own stamped cap: the routine
+    // delete-then-compact lifecycle must not silently re-cap a
+    // maxBucket=50000 index at a literal 10000 (evicting rows) or
+    // re-stamp a tight 500-cap index loose. A LEGACY meta (pre-stamp)
+    // has no max_bucket column — that upgrade takes 10000, the
+    // historical default, unless the caller names a cap.
+    val cap =
+      if (maxBucket != KeepStampedCap) maxBucket
+      else if (metaDf.columns.contains("max_bucket")) i("max_bucket")
+      else 10000
     // stage next to the live table, then swap — can't overwrite a table
     // that is being read
     Lifecycle.stagedSwap(spark, s"$path/bands") { staged =>
       writeBands(
         Tombstones.applyTo(spark.read.parquet(s"$path/bands"), "id",
           s"$path/tombstones"),
-        staged, maxBucket, "overwrite")
+        staged, cap, "overwrite")
     }
-    Seq((sn, nh, b, maxBucket))
+    Seq((sn, nh, b, cap))
       .toDF("shingle_n", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     Tombstones.drop(spark, s"$path/tombstones")
@@ -454,6 +477,8 @@ object Dedup {
   def incrementalMinhashPairs(newDocs: DataFrame, path: String, idCol: String,
                               textCol: String,
                               maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 1, // 0 would silently empty the index side
+      s"maxBucket must be positive, got $maxBucket")
     val spark = newDocs.sparkSession
     val meta = readMinhashMeta(spark, path)
     // ONE banding/signature pass over the batch, shared by both the
@@ -497,17 +522,17 @@ object Dedup {
         col("id").as("__oid"), col("sig").as("__osig")),
         Seq("band_idx", "band_hash"))
       .filter(col("__nid") =!= col("__oid"))
+      // est computed pre-shuffle (sigAgreement is symmetric, so the
+      // (sig1, sig2) ordering is irrelevant) — same slimming as
+      // candidatePairsFromBands: the pair-dedup shuffle carries one
+      // double, never two signature arrays
       .select(least(col("__nid"), col("__oid")).as("id1"),
         greatest(col("__nid"), col("__oid")).as("id2"),
-        when(col("__nid") < col("__oid"), col("__nsig"))
-          .otherwise(col("__osig")).as("sig1"),
-        when(col("__nid") < col("__oid"), col("__osig"))
-          .otherwise(col("__nsig")).as("sig2"))
+        sigAgreement(col("__nsig"), col("__osig")).as("est_jaccard"))
     val newNew = candidatePairsFromBands(newBands, maxBucket)
     cross
       .groupBy(col("id1"), col("id2"))
-      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
-      .withColumn("est_jaccard", sigAgreement(col("sig1"), col("sig2")))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .select(col("id1"), col("id2"), col("est_jaccard"))
       .unionByName(newNew)
       // a pair can surface from BOTH paths if the index already holds one
@@ -920,7 +945,11 @@ object Dedup {
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(blocking = false)
+      // release via Checkpoints: Dataset.unpersist is a no-op on a
+      // checkpointed frame (blocks are RDD-persisted, not CacheManager
+      // entries), so each round's predecessor used to linger in
+      // executor storage until RDD GC
+      Checkpoints.release(labels)
       labels = next
       it += 1
     }
@@ -942,7 +971,7 @@ object Dedup {
         else labels.withColumnRenamed("id", idCol),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
-    und.unpersist(blocking = false)
+    Checkpoints.release(und)
     out
   }
 
@@ -972,17 +1001,26 @@ object Dedup {
         .select("id1", "id2"), docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2")
-    val clusters = connectedComponents(edges, docs.select(col(idCol)), idCol)
+    // null-id rows cannot key a pair or a cluster join — the inner join
+    // below would silently DROP them (row loss, not dedup). They cannot
+    // be near-dup-tracked either (no identity to pair on), so they
+    // survive as their own singletons, like exact()'s deliberate
+    // null-key handling.
+    val keyed = docs.filter(col(idCol).isNotNull)
+    val clusters = connectedComponents(edges, keyed.select(col(idCol)), idCol)
     // cluster sizes via a window over the SAME joined frame — a separate
     // sizes aggregate + rejoin would walk the clusters lineage (and its
     // corpus-wide singleton join) twice
     val w = Window.partitionBy(col("cluster"))
-    docs
+    keyed
       .join(clusters, Seq(idCol))
       .withColumn("__sz", count(lit(1)).over(w))
       .filter(col(idCol) === col("cluster")) // survivor = cluster min
       .withColumn("n_dropped", col("__sz") - 1)
       .drop("__sz")
+      .unionByName(docs.filter(col(idCol).isNull)
+        .withColumn("cluster", col(idCol))
+        .withColumn("n_dropped", lit(0L)))
   }
 
   /** SimHash 64-bit fingerprint from token hashes: for each bit position,
@@ -1158,6 +1196,32 @@ object Dedup {
       else simhash64(col(textCol))
     val batch = newDocs.select(col(idCol).as("id"), fpExpr.as("fp"))
       .dropDuplicates("id")
+    // CONTENT-CHANGE GUARD (r12): the idempotence anti-join below is by
+    // id, so a batch id already indexed under a DIFFERENT fingerprint —
+    // the delete-then-re-append-with-edited-text flow, or a mutated
+    // re-ingest — would be silently skipped, leaving the id discoverable
+    // only by its STALE text's fingerprint (recall loss, no error). An
+    // append-only index cannot replace content; refuse loudly with the
+    // working recipe. Cost: the same range-pruned span probe the
+    // anti-join reads, once per append.
+    val bounds = newDocs.agg(min(col(idCol)), max(col(idCol))).head()
+    if (!bounds.isNullAt(0)) {
+      val span = spark.read.parquet(s"$path/fp")
+        .where(col("id") >= lit(bounds.get(0)) &&
+          col("id") <= lit(bounds.get(1)))
+      val changed = batch
+        .join(span.select(col("id"), col("fp").as("__old_fp")), Seq("id"))
+        .filter(col("fp") =!= col("__old_fp"))
+        .select(col("id")).limit(5).collect().map(_.get(0))
+      require(changed.isEmpty,
+        s"appendSimhashIndex: batch ids [${changed.mkString(", ")}" +
+          (if (changed.length == 5) ", …" else "") +
+          "] are already indexed under a DIFFERENT fingerprint — an " +
+          "append-only index cannot replace content (the stale row " +
+          "would keep answering probes). deleteFromSimhashIndex the " +
+          "ids, compactSimhashIndex (physically removing the old " +
+          "rows), then append the new text.")
+    }
     Lifecycle.freshByIdRange(batch, newDocs, idCol,
       spark.read.parquet(s"$path/fp").select(col("id")), "id")
   }

@@ -73,12 +73,12 @@ object Graph {
           Folds.sortedSum(col("__c"))).as("__pr"))
         .select(col("__d").as("__v"), col("__pr"))
         .transform(Checkpoints.truncate)
-      pr.unpersist(blocking = false)
+      Checkpoints.release(pr) // actually frees the checkpoint blocks
       pr = next
     }
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    Checkpoints.release(e)
+    Checkpoints.release(deg)
+    Checkpoints.release(nodes)
     pr.select(col("__v").as("node"), col("__pr").as("pr"))
   }
 }

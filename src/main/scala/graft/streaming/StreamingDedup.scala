@@ -103,8 +103,15 @@ object StreamingDedup {
     val meta = Dedup.readMinhashMeta(spark, indexPath)
     val streamBands = Dedup.bandRows(docs, idCol, textCol,
       meta.shingleN, meta.numHashes, meta.bands)
+    // tombstones apply here like every other probe
+    // (deleteFromMinhashIndex's contract: deleted ids stop surfacing
+    // from the streaming faces IMMEDIATELY, not at the next
+    // compaction) — this continuous face was the one reader skipping
+    // the sidecar (ADVICE-class r12 review find)
     Dedup.firstBandPairs(streamBands,
-      spark.read.parquet(s"$indexPath/bands"),
+      graft.operators.Tombstones.applyTo(
+        spark.read.parquet(s"$indexPath/bands"), "id",
+        s"$indexPath/tombstones"),
       meta.numHashes / meta.bands, idCol)
   }
 

@@ -718,4 +718,92 @@ class DedupSpec extends SparkSpec {
       n = 3, minSpanGrams = 1, maxOcc = 4).collect()
     assert(uncapped.length == 6) // all C(4,2) pairs report the full span
   }
+
+  // --- r12 review hardening ------------------------------------------
+
+  test("compactMinhashIndex default keeps the index's STAMPED cap; " +
+       "an explicit cap still re-stamps") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_capstamp")
+      .toString
+    Dedup.saveMinhashIndex(docs, tmp, "doc_id", "text", maxBucket = 3)
+    def stamped(): Int = spark.read.parquet(s"$tmp/meta")
+      .select("max_bucket").head().getInt(0)
+    assert(stamped() == 3)
+    // the routine delete-then-compact lifecycle must not silently
+    // re-cap at a literal default
+    Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), tmp, "doc_id")
+    Dedup.compactMinhashIndex(spark, tmp)
+    assert(stamped() == 3,
+      "a default compaction re-stamped the index's cap")
+    Dedup.compactMinhashIndex(spark, tmp, maxBucket = 7)
+    assert(stamped() == 7, "an explicit cap is a deliberate re-stamp")
+  }
+
+  test("appendSimhashIndex refuses a batch id re-appearing with " +
+       "CHANGED text; the delete-compact-append recipe then works") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shguard")
+      .toString
+    Dedup.saveSimhashIndex(docs, tmp, "doc_id", "text")
+    // same ids, same text: idempotent re-append, no complaint
+    Dedup.appendSimhashIndex(docs, tmp, "doc_id", "text")
+    val edited = Seq((1L, "an entirely rewritten document body that " +
+      "shares nothing with the original")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendSimhashIndex(edited, tmp, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("DIFFERENT fingerprint"))
+    // the recipe the error names: delete -> compact (physical) -> append
+    Dedup.deleteFromSimhashIndex(Seq(1L).toDF("doc_id"), tmp, "doc_id")
+    Dedup.compactSimhashIndex(spark, tmp)
+    Dedup.appendSimhashIndex(edited, tmp, "doc_id", "text")
+    val fp = spark.read.parquet(s"$tmp/fp")
+      .filter(col("id") === 1L).collect()
+    assert(fp.length == 1, "exactly the new fingerprint row")
+  }
+
+  test("dedupCorpus: a null-id row survives as its own singleton " +
+       "instead of silently vanishing") {
+    val withNull = docs.unionByName(
+      Seq((Option.empty[Long], "null-keyed straggler row", "s2"))
+        .toDF("doc_id", "text", "source"))
+    val out = Dedup.dedupCorpus(withNull, "doc_id", "text")
+    val nullRows = out.filter(col("doc_id").isNull).collect()
+    assert(nullRows.length == 1 && nullRows.head.getLong(
+      out.columns.indexOf("n_dropped")) == 0L,
+      "the null-id row is a surviving singleton")
+    // keyed behavior unchanged: at the 0.8 threshold 0 absorbs its
+    // exact twin 3 (the 0/1 near-dup verifies below threshold)
+    assert(out.filter(col("doc_id") === 0L).head()
+      .getLong(out.columns.indexOf("n_dropped")) == 1L)
+  }
+
+  test("nearDupsAgainstIndex (the continuous streaming face) respects " +
+       "tombstones like every other probe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stomb")
+      .toString
+    Dedup.saveMinhashIndex(docs, tmp, "doc_id", "text")
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy " +
+      "dog and runs far away home")).toDF("doc_id", "text")
+    def neighbors(): Set[Long] =
+      graft.streaming.StreamingDedup
+        .nearDupsAgainstIndex(probe, "doc_id", "text", tmp)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors().contains(0L), "the exact twin surfaces")
+    Dedup.deleteFromMinhashIndex(Seq(0L, 3L).toDF("doc_id"), tmp, "doc_id")
+    val after = neighbors()
+    assert(!after.contains(0L) && !after.contains(3L),
+      "deleted ids must stop surfacing IMMEDIATELY, not at compaction")
+  }
+
+  test("maxBucket <= 0 is refused loudly by every minhash entry point") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBucket = 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mb0").toString
+    Dedup.saveMinhashIndex(docs, tmp, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashPairs(docs, tmp, "doc_id", "text",
+        maxBucket = 0)
+    }
+  }
 }
