@@ -83,9 +83,19 @@ object Corpus {
     val buckets = 1000000L
     val ppm = math.round(fraction * buckets)
     val mx = df.agg(max(col(weightCol)).cast("long").as("__wmax"))
+    // OVERFLOW GUARD (r12): hash is up to 1e6, so hash × wmax wraps
+    // past Long.MaxValue once max(weight) ≳ 9.2e12 — under non-ANSI
+    // arithmetic the wrap is silent and the "bit-identical membership"
+    // contract becomes garbage. The assert rides the kept filter
+    // condition (a standalone guard column would prune away).
+    val guard = assert_true(col("__wmax") <= lit(9000000000000L),
+      lit("weightedSample: max(weight) exceeds ~9e12 — the integer " +
+        "hash×weight membership arithmetic would overflow; rescale " +
+        "the weights (ratios are what matter) and retry"))
     df.crossJoin(broadcast(mx))
-      .filter(hashBucket(col(keyCol), buckets) * col("__wmax") <
-        lit(ppm) * col(weightCol).cast("long"))
+      .filter(guard.isNull &&
+        hashBucket(col(keyCol), buckets) * col("__wmax") <
+          lit(ppm) * col(weightCol).cast("long"))
       .drop("__wmax")
   }
 
@@ -321,42 +331,15 @@ object Corpus {
     * window entirely.
     */
   def appendLmStats(batch: DataFrame, path: String, idCol: String,
-                    textCol: String, batchId: String): Boolean = {
-    val spark = batch.sparkSession
-    if (Ledger.contains(spark, s"$path/batches", batchId)) return false
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    // path-safe, collision-free image of the caller's batch id
-    val tag = batchId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      .map("%02x".format(_)).mkString
-    // 1. a crashed promotion's partial files are removed first, so the
-    //    retry can never double-land a file
-    Seq("unigrams", "bigrams").foreach { t =>
-      Option(fs.globStatus(p(s"$path/$t/batch_${tag}_*"))).toSeq.flatten
-        .foreach(f => fs.delete(f.getPath, false))
+                    textCol: String, batchId: String): Boolean =
+    // the shared crash-idempotent commit discipline (r12: the HH and
+    // histogram appends had re-implemented "mode append + record" and
+    // were NOT retry-safe; the pattern now lives once in Ledger)
+    Ledger.guardedSegmentAppend(batch.sparkSession, path, batchId,
+      Seq("unigrams" -> s"$path/unigrams", "bigrams" -> s"$path/bigrams")) {
+      staging =>
+        writeLmSegments(batch, staging, idCol, textCol, "overwrite")
     }
-    // 2. stage both tables away from the live directories
-    val staging = s"$path/staging_$tag"
-    fs.delete(p(staging), true)
-    writeLmSegments(batch, staging, idCol, textCol, "overwrite")
-    // 3. promote: rename each staged part file into its live table
-    //    under the batch-tagged deterministic name
-    Seq("unigrams", "bigrams").foreach { t =>
-      val parts = fs.listStatus(p(s"$staging/$t"))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        require(fs.rename(f.getPath,
-          p(s"$path/$t/batch_${tag}_$i.parquet")),
-          s"appendLmStats: could not promote ${f.getPath} — " +
-            "retry the append (promotion is crash-idempotent)")
-      }
-    }
-    fs.delete(p(staging), true)
-    Ledger.record(spark, s"$path/batches", batchId)
-    true
-  }
 
   /** Sum-merge the appended segments back to one row per gram (staged
     * write + swap, like the index compactions; quiesce writers first).
@@ -364,6 +347,11 @@ object Corpus {
     */
   def compactLmStats(spark: org.apache.spark.sql.SparkSession,
                      path: String): Unit = {
+    // a crashed append's unrecorded batch files must not be folded:
+    // the fold would merge its counts AND destroy the tagged markers
+    // the retry's pre-delete keys on — the retry then double-applies
+    Ledger.requireNoPendingAppends(spark, path,
+      Seq(s"$path/unigrams", s"$path/bigrams"))
     Seq("unigrams" -> "tok", "bigrams" -> "bigram").foreach {
       case (table, key) =>
         val live = s"$path/$table"
@@ -529,10 +517,16 @@ object Corpus {
     val toks = TextAnalysis.tokens(col(textCol))
     val n = org.apache.spark.sql.functions.size(toks)
     // last start = 1 + ceil((n - size) / stride) * stride when n > size
-    // (the smallest stride-grid start s with s + size - 1 >= n), else 1
+    // (the smallest stride-grid start s with s + size - 1 >= n), else 1.
+    // CLAMPED to n (r12): with stride > size the grid formula can land
+    // past the token array, emitting a degenerate trailing chunk with
+    // empty text and zero/negative n_tokens — stride > size is a legal
+    // gapped-sampling config, the phantom chunk is not.
     val lastStart = when(n <= size, lit(1))
-      .otherwise(floor((n - size + (stride - 1)) / lit(stride)).cast("int")
-        * stride + 1)
+      .otherwise(least(
+        floor((n - size + (stride - 1)) / lit(stride)).cast("int")
+          * stride + 1,
+        n))
     val starts = sequence(lit(1), lastStart, lit(stride))
     // the token count is known from the slice bounds — don't re-tokenize
     // the joined chunk string just to count what was counted already
@@ -579,8 +573,13 @@ object Corpus {
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x("line"))).as("__kept"))
-    docs.select(col(idCol))
+    // the full row survives (r12): projecting down to (id, text) forced
+    // every mid-pipeline caller to re-join its metadata columns back;
+    // siblings (outliers, sampleByHash, packSequences) all preserve the
+    // input row, and the cost is identical — the join key is the same
+    docs.drop(textCol)
       .join(kept, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
+      .withColumn(textCol, coalesce(col("__kept"), lit("")))
+      .drop("__kept")
   }
 }

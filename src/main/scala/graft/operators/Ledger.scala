@@ -61,4 +61,91 @@ private[graft] object Ledger {
       spark.read.parquet(path).distinct().coalesce(1)
         .write.mode("overwrite").parquet(staged)
     }
+
+  private def hexTag(batchId: String): String =
+    batchId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+
+  /** Crash-idempotent ledgered segment append — the ONE commit
+    * discipline for the additive-segment indexes (LM stats, HH sketch,
+    * histogram), where a replayed plain `mode("append")` would land a
+    * second copy of the batch and silently inflate counts:
+    *
+    *  1. delete any crashed promotion's batch-tagged partial files,
+    *  2. stage the segment write away from the live tables,
+    *  3. promote each staged part file under a batch-tagged
+    *     DETERMINISTIC name,
+    *  4. record the id (last — the record closes the replay window).
+    *
+    * A retry of ANY crash point re-lands the same file names, never a
+    * second copy. `tables` maps each staged subdirectory ("" = the
+    * staging root itself) to its live directory; `write` stages the
+    * segment files under the given path. Returns false when the id was
+    * already recorded.
+    */
+  def guardedSegmentAppend(spark: SparkSession, path: String,
+                           batchId: String,
+                           tables: Seq[(String, String)])
+                          (write: String => Unit): Boolean = {
+    if (contains(spark, s"$path/batches", batchId)) return false
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tag = hexTag(batchId)
+    tables.foreach { case (_, live) =>
+      Option(fs.globStatus(p(s"$live/batch_${tag}_*"))).toSeq.flatten
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val staging = s"$path/staging_$tag"
+    fs.delete(p(staging), true)
+    write(staging)
+    tables.foreach { case (sub, live) =>
+      val src = if (sub.isEmpty) staging else s"$staging/$sub"
+      val parts = fs.listStatus(p(src))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f.getPath, p(s"$live/batch_${tag}_$i.parquet")),
+          s"ledgered append: could not promote ${f.getPath} — retry " +
+            "the append (promotion is crash-idempotent)")
+      }
+    }
+    fs.delete(p(staging), true)
+    record(spark, s"$path/batches", batchId)
+    true
+  }
+
+  /** Refuse to compact over a crashed append's residue: batch-tagged
+    * segment files whose id the ledger has NOT recorded are a pending
+    * append mid-crash — folding them would merge the batch's counts
+    * AND destroy the tagged markers its retry's pre-delete keys on, so
+    * the retry would then double-apply the batch. The owner compaction
+    * calls this first; recovery is replaying the named batch (which
+    * converges), then compacting.
+    */
+  def requireNoPendingAppends(spark: SparkSession, path: String,
+                              liveDirs: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tags = liveDirs.flatMap { live =>
+      Option(fs.globStatus(p(s"$live/batch_*"))).toSeq.flatten
+        .map(_.getPath.getName.stripPrefix("batch_").takeWhile(_ != '_'))
+    }.distinct
+    val pending = tags.filter { tag =>
+      // a name that is not our hex tagging (an external file) is not a
+      // pending append — only decodable tags are checked
+      val idOpt =
+        try Some(new String(
+          tag.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: NumberFormatException => None }
+      idOpt.exists(id => !contains(spark, s"$path/batches", id))
+    }
+    require(pending.isEmpty,
+      s"compaction refused: batch-tagged segments with UNRECORDED ids " +
+        s"found (tags ${pending.mkString(", ")}) — a crashed append is " +
+        "pending. Replay that batch (its append converges), then " +
+        "compact. Nothing was touched.")
+  }
 }

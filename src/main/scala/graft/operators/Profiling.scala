@@ -29,27 +29,35 @@ object Profiling {
     */
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    // internal agg columns are INDEXED, not name-derived (the
+    // checkConstraints rule, applied here too): a user column with a
+    // dot would otherwise make the later col("__cnt_price.usd") parse
+    // as struct access and fail to resolve; indexing also keeps
+    // duplicate entries in `cols` unambiguous
+    // backtick-quoted input references: col()/df() both PARSE the name,
+    // so an unquoted dot reads as struct-field access
+    def in(c: String) = df(s"`${c.replace("`", "``")}`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
-      val nd = if (approxDistinct) approx_count_distinct(col(c))
-               else count_distinct(col(c))
+      val nd = if (approxDistinct) approx_count_distinct(in(c))
+               else count_distinct(in(c))
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        nd.as(s"__nd_$c"),
-        (if (isNum) min(col(c)).cast("double")
-         else lit(null).cast("double")).as(s"__min_$c"),
-        (if (isNum) max(col(c)).cast("double")
-         else lit(null).cast("double")).as(s"__max_$c"))
+        count(in(c)).as(s"__cnt_$i"),
+        nd.as(s"__nd_$i"),
+        (if (isNum) min(in(c)).cast("double")
+         else lit(null).cast("double")).as(s"__min_$i"),
+        (if (isNum) max(in(c)).cast("double")
+         else lit(null).cast("double")).as(s"__max_$i"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
+    val rows = cols.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("column_name"),
         col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
+        (col("__n") - col(s"__cnt_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
@@ -67,13 +75,20 @@ object Profiling {
     * single-valued column (hi == lo) degenerates to one bucket 0.
     */
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
-    val mm = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+    require(bins >= 1, // bins=0: null width → every row in bin_id=-1
+      s"bins must be positive, got $bins")
+    // nulls are excluded EXPLICITLY: floor((null-lo)/w) is null and
+    // least() SKIPS null operands, so unfiltered null values would
+    // silently count into the LAST bin (phantom top-bin rows). Same
+    // stance as the incremental histSegment.
+    val nn = df.filter(col(valueCol).isNotNull)
+    val mm = nn.agg(min(col(valueCol)).cast("double").as("__lo"),
                     max(col(valueCol)).cast("double").as("__hi"))
     val w = (col("__hi") - col("__lo")) / bins
     val bin = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
       least(floor((col(valueCol).cast("double") - col("__lo")) / w).cast("long"),
             lit(bins - 1L)))
-    df.crossJoin(broadcast(mm))
+    nn.crossJoin(broadcast(mm))
       .withColumn("bin_id", bin)
       .groupBy(col("bin_id"), col("__lo"), col("__hi"))
       .agg(count(lit(1)).as("n"))
@@ -98,7 +113,22 @@ object Profiling {
       .agg(count(v).as("__gn"), // null values join neither count nor sums
            sum(v.cast("decimal(25,6)")).cast("double").as("__s1"),
            sum((v * v).cast("decimal(30,6)")).cast("double").as("__s2"))
-      .withColumn("__mean", col("__s1") / col("__gn"))
+      // OVERFLOW GUARD: decimal(30,6) holds 24 integer digits, so x²
+      // overflows (→ null under non-ANSI) for |x| ≳ 1e12 — the nulls
+      // would drop out of sum() while still counting in __gn, silently
+      // zeroing or corrupting the variance. assert_true turns that into
+      // a loud in-plan failure, WRAPPED INTO the kept __mean column (a
+      // standalone guard column would be pruned away with the guard);
+      // it evaluates per GROUP row — free. Decimal widths stay
+      // oracle-mirrored (q50); scale such columns before profiling.
+      .withColumn("__mean", when(
+        assert_true(
+          col("__gn") === 0 ||
+            (col("__s1").isNotNull && col("__s2").isNotNull),
+          lit("outliers: decimal-exact moment sums overflowed — " +
+            "|value| too large for decimal(30,6) squares (~1e12 " +
+            "bound); scale the column first")).isNull,
+        col("__s1") / col("__gn")))
       .withColumn("__var",
         (col("__s2") - col("__s1") * col("__s1") / col("__gn")) / (col("__gn") - 1))
       .select(col(groupCol), col("__gn"), col("__mean"), col("__var"))
@@ -275,12 +305,15 @@ object Profiling {
   def appendHhSketch(batch: DataFrame, path: String,
                      batchId: String): Boolean = {
     val spark = batch.sparkSession
-    if (Ledger.contains(spark, s"$path/batches", batchId)) return false
     val m = hhMetaDf(spark, path).head()
-    heavyHitters(batch, m.getString(0), m.getInt(1))
-      .coalesce(1).write.mode("append").parquet(s"$path/segments")
-    Ledger.record(spark, s"$path/batches", batchId)
-    true
+    // crash-idempotent commit (r12): the old plain mode("append") +
+    // record pair double-landed the segment when a crash fell between
+    // them — the exact replay the ledger exists to make exactly-once
+    Ledger.guardedSegmentAppend(spark, path, batchId,
+      Seq("" -> s"$path/segments")) { staging =>
+      heavyHitters(batch, m.getString(0), m.getInt(1))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Merged heavy hitters across all segments: pointwise sum, then one
@@ -331,6 +364,8 @@ object Profiling {
     */
   def compactHhSketch(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
+    // refuse a crashed append's unrecorded residue — see compactLmStats
+    Ledger.requireNoPendingAppends(spark, path, Seq(s"$path/segments"))
     Lifecycle.stagedSwap(spark, s"$path/segments") { staged =>
       mergedHeavyHitters(spark, path)
         .coalesce(1).write.mode("overwrite").parquet(staged)
@@ -396,13 +431,14 @@ object Profiling {
   def appendHistogramIndex(batch: DataFrame, path: String,
                            batchId: String): Boolean = {
     val spark = batch.sparkSession
-    if (Ledger.contains(spark, s"$path/batches", batchId)) return false
     val m = histMetaDf(spark, path).head()
-    histSegment(batch, m.getString(0), m.getInt(1), m.getDouble(2),
-        m.getDouble(3))
-      .coalesce(1).write.mode("append").parquet(s"$path/segments")
-    Ledger.record(spark, s"$path/batches", batchId)
-    true
+    // crash-idempotent commit (r12) — see [[appendHhSketch]]
+    Ledger.guardedSegmentAppend(spark, path, batchId,
+      Seq("" -> s"$path/segments")) { staging =>
+      histSegment(batch, m.getString(0), m.getInt(1), m.getDouble(2),
+          m.getDouble(3))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Merged histogram across all segments: pointwise sum plus the bin
@@ -428,6 +464,8 @@ object Profiling {
     * exact sums, nothing truncates. */
   def compactHistogramIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {
+    // refuse a crashed append's unrecorded residue — see compactLmStats
+    Ledger.requireNoPendingAppends(spark, path, Seq(s"$path/segments"))
     Lifecycle.stagedSwap(spark, s"$path/segments") { staged =>
       spark.read.parquet(s"$path/segments")
         .groupBy(col("bin_id")).agg(sum(col("n")).as("n"))

@@ -393,4 +393,73 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
       Seq("x\nx\nx\nx", "x\ny", "z")) // only 2 DISTINCT docs hold x
   }
+
+  // --- r12 review hardening ------------------------------------------
+
+  test("chunk with stride > size (gapped sampling) never emits the " +
+       "phantom trailing chunk") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, "doc_id", "text", size = 2, stride = 5)
+      .orderBy("chunk_idx").collect()
+    assert(out.forall(_.getInt(2) > 0),
+      "no zero/negative token counts")
+    assert(out.forall(_.getString(3).nonEmpty), "no empty chunk text")
+    assert(out.map(_.getString(3)).toSeq == Seq("a b", "f g"),
+      "the stride grid samples inside the document only")
+  }
+
+  test("weightedSample refuses weights past the integer-arithmetic " +
+       "bound loudly instead of scrambling membership") {
+    val ok = Seq(("a", 10L), ("b", 1L)).toDF("k", "w")
+    Corpus.weightedSample(ok, "k", "w", 0.5).collect() // sane: runs
+    val huge = Seq(("a", 10000000000000L)).toDF("k", "w")
+    val e = intercept[Exception] {
+      Corpus.weightedSample(huge, "k", "w", 0.5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflow")))
+  }
+
+  test("stripBoilerplate preserves the caller's metadata columns") {
+    val docs = Seq((1L, "nav\nbody one", "web"), (2L, "nav\nbody two", "web"),
+      (3L, "nav\nbody three", "books")).toDF("doc_id", "text", "source")
+    val out = Corpus.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+    assert(out.columns.toSet == Set("doc_id", "source", "text"),
+      "metadata columns must survive the strip")
+    val r = out.orderBy("doc_id").collect()
+    assert(r.map(_.getAs[String]("source")).toSeq ==
+      Seq("web", "web", "books"))
+    assert(r.map(_.getAs[String]("text")).toSeq ==
+      Seq("body one", "body two", "body three"))
+  }
+
+  test("compactLmStats refuses a crashed append's unrecorded batch " +
+       "files — folding them would double-apply the batch on retry") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_cr")
+      .toString
+    val batch = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    Corpus.saveLmStats(batch, path, "doc_id", "text")
+    // simulate: batch bC promoted its unigram file but never recorded
+    val tag = "bC".getBytes("UTF-8").map("%02x".format(_)).mkString
+    val seg = new java.io.File(s"$path/unigrams").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(seg.toPath,
+      new java.io.File(s"$path/unigrams", s"batch_${tag}_0.parquet").toPath)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.compactLmStats(spark, path)
+    }
+    assert(e.getMessage.contains("UNRECORDED"))
+    // the documented recovery: replay the batch (converges, exactly
+    // once), then compact
+    assert(Corpus.appendLmStats(batch, path, "doc_id", "text", "bC"))
+    Corpus.compactLmStats(spark, path)
+    val uni = spark.read.parquet(s"$path/unigrams")
+      .groupBy("tok").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni("beta") == 4L, // 2 from save + 2 from the one replay
+      s"exactly-once application expected, got $uni")
+  }
 }

@@ -251,4 +251,83 @@ class ProfilingSpec extends SparkSpec {
     // the ledger survives compaction: b1 still refuses
     assert(!Profiling.appendHistogramIndex(h2.toDF("v"), path, "b1"))
   }
+
+  // --- r12 review hardening ------------------------------------------
+
+  test("histogram: nulls are excluded (no phantom top-bin rows); " +
+       "bins < 1 loud") {
+    val df = Seq(Some(0.0), Some(5.0), Some(10.0), None, None)
+      .toDF("v")
+    val bins = Profiling.histogram(df, "v", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bins.values.sum == 3L,
+      "exactly the non-null rows are binned — least() skipping null " +
+        "operands used to drop every null into the LAST bin")
+    assert(bins.getOrElse(9L, 0L) == 1L, "only the true max in the top bin")
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(df, "v", 0)
+    }
+  }
+
+  test("profile: a dot-bearing column name resolves (indexed internal " +
+       "agg names, like checkConstraints)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("price.usd", "s")
+    val p = Profiling.profile(df, Seq("price.usd", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(p("price.usd") == 2L && p("s") == 2L)
+  }
+
+  test("outliers: values past the decimal-exact square bound fail " +
+       "LOUDLY instead of silently zeroing the variance") {
+    val big = Seq(("g", 1.7e15), ("g", 1.8e15), ("g", 1.9e15))
+      .toDF("grp", "v")
+    val e = intercept[Exception] {
+      Profiling.outliers(big, "grp", "v", 3.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // under the session's ANSI default the decimal cast itself throws
+    // (NUMERIC_VALUE_OUT_OF_RANGE); the in-plan guard covers non-ANSI
+    // deployments, where the cast nulls silently — either way the
+    // invariant is LOUD failure, never a silent wrong answer
+    assert(msgs(e).exists(m => m.contains("overflowed") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud overflow failure, got: ${msgs(e).mkString(" | ")}")
+    // sane magnitudes keep working
+    val ok = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0))
+      .toDF("grp", "v")
+    assert(Profiling.outliers(ok, "grp", "v", 1.0).count() == 1L)
+  }
+
+  test("appendHhSketch is crash-idempotent: a crashed promotion's " +
+       "partial segment is re-landed once, never doubled") {
+    val path = java.nio.file.Files.createTempDirectory("graft_hh_cr")
+      .toString
+    Profiling.saveHhSketch(Seq("x", "y").toDF("v"), path, "v", 8)
+    // simulate the crash: batch b9's segment file LANDED but the
+    // ledger record never happened — the exact window the old plain
+    // mode("append") turned into a double count on retry
+    val tag = "b9".getBytes("UTF-8").map("%02x".format(_)).mkString
+    val seg = new java.io.File(s"$path/segments").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(seg.toPath,
+      new java.io.File(s"$path/segments", s"batch_${tag}_0.parquet").toPath)
+    // the compaction refuses the unrecorded residue loudly
+    val e = intercept[IllegalArgumentException] {
+      Profiling.compactHhSketch(spark, path)
+    }
+    assert(e.getMessage.contains("UNRECORDED"))
+    // the retry converges: pre-delete removes the partial, the batch
+    // lands exactly once
+    assert(Profiling.appendHhSketch(Seq("z").toDF("v"), path, "b9"))
+    val m = Profiling.mergedHeavyHitters(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("x" -> 1L, "y" -> 1L, "z" -> 1L),
+      s"single application expected, got $m")
+    // recorded: compaction now proceeds
+    Profiling.compactHhSketch(spark, path)
+    assert(Profiling.mergedHeavyHitters(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == m)
+  }
 }
