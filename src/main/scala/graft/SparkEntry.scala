@@ -555,7 +555,7 @@ object SparkEntry {
           TimeSeries.monthly(ordersOf(s, d, Seq("NATION_19"), windowed = true),
             "o_orderdate", Seq(count(lit(1)).as("n"))), "n")
         .select(col("month"), col("n"), col("prev_n"), col("delta_n"),
-          col("pct_change"))
+          col("pct_change_n").as("pct_change"))
         .orderBy(col("month"))),
 
     // Hopping-window rollup ("last 24 h refreshed every 6 h") — each event

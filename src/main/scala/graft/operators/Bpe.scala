@@ -56,9 +56,19 @@ object Bpe {
 
   /** A raw word as its initial wrapped symbol string: every character
     * becomes `␁c␁`. */
-  private def wrapChars(word: Column): Column =
-    concat_ws("", transform(sequence(lit(1), length(word)),
-      i => concat(lit(SEP), word.substr(i, lit(1)), lit(SEP))))
+  private def wrapChars(word: Column): Column = {
+    // SENTINEL BAN, enforced at the ONE place every face funnels
+    // through (train/encode/encodeCol/vocab — r12: only train checked,
+    // so encode on a sentinel-bearing corpus silently dropped the char
+    // AND blocked merges across the phantom boundary, emitting tokens a
+    // trained tokenizer never produces). In-plan assert: no extra
+    // corpus scan — it rides whatever pass evaluates the words.
+    val guarded = when(assert_true(!word.contains(lit(SEP)),
+      lit("text contains the \\u0001 symbol sentinel — strip it " +
+        "first (it would silently corrupt tokenization)")).isNull, word)
+    concat_ws("", transform(sequence(lit(1), length(guarded)),
+      i => concat(lit(SEP), guarded.substr(i, lit(1)), lit(SEP))))
+  }
 
   /** Wrapped pattern/replacement of one merge. */
   private def pat(l: String, r: String): String = s"$SEP$l$SEP$SEP$r$SEP"
@@ -129,8 +139,8 @@ object Bpe {
     require(chunk >= 1, s"chunk must be >= 1, got $chunk")
     val spark = docs.sparkSession
     import spark.implicits._
-    require(docs.filter(col(textCol).contains(SEP)).isEmpty,
-      "corpus contains the \\u0001 symbol sentinel — strip it first")
+    // the sentinel ban is enforced in-plan by wrapChars (r12) — the
+    // old eager require here cost a second full corpus scan
     var wt = wordTable(docs, textCol)
       .select(wrapChars(col("word")).as("w"), col("n"))
       .localCheckpoint()
@@ -202,6 +212,9 @@ object Bpe {
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
+    require(!Seq("word", "__p", "__toks", "tokens").contains(idCol),
+      s"idCol '$idCol' collides with encode's internal/output columns " +
+        "(word, __p, __toks, tokens) — rename it first")
     val dict = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "").distinct()
@@ -218,10 +231,20 @@ object Bpe {
     // null-SAFE spine join (<=>): a plain equi-join would never match a
     // null doc id, silently swapping that group's real tokens for [] —
     // the exact row-corruption this spine exists to prevent
-    val spine = docs.select(col(idCol)).distinct().as("__s")
+    // the spine's distinct is an aggregate anyway — counting rows per
+    // id in the SAME shuffle powers a free duplicate-id guard: two rows
+    // sharing an id would interleave their word positions into one
+    // scrambled token stream (neither document's order, no error)
+    val spine = docs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__dup")).as("__s")
     spine.join(toks.as("__t"),
         col(s"__s.$idCol") <=> col(s"__t.$idCol"), "left")
-      .select(col(s"__s.$idCol").as(idCol),
+      .select(
+        when(assert_true(col("__dup") === 1,
+          lit("encode: duplicate doc ids in the batch — two rows " +
+            "sharing an id would interleave into one scrambled token " +
+            "stream; dedup or re-key first")).isNull,
+          col(s"__s.$idCol")).as(idCol),
         coalesce(col("__t.tokens"), typedLit(Seq.empty[String]))
           .as("tokens"))
   }

@@ -191,6 +191,15 @@ object Joins {
                       ranges: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0)
+    // same guards as intervalOverlapJoin/fuzzyJoin for the identical
+    // hazards: a reserved-name collision silently overwrote (then
+    // dropped) a caller's __cell column, and shared column names made
+    // every downstream reference ambiguous
+    require(!(points.columns ++ ranges.columns).contains("__cell"),
+      "column __cell is reserved by rangeJoinBinned")
+    val clash = points.columns.intersect(ranges.columns)
+    require(clash.isEmpty,
+      s"rangeJoinBinned output would be ambiguous: ${clash.mkString(",")}")
     val cell = binCell(binWidth) _
     val r = ranges.withColumn("__cell",
       explode(sequence(cell(col(loCol)), cell(col(hiCol)))))
@@ -281,8 +290,14 @@ object Joins {
         GraftInternal.expression(xxhash64(col(factKey))))))
     // side-qualified join keys: with factKey == dimKey (the common
     // natural-key case) unqualified col(...) would be ambiguous
-    pruned.alias("__bloom_fact").join(dim.alias("__bloom_dim"),
+    val joined = pruned.alias("__bloom_fact").join(dim.alias("__bloom_dim"),
       col(s"__bloom_fact.$factKey") === col(s"__bloom_dim.$dimKey"))
+    // factKey == dimKey (the common natural-key case) would emit TWO
+    // identically-named key columns — every downstream reference then
+    // throws AMBIGUOUS_REFERENCE. Drop the dim side's copy so the
+    // output matches the plain join's single-key shape.
+    if (factKey == dimKey) joined.drop(col(s"__bloom_dim.$dimKey"))
+    else joined
   }
 
   /** As-of join (temporal enrichment — an operator class the reference
@@ -464,6 +479,15 @@ object Skew {
     * be unique per key (a dimension). Result rows equal the unsalted join.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int): DataFrame = {
+    // the guarded-join discipline (intervalOverlapJoin et al.): a
+    // caller's own __salt column would be silently clobbered then
+    // dropped, and shared non-key names make the output ambiguous —
+    // both silently break the "rows equal the unsalted join" contract
+    require(!(fact.columns ++ dim.columns).contains("__salt"),
+      "column __salt is reserved by saltedJoin")
+    val clash = fact.columns.intersect(dim.columns).filterNot(_ == key)
+    require(clash.isEmpty,
+      s"saltedJoin output would be ambiguous: ${clash.mkString(",")}")
     val saltedFact = fact.withColumn("__salt", saltExpr(fact, n))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
@@ -624,7 +648,10 @@ object TimeSeries {
       col(valueCol).as(s"prev_$valueCol"))
     monthlyAgg.join(broadcast(prev), Seq("month"), "left")
       .withColumn(s"delta_$valueCol", col(valueCol) - col(s"prev_$valueCol"))
-      .withColumn("pct_change",
+      // qualified like delta_<col> (r12): an unqualified pct_change
+      // meant chaining the operator for a second value column silently
+      // overwrote the first one's percentage
+      .withColumn(s"pct_change_$valueCol",
         when(col(s"prev_$valueCol") =!= 0,
           round((col(valueCol) - col(s"prev_$valueCol")).cast("double")
             / col(s"prev_$valueCol"), 6)))
@@ -905,7 +932,11 @@ object Changelog {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(versionCols.map(col(_).desc): _*)
     changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !isDelete)
+      // coalesce: a winning row where isDelete evaluates NULL (e.g. a
+      // base-snapshot row with a null op column in the documented
+      // base-union-changes merge) is NOT a delete — `!null` is null and
+      // a bare filter would silently drop the key from the snapshot
+      .filter(col("__rn") === 1 && coalesce(!isDelete, lit(true)))
       .drop("__rn")
   }
 

@@ -180,11 +180,37 @@ class BpeSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a corpus carrying the sentinel is rejected loudly") {
+  test("a corpus carrying the sentinel is rejected loudly on EVERY " +
+       "face (in-plan guard in wrapChars — r12: only train checked; " +
+       "encode silently dropped the char and blocked merges)") {
     val bad = Seq((1L, "ok \u0001bad")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
-      Bpe.train(bad, "text", 1)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] { Bpe.train(bad, "text", 1) }
+    assert(msgs(e).exists(_.contains("sentinel")))
+    val e2 = intercept[Exception] {
+      Bpe.encode(bad, "doc_id", "text", Seq(("o", "k"))).collect()
     }
-    assert(e.getMessage.contains("sentinel"))
+    assert(msgs(e2).exists(_.contains("sentinel")))
+    val e3 = intercept[Exception] {
+      Bpe.vocab(bad, "text", Seq(("o", "k"))).collect()
+    }
+    assert(msgs(e3).exists(_.contains("sentinel")))
+  }
+
+  test("encode refuses duplicate doc ids (they would interleave into " +
+       "one scrambled stream) and reserved idCol names") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val dup = Seq((1L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encode(dup, "doc_id", "text", Nil).collect()
+    }
+    assert(msgs(e).exists(_.contains("duplicate doc ids")))
+    intercept[IllegalArgumentException] {
+      Bpe.encode(dup.toDF("tokens", "text"), "tokens", "text", Nil)
+    }
   }
 }

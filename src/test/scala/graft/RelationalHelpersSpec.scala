@@ -479,4 +479,69 @@ class RelationalHelpersSpec extends SparkSpec {
     assert(r(0).getString(0) == "1,234,568" && r(0).getString(1) == "Main St")
     assert(r(1).getString(0) == "1,000" && r(1).getString(1) == "Ocean Ave")
   }
+
+  // --- r12 review hardening ------------------------------------------
+
+  test("Changelog.compact: a winning row with a NULL delete flag is " +
+       "kept, never silently dropped as if deleted") {
+    // the documented base-union-changes merge: base rows carry no op
+    val rows = Seq(
+      (1L, Some("upsert"), 2, "new"),  // later version wins
+      (1L, None, 1, "base"),
+      (2L, None, 1, "base-only"),      // null op wins its key
+      (3L, Some("delete"), 2, "gone"),
+      (3L, None, 1, "base")
+    ).toDF("k", "op", "v", "payload")
+    val out = Changelog.compact(rows, Seq("k"), Seq("v"),
+        col("op") === "delete")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "new", 2L -> "base-only"),
+      s"null-op winners must survive (got $out) — !null filtered as " +
+        "false used to vanish key 2")
+  }
+
+  test("binned/salted joins guard reserved and ambiguous columns like " +
+       "their siblings; bloom join emits ONE key column on the " +
+       "same-name case") {
+    import graft.operators.{Joins, Skew}
+    val pts = Seq((5.0, "p")).toDF("x", "tag")
+    val rng = Seq((0.0, 10.0, "r")).toDF("lo", "hi", "tag")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.rangeJoinBinned(pts, "x", rng, "lo", "hi", 5.0)
+    }
+    assert(e1.getMessage.contains("ambiguous"))
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.rangeJoinBinned(pts.withColumn("__cell", lit(1)), "x",
+        rng.drop("tag"), "lo", "hi", 5.0)
+    }
+    assert(e2.getMessage.contains("__cell"))
+
+    val fact = Seq((1L, 10.0)).toDF("k", "v")
+    val dim = Seq((1L, "d")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact.withColumn("__salt", lit(0)), dim, "k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim.withColumnRenamed("name", "v"), "k", 4)
+    }
+
+    val bj = Joins.bloomPrunedJoin(fact, dim, "k", "k")
+    assert(bj.columns.count(_ == "k") == 1,
+      "same-name keys must collapse to one column like the plain join")
+    assert(bj.select("k", "v", "name").count() == 1,
+      "downstream references resolve unambiguously")
+  }
+
+  test("withMonthDelta chains for two value columns without " +
+       "overwriting the first percentage") {
+    val agg = Seq(("2024-01", 10L, 100L), ("2024-02", 20L, 50L))
+      .toDF("month", "a", "b")
+    val out = TimeSeries.withMonthDelta(
+      TimeSeries.withMonthDelta(agg, "a"), "b")
+    assert(out.columns.contains("pct_change_a") &&
+      out.columns.contains("pct_change_b"))
+    val feb = out.filter(col("month") === "2024-02").head()
+    assert(feb.getAs[Double]("pct_change_a") == 1.0 &&
+      feb.getAs[Double]("pct_change_b") == -0.5)
+  }
 }
