@@ -17,10 +17,18 @@ object Bucketing {
                     numBuckets: Int): Unit = {
     val spark = df.sparkSession
     // an in-memory catalog forgets tables across JVMs but their warehouse
-    // directories persist — clear both so overwrite is really overwrite
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    // directories persist — clear both so overwrite is really overwrite.
+    // The stale location is resolved by the CATALOG, never derived as
+    // warehouse/<table> by string concatenation (r12): under a
+    // non-default database that string named a DIFFERENT table's
+    // directory (deleting unrelated data) while the real stale
+    // directory survived; qualified names ("db.t") mis-mapped the same
+    // way. defaultTablePath applies the catalog's own layout rules
+    // (current database, .db suffix, name escaping).
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -60,6 +60,17 @@ object Xlsx {
   /** The shared-string table, rich-text runs flattened (an `<si>` may hold
     * one `<t>` or several `<r><t>` runs — all concatenate).
     */
+  /** The element's local name with any namespace prefix stripped: the
+    * parser runs namespace-UNaware (qName only), and valid OOXML
+    * producers may prefix every element (`<x:row>`) — exact-qName
+    * matching then parsed such a workbook to ZERO rows with no error,
+    * the silent loss the file sentinel exists to prevent.
+    */
+  private def localName(q: String): String = {
+    val i = q.indexOf(':')
+    if (i >= 0) q.substring(i + 1) else q
+  }
+
   private def sharedStrings(bytes: Array[Byte]): IndexedSeq[String] =
     zipEntry(bytes, "xl/sharedStrings.xml") match {
       case None => IndexedSeq.empty
@@ -71,14 +82,14 @@ object Xlsx {
             var inT = false
             override def startElement(u: String, l: String, q: String,
                                       a: org.xml.sax.Attributes): Unit = {
-              if (q == "si") cur.setLength(0)
-              if (q == "t") inT = true
+              if (localName(q) == "si") cur.setLength(0)
+              if (localName(q) == "t") inT = true
             }
             override def characters(ch: Array[Char], s: Int, n: Int): Unit =
               if (inT) cur.append(ch, s, n)
             override def endElement(u: String, l: String, q: String): Unit = {
-              if (q == "t") inT = false
-              if (q == "si") out += cur.toString
+              if (localName(q) == "t") inT = false
+              if (localName(q) == "si") out += cur.toString
             }
           })
         out.toIndexedSeq
@@ -104,7 +115,7 @@ object Xlsx {
         var inV = false; var inIsT = false
         val v = new java.lang.StringBuilder
         override def startElement(u: String, l: String, q: String,
-                                  a: org.xml.sax.Attributes): Unit = q match {
+                                  a: org.xml.sax.Attributes): Unit = localName(q) match {
           case "row" => row.clear(); cursor = -1
           case "c" =>
             cellCol = Option(a.getValue("r")).map(colIndex).getOrElse(-1)
@@ -116,7 +127,7 @@ object Xlsx {
         }
         override def characters(ch: Array[Char], s: Int, n: Int): Unit =
           if (inV || inIsT) v.append(ch, s, n)
-        override def endElement(u: String, l: String, q: String): Unit = q match {
+        override def endElement(u: String, l: String, q: String): Unit = localName(q) match {
           case "v" => inV = false
           case "t" => inIsT = false
           case "c" =>
@@ -125,17 +136,28 @@ object Xlsx {
             val raw = v.toString
             val value = cellType match {
               case "s" =>
-                val i = raw.trim.toInt
-                if (i >= 0 && i < sst.length) sst(i) else null
+                // toIntOption, not toInt: a styled-but-cleared shared-
+                // string cell (<c t="s"/> with no/empty <v>) is a null
+                // cell, not a NumberFormatException that quarantines
+                // the WHOLE workbook through the file-level sentinel
+                raw.trim.toIntOption
+                  .filter(i => i >= 0 && i < sst.length)
+                  .map(sst).orNull
               case "b" => if (raw.trim == "1") "true" else "false"
               case _ => if (raw.isEmpty) null else raw
             }
             if (value != null) row += ((col, value))
           case "row" =>
-            val width = if (row.isEmpty) 0 else row.map(_._1).max + 1
-            val arr = Array.fill[String](width)(null)
-            row.foreach { case (c, s) => arr(c) = s }
-            rows += arr.toVector
+            // a row that produced NO cells (formatting-only: height or
+            // style attributes, no values) is skipped instead of
+            // emitted empty — an appended empty entry consumed a row
+            // index and silently shifted the header/data split by one
+            if (row.nonEmpty) {
+              val width = row.map(_._1).max + 1
+              val arr = Array.fill[String](width)(null)
+              row.foreach { case (c, s) => arr(c) = s }
+              rows += arr.toVector
+            }
           case _ => ()
         }
       })
@@ -192,7 +214,12 @@ object Xlsx {
     body.select(schema.fields.zipWithIndex.map { case (f, i) =>
       // try_cast, not cast: under ANSI semantics a malformed cell would
       // abort the whole load; null-on-failure is what feeds the quarantine
-      element_at(col("cells"), i + 1).try_cast(f.dataType).as(f.name)
+      // try_element_at like the try_cast next to it: rows are built
+      // only to their last non-empty cell, so a short row's missing
+      // trailing subscripts must null out, not abort the load under
+      // the ANSI default
+      try_element_at(col("cells"), lit(i + 1)).try_cast(f.dataType)
+        .as(f.name)
     }.toIndexedSeq: _*)
   }
 

@@ -19,7 +19,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object EventRollup {
 
-  /** The rollup transform, applicable to a batch OR streaming frame. */
+  /** The rollup transform, applicable to a batch OR streaming frame.
+    *
+    * POISON-RECORD note (r12 review): the decimal(18,6) sum cast is
+    * exact and oracle-mirrored, and under the ANSI default it THROWS
+    * on |value| ≥ 1e12 — in a streaming deployment one such record
+    * fails its micro-batch on every restart (an unskippable poison
+    * record). That loudness is deliberate (silently nulling value mass
+    * out of a revenue rollup is worse); a stream ingesting untrusted
+    * magnitudes should bound them upstream (`Ingest.validateSplit`
+    * range rules — the quarantine exists for exactly this) rather than
+    * weaken the rollup's arithmetic.
+    */
   def rollup(events: DataFrame, watermark: Option[String]): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
     src.groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Epoch-micros → Timestamp, shared by the batch fold and the
+    * streaming state machine (their outputs are pinned to agree —
+    * one conversion, zero drift). */
+  private def microsToTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L))
+
   /** Sessions per `userCol`: one row per session with
     * `(user, session_start, session_end, n_events, extraAggs...)`.
     * `session_end` is the LAST EVENT's timestamp (not window end —
@@ -101,8 +108,11 @@ object Sessionize {
     val capUs = intervalMicros(cap, "cap")
     require(capUs >= gapUs, s"cap $cap below gap $gap closes every " +
       "multi-event session at birth — surely not intended")
-    val spark = events.sparkSession
+    // null timestamps carry no session evidence and would NPE the
+    // primitive getLong inside the fold — drop them like the
+    // session_window face does (PERMISSIVE ingest routinely emits them)
     val src = events.select(col(userCol), col(tsCol))
+      .filter(col(tsCol).isNotNull)
       .repartition(col(userCol))
       .sortWithinPartitions(col(userCol), col(tsCol))
     val userType = src.schema(userCol).dataType
@@ -124,9 +134,7 @@ object Sessionize {
       // partition output is never materialized either. O(1) memory per
       // partition regardless of the hottest user.
       new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
-        private def toTs(us: Long) = java.sql.Timestamp.from(
-          java.time.Instant.ofEpochSecond(us / 1000000L,
-            (us % 1000000L) * 1000L))
+        private def toTs(us: Long) = microsToTs(us)
         private var curUser: Any = null
         private var sStart = 0L
         private var sEnd = 0L
@@ -199,9 +207,7 @@ object Sessionize {
           java.sql.Timestamp, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, it, state) =>
-          def toTs(us: Long) = java.sql.Timestamp.from(
-            java.time.Instant.ofEpochSecond(us / 1000000L,
-              (us % 1000000L) * 1000L))
+          def toTs(us: Long) = microsToTs(us)
           val buffered = (state.getOption.getOrElse(Seq.empty) ++
             it.map(e => e._2.getTime * 1000L +
               (e._2.getNanos / 1000) % 1000)).sorted

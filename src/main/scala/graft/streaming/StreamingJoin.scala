@@ -41,6 +41,15 @@ object StreamingJoin {
     val l = left.withWatermark(leftTs, leftWm)
     val leftCols = left.columns.toSet
     val clash = right.columns.filter(leftCols.contains)
+    // the _r de-collision suffix must not itself collide: left holding
+    // BOTH v and v_r while right holds v would emit two v_r columns —
+    // every downstream by-name reference then throws, and parquet
+    // writers emit duplicate field names
+    val resuffixed = clash.map(c => s"${c}_r")
+      .filter(n => leftCols.contains(n) || right.columns.contains(n))
+    require(resuffixed.isEmpty,
+      s"within: the _r collision suffix collides again for " +
+        s"${resuffixed.mkString(", ")} — rename those columns first")
     val r = clash.foldLeft(
         right.withWatermark(rightTs, rightWm))(
         (df, c) => df.withColumnRenamed(c, s"${c}_r"))

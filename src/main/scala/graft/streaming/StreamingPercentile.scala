@@ -39,6 +39,15 @@ object StreamingPercentile {
     require(qs.nonEmpty && qs == qs.distinct &&
       qs.forall(q => q >= 0 && q <= 1),
       s"qs must be distinct quantiles in [0,1], got $qs")
+    // pNN names must be HONEST: q=0.125 rounding to "p13" would label
+    // the 12.5th percentile as the 13th — refuse non-integer-percent
+    // quantiles instead of mislabeling them
+    qs.foreach { q =>
+      require((q * 100) == math.rint(q * 100),
+        s"quantile $q is not an integer percent — the pNN column name " +
+          "would misstate it; pick a percent-aligned quantile or read " +
+          "arbitrary quantiles from the sketch with tdigest_quantile")
+    }
     val names = qs.map(q => f"p${math.round(q * 100)}%02d")
     require(names == names.distinct,
       s"quantiles $qs collide after pNN rounding: $names")

@@ -106,4 +106,50 @@ class XlsxSpec extends SparkSpec {
     assert(badNames.length == 1 && badNames.head.endsWith("corrupt.xlsx"))
     assert(Xlsx.read(spark, dir.toString, schema).count() == 4) // unchanged
   }
+
+  // --- r12 review hardening ------------------------------------------
+
+  test("xlsx: namespace-prefixed elements parse (not zero rows), " +
+       "formatting-only rows don't shift the header, cleared shared-" +
+       "string cells null out, short rows read under ANSI") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_r12")
+    // a valid producer style: every element prefixed, plus a
+    // formatting-only first row, a cleared shared-string cell, and a
+    // data row shorter than the schema
+    val zo = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("p.xlsx")))
+    def put(name: String, content: String): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(name))
+      zo.write(content.getBytes("UTF-8")); zo.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<x:sst xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><x:si><x:t>item</x:t></x:si><x:si><x:t>pen</x:t></x:si></x:sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><x:sheetData>""" +
+        """<x:row r="1" ht="20"/>""" + // formatting-only: no cells
+        """<x:row r="2"><x:c r="A2" t="s"><x:v>0</x:v></x:c><x:c r="B2"><x:v>9</x:v></x:c></x:row>""" +
+        """<x:row r="3"><x:c r="A3" t="s"><x:v>1</x:v></x:c><x:c r="B3"><x:v>2.5</x:v></x:c></x:row>""" +
+        """<x:row r="4"><x:c r="A4" t="s"/></x:row>""" + // cleared ss cell, short row
+        """</x:sheetData></x:worksheet>""")
+    zo.close()
+    val parsed = Xlsx.parseSheet(
+      java.nio.file.Files.readAllBytes(dir.resolve("p.xlsx")))
+    assert(parsed.nonEmpty,
+      "prefixed OOXML used to parse to ZERO rows silently")
+    assert(parsed(0) == Vector("item", "9"),
+      "the formatting-only row must not consume an index — the header " +
+        s"is the first CELL-BEARING row (got ${parsed(0)})")
+    // the cleared shared-string cell is a null cell, not a
+    // NumberFormatException that quarantines the whole workbook
+    assert(parsed.length == 2,
+      s"row 4's only cell is null-valued, no cells, skipped ($parsed)")
+    // typed read under the session's ANSI default: header skipped, the
+    // short row's missing trailing subscript nulls out, no abort
+    val schema = StructType(Seq(StructField("item", StringType),
+      StructField("price", DoubleType)))
+    val got = Xlsx.read(spark, dir.toString, schema).orderBy("item")
+      .collect()
+    assert(got.length == 1 && got(0).getString(0) == "pen" &&
+      got(0).getDouble(1) == 2.5)
+  }
 }
