@@ -2613,9 +2613,9 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS word_count,
         |    CAST(length(text) AS BIGINT) AS n_chars_m,
         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
-        |    CAST(len(list_intersect(
+        |    CAST(len(list_filter(
         |      list_transform(regexp_extract_all(trim(text), '\S+'), x -> lower(x)),
-        |      ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS stop_hits
+        |      x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS stop_hits
         |    FROM documents
         |  )
         |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
@@ -2750,7 +2750,9 @@ object SparkEntry {
         |)
         |SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |CAST(len(regexp_extract_all(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |md5(regexp_replace(regexp_replace(text,
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_digest
@@ -2844,9 +2846,9 @@ object SparkEntry {
         |  SELECT doc_id, text, lang,
         |  CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS word_count,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
-        |  CAST(len(list_intersect(
+        |  CAST(len(list_filter(
         |    list_transform(regexp_extract_all(trim(text), '\S+'), x -> lower(x)),
-        |    ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) AS stop_hits,
+        |    x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS stop_hits,
         |  CAST(length(text) AS BIGINT) AS n_chars_m
         |  FROM documents
         |), scored AS (

@@ -51,9 +51,17 @@ object Analytics {
 
   def requestsByType(sr: DataFrame, complaintTypes: DataFrame, geoId: Long,
                      w: Window): DataFrame =
+    // LEFT join + Unknown bucket (r12): the reference's DB enforces
+    // the FK, this engine does not — an inner join silently dropped
+    // requests whose type id misses the dimension, breaking the
+    // by-type-sums-to-total invariant one step above topNPlusOther's
+    // carefully preserved grand total. On FK-clean data the two joins
+    // are row-identical.
     Aggregates.groupCounts(
       windowed(sr.filter(col("geographic_id") === geoId), "created_date", w)
-        .join(broadcast(complaintTypes), Seq("complaint_type_id")),
+        .join(broadcast(complaintTypes), Seq("complaint_type_id"), "left")
+        .withColumn("complaint_type_name",
+          coalesce(col("complaint_type_name"), lit("Unknown"))),
       "complaint_type_name", "status", ActiveStatuses)
 
   def complaintChart(byType: DataFrame): DataFrame =

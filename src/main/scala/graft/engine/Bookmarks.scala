@@ -17,11 +17,20 @@ object Bookmarks {
   def toggle(saved: Seq[String], bbl: String): Seq[String] =
     if (saved.contains(bbl)) saved.filterNot(_ == bbl) else saved :+ bbl
 
-  case class ToggleEvent(userId: Long, bbl: String)
+  /** `seq` totally orders one user's toggles (r12): mapGroupsWithState
+    * gives NO intra-group ordering guarantee — two same-trigger events
+    * from different input partitions can reach the fold in either
+    * order, and toggle order decides both membership (an on/off pair)
+    * and the insertion order the reference contract pins. The event
+    * producer assigns it (an HTTP tier's per-session counter, a log
+    * offset); ties are a producer bug and break deterministically by
+    * bbl.
+    */
+  case class ToggleEvent(userId: Long, bbl: String, seq: Long)
   case class UserBookmarks(userId: Long, bbls: Seq[String])
 
-  /** Streaming toggle: one state entry per user, updated per toggle event,
-    * emitting the user's current list after each batch.
+  /** Streaming toggle: one state entry per user, updated per toggle event
+    * in `seq` order, emitting the user's current list after each batch.
     */
   def toggleStream(events: Dataset[ToggleEvent]): Dataset[UserBookmarks] = {
     import events.sparkSession.implicits._
@@ -30,7 +39,10 @@ object Bookmarks {
         GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[ToggleEvent], state: GroupState[Seq[String]]) =>
           val start = state.getOption.getOrElse(Seq.empty)
-          val updated = batch.foldLeft(start)((acc, e) => toggle(acc, e.bbl))
+          // one user's one-trigger batch is interaction-sized: sorting
+          // it is free, and it is what makes the fold deterministic
+          val ordered = batch.toSeq.sortBy(e => (e.seq, e.bbl))
+          val updated = ordered.foldLeft(start)((acc, e) => toggle(acc, e.bbl))
           state.update(updated)
           UserBookmarks(userId, updated)
       }

@@ -35,8 +35,12 @@ object Geocode {
       .withColumn("borough_code", b)
       .withColumn("block_code", bl)
       .withColumn("lot_code", lt)
+      // gate on PARSE SUCCESS, not mere presence (r12): a malformed
+      // bbl10 parses to null components, and concat_ws skips nulls —
+      // the row would get bbl = "" (reads as resolved) with every key
+      // column null. All-components-valid is the resolved contract.
       .withColumn("bbl",
-        when(col("__bbl10").isNotNull,
+        when(b.isNotNull && bl.isNotNull && lt.isNotNull,
           KeyCodec.formatBbl(b, bl, lt)))
       .drop("__addr_key", "__bbl10")
   }
@@ -126,6 +130,11 @@ object Geocode {
           java.util.Arrays.asList(resolved: _*), cacheSchema)
         .write.mode("append").parquet(cachePath)
     }
-    resolve(addresses, addrCol, loadCache(), "addr_key", "bbl10")
+    // duplicate cache keys happen (two concurrent invocations both
+    // missing the same key append one row each — the documented race);
+    // without the dedup every later batch would emit each such
+    // address's rows TWICE through the join, forever
+    resolve(addresses, addrCol,
+      loadCache().dropDuplicates("addr_key"), "addr_key", "bbl10")
   }
 }

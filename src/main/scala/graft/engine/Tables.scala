@@ -87,7 +87,14 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // FLOOR division (r12): `div` truncates toward zero, shifting
+        // a pre-epoch (negative) nanos value one microsecond LATE —
+        // the bucket-shift class the integral division was chosen to
+        // prevent. Exact floor for both signs, pure integer ops.
+        raw.withColumn("ts", timestamp_micros(
+          expr("CASE WHEN ts >= 0 THEN ts div 1000 " +
+            "ELSE (ts - 999) div 1000 END")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other => throw new IllegalArgumentException(

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `word_count`  = count of `\S+` runs
   *  - `punct_count` = count of chars matching `[^A-Za-z0-9\s]`
   *  - `lex_count`   = count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` tokens
-  *  - `stop_hits`   = DISTINCT English stopwords present (lowercased)
+  *  - `stop_hits`   = English stopword OCCURRENCES (lowercased; every
+  *    token counted — the Gopher/C4-style density numerator, r12)
   *  - `s_en/s_de/s_es/s_fr` = distinct language-marker words present
   *
   * Whitespace is ASCII `[ \t\n\x0B\f\r]` (Java regex `\s`); non-ASCII code
@@ -57,10 +58,16 @@ object TextProfileKernel {
     var wordStart = -1
     val stopSeen = new Array[Boolean](TextProfile.allMarkers.length)
 
+    var stopOcc = 0L
     def closeWord(end: Int): Unit = {
       if (wordStart >= 0) {
         val h = TextProfile.lowerHash(bytes, wordStart, end - wordStart)
         TextProfile.markAll(h, stopSeen) // a word may be in several sets
+        // stopword OCCURRENCES (r12): the distinct-presence count
+        // saturates at the list size (10), so the quality formula's
+        // stop term collapsed toward 0 for any long document — the
+        // Gopher/C4-style density needs every occurrence
+        if (TextProfile.isStopEn(h)) stopOcc += 1
         wordStart = -1
       }
     }
@@ -93,21 +100,19 @@ object TextProfileKernel {
     }
     if (inWord) closeWord(n)
 
-    var stopHits = 0L
     var sEn = 0L; var sDe = 0L; var sEs = 0L; var sFr = 0L
     i = 0
     while (i < stopSeen.length) {
       if (stopSeen(i)) {
         val set = TextProfile.markerSet(i)
-        if (set == 0) stopHits += 1
-        else if (set == 1) sEn += 1
+        if (set == 1) sEn += 1
         else if (set == 2) sDe += 1
         else if (set == 3) sEs += 1
-        else sFr += 1
+        else if (set == 4) sFr += 1
       }
       i += 1
     }
-    new GenericInternalRow(Array[Any](nChars, words, punct, lex, stopHits,
+    new GenericInternalRow(Array[Any](nChars, words, punct, lex, stopOcc,
       sEn, sDe, sEs, sFr))
   }
 }
@@ -142,6 +147,20 @@ object TextProfile {
   }
 
   def markerSet(i: Int): Int = allMarkers(i)._1
+
+  private val stopEnHashes: Array[Long] =
+    allMarkers.zip(hashes).collect { case ((0, _), h) => h }
+
+  /** Is this word hash an English stopword (set 0)? Occurrence
+    * counting needs the per-word answer, not just the seen flags. */
+  def isStopEn(h: Long): Boolean = {
+    var i = 0
+    while (i < stopEnHashes.length) {
+      if (stopEnHashes(i) == h) return true
+      i += 1
+    }
+    false
+  }
 
   /** Hash of the ASCII-lowercased byte run. */
   def lowerHash(bytes: Array[Byte], from: Int, len: Int): Long = {

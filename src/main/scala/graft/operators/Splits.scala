@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * shuffle, no UDF, no stored assignment table to keep consistent at
   * 100 TB.
   *
-  * Mechanics: the first 8 hex digits of md5(salt ++ id) read as a
+  * Mechanics: the first 8 hex digits of md5(id) — md5(salt ':' id)
+  * when salted — read as a
   * uniform 32-bit bucket; split boundaries are cumulative-weight
   * thresholds on that bucket. Boundary monotonicity is the quiet
   * win: growing a split's weight only MOVES the boundary, so ids
@@ -28,9 +29,21 @@ object Splits {
     * hex-to-int). `salt` namespaces independent assignments — two
     * different salts give independent splits of the same corpus.
     */
-  def bucket32(idCol: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8),
-      16, 10).cast("long")
+  def bucket32(idCol: Column, salt: String): Column = {
+    // DELIMITED salt (r12): bare concatenation made prefix-related
+    // (salt, id) pairs collide — md5("v1" ++ "2abc") == md5("v" ++
+    // "12abc") — so two "independent" salted assignments could be
+    // correlated. ':' is banned FROM SALTS (ids may contain anything:
+    // with a colon-free salt the first ':' unambiguously ends it).
+    // The unsalted form stays md5(id) — the published portable formula
+    // and the q107 oracle's.
+    require(!salt.contains(":"),
+      s"salt '$salt' contains ':' — the salt delimiter; pick another")
+    val keyed =
+      if (salt.isEmpty) idCol.cast("string")
+      else concat(lit(salt + ":"), idCol.cast("string"))
+    conv(substring(md5(keyed), 1, 8), 16, 10).cast("long")
+  }
 
   /** Add a `split` column assigning each row to one of `weights`'
     * named fractions (e.g. `Seq("train" -> 0.8, "val" -> 0.1,

@@ -98,6 +98,10 @@ object TextAnalysis {
     * counts-by-string up to a ~2⁻⁶⁴-per-pair collision, which could only
     * merge two trigram counts, and only within one document. Ratios are
     * double divisions of exact integer counts — engine-reproducible.
+    * PRECONDITION: one row per `idCol` value — the trigram counts
+    * aggregate BY id, so duplicate ids would merge two documents'
+    * multiplicities into one inflated feature row per duplicate
+    * (dedup or re-key upstream, as with [[graft.operators.Bpe.encode]]).
     */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
@@ -137,10 +141,18 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
-  /** Per-document PII hit counts (for audit metrics next to the scrub). */
+  /** Per-document PII hit counts (for audit metrics next to the scrub).
+    * Phones are counted on the EMAIL-REDACTED text (r12): [[redactPii]]
+    * replaces emails first, so a phone-shaped digit run INSIDE an email
+    * address is never redacted as a phone — counting it against the raw
+    * text made the audit report a phantom unredacted phone for every
+    * such row. The counts now mirror the scrub exactly.
+    */
   def piiCounts(text: Column): (Column, Column) =
     (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
-      size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long"))
+      size(regexp_extract_all(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        lit(phonePattern), lit(0))).cast("long"))
 
   /** Winnowing document fingerprints (local minima of a rolling k-gram
     * hash, per the MOSS scheme): hash every k-gram, take the min of each

@@ -122,6 +122,12 @@ object Validation {
 
     val grouped: Seq[DataFrame] = ids.collect {
       case (u @ Unique(cols), _) =>
+        // groupBy() over ZERO columns is one whole-frame group — an
+        // empty rule (an empty config list upstream) would report
+        // every row of any multi-row frame as a violation
+        require(cols.nonEmpty,
+          "Unique() needs at least one column — an empty column list " +
+            "would flag every row of the frame")
         df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1L)
           .agg(coalesce(sum(col("__n")), lit(0L)).as("violations"))

@@ -148,15 +148,18 @@ class EngineSpec extends SparkSpec {
       .writeStream.outputMode("update").format("memory")
       .queryName("bm_test").start()
     try {
-      input.addData(Bookmarks.ToggleEvent(1L, "a"), Bookmarks.ToggleEvent(1L, "b"),
-        Bookmarks.ToggleEvent(2L, "x"))
+      // fed out of seq order within the trigger: the fold must order
+      // by seq, not by arrival (mapGroupsWithState guarantees nothing)
+      input.addData(Bookmarks.ToggleEvent(1L, "b", 2L),
+        Bookmarks.ToggleEvent(1L, "a", 1L),
+        Bookmarks.ToggleEvent(2L, "x", 1L))
       q.processAllAvailable()
-      input.addData(Bookmarks.ToggleEvent(1L, "a")) // toggle off
+      input.addData(Bookmarks.ToggleEvent(1L, "a", 3L)) // toggle off
       q.processAllAvailable()
       val state = spark.table("bm_test")
         .groupBy($"userId").agg(last($"bbls").as("bbls"))
         .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-      assert(state(1L) == Seq("b"))
+      assert(state(1L) == Seq("b"), "seq order: a then b, then a off")
       assert(state(2L) == Seq("x"))
     } finally q.stop()
   }

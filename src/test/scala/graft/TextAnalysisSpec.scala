@@ -24,8 +24,11 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextAnalysis.qualityFeatures(df, "text").head()
     assert(r.getAs[Long]("word_count") == 6)
     assert(r.getAs[Long]("punct_count") == 1)
-    assert(r.getAs[Long]("stop_hits") == 2) // 'the' (dedup), 'on'
-    assert(r.getAs[Double]("stop_ratio") == 2.0 / 6)
+    // OCCURRENCES (r12, Gopher/C4-style density): 'the' twice + 'on'
+    // — the old distinct-presence count saturated at the list size,
+    // zeroing the quality stop-term for any long document
+    assert(r.getAs[Long]("stop_hits") == 3)
+    assert(r.getAs[Double]("stop_ratio") == 3.0 / 6)
     val q = r.getAs[Double]("quality_score")
     assert(q > 0 && q <= 1.0)
   }
