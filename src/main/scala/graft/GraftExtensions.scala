@@ -121,6 +121,23 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_weighted_sample(table, keyCol, weightCol, fraction)` —
   *    deterministic weight-tilted sampling
   *    ([[graft.operators.Corpus.weightedSample]])
+  *  - `graft_token_budget_fill(table, groupCol, keyCol, textCol,
+  *    budgets)` — mixture weights → document manifest: per-group
+  *    hash-order prefix within a token budget; `budgets` is a
+  *    two-column (group, budget) table
+  *    ([[graft.operators.Corpus.tokenBudgetFill]])
+  *  - `graft_keep_top(table, groupCol, keyCol, scoreCol, fraction)` —
+  *    per-domain quality gate: each group's top ceil(fraction×n) by
+  *    score ([[graft.operators.Corpus.keepTopByGroup]])
+  *  - `graft_dedup_corpus_best(table, idCol, textCol, priorityCol[,
+  *    threshold])` — corpus near-dedup keeping each cluster's
+  *    highest-priority member ([[graft.operators.Dedup.dedupCorpusBest]])
+  *  - `graft_epoch_fill(table, groupCol, keyCol, textCol, budgets)` —
+  *    epoch upsampling manifest: whole-epoch repeats + remainder prefix
+  *    per budgeted group ([[graft.operators.Corpus.epochFill]])
+  *  - `graft_expand_copies(table, keyCol, copiesCol[, maxCopies])` —
+  *    manifest rehydration: one row per copy with an epoch-interleaving
+  *    shuffle key ([[graft.operators.Corpus.expandCopies]])
   *  - `graft_delete_digest(table, indexPath, textCol)` /
   *    `graft_delete_minhash(ids, indexPath, idCol)` /
   *    `graft_delete_simhash(ids, indexPath, idCol)` /
@@ -1298,6 +1315,65 @@ object GraftExtensions {
             intArg(m, "m"), intArg(kc, "kCodes")))
         case _ => throw new IllegalArgumentException(
           "graft_pq_search(corpus, queries, idCol, vecCol, k, m, kCodes)")
+      }),
+    // mixture materialization + domain-relative selection (r12): the
+    // prefix-selection family over the shared skew-proof binned cumsum
+    (new FunctionIdentifier("graft_token_budget_fill"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_token_budget_fill"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, g, k, text, b) =>
+          plan(graft.operators.Corpus.tokenBudgetFill(tableArg(t, "table"),
+            strArg(g, "groupCol"), strArg(k, "keyCol"),
+            strArg(text, "textCol"), tableArg(b, "budgets")))
+        case _ => throw new IllegalArgumentException(
+          "graft_token_budget_fill(table, groupCol, keyCol, textCol, budgets)")
+      }),
+    (new FunctionIdentifier("graft_keep_top"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_keep_top"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, g, k, s, f) =>
+          plan(graft.operators.Corpus.keepTopByGroup(tableArg(t, "table"),
+            strArg(g, "groupCol"), strArg(k, "keyCol"),
+            strArg(s, "scoreCol"), doubleArg(f, "fraction")))
+        case _ => throw new IllegalArgumentException(
+          "graft_keep_top(table, groupCol, keyCol, scoreCol, fraction)")
+      }),
+    (new FunctionIdentifier("graft_dedup_corpus_best"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_dedup_corpus_best"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text, pri) =>
+          plan(Dedup.dedupCorpusBest(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"),
+            strArg(pri, "priorityCol")))
+        case Seq(t, id, text, pri, thr) =>
+          plan(Dedup.dedupCorpusBest(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"),
+            strArg(pri, "priorityCol"), doubleArg(thr, "threshold")))
+        case _ => throw new IllegalArgumentException(
+          "graft_dedup_corpus_best(table, idCol, textCol, priorityCol[, threshold])")
+      }),
+    (new FunctionIdentifier("graft_epoch_fill"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_epoch_fill"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, g, k, text, b) =>
+          plan(graft.operators.Corpus.epochFill(tableArg(t, "table"),
+            strArg(g, "groupCol"), strArg(k, "keyCol"),
+            strArg(text, "textCol"), tableArg(b, "budgets")))
+        case _ => throw new IllegalArgumentException(
+          "graft_epoch_fill(table, groupCol, keyCol, textCol, budgets)")
+      }),
+    (new FunctionIdentifier("graft_expand_copies"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_expand_copies"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, k, c) =>
+          plan(graft.operators.Corpus.expandCopies(tableArg(t, "table"),
+            strArg(k, "keyCol"), strArg(c, "copiesCol")))
+        case Seq(t, k, c, m) =>
+          plan(graft.operators.Corpus.expandCopies(tableArg(t, "table"),
+            strArg(k, "keyCol"), strArg(c, "copiesCol"),
+            longArg(m, "maxCopies")))
+        case _ => throw new IllegalArgumentException(
+          "graft_expand_copies(table, keyCol, copiesCol[, maxCopies])")
       }))
 
   /** One row of the generated SQL-surface catalog. */
@@ -1388,6 +1464,11 @@ object GraftExtensions {
     "graft_tdigest_merge" -> "q119_tdigest_rank",
     "graft_ivfpq_search" -> "q117_ivfpq_search",
     "graft_pq_search" -> "q108_pq_search",
+    "graft_token_budget_fill" -> "q120_token_budget",
+    "graft_keep_top" -> "q121_domain_gate",
+    "graft_dedup_corpus_best" -> "q122_dedup_best",
+    "graft_epoch_fill" -> "q123_epoch_fill",
+    "graft_expand_copies" -> "q124_epoch_expand",
   )
 
   /** The SQL-surface catalog, GENERATED from the registration list: a

@@ -1939,7 +1939,76 @@ object SparkEntry {
         .select(col("l_returnflag"),
           (abs(col("rank_q") - 0.5) <= 0.02).as("within_bound"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    // Token-budget mixture fill (r12): per-source hash-order prefix
+    // within a token budget — the operator that turns mixture weights
+    // into a document manifest. The running sums come from the binned
+    // skew-proof cumsum (never a per-source window); the oracle is the
+    // naive one-window form, so any bin/offset arithmetic slip breaks
+    // the hash. Budgets sized so every code path discriminates: src0
+    // mid-fill (prefix stops inside the source), src1 over-provisioned
+    // (everything kept), src2 tiny (a handful), src3 absent (dropped).
+    "q120_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetFill(t(s, d, "documents"), "source", "doc_id",
+          "text", Seq("src0" -> 5000L, "src1" -> 10000000L, "src2" -> 600L))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Per-domain quality gate (r12): keep each source's top 40% by
+    // n_chars (id tiebreak) — domain-RELATIVE filtering, so a global
+    // threshold can't delete a whole lower-scoring domain. dom_rank is
+    // the binned-cumsum rank; the oracle recomputes it with a plain
+    // row_number window, pinning the tie discipline exactly.
+    "q121_domain_gate" -> ((s, d) =>
+      Corpus.keepTopByGroup(t(s, d, "documents"), "source", "doc_id",
+          "n_chars", fraction = 0.4)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars_k"),
+          col("dom_rank"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Quality-survivor corpus dedup (r12): q81's full pipeline
+    // (candidates → exact verification → clusters) but each cluster
+    // keeps its LONGEST member (n_chars desc, id tiebreak) instead of
+    // its min id — the keep-the-best-copy selection production
+    // pipelines want. The oracle reruns the exact all-pairs ground
+    // truth and picks the same argmax per recursive-CTE cluster.
+    "q122_dedup_best" -> ((s, d) =>
+      Dedup.dedupCorpusBest(t(s, d, "documents"), "doc_id", "text",
+          priorityCol = "n_chars", threshold = 0.8, maxBucket = 512)
+        .select(col("doc_id"), col("cluster"), col("n_dropped"),
+          col("n_chars").cast("long").as("kept_chars"))
+        .orderBy(col("doc_id")))
+    ,
+
+    // Epoch upsampling manifest (r12): q120's budget fill generalized
+    // to budgets PAST one epoch — whole-epoch repeats by integral
+    // division plus the hash-order remainder prefix, emitted compact
+    // (n_copies per doc). Budgets chosen to discriminate every regime
+    // at sf0.01 totals (~1.4k tokens/source): src0 3 epochs + remainder,
+    // src1 SUB-epoch (pure q120 membership), src2 10 epochs + remainder,
+    // src3 absent. The oracle re-derives epochs with DuckDB's integral
+    // `//` over the naive window totals.
+    "q123_epoch_fill" -> ((s, d) =>
+      Corpus.epochFill(t(s, d, "documents"), "source", "doc_id", "text",
+          Seq("src0" -> 5000L, "src1" -> 800L, "src2" -> 15000L))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("n_copies"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Manifest rehydration (r12): the q123 manifest exploded to one row
+    // per (doc, copy_idx) with the deterministic epoch-interleaving
+    // shuffle_key; the oracle unnests generate_series over the same
+    // recomputed manifest and re-derives the md5 shuffle key.
+    "q124_epoch_expand" -> ((s, d) =>
+      Corpus.expandCopies(
+          Corpus.epochFill(t(s, d, "documents"), "source", "doc_id",
+            "text", Seq("src0" -> 5000L, "src1" -> 800L, "src2" -> 15000L)),
+          "doc_id", "n_copies")
+        .select(col("doc_id"), col("copy_idx"), col("shuffle_key"))
+        .orderBy(col("doc_id"), col("copy_idx")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4234,7 +4303,147 @@ object SparkEntry {
     "q119_tdigest_rank" ->
       """SELECT l_returnflag, true AS within_bound
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // q120: the engine computes running token totals via binned offsets
+    // (skew-proof); the oracle is the NAIVE single-window cumsum over
+    // the same deterministic (hash, id) order — any slip in the
+    // bin/offset arithmetic diverges from it
+    "q120_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents
+        |), b(source, budget) AS (
+        |  VALUES ('src0', 5000), ('src1', 10000000), ('src2', 600)
+        |), c AS (
+        |  SELECT t.source, doc_id, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS cum_tokens
+        |  FROM t JOIN b USING (source)
+        |)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= budget
+        |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
+
+    // q121: dom_rank re-derived with a plain row_number window; the
+    // budget is ceil(0.4 × the source's row count)
+    "q121_domain_gate" ->
+      """WITH n AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        |), r AS (
+        |  SELECT d.source, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars_k,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY CAST(d.n_chars AS DOUBLE) DESC, d.doc_id)
+        |      AS BIGINT) AS dom_rank,
+        |    n.cnt
+        |  FROM documents d JOIN n USING (source)
+        |)
+        |SELECT source, doc_id, n_chars_k, dom_rank
+        |FROM r WHERE dom_rank <= CAST(ceil(0.4 * cnt) AS BIGINT)
+        |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
+
+    // q122: q81's exact ground-truth pipeline (all-pairs 3-gram Jaccard
+    // → recursive-CTE components) with the survivor changed to the
+    // per-cluster argmax of (n_chars desc, doc_id asc)
+    "q122_dedup_best" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        |         generate_series(1, len(toks) - 2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |       ELSE [] END AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), ix AS MATERIALIZED (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh
+        |), j AS MATERIALIZED (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(count(*) AS DOUBLE)
+        |      / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+        |  FROM ix a JOIN ix b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), e AS MATERIALIZED (
+        |  SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.8
+        |  UNION ALL
+        |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
+        |), r(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
+        |), c AS (SELECT id AS doc_id, min(lbl) AS cluster FROM r GROUP BY id),
+        |sz AS (SELECT cluster, count(*) AS szn FROM c GROUP BY cluster)
+        |SELECT c.doc_id, c.cluster, CAST(sz.szn - 1 AS BIGINT) AS n_dropped,
+        |  CAST(d.n_chars AS BIGINT) AS kept_chars
+        |FROM c JOIN sz USING (cluster) JOIN documents d USING (doc_id)
+        |QUALIFY row_number() OVER (PARTITION BY c.cluster
+        |  ORDER BY d.n_chars DESC NULLS LAST, c.doc_id) = 1
+        |ORDER BY c.doc_id""".stripMargin.replace("\n", " "),
+
+    // q123: epochs by DuckDB's integral // over the naive window totals;
+    // remainder membership by the same (md5-hash, id) prefix as q120
+    "q123_epoch_fill" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents
+        |), b(source, budget) AS (
+        |  VALUES ('src0', 5000), ('src1', 800), ('src2', 15000)
+        |), c AS (
+        |  SELECT t.source, doc_id, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS cum,
+        |    sum(n_tokens) OVER (PARTITION BY t.source) AS tot
+        |  FROM t JOIN b USING (source)
+        |), e AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    (budget // tot) + CASE WHEN cum <= budget - (budget // tot) * tot
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM c WHERE tot > 0
+        |)
+        |SELECT source, doc_id, n_tokens, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM e WHERE n_copies > 0
+        |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
+
+    // q124: the q123 manifest unnested via generate_series, shuffle key
+    // re-derived with the same md5 formula over 'key:copy_idx'
+    "q124_epoch_expand" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents
+        |), b(source, budget) AS (
+        |  VALUES ('src0', 5000), ('src1', 800), ('src2', 15000)
+        |), c AS (
+        |  SELECT t.source, doc_id, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS cum,
+        |    sum(n_tokens) OVER (PARTITION BY t.source) AS tot
+        |  FROM t JOIN b USING (source)
+        |), e AS (
+        |  SELECT doc_id,
+        |    CAST((budget // tot) + CASE WHEN cum <= budget
+        |      - (budget // tot) * tot THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_copies
+        |  FROM c WHERE tot > 0
+        |)
+        |SELECT doc_id, CAST(u.ci AS BIGINT) AS copy_idx,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(u.ci AS VARCHAR)), 1, 15) AS BIGINT) % 1000000000
+        |    AS shuffle_key
+        |FROM e, unnest(generate_series(1, n_copies)) AS u(ci)
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

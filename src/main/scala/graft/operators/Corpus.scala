@@ -179,6 +179,282 @@ object Corpus {
       .drop("__cum", "__tot")
   }
 
+  /** Shared skew-proof running-sum machinery for the prefix-selection
+    * operators ([[tokenBudgetFill]], [[keepTopByGroup]]): `base` carries
+    * a coarse `__bin` column (monotone non-decreasing along the selection
+    * order) and a `__w` weight; the result adds `__cum` — each row's
+    * inclusive running weight in the group's TOTAL order — computed as
+    * (exclusive prefix of whole earlier bins) + (within-bin window sum).
+    *
+    * Why not one window per group: a per-group window serializes the
+    * whole group through one task, and groups here are SOURCES — at
+    * 100 TB one source can be most of the corpus. Binning caps every
+    * window partition at ~1/nBins of the group: the per-(group, bin)
+    * totals aggregate is map-side combined and tiny (groups × bins
+    * rows), its per-group prefix window runs over ≤ nBins rows, and the
+    * join back on (group, bin) produces exactly the partitioning the
+    * within-bin window needs, so the corpus is shuffled ONCE.
+    */
+  private def binnedCumsum(base: DataFrame, groupCol: String,
+                           order: Seq[Column]): DataFrame = {
+    val binTotals = base.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("__w")).as("__binw"))
+    val wPre = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binTotals
+      .withColumn("__base", coalesce(sum(col("__binw")).over(wPre), lit(0L)))
+      .drop("__binw")
+    val wIn = Window.partitionBy(col(groupCol), col("__bin"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // offsets is groups × occupied-bins — AQE broadcasts it when small;
+    // when it is not, the shuffle this join pays on (group, bin) is the
+    // SAME partitioning the window below requires, so it is paid once
+    base.join(offsets, Seq(groupCol, "__bin"))
+      .withColumn("__cum", col("__base") + sum(col("__w")).over(wIn))
+  }
+
+  /** How coarse the [[binnedCumsum]] bins are: window partitions are
+    * ~group/4096, so even a group holding ALL of 100 TB caps its widest
+    * window task at ~25 GB of rows — and the hash-uniform case ( [[
+    * tokenBudgetFill]] ) is uniform by construction.
+    */
+  private val prefixBins = 4096L
+
+  /** Per-group token-budget fill (mixture materialization): for each
+    * group (source/domain) with an entry in `budgets`, keep the
+    * deterministic hash-order prefix of its documents whose running
+    * whitespace-token total stays within the group's budget — the step
+    * that turns mixture WEIGHTS ("2B tokens of web, 500M of code") into
+    * an actual document manifest. Selection is a pure function of the
+    * key ([[hashBucket]] order, key tiebreak): stable under re-runs,
+    * retries, partitioning, and corpus growth — a group's kept prefix
+    * only EXTENDS when its budget grows, it never reshuffles.
+    *
+    * Adds `n_tokens` (the row's whitespace-token count; null text = 0)
+    * and `cum_tokens` (inclusive running total in selection order) and
+    * keeps rows with `cum_tokens <= budget`. Groups without a budget
+    * entry are dropped — a mixture spec is explicit. Rows with a null
+    * key are dropped (no identity to order deterministically, same
+    * contract as [[weightedSample]]'s null weights). A document longer
+    * than the remaining budget is NOT taken (hard cap, no straddler) —
+    * the fill can stop short of the budget by at most one document.
+    *
+    * Scale shape: one corpus shuffle ([[binnedCumsum]] — never a
+    * per-source window), one tiny aggregate, one broadcast of the
+    * budget list. SQL-portable: md5 hash order + integer token cumsum.
+    */
+  def tokenBudgetFill(df: DataFrame, groupCol: String, keyCol: String,
+                      textCol: String,
+                      budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetFill requires at least one budget")
+    require(budgets.forall(_._2 >= 0),
+      s"tokenBudgetFill budgets must be >= 0, got $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"tokenBudgetFill budgets name a group twice: $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toDF("__grp", "__budget")
+      .withColumnRenamed("__grp", groupCol))
+    val h = hashBucket(col(keyCol), 1000000L)
+    val base = df.filter(col(keyCol).isNotNull)
+      .join(bdf, Seq(groupCol))
+      .withColumn("__h", h)
+      // __h < 1e6 and 1e6 × 4096 ≪ 2^53, so the double division is exact
+      .withColumn("__bin",
+        floor(col("__h") * prefixBins / 1000000L).cast("long"))
+      .withColumn("__w",
+        coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"),
+          lit(0L)))
+    binnedCumsum(base, groupCol, Seq(col("__h"), col(keyCol)))
+      .filter(col("__cum") <= col("__budget"))
+      .withColumn("n_tokens", col("__w"))
+      .withColumn("cum_tokens", col("__cum"))
+      .drop("__h", "__bin", "__w", "__base", "__cum", "__budget")
+  }
+
+  /** [[tokenBudgetFill]] with the mixture spec supplied as a two-column
+    * (group, budget) frame — the SQL face's shape, where budgets arrive
+    * as a temp view rather than a Scala literal. The spec is collected
+    * (mixture specs are human-authored source/domain lists; the loud cap
+    * below bounds the driver) so the Seq form's validation — non-empty,
+    * non-negative, no duplicate groups — applies unchanged.
+    */
+  def tokenBudgetFill(df: DataFrame, groupCol: String, keyCol: String,
+                      textCol: String, budgets: DataFrame): DataFrame =
+    tokenBudgetFill(df, groupCol, keyCol, textCol, collectBudgets(budgets))
+
+  /** [[tokenBudgetFill]] generalized to budgets LARGER than a source
+    * (epoch upsampling): each budgeted group contributes
+    * `floor(budget / groupTokens)` whole epochs of itself plus the
+    * deterministic hash-order prefix of the remainder — "3.2 epochs of
+    * books" as mixture specs actually say it. Output is the compact
+    * MANIFEST form — each kept document once, with `n_tokens` and
+    * `n_copies` (epochs + 1 if the doc is in the remainder prefix;
+    * rows with `n_copies` 0 are dropped) — not the exploded stream;
+    * [[expandCopies]] rehydrates per-copy rows when a shard writer
+    * wants them. For budgets below one epoch this degrades exactly to
+    * [[tokenBudgetFill]] membership (epochs = 0, remainder = budget).
+    *
+    * Same determinism contract: selection is a pure function of the
+    * key, so a group's manifest only grows MORE copies as its budget
+    * grows. Null keys are dropped; groups without a budget entry are
+    * dropped; groups whose budgeted rows total ZERO tokens are dropped
+    * (no token budget is fillable by token-less documents — and their
+    * epoch division is undefined).
+    *
+    * Scale shape: [[tokenBudgetFill]]'s single corpus shuffle plus one
+    * tiny per-group totals aggregate broadcast back; the epoch division
+    * is integral (`div`), so a 100 T-token budget never rides a double.
+    */
+  def epochFill(df: DataFrame, groupCol: String, keyCol: String,
+                textCol: String,
+                budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "epochFill requires at least one budget")
+    require(budgets.forall(_._2 >= 0),
+      s"epochFill budgets must be >= 0, got $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"epochFill budgets name a group twice: $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toDF("__grp", "__budget")
+      .withColumnRenamed("__grp", groupCol))
+    val h = hashBucket(col(keyCol), 1000000L)
+    val base = df.filter(col(keyCol).isNotNull)
+      .join(bdf, Seq(groupCol))
+      .withColumn("__h", h)
+      .withColumn("__bin",
+        floor(col("__h") * prefixBins / 1000000L).cast("long"))
+      .withColumn("__w",
+        coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"),
+          lit(0L)))
+    val totals = base.groupBy(col(groupCol))
+      .agg(sum(col("__w")).as("__tot"))
+      .filter(col("__tot") > 0)
+    binnedCumsum(base, groupCol, Seq(col("__h"), col(keyCol)))
+      .join(broadcast(totals), Seq(groupCol))
+      // integral division: epochs and the exact remainder stay in BIGINT
+      // arithmetic end to end (a double would lose exactness past 2^53)
+      .withColumn("__e", expr("__budget div __tot"))
+      .withColumn("__r", col("__budget") - col("__e") * col("__tot"))
+      .withColumn("n_copies",
+        col("__e") + when(col("__cum") <= col("__r"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("n_tokens", col("__w"))
+      .drop("__h", "__bin", "__w", "__base", "__cum", "__budget",
+        "__tot", "__e", "__r")
+  }
+
+  /** [[epochFill]] with the mixture spec as a two-column (group, budget)
+    * frame — the SQL face's shape; same human-sized collect bound as the
+    * [[tokenBudgetFill]] frame overload.
+    */
+  def epochFill(df: DataFrame, groupCol: String, keyCol: String,
+                textCol: String, budgets: DataFrame): DataFrame =
+    epochFill(df, groupCol, keyCol, textCol, collectBudgets(budgets))
+
+  /** The shared budgets-frame → Seq collection for the SQL faces: exactly
+    * two columns, ≤100k rows, no nulls — mixture specs are human-authored
+    * lists, so a data-sized frame here is a bug, loudly.
+    */
+  private def collectBudgets(budgets: DataFrame): Seq[(String, Long)] = {
+    require(budgets.columns.length == 2,
+      "budgets frame must have exactly two columns (group, budget), got " +
+        budgets.columns.mkString("(", ", ", ")"))
+    val Array(g, b) = budgets.columns
+    val rows = budgets
+      .select(col(g).cast("string"), col(b).cast("long"))
+      .limit(100001).collect()
+    require(rows.length <= 100000,
+      "budgets frame exceeds 100k groups — a mixture spec is a " +
+        "human-sized list; a data-sized frame here is a bug")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "budgets frame has null group or budget rows")
+    rows.toSeq.map(r => r.getString(0) -> r.getLong(1))
+  }
+
+  /** Rehydrate a copies manifest ([[epochFill]] output, or any frame
+    * with a positive copies column) into per-copy rows: one row per
+    * (document, `copy_idx` in 1..n_copies), plus `shuffle_key` — a
+    * deterministic hash of (key, copy_idx) — so a shard writer that
+    * sorts or bucket-partitions by it interleaves epochs instead of
+    * emitting a document's copies back to back (repeated-data runs are
+    * the known LLM-training hazard this column exists to break up).
+    *
+    * Rows with null or non-positive copies are dropped. A copies value
+    * above `maxCopies` (default 10 000) fails IN-PLAN via the sequence
+    * bound itself — a corrupted manifest cannot silently explode a
+    * task; raise the cap explicitly when a tiny source really does run
+    * thousands of epochs. SQL-portable: the same md5 formula as
+    * [[hashBucket]] over `key || ':' || copy_idx`.
+    */
+  def expandCopies(df: DataFrame, keyCol: String, copiesCol: String,
+                   maxCopies: Long = 10000L): DataFrame = {
+    require(maxCopies > 0, s"expandCopies maxCopies must be > 0, got $maxCopies")
+    require(!df.columns.contains("copy_idx") &&
+      !df.columns.contains("shuffle_key"),
+      "expandCopies adds copy_idx/shuffle_key — the input already has one")
+    val c = col(copiesCol).cast("long")
+    // the guard lives INSIDE the sequence bound: an unused side-channel
+    // guard column would be pruned by the optimizer and never fire
+    val bounded = when(c > maxCopies, raise_error(concat(
+        lit(s"expandCopies: $copiesCol="), c.cast("string"),
+        lit(s" exceeds maxCopies=$maxCopies — corrupted manifest, or pass" +
+          " a higher cap"))).cast("long"))
+      .otherwise(c)
+    df.filter(c.isNotNull && c > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), bounded)))
+      .withColumn("shuffle_key", hashBucket(
+        concat_ws(":", col(keyCol).cast("string"),
+          col("copy_idx").cast("string")), 1000000000L))
+  }
+
+  /** Per-domain quality gate: keep each group's top `ceil(fraction ×
+    * group size)` rows by `scoreCol` (key tiebreak) — quality filtering
+    * RELATIVE to the domain, so one global threshold can't silently
+    * delete an entire domain whose score distribution sits lower (the
+    * failure mode of thresholding a web-calibrated quality score over
+    * code or non-English text). Adds `dom_rank` (1-based rank within
+    * the group, best first).
+    *
+    * Rows with a null score or null key are dropped (no deterministic
+    * rank; same contract as [[weightedSample]]'s null weights). Ties
+    * rank by key ascending, so the kept set is engine-reproducible.
+    *
+    * Scale shape: per-group min/max/count is a tiny broadcast; ranks
+    * come from [[binnedCumsum]] over score-proportional bins — never a
+    * whole-group window. Degenerate distributions (every score equal)
+    * collapse to one bin and degrade to the per-group window gracefully
+    * (correct, just unparallel — real quality scores are continuous).
+    */
+  def keepTopByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                     scoreCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"keepTopByGroup fraction must be in (0, 1], got $fraction")
+    val s = col(scoreCol).cast("double")
+    val stats = df.filter(col(keyCol).isNotNull && s.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(min(s).as("__lo"), max(s).as("__hi"),
+        count(lit(1)).as("__cnt"))
+      .withColumn("__budget",
+        ceil(lit(fraction) * col("__cnt")).cast("long"))
+      .drop("__cnt")
+    // bin 0 = best scores; floor of a monotone double map keeps bin
+    // order consistent with (score desc) — equal scores share a bin, so
+    // the within-bin (score desc, key) window settles every tie
+    val base = df.filter(col(keyCol).isNotNull && s.isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("__bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(floor((col("__hi") - s) / (col("__hi") - col("__lo"))
+            * (prefixBins - 1)).cast("long")))
+      .withColumn("__w", lit(1L))
+    binnedCumsum(base, groupCol, Seq(s.desc, col(keyCol)))
+      .filter(col("__cum") <= col("__budget"))
+      .withColumn("dom_rank", col("__cum"))
+      .drop("__lo", "__hi", "__bin", "__w", "__base", "__cum", "__budget")
+  }
+
   /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency
     * (count desc, token tiebreak), top `k`. The per-token count is a
     * map-side-combined hash aggregate and the top-k is orderBy+limit

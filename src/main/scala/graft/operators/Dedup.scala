@@ -991,7 +991,54 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, shingleN: Int = 3,
                   numHashes: Int = 32, bands: Int = 16,
-                  maxBucket: Int = 10000): DataFrame = {
+                  maxBucket: Int = 10000): DataFrame =
+    clusteredCorpus(docs, idCol, textCol, threshold, shingleN, numHashes,
+        bands, maxBucket)
+      .filter(col(idCol) === col("cluster")) // survivor = cluster min
+      .withColumn("n_dropped", col("__sz") - 1)
+      .drop("__sz")
+      .unionByName(nullIdSingletons(docs, idCol))
+
+  /** [[dedupCorpus]] with the survivor chosen by QUALITY instead of by
+    * id: each duplicate cluster keeps the row with the highest
+    * `priorityCol` (id ascending tiebreak; null priority loses to any
+    * non-null) — "keep the longest / highest-quality copy", the
+    * selection production near-dedup pipelines actually want, where
+    * cluster-min would keep whichever near-duplicate happened to be
+    * crawled first. Same candidates, verification, and clusters as
+    * [[dedupCorpus]]; only the survivor pick differs, via a per-cluster
+    * `row_number` (clusters are near-dup-sized, so the window partition
+    * is always small). `cluster` still labels the group (the cluster's
+    * MIN id, which now need not be the survivor's own id).
+    */
+  def dedupCorpusBest(docs: DataFrame, idCol: String, textCol: String,
+                      priorityCol: String,
+                      threshold: Double = 0.8, shingleN: Int = 3,
+                      numHashes: Int = 32, bands: Int = 16,
+                      maxBucket: Int = 10000): DataFrame = {
+    val ord = Window.partitionBy(col("cluster"))
+      .orderBy(col(priorityCol).desc_nulls_last, col(idCol))
+    clusteredCorpus(docs, idCol, textCol, threshold, shingleN, numHashes,
+        bands, maxBucket)
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === 1)
+      .withColumn("n_dropped", col("__sz") - 1)
+      .drop("__sz", "__rn")
+      .unionByName(nullIdSingletons(docs, idCol))
+  }
+
+  /** The shared [[dedupCorpus]]/[[dedupCorpusBest]] pipeline up to (but
+    * not including) the survivor pick: MinHash candidates → exact
+    * n-gram-Jaccard verification at `threshold` → connected components →
+    * every keyed row joined with its `cluster` label and `__sz` (cluster
+    * size, via a window over the SAME joined frame — a separate sizes
+    * aggregate + rejoin would walk the clusters lineage, and its
+    * corpus-wide singleton join, twice).
+    */
+  private def clusteredCorpus(docs: DataFrame, idCol: String,
+                              textCol: String, threshold: Double,
+                              shingleN: Int, numHashes: Int, bands: Int,
+                              maxBucket: Int): DataFrame = {
     val cand = minhashCandidatePairs(docs, idCol, textCol, shingleN,
       numHashes, bands, maxBucket)
     // signature-agreement prescreen: Bin(numHashes, threshold) below half
@@ -1008,20 +1055,20 @@ object Dedup {
     // null-key handling.
     val keyed = docs.filter(col(idCol).isNotNull)
     val clusters = connectedComponents(edges, keyed.select(col(idCol)), idCol)
-    // cluster sizes via a window over the SAME joined frame — a separate
-    // sizes aggregate + rejoin would walk the clusters lineage (and its
-    // corpus-wide singleton join) twice
     val w = Window.partitionBy(col("cluster"))
     keyed
       .join(clusters, Seq(idCol))
       .withColumn("__sz", count(lit(1)).over(w))
-      .filter(col(idCol) === col("cluster")) // survivor = cluster min
-      .withColumn("n_dropped", col("__sz") - 1)
-      .drop("__sz")
-      .unionByName(docs.filter(col(idCol).isNull)
-        .withColumn("cluster", col(idCol))
-        .withColumn("n_dropped", lit(0L)))
   }
+
+  /** The null-id rows of `docs` as their own singleton "clusters" — the
+    * union branch both corpus-dedup faces append (see the null-id note
+    * in [[clusteredCorpus]]).
+    */
+  private def nullIdSingletons(docs: DataFrame, idCol: String): DataFrame =
+    docs.filter(col(idCol).isNull)
+      .withColumn("cluster", col(idCol))
+      .withColumn("n_dropped", lit(0L))
 
   /** SimHash 64-bit fingerprint from token hashes: for each bit position,
     * sum ±1 votes across token hashes; the sign recomposes the bit.

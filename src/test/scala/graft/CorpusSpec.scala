@@ -435,6 +435,200 @@ class CorpusSpec extends SparkSpec {
       Seq("body one", "body two", "body three"))
   }
 
+  test("tokenBudgetFill keeps the deterministic hash-order prefix per " +
+       "budgeted group and drops unbudgeted groups and null keys") {
+    val corpus = Seq(
+      (Some(1L), "a b c", "web"),      // 3 tokens
+      (Some(2L), "d e", "web"),        // 2
+      (Some(3L), "f g h i", "web"),    // 4
+      (Some(4L), "j", "web"),          // 1
+      (Some(5L), "k l m", "code"),     // 3
+      (Some(6L), null, "code"),        // null text = 0 tokens
+      (None, "x y z", "web"),          // null key: dropped
+      (Some(7L), "p q", "books")       // no budget entry: dropped
+    ).toDF("doc_id", "text", "source")
+    // naive single-window ground truth over the same (hash, id) order
+    val h = Corpus.hashBucket(col("doc_id"), 1000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budgets = Seq("web" -> 6L, "code" -> 100L)
+    val naive = corpus.filter(col("doc_id").isNotNull)
+      .filter(col("source").isin("web", "code"))
+      .withColumn("cum", sum(coalesce(
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"),
+        lit(0L))).over(w))
+      .filter(col("cum") <= when(col("source") === "web", 6L).otherwise(100L))
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Corpus.tokenBudgetFill(corpus, "source", "doc_id", "text",
+      budgets)
+    assert(out.columns.toSet ==
+      Set("doc_id", "text", "source", "n_tokens", "cum_tokens"))
+    val got = out.select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, s"binned cumsum diverged: got $got want $naive")
+    assert(!got.contains(7L), "unbudgeted group must be dropped")
+    // monotone: a larger budget extends the kept prefix, never reshuffles
+    val bigger = Corpus.tokenBudgetFill(corpus, "source", "doc_id", "text",
+        Seq("web" -> 8L, "code" -> 100L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(bigger))
+  }
+
+  test("tokenBudgetFill matches a plain-window cumsum on a randomized " +
+       "skewed corpus (bin/offset arithmetic end to end)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 600L).map { i =>
+      val grp = if (i % 10 < 8) "big" else if (i % 10 == 8) "mid" else "tiny"
+      (i, Seq.fill(1 + rnd.nextInt(7))("t").mkString(" "), grp)
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val budgets = Seq("big" -> 900L, "mid" -> 80L, "tiny" -> 0L)
+    val h = Corpus.hashBucket(col("doc_id"), 1000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bcol = when(col("source") === "big", 900L)
+      .when(col("source") === "mid", 80L).otherwise(0L)
+    val naive = df
+      .withColumn("cum", sum(size(split(col("text"), " ")).cast("long")).over(w))
+      .filter(col("cum") <= bcol)
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Corpus.tokenBudgetFill(df, "source", "doc_id", "text", budgets)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+    assert(got.nonEmpty, "the randomized corpus must keep something")
+  }
+
+  test("tokenBudgetFill refuses empty, negative, and duplicate budgets") {
+    val df = Seq((1L, "a", "g")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetFill(df, "source", "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetFill(df, "source", "doc_id", "text", Seq("g" -> -1L))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetFill(df, "source", "doc_id", "text",
+        Seq("g" -> 1L, "g" -> 2L))
+    }
+  }
+
+  test("epochFill: whole epochs by integral division + remainder prefix; " +
+       "sub-epoch budgets degrade to tokenBudgetFill membership") {
+    val corpus = Seq(
+      (1L, "a b c", "web"),      // 3 tokens
+      (2L, "d e", "web"),        // 2
+      (3L, "f", "web"),          // 1  → web total 6
+      (4L, "k l m", "code"),     // 3
+      (5L, "n o p", "code"),     // 3  → code total 6
+      (6L, "q r", "zero")        // budgeted group below, but absent here
+    ).toDF("doc_id", "text", "source")
+    // web budget 20 = 3 whole epochs (18) + remainder 2: the hash-order
+    // prefix of web that fits 2 tokens gets a 4th copy; code budget 4 is
+    // SUB-epoch: epochs 0, kept set = tokenBudgetFill(4)
+    val out = Corpus.epochFill(corpus, "source", "doc_id", "text",
+      Seq("web" -> 20L, "code" -> 4L))
+    val got = out.select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every web doc has >= 3 copies; total extra copies carry <= 2 tokens
+    assert(Set(1L, 2L, 3L).forall(id => got(id) >= 3L && got(id) <= 4L))
+    val extraTokens = Map(1L -> 3L, 2L -> 2L, 3L -> 1L)
+      .collect { case (id, tk) if got(id) == 4L => tk }.sum
+    assert(extraTokens <= 2L, s"remainder must fit the leftover budget: $got")
+    // code: sub-epoch — membership identical to tokenBudgetFill
+    val tbf = Corpus.tokenBudgetFill(corpus, "source", "doc_id", "text",
+        Seq("code" -> 4L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val codeKept = got.keySet.filter(Set(4L, 5L))
+    assert(codeKept == tbf && codeKept.forall(got(_) == 1L))
+    // zero-token budgeted groups are dropped, not divided by zero
+    val z = Seq((9L, "", "empty"), (10L, null, "empty"))
+      .toDF("doc_id", "text", "source")
+    assert(Corpus.epochFill(z, "source", "doc_id", "text",
+      Seq("empty" -> 100L)).count() == 0L)
+  }
+
+  test("expandCopies: one row per copy, 1-based copy_idx, deterministic " +
+       "shuffle key; the in-plan cap fires on a corrupted manifest") {
+    val manifest = Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, -2L))
+      .toDF("doc_id", "n_copies")
+    val out = Corpus.expandCopies(manifest, "doc_id", "n_copies")
+      .select("doc_id", "copy_idx", "shuffle_key")
+      .orderBy("doc_id", "copy_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+    // shuffle_key is a pure function of (key, copy_idx): recompute
+    val expected = Corpus.expandCopies(manifest, "doc_id", "n_copies")
+      .orderBy("doc_id", "copy_idx").collect()
+      .map(_.getAs[Long]("shuffle_key")).toSeq
+    assert(out.map(_.getAs[Long]("shuffle_key")).toSeq == expected)
+    assert(expected.distinct.size == expected.size,
+      "hash collisions in a 4-row fixture would be astonishing")
+    val huge = Seq((1L, 50000L)).toDF("doc_id", "n_copies")
+    val e = intercept[Exception] {
+      Corpus.expandCopies(huge, "doc_id", "n_copies").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds maxCopies")))
+    // the documented escape: raise the cap explicitly
+    assert(Corpus.expandCopies(huge, "doc_id", "n_copies",
+      maxCopies = 60000L).count() == 50000L)
+  }
+
+  test("keepTopByGroup keeps ceil(fraction*n) per group with (score desc, " +
+       "key asc) tie discipline; null score/key rows are dropped") {
+    val df = Seq(
+      (Some(1L), Some(9.0), "a"), (Some(2L), Some(9.0), "a"), // tie: both 9
+      (Some(3L), Some(5.0), "a"), (Some(4L), Some(1.0), "a"),
+      (Some(5L), Some(2.0), "b"), (Some(6L), Some(2.0), "b"), // all equal
+      (Some(7L), Some(2.0), "b"),
+      (Some(8L), None, "a"),      // null score: dropped
+      (None, Some(99.0), "a")     // null key: dropped
+    ).toDF("doc_id", "score", "source")
+    // group a: 4 scored rows, ceil(0.5*4)=2 → ids 1,2 (tie broken by id —
+    // both kept here); group b: 3 equal scores (degenerate single bin),
+    // ceil(0.5*3)=2 → ids 5,6 by the key tiebreak
+    val out = Corpus.keepTopByGroup(df, "source", "doc_id", "score", 0.5)
+    val got = out.select("doc_id", "dom_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 5L -> 1L, 6L -> 2L), s"got $got")
+    intercept[IllegalArgumentException] {
+      Corpus.keepTopByGroup(df, "source", "doc_id", "score", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.keepTopByGroup(df, "source", "doc_id", "score", 1.5)
+    }
+  }
+
+  test("keepTopByGroup matches a plain row_number window on a randomized " +
+       "frame (score-proportional binning end to end)") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 500L).map { i =>
+      (i, rnd.nextDouble() * 100.0, s"g${i % 3}")
+    }.toDF("doc_id", "score", "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val naive = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .filter(col("rn") <= ceil(lit(0.3) * col("n")))
+      .select("doc_id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Corpus.keepTopByGroup(df, "source", "doc_id", "score", 0.3)
+      .select("doc_id", "dom_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+    assert(got.size == naive.size && got.nonEmpty)
+  }
+
   test("compactLmStats refuses a crashed append's unrecorded batch " +
        "files — folding them would double-apply the batch on retry") {
     val path = java.nio.file.Files.createTempDirectory("graft_lm_cr")

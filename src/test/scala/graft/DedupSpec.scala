@@ -332,6 +332,33 @@ class DedupSpec extends SparkSpec {
     assert(r(7L) == ((7L, 0L)) && r(9L) == ((9L, 0L)))
   }
 
+  test("dedupCorpusBest: highest-priority member survives per cluster " +
+       "(id tiebreak), cluster label stays the min id, null-id singletons kept") {
+    val corpus = Seq(
+      (Some(1L), "the quick brown fox jumps over the lazy dog tonight", 10.0),
+      (Some(5L), "the quick brown fox jumps over the lazy dog tonight", 30.0), // best
+      (Some(3L), "the quick brown fox jumps over the lazy dog today", 30.0),   // tie w/ 5
+      (Some(7L), "completely different content about something else entirely", 1.0),
+      (None, "orphan row with no identity", 99.0)
+    ).toDF("doc_id", "text", "quality")
+    val r = Dedup.dedupCorpusBest(corpus, "doc_id", "text", "quality",
+        threshold = 0.6, shingleN = 2, numHashes = 16, bands = 8)
+      .collect().map(x => Option(x.getAs[Any]("doc_id")).map(_.asInstanceOf[Long]) ->
+        ((x.getAs[Long]("cluster"), x.getAs[Long]("n_dropped")))).toMap
+    // cluster {1,3,5}: priorities (10,30,30) → 3 wins the id tiebreak;
+    // the label is still the cluster MIN (1), not the survivor's own id
+    assert(r.keySet == Set(Some(3L), Some(7L), None), s"got $r")
+    assert(r(Some(3L)) == ((1L, 2L)))
+    assert(r(Some(7L)) == ((7L, 0L)))
+    assert(r(None)._2 == 0L)
+    // same clusters as dedupCorpus — only the survivor pick differs
+    val minSurv = Dedup.dedupCorpus(corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 2, numHashes = 16, bands = 8)
+      .collect().flatMap(x => Option(x.getAs[Any]("doc_id")))
+      .map(_.asInstanceOf[Long]).toSet
+    assert(minSurv == Set(1L, 7L))
+  }
+
   test("incremental exact: history drops seen texts, lowest batch id wins internal dups") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dg").toString + "/idx"
     val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

@@ -558,6 +558,75 @@ class EngineSpec extends SparkSpec {
       "graft_pack(table, shardCol, keyCol, tokenCol, budget)"))
   }
 
+  test("extensions: prefix-selection family (token budget / keep-top / " +
+       "dedup-best) callable from SQL, row-identical") {
+    import graft.operators.{Corpus, Dedup}
+    GraftExtensions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(150).cache()
+    docs.createOrReplaceTempView("sql_ps_docs")
+    import spark.implicits._
+    val budgets = Seq("src0" -> 800L, "src1" -> 1200L)
+    budgets.toDF("source", "budget").createOrReplaceTempView("sql_ps_budgets")
+
+    val tSql = spark.sql(
+      """SELECT * FROM graft_token_budget_fill('sql_ps_docs', 'source',
+        |  'doc_id', 'text', 'sql_ps_budgets') ORDER BY doc_id""".stripMargin)
+    assert(rows(tSql) ==
+      rows(Corpus.tokenBudgetFill(docs, "source", "doc_id", "text", budgets)
+        .orderBy("doc_id")) && rows(tSql).nonEmpty)
+
+    val kSql = spark.sql(
+      """SELECT * FROM graft_keep_top('sql_ps_docs', 'source', 'doc_id',
+        |  'n_chars', 0.3) ORDER BY doc_id""".stripMargin)
+    assert(rows(kSql) ==
+      rows(Corpus.keepTopByGroup(docs, "source", "doc_id", "n_chars", 0.3)
+        .orderBy("doc_id")) && rows(kSql).nonEmpty)
+
+    val dSql = spark.sql(
+      """SELECT * FROM graft_dedup_corpus_best('sql_ps_docs', 'doc_id',
+        |  'text', 'n_chars', 0.8) ORDER BY doc_id""".stripMargin)
+    assert(rows(dSql) ==
+      rows(Dedup.dedupCorpusBest(docs, "doc_id", "text", "n_chars",
+        threshold = 0.8).orderBy("doc_id")) && rows(dSql).nonEmpty)
+
+    val eSql = spark.sql(
+      """SELECT * FROM graft_epoch_fill('sql_ps_docs', 'source',
+        |  'doc_id', 'text', 'sql_ps_budgets') ORDER BY doc_id""".stripMargin)
+    assert(rows(eSql) ==
+      rows(Corpus.epochFill(docs, "source", "doc_id", "text", budgets)
+        .orderBy("doc_id")) && rows(eSql).nonEmpty)
+
+    Corpus.epochFill(docs, "source", "doc_id", "text", budgets)
+      .createOrReplaceTempView("sql_ps_manifest")
+    val xSql = spark.sql(
+      """SELECT * FROM graft_expand_copies('sql_ps_manifest', 'doc_id',
+        |  'n_copies') ORDER BY doc_id, copy_idx""".stripMargin)
+    assert(rows(xSql) ==
+      rows(Corpus.expandCopies(
+        Corpus.epochFill(docs, "source", "doc_id", "text", budgets),
+        "doc_id", "n_copies").orderBy("doc_id", "copy_idx"))
+      && rows(xSql).nonEmpty)
+    docs.unpersist()
+
+    // misuse still reads as usage guidance; a malformed budgets frame
+    // is refused with the two-column contract in the message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_keep_top('sql_ps_docs', 'source')")
+        .collect()
+    }
+    assert(e.getMessage.contains(
+      "graft_keep_top(table, groupCol, keyCol, scoreCol, fraction)"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_token_budget_fill('sql_ps_docs', 'source',
+          |  'doc_id', 'text', 'sql_ps_docs')""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("exactly two columns"))
+  }
+
   test("extensions: tombstone deletes, WAV features, N-dim zorder from SQL") {
     import graft.operators.{Dedup, Multimodal}
     GraftExtensions.register(spark)
