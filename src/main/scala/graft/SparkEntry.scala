@@ -4312,11 +4312,11 @@ object SparkEntry {
     "q120_token_budget" ->
       """WITH t AS (
         |  SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
-        |      AS n_tokens,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '\S+')), 0)
+        |      AS BIGINT) AS n_tokens,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) % 1000000 AS h
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), b(source, budget) AS (
         |  VALUES ('src0', 5000), ('src1', 10000000), ('src2', 600)
         |), c AS (
@@ -4332,15 +4332,18 @@ object SparkEntry {
     // q121: dom_rank re-derived with a plain row_number window; the
     // budget is ceil(0.4 × the source's row count)
     "q121_domain_gate" ->
-      """WITH n AS (
-        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+      """WITH d0 AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), n AS (
+        |  SELECT source, count(*) AS cnt FROM d0 GROUP BY source
         |), r AS (
         |  SELECT d.source, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars_k,
         |    CAST(row_number() OVER (PARTITION BY d.source
         |      ORDER BY CAST(d.n_chars AS DOUBLE) DESC, d.doc_id)
         |      AS BIGINT) AS dom_rank,
         |    n.cnt
-        |  FROM documents d JOIN n USING (source)
+        |  FROM d0 d JOIN n USING (source)
         |)
         |SELECT source, doc_id, n_chars_k, dom_rank
         |FROM r WHERE dom_rank <= CAST(ceil(0.4 * cnt) AS BIGINT)
@@ -4372,28 +4375,36 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
         |), r(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
         |  UNION
         |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
         |), c AS (SELECT id AS doc_id, min(lbl) AS cluster FROM r GROUP BY id),
-        |sz AS (SELECT cluster, count(*) AS szn FROM c GROUP BY cluster)
-        |SELECT c.doc_id, c.cluster, CAST(sz.szn - 1 AS BIGINT) AS n_dropped,
-        |  CAST(d.n_chars AS BIGINT) AS kept_chars
-        |FROM c JOIN sz USING (cluster) JOIN documents d USING (doc_id)
-        |QUALIFY row_number() OVER (PARTITION BY c.cluster
-        |  ORDER BY d.n_chars DESC NULLS LAST, c.doc_id) = 1
-        |ORDER BY c.doc_id""".stripMargin.replace("\n", " "),
+        |sz AS (SELECT cluster, count(*) AS szn FROM c GROUP BY cluster),
+        |m AS (
+        |  SELECT c.doc_id, c.cluster, CAST(sz.szn - 1 AS BIGINT) AS n_dropped,
+        |    CAST(d.n_chars AS BIGINT) AS kept_chars
+        |  FROM c JOIN sz USING (cluster) JOIN documents d USING (doc_id)
+        |  QUALIFY row_number() OVER (PARTITION BY c.cluster
+        |    ORDER BY d.n_chars DESC NULLS LAST, c.doc_id) = 1
+        |)
+        |SELECT * FROM m
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT) AS cluster,
+        |  CAST(0 AS BIGINT) AS n_dropped, CAST(n_chars AS BIGINT)
+        |  AS kept_chars
+        |FROM documents WHERE doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q123: epochs by DuckDB's integral // over the naive window totals;
     // remainder membership by the same (md5-hash, id) prefix as q120
     "q123_epoch_fill" ->
       """WITH t AS (
         |  SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
-        |      AS n_tokens,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '\S+')), 0)
+        |      AS BIGINT) AS n_tokens,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) % 1000000 AS h
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), b(source, budget) AS (
         |  VALUES ('src0', 5000), ('src1', 800), ('src2', 15000)
         |), c AS (
@@ -4417,11 +4428,11 @@ object SparkEntry {
     "q124_epoch_expand" ->
       """WITH t AS (
         |  SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
-        |      AS n_tokens,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '\S+')), 0)
+        |      AS BIGINT) AS n_tokens,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) % 1000000 AS h
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), b(source, budget) AS (
         |  VALUES ('src0', 5000), ('src1', 800), ('src2', 15000)
         |), c AS (

@@ -201,8 +201,13 @@ object Corpus {
       .agg(sum(col("__w")).as("__binw"))
     val wPre = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // __gtot (the group's WHOLE weight) rides the same tiny frame — a
+    // caller needing totals ([[epochFill]]'s epoch division) must not pay
+    // a second corpus-wide aggregate scan for a number this frame has
+    val wAll = Window.partitionBy(col(groupCol))
     val offsets = binTotals
       .withColumn("__base", coalesce(sum(col("__binw")).over(wPre), lit(0L)))
+      .withColumn("__gtot", sum(col("__binw")).over(wAll))
       .drop("__binw")
     val wIn = Window.partitionBy(col(groupCol), col("__bin"))
       .orderBy(order: _*)
@@ -212,6 +217,56 @@ object Corpus {
     // SAME partitioning the window below requires, so it is paid once
     base.join(offsets, Seq(groupCol, "__bin"))
       .withColumn("__cum", col("__base") + sum(col("__w")).over(wIn))
+  }
+
+  /** Scratch columns the prefix-selection family writes and drops; an
+    * input already carrying any of them (or the operator's own output
+    * columns) would be silently overwritten mid-pipeline, so every
+    * entry point refuses the collision loudly instead — the same
+    * contract [[expandCopies]] pins for its outputs.
+    */
+  private val prefixScratch = Seq("__h", "__bin", "__w", "__base",
+    "__cum", "__budget", "__gtot", "__lo", "__hi", "__e", "__r")
+
+  private def requireFresh(df: DataFrame, op: String,
+                           outputs: Seq[String]): Unit = {
+    val clash = (outputs ++ prefixScratch).filter(df.columns.toSet)
+    require(clash.isEmpty,
+      s"$op writes ${outputs.mkString("/")} plus internal __ scratch " +
+        s"columns — the input already has ${clash.mkString(", ")}; " +
+        "rename or drop them first")
+  }
+
+  /** Shared [[tokenBudgetFill]]/[[epochFill]] preamble: validate the
+    * mixture spec, broadcast-join it, attach the deterministic hash
+    * order, its coarse bin, and the token weight. The two operators'
+    * documented "sub-epoch epochFill ≡ tokenBudgetFill" equivalence
+    * holds BECAUSE this block is shared, not parallel-maintained.
+    */
+  private def budgetedBase(df: DataFrame, groupCol: String, keyCol: String,
+                           textCol: String, budgets: Seq[(String, Long)],
+                           op: String, outputs: Seq[String]): DataFrame = {
+    require(budgets.nonEmpty, s"$op requires at least one budget")
+    require(budgets.forall(_._2 >= 0),
+      s"$op budgets must be >= 0, got $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"$op budgets name a group twice: $budgets")
+    requireFresh(df, op, outputs)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toDF("__grp", "__budget")
+      .withColumnRenamed("__grp", groupCol))
+    df.filter(col(keyCol).isNotNull)
+      .join(bdf, Seq(groupCol))
+      .withColumn("__h", hashBucket(col(keyCol), 1000000L))
+      // __h < 1e6 and 1e6 × 4096 ≪ 2^53, so the double division is exact
+      .withColumn("__bin",
+        floor(col("__h") * prefixBins / 1000000L).cast("long"))
+      // "null text = 0 tokens" spelled as an explicit branch: size(null)
+      // is -1 (not null) when spark.sql.ansi.enabled=false, and a -1
+      // weight would make the running total DECREASE past null docs
+      .withColumn("__w", when(col(textCol).isNull, lit(0L))
+        .otherwise(size(TextAnalysis.tokens(col(textCol))).cast("long")))
   }
 
   /** How coarse the [[binnedCumsum]] bins are: window partitions are
@@ -247,30 +302,13 @@ object Corpus {
   def tokenBudgetFill(df: DataFrame, groupCol: String, keyCol: String,
                       textCol: String,
                       budgets: Seq[(String, Long)]): DataFrame = {
-    require(budgets.nonEmpty, "tokenBudgetFill requires at least one budget")
-    require(budgets.forall(_._2 >= 0),
-      s"tokenBudgetFill budgets must be >= 0, got $budgets")
-    require(budgets.map(_._1).distinct.size == budgets.size,
-      s"tokenBudgetFill budgets name a group twice: $budgets")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bdf = broadcast(budgets.toDF("__grp", "__budget")
-      .withColumnRenamed("__grp", groupCol))
-    val h = hashBucket(col(keyCol), 1000000L)
-    val base = df.filter(col(keyCol).isNotNull)
-      .join(bdf, Seq(groupCol))
-      .withColumn("__h", h)
-      // __h < 1e6 and 1e6 × 4096 ≪ 2^53, so the double division is exact
-      .withColumn("__bin",
-        floor(col("__h") * prefixBins / 1000000L).cast("long"))
-      .withColumn("__w",
-        coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"),
-          lit(0L)))
+    val base = budgetedBase(df, groupCol, keyCol, textCol, budgets,
+      "tokenBudgetFill", Seq("n_tokens", "cum_tokens"))
     binnedCumsum(base, groupCol, Seq(col("__h"), col(keyCol)))
       .filter(col("__cum") <= col("__budget"))
       .withColumn("n_tokens", col("__w"))
       .withColumn("cum_tokens", col("__cum"))
-      .drop("__h", "__bin", "__w", "__base", "__cum", "__budget")
+      .drop(prefixScratch: _*)
   }
 
   /** [[tokenBudgetFill]] with the mixture spec supplied as a two-column
@@ -303,46 +341,28 @@ object Corpus {
     * (no token budget is fillable by token-less documents — and their
     * epoch division is undefined).
     *
-    * Scale shape: [[tokenBudgetFill]]'s single corpus shuffle plus one
-    * tiny per-group totals aggregate broadcast back; the epoch division
-    * is integral (`div`), so a 100 T-token budget never rides a double.
+    * Scale shape: [[tokenBudgetFill]]'s single corpus shuffle, nothing
+    * more — the group totals the epoch division needs ride
+    * [[binnedCumsum]]'s tiny per-bin frame (`__gtot`), never a second
+    * corpus-wide aggregate scan; the division is integral (`div`), so a
+    * 100 T-token budget never rides a double.
     */
   def epochFill(df: DataFrame, groupCol: String, keyCol: String,
                 textCol: String,
                 budgets: Seq[(String, Long)]): DataFrame = {
-    require(budgets.nonEmpty, "epochFill requires at least one budget")
-    require(budgets.forall(_._2 >= 0),
-      s"epochFill budgets must be >= 0, got $budgets")
-    require(budgets.map(_._1).distinct.size == budgets.size,
-      s"epochFill budgets name a group twice: $budgets")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bdf = broadcast(budgets.toDF("__grp", "__budget")
-      .withColumnRenamed("__grp", groupCol))
-    val h = hashBucket(col(keyCol), 1000000L)
-    val base = df.filter(col(keyCol).isNotNull)
-      .join(bdf, Seq(groupCol))
-      .withColumn("__h", h)
-      .withColumn("__bin",
-        floor(col("__h") * prefixBins / 1000000L).cast("long"))
-      .withColumn("__w",
-        coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"),
-          lit(0L)))
-    val totals = base.groupBy(col(groupCol))
-      .agg(sum(col("__w")).as("__tot"))
-      .filter(col("__tot") > 0)
+    val base = budgetedBase(df, groupCol, keyCol, textCol, budgets,
+      "epochFill", Seq("n_tokens", "n_copies"))
     binnedCumsum(base, groupCol, Seq(col("__h"), col(keyCol)))
-      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("__gtot") > 0)
       // integral division: epochs and the exact remainder stay in BIGINT
       // arithmetic end to end (a double would lose exactness past 2^53)
-      .withColumn("__e", expr("__budget div __tot"))
-      .withColumn("__r", col("__budget") - col("__e") * col("__tot"))
+      .withColumn("__e", expr("__budget div __gtot"))
+      .withColumn("__r", col("__budget") - col("__e") * col("__gtot"))
       .withColumn("n_copies",
         col("__e") + when(col("__cum") <= col("__r"), 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
       .withColumn("n_tokens", col("__w"))
-      .drop("__h", "__bin", "__w", "__base", "__cum", "__budget",
-        "__tot", "__e", "__r")
+      .drop(prefixScratch: _*)
   }
 
   /** [[epochFill]] with the mixture spec as a two-column (group, budget)
@@ -417,9 +437,13 @@ object Corpus {
     * code or non-English text). Adds `dom_rank` (1-based rank within
     * the group, best first).
     *
-    * Rows with a null score or null key are dropped (no deterministic
-    * rank; same contract as [[weightedSample]]'s null weights). Ties
-    * rank by key ascending, so the kept set is engine-reproducible.
+    * Rows with a null, NaN, or infinite score — or a null key — are
+    * dropped (no deterministic rank; same contract as
+    * [[weightedSample]]'s null weights). Non-finite scores must go: one
+    * NaN would poison the group's max and with it EVERY row's bin
+    * expression — a whole-group crash under ANSI, a whole-group silent
+    * drop without it. Ties rank by key ascending, so the kept set is
+    * engine-reproducible.
     *
     * Scale shape: per-group min/max/count is a tiny broadcast; ranks
     * come from [[binnedCumsum]] over score-proportional bins — never a
@@ -431,8 +455,16 @@ object Corpus {
                      scoreCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1,
       s"keepTopByGroup fraction must be in (0, 1], got $fraction")
+    requireFresh(df, "keepTopByGroup", Seq("dom_rank"))
     val s = col(scoreCol).cast("double")
-    val stats = df.filter(col(keyCol).isNotNull && s.isNotNull)
+    // finite scores only: a single NaN would rank greatest, so __hi = NaN
+    // and the bin expression below goes NaN for the ENTIRE group — a
+    // group-wide cast crash under ANSI, a group-wide silent join-miss
+    // (every row deleted) without it; ±Inf makes (hi - lo) infinite and
+    // every bin 0 or NaN the same way
+    val ranked = df.filter(col(keyCol).isNotNull && s.isNotNull &&
+      !isnan(s) && abs(s) <= lit(Double.MaxValue))
+    val stats = ranked
       .groupBy(col(groupCol))
       .agg(min(s).as("__lo"), max(s).as("__hi"),
         count(lit(1)).as("__cnt"))
@@ -442,7 +474,7 @@ object Corpus {
     // bin 0 = best scores; floor of a monotone double map keeps bin
     // order consistent with (score desc) — equal scores share a bin, so
     // the within-bin (score desc, key) window settles every tie
-    val base = df.filter(col(keyCol).isNotNull && s.isNotNull)
+    val base = ranked
       .join(broadcast(stats), Seq(groupCol))
       .withColumn("__bin",
         when(col("__hi") === col("__lo"), lit(0L))
@@ -452,7 +484,7 @@ object Corpus {
     binnedCumsum(base, groupCol, Seq(s.desc, col(keyCol)))
       .filter(col("__cum") <= col("__budget"))
       .withColumn("dom_rank", col("__cum"))
-      .drop("__lo", "__hi", "__bin", "__w", "__base", "__cum", "__budget")
+      .drop(prefixScratch: _*)
   }
 
   /** Corpus vocabulary: lowercased whitespace tokens ranked by frequency

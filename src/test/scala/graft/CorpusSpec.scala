@@ -505,6 +505,64 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty, "the randomized corpus must keep something")
   }
 
+  test("prefix-selection family: null text counts 0 tokens even with " +
+       "ANSI off (size(null) is -1 there), and collisions with the " +
+       "operators' output/scratch columns are refused loudly") {
+    val corpus = Seq((1L, Some("a b"), "g"), (2L, None, "g"),
+      (3L, Some("c"), "g")).toDF("doc_id", "text", "source")
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val got = Corpus.tokenBudgetFill(corpus, "source", "doc_id", "text",
+          Seq("g" -> 10L))
+        .select("doc_id", "n_tokens", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.values.forall(_._1 >= 0L),
+        s"a -1 token count leaked through ANSI-off size(null): $got")
+      assert(got(2L)._1 == 0L, s"null text must weigh 0, got $got")
+      // the cumsum never decreases along the selection order
+      assert(got.values.map(_._2).toSeq.sorted ==
+        got.values.map(_._2).toSeq.sortBy(identity))
+      val ep = Corpus.epochFill(corpus, "source", "doc_id", "text",
+          Seq("g" -> 10L))
+        .select("doc_id", "n_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ep(2L) == 0L, s"epochFill null text must weigh 0, got $ep")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+    // output/scratch column collisions are refused, not overwritten
+    val poisoned = corpus.withColumn("n_tokens", lit(99L))
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetFill(poisoned, "source", "doc_id", "text",
+        Seq("g" -> 10L))
+    }
+    assert(e1.getMessage.contains("n_tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.epochFill(corpus.withColumn("__cum", lit(1L)), "source",
+        "doc_id", "text", Seq("g" -> 10L))
+    }
+    assert(e2.getMessage.contains("__cum"))
+    val e3 = intercept[IllegalArgumentException] {
+      Corpus.keepTopByGroup(corpus.withColumn("dom_rank", lit(1L)),
+        "source", "doc_id", "doc_id", 0.5)
+    }
+    assert(e3.getMessage.contains("dom_rank"))
+  }
+
+  test("keepTopByGroup drops NaN/Inf scores like nulls instead of letting " +
+       "one poison the whole group's bins") {
+    val df = Seq(
+      (1L, 3.0, "g"), (2L, 2.0, "g"), (3L, Double.NaN, "g"),
+      (4L, Double.PositiveInfinity, "g"), (5L, 1.0, "g"),
+      (6L, Double.NegativeInfinity, "g")
+    ).toDF("doc_id", "score", "source")
+    // 3 finite rows; ceil(0.5*3) = 2 → ids 1, 2 — the NaN/±Inf rows
+    // neither rank nor crash nor delete the group
+    val got = Corpus.keepTopByGroup(df, "source", "doc_id", "score", 0.5)
+      .select("doc_id", "dom_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), s"got $got")
+  }
+
   test("tokenBudgetFill refuses empty, negative, and duplicate budgets") {
     val df = Seq((1L, "a", "g")).toDF("doc_id", "text", "source")
     intercept[IllegalArgumentException] {
