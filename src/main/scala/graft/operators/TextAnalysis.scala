@@ -148,11 +148,16 @@ object TextAnalysis {
     * text made the audit report a phantom unredacted phone for every
     * such row. The counts now mirror the scrub exactly.
     */
-  def piiCounts(text: Column): (Column, Column) =
-    (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
-      size(regexp_extract_all(
-        regexp_replace(text, emailPattern, "<EMAIL>"),
-        lit(phonePattern), lit(0))).cast("long"))
+  def piiCounts(text: Column): (Column, Column) = {
+    // explicit null branch: size(null) is -1 (not null) when
+    // spark.sql.ansi.enabled=false, so without it an ANSI-off cluster
+    // reports -1 PII hits for null text where ANSI-on reports null
+    def hits(t: Column, p: String): Column =
+      when(t.isNull, lit(null).cast("long"))
+        .otherwise(size(regexp_extract_all(t, lit(p), lit(0))).cast("long"))
+    (hits(text, emailPattern),
+      hits(regexp_replace(text, emailPattern, "<EMAIL>"), phonePattern))
+  }
 
   /** Winnowing document fingerprints (local minima of a rolling k-gram
     * hash, per the MOSS scheme): hash every k-gram, take the min of each

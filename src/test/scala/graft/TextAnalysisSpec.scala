@@ -106,4 +106,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2).getLong(1) == 2 && r(2).getLong(2) == 2)
     assert(r(2).getString(3) == "two mails <EMAIL> <EMAIL> and <PHONE> plus <PHONE>")
   }
+
+  test("pii counts on null text are null under BOTH ANSI modes — " +
+       "size(null) is -1 with ANSI off and must not leak out as a count") {
+    val d = Seq((0L, Some("a@b.co")), (1L, None)).toDF("doc_id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    def counts() = d.select(col("doc_id"), ne.as("e"), np.as("p"))
+      .orderBy("doc_id").collect()
+      .map(r => (Option(r.get(1)), Option(r.get(2)))).toSeq
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    val on = counts()
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(counts() == on, "ANSI setting changed the emitted counts")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+    assert(on == Seq((Some(1L), Some(0L)), (None, None)))
+  }
 }
