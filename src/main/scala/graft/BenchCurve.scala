@@ -110,6 +110,13 @@ object BenchCurve {
       val s = heavy.sorted
       (s.last.toDouble / math.max(s(s.size / 2), 1L), s.last)
     }
+    /** Longest single task across ALL stages — including one-task stages,
+      * which [[spread]] deliberately skips; a per-group window's
+      * serialized sort IS a one-task stage, so the mixture comparison's
+      * whole point lives there.
+      */
+    def maxTask(): Long =
+      byStage.values.foldLeft(0L)((m, l) => math.max(m, l.max))
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,9 +144,9 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm", "pq", "decade")
+      "layout", "lm", "pq", "decade", "mixture")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade")
+      "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
@@ -499,6 +506,66 @@ object BenchCurve {
       Some((aqe, plain, salted))
     }
 
+    // --- mixture: the binned-cumsum skew claim, measured ---
+    // tokenBudgetFill's docstring claims the binned running sum keeps a
+    // single dominant source parallel where a plain per-group window
+    // serializes the whole group through one task. Measure both forms on
+    // a ~6 M-row ONE-GROUP corpus (the worst case the binning exists
+    // for): ×10 lineitem rows as tiny documents, one source, budget =
+    // half the total tokens so the filter keeps real work. Also reports
+    // each form's max single-task time — the serialization is a per-task
+    // ceiling claim (one executor-task sorting 6 M rows), which the wall
+    // clock alone can hide on a box with idle cores.
+    val mixture = if (!sections("mixture")) None else {
+      import graft.operators.{Corpus, TextAnalysis}
+      val x10m = "/tmp/graft_bench_x10"
+      ensureXn(spark, "/root/testdata/sf0.1", x10m, 10)
+      val docs = spark.read.parquet(s"$x10m/lineitem.parquet")
+        .select((col("l_orderkey") * lit(8L) + col("l_linenumber"))
+            .as("doc_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")).as("text"),
+          lit("all").as("source"))
+      docs.cache()
+      val nDocs = docs.count()
+      val budget = 3L * nDocs / 2 // every doc is 3 whitespace tokens
+      def binnedRun(): Unit =
+        Corpus.tokenBudgetFill(docs, "source", "doc_id", "text",
+            Seq("all" -> budget))
+          .write.format("noop").mode("overwrite").save()
+      val naiveW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(Corpus.hashBucket(col("doc_id"), 1000000L), col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      def naiveRun(): Unit =
+        docs
+          .withColumn("__nw", when(col("text").isNull, lit(0L))
+            .otherwise(size(TextAnalysis.tokens(col("text"))).cast("long")))
+          .withColumn("cum", sum(col("__nw")).over(naiveW))
+          .filter(col("cum") <= budget)
+          .write.format("noop").mode("overwrite").save()
+      def measure(f: () => Unit): (Double, Long) = {
+        f() // warm
+        (1 to 2).map { _ =>
+          val l = new TaskTimes
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          f()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.removeSparkListener(l)
+          // maxTask, not spread: the naive form's serialized window is a
+          // ONE-task stage, which spread() deliberately excludes
+          (sec, l.maxTask())
+        }.minBy(_._1)
+      }
+      val b = measure(binnedRun)
+      val nv = measure(naiveRun)
+      docs.unpersist()
+      Some((nDocs, b, nv))
+    }
+
     // --- decade: the steepest-slope tail one decade past sf0.1 ---
     // VERDICT r11 item 3: the 400× curve (sf0.001→sf0.1×4) claims
     // sub-linearity for the iterative ops (q37 label propagation, q73
@@ -594,6 +661,11 @@ object BenchCurve {
                 ",\"stages\":" + fmtQs(st) + "}")
           }.mkString("{", ",", "}")
         s""""decade":{"x4":${fmtPoint(at4)},"x10":${fmtPoint(at10)}}"""
+      },
+      mixture.map { case (nDocs, (bs, bmax), (ns2, nmax2)) =>
+        f""""mixture":{"rows":$nDocs,"binned_sec":$bs%.3f,""" +
+          f""""binned_max_task_ms":$bmax,"naive_window_sec":$ns2%.3f,""" +
+          f""""naive_max_task_ms":$nmax2}"""
       },
       skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
         f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +
