@@ -138,6 +138,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_expand_copies(table, keyCol, copiesCol[, maxCopies])` —
   *    manifest rehydration: one row per copy with an epoch-interleaving
   *    shuffle key ([[graft.operators.Corpus.expandCopies]])
+  *  - `graft_contamination_report(table, probes, idCol, probeIdCol,
+  *    textCol[, n])` — decontamination's audit face: (doc, probe,
+  *    shared n-gram count) pairs
+  *    ([[graft.operators.Corpus.contaminationReport]])
   *  - `graft_delete_digest(table, indexPath, textCol)` /
   *    `graft_delete_minhash(ids, indexPath, idCol)` /
   *    `graft_delete_simhash(ids, indexPath, idCol)` /
@@ -1362,6 +1366,22 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_epoch_fill(table, groupCol, keyCol, textCol, budgets)")
       }),
+    (new FunctionIdentifier("graft_contamination_report"),
+      new ExpressionInfo("graft.operators.Corpus",
+        "graft_contamination_report"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id, pid, text) =>
+          plan(graft.operators.Corpus.contaminationReport(
+            tableArg(t, "table"), tableArg(p, "probes"), strArg(id, "idCol"),
+            strArg(pid, "probeIdCol"), strArg(text, "textCol")))
+        case Seq(t, p, id, pid, text, n) =>
+          plan(graft.operators.Corpus.contaminationReport(
+            tableArg(t, "table"), tableArg(p, "probes"), strArg(id, "idCol"),
+            strArg(pid, "probeIdCol"), strArg(text, "textCol"),
+            intArg(n, "n")))
+        case _ => throw new IllegalArgumentException(
+          "graft_contamination_report(table, probes, idCol, probeIdCol, textCol[, n])")
+      }),
     (new FunctionIdentifier("graft_expand_copies"),
       new ExpressionInfo("graft.operators.Corpus", "graft_expand_copies"),
       (args: Seq[Expression]) => args match {
@@ -1469,6 +1489,7 @@ object GraftExtensions {
     "graft_dedup_corpus_best" -> "q122_dedup_best",
     "graft_epoch_fill" -> "q123_epoch_fill",
     "graft_expand_copies" -> "q124_epoch_expand",
+    "graft_contamination_report" -> "q125_contamination_report",
   )
 
   /** The SQL-surface catalog, GENERATED from the registration list: a

@@ -2008,7 +2008,23 @@ object SparkEntry {
             "text", Seq("src0" -> 5000L, "src1" -> 800L, "src2" -> 15000L)),
           "doc_id", "n_copies")
         .select(col("doc_id"), col("copy_idx"), col("shuffle_key"))
-        .orderBy(col("doc_id"), col("copy_idx")))
+        .orderBy(col("doc_id"), col("copy_idx"))),
+
+    // Contamination audit (r12): q38's screen as a REPORT — which probe
+    // leaked into which document, with the distinct-shared-gram count.
+    // Same probe set and gram length as q38, so the report's distinct
+    // doc set is exactly what q38 drops; the oracle counts shared gram
+    // STRINGS where the engine counts shared 64-bit hashes (equal modulo
+    // the documented collision odds).
+    "q125_contamination_report" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      Corpus.contaminationReport(doc,
+          doc.filter(col("doc_id") < 5).select(col("doc_id").as("pid"),
+            col("text")),
+          "doc_id", "pid", "text", n = 3)
+        .select(col("doc_id"), col("probe_id"), col("shared_grams"))
+        .orderBy(col("doc_id"), col("probe_id"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4454,7 +4470,27 @@ object SparkEntry {
         |    AS shuffle_key
         |FROM e, unnest(generate_series(1, n_copies)) AS u(ci)
         |WHERE n_copies > 0
-        |ORDER BY doc_id, copy_idx""".stripMargin.replace("\n", " ")
+        |ORDER BY doc_id, copy_idx""".stripMargin.replace("\n", " "),
+
+    // q125: the q38 gram pipeline kept as PAIRS — distinct shared grams
+    // per (doc, probe), counted on gram strings where the engine counts
+    // 64-bit hashes
+    "q125_contamination_report" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gs
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM documents)
+        |), d AS (SELECT doc_id, unnest(gs) AS gg FROM g),
+        |p AS (SELECT doc_id AS probe_id, unnest(gs) AS pg FROM g
+        |      WHERE doc_id < 5)
+        |SELECT d.doc_id, p.probe_id,
+        |  CAST(count(*) AS BIGINT) AS shared_grams
+        |FROM d JOIN p ON d.gg = p.pg
+        |GROUP BY d.doc_id, p.probe_id
+        |ORDER BY d.doc_id, p.probe_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

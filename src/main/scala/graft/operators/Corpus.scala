@@ -732,6 +732,43 @@ object Corpus {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The audit face of [[decontaminate]]: instead of silently dropping
+    * contaminated documents, report WHICH probe leaked into WHICH
+    * document and how strongly — one row per (document, probe) pair
+    * sharing at least one word n-gram, with `shared_grams` = the count
+    * of distinct shared grams. This is the artifact a release review
+    * actually reads: "benchmark item 17 appears verbatim in 212 crawl
+    * documents" is actionable; a silently smaller corpus is not.
+    * Probes that are themselves corpus rows self-report (full gram
+    * count) — the q38 self-removal property, made visible.
+    *
+    * Output columns: `idCol`, `probe_id`, `shared_grams`. Same hash
+    * family and gram length as [[decontaminate]], so
+    * `report.select(idCol).distinct` is exactly the set decontaminate
+    * drops. Scale shape: both sides explode to 8-byte hashes, the probe
+    * side is benchmark-suite-bounded (AQE broadcasts it), the output is
+    * bounded by actual contamination — never a cross join. Counts of
+    * shared HASHES equal counts of shared grams except under a 64-bit
+    * collision between two grams of the same document pair (~2⁻⁶⁴ per
+    * gram pair — the same trade [[decontaminate]] documents).
+    */
+  def contaminationReport(docs: DataFrame, probes: DataFrame,
+                          idCol: String, probeIdCol: String,
+                          textCol: String, n: Int = 8): DataFrame = {
+    require(idCol != "probe_id",
+      "contaminationReport emits the probe key as 'probe_id' — rename " +
+        "the document id column away from that")
+    val docGrams = docs.select(col(idCol),
+      explode(graft.functions.HashFunctions.ngramHashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("__g"))
+    val probeGrams = probes.select(col(probeIdCol).as("probe_id"),
+      explode(graft.functions.HashFunctions.ngramHashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("__g"))
+    docGrams.join(probeGrams, Seq("__g"))
+      .groupBy(col(idCol), col("probe_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Persist the probe set's distinct n-gram hashes — the
     * decontamination screen as an ARTIFACT: benchmark suites change on
     * releases, corpora stream daily, so the probe side is tokenized once

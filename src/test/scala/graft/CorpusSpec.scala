@@ -577,6 +577,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport: (doc, probe, shared-gram) pairs agree with " +
+       "decontaminate's drop set; clean docs and probes self-report") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),        // shares 'alpha beta gamma' w/ probe
+      (2L, "completely clean document text"),
+      (3L, "zz alpha beta gamma yy"),        // same probe gram, mid-doc
+      (10L, "alpha beta gamma probe body")   // the probe itself, in-corpus
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") === 10L)
+      .select(col("doc_id").as("pid"), col("text"))
+    val rep = Corpus.contaminationReport(corpus, probes, "doc_id", "pid",
+      "text", n = 3)
+    val got = rep.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 and 3 each share exactly one distinct 3-gram with the probe;
+    // the probe self-reports all three of its own grams; doc 2 is absent
+    assert(got == Map((1L, 10L) -> 1L, (3L, 10L) -> 1L, (10L, 10L) -> 3L),
+      s"got $got")
+    // the report's distinct doc set IS decontaminate's drop set
+    val dropped = corpus.select("doc_id").except(
+      Corpus.decontaminate(corpus, probes.withColumnRenamed("pid", "doc_id"),
+        "doc_id", "text", n = 3).select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rep.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == dropped)
+    intercept[IllegalArgumentException] {
+      Corpus.contaminationReport(
+        corpus.withColumnRenamed("doc_id", "probe_id"), probes,
+        "probe_id", "pid", "text")
+    }
+  }
+
   test("epochFill: whole epochs by integral division + remainder prefix; " +
        "sub-epoch budgets degrade to tokenBudgetFill membership") {
     val corpus = Seq(

@@ -609,6 +609,17 @@ class EngineSpec extends SparkSpec {
         Corpus.epochFill(docs, "source", "doc_id", "text", budgets),
         "doc_id", "n_copies").orderBy("doc_id", "copy_idx"))
       && rows(xSql).nonEmpty)
+
+    val probes = docs.limit(3).select(col("doc_id").as("pid"), col("text"))
+    probes.createOrReplaceTempView("sql_ps_probes")
+    val cSql = spark.sql(
+      """SELECT * FROM graft_contamination_report('sql_ps_docs',
+        |  'sql_ps_probes', 'doc_id', 'pid', 'text', 3)
+        |ORDER BY doc_id, probe_id""".stripMargin)
+    assert(rows(cSql) ==
+      rows(Corpus.contaminationReport(docs, probes, "doc_id", "pid",
+        "text", n = 3).orderBy("doc_id", "probe_id"))
+      && rows(cSql).nonEmpty)
     docs.unpersist()
 
     // misuse still reads as usage guidance; a malformed budgets frame
