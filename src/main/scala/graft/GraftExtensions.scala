@@ -142,6 +142,11 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    textCol[, n])` — decontamination's audit face: (doc, probe,
   *    shared n-gram count) pairs
   *    ([[graft.operators.Corpus.contaminationReport]])
+  *  - `graft_budget_fill_by_weight(table, groupCol, keyCol, weightCol,
+  *    budgets)` / `graft_epoch_fill_by_weight(...)` — the fills over a
+  *    PRECOMPUTED weight column (real tokenizer counts from ingest)
+  *    ([[graft.operators.Corpus.tokenBudgetFillByWeight]],
+  *    [[graft.operators.Corpus.epochFillByWeight]])
   *  - `graft_delete_digest(table, indexPath, textCol)` /
   *    `graft_delete_minhash(ids, indexPath, idCol)` /
   *    `graft_delete_simhash(ids, indexPath, idCol)` /
@@ -1366,6 +1371,30 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_epoch_fill(table, groupCol, keyCol, textCol, budgets)")
       }),
+    (new FunctionIdentifier("graft_budget_fill_by_weight"),
+      new ExpressionInfo("graft.operators.Corpus",
+        "graft_budget_fill_by_weight"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, g, k, w, b) =>
+          plan(graft.operators.Corpus.tokenBudgetFillByWeight(
+            tableArg(t, "table"), strArg(g, "groupCol"),
+            strArg(k, "keyCol"), strArg(w, "weightCol"),
+            tableArg(b, "budgets")))
+        case _ => throw new IllegalArgumentException(
+          "graft_budget_fill_by_weight(table, groupCol, keyCol, weightCol, budgets)")
+      }),
+    (new FunctionIdentifier("graft_epoch_fill_by_weight"),
+      new ExpressionInfo("graft.operators.Corpus",
+        "graft_epoch_fill_by_weight"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, g, k, w, b) =>
+          plan(graft.operators.Corpus.epochFillByWeight(
+            tableArg(t, "table"), strArg(g, "groupCol"),
+            strArg(k, "keyCol"), strArg(w, "weightCol"),
+            tableArg(b, "budgets")))
+        case _ => throw new IllegalArgumentException(
+          "graft_epoch_fill_by_weight(table, groupCol, keyCol, weightCol, budgets)")
+      }),
     (new FunctionIdentifier("graft_contamination_report"),
       new ExpressionInfo("graft.operators.Corpus",
         "graft_contamination_report"),
@@ -1490,6 +1519,8 @@ object GraftExtensions {
     "graft_epoch_fill" -> "q123_epoch_fill",
     "graft_expand_copies" -> "q124_epoch_expand",
     "graft_contamination_report" -> "q125_contamination_report",
+    "graft_budget_fill_by_weight" -> "q126_weight_fill",
+    "graft_epoch_fill_by_weight" -> "q126_weight_fill",
   )
 
   /** The SQL-surface catalog, GENERATED from the registration list: a

@@ -2010,6 +2010,19 @@ object SparkEntry {
         .select(col("doc_id"), col("copy_idx"), col("shuffle_key"))
         .orderBy(col("doc_id"), col("copy_idx"))),
 
+    // Budget fill over a PRECOMPUTED weight column (r12): the byWeight
+    // face over n_chars — real pipelines budget by a tokenizer's counts
+    // computed at ingest, not a whitespace recount. Same selection
+    // machinery as q120 (shared preamble + binned cumsum); the oracle is
+    // the naive window over coalesce(n_chars, 0).
+    "q126_weight_fill" -> ((s, d) =>
+      Corpus.tokenBudgetFillByWeight(t(s, d, "documents"), "source",
+          "doc_id", "n_chars",
+          Seq("src0" -> 5000L, "src1" -> 100000L, "src2" -> 900L))
+        .select(col("source"), col("doc_id"), col("fill_weight"),
+          col("cum_weight"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // Contamination audit (r12): q38's screen as a REPORT — which probe
     // leaked into which document, with the distinct-shared-gram count.
     // Same probe set and gram length as q38, so the report's distinct
@@ -4471,6 +4484,27 @@ object SparkEntry {
         |FROM e, unnest(generate_series(1, n_copies)) AS u(ci)
         |WHERE n_copies > 0
         |ORDER BY doc_id, copy_idx""".stripMargin.replace("\n", " "),
+
+    // q126: the byWeight fill re-derived with the naive window over the
+    // weight column itself (null weights count 0)
+    "q126_weight_fill" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(coalesce(n_chars, 0) AS BIGINT) AS fill_weight,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), b(source, budget) AS (
+        |  VALUES ('src0', 5000), ('src1', 100000), ('src2', 900)
+        |), c AS (
+        |  SELECT t.source, doc_id, fill_weight, budget,
+        |    sum(fill_weight) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS cum_weight
+        |  FROM t JOIN b USING (source)
+        |)
+        |SELECT source, doc_id, fill_weight, cum_weight
+        |FROM c WHERE cum_weight <= budget
+        |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
 
     // q125: the q38 gram pipeline kept as PAIRS — distinct shared grams
     // per (doc, probe), counted on gram strings where the engine counts

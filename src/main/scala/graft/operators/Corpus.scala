@@ -237,15 +237,16 @@ object Corpus {
         "rename or drop them first")
   }
 
-  /** Shared [[tokenBudgetFill]]/[[epochFill]] preamble: validate the
-    * mixture spec, broadcast-join it, attach the deterministic hash
-    * order, its coarse bin, and the token weight. The two operators'
-    * documented "sub-epoch epochFill ≡ tokenBudgetFill" equivalence
-    * holds BECAUSE this block is shared, not parallel-maintained.
+  /** Shared fill-family preamble: validate the mixture spec,
+    * broadcast-join it, attach the deterministic hash order, its coarse
+    * bin, and the row weight. The operators' documented equivalences
+    * ("sub-epoch epochFill ≡ tokenBudgetFill", "byWeight on a
+    * token-count column ≡ the text form") hold BECAUSE this block is
+    * shared, not parallel-maintained.
     */
-  private def budgetedBase(df: DataFrame, groupCol: String, keyCol: String,
-                           textCol: String, budgets: Seq[(String, Long)],
-                           op: String, outputs: Seq[String]): DataFrame = {
+  private def budgetedBaseW(df: DataFrame, groupCol: String, keyCol: String,
+                            weight: Column, budgets: Seq[(String, Long)],
+                            op: String, outputs: Seq[String]): DataFrame = {
     require(budgets.nonEmpty, s"$op requires at least one budget")
     require(budgets.forall(_._2 >= 0),
       s"$op budgets must be >= 0, got $budgets")
@@ -262,11 +263,34 @@ object Corpus {
       // __h < 1e6 and 1e6 × 4096 ≪ 2^53, so the double division is exact
       .withColumn("__bin",
         floor(col("__h") * prefixBins / 1000000L).cast("long"))
+      .withColumn("__w", weight)
+  }
+
+  private def budgetedBase(df: DataFrame, groupCol: String, keyCol: String,
+                           textCol: String, budgets: Seq[(String, Long)],
+                           op: String, outputs: Seq[String]): DataFrame =
+    budgetedBaseW(df, groupCol, keyCol,
       // "null text = 0 tokens" spelled as an explicit branch: size(null)
       // is -1 (not null) when spark.sql.ansi.enabled=false, and a -1
       // weight would make the running total DECREASE past null docs
-      .withColumn("__w", when(col(textCol).isNull, lit(0L))
-        .otherwise(size(TextAnalysis.tokens(col(textCol))).cast("long")))
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(TextAnalysis.tokens(col(textCol))).cast("long")),
+      budgets, op, outputs)
+
+  /** The guarded weight expression for the byWeight fill faces: null
+    * weights count 0 (an unweighted row consumes no budget — the same
+    * contract as null text), and a NEGATIVE weight fails IN-PLAN (it
+    * would make the running total non-monotone, silently corrupting
+    * every membership decision after it; a guard column would be
+    * optimizer-pruned, so the raise_error rides the weight itself).
+    */
+  private def guardedWeight(weightCol: String, op: String): Column = {
+    val w = col(weightCol).cast("long")
+    when(w.isNull, lit(0L))
+      .when(w < 0, raise_error(concat(
+        lit(s"$op: $weightCol="), w.cast("string"),
+        lit(" is negative — budget weights must be >= 0"))).cast("long"))
+      .otherwise(w)
   }
 
   /** How coarse the [[binnedCumsum]] bins are: window partitions are
@@ -301,15 +325,42 @@ object Corpus {
     */
   def tokenBudgetFill(df: DataFrame, groupCol: String, keyCol: String,
                       textCol: String,
-                      budgets: Seq[(String, Long)]): DataFrame = {
-    val base = budgetedBase(df, groupCol, keyCol, textCol, budgets,
-      "tokenBudgetFill", Seq("n_tokens", "cum_tokens"))
+                      budgets: Seq[(String, Long)]): DataFrame =
+    fillCore(budgetedBase(df, groupCol, keyCol, textCol, budgets,
+      "tokenBudgetFill", Seq("n_tokens", "cum_tokens")),
+      groupCol, keyCol, "n_tokens", "cum_tokens")
+
+  /** [[tokenBudgetFill]] over a PRECOMPUTED weight column instead of a
+    * whitespace-token recount — the form production budgets actually
+    * use, where "tokens" means a real tokenizer's counts
+    * ([[graft.operators.Bpe.encode]] sizes, a provider's usage column)
+    * computed once at ingest, not re-derived per fill. Identical
+    * selection machinery (shared preamble + [[binnedCumsum]]); output
+    * columns are `fill_weight`/`cum_weight` (the generic weight isn't
+    * token counts, so the names don't lie). Null weights count 0 (the
+    * null-text contract); NEGATIVE weights fail in-plan — a negative
+    * weight makes the running total non-monotone and silently corrupts
+    * every membership decision after it.
+    */
+  def tokenBudgetFillByWeight(df: DataFrame, groupCol: String,
+                              keyCol: String, weightCol: String,
+                              budgets: Seq[(String, Long)]): DataFrame =
+    fillCore(budgetedBaseW(df, groupCol, keyCol,
+      guardedWeight(weightCol, "tokenBudgetFillByWeight"), budgets,
+      "tokenBudgetFillByWeight", Seq("fill_weight", "cum_weight")),
+      groupCol, keyCol, "fill_weight", "cum_weight")
+
+  /** The shared prefix-keep tail of the budget fills: cumsum in
+    * (hash, key) order, keep rows whose inclusive running weight fits
+    * the group's budget, surface the weight and running total.
+    */
+  private def fillCore(base: DataFrame, groupCol: String, keyCol: String,
+                       wOut: String, cumOut: String): DataFrame =
     binnedCumsum(base, groupCol, Seq(col("__h"), col(keyCol)))
       .filter(col("__cum") <= col("__budget"))
-      .withColumn("n_tokens", col("__w"))
-      .withColumn("cum_tokens", col("__cum"))
+      .withColumn(wOut, col("__w"))
+      .withColumn(cumOut, col("__cum"))
       .drop(prefixScratch: _*)
-  }
 
   /** [[tokenBudgetFill]] with the mixture spec supplied as a two-column
     * (group, budget) frame — the SQL face's shape, where budgets arrive
@@ -349,21 +400,39 @@ object Corpus {
     */
   def epochFill(df: DataFrame, groupCol: String, keyCol: String,
                 textCol: String,
-                budgets: Seq[(String, Long)]): DataFrame = {
-    val base = budgetedBase(df, groupCol, keyCol, textCol, budgets,
-      "epochFill", Seq("n_tokens", "n_copies"))
+                budgets: Seq[(String, Long)]): DataFrame =
+    epochCore(budgetedBase(df, groupCol, keyCol, textCol, budgets,
+      "epochFill", Seq("n_tokens", "n_copies")),
+      groupCol, keyCol, "n_tokens")
+
+  /** [[epochFill]] over a precomputed weight column — see
+    * [[tokenBudgetFillByWeight]] for the weight contract (null = 0,
+    * negative fails in-plan); output is `fill_weight`/`n_copies`.
+    */
+  def epochFillByWeight(df: DataFrame, groupCol: String, keyCol: String,
+                        weightCol: String,
+                        budgets: Seq[(String, Long)]): DataFrame =
+    epochCore(budgetedBaseW(df, groupCol, keyCol,
+      guardedWeight(weightCol, "epochFillByWeight"), budgets,
+      "epochFillByWeight", Seq("fill_weight", "n_copies")),
+      groupCol, keyCol, "fill_weight")
+
+  /** The shared epoch-manifest tail: whole epochs by integral division
+    * plus the remainder prefix, zero-weight groups dropped. Epochs and
+    * the exact remainder stay in BIGINT arithmetic end to end (a double
+    * would lose exactness past 2^53).
+    */
+  private def epochCore(base: DataFrame, groupCol: String, keyCol: String,
+                        wOut: String): DataFrame =
     binnedCumsum(base, groupCol, Seq(col("__h"), col(keyCol)))
       .filter(col("__gtot") > 0)
-      // integral division: epochs and the exact remainder stay in BIGINT
-      // arithmetic end to end (a double would lose exactness past 2^53)
       .withColumn("__e", expr("__budget div __gtot"))
       .withColumn("__r", col("__budget") - col("__e") * col("__gtot"))
       .withColumn("n_copies",
         col("__e") + when(col("__cum") <= col("__r"), 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
-      .withColumn("n_tokens", col("__w"))
+      .withColumn(wOut, col("__w"))
       .drop(prefixScratch: _*)
-  }
 
   /** [[epochFill]] with the mixture spec as a two-column (group, budget)
     * frame — the SQL face's shape; same human-sized collect bound as the
@@ -372,6 +441,19 @@ object Corpus {
   def epochFill(df: DataFrame, groupCol: String, keyCol: String,
                 textCol: String, budgets: DataFrame): DataFrame =
     epochFill(df, groupCol, keyCol, textCol, collectBudgets(budgets))
+
+  /** [[tokenBudgetFillByWeight]] with a budgets frame (the SQL face). */
+  def tokenBudgetFillByWeight(df: DataFrame, groupCol: String,
+                              keyCol: String, weightCol: String,
+                              budgets: DataFrame): DataFrame =
+    tokenBudgetFillByWeight(df, groupCol, keyCol, weightCol,
+      collectBudgets(budgets))
+
+  /** [[epochFillByWeight]] with a budgets frame (the SQL face). */
+  def epochFillByWeight(df: DataFrame, groupCol: String, keyCol: String,
+                        weightCol: String, budgets: DataFrame): DataFrame =
+    epochFillByWeight(df, groupCol, keyCol, weightCol,
+      collectBudgets(budgets))
 
   /** The shared budgets-frame → Seq collection for the SQL faces: exactly
     * two columns, ≤100k rows, no nulls — mixture specs are human-authored

@@ -548,6 +548,52 @@ class CorpusSpec extends SparkSpec {
     assert(e3.getMessage.contains("dom_rank"))
   }
 
+  test("byWeight fills: equal to the text forms when the weight IS the " +
+       "token count; null weight = 0; negative weight fails in-plan") {
+    val corpus = Seq(
+      (1L, "a b c", "g"), (2L, "d e", "g"), (3L, "f", "g"),
+      (4L, "h i j k", "g")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("tok_n", size(split(col("text"), " ")).cast("long"))
+    val budgets = Seq("g" -> 6L)
+    val byText = Corpus.tokenBudgetFill(corpus, "source", "doc_id",
+        "text", budgets)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byW = Corpus.tokenBudgetFillByWeight(corpus, "source", "doc_id",
+        "tok_n", budgets)
+      .select(col("doc_id"), col("fill_weight"), col("cum_weight")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byText == byW && byW.nonEmpty,
+      s"byWeight over the token count diverged: $byW vs $byText")
+    val eText = Corpus.epochFill(corpus, "source", "doc_id", "text",
+        Seq("g" -> 25L))
+      .select(col("doc_id"), col("n_copies")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eW = Corpus.epochFillByWeight(corpus, "source", "doc_id", "tok_n",
+        Seq("g" -> 25L))
+      .select(col("doc_id"), col("n_copies")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eText == eW && eW.nonEmpty)
+    // null weight consumes nothing; a negative weight is refused in-plan
+    val withNull = Seq((1L, Some(3L), "g"), (2L, None, "g"))
+      .toDF("doc_id", "w", "source")
+    val nw = Corpus.tokenBudgetFillByWeight(withNull, "source", "doc_id",
+        "w", Seq("g" -> 3L))
+      .select("doc_id", "fill_weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nw == Map(1L -> 3L, 2L -> 0L), s"got $nw")
+    val neg = Seq((1L, -5L, "g")).toDF("doc_id", "w", "source")
+    val e = intercept[Exception] {
+      Corpus.tokenBudgetFillByWeight(neg, "source", "doc_id", "w",
+        Seq("g" -> 10L)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative")))
+  }
+
   test("keepTopByGroup drops NaN/Inf scores like nulls instead of letting " +
        "one poison the whole group's bins") {
     val df = Seq(
