@@ -147,6 +147,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    PRECOMPUTED weight column (real tokenizer counts from ingest)
   *    ([[graft.operators.Corpus.tokenBudgetFillByWeight]],
   *    [[graft.operators.Corpus.epochFillByWeight]])
+  *  - `graft_catalog('all'|'scalar'|'table')` — this whole surface as a
+  *    queryable table (function, kind, class, usage, contract): the
+  *    in-SQL discovery face of `docs/SQL_SURFACE.md`
   *  - `graft_delete_digest(table, indexPath, textCol)` /
   *    `graft_delete_minhash(ids, indexPath, idCol)` /
   *    `graft_delete_simhash(ids, indexPath, idCol)` /
@@ -1371,6 +1374,27 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_epoch_fill(table, groupCol, keyCol, textCol, budgets)")
       }),
+    // the catalog itself, queryable from SQL text — the discovery story
+    // for a SQL-only user with no access to docs/SQL_SURFACE.md. The
+    // kind argument is REQUIRED ('all'|'scalar'|'table') and not for
+    // ergonomics: the doc generator probes every builder with zero args
+    // to harvest its usage string, and a zero-arg graft_catalog would
+    // BUILD the catalog during that probe — recursing into itself.
+    (new FunctionIdentifier("graft_catalog"),
+      new ExpressionInfo("graft.GraftExtensions", "graft_catalog"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k) =>
+          val kind = strArg(k, "kind")
+          require(Set("all", "scalar", "table").contains(kind),
+            s"graft_catalog kind must be all|scalar|table, got '$kind'")
+          val spark = SparkSession.active
+          import spark.implicits._
+          plan(catalog.filter(e => kind == "all" || e.kind == kind)
+            .map(e => (e.name, e.kind, e.className, e.usage, e.contract))
+            .toDF("function", "kind", "class", "usage", "contract"))
+        case _ => throw new IllegalArgumentException(
+          "graft_catalog(kind: 'all'|'scalar'|'table')")
+      }),
     (new FunctionIdentifier("graft_budget_fill_by_weight"),
       new ExpressionInfo("graft.operators.Corpus",
         "graft_budget_fill_by_weight"),
@@ -1521,6 +1545,7 @@ object GraftExtensions {
     "graft_contamination_report" -> "q125_contamination_report",
     "graft_budget_fill_by_weight" -> "q126_weight_fill",
     "graft_epoch_fill_by_weight" -> "q126_weight_fill",
+    "graft_catalog" -> "CatalogSpec",
   )
 
   /** The SQL-surface catalog, GENERATED from the registration list: a

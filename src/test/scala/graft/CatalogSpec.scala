@@ -51,6 +51,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(deadSuite.isEmpty, s"anchors naming no spec file: $deadSuite")
   }
 
+  test("graft_catalog('all') serves the same entries from SQL text, " +
+       "filters by kind, lists itself, and refuses unknown kinds") {
+    val spark = SparkSpec.session
+    GraftExtensions.register(spark)
+    val all = spark.sql("SELECT * FROM graft_catalog('all')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == entries.map(e => (e.name, e.kind)).toSet)
+    assert(all.contains(("graft_catalog", "table")), "must list itself")
+    val scalars = spark.sql(
+      "SELECT function FROM graft_catalog('scalar')").collect()
+      .map(_.getString(0)).toSet
+    assert(scalars == entries.filter(_.kind == "scalar").map(_.name).toSet)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_catalog('everything')").collect()
+    }
+    assert(e.getMessage.contains("all|scalar|table"))
+  }
+
   test("docs/SQL_SURFACE.md matches the generator byte-for-byte") {
     val f = new java.io.File("docs/SQL_SURFACE.md")
     assert(f.isFile,
