@@ -147,6 +147,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    PRECOMPUTED weight column (real tokenizer counts from ingest)
   *    ([[graft.operators.Corpus.tokenBudgetFillByWeight]],
   *    [[graft.operators.Corpus.epochFillByWeight]])
+  *  - `graft_mixture_fill(table, groupCol, keyCol, textCol, totalBudget,
+  *    fractions)` — the fill with the spec as FRACTIONS of one total
+  *    ("70% web of 2 T tokens"); fractions is a (group, fraction) table
+  *    ([[graft.operators.Corpus.mixtureFill]])
   *  - `graft_catalog('all'|'scalar'|'table')` — this whole surface as a
   *    queryable table (function, kind, class, usage, contract): the
   *    in-SQL discovery face of `docs/SQL_SURFACE.md`
@@ -1395,6 +1399,17 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_catalog(kind: 'all'|'scalar'|'table')")
       }),
+    (new FunctionIdentifier("graft_mixture_fill"),
+      new ExpressionInfo("graft.operators.Corpus", "graft_mixture_fill"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, g, k, text, tot, fr) =>
+          plan(graft.operators.Corpus.mixtureFill(tableArg(t, "table"),
+            strArg(g, "groupCol"), strArg(k, "keyCol"),
+            strArg(text, "textCol"), longArg(tot, "totalBudget"),
+            tableArg(fr, "fractions")))
+        case _ => throw new IllegalArgumentException(
+          "graft_mixture_fill(table, groupCol, keyCol, textCol, totalBudget, fractions)")
+      }),
     (new FunctionIdentifier("graft_budget_fill_by_weight"),
       new ExpressionInfo("graft.operators.Corpus",
         "graft_budget_fill_by_weight"),
@@ -1546,6 +1561,7 @@ object GraftExtensions {
     "graft_budget_fill_by_weight" -> "q126_weight_fill",
     "graft_epoch_fill_by_weight" -> "q126_weight_fill",
     "graft_catalog" -> "CatalogSpec",
+    "graft_mixture_fill" -> "q120_token_budget",
   )
 
   /** The SQL-surface catalog, GENERATED from the registration list: a

@@ -442,6 +442,55 @@ object Corpus {
                 textCol: String, budgets: DataFrame): DataFrame =
     epochFill(df, groupCol, keyCol, textCol, collectBudgets(budgets))
 
+  /** [[tokenBudgetFill]] with the mixture spec as FRACTIONS of one total
+    * token budget — the way mixture specs are actually written ("70% web,
+    * 25% code, 5% books of a 2 T-token run") — converted to per-group
+    * absolute budgets by `floor(fraction × total)` and delegated, so
+    * every fill contract (hash-order prefix, determinism, budget
+    * monotonicity) is inherited rather than re-implemented. Fractions
+    * must be positive and sum to ≤ 1 + 1e-9 (an over-committed spec is a
+    * bug, not a rounding nit); they need not sum to exactly 1 — a spec
+    * reserving headroom is legitimate. The floor conversion under-fills
+    * each group by < 1 token, never over-fills.
+    */
+  def mixtureFill(df: DataFrame, groupCol: String, keyCol: String,
+                  textCol: String, totalBudget: Long,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(totalBudget >= 0,
+      s"mixtureFill totalBudget must be >= 0, got $totalBudget")
+    require(fractions.forall(f => f._2 > 0 && !f._2.isNaN),
+      s"mixtureFill fractions must be positive, got $fractions")
+    val sumF = fractions.map(_._2).sum
+    require(sumF <= 1.0 + 1e-9,
+      f"mixtureFill fractions sum to $sumF%.6f > 1 — over-committed spec")
+    tokenBudgetFill(df, groupCol, keyCol, textCol,
+      fractions.map { case (g, f) => g -> math.floor(f * totalBudget).toLong })
+  }
+
+  /** [[mixtureFill]] with the fractions as a two-column (group,
+    * fraction) frame — the SQL face's shape; same human-sized collect
+    * bound as [[collectBudgets]], with the fraction validation delegated
+    * to the Seq form.
+    */
+  def mixtureFill(df: DataFrame, groupCol: String, keyCol: String,
+                  textCol: String, totalBudget: Long,
+                  fractions: DataFrame): DataFrame = {
+    require(fractions.columns.length == 2,
+      "fractions frame must have exactly two columns (group, fraction), " +
+        s"got ${fractions.columns.mkString("(", ", ", ")")}")
+    val Array(g, f) = fractions.columns
+    val rows = fractions
+      .select(col(g).cast("string"), col(f).cast("double"))
+      .limit(100001).collect()
+    require(rows.length <= 100000,
+      "fractions frame exceeds 100k groups — a mixture spec is a " +
+        "human-sized list; a data-sized frame here is a bug")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "fractions frame has null group or fraction rows")
+    mixtureFill(df, groupCol, keyCol, textCol, totalBudget,
+      rows.toSeq.map(r => r.getString(0) -> r.getDouble(1)))
+  }
+
   /** [[tokenBudgetFillByWeight]] with a budgets frame (the SQL face). */
   def tokenBudgetFillByWeight(df: DataFrame, groupCol: String,
                               keyCol: String, weightCol: String,

@@ -548,6 +548,34 @@ class CorpusSpec extends SparkSpec {
     assert(e3.getMessage.contains("dom_rank"))
   }
 
+  test("mixtureFill: fractions of one total budget ≡ tokenBudgetFill on " +
+       "the floored absolute budgets; over-committed specs are refused") {
+    val corpus = Seq(
+      (1L, "a b c", "web"), (2L, "d e f g", "web"),
+      (3L, "h i", "code"), (4L, "j k l", "code")
+    ).toDF("doc_id", "text", "source")
+    val viaFractions = Corpus.mixtureFill(corpus, "source", "doc_id",
+        "text", totalBudget = 10L, Seq("web" -> 0.65, "code" -> 0.35))
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAbsolute = Corpus.tokenBudgetFill(corpus, "source", "doc_id",
+        "text", Seq("web" -> 6L, "code" -> 3L)) // floor(0.65*10), floor(0.35*10)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFractions == viaAbsolute && viaFractions.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureFill(corpus, "source", "doc_id", "text", 10L,
+        Seq("web" -> 0.7, "code" -> 0.5)) // sums to 1.2
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureFill(corpus, "source", "doc_id", "text", 10L,
+        Seq("web" -> -0.1))
+    }
+    // headroom-reserving specs (sum < 1) are legitimate
+    assert(Corpus.mixtureFill(corpus, "source", "doc_id", "text", 10L,
+      Seq("web" -> 0.5)).count() > 0)
+  }
+
   test("byWeight fills: equal to the text forms when the weight IS the " +
        "token count; null weight = 0; negative weight fails in-plan") {
     val corpus = Seq(

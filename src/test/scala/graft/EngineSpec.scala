@@ -610,6 +610,17 @@ class EngineSpec extends SparkSpec {
         "doc_id", "n_copies").orderBy("doc_id", "copy_idx"))
       && rows(xSql).nonEmpty)
 
+    Seq(("src0", 0.6), ("src1", 0.4)).toDF("source", "f")
+      .createOrReplaceTempView("sql_ps_fracs")
+    val mSql = spark.sql(
+      """SELECT * FROM graft_mixture_fill('sql_ps_docs', 'source',
+        |  'doc_id', 'text', 2000, 'sql_ps_fracs')
+        |ORDER BY doc_id""".stripMargin)
+    assert(rows(mSql) ==
+      rows(Corpus.mixtureFill(docs, "source", "doc_id", "text", 2000L,
+        Seq("src0" -> 0.6, "src1" -> 0.4)).orderBy("doc_id"))
+      && rows(mSql).nonEmpty)
+
     val probes = docs.limit(3).select(col("doc_id").as("pid"), col("text"))
     probes.createOrReplaceTempView("sql_ps_probes")
     val cSql = spark.sql(
