@@ -230,11 +230,17 @@ object Corpus {
 
   private def requireFresh(df: DataFrame, op: String,
                            outputs: Seq[String]): Unit = {
-    val clash = (outputs ++ prefixScratch).filter(df.columns.toSet)
+    // case-INSENSITIVE match: Spark resolves columns case-insensitively
+    // by default, so withColumn("n_tokens", ...) silently replaces a
+    // caller's N_TOKENS — an exact-string guard would wave it through.
+    // (Under spark.sql.caseSensitive=true this is stricter than needed;
+    // refusing a case-variant name loudly beats destroying it silently.)
+    val taken = df.columns.map(_.toLowerCase).toSet
+    val clash = (outputs ++ prefixScratch).filter(c => taken(c.toLowerCase))
     require(clash.isEmpty,
       s"$op writes ${outputs.mkString("/")} plus internal __ scratch " +
-        s"columns — the input already has ${clash.mkString(", ")}; " +
-        "rename or drop them first")
+        s"columns — the input already has ${clash.mkString(", ")} " +
+        "(matched case-insensitively); rename or drop them first")
   }
 
   /** Shared fill-family preamble: validate the mixture spec,

@@ -513,16 +513,20 @@ class CorpusSpec extends SparkSpec {
     val ansi = spark.conf.get("spark.sql.ansi.enabled")
     try {
       spark.conf.set("spark.sql.ansi.enabled", "false")
-      val got = Corpus.tokenBudgetFill(corpus, "source", "doc_id", "text",
-          Seq("g" -> 10L))
+      val ordered = Corpus.tokenBudgetFill(corpus, "source", "doc_id",
+          "text", Seq("g" -> 10L))
+        .orderBy(Corpus.hashBucket(col("doc_id"), 1000000L), col("doc_id"))
         .select("doc_id", "n_tokens", "cum_tokens").collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val got = ordered.map(t => t._1 -> ((t._2, t._3))).toMap
       assert(got.values.forall(_._1 >= 0L),
         s"a -1 token count leaked through ANSI-off size(null): $got")
       assert(got(2L)._1 == 0L, s"null text must weigh 0, got $got")
-      // the cumsum never decreases along the selection order
-      assert(got.values.map(_._2).toSeq.sorted ==
-        got.values.map(_._2).toSeq.sortBy(identity))
+      // the cumsum never decreases along the ACTUAL selection order
+      // (hash, id) — a -1 null-text weight would dip it
+      val cums = ordered.map(_._3)
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b },
+        s"cum_tokens dipped along the selection order: ${cums.toSeq}")
       val ep = Corpus.epochFill(corpus, "source", "doc_id", "text",
           Seq("g" -> 10L))
         .select("doc_id", "n_tokens").collect()
@@ -546,6 +550,14 @@ class CorpusSpec extends SparkSpec {
         "source", "doc_id", "doc_id", 0.5)
     }
     assert(e3.getMessage.contains("dom_rank"))
+    // CASE-VARIANT collisions are refused too: Spark resolves columns
+    // case-insensitively by default, so withColumn("n_tokens", ...)
+    // would silently replace a caller's N_TOKENS
+    val e4 = intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetFill(corpus.withColumn("N_TOKENS", lit(99L)),
+        "source", "doc_id", "text", Seq("g" -> 10L))
+    }
+    assert(e4.getMessage.contains("n_tokens"))
   }
 
   test("mixtureFill: fractions of one total budget ≡ tokenBudgetFill on " +
