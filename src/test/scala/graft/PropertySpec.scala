@@ -126,6 +126,63 @@ class PropertySpec extends SparkSpec {
       && stats.getDouble(0) <= stats.getDouble(2))
   }
 
+  test("budget fills on random skewed corpora: binned cumsum ≡ the naive " +
+       "per-group window, kept sets grow monotonically with budgets, and " +
+       "epochFill copies are budget-monotone per document") {
+    import graft.operators.Corpus
+    // skewed group choice (most rows land on 'hot') + zero-token docs
+    // (empty text) — the regimes the binning and the weight contract
+    // exist for. Each case is ~5 Spark jobs; keep the count modest.
+    val rowsGen = Gen.choose(1, 50).flatMap(n => Gen.listOfN(n, for {
+      grp <- Gen.frequency(5 -> Gen.const("hot"), 2 -> Gen.const("a"),
+        1 -> Gen.const("unbudgeted"))
+      toks <- Gen.choose(0, 7)
+    } yield (grp, toks)))
+    samples(rowsGen, 8).zipWithIndex.foreach { case (rows, seed) =>
+      val df = rows.zipWithIndex.map { case ((g, t), i) =>
+        (i.toLong, Seq.fill(t)("w").mkString(" "), g)
+      }.toDF("doc_id", "text", "source")
+      val budgets = Seq("hot" -> 19L, "a" -> 6L)
+      val got = Corpus.tokenBudgetFill(df, "source", "doc_id", "text",
+          budgets)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive single-window ground truth over the same (hash, id) order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(Corpus.hashBucket(col("doc_id"), 1000000L), col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val bcol = when(col("source") === "hot", 19L)
+        .when(col("source") === "a", 6L)
+      val naive = df.filter(col("source").isin("hot", "a"))
+        .withColumn("cum",
+          sum(size(graft.operators.TextAnalysis.tokens(col("text")))
+            .cast("long")).over(w))
+        .filter(col("cum") <= bcol)
+        .select("doc_id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"seed=$seed rows=$rows")
+      // kept set only EXTENDS when budgets grow
+      val bigger = Corpus.tokenBudgetFill(df, "source", "doc_id", "text",
+          budgets.map { case (g, b) => g -> (b * 2) })
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.keySet.subsetOf(bigger), s"seed=$seed")
+      // epochFill: per-document copies never shrink as the budget grows
+      val e1 = Corpus.epochFill(df, "source", "doc_id", "text",
+          Seq("hot" -> 11L))
+        .select("doc_id", "n_copies").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val e2 = Corpus.epochFill(df, "source", "doc_id", "text",
+          Seq("hot" -> 29L))
+        .select("doc_id", "n_copies").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(e1.keySet.subsetOf(e2.keySet), s"seed=$seed")
+      assert(e1.forall { case (id, c) => e2(id) >= c }, s"seed=$seed")
+    }
+  }
+
   test("BPE chunked training equals the one-at-a-time loop on random " +
        "tiny-alphabet corpora (the adversarial regime for the chunk " +
        "stop rules: dense ties, shared symbols, symbol collisions)") {
