@@ -2023,6 +2023,23 @@ object SparkEntry {
           col("cum_weight"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // Composed training-run materialization (r12): the whole mixture
+    // path in one plan — epoch manifest (q123) → per-copy expansion with
+    // the interleaving shuffle key (q124) → shard assignment by that key
+    // → per-shard row/token accounting, the numbers a training job reads
+    // before it starts. Pure composition of gated operators; the oracle
+    // chains the q124 derivation and re-aggregates.
+    "q127_training_manifest" -> ((s, d) =>
+      Corpus.expandCopies(
+          Corpus.epochFill(t(s, d, "documents"), "source", "doc_id",
+            "text", Seq("src0" -> 5000L, "src1" -> 800L, "src2" -> 15000L)),
+          "doc_id", "n_copies")
+        .withColumn("shard", pmod(col("shuffle_key"), lit(8L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy(col("shard"))),
+
     // Contamination audit (r12): q38's screen as a REPORT — which probe
     // leaked into which document, with the distinct-shared-gram count.
     // Same probe set and gram length as q38, so the report's distinct
@@ -4505,6 +4522,42 @@ object SparkEntry {
         |SELECT source, doc_id, fill_weight, cum_weight
         |FROM c WHERE cum_weight <= budget
         |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
+
+    // q127: the q124 per-copy derivation re-aggregated per shard
+    "q127_training_manifest" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '\S+')), 0)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), b(source, budget) AS (
+        |  VALUES ('src0', 5000), ('src1', 800), ('src2', 15000)
+        |), c AS (
+        |  SELECT t.source, doc_id, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS cum,
+        |    sum(n_tokens) OVER (PARTITION BY t.source) AS tot
+        |  FROM t JOIN b USING (source)
+        |), e AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST((budget // tot) + CASE WHEN cum <= budget
+        |      - (budget // tot) * tot THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_copies
+        |  FROM c WHERE tot > 0
+        |), x AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(u.ci AS VARCHAR)), 1, 15) AS BIGINT) % 1000000000
+        |      AS shuffle_key
+        |  FROM e, unnest(generate_series(1, n_copies)) AS u(ci)
+        |  WHERE n_copies > 0
+        |)
+        |SELECT shuffle_key % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM x GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "),
 
     // q125: the q38 gram pipeline kept as PAIRS — distinct shared grams
     // per (doc, probe), counted on gram strings where the engine counts
