@@ -728,6 +728,11 @@ object SparkEntry {
     "q63_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
           n = 5, minSpanGrams = 3, maxOcc = 1000)
+        // BIGINT span starts: the gram positions are int-sized, but the
+        // oracle (and the driver's typed hash) speak BIGINT — emit the
+        // wide type at the contract edge (r13 type-strict gate)
+        .withColumn("start1", col("start1").cast("long"))
+        .withColumn("start2", col("start2").cast("long"))
         .orderBy(col("id1"), col("id2"))),
 
     // Incremental view maintenance: a monthly rollup maintained by MERGING
@@ -4367,8 +4372,8 @@ object SparkEntry {
         |  VALUES ('src0', 5000), ('src1', 10000000), ('src2', 600)
         |), c AS (
         |  SELECT t.source, doc_id, n_tokens, budget,
-        |    sum(n_tokens) OVER (PARTITION BY t.source
-        |      ORDER BY h, doc_id) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
         |  FROM t JOIN b USING (source)
         |)
         |SELECT source, doc_id, n_tokens, cum_tokens
@@ -4515,8 +4520,8 @@ object SparkEntry {
         |  VALUES ('src0', 5000), ('src1', 100000), ('src2', 900)
         |), c AS (
         |  SELECT t.source, doc_id, fill_weight, budget,
-        |    sum(fill_weight) OVER (PARTITION BY t.source
-        |      ORDER BY h, doc_id) AS cum_weight
+        |    CAST(sum(fill_weight) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS BIGINT) AS cum_weight
         |  FROM t JOIN b USING (source)
         |)
         |SELECT source, doc_id, fill_weight, cum_weight
