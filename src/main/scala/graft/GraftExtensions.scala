@@ -198,6 +198,17 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    (BUILD-style receipts)
   *  - `graft_lookup(dataPath, idCol, '1,2,3')` — bloom/stats-screened
   *    needle lookup ([[graft.sources.Layout.lookupByIds]])
+  *  - `graft_tt_commit(table, dataPath, 'dims', files[, batchId])` /
+  *    `graft_tt_delete(ids, dataPath, idCol)` /
+  *    `graft_tt_compact(dataPath, 'dims', files)` /
+  *    `graft_tt_vacuum(dataPath, keepFrom)` — versioned-snapshot
+  *    commit / versioned delete / live-set compaction / history
+  *    reclamation ([[graft.sources.TimeTravel]]; BUILD-style receipts)
+  *  - `graft_tt_read(dataPath[, version])` — the table as of a
+  *    committed version, latest when omitted
+  *    ([[graft.sources.TimeTravel.readAsOf]])
+  *  - `graft_tt_history(dataPath)` — one audit row per commit
+  *    ([[graft.sources.TimeTravel.history]])
   *  - `graft_bpe_train(table, textCol, numMerges)` /
   *    `graft_bpe_encode(table, idCol, textCol, 'l:r,…')` /
   *    `graft_bpe_vocab(table, textCol, 'l:r,…')` — BPE tokenizer
@@ -1080,6 +1091,89 @@ object GraftExtensions {
           "graft_lookup(dataPath, idCol, '1,2,3') — long ids on this " +
             "face; the Scala API takes any literal type")
       }),
+    // time-travel family (graft.sources.TimeTravel) — versioned lake
+    // snapshots. Commit/delete/compact/vacuum are BUILD-style (the
+    // commit runs while the SQL analyzes; the returned row is the
+    // receipt); read/history are plain table reads
+    (new FunctionIdentifier("graft_tt_commit"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_commit"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, dims, f, rest @ _*) if rest.size <= 1 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.commitAppend(
+            tableArg(t, "table"), path, colsArg(dims, "dims"),
+            intArg(f, "files"),
+            rest.headOption.map(strArg(_, "batchId")))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_commit(table, dataPath, 'dim1[,dim2…]', files" +
+            "[, batchId])")
+      }),
+    (new FunctionIdentifier("graft_tt_delete"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_delete"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ids, p, id) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.commitDelete(spark, path,
+            strArg(id, "idCol"), tableArg(ids, "ids"))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_delete(ids, dataPath, idCol)")
+      }),
+    (new FunctionIdentifier("graft_tt_compact"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_compact"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, dims, f) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.compact(spark, path,
+            colsArg(dims, "dims"), intArg(f, "files"))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_compact(dataPath, 'dim1[,dim2…]', files)")
+      }),
+    (new FunctionIdentifier("graft_tt_read"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_read"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(graft.sources.TimeTravel.read(SparkSession.active,
+            strArg(p, "dataPath")))
+        case Seq(p, v) =>
+          plan(graft.sources.TimeTravel.readAsOf(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v, "version")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_read(dataPath[, version]) — latest when version " +
+            "is omitted")
+      }),
+    (new FunctionIdentifier("graft_tt_history"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_history"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(graft.sources.TimeTravel.history(SparkSession.active,
+            strArg(p, "dataPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_history(dataPath)")
+      }),
+    (new FunctionIdentifier("graft_tt_vacuum"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_vacuum"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, k) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val n = graft.sources.TimeTravel.vacuum(spark, path,
+            longArg(k, "keepFrom"))
+          import spark.implicits._
+          plan(Seq((path, n,
+            graft.sources.TimeTravel.earliestReadable(spark, path)))
+            .toDF("data_path", "files_reclaimed", "earliest_readable"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_vacuum(dataPath, keepFrom)")
+      }),
     (new FunctionIdentifier("graft_strip_boilerplate"),
       new ExpressionInfo("graft.operators.Corpus",
         "graft_strip_boilerplate"),
@@ -1536,6 +1630,12 @@ object GraftExtensions {
     "graft_drop_partition" -> "LayoutSpec",
     "graft_delete_partitioned" -> "q104_partitioned_lifecycle",
     "graft_lookup" -> "q112_point_lookup",
+    "graft_tt_commit" -> "q128_time_travel",
+    "graft_tt_delete" -> "q128_time_travel",
+    "graft_tt_compact" -> "q128_time_travel",
+    "graft_tt_read" -> "q128_time_travel",
+    "graft_tt_history" -> "TimeTravelSpec",
+    "graft_tt_vacuum" -> "TimeTravelSpec",
     "graft_strip_boilerplate" -> "q110_boilerplate",
     "graft_bpe_train" -> "q113_bpe_train",
     "graft_bpe_encode" -> "BpeSpec",

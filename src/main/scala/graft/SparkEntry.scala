@@ -6,7 +6,7 @@ import scala.collection.immutable.ListMap
 
 import graft.engine.Tables
 import graft.operators._
-import graft.sources.Layout
+import graft.sources.{Layout, TimeTravel}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB oracle SQL.
@@ -2059,7 +2059,72 @@ object SparkEntry {
           "doc_id", "pid", "text", n = 3)
         .select(col("doc_id"), col("probe_id"), col("shared_grams"))
         .orderBy(col("doc_id"), col("probe_id"))
-    })
+    }),
+
+    // Lake time travel (r13): the versioned-snapshot lifecycle end to
+    // end — three hash-split batches committed (v1..v3), a versioned
+    // delete (v4), a full compaction (v5) — then FOUR as-of reads, all
+    // AFTER the delete and compaction rewrote the head. The oracle
+    // re-derives each version's membership from the hash splits alone
+    // (the layout-invariant stance: a snapshot read must equal the
+    // plain filtered scan of the batches live at that version), so a
+    // lineage row misattributed, a remove applied too early, a
+    // compaction that leaks into history, or an orphan file ingested
+    // all break the hash.
+    "q128_time_travel" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_timetravel_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // version history must restart per run — clear table + lineage
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q128_time_travel", "commits") {
+        (0 to 2).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 3L) === i),
+          dir, Seq("doc_id"), files = 2))
+      }
+      Stages.timed("q128_time_travel", "delete") {
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id"))): Unit
+      }
+      Stages.timed("q128_time_travel", "compact") {
+        TimeTravel.compact(s, dir, Seq("doc_id"), files = 2): Unit
+      }
+      (2L to 5L).map(v =>
+          TimeTravel.readAsOf(s, dir, v)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"))
+            .withColumn("as_of", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("as_of"), col("source"), col("n_docs"),
+          col("sum_chars"))
+        .orderBy(col("as_of"), col("source"))
+    }),
+
+    // Fractional mixture fill (r13): the spec form mixtures are actually
+    // written in — fractions of ONE total token budget, floor-converted
+    // to absolutes and delegated to the q120 fill. Fractions sum to
+    // 0.911 (headroom is a legitimate spec); the oracle re-derives
+    // floor(fraction × total) in SQL under explicit DOUBLE arithmetic
+    // (DuckDB would otherwise compute 0.9 × 100000 in exact DECIMAL
+    // while the engine floors an IEEE double product — equal here,
+    // divergent for fractions like 0.29 whose double product lands just
+    // below the integer), then runs the naive window form. Budgets
+    // discriminate: src0 500 mid-fill, src1 90000 over-provisioned,
+    // src2 600 mid-fill, src3+ absent.
+    "q129_mixture_fill" -> ((s, d) =>
+      Corpus.mixtureFill(t(s, d, "documents"), "source", "doc_id",
+          "text", totalBudget = 100000L,
+          Seq("src0" -> 0.005, "src1" -> 0.9, "src2" -> 0.006))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4582,7 +4647,63 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS shared_grams
         |FROM d JOIN p ON d.gg = p.pg
         |GROUP BY d.doc_id, p.probe_id
-        |ORDER BY d.doc_id, p.probe_id""".stripMargin.replace("\n", " ")
+        |ORDER BY d.doc_id, p.probe_id""".stripMargin.replace("\n", " "),
+
+    // q128: each snapshot's membership re-derived from the hash splits
+    // alone — v2 = first two commit buckets, v3 = all, v4/v5 = all minus
+    // the versioned delete's bucket (v5 is the compaction: content
+    // UNCHANGED by contract). The engine's lineage/file mechanics must
+    // reproduce exactly this, or a remove leaked into history / a
+    // too-early delete / an ingested orphan breaks the hash.
+    "q128_time_travel" ->
+      """WITH d AS (
+        |  SELECT source, coalesce(n_chars, 0) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 3 AS b,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), vers(as_of) AS (
+        |  VALUES (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)),
+        |         (CAST(4 AS BIGINT)), (CAST(5 AS BIGINT))
+        |), m AS (
+        |  SELECT v.as_of, d.source, d.nc FROM d CROSS JOIN vers v
+        |  WHERE (v.as_of = 2 AND d.b < 2)
+        |     OR (v.as_of = 3)
+        |     OR (v.as_of >= 4 AND d.del <> 3)
+        |)
+        |SELECT as_of, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY as_of, source
+        |ORDER BY as_of, source""".stripMargin.replace("\n", " "),
+
+    // q129: the fractional spec floor-converted to absolute budgets IN
+    // SQL — explicit DOUBLE casts so DuckDB floors the same IEEE product
+    // the engine does (its default DECIMAL arithmetic would diverge for
+    // fractions whose double product lands just below an integer) —
+    // then the q120 naive-window form over those budgets.
+    "q129_mixture_fill" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '\S+')), 0)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), b AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(f AS DOUBLE) * 100000) AS BIGINT) AS budget
+        |  FROM (VALUES ('src0', 0.005), ('src1', 0.9), ('src2', 0.006))
+        |    s(source, f)
+        |), c AS (
+        |  SELECT t.source, doc_id, n_tokens, budget,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t JOIN b USING (source)
+        |)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= budget
+        |ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

@@ -1,0 +1,342 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned lake snapshots — read-as-of ("time travel") over an
+  * append-only file-action lineage, the subsystem the [[Layout]] family
+  * was shaped for (batch-tagged manifests, ledgers, staged swaps) and
+  * the one a 100 TB training-data lake cannot run without: reproducing
+  * LAST month's training run needs last month's corpus exactly, even
+  * though deletes, compactions and new batches have landed since.
+  *
+  * Design (original; the log-structured shape lakehouse formats share):
+  * the table is a flat directory of immutable parquet files plus a
+  * SIBLING `<path>_lineage` directory of tiny parquet segments — one
+  * per commit — whose rows are file ACTIONS `(version, action ∈
+  * {add, remove, vacuum}, file_name, n_rows)`. The live file set at
+  * version v is `adds(≤v) minus removes(≤v)`; nothing is ever rewritten
+  * in place, so every historical version stays readable until [[vacuum]]
+  * reclaims it. Versions are dense positive longs assigned by the commit
+  * protocol below.
+  *
+  * TRUTH STANCE — the opposite of the [[Layout]] manifest, deliberately:
+  * a stats manifest is a CACHE over a directory-as-truth table, so
+  * stale rows may only cost skip rate; the lineage here IS the truth.
+  * A data file the lineage has not committed is invisible (it is a
+  * crashed promotion's residue, and the crashed commit's retry will
+  * overwrite it by deterministic name), and a vanished committed file
+  * is an error, never a silent shrink.
+  *
+  * Commit protocol (single-writer per table, like every index here):
+  *  1. pick `v = latestVersion + 1`;
+  *  2. clear `v<v>_*` residue and the staging dir (a crashed attempt at
+  *     the SAME version — deterministic names make the retry overwrite,
+  *     never duplicate);
+  *  3. stage the new files under `<path>_staging_v<v>`, then promote
+  *     each part as `v<v>_<i>.parquet` into the data dir;
+  *  4. append the lineage segment LAST — the commit point. A crash
+  *     before (4) leaves the table exactly at version v-1.
+  * Replaying a WHOLE committed batch (at-least-once ingestion) is the
+  * caller's hazard exactly as in [[Layout.appendZOrdered]]; pass
+  * `batchId` to make replays exact no-ops via the applied-batch
+  * [[graft.operators.Ledger]] at `<path>_commit_ledger`.
+  *
+  * Scale shape: every lineage read, live-set computation and collect is
+  * FILE-COUNT-sized (the same ~hundreds-of-bytes-per-file driver budget
+  * as [[Layout.pruneFiles]]); data rows are touched only by the batch
+  * being written, the files being compacted, or the delete's candidate
+  * files — never the whole table for a commit, never any data at all
+  * for a read's planning.
+  */
+object TimeTravel {
+
+  /** Lineage location: a sibling directory, never inside the data path
+    * (a reader globbing the data must not ingest log rows). */
+  def lineagePath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "_lineage"
+
+  private def commitLedgerPath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "_commit_ledger"
+
+  private def stagingPath(dataPath: String, v: Long): String =
+    dataPath.stripSuffix("/") + s"_staging_v$v"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def lineageExists(spark: SparkSession, dataPath: String): Boolean =
+    fsOf(spark, dataPath).exists(hp(lineagePath(dataPath)))
+
+  private def lineage(spark: SparkSession, dataPath: String): DataFrame =
+    spark.read.parquet(lineagePath(dataPath))
+
+  /** Highest committed version; 0 for a table with no commits yet. */
+  def latestVersion(spark: SparkSession, dataPath: String): Long =
+    if (!lineageExists(spark, dataPath)) 0L
+    else lineage(spark, dataPath)
+      .agg(max(col("version"))).head().getLong(0)
+
+  /** The file names live at `v` — adds ≤ v minus removes ≤ v, sorted.
+    * One lineage-sized (file-count-sized) collect; no data is read.
+    */
+  private def liveFileNames(spark: SparkSession, dataPath: String,
+                            v: Long): Seq[String] = {
+    val l = lineage(spark, dataPath).filter(col("version") <= v)
+    l.filter(col("action") === "add")
+      .join(l.filter(col("action") === "remove"),
+        Seq("file_name"), "left_anti")
+      .select(col("file_name"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Append one commit's action rows as a single new lineage segment. */
+  private def appendLineage(spark: SparkSession, dataPath: String,
+                            rows: Seq[(Long, String, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("version", "action", "file_name", "n_rows")
+      .coalesce(1)
+      .write.mode("append").parquet(lineagePath(dataPath))
+  }
+
+  /** Stage `df` (already clustered by the caller) as `files` parquet
+    * parts, promote them under deterministic `v<v>_<i>.parquet` names,
+    * and return (file_name, n_rows) per promoted file. Steps 2–3 of the
+    * commit protocol; crash-idempotent at fixed `v`.
+    */
+  private def stageAndPromote(spark: SparkSession, dataPath: String,
+                              v: Long, staged: DataFrame)
+      : Seq[(String, Long)] = {
+    val fs = fsOf(spark, dataPath)
+    val staging = stagingPath(dataPath, v)
+    // clear residue of a crashed attempt at this same version
+    fs.delete(hp(staging), true)
+    Option(fs.globStatus(hp(s"$dataPath/v${v}_*.parquet"))).toSeq.flatten
+      .foreach(f => fs.delete(f.getPath, false))
+    staged.write.mode("overwrite").parquet(staging)
+    // per-part row counts from the staged batch (batch-sized scan, for
+    // the history face and vacuum receipts) keyed by the part file
+    val counts = spark.read.parquet(staging)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("part"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => Layout.decodePathComponent(r.getString(0)) -> r.getLong(1))
+      .toMap
+    fs.mkdirs(hp(dataPath))
+    val parts = fs.listStatus(hp(staging))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val promoted = parts.zipWithIndex.map { case (f, i) =>
+      val name = s"v${v}_$i.parquet"
+      require(fs.rename(f.getPath, hp(s"$dataPath/$name")),
+        s"time-travel commit: could not promote ${f.getPath} — retry " +
+          "the commit (promotion is crash-idempotent at this version)")
+      name -> counts.getOrElse(f.getPath.getName, 0L)
+    }.toSeq
+    fs.delete(hp(staging), true)
+    promoted
+  }
+
+  /** Commit a new batch as version `latest + 1`: z-cluster `df` on
+    * `dims` into `files` parquet files (same clustering discipline as
+    * [[Layout.appendZOrdered]] — bounds drift between batches only
+    * loosens skip rate, never results) and record their `add` actions.
+    * Returns the committed version. `batchId` makes whole-commit
+    * replays exact no-ops (see object doc).
+    */
+  def commitAppend(df: DataFrame, dataPath: String, dims: Seq[String],
+                   files: Int, batchId: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val ledger = commitLedgerPath(dataPath)
+    batchId.foreach { id =>
+      if (!fsOf(spark, dataPath).exists(hp(ledger)))
+        graft.operators.Ledger.init(spark, ledger)
+      else if (graft.operators.Ledger.contains(spark, ledger, id))
+        return latestVersion(spark, dataPath)
+    }
+    val v = latestVersion(spark, dataPath) + 1
+    val clustered = Layout.withZKey(df, dims)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+    val promoted = stageAndPromote(spark, dataPath, v, clustered)
+    appendLineage(spark, dataPath,
+      promoted.map { case (name, n) => (v, "add", name, n) })
+    batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
+    v
+  }
+
+  /** Versioned delete: rows of the CURRENT version whose `idCol` matches
+    * a row of `doomedIds` disappear from version `latest + 1` on, while
+    * every earlier version still reads them. Only the files that
+    * actually hold a doomed row are rewritten (survivors re-staged as
+    * new files, originals logically removed); untouched files are
+    * shared between the old and new versions. Returns the new version,
+    * or the current one unchanged when nothing matched (a no-op delete
+    * commits nothing — replay-friendly like [[Layout.deleteByIds]]).
+    *
+    * The affected-file discovery is one semi-join of the live data
+    * against the doomed-id frame aggregated to DISTINCT file names —
+    * driver cost is file-count-bounded, never row-bounded.
+    */
+  def commitDelete(spark: SparkSession, dataPath: String, idCol: String,
+                   doomedIds: DataFrame): Long = {
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1, s"commitDelete: no committed table at $dataPath")
+    val live = liveFileNames(spark, dataPath, latest)
+    val ids = doomedIds.select(doomedIds.columns.head).toDF(idCol).distinct()
+    // no broadcast hint on the id frame in either join: it is usually
+    // needle-sized but is not REQUIRED to be, and a literal hint would
+    // pin a build side that might be 10^9 ids at 100 TB — AQE picks the
+    // broadcast at runtime when the frame is small
+    val withFile = spark.read
+      .parquet(live.map(n => s"$dataPath/$n"): _*)
+      .withColumn("__file",
+        element_at(split(input_file_name(), "/"), -1))
+    val affected = withFile
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r =>
+        Layout.decodePathComponent(r.getString(0))).toSeq.sorted
+    if (affected.isEmpty) return latest
+    val v = latest + 1
+    val survivors = spark.read
+      .parquet(affected.map(n => s"$dataPath/$n"): _*)
+      .join(ids, Seq(idCol), "left_anti")
+      // survivor files: one per rewritten file keeps file sizes stable
+      .repartition(affected.size)
+    val promoted = stageAndPromote(spark, dataPath, v, survivors)
+    appendLineage(spark, dataPath,
+      promoted.map { case (name, n) => (v, "add", name, n) } ++
+        affected.map(name => (v, "remove", name, 0L)))
+    v
+  }
+
+  /** Rewrite the live file set as one freshly z-clustered generation
+    * (version `latest + 1`): adds the compacted files, logically
+    * removes every prior live file. As-of reads at EVERY earlier
+    * version are untouched — the old files stay on disk until
+    * [[vacuum]] — which is the whole point of logical removal. Returns
+    * the new version.
+    */
+  def compact(spark: SparkSession, dataPath: String, dims: Seq[String],
+              files: Int): Long = {
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1, s"compact: no committed table at $dataPath")
+    val live = liveFileNames(spark, dataPath, latest)
+    val v = latest + 1
+    val clustered = Layout.withZKey(
+        spark.read.parquet(live.map(n => s"$dataPath/$n"): _*), dims)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+    val promoted = stageAndPromote(spark, dataPath, v, clustered)
+    appendLineage(spark, dataPath,
+      promoted.map { case (name, n) => (v, "add", name, n) } ++
+        live.map(name => (v, "remove", name, 0L)))
+    v
+  }
+
+  /** Earliest version still fully readable: 1 until a [[vacuum]] has
+    * physically reclaimed files, then the highest remove-version among
+    * vacuumed files (a file removed at r was last needed by version
+    * r - 1, so reads at ≥ r survive its reclamation).
+    */
+  def earliestReadable(spark: SparkSession, dataPath: String): Long = {
+    if (!lineageExists(spark, dataPath)) return 1L
+    val l = lineage(spark, dataPath)
+    val floor = l.filter(col("action") === "vacuum")
+      .select(col("file_name"))
+      .join(l.filter(col("action") === "remove"), Seq("file_name"))
+      .agg(max(col("version"))).head()
+    if (floor.isNullAt(0)) 1L else floor.getLong(0)
+  }
+
+  /** The table exactly as committed at `version` — the read face. Fails
+    * loudly on a version never committed, or one [[vacuum]] has
+    * reclaimed, or a committed file missing from disk (the lineage is
+    * truth; a vanished file is corruption, not a smaller table).
+    */
+  def readAsOf(spark: SparkSession, dataPath: String,
+               version: Long): DataFrame = {
+    val latest = latestVersion(spark, dataPath)
+    require(version >= 1 && version <= latest,
+      s"readAsOf: version $version outside committed range [1, $latest] " +
+        s"of $dataPath")
+    val floor = earliestReadable(spark, dataPath)
+    require(version >= floor,
+      s"readAsOf: version $version was vacuumed (earliest readable is " +
+        s"$floor) — vacuum trades history for space, explicitly")
+    val live = liveFileNames(spark, dataPath, version)
+    require(live.nonEmpty,
+      s"readAsOf: version $version of $dataPath has no live files " +
+        "(every row was deleted) — an empty table read is almost always " +
+        "a caller bug; read a neighboring version or recreate the table")
+    val fs = fsOf(spark, dataPath)
+    val missing = live.filterNot(n => fs.exists(hp(s"$dataPath/$n")))
+    require(missing.isEmpty,
+      s"readAsOf: committed files missing on disk at $dataPath: " +
+        s"${missing.mkString(", ")} — lineage is the source of truth; " +
+        "a vanished committed file is corruption, never a smaller table")
+    spark.read.parquet(live.map(n => s"$dataPath/$n"): _*)
+  }
+
+  /** The current table (convenience: [[readAsOf]] the latest version). */
+  def read(spark: SparkSession, dataPath: String): DataFrame =
+    readAsOf(spark, dataPath, latestVersion(spark, dataPath))
+
+  /** One row per commit: version, adds/removes/vacuumed file counts,
+    * rows added — the audit face a lake operator reads before trusting
+    * a rollback target. Pure lineage aggregation, no data touched.
+    */
+  def history(spark: SparkSession, dataPath: String): DataFrame =
+    lineage(spark, dataPath)
+      .groupBy(col("version"))
+      .agg(
+        sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
+        sum(when(col("action") === "remove", 1L).otherwise(0L))
+          .as("n_removes"),
+        sum(when(col("action") === "vacuum", 1L).otherwise(0L))
+          .as("n_vacuumed"),
+        sum(when(col("action") === "add", col("n_rows")).otherwise(0L))
+          .as("rows_added"))
+      .orderBy(col("version"))
+
+  /** Physically reclaim files no version ≥ `keepFrom` can need: those
+    * logically removed at a version ≤ `keepFrom`. Records a `vacuum`
+    * action per reclaimed file (at a fresh version, so the log stays
+    * strictly ordered), after which [[readAsOf]] refuses the truncated
+    * range loudly instead of returning partial tables. Returns the
+    * number of files reclaimed. Idempotent: already-vacuumed files are
+    * skipped; a crash between deletes and the log append re-deletes
+    * nothing (the files are gone) and re-records harmlessly.
+    */
+  def vacuum(spark: SparkSession, dataPath: String, keepFrom: Long): Int = {
+    val latest = latestVersion(spark, dataPath)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"vacuum: keepFrom $keepFrom outside committed range [1, $latest]")
+    val l = lineage(spark, dataPath)
+    val doomed = l.filter(col("action") === "remove" &&
+        col("version") <= keepFrom)
+      .join(l.filter(col("action") === "vacuum"),
+        Seq("file_name"), "left_anti")
+      .select(col("file_name")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (doomed.isEmpty) return 0
+    val fs = fsOf(spark, dataPath)
+    doomed.foreach { n =>
+      val p = hp(s"$dataPath/$n")
+      if (fs.exists(p))
+        require(fs.delete(p, false),
+          s"vacuum: filesystem refused to delete $p — lineage NOT " +
+            "updated, every version still readable; retry")
+    }
+    val v = latestVersion(spark, dataPath) + 1
+    appendLineage(spark, dataPath,
+      doomed.map(name => (v, "vacuum", name, 0L)))
+    doomed.size
+  }
+}

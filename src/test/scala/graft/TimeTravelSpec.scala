@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.TimeTravel
+
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_tt_$tag").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "data").getPath
+  }
+
+  /** Batch b: ids in [b*100, b*100+99], grp = id % 5, val = id * 3. */
+  private def batch(b: Int): DataFrame =
+    spark.range(b * 100L, b * 100L + 100)
+      .select(col("id"), (col("id") % 5).as("grp"), (col("id") * 3).as("v"))
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("commitAppend assigns dense versions and readAsOf returns " +
+      "exactly the batches committed by then") {
+    val dir = tmpDir("basic")
+    assert(TimeTravel.latestVersion(spark, dir) == 0L)
+    assert(TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) == 1L)
+    assert(TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) == 2L)
+    assert(TimeTravel.commitAppend(batch(2), dir, Seq("id"), files = 2) == 3L)
+    assert(TimeTravel.latestVersion(spark, dir) == 3L)
+    assert(ids(TimeTravel.readAsOf(spark, dir, 1)) == (0L until 100L))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 2)) == (0L until 200L))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 3)) == (0L until 300L))
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 300L))
+    // full rows survive, not just ids
+    val r = TimeTravel.readAsOf(spark, dir, 2)
+      .filter(col("id") === 123L).head()
+    assert(r.getLong(r.fieldIndex("grp")) == 3L &&
+      r.getLong(r.fieldIndex("v")) == 369L)
+    // out-of-range versions fail loudly
+    intercept[IllegalArgumentException](TimeTravel.readAsOf(spark, dir, 0))
+    intercept[IllegalArgumentException](TimeTravel.readAsOf(spark, dir, 4))
+  }
+
+  test("commitDelete hides rows from the new version only; untouched " +
+      "files are shared") {
+    val dir = tmpDir("delete")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    val doomed = spark.range(0L, 300L).filter(col("id") % 10 === 7)
+      .select(col("id"))
+    val v = TimeTravel.commitDelete(spark, dir, "id", doomed)
+    assert(v == 3L)
+    assert(ids(TimeTravel.readAsOf(spark, dir, 3)) ==
+      (0L until 200L).filterNot(_ % 10 == 7))
+    // history is intact: both earlier versions still read the doomed rows
+    assert(ids(TimeTravel.readAsOf(spark, dir, 1)) == (0L until 100L))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 2)) == (0L until 200L))
+    // a delete matching nothing commits NO new version
+    val none = spark.range(9000L, 9010L).select(col("id"))
+    assert(TimeTravel.commitDelete(spark, dir, "id", none) == 3L)
+    assert(TimeTravel.latestVersion(spark, dir) == 3L)
+  }
+
+  test("compaction rewrites the live set without changing ANY as-of read") {
+    val dir = tmpDir("compact")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 3)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 3)
+    val doomed = spark.range(0L, 200L).filter(col("id") % 7 === 3)
+      .select(col("id"))
+    TimeTravel.commitDelete(spark, dir, "id", doomed)
+    val before = (1L to 3L).map(v =>
+      ids(TimeTravel.readAsOf(spark, dir, v)))
+    val v4 = TimeTravel.compact(spark, dir, Seq("id"), files = 2)
+    assert(v4 == 4L)
+    // every historical read is bit-identical post-compaction
+    (1L to 3L).foreach { v =>
+      assert(ids(TimeTravel.readAsOf(spark, dir, v)) == before((v - 1).toInt),
+        s"as-of $v changed across compaction")
+    }
+    // the compacted head equals the pre-compaction head
+    assert(ids(TimeTravel.readAsOf(spark, dir, 4)) == before(2))
+    // and the head now reads exactly the 2 compacted files
+    val live = TimeTravel.history(spark, dir)
+      .filter(col("version") === 4L).head()
+    assert(live.getLong(live.fieldIndex("n_adds")) == 2L)
+  }
+
+  test("batchId makes whole-commit replays exact no-ops") {
+    val dir = tmpDir("ledger")
+    val v1 = TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2,
+      batchId = Some("b0"))
+    assert(v1 == 1L)
+    // replay of the SAME batch id: no new version, no duplicate rows
+    val v1b = TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2,
+      batchId = Some("b0"))
+    assert(v1b == 1L)
+    assert(TimeTravel.latestVersion(spark, dir) == 1L)
+    assert(TimeTravel.read(spark, dir).count() == 100L)
+    // a NEW id commits normally
+    assert(TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2,
+      batchId = Some("b1")) == 2L)
+  }
+
+  test("vacuum reclaims pre-keepFrom history and truncates loudly") {
+    val dir = tmpDir("vacuum")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1) // v3 removes v1+v2 files
+    assert(TimeTravel.earliestReadable(spark, dir) == 1L)
+    val reclaimed = TimeTravel.vacuum(spark, dir, keepFrom = 3L)
+    assert(reclaimed == 4) // both versions' 2 files each
+    assert(TimeTravel.earliestReadable(spark, dir) == 3L)
+    // pre-floor reads refuse; the floor version still reads fully
+    intercept[IllegalArgumentException](TimeTravel.readAsOf(spark, dir, 2))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 3)) == (0L until 200L))
+    // idempotent: nothing left to reclaim
+    assert(TimeTravel.vacuum(spark, dir, keepFrom = 3L) == 0)
+  }
+
+  test("lineage is truth: orphan files are invisible and a crashed " +
+      "commit's residue is overwritten by the retry") {
+    val dir = tmpDir("crash")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    // simulate a crash AFTER promotion, BEFORE the lineage append: a
+    // v2-named file exists but version 2 was never committed
+    val orphanRows = spark.range(9000L, 9100L)
+      .select(col("id"), (col("id") % 5).as("grp"), (col("id") * 3).as("v"))
+    orphanRows.coalesce(1).write.parquet(dir + "_orphan_stage")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "_orphan_stage"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/v2_7.parquet"))
+    // the orphan is invisible to every read
+    assert(TimeTravel.latestVersion(spark, dir) == 1L)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 100L))
+    // the retry (next commit lands AT version 2) clears the residue —
+    // no duplicate, no orphan rows
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    assert(ids(TimeTravel.readAsOf(spark, dir, 2)) == (0L until 200L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2_7.parquet")))
+  }
+
+  test("a vanished committed file is corruption, never a smaller table") {
+    val dir = tmpDir("corrupt")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v1_0.parquet"), false)
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.read(spark, dir))
+    assert(e.getMessage.contains("missing on disk"))
+  }
+
+  test("the SQL faces drive the whole lifecycle from SQL text alone") {
+    GraftExtensions.register(spark)
+    val dir = tmpDir("sqlface")
+    batch(0).createOrReplaceTempView("tt_b0")
+    batch(1).createOrReplaceTempView("tt_b1")
+    val r1 = spark.sql(
+      s"SELECT * FROM graft_tt_commit('tt_b0', '$dir', 'id', 2)").head()
+    assert(r1.getLong(1) == 1L)
+    // replayed batchId via SQL: same receipt version, no growth
+    spark.sql(
+      s"SELECT * FROM graft_tt_commit('tt_b1', '$dir', 'id', 2, 'bb1')")
+    val r2b = spark.sql(
+      s"SELECT * FROM graft_tt_commit('tt_b1', '$dir', 'id', 2, 'bb1')").head()
+    assert(r2b.getLong(1) == 2L)
+    assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir')").count() == 200L)
+    assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir', 1)").count() == 100L)
+    batch(0).filter(col("id") % 2 === 0).select("id")
+      .createOrReplaceTempView("tt_doomed")
+    val r3 = spark.sql(
+      s"SELECT * FROM graft_tt_delete('tt_doomed', '$dir', 'id')").head()
+    assert(r3.getLong(1) == 3L)
+    assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir')").count() == 150L)
+    val r4 = spark.sql(
+      s"SELECT * FROM graft_tt_compact('$dir', 'id', 1)").head()
+    assert(r4.getLong(1) == 4L)
+    assert(spark.sql(
+      s"SELECT * FROM graft_tt_history('$dir')").count() == 4L)
+    val r5 = spark.sql(
+      s"SELECT * FROM graft_tt_vacuum('$dir', 4)").head()
+    assert(r5.getInt(1) > 0 && r5.getLong(2) == 4L)
+    assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir', 4)").count() == 150L)
+  }
+
+  test("history reports per-version file and row accounting") {
+    val dir = tmpDir("history")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 3)
+    val h = TimeTravel.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h.map(r => r.getLong(r.fieldIndex("n_adds"))).toSeq == Seq(2L, 3L))
+    assert(h.map(r => r.getLong(r.fieldIndex("rows_added"))).toSeq ==
+      Seq(100L, 100L))
+  }
+}
