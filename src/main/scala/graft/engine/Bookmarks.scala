@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Bookmark state — the reference's only mutable state: a per-user ordered
@@ -46,5 +47,64 @@ object Bookmarks {
           state.update(updated)
           UserBookmarks(userId, updated)
       }
+  }
+
+  // --- persisted session store (VERDICT r12 #7): the T1 state at
+  // production shape. Event-sourced onto a tiny parquet ledger — one
+  // row per toggle, replayed through the SAME [[toggle]] fold the
+  // in-memory and streaming faces use, so all three faces provably
+  // agree and the state survives restarts like every other persisted
+  // family. Single-writer per store path (the serving tier's session
+  // affinity), like the index ledgers. ---
+
+  /** Record one toggle for `userId`. `seq` is assigned as the user's
+    * max + 1 — one pushed-down point-filter read plus a one-row append
+    * (interaction-sized; a bulk producer with its own ordering should
+    * append [[ToggleEvent]] frames directly and keep its seq).
+    */
+  def appendToggle(spark: SparkSession, path: String, userId: Long,
+                   bbl: String): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) 1L
+      else {
+        val m = spark.read.parquet(path)
+          .filter(col("userId") === userId)
+          .agg(max(col("seq"))).head()
+        if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+      }
+    Seq(ToggleEvent(userId, bbl, next)).toDS()
+      .write.mode("append").parquet(path)
+  }
+
+  /** Every user's current list, replayed from the ledger: per-user
+    * seq-ordered [[toggle]] fold (group state is one user's
+    * interaction-sized history — never corpus-shaped).
+    */
+  def replay(spark: SparkSession, path: String): Dataset[UserBookmarks] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[ToggleEvent]
+      .groupByKey(_.userId)
+      .mapGroups { (userId, events) =>
+        val ordered = events.toSeq.sortBy(e => (e.seq, e.bbl))
+        UserBookmarks(userId,
+          ordered.foldLeft(Seq.empty[String])((acc, e) => toggle(acc, e.bbl)))
+      }
+  }
+
+  /** One user's current list (empty for an absent store or user) — the
+    * read a restarted serving tier does per session, under a pushed
+    * user filter. */
+  def saved(spark: SparkSession, path: String, userId: Long): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return Seq.empty
+    import spark.implicits._
+    spark.read.parquet(path).as[ToggleEvent]
+      .filter(col("userId") === userId)
+      .collect().sortBy(e => (e.seq, e.bbl))
+      .foldLeft(Seq.empty[String])((acc, e) => toggle(acc, e.bbl))
   }
 }
