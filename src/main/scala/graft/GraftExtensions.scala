@@ -204,9 +204,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    `graft_tt_vacuum(dataPath, keepFrom)` — versioned-snapshot
   *    commit / versioned delete / live-set compaction / history
   *    reclamation ([[graft.sources.TimeTravel]]; BUILD-style receipts)
-  *  - `graft_tt_read(dataPath[, version])` — the table as of a
-  *    committed version, latest when omitted
-  *    ([[graft.sources.TimeTravel.readAsOf]])
+  *  - `graft_tt_read(dataPath[, version[, col1, lo1, hi1, …]])` — the
+  *    table as of a committed version, latest when omitted; (col, lo,
+  *    hi) triples give the lineage-stats-pruned read
+  *    ([[graft.sources.TimeTravel.readAsOf]] / `readAsOfPruned`)
   *  - `graft_tt_history(dataPath)` — one audit row per commit
   *    ([[graft.sources.TimeTravel.history]])
   *  - `graft_bpe_train(table, textCol, numMerges)` /
@@ -1146,9 +1147,27 @@ object GraftExtensions {
         case Seq(p, v) =>
           plan(graft.sources.TimeTravel.readAsOf(SparkSession.active,
             strArg(p, "dataPath"), longArg(v, "version")))
+        // pruned form: (col, lo, hi) string triples cast to each
+        // dimension's type, like graft_pruned_read
+        case Seq(p, v, rest @ _*) if rest.nonEmpty && rest.size % 3 == 0 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val ver = longArg(v, "version")
+          val schema = graft.sources.TimeTravel
+            .readAsOf(spark, path, ver).schema
+          val ranges = rest.grouped(3).map { case Seq(c, lo, hi) =>
+            val cn = strArg(c, "col")
+            val dt = schema(cn).dataType
+            graft.sources.Layout.ColRange(cn,
+              org.apache.spark.sql.functions.lit(strArg(lo, "lo")).cast(dt),
+              org.apache.spark.sql.functions.lit(strArg(hi, "hi")).cast(dt))
+          }.toSeq
+          plan(graft.sources.TimeTravel.readAsOfPruned(spark, path, ver,
+            ranges))
         case _ => throw new IllegalArgumentException(
-          "graft_tt_read(dataPath[, version]) — latest when version " +
-            "is omitted")
+          "graft_tt_read(dataPath[, version[, col1, lo1, hi1, ...]]) — " +
+            "latest when version is omitted; (col, lo, hi) triples give " +
+            "the stats-pruned read")
       }),
     (new FunctionIdentifier("graft_tt_history"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_history"),

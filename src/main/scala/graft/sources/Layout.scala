@@ -203,7 +203,7 @@ object Layout {
         "per leaf partition directory instead")
   }
 
-  private def statsAggs(dims: Seq[String]): Seq[Column] =
+  private[sources] def statsAggs(dims: Seq[String]): Seq[Column] =
     dims.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
@@ -252,7 +252,7 @@ object Layout {
     * dimension joining the stats schema (`nulls_<col> IS NULL` — an
     * authentic row's null counter is never null).
     */
-  private def rangeKeep(r: ColRange): Column =
+  private[sources] def rangeKeep(r: ColRange): Column =
     col(s"max_${r.colName}") >= r.lo && col(s"min_${r.colName}") <= r.hi ||
       col(s"nulls_${r.colName}") > 0 ||
       col(s"nulls_${r.colName}").isNull

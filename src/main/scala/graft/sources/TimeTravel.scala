@@ -71,8 +71,14 @@ object TimeTravel {
   private def lineageExists(spark: SparkSession, dataPath: String): Boolean =
     fsOf(spark, dataPath).exists(hp(lineagePath(dataPath)))
 
+  /** mergeSchema like every [[Layout]] manifest consultation: `add`
+    * segments carry the per-dim stat columns (min/max/nulls — the
+    * data-skipping payload), remove/vacuum segments carry only the base
+    * four, and commits after a dims change may carry different stat
+    * sets; a first-file schema would silently drop the stats half.
+    */
   private def lineage(spark: SparkSession, dataPath: String): DataFrame =
-    spark.read.parquet(lineagePath(dataPath))
+    spark.read.option("mergeSchema", "true").parquet(lineagePath(dataPath))
 
   /** Highest committed version; 0 for a table with no commits yet. */
   def latestVersion(spark: SparkSession, dataPath: String): Long =
@@ -93,23 +99,33 @@ object TimeTravel {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Append one commit's action rows as a single new lineage segment. */
+  /** Append one commit's action rows as a single new lineage segment
+    * (the commit point). Segments may carry different stat columns —
+    * [[lineage]] merges schemas on read. */
   private def appendLineage(spark: SparkSession, dataPath: String,
-                            rows: Seq[(Long, String, String, Long)]): Unit = {
+                            seg: DataFrame): Unit =
+    seg.coalesce(1).write.mode("append").parquet(lineagePath(dataPath))
+
+  /** Plain (version, action, file_name, n_rows) rows — the stat-less
+    * remove/vacuum segment shape. */
+  private def actionRows(spark: SparkSession,
+                         rows: Seq[(Long, String, String, Long)]): DataFrame = {
     import spark.implicits._
     rows.toDF("version", "action", "file_name", "n_rows")
-      .coalesce(1)
-      .write.mode("append").parquet(lineagePath(dataPath))
   }
 
-  /** Stage `df` (already clustered by the caller) as `files` parquet
-    * parts, promote them under deterministic `v<v>_<i>.parquet` names,
-    * and return (file_name, n_rows) per promoted file. Steps 2–3 of the
-    * commit protocol; crash-idempotent at fixed `v`.
+  /** Stage `df` (already clustered by the caller), promote the parts
+    * under deterministic `v<v>_<i>.parquet` names, and return the
+    * commit's `add` lineage rows: per promoted file its row count AND
+    * the [[Layout.statsAggs]] min/max/null-count payload for `dims` —
+    * ONE batch-sized scan computes both, and recording the stats in
+    * the lineage is what lets [[readAsOf]] skip files without any
+    * secondary manifest. Steps 2–3 of the commit protocol;
+    * crash-idempotent at fixed `v`.
     */
   private def stageAndPromote(spark: SparkSession, dataPath: String,
-                              v: Long, staged: DataFrame)
-      : Seq[(String, Long)] = {
+                              v: Long, staged: DataFrame,
+                              dims: Seq[String]): DataFrame = {
     val fs = fsOf(spark, dataPath)
     val staging = stagingPath(dataPath, v)
     // clear residue of a crashed attempt at this same version
@@ -117,14 +133,6 @@ object TimeTravel {
     Option(fs.globStatus(hp(s"$dataPath/v${v}_*.parquet"))).toSeq.flatten
       .foreach(f => fs.delete(f.getPath, false))
     staged.write.mode("overwrite").parquet(staging)
-    // per-part row counts from the staged batch (batch-sized scan, for
-    // the history face and vacuum receipts) keyed by the part file
-    val counts = spark.read.parquet(staging)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("part"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => Layout.decodePathComponent(r.getString(0)) -> r.getLong(1))
-      .toMap
     fs.mkdirs(hp(dataPath))
     val parts = fs.listStatus(hp(staging))
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -134,10 +142,24 @@ object TimeTravel {
       require(fs.rename(f.getPath, hp(s"$dataPath/$name")),
         s"time-travel commit: could not promote ${f.getPath} — retry " +
           "the commit (promotion is crash-idempotent at this version)")
-      name -> counts.getOrElse(f.getPath.getName, 0L)
+      name
     }.toSeq
     fs.delete(hp(staging), true)
-    promoted
+    // stats from the PROMOTED files (post-rename, so the scan and the
+    // lineage agree on names; a crash before the lineage append leaves
+    // only untracked files the retry overwrites). Batch-sized, and the
+    // one scan serves counts, history accounting, and data skipping.
+    if (promoted.isEmpty)
+      return actionRows(spark, Seq.empty).limit(0)
+    // promoted names are `v<d>_<d>.parquet` — no URI-encodable chars,
+    // so input_file_name's encoding hazard (Layout's listing rule)
+    // cannot bite here
+    spark.read.parquet(promoted.map(n => s"$dataPath/$n"): _*)
+      .groupBy(element_at(split(input_file_name(), "/"), -1)
+        .as("file_name"))
+      .agg(count(lit(1)).as("n_rows"), Layout.statsAggs(dims): _*)
+      .withColumn("version", lit(v))
+      .withColumn("action", lit("add"))
   }
 
   /** Commit a new batch as version `latest + 1`: z-cluster `df` on
@@ -162,9 +184,8 @@ object TimeTravel {
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
-    val promoted = stageAndPromote(spark, dataPath, v, clustered)
     appendLineage(spark, dataPath,
-      promoted.map { case (name, n) => (v, "add", name, n) })
+      stageAndPromote(spark, dataPath, v, clustered, dims))
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }
@@ -178,22 +199,50 @@ object TimeTravel {
     * or the current one unchanged when nothing matched (a no-op delete
     * commits nothing — replay-friendly like [[Layout.deleteByIds]]).
     *
-    * The affected-file discovery is one semi-join of the live data
-    * against the doomed-id frame aggregated to DISTINCT file names —
-    * driver cost is file-count-bounded, never row-bounded.
+    * The affected-file discovery composes two prunes before any data
+    * moves: the lineage's own per-file `[min, max]` stats screen
+    * candidate files against the id frame (a metadata-sized join — the
+    * same conservative discriminator as [[Layout]]'s delete: a
+    * stats-less add row cannot be proven id-free and stays a
+    * candidate), then one semi-join of ONLY the candidate files' rows
+    * against the ids yields the files actually holding a doomed row.
+    * Driver cost stays file-count-bounded; data cost is
+    * candidate-bounded, never table-bounded.
     */
   def commitDelete(spark: SparkSession, dataPath: String, idCol: String,
                    doomedIds: DataFrame): Long = {
     val latest = latestVersion(spark, dataPath)
     require(latest >= 1, s"commitDelete: no committed table at $dataPath")
     val live = liveFileNames(spark, dataPath, latest)
-    val ids = doomedIds.select(doomedIds.columns.head).toDF(idCol).distinct()
+    // null doomed ids are inert BY the join semantics below (null never
+    // equals a data row's id), so the candidate screen drops them too
+    val ids = doomedIds.select(doomedIds.columns.head).toDF(idCol)
+      .filter(col(idCol).isNotNull).distinct()
+    val l = lineage(spark, dataPath)
+    val candidates: Seq[String] =
+      if (!l.columns.contains(s"min_$idCol")) live
+      else {
+        val stats = l.filter(col("action") === "add" &&
+            col("file_name").isin(live: _*))
+          .select(col("file_name"), col(s"min_$idCol"), col(s"max_$idCol"))
+        // stats-less rows (nulls in min/max from a pre-dims-change
+        // commit) survive the range test as candidates via <=> false…
+        // make the conservative keep explicit instead:
+        stats.join(ids,
+            col(idCol) >= col(s"min_$idCol") &&
+              col(idCol) <= col(s"max_$idCol"), "left_semi")
+          .unionByName(stats.filter(col(s"min_$idCol").isNull)
+            .join(ids.limit(1), lit(true), "left_semi"))
+          .select(col("file_name")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
+    if (candidates.isEmpty) return latest
     // no broadcast hint on the id frame in either join: it is usually
     // needle-sized but is not REQUIRED to be, and a literal hint would
     // pin a build side that might be 10^9 ids at 100 TB — AQE picks the
     // broadcast at runtime when the frame is small
     val withFile = spark.read
-      .parquet(live.map(n => s"$dataPath/$n"): _*)
+      .parquet(candidates.map(n => s"$dataPath/$n"): _*)
       .withColumn("__file",
         element_at(split(input_file_name(), "/"), -1))
     val affected = withFile
@@ -208,12 +257,19 @@ object TimeTravel {
       .join(ids, Seq(idCol), "left_anti")
       // survivor files: one per rewritten file keeps file sizes stable
       .repartition(affected.size)
-    val promoted = stageAndPromote(spark, dataPath, v, survivors)
     appendLineage(spark, dataPath,
-      promoted.map { case (name, n) => (v, "add", name, n) } ++
-        affected.map(name => (v, "remove", name, 0L)))
+      stageAndPromote(spark, dataPath, v, survivors, statDims(l))
+        .unionByName(actionRows(spark,
+          affected.map(name => (v, "remove", name, 0L))),
+          allowMissingColumns = true))
     v
   }
+
+  /** The stat dimensions the lineage already records (`min_<c>` column
+    * suffixes) — a rewrite commit keeps recording them so its new files
+    * stay skippable. */
+  private def statDims(l: DataFrame): Seq[String] =
+    l.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
 
   /** Rewrite the live file set as one freshly z-clustered generation
     * (version `latest + 1`): adds the compacted files, logically
@@ -233,10 +289,11 @@ object TimeTravel {
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
-    val promoted = stageAndPromote(spark, dataPath, v, clustered)
     appendLineage(spark, dataPath,
-      promoted.map { case (name, n) => (v, "add", name, n) } ++
-        live.map(name => (v, "remove", name, 0L)))
+      stageAndPromote(spark, dataPath, v, clustered, dims)
+        .unionByName(actionRows(spark,
+          live.map(name => (v, "remove", name, 0L))),
+          allowMissingColumns = true))
     v
   }
 
@@ -282,6 +339,44 @@ object TimeTravel {
         s"${missing.mkString(", ")} — lineage is the source of truth; " +
         "a vanished committed file is corruption, never a smaller table")
     spark.read.parquet(live.map(n => s"$dataPath/$n"): _*)
+  }
+
+  /** [[readAsOf]] with data skipping: the lineage's own per-file
+    * min/max/null stats (recorded by every commit, one scan each) drop
+    * files whose ranges cannot intersect, exactly [[Layout.prunedRead]]'s
+    * conservative keep rule — null-bearing files and stats-less add
+    * rows (a commit predating the dimension) stay unpruned, so stats
+    * may only cost skip rate, never rows. Historical versions skip just
+    * as well as the head: the stats ride the same log that defines
+    * them. Row filters for every range are applied on top, like
+    * prunedRead.
+    */
+  def readAsOfPruned(spark: SparkSession, dataPath: String, version: Long,
+                     ranges: Seq[Layout.ColRange]): DataFrame = {
+    val base = readAsOf(spark, dataPath, version) // validation + corruption
+    val live = liveFileNames(spark, dataPath, version)
+    val l = lineage(spark, dataPath)
+    // prune only on dimensions the lineage has ever recorded; a range
+    // over an unrecorded column still row-filters below
+    val prunable = ranges.filter(r =>
+      Seq(s"min_${r.colName}", s"max_${r.colName}", s"nulls_${r.colName}")
+        .forall(l.columns.contains))
+    val files =
+      if (prunable.isEmpty) live
+      else {
+        val kept = prunable.foldLeft(
+            l.filter(col("version") <= version && col("action") === "add"))(
+            (df, r) => df.filter(Layout.rangeKeep(r)))
+          .select(col("file_name"))
+          .collect().map(_.getString(0)).toSet
+        live.filter(kept.contains)
+      }
+    val pruned =
+      if (files.isEmpty) base.limit(0)
+      else spark.read.parquet(files.map(n => s"$dataPath/$n"): _*)
+    ranges.foldLeft(pruned) { (df, r) =>
+      df.filter(col(r.colName) >= r.lo && col(r.colName) <= r.hi)
+    }
   }
 
   /** The current table (convenience: [[readAsOf]] the latest version). */
@@ -336,7 +431,7 @@ object TimeTravel {
     }
     val v = latestVersion(spark, dataPath) + 1
     appendLineage(spark, dataPath,
-      doomed.map(name => (v, "vacuum", name, 0L)))
+      actionRows(spark, doomed.map(name => (v, "vacuum", name, 0L))))
     doomed.size
   }
 }

@@ -157,6 +157,38 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("missing on disk"))
   }
 
+  test("pruned as-of reads skip files by the lineage's own stats and " +
+      "stay row-identical to the plain as-of filter") {
+    import graft.sources.Layout.ColRange
+    val dir = tmpDir("prune")
+    // 4 files per commit, z-ordered on id → tight per-file id ranges
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 4)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 4)
+    val r = Seq(ColRange("id", lit(10L), lit(40L)))
+    // row-identical at BOTH versions (history skips like the head)
+    (1L to 2L).foreach { v =>
+      val pruned = ids(TimeTravel.readAsOfPruned(spark, dir, v, r))
+      val full = ids(TimeTravel.readAsOf(spark, dir, v)
+        .filter(col("id").between(10L, 40L)))
+      assert(pruned == full, s"as-of $v pruned read diverged")
+    }
+    // and it actually skips: the v1 slice [10,40] cannot need v2's
+    // files (ids 100-199) nor all 4 of v1's quarter-files
+    val nFiles = TimeTravel.readAsOfPruned(spark, dir, 1L, r)
+      .inputFiles.length
+    assert(nFiles < 4, s"expected file skipping, plan reads $nFiles files")
+    // a range over a never-recorded dimension degrades to row filtering
+    val byV = TimeTravel.readAsOfPruned(spark, dir, 2L,
+      Seq(ColRange("v", lit(30L), lit(60L))))
+    assert(ids(byV) == (10L to 20L))
+    // a versioned delete's rewrite keeps recording stats: post-delete
+    // files are still skippable
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(0L, 5L).select(col("id")))
+    assert(ids(TimeTravel.readAsOfPruned(spark, dir, 3L, r)) ==
+      (10L to 40L))
+  }
+
   test("the SQL faces drive the whole lifecycle from SQL text alone") {
     GraftExtensions.register(spark)
     val dir = tmpDir("sqlface")
