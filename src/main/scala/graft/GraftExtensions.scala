@@ -210,6 +210,12 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    ([[graft.sources.TimeTravel.readAsOf]] / `readAsOfPruned`)
   *  - `graft_tt_history(dataPath)` — one audit row per commit
   *    ([[graft.sources.TimeTravel.history]])
+  *  - `graft_tt_rollback(dataPath, toVersion)` — restore an old
+  *    version as the new head, metadata-only
+  *    ([[graft.sources.TimeTravel.rollback]])
+  *  - `graft_tt_diff(dataPath, v1, v2[, idCol])` — file-level version
+  *    diff, or key-level appeared/disappeared reading only changed
+  *    files ([[graft.sources.TimeTravel.diff]] / `diffByKey`)
   *  - `graft_bpe_train(table, textCol, numMerges)` /
   *    `graft_bpe_encode(table, idCol, textCol, 'l:r,…')` /
   *    `graft_bpe_vocab(table, textCol, 'l:r,…')` — BPE tokenizer
@@ -1178,6 +1184,33 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_history(dataPath)")
       }),
+    (new FunctionIdentifier("graft_tt_rollback"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_rollback"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, v) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val nv = graft.sources.TimeTravel.rollback(spark, path,
+            longArg(v, "toVersion"))
+          import spark.implicits._
+          plan(Seq((path, nv)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_rollback(dataPath, toVersion)")
+      }),
+    (new FunctionIdentifier("graft_tt_diff"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_diff"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, v1, v2) =>
+          plan(graft.sources.TimeTravel.diff(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v1, "v1"), longArg(v2, "v2")))
+        case Seq(p, v1, v2, id) =>
+          plan(graft.sources.TimeTravel.diffByKey(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v1, "v1"), longArg(v2, "v2"),
+            strArg(id, "idCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_diff(dataPath, v1, v2[, idCol]) — file-level " +
+            "changes, or key-level appeared/disappeared with idCol")
+      }),
     (new FunctionIdentifier("graft_tt_vacuum"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_vacuum"),
       (args: Seq[Expression]) => args match {
@@ -1655,6 +1688,8 @@ object GraftExtensions {
     "graft_tt_read" -> "q128_time_travel",
     "graft_tt_history" -> "TimeTravelSpec",
     "graft_tt_vacuum" -> "TimeTravelSpec",
+    "graft_tt_rollback" -> "q130_tt_rollback_diff",
+    "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_strip_boilerplate" -> "q110_boilerplate",
     "graft_bpe_train" -> "q113_bpe_train",
     "graft_bpe_encode" -> "BpeSpec",

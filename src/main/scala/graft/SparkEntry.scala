@@ -2124,7 +2124,45 @@ object SparkEntry {
           Seq("src0" -> 0.005, "src1" -> 0.9, "src2" -> 0.006))
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"))
-        .orderBy(col("source"), col("doc_id")))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Rollback + version diff (r13): the bad-batch undo audited by the
+    // key-level diff. Two hash-split commits, a versioned delete, a
+    // METADATA-ONLY rollback to the pre-delete head, then the diffs
+    // across both transitions: v2→v3 must show exactly the deleted keys
+    // disappearing (survivor-rewrite keys cancel between the changed
+    // file sets), v3→v4 exactly the same keys reappearing. A rollback
+    // that copies data, a diff that reads unchanged files wrongly, or a
+    // live-set rule that mishandles re-adds all break the hash.
+    "q130_tt_rollback_diff" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttrb_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q130_tt_rollback_diff", "commits") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id"), files = 2))
+      }
+      Stages.timed("q130_tt_rollback_diff", "delete_rollback") {
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        TimeTravel.rollback(s, dir, 2L): Unit
+      }
+      TimeTravel.diffByKey(s, dir, 2L, 3L, "doc_id")
+        .withColumn("from_v", lit(2L))
+        .unionByName(TimeTravel.diffByKey(s, dir, 3L, 4L, "doc_id")
+          .withColumn("from_v", lit(3L)))
+        .select(col("from_v"), col("doc_id"), col("change"))
+        .orderBy(col("from_v"), col("doc_id"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4703,7 +4741,25 @@ object SparkEntry {
         |)
         |SELECT source, doc_id, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= budget
-        |ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
+        |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
+
+    // q130: the deleted key set re-derived from the hash split — the
+    // v2→v3 diff is exactly it disappearing, the v3→v4 (rollback) diff
+    // exactly it reappearing
+    "q130_tt_rollback_diff" ->
+      """WITH del AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 = 3
+        |)
+        |SELECT from_v, doc_id, change FROM (
+        |  SELECT CAST(2 AS BIGINT) AS from_v, doc_id,
+        |    'disappeared' AS change FROM del
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id, 'appeared' FROM del
+        |)
+        |ORDER BY from_v, doc_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

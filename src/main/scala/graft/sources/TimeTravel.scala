@@ -86,15 +86,21 @@ object TimeTravel {
     else lineage(spark, dataPath)
       .agg(max(col("version"))).head().getLong(0)
 
-  /** The file names live at `v` — adds ≤ v minus removes ≤ v, sorted.
-    * One lineage-sized (file-count-sized) collect; no data is read.
+  /** The file names live at `v`: per file, its LATEST add/remove action
+    * at or before `v` decides (not a mere add-minus-remove set — a
+    * [[rollback]] re-ADDS a file a later version had removed, so the
+    * ordering matters). One lineage-sized (file-count-sized) collect;
+    * no data is read.
     */
   private def liveFileNames(spark: SparkSession, dataPath: String,
                             v: Long): Seq[String] = {
-    val l = lineage(spark, dataPath).filter(col("version") <= v)
-    l.filter(col("action") === "add")
-      .join(l.filter(col("action") === "remove"),
-        Seq("file_name"), "left_anti")
+    val l = lineage(spark, dataPath)
+      .filter(col("version") <= v && col("action").isin("add", "remove"))
+    l.groupBy(col("file_name"))
+      .agg(max(when(col("action") === "add", col("version"))).as("__a"),
+        max(when(col("action") === "remove", col("version"))).as("__r"))
+      .filter(col("__a").isNotNull &&
+        (col("__r").isNull || col("__a") > col("__r")))
       .select(col("file_name"))
       .collect().map(_.getString(0)).toSeq.sorted
   }
@@ -399,6 +405,109 @@ object TimeTravel {
         sum(when(col("action") === "add", col("n_rows")).otherwise(0L))
           .as("rows_added"))
       .orderBy(col("version"))
+
+  /** Restore version `toVersion`'s content as the NEW head — the
+    * bad-batch undo. Metadata-only: one lineage commit that removes the
+    * current head's extra files and re-ADDS the files the target
+    * version read (copying each file's latest add row, so the stats
+    * payload — and with it [[readAsOfPruned]]'s skipping — survives the
+    * rollback). Nothing is copied or rewritten; every intermediate
+    * version stays readable, and rolling FORWARD again is just another
+    * rollback. Returns the new version (the current one when the head
+    * already equals the target — a replayed rollback is a no-op).
+    */
+  def rollback(spark: SparkSession, dataPath: String,
+               toVersion: Long): Long = {
+    val latest = latestVersion(spark, dataPath)
+    require(toVersion >= 1 && toVersion <= latest,
+      s"rollback: version $toVersion outside committed range [1, $latest]")
+    val floor = earliestReadable(spark, dataPath)
+    require(toVersion >= floor,
+      s"rollback: version $toVersion was vacuumed (earliest readable " +
+        s"is $floor) — its files are gone; rollback cannot resurrect them")
+    val target = liveFileNames(spark, dataPath, toVersion).toSet
+    val current = liveFileNames(spark, dataPath, latest).toSet
+    if (target == current) return latest
+    val v = latest + 1
+    val missing = (target -- current).toSeq.sorted
+    val l = lineage(spark, dataPath)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file_name")).orderBy(col("version").desc)
+    // each missing file's latest add row, stats and all, re-stamped as
+    // this commit's add (lineage-sized window — file-count rows)
+    val readds = l
+      .filter(col("action") === "add" && col("file_name").isin(missing: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("version", lit(v))
+    appendLineage(spark, dataPath,
+      readds.unionByName(
+        actionRows(spark,
+          (current -- target).toSeq.sorted.map(n => (v, "remove", n, 0L))),
+        allowMissingColumns = true))
+    v
+  }
+
+  /** File-level diff between two readable versions (`v1 < v2`): one row
+    * per file whose membership changed, `change ∈ {added, removed}`.
+    * Pure lineage metadata — the audit a lake operator reads before
+    * trusting a [[rollback]] target. */
+  def diff(spark: SparkSession, dataPath: String, v1: Long,
+           v2: Long): DataFrame = {
+    val (only1, only2) = changedFiles(spark, dataPath, v1, v2)
+    import spark.implicits._
+    (only2.map((_, "added")) ++ only1.map((_, "removed")))
+      .toDF("file_name", "change")
+  }
+
+  /** Key-level presence diff between two readable versions: which
+    * `idCol` values appeared / disappeared from v1 to v2 — reading ONLY
+    * the files whose membership changed (keys in files both versions
+    * share are present in both by definition). Requires the id-keyed
+    * table contract (one row per id per version, the same contract
+    * [[commitDelete]] serves); under it a compaction — every file
+    * rewritten, no row changed — correctly diffs to empty, because the
+    * two changed-file key sets cancel.
+    */
+  def diffByKey(spark: SparkSession, dataPath: String, v1: Long, v2: Long,
+                idCol: String): DataFrame = {
+    val (only1, only2) = changedFiles(spark, dataPath, v1, v2)
+    def keysOf(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        readAsOf(spark, dataPath, v2).select(col(idCol)).limit(0)
+      else spark.read.parquet(files.map(n => s"$dataPath/$n"): _*)
+        .select(col(idCol)).distinct()
+    val k1 = keysOf(only1)
+    val k2 = keysOf(only2)
+    k2.except(k1).withColumn("change", lit("appeared"))
+      .unionByName(k1.except(k2).withColumn("change", lit("disappeared")))
+  }
+
+  private def changedFiles(spark: SparkSession, dataPath: String,
+                           v1: Long, v2: Long): (Seq[String], Seq[String]) = {
+    val latest = latestVersion(spark, dataPath)
+    val floor = earliestReadable(spark, dataPath)
+    require(v1 >= floor && v2 <= latest && v1 < v2,
+      s"diff wants readable versions $floor ≤ v1 < v2 ≤ $latest, " +
+        s"got ($v1, $v2)")
+    val live1 = liveFileNames(spark, dataPath, v1).toSet
+    val live2 = liveFileNames(spark, dataPath, v2).toSet
+    ((live1 -- live2).toSeq.sorted, (live2 -- live1).toSeq.sorted)
+  }
+
+  /** `foreachBatch` sink: each micro-batch commits as one version under
+    * batch id `stream_<epoch>`, so Structured Streaming's at-least-once
+    * epoch replays become exactly-once version growth through the
+    * commit ledger — the same discipline as the index appends.
+    * Usage: `df.writeStream.foreachBatch(TimeTravel.streamingSink(path,
+    * dims, files)).start()`.
+    */
+  def streamingSink(dataPath: String, dims: Seq[String],
+                    files: Int): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      commitAppend(batch, dataPath, dims, files,
+        batchId = Some(s"stream_$epochId")): Unit
+    }
 
   /** Physically reclaim files no version ≥ `keepFrom` can need: those
     * logically removed at a version ≤ `keepFrom`. Records a `vacuum`

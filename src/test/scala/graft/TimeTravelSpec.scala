@@ -222,6 +222,83 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir', 4)").count() == 150L)
   }
 
+  test("rollback restores an old version metadata-only, keeps every " +
+      "intermediate version readable, and keeps the stats payload") {
+    import graft.sources.Layout.ColRange
+    val dir = tmpDir("rollback")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(0L, 200L).filter(col("id") % 3 === 0).select("id")) // v3
+    // undo the delete: head == v2 again, as a NEW version
+    val v4 = TimeTravel.rollback(spark, dir, 2L)
+    assert(v4 == 4L)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 200L))
+    // the delete's version is still there, un-rewritten
+    assert(ids(TimeTravel.readAsOf(spark, dir, 3L)) ==
+      (0L until 200L).filterNot(_ % 3 == 0))
+    // a replayed rollback is a no-op
+    assert(TimeTravel.rollback(spark, dir, 2L) == 4L)
+    // re-added files kept their stats: the head still skips files
+    val pruned = TimeTravel.readAsOfPruned(spark, dir, 4L,
+      Seq(ColRange("id", lit(0L), lit(30L))))
+    assert(pruned.inputFiles.length < 4)
+    assert(ids(pruned) == (0L to 30L))
+    // rolling FORWARD again works too (back to the deleted state)
+    assert(TimeTravel.rollback(spark, dir, 3L) == 5L)
+    assert(ids(TimeTravel.read(spark, dir)) ==
+      (0L until 200L).filterNot(_ % 3 == 0))
+  }
+
+  test("diff and diffByKey report version-to-version changes from " +
+      "changed files only; compaction diffs to empty") {
+    val dir = tmpDir("diff")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    val doomed = spark.range(0L, 200L).filter(col("id") % 10 === 1)
+      .select("id")
+    TimeTravel.commitDelete(spark, dir, "id", doomed)            // v3
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1)         // v4
+    // v1 → v2: batch 1's keys appeared
+    val d12 = TimeTravel.diffByKey(spark, dir, 1L, 2L, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(d12.forall(_._2 == "appeared"))
+    assert(d12.map(_._1).sorted.toSeq == (100L until 200L))
+    // v2 → v3: exactly the doomed keys disappeared
+    val d23 = TimeTravel.diffByKey(spark, dir, 2L, 3L, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(d23.forall(_._2 == "disappeared"))
+    assert(d23.map(_._1).sorted.toSeq ==
+      (0L until 200L).filter(_ % 10 == 1))
+    // v3 → v4 (compaction): every file changed, no key did
+    assert(TimeTravel.diff(spark, dir, 3L, 4L).count() > 0)
+    assert(TimeTravel.diffByKey(spark, dir, 3L, 4L, "id").isEmpty)
+  }
+
+  test("streamingSink commits each epoch exactly once across replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream")
+    val in = MemoryStream[Long]
+    val sink = TimeTravel.streamingSink(dir, Seq("id"), files = 1)
+    val q = in.toDS().toDF("id")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      in.addData(0L until 50L: _*)
+      q.processAllAvailable()
+      in.addData(50L until 80L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val vAfter = TimeTravel.latestVersion(spark, dir)
+    assert(TimeTravel.read(spark, dir).count() == 80L)
+    // an epoch REPLAY (the at-least-once case foreachBatch documents)
+    // must be an exact no-op: same epoch id, no growth
+    import spark.implicits._
+    sink(Seq(60L, 61L).toDF("id"), 1L)
+    assert(TimeTravel.latestVersion(spark, dir) == vAfter)
+    assert(TimeTravel.read(spark, dir).count() == 80L)
+  }
+
   test("history reports per-version file and row accounting") {
     val dir = tmpDir("history")
     TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
