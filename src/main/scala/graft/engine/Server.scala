@@ -49,7 +49,8 @@ import org.apache.spark.sql.types._
 final class AnalyticsServer(
     spark: SparkSession, geo: DataFrame, sr: DataFrame,
     complaintTypes: DataFrame, sale: DataFrame, property: DataFrame,
-    bookmarkStore: Option[String] = None) {
+    bookmarkStore: Option[String] = None,
+    geocoder: Option[String => Option[String]] = None) {
 
   import AnalyticsServer._
 
@@ -86,6 +87,11 @@ final class AnalyticsServer(
     val path = ex.getRequestURI.getPath
     val q = params(ex)
     path match {
+      case "/" => send(ex, 200, "application/json", jsonObj(Seq(
+        "routes" -> jsonArr(Seq("/search", "/analytics/<bbl>",
+          "/trends/<bbl>", "/compare", "/export/<bbl>",
+          "/bookmark/<bbl>", "/bookmarks", "/login").map(jsonStr)))))
+      case "/search" => searchRoute(ex, q)
       case "/login" => send(ex, 401, "text/plain", "Unauthorized")
       case "/bookmarks" => bookmarksRoute(ex)
       case "/compare" => compareRoute(ex, q)
@@ -109,6 +115,42 @@ final class AnalyticsServer(
         .orElse(Some("2024-01-01")),
       Some(q.getOrElse("end_date", "2024-12-31")).filter(_.nonEmpty)
         .orElse(Some("2024-12-31")))
+
+  /** The reference's search flow (server.py:359-380): required
+    * house/street/borough → geocode → 302 redirect into the dashboard,
+    * 400 on missing fields, 404 on a geocode miss. The geocoder is
+    * INJECTED (normalized address → bbl10), the same seam as
+    * [[Geocode.resolveWithCache]]'s resolver — this sandbox has no
+    * egress, and the route's own job is the flow, not the HTTP hop.
+    * POST (the reference's method) reads form fields; GET query params
+    * are accepted too for curl-ability. */
+  private def searchRoute(ex: HttpExchange, q: Map[String, String]): Unit = {
+    val form = q ++ bodyParams(ex)
+    val house = form.getOrElse("house_number", "").trim
+    val street = form.getOrElse("street", "").trim
+    val borough = form.getOrElse("borough", "").trim
+    if (house.isEmpty || street.isEmpty || borough.isEmpty) {
+      send(ex, 400, "text/plain",
+        "Please enter house number, street name, and select borough")
+      return
+    }
+    val gc = geocoder.getOrElse {
+      send(ex, 503, "text/plain", "no geocoder configured"); return
+    }
+    val key = normalizeAddr(s"$house $street $borough")
+    gc(key).flatMap(bbl10FromWire) match {
+      case None => send(ex, 404, "text/plain",
+        s"No matching address found for: $house $street, $borough")
+      case Some(bbl) =>
+        val window = Seq("start_date", "end_date")
+          .flatMap(k => form.get(k).filter(_.nonEmpty).map(v => s"$k=$v"))
+          .mkString("&")
+        val target = s"/analytics/$bbl" +
+          (if (window.nonEmpty) s"?$window" else "")
+        ex.getResponseHeaders.set("Location", target)
+        send(ex, 302, "text/plain", target)
+    }
+  }
 
   private def analyticsRoute(ex: HttpExchange, bbl: String,
                              q: Map[String, String]): Unit =
@@ -257,7 +299,16 @@ object AnalyticsServer {
   }
 
   private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).toSeq.flatMap(_.split("&"))
+    kvPairs(Option(ex.getRequestURI.getQuery))
+
+  /** urlencoded POST body fields (the reference's `request.form`). */
+  private def bodyParams(ex: HttpExchange): Map[String, String] =
+    if (ex.getRequestMethod != "POST") Map.empty
+    else kvPairs(Some(new String(
+      ex.getRequestBody.readAllBytes(), UTF_8)).filter(_.nonEmpty))
+
+  private def kvPairs(s: Option[String]): Map[String, String] =
+    s.toSeq.flatMap(_.split("&"))
       .flatMap { kv =>
         kv.split("=", 2) match {
           case Array(k, v) => Some(k ->
@@ -265,6 +316,19 @@ object AnalyticsServer {
           case _ => None
         }
       }.toMap
+
+  /** Driver-side twin of [[Geocode.normalizeAddress]] (upper, trim,
+    * collapse whitespace) — the cache/mapping key form. */
+  def normalizeAddr(s: String): String =
+    s.trim.replaceAll("\\s+", " ").toUpperCase
+
+  /** Geoclient wire bbl (10 fixed-width digits) → the dashed display
+    * form the routes speak (reference parse at server.py:104-109). */
+  def bbl10FromWire(bbl10: String): Option[String] =
+    if (bbl10 != null && bbl10.matches("[0-9]{10}"))
+      Some(s"${bbl10.substring(0, 1)}-${bbl10.substring(1, 6)}-" +
+        bbl10.substring(6, 10))
+    else None
 
   private def send(ex: HttpExchange, code: Int, ctype: String,
                    body: String): Unit = {

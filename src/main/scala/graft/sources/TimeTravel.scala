@@ -344,7 +344,12 @@ object TimeTravel {
       s"readAsOf: committed files missing on disk at $dataPath: " +
         s"${missing.mkString(", ")} — lineage is the source of truth; " +
         "a vanished committed file is corruption, never a smaller table")
-    spark.read.parquet(live.map(n => s"$dataPath/$n"): _*)
+    // mergeSchema: commits may evolve the schema (a batch adding a
+    // column), and a first-file schema would silently drop it. The
+    // merge is naturally AS-OF: a version before the column existed
+    // reads only pre-evolution files and never sees it.
+    spark.read.option("mergeSchema", "true")
+      .parquet(live.map(n => s"$dataPath/$n"): _*)
   }
 
   /** [[readAsOf]] with data skipping: the lineage's own per-file
@@ -379,7 +384,8 @@ object TimeTravel {
       }
     val pruned =
       if (files.isEmpty) base.limit(0)
-      else spark.read.parquet(files.map(n => s"$dataPath/$n"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.map(n => s"$dataPath/$n"): _*)
     ranges.foldLeft(pruned) { (df, r) =>
       df.filter(col(r.colName) >= r.lo && col(r.colName) <= r.hi)
     }

@@ -35,9 +35,11 @@ class ServerSpec extends SparkSpec {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
-  private def withServer[A](store: Option[String] = None)
+  private def withServer[A](store: Option[String] = None,
+                            geocoder: Option[String => Option[String]] = None)
                            (f: (Int, AnalyticsServer) => A): A = {
-    val srv = new AnalyticsServer(spark, geo, sr, ct, sale, prop, store)
+    val srv = new AnalyticsServer(spark, geo, sr, ct, sale, prop, store,
+      geocoder)
     val port = srv.start()
     try f(port, srv) finally srv.stop()
   }
@@ -132,6 +134,53 @@ class ServerSpec extends SparkSpec {
       assert(post(port, "/bookmark/1-42-7", Some(cookie)).body()
         .contains("\"action\":\"removed\""))
       assert(get(port, "/login").statusCode() == 401)
+    }
+  }
+
+  test("POST /search geocodes, redirects into the dashboard, and keeps " +
+      "the reference's 400/404 contracts") {
+    // injected geocoder, the Geocode.resolveWithCache seam: one known
+    // normalized address → the 10-digit wire BBL of geo 101
+    val gc: String => Option[String] =
+      k => if (k == "123 MAIN ST MANHATTAN") Some("1000420007") else None
+    withServer(geocoder = Some(gc)) { (port, _) =>
+      val hit = post(port,
+        "/search?house_number=123&street=Main%20St&borough=Manhattan" +
+          "&start_date=2024-01-01&end_date=2024-06-30")
+      assert(hit.statusCode() == 302)
+      val loc = hit.headers().firstValue("Location").get
+      assert(loc == "/analytics/1-00042-0007?start_date=2024-01-01" +
+        "&end_date=2024-06-30")
+      // the redirect target resolves (padded dashed form parses)
+      assert(get(port, loc).body().contains("\"geographic_id\":101"))
+      // geocode miss → the reference's 404 message shape
+      assert(post(port,
+        "/search?house_number=9&street=Nowhere&borough=Queens")
+        .statusCode() == 404)
+      // missing fields → the reference's 400
+      assert(post(port, "/search?house_number=123&street=Main%20St")
+        .statusCode() == 400)
+      // form-body fields work like query params (request.form)
+      val b = HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/search"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "house_number=123&street=Main+St&borough=Manhattan"))
+        .build()
+      assert(client.send(b,
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 302)
+    }
+    // no geocoder configured → explicit 503, not a crash
+    withServer() { (port, _) =>
+      assert(post(port,
+        "/search?house_number=1&street=A&borough=B").statusCode() == 503)
+    }
+  }
+
+  test("GET / lists the routes") {
+    withServer() { (port, _) =>
+      val r = get(port, "/")
+      assert(r.statusCode() == 200 && r.body().contains("/analytics/<bbl>"))
     }
   }
 

@@ -299,6 +299,21 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.read(spark, dir).count() == 80L)
   }
 
+  test("schema evolution: a batch adding a column merges at the head, " +
+      "while pre-evolution versions never see it") {
+    val dir = tmpDir("evolve")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    val widened = batch(1).withColumn("lang", lit("en"))
+    TimeTravel.commitAppend(widened, dir, Seq("id"), files = 2)  // v2
+    // as-of v1: the column does not exist yet — reads the old schema
+    assert(!TimeTravel.readAsOf(spark, dir, 1L).columns.contains("lang"))
+    // head: merged schema; old rows read null, new rows their value
+    val head = TimeTravel.read(spark, dir)
+    assert(head.columns.contains("lang"))
+    assert(head.filter(col("lang").isNull).count() == 100L)
+    assert(head.filter(col("lang") === "en").count() == 100L)
+  }
+
   test("history reports per-version file and row accounting") {
     val dir = tmpDir("history")
     TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
