@@ -314,6 +314,40 @@ class TimeTravelSpec extends SparkSpec {
     assert(head.filter(col("lang") === "en").count() == 100L)
   }
 
+  test("reproducibility composition: a mixture manifest re-derived from " +
+      "an as-of snapshot is bit-identical, whatever landed since") {
+    import graft.operators.Corpus
+    val dir = tmpDir("repro")
+    // corpus v1: two sources, deterministic tokens
+    val v1docs = spark.range(0L, 60L).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 2).cast("string")).as("source"),
+      // id-dependent token counts: "w " repeated (id % 7 + 1) times
+      concat_ws(" ", sequence(lit(1), col("id") % 7 + 1)).as("text"))
+    TimeTravel.commitAppend(v1docs, dir, Seq("doc_id"), files = 2)
+    val manifestThen = Corpus.tokenBudgetFill(
+        TimeTravel.read(spark, dir), "source", "doc_id", "text",
+        Seq("src0" -> 40L, "src1" -> 25L))
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    // the lake moves on: a new batch lands, then a delete rewrites files
+    TimeTravel.commitAppend(
+      spark.range(100L, 140L).select(col("id").as("doc_id"),
+        lit("src0").as("source"), lit("a b c").as("text")),
+      dir, Seq("doc_id"), files = 2)
+    TimeTravel.commitDelete(spark, dir, "doc_id",
+      spark.range(0L, 30L).select(col("id").as("doc_id")))
+    // reproducing the ORIGINAL run needs only the version number
+    val manifestNow = Corpus.tokenBudgetFill(
+        TimeTravel.readAsOf(spark, dir, 1L), "source", "doc_id", "text",
+        Seq("src0" -> 40L, "src1" -> 25L))
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    assert(manifestNow == manifestThen,
+      "as-of mixture manifest must reproduce bit-identically")
+    assert(manifestThen.nonEmpty)
+  }
+
   test("history reports per-version file and row accounting") {
     val dir = tmpDir("history")
     TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
