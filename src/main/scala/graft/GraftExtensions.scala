@@ -216,6 +216,19 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_tt_diff(dataPath, v1, v2[, idCol])` — file-level version
   *    diff, or key-level appeared/disappeared reading only changed
   *    files ([[graft.sources.TimeTravel.diff]] / `diffByKey`)
+  *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
+  *    versioned MERGE: matched keys replaced, the rest inserted, only
+  *    matched files rewritten
+  *    ([[graft.sources.TimeTravel.commitUpsert]]; BUILD-style receipt)
+  *  - `graft_tt_changes(dataPath, v1, v2, idCol)` — row-level
+  *    inserted/deleted/updated feed over `(v1, v2]`, reading only the
+  *    commits' touched files; rewrites cancel by payload
+  *    ([[graft.sources.TimeTravel.changeFeedByKey]])
+  *  - `graft_mv_create(srcPath, viewPath, 'keys', 'sumCols')` /
+  *    `graft_mv_refresh(viewPath)` / `graft_mv_read(viewPath)` —
+  *    incrementally maintained count/sum aggregate over a time-travel
+  *    table: refresh cost tracks the commits' touch set, never the
+  *    table ([[graft.sources.MatView]]; BUILD-style receipts + read)
   *  - `graft_bpe_train(table, textCol, numMerges)` /
   *    `graft_bpe_encode(table, idCol, textCol, 'l:r,…')` /
   *    `graft_bpe_vocab(table, textCol, 'l:r,…')` — BPE tokenizer
@@ -1226,6 +1239,71 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum(dataPath, keepFrom)")
       }),
+    (new FunctionIdentifier("graft_tt_upsert"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_upsert"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, id, f, rest @ _*) if rest.size <= 1 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.commitUpsert(spark, path,
+            strArg(id, "idCol"), tableArg(t, "updates"),
+            intArg(f, "files"),
+            rest.headOption.map(strArg(_, "batchId")))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_upsert(updates, dataPath, idCol, files[, batchId])")
+      }),
+    (new FunctionIdentifier("graft_tt_changes"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_changes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, v1, v2, id) =>
+          plan(graft.sources.TimeTravel.changeFeedByKey(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v1, "v1"), longArg(v2, "v2"),
+            strArg(id, "idCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_changes(dataPath, v1, v2, idCol) — row-level " +
+            "inserted/deleted/updated feed over (v1, v2]")
+      }),
+    // materialized-view family (graft.sources.MatView) — incrementally
+    // maintained count/sum aggregates over a time-travel table.
+    // create/refresh are BUILD-style receipts; read is a table read
+    (new FunctionIdentifier("graft_mv_create"),
+      new ExpressionInfo("graft.sources.MatView", "graft_mv_create"),
+      (args: Seq[Expression]) => args match {
+        case Seq(src, vp, k, sc) =>
+          val spark = SparkSession.active
+          val view = strArg(vp, "viewPath")
+          val v = graft.sources.MatView.create(spark,
+            strArg(src, "srcPath"), view, colsArg(k, "keys"),
+            colsArg(sc, "sumCols"))
+          import spark.implicits._
+          plan(Seq((view, v)).toDF("view_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_mv_create(srcPath, viewPath, 'k1[,k2…]', 'c1[,c2…]')")
+      }),
+    (new FunctionIdentifier("graft_mv_refresh"),
+      new ExpressionInfo("graft.sources.MatView", "graft_mv_refresh"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vp) =>
+          val spark = SparkSession.active
+          val view = strArg(vp, "viewPath")
+          val st = graft.sources.MatView.refresh(spark, view)
+          import spark.implicits._
+          plan(Seq((view, st.version, st.filesRead))
+            .toDF("view_path", "version", "files_read"))
+        case _ => throw new IllegalArgumentException(
+          "graft_mv_refresh(viewPath)")
+      }),
+    (new FunctionIdentifier("graft_mv_read"),
+      new ExpressionInfo("graft.sources.MatView", "graft_mv_read"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vp) =>
+          plan(graft.sources.MatView.read(SparkSession.active,
+            strArg(vp, "viewPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_mv_read(viewPath)")
+      }),
     (new FunctionIdentifier("graft_strip_boilerplate"),
       new ExpressionInfo("graft.operators.Corpus",
         "graft_strip_boilerplate"),
@@ -1690,6 +1768,11 @@ object GraftExtensions {
     "graft_tt_vacuum" -> "TimeTravelSpec",
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
+    "graft_tt_upsert" -> "q131_tt_upsert",
+    "graft_tt_changes" -> "q132_tt_changes",
+    "graft_mv_create" -> "q133_matview",
+    "graft_mv_refresh" -> "q133_matview",
+    "graft_mv_read" -> "q133_matview",
     "graft_strip_boilerplate" -> "q110_boilerplate",
     "graft_bpe_train" -> "q113_bpe_train",
     "graft_bpe_encode" -> "BpeSpec",

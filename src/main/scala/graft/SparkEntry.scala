@@ -6,7 +6,7 @@ import scala.collection.immutable.ListMap
 
 import graft.engine.Tables
 import graft.operators._
-import graft.sources.{Layout, TimeTravel}
+import graft.sources.{Layout, MatView, TimeTravel}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB oracle SQL.
@@ -2162,6 +2162,143 @@ object SparkEntry {
           .withColumn("from_v", lit(3L)))
         .select(col("from_v"), col("doc_id"), col("change"))
         .orderBy(col("from_v"), col("doc_id"))
+    }),
+
+    // Versioned MERGE (r13): the lake's missing write verb. Two
+    // hash-split commits, then ONE upsert that both updates (payload
+    // nc+1000 for hash bucket 5→2 — ids that exist) and inserts
+    // (synthetic negative ids -id-1 for bucket 11→4 — ids that don't).
+    // The as-of-2/as-of-3 rollup proves whole-row replacement AND
+    // history preservation in one result: version 2 must still read the
+    // pre-update payloads. A survivor row lost in the rewrite, an update
+    // applied to the wrong generation, or an insert duplicated against
+    // its matched sibling all break the hash.
+    "q131_tt_upsert" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttup_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q131_tt_upsert", "commits") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id"), files = 2))
+      }
+      Stages.timed("q131_tt_upsert", "upsert") {
+        val updated = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 5L) === 2)
+          .withColumn("nc", col("nc") + 1000L)
+        val inserted = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 11L) === 4)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            lit("synthetic").as("source"), lit(7L).as("nc"))
+        TimeTravel.commitUpsert(s, dir, "doc_id",
+          updated.unionByName(inserted), files = 2): Unit
+      }
+      Seq(2L, 3L).map(v =>
+          TimeTravel.readAsOf(s, dir, v)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"))
+            .withColumn("as_of", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("as_of"), col("source"), col("n_docs"),
+          col("sum_chars"))
+        .orderBy(col("as_of"), col("source"))
+    }),
+
+    // Row-level change feed (r13): the face an incremental consumer
+    // tails. Five commits exercise every change class — appends (feed:
+    // inserted), a versioned delete (deleted), an upsert that updates
+    // live ids, RE-inserts previously-deleted ids (an update of a
+    // missing key IS an insert — presence semantics, not intent), and
+    // inserts synthetic ids — and a final compaction, which must feed
+    // ZERO rows: every row it moves is content-identical, and the feed
+    // cancels rewrites by payload, not by file. Survivor rows leaking
+    // into the feed, a missed re-insert, or compaction noise all break
+    // the hash.
+    "q132_tt_changes" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttcf_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q132_tt_changes", "commits") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id"), files = 2))
+      }
+      Stages.timed("q132_tt_changes", "delete_upsert_compact") {
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        val updated = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 5L) === 1)
+          .withColumn("nc", col("nc") + 500L)
+        val inserted = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 13L) === 6)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            lit("synthetic").as("source"), lit(7L).as("nc"))
+        TimeTravel.commitUpsert(s, dir, "doc_id",
+          updated.unionByName(inserted), files = 2)
+        TimeTravel.compact(s, dir, Seq("doc_id"), files = 2): Unit
+      }
+      TimeTravel.changeFeedByKey(s, dir, 1L, 5L, "doc_id")
+        .orderBy(col("version"), col("doc_id"))
+    }),
+
+    // Incremental materialized view (r13): the aggregate that never
+    // recomputes. Built at version 2, then the source takes a delete and
+    // an upsert; ONE refresh reads only the files those two commits
+    // touched (the receipt's file count is spec-asserted — here the
+    // ORACLE asserts the harder half: the merged content equals a full
+    // recompute of the final membership, including groups whose counts
+    // moved both ways and the brand-new synthetic group).
+    "q133_matview" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttmv_${Integer.toHexString(d.hashCode)}").getPath
+      val view = dir + "_view"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger", view).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q133_matview", "commits_create") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id"), files = 2))
+        MatView.create(s, dir, view, Seq("source"), Seq("nc")): Unit
+      }
+      Stages.timed("q133_matview", "mutate_refresh") {
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        val updated = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 5L) === 2)
+          .withColumn("nc", col("nc") + 1000L)
+        val inserted = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 11L) === 4)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            lit("synthetic").as("source"), lit(7L).as("nc"))
+        TimeTravel.commitUpsert(s, dir, "doc_id",
+          updated.unionByName(inserted), files = 2)
+        MatView.refresh(s, view): Unit
+      }
+      MatView.read(s, view)
+        .select(col("source"), col("n_rows"), col("sum_nc"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4759,7 +4896,88 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), doc_id, 'appeared' FROM del
         |)
-        |ORDER BY from_v, doc_id""".stripMargin.replace("\n", " ")
+        |ORDER BY from_v, doc_id""".stripMargin.replace("\n", " "),
+
+    // q131: version 2's membership is every doc unchanged; version 3's
+    // is every doc with the bucket-5→2 payload bump plus the synthetic
+    // negative-id rows — whole-row MERGE re-derived from the hash
+    // splits alone
+    "q131_tt_upsert" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, coalesce(n_chars, 0) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS u,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 11 AS ins
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(2 AS BIGINT) AS as_of, source, nc FROM d
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), source,
+        |    nc + CASE WHEN u = 2 THEN 1000 ELSE 0 END FROM d
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'synthetic', 7 FROM d WHERE ins = 4
+        |)
+        |SELECT as_of, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY as_of, source
+        |ORDER BY as_of, source""".stripMargin.replace("\n", " "),
+
+    // q132: the feed re-derived from the splits — v2 the second commit
+    // bucket arriving, v3 the delete bucket leaving, v4 the upsert
+    // (updates where the key survived v3, RE-inserts where it didn't,
+    // synthetic inserts unconditionally), v5 (compaction) NOTHING
+    "q132_tt_changes" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 AS b,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS u,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 13 AS ins
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), f AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, doc_id,
+        |    'inserted' AS change FROM d WHERE b = 1
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id, 'deleted' FROM d WHERE del = 3
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), doc_id,
+        |    CASE WHEN del = 3 THEN 'inserted' ELSE 'updated' END
+        |  FROM d WHERE u = 1
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), -doc_id - 1, 'inserted'
+        |  FROM d WHERE ins = 6
+        |)
+        |SELECT version, doc_id, change FROM f
+        |ORDER BY version, doc_id""".stripMargin.replace("\n", " "),
+
+    // q133: the incrementally-refreshed view must equal a FULL recompute
+    // of the final membership — kept iff not deleted or re-upserted,
+    // payload bumped for the upsert bucket, plus the synthetic group
+    "q133_matview" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, coalesce(n_chars, 0) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS u,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 11 AS ins
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), final AS (
+        |  SELECT source, nc + CASE WHEN u = 2 THEN 1000 ELSE 0 END AS nc
+        |  FROM d WHERE del <> 3 OR u = 2
+        |  UNION ALL
+        |  SELECT 'synthetic', 7 FROM d WHERE ins = 4
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc
+        |FROM final GROUP BY source
+        |ORDER BY source""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

@@ -225,23 +225,7 @@ object TimeTravel {
     val ids = doomedIds.select(doomedIds.columns.head).toDF(idCol)
       .filter(col(idCol).isNotNull).distinct()
     val l = lineage(spark, dataPath)
-    val candidates: Seq[String] =
-      if (!l.columns.contains(s"min_$idCol")) live
-      else {
-        val stats = l.filter(col("action") === "add" &&
-            col("file_name").isin(live: _*))
-          .select(col("file_name"), col(s"min_$idCol"), col(s"max_$idCol"))
-        // stats-less rows (nulls in min/max from a pre-dims-change
-        // commit) survive the range test as candidates via <=> false…
-        // make the conservative keep explicit instead:
-        stats.join(ids,
-            col(idCol) >= col(s"min_$idCol") &&
-              col(idCol) <= col(s"max_$idCol"), "left_semi")
-          .unionByName(stats.filter(col(s"min_$idCol").isNull)
-            .join(ids.limit(1), lit(true), "left_semi"))
-          .select(col("file_name")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-      }
+    val candidates = idCandidateFiles(l, live, idCol, ids)
     if (candidates.isEmpty) return latest
     // no broadcast hint on the id frame in either join: it is usually
     // needle-sized but is not REQUIRED to be, and a literal hint would
@@ -276,6 +260,132 @@ object TimeTravel {
     * stay skippable. */
   private def statDims(l: DataFrame): Seq[String] =
     l.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+
+  /** The live files that MAY hold a row of `ids` by the lineage's own
+    * per-file `[min, max]` stats — the metadata-sized candidate screen
+    * [[commitDelete]] and [[commitUpsert]] share before any data moves.
+    * Conservative by the same rule as [[Layout]]: no stats recorded for
+    * `idCol` at all → every live file is a candidate; a stats-less add
+    * row (a commit predating a dims change — nulls in min/max) cannot be
+    * proven id-free and stays a candidate whenever any id exists.
+    */
+  private def idCandidateFiles(l: DataFrame, live: Seq[String],
+                               idCol: String, ids: DataFrame): Seq[String] =
+    if (!l.columns.contains(s"min_$idCol")) live
+    else {
+      val stats = l.filter(col("action") === "add" &&
+          col("file_name").isin(live: _*))
+        .select(col("file_name"), col(s"min_$idCol"), col(s"max_$idCol"))
+      // stats-less rows (nulls in min/max from a pre-dims-change
+      // commit) survive the range test as candidates via <=> false…
+      // make the conservative keep explicit instead:
+      stats.join(ids,
+          col(idCol) >= col(s"min_$idCol") &&
+            col(idCol) <= col(s"max_$idCol"), "left_semi")
+        .unionByName(stats.filter(col(s"min_$idCol").isNull)
+          .join(ids.limit(1), lit(true), "left_semi"))
+        .select(col("file_name")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+
+  /** Versioned MERGE (upsert): rows of `updates` whose `idCol` matches a
+    * live row of the CURRENT version replace that row in version
+    * `latest + 1`; the rest are inserted. Whole-row replacement under the
+    * same one-row-per-id contract as [[commitDelete]]/[[diffByKey]] —
+    * and the same file economics: the two-stage prune (lineage stats
+    * screen, then one candidate-bounded semi-join) finds the files that
+    * actually hold a matched id, ONLY those are rewritten (their
+    * survivors re-staged together with every update row as one freshly
+    * z-clustered generation), and untouched files are shared between the
+    * versions. Earlier versions still read the pre-update rows — an
+    * upsert is history-preserving like every commit here.
+    *
+    * Contract guards, all loud: `updates` must not carry duplicate ids
+    * (two updates for one key in one commit has no deterministic winner
+    * — callers pick one FIRST, e.g. by [[graft.operators.Dedup]]'s
+    * best-copy argmax); null-id update rows are dropped (null matches no
+    * row, and inserting one would break the keyed contract the readers
+    * above rely on). Schema evolution is the append rule: update rows
+    * may add columns (survivors read null there) or omit columns
+    * (updates read null), via the same merged union every read uses.
+    * An upsert into an EMPTY table is exactly [[commitAppend]] clustered
+    * on the id. `batchId` gives exactly-once replays through the commit
+    * ledger, like every write face. Returns the committed version (the
+    * current one when `updates` is empty).
+    */
+  def commitUpsert(spark: SparkSession, dataPath: String, idCol: String,
+                   updates: DataFrame, files: Int,
+                   batchId: Option[String] = None): Long = {
+    val upd = updates.filter(col(idCol).isNotNull)
+    val latest = latestVersion(spark, dataPath)
+    if (latest == 0)
+      return commitAppend(upd, dataPath, Seq(idCol), files, batchId)
+    val ledger = commitLedgerPath(dataPath)
+    batchId.foreach { id =>
+      if (!fsOf(spark, dataPath).exists(hp(ledger)))
+        graft.operators.Ledger.init(spark, ledger)
+      else if (graft.operators.Ledger.contains(spark, ledger, id))
+        return latest
+    }
+    // one batch-sized aggregate serves both guards: emptiness and the
+    // duplicate-id contract
+    val head = upd.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    val (nRows, nIds) = (head.getLong(0), head.getLong(1))
+    if (nRows == 0L) return latest
+    require(nRows == nIds,
+      s"commitUpsert: updates carry ${nRows - nIds} duplicate-id rows " +
+        s"on $idCol — one commit admits one row per key (pick the " +
+        "winner first, e.g. Dedup.dedupCorpusBest's argmax)")
+    val live = liveFileNames(spark, dataPath, latest)
+    val ids = upd.select(col(idCol)).distinct()
+    val l = lineage(spark, dataPath)
+    val candidates = idCandidateFiles(l, live, idCol, ids)
+    // files actually holding a matched id — only these are rewritten.
+    // No broadcast hint on ids (commitDelete's rule): AQE picks it at
+    // runtime when the frame is small, and 10^9-id updates stay legal.
+    val affected: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else spark.read
+        .parquet(candidates.map(n => s"$dataPath/$n"): _*)
+        .withColumn("__file",
+          element_at(split(input_file_name(), "/"), -1))
+        .join(ids, Seq(idCol), "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r =>
+          Layout.decodePathComponent(r.getString(0))).toSeq.sorted
+    val v = latest + 1
+    // survivors of the rewritten files + every update row, one merged
+    // union (mergeSchema on the survivor read: affected files may span a
+    // schema change) re-clustered like any append so the new generation
+    // skips as well as the old
+    val survivors =
+      if (affected.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(n => s"$dataPath/$n"): _*)
+        .join(ids, Seq(idCol), "left_anti"))
+    val staged = survivors
+      .map(_.unionByName(upd, allowMissingColumns = true))
+      .getOrElse(upd)
+    // cluster and record stats on the lineage's dims that still EXIST in
+    // the merged schema (an update batch may drop one); falling back to
+    // the id keeps the generation clustered by the column every prune
+    // here screens on
+    val dims = {
+      val d = statDims(l).filter(staged.columns.contains)
+      if (d.isEmpty) Seq(idCol) else d
+    }
+    val clustered = Layout.withZKey(staged, dims)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+    appendLineage(spark, dataPath,
+      stageAndPromote(spark, dataPath, v, clustered, dims)
+        .unionByName(actionRows(spark,
+          affected.map(name => (v, "remove", name, 0L))),
+          allowMissingColumns = true))
+    batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
+    v
+  }
 
   /** Rewrite the live file set as one freshly z-clustered generation
     * (version `latest + 1`): adds the compacted files, logically
@@ -487,6 +597,84 @@ object TimeTravel {
     val k2 = keysOf(only2)
     k2.except(k1).withColumn("change", lit("appeared"))
       .unionByName(k1.except(k2).withColumn("change", lit("disappeared")))
+  }
+
+  /** Row-level change feed over `(v1, v2]`: one row per key whose ROW
+    * changed at each version, `change ∈ {inserted, deleted, updated}`,
+    * attributed to the exact commit that changed it — the face an
+    * incremental consumer (a downstream index, a [[MatView]], a replica)
+    * tails instead of re-reading the table.
+    *
+    * Cost is feed-shaped, never table-shaped: the lineage rows of the
+    * range name exactly the files each commit added/removed, ONLY those
+    * files are read (once, even when a file enters and leaves within the
+    * range), and each row joins a broadcast-sized file→(version, side)
+    * map. Rewrite traffic cancels by CONTENT, not just presence: a
+    * survivor row re-staged by a delete/upsert/compaction appears on both
+    * sides of its version with an identical payload and is dropped, so a
+    * pure compaction feeds ZERO rows; a row whose payload differs feeds
+    * `updated`. Payloads compare by null-safe struct equality over the
+    * union schema (no hashing — no collision caveat). Same keyed contract
+    * as [[diffByKey]]; null-id rows are ignored like everywhere on the
+    * keyed faces.
+    */
+  def changeFeedByKey(spark: SparkSession, dataPath: String, v1: Long,
+                      v2: Long, idCol: String): DataFrame = {
+    val latest = latestVersion(spark, dataPath)
+    val floor = earliestReadable(spark, dataPath)
+    // v1 ≥ floor keeps every file the range needs on disk: a file read
+    // here was removed at some version > v1 ≥ floor (or never), and
+    // vacuum only ever reclaims files removed at ≤ floor. v1 is the
+    // consumer's base version — start from a readAsOf(v1) snapshot,
+    // then tail (v1, head] forever.
+    require(v1 >= floor && v2 <= latest && v1 < v2,
+      s"changeFeedByKey wants $floor ≤ v1 < v2 ≤ $latest (files " +
+        s"removed at versions ≤ $floor may be vacuumed), got ($v1, $v2)")
+    val l = lineage(spark, dataPath)
+    val acts = l.filter(col("version") > v1 && col("version") <= v2 &&
+        col("action").isin("add", "remove"))
+      .select(col("version"), col("action"), col("file_name"))
+    // the range's touched files, each read ONCE even if it enters and
+    // leaves within the range (its rows then feed both versions through
+    // the action join below)
+    val files = acts.select(col("file_name")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (files.isEmpty)
+      return readAsOf(spark, dataPath, v2).select(col(idCol)).limit(0)
+        .select(lit(0L).as("version"), col(idCol), lit("").as("change"))
+    val fs = fsOf(spark, dataPath)
+    val missing = files.filterNot(n => fs.exists(hp(s"$dataPath/$n")))
+    require(missing.isEmpty,
+      s"changeFeedByKey: committed files missing on disk: " +
+        s"${missing.mkString(", ")} — lineage is truth (corruption, " +
+        "or the range reaches behind a vacuum)")
+    val rows = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(n => s"$dataPath/$n"): _*)
+      .filter(col(idCol).isNotNull)
+    // whole-row payload in a canonical (sorted) column order, so a
+    // schema reorder between commits never reads as an update
+    val payload = struct(rows.columns.sorted.map(col).toIndexedSeq: _*)
+    // promoted names are `v<d>_<d>.parquet` — URI-safe by construction
+    // (stageAndPromote's naming rule), so input_file_name needs no
+    // decoding before it joins the lineage's names
+    val tagged = rows
+      .withColumn("file_name",
+        element_at(split(input_file_name(), "/"), -1))
+      .select(col(idCol), payload.as("__row"), col("file_name"))
+      .join(broadcast(acts), Seq("file_name"))
+    // keyed contract: per version a key has ≤1 row on each side, so the
+    // max IS the row
+    tagged.groupBy(col("version"), col(idCol))
+      .agg(
+        max(when(col("action") === "add", col("__row"))).as("__a"),
+        max(when(col("action") === "remove", col("__row"))).as("__r"))
+      .withColumn("change",
+        when(col("__r").isNull, lit("inserted"))
+          .when(col("__a").isNull, lit("deleted"))
+          .when(col("__a") <=> col("__r"), lit(null))
+          .otherwise(lit("updated")))
+      .filter(col("change").isNotNull)
+      .select(col("version"), col(idCol), col("change"))
   }
 
   private def changedFiles(spark: SparkSession, dataPath: String,

@@ -358,4 +358,138 @@ class TimeTravelSpec extends SparkSpec {
     assert(h.map(r => r.getLong(r.fieldIndex("rows_added"))).toSeq ==
       Seq(100L, 100L))
   }
+
+  test("commitUpsert replaces matched rows, inserts the rest, rewrites " +
+      "only matched files, and preserves history") {
+    val dir = tmpDir("upsert")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    // updates: bump v for ids 50–59 (exist, all inside batch 0's range),
+    // insert ids 900–904 (don't exist)
+    val updates = spark.range(50L, 60L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-1L).as("v"))
+      .unionByName(spark.range(900L, 905L)
+        .select(col("id"), (col("id") % 5).as("grp"), lit(-2L).as("v")))
+    val v3 = TimeTravel.commitUpsert(spark, dir, "id", updates, files = 2)
+    assert(v3 == 3L)
+    val head = TimeTravel.read(spark, dir)
+    assert(head.count() == 205L)
+    assert(head.filter(col("v") === -1L).count() == 10L)
+    assert(head.filter(col("v") === -2L).count() == 5L)
+    // unmatched rows kept their payload
+    assert(head.filter(col("id") === 123L).head().getLong(2) == 369L)
+    // history: version 2 still reads the PRE-update payloads
+    val old = TimeTravel.readAsOf(spark, dir, 2L)
+    assert(old.count() == 200L)
+    assert(old.filter(col("v") < 0L).count() == 0L)
+    // file economics: batch 1's files hold no matched id (ids 50–59 all
+    // sit in batch 0's range; the stats screen must prove it), so v3
+    // removes at most batch 0's 2 files
+    val h = TimeTravel.history(spark, dir)
+      .filter(col("version") === 3L).head()
+    assert(h.getLong(h.fieldIndex("n_removes")) <= 2L,
+      "upsert rewrote files the stats screen should have cleared")
+    // duplicate update ids refuse loudly
+    val dup = updates.unionByName(updates.limit(1))
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.commitUpsert(spark, dir, "id", dup, files = 2))
+    assert(e.getMessage.contains("duplicate-id"))
+    // null-id rows are dropped, not inserted
+    val withNull = spark.range(905L, 907L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-3L).as("v"))
+      .unionByName(spark.range(1)
+        .select(lit(null).cast("long").as("id"),
+          lit(0L).as("grp"), lit(-9L).as("v")))
+    TimeTravel.commitUpsert(spark, dir, "id", withNull, files = 1)
+    val h2 = TimeTravel.read(spark, dir)
+    assert(h2.count() == 207L && h2.filter(col("v") === -9L).count() == 0L)
+    // empty updates commit nothing
+    assert(TimeTravel.commitUpsert(spark, dir, "id",
+      updates.limit(0), files = 1) == 4L)
+    // upsert into an EMPTY table is a plain first commit
+    val dir2 = tmpDir("upsert_empty")
+    assert(TimeTravel.commitUpsert(spark, dir2, "id", batch(0),
+      files = 2) == 1L)
+    assert(ids(TimeTravel.read(spark, dir2)) == (0L until 100L))
+    // batchId replay is an exact no-op
+    val v = TimeTravel.commitUpsert(spark, dir2, "id",
+      spark.range(0L, 5L).select(col("id"), lit(0L).as("grp"),
+        lit(-7L).as("v")), files = 1, batchId = Some("u1"))
+    assert(v == 2L)
+    assert(TimeTravel.commitUpsert(spark, dir2, "id",
+      spark.range(0L, 5L).select(col("id"), lit(0L).as("grp"),
+        lit(-7L).as("v")), files = 1, batchId = Some("u1")) == 2L)
+    assert(TimeTravel.read(spark, dir2).filter(col("v") === -7L)
+      .count() == 5L)
+  }
+
+  test("commitUpsert carries schema evolution both ways") {
+    val dir = tmpDir("upsert_schema")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    // updates ADD a column and OMIT one
+    val updates = spark.range(10L, 12L)
+      .select(col("id"), (col("id") % 5).as("grp"),
+        lit("fresh").as("note"))
+    TimeTravel.commitUpsert(spark, dir, "id", updates, files = 1)
+    val head = TimeTravel.read(spark, dir)
+    assert(head.columns.sorted.toSeq == Seq("grp", "id", "note", "v"))
+    val updated = head.filter(col("id") === 10L).head()
+    assert(updated.getAs[String]("note") == "fresh" &&
+      updated.isNullAt(updated.fieldIndex("v")))
+    val survivor = head.filter(col("id") === 99L).head()
+    assert(survivor.getLong(survivor.fieldIndex("v")) == 297L &&
+      survivor.isNullAt(survivor.fieldIndex("note")))
+  }
+
+  test("changeFeedByKey attributes inserts/deletes/updates to their " +
+      "commit and cancels pure rewrites by payload") {
+    val dir = tmpDir("feed")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.commitDelete(spark, dir, "id",                    // v3
+      spark.range(0L, 10L).select(col("id")))
+    // v4: update ids 20–24, re-insert deleted id 3, insert id 500
+    val updates = spark.range(20L, 25L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-1L).as("v"))
+      .unionByName(Seq((3L, 3L, -2L), (500L, 0L, -3L))
+        .toDF("id", "grp", "v"))
+    TimeTravel.commitUpsert(spark, dir, "id", updates, files = 2)
+    TimeTravel.compact(spark, dir, Seq("id"), files = 2)         // v5
+    val feed = TimeTravel.changeFeedByKey(spark, dir, 1L, 5L, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val expected =
+      (100L until 200L).map(i => (2L, i, "inserted")).toSet ++
+        (0L until 10L).map(i => (3L, i, "deleted")) ++
+        (20L until 25L).map(i => (4L, i, "updated")) ++
+        Set((4L, 3L, "inserted"), (4L, 500L, "inserted"))
+    assert(feed == expected)
+    // the compaction (v5) fed nothing: every moved row was identical
+    assert(!feed.exists(_._1 == 5L))
+    // a sub-range feeds exactly its commits
+    val sub = TimeTravel.changeFeedByKey(spark, dir, 3L, 4L, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(sub == expected.filter(_._1 == 4L))
+    // range guards are loud
+    intercept[IllegalArgumentException](
+      TimeTravel.changeFeedByKey(spark, dir, 5L, 5L, "id"))
+    intercept[IllegalArgumentException](
+      TimeTravel.changeFeedByKey(spark, dir, 1L, 9L, "id"))
+  }
+
+  test("changeFeedByKey refuses ranges behind the vacuum floor and " +
+      "feeds empty over metadata-only spans") {
+    val dir = tmpDir("feed_vacuum")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1)         // v2
+    TimeTravel.vacuum(spark, dir, keepFrom = 2L) // v3; v1's files gone
+    assert(TimeTravel.earliestReadable(spark, dir) == 2L)
+    intercept[IllegalArgumentException](
+      TimeTravel.changeFeedByKey(spark, dir, 1L, 2L, "id"))
+    // (2, 3] holds only the vacuum action — an empty, well-typed feed
+    val f = TimeTravel.changeFeedByKey(spark, dir, 2L, 3L, "id")
+    assert(f.count() == 0L)
+    assert(f.columns.toSeq == Seq("version", "id", "change"))
+  }
 }
