@@ -220,10 +220,12 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
   *    ([[graft.sources.TimeTravel.commitUpsert]]; BUILD-style receipt)
-  *  - `graft_tt_changes(dataPath, v1, v2, idCol)` — row-level
+  *  - `graft_tt_changes(dataPath, v1, v2, idCol[, 'rows'])` — row-level
   *    inserted/deleted/updated feed over `(v1, v2]`, reading only the
-  *    commits' touched files; rewrites cancel by payload
-  *    ([[graft.sources.TimeTravel.changeFeedByKey]])
+  *    commits' touched files; rewrites cancel by payload; `'rows'` adds
+  *    the post-image columns (null on deletes), enough to maintain a
+  *    replica ([[graft.sources.TimeTravel.changeFeedByKey]] /
+  *    `changeFeed`)
   *  - `graft_mv_create(srcPath, viewPath, 'keys', 'sumCols')` /
   *    `graft_mv_refresh(viewPath)` / `graft_mv_read(viewPath)` —
   *    incrementally maintained count/sum aggregate over a time-travel
@@ -1261,9 +1263,14 @@ object GraftExtensions {
           plan(graft.sources.TimeTravel.changeFeedByKey(SparkSession.active,
             strArg(p, "dataPath"), longArg(v1, "v1"), longArg(v2, "v2"),
             strArg(id, "idCol")))
+        case Seq(p, v1, v2, id, mode) if strArg(mode, "mode") == "rows" =>
+          plan(graft.sources.TimeTravel.changeFeed(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v1, "v1"), longArg(v2, "v2"),
+            strArg(id, "idCol")))
         case _ => throw new IllegalArgumentException(
-          "graft_tt_changes(dataPath, v1, v2, idCol) — row-level " +
-            "inserted/deleted/updated feed over (v1, v2]")
+          "graft_tt_changes(dataPath, v1, v2, idCol[, 'rows']) — " +
+            "key-level inserted/deleted/updated feed over (v1, v2]; " +
+            "'rows' adds the post-image columns (null on deletes)")
       }),
     // materialized-view family (graft.sources.MatView) — incrementally
     // maintained count/sum aggregates over a time-travel table.

@@ -619,7 +619,33 @@ object TimeTravel {
     * keyed faces.
     */
   def changeFeedByKey(spark: SparkSession, dataPath: String, v1: Long,
-                      v2: Long, idCol: String): DataFrame = {
+                      v2: Long, idCol: String): DataFrame =
+    changeFeedCore(spark, dataPath, v1, v2, idCol)
+      .select(col("version"), col(idCol), col("change"))
+
+  /** [[changeFeedByKey]] with the POST-IMAGE row: every data column
+    * rides along (null for `deleted` rows — the key is the tombstone),
+    * so a downstream replica can apply the feed directly: delete the
+    * `deleted` keys, put the `inserted`/`updated` rows, in version
+    * order. Replaying `(v1, v2]` onto a readAsOf(v1) snapshot
+    * reconstructs readAsOf(v2) exactly — the invariant
+    * TimeTravelSpec drives across a randomized op sequence.
+    */
+  def changeFeed(spark: SparkSession, dataPath: String, v1: Long,
+                 v2: Long, idCol: String): DataFrame = {
+    val core = changeFeedCore(spark, dataPath, v1, v2, idCol)
+    // the post-image's columns: everything the union schema carries
+    // beyond the key (sorted — same canonical order as the payload)
+    val dataCols = core.schema("__a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.filterNot(_ == idCol).toSeq
+    core.select(
+      Seq(col("version"), col(idCol), col("change")) ++
+        dataCols.map(c => col(s"__a.$c").as(c)): _*)
+  }
+
+  private def changeFeedCore(spark: SparkSession, dataPath: String,
+                             v1: Long, v2: Long, idCol: String): DataFrame = {
     val latest = latestVersion(spark, dataPath)
     val floor = earliestReadable(spark, dataPath)
     // v1 ≥ floor keeps every file the range needs on disk: a file read
@@ -639,9 +665,12 @@ object TimeTravel {
     // the action join below)
     val files = acts.select(col("file_name")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    if (files.isEmpty)
-      return readAsOf(spark, dataPath, v2).select(col(idCol)).limit(0)
-        .select(lit(0L).as("version"), col(idCol), lit("").as("change"))
+    if (files.isEmpty) {
+      val shape = readAsOf(spark, dataPath, v2).limit(0)
+      return shape.select(lit(0L).as("version"), col(idCol),
+        lit("").as("change"),
+        struct(shape.columns.sorted.map(col).toIndexedSeq: _*).as("__a"))
+    }
     val fs = fsOf(spark, dataPath)
     val missing = files.filterNot(n => fs.exists(hp(s"$dataPath/$n")))
     require(missing.isEmpty,
@@ -674,7 +703,7 @@ object TimeTravel {
           .when(col("__a") <=> col("__r"), lit(null))
           .otherwise(lit("updated")))
       .filter(col("change").isNotNull)
-      .select(col("version"), col(idCol), col("change"))
+      .select(col("version"), col(idCol), col("change"), col("__a"))
   }
 
   private def changedFiles(spark: SparkSession, dataPath: String,

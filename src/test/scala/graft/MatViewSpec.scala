@@ -136,6 +136,32 @@ class MatViewSpec extends SparkSpec {
     assert(e2.getMessage.contains("_HEAD"))
   }
 
+  test("streamed micro-batches keep the view current: streamingSink + " +
+      "per-epoch refresh equals a full recompute after every epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream")
+    val view = dir + "_view"
+    // seed the table and the view, then tail the stream into both
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    MatView.create(spark, dir, view, Seq("grp"), Seq("v"))
+    val input = MemoryStream[(Long, Long, Long)]
+    val sink = TimeTravel.streamingSink(dir, Seq("id"), files = 2)
+    val q = input.toDS().toDF("id", "grp", "v")
+      .writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+        sink(b, epoch)
+        MatView.refresh(spark, view): Unit
+      }.start()
+    try {
+      input.addData((1000L, 1L, 5L), (1001L, 2L, 6L))
+      q.processAllAvailable()
+      assert(viewRows(view) == recompute(dir))
+      input.addData((1002L, 1L, 7L))
+      q.processAllAvailable()
+      assert(viewRows(view) == recompute(dir))
+    } finally q.stop()
+  }
+
   test("a crashed refresh is invisible: the pointer still serves the " +
       "old snapshot, and the retry completes") {
     val dir = tmpDir("crash")

@@ -478,6 +478,62 @@ class TimeTravelSpec extends SparkSpec {
       TimeTravel.changeFeedByKey(spark, dir, 1L, 9L, "id"))
   }
 
+  test("changeFeed post-images reconstruct any later version from any " +
+      "earlier one, across a randomized append/delete/upsert/compact/" +
+      "rollback sequence") {
+    val dir = tmpDir("replay")
+    val rnd = new scala.util.Random(13) // seeded: reproducible sequence
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val rows = spark.range(nextId, nextId + n)
+        .select(col("id"), (col("id") % 5).as("grp"),
+          (col("id") * 3).as("v"))
+      nextId += n
+      rows
+    }
+    TimeTravel.commitAppend(freshRows(80), dir, Seq("id"), files = 2)
+    (1 to 10).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 => TimeTravel.commitAppend(freshRows(40), dir, Seq("id"),
+          files = 2)
+        case 1 => TimeTravel.commitDelete(spark, dir, "id",
+          spark.range(0L, nextId)
+            .filter(col("id") % 11 === rnd.nextInt(11).toLong)
+            .select(col("id")))
+        case 2 =>
+          val salt = rnd.nextInt(1000).toLong
+          val updates = spark.range(0L, nextId)
+            .filter(col("id") % 7 === rnd.nextInt(7).toLong)
+            .select(col("id"), (col("id") % 5).as("grp"),
+              (col("id") + salt).as("v"))
+          TimeTravel.commitUpsert(spark, dir, "id", updates, files = 2)
+        case 3 => TimeTravel.compact(spark, dir, Seq("id"), files = 3)
+        case 4 =>
+          val latest = TimeTravel.latestVersion(spark, dir)
+          TimeTravel.rollback(spark, dir, 1L + rnd.nextInt(latest.toInt))
+      }
+    }
+    val head = TimeTravel.latestVersion(spark, dir)
+    def snapshot(v: Long): Map[Long, (Long, Long)] =
+      TimeTravel.readAsOf(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replay from several bases, not just version 1
+    Seq(1L, head / 2, head - 1).filter(_ >= 1).distinct.foreach { base =>
+      val replica = scala.collection.mutable.Map(snapshot(base).toSeq: _*)
+      TimeTravel.changeFeed(spark, dir, base, head, "id")
+        .orderBy(col("version")).collect().foreach { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          r.getString(r.fieldIndex("change")) match {
+            case "deleted" => replica.remove(id): Unit
+            case _ => replica(id) = (r.getLong(r.fieldIndex("grp")),
+              r.getLong(r.fieldIndex("v")))
+          }
+        }
+      assert(replica.toMap == snapshot(head),
+        s"feed replay from base $base must reconstruct version $head")
+    }
+  }
+
   test("changeFeedByKey refuses ranges behind the vacuum floor and " +
       "feeds empty over metadata-only spans") {
     val dir = tmpDir("feed_vacuum")
