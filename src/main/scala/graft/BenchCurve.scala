@@ -144,9 +144,9 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm", "pq", "decade", "mixture")
+      "layout", "lm", "pq", "decade", "mixture", "matview")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
-      "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture")
+      "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture,matview")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // fail fast on a typo: a silently-empty run costs a full Spark
     // startup and looks like a measurement problem, not a misspelling
@@ -611,6 +611,76 @@ object BenchCurve {
       Some((runPoint(x4), runPoint(x10)))
     }
 
+    // --- matview: refresh cost must track the TOUCH SET, not the table ---
+    // The incremental-view claim across one decade of table growth: the
+    // SAME fixed-size commit (50 k rows) lands on a 2 M / 8 M / 20 M-row
+    // lake. A full rebuild (create) is allowed to grow with the table;
+    // the refresh after that commit must stay flat (its receipt's
+    // files-read count is recorded alongside). Same decade claim for the
+    // change feed over that commit and for a fixed 10 k-id MERGE
+    // (candidate-bounded by the lineage stats screen over the z-clustered
+    // generation). Build-style steps are measured as the min of two live
+    // cycles (never a no-op second rep — a no-op refresh reads nothing
+    // and would fake the claim).
+    val matview = if (!sections("matview")) None else {
+      import graft.sources.{MatView, TimeTravel}
+      def point(scale: Int): (Double, Double, Int, Int, Double, Double) = {
+        val dir = s"/tmp/graft_bench_mv_x$scale/table"
+        val view = dir + "_view"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(dir, dir + "_lineage", dir + "_commit_ledger", view).foreach(
+          p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val n = 2000000L * scale
+        TimeTravel.commitAppend(
+          spark.range(0L, n).select(col("id"), (col("id") % 1000).as("grp"),
+            (col("id") * 3).as("v")),
+          dir, Seq("id"), files = 8 * scale)
+        // create: rebuild-safe, min of 2 (both table-sized)
+        val createSec = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          MatView.create(spark, dir, view, Seq("grp"), Seq("v"))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // two live (commit → refresh) cycles; min of the LIVE refreshes
+        var filesRead = 0
+        val refreshSec = (0 to 1).map { i =>
+          TimeTravel.commitAppend(
+            spark.range(2000000000L + i * 100000L,
+                2000000000L + i * 100000L + 50000L)
+              .select(col("id"), (col("id") % 1000).as("grp"),
+                (col("id") * 3).as("v")),
+            dir, Seq("id"), files = 2)
+          val t0 = System.nanoTime()
+          val st = MatView.refresh(spark, view)
+          filesRead = st.filesRead
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // feed over the LAST commit only (read-only, min of 2)
+        val head = TimeTravel.latestVersion(spark, dir)
+        val feedSec = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          TimeTravel.changeFeedByKey(spark, dir, head - 1, head, "id")
+            .write.format("noop").mode("overwrite").save()
+          spark.sharedState.cacheManager.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // two live 10 k-id MERGEs on disjoint ranges; min
+        val upsertSec = (0 to 1).map { i =>
+          val lo = i * 10000L
+          val t0 = System.nanoTime()
+          TimeTravel.commitUpsert(spark, dir, "id",
+            spark.range(lo, lo + 10000L).select(col("id"),
+              (col("id") % 1000).as("grp"), lit(-1L).as("v")),
+            files = 2)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val liveFiles = TimeTravel.read(spark, dir).inputFiles.length
+        (createSec, refreshSec, filesRead, liveFiles, feedSec, upsertSec)
+      }
+      Some((point(1), point(4), point(10)))
+    }
+
     def fmtQs(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val frags = Seq(
@@ -666,6 +736,13 @@ object BenchCurve {
         f""""mixture":{"rows":$nDocs,"binned_sec":$bs%.3f,""" +
           f""""binned_max_task_ms":$bmax,"naive_window_sec":$ns2%.3f,""" +
           f""""naive_max_task_ms":$nmax2}"""
+      },
+      matview.map { case (p1, p4, p10) =>
+        def fmtP(p: (Double, Double, Int, Int, Double, Double)) =
+          f"""{"create_sec":${p._1}%.3f,"refresh_sec":${p._2}%.3f,""" +
+            f""""refresh_files_read":${p._3},"live_files":${p._4},""" +
+            f""""feed_sec":${p._5}%.3f,"upsert_sec":${p._6}%.3f}"""
+        s""""matview":{"x1":${fmtP(p1)},"x4":${fmtP(p4)},"x10":${fmtP(p10)}}"""
       },
       skew.map { case ((ps, pspread, pmax), (ns, nspread, nmax), (ss, sspread, smax)) =>
         f""""skew":{"aqe_sec":$ps%.3f,"aqe_task_spread":$pspread%.1f,"aqe_max_task_ms":$pmax,""" +

@@ -222,6 +222,48 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir', 4)").count() == 150L)
   }
 
+  test("the MERGE / change-feed / matview SQL faces compose from SQL " +
+      "text alone") {
+    GraftExtensions.register(spark)
+    val dir = tmpDir("sqlface2")
+    val view = dir + "_view"
+    batch(0).createOrReplaceTempView("tt2_b0")
+    spark.sql(s"SELECT * FROM graft_tt_commit('tt2_b0', '$dir', 'id', 2)")
+    val mv = spark.sql(
+      s"SELECT * FROM graft_mv_create('$dir', '$view', 'grp', 'v')").head()
+    assert(mv.getLong(1) == 1L)
+    // MERGE from SQL: update ids 0-4, insert 900
+    spark.range(0L, 5L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-1L).as("v"))
+      .unionByName(Seq((900L, 0L, -2L)).toDF("id", "grp", "v"))
+      .createOrReplaceTempView("tt2_upd")
+    val up = spark.sql(
+      s"SELECT * FROM graft_tt_upsert('tt2_upd', '$dir', 'id', 2)").head()
+    assert(up.getLong(1) == 2L)
+    // key-level feed, then the 'rows' form with post-images
+    val feed = spark.sql(
+      s"SELECT * FROM graft_tt_changes('$dir', 1, 2, 'id')")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(feed == (0L until 5L).map((_, "updated")).toSet + ((900L, "inserted")))
+    val rows = spark.sql(
+      s"SELECT * FROM graft_tt_changes('$dir', 1, 2, 'id', 'rows')")
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("v")))).toMap
+    assert(rows == (0L until 5L).map(_ -> -1L).toMap + (900L -> -2L))
+    // refresh via SQL: the receipt reports an incremental file count,
+    // and the view equals a recompute
+    val rf = spark.sql(
+      s"SELECT * FROM graft_mv_refresh('$view')").head()
+    assert(rf.getLong(1) == 2L)
+    val got = spark.sql(s"SELECT * FROM graft_mv_read('$view')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = spark.sql(s"SELECT * FROM graft_tt_read('$dir')")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("rollback restores an old version metadata-only, keeps every " +
       "intermediate version readable, and keeps the stats payload") {
     import graft.sources.Layout.ColRange
