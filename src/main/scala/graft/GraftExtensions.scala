@@ -223,9 +223,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_tt_changes(dataPath, v1, v2, idCol[, 'rows'])` — row-level
   *    inserted/deleted/updated feed over `(v1, v2]`, reading only the
   *    commits' touched files; rewrites cancel by payload; `'rows'` adds
-  *    the post-image columns (null on deletes), enough to maintain a
-  *    replica ([[graft.sources.TimeTravel.changeFeedByKey]] /
-  *    `changeFeed`)
+  *    the post-image columns (null on deletes) plus a `pre` pre-image
+  *    struct (null on inserts) — enough to maintain a replica or a
+  *    content-keyed index ([[graft.sources.TimeTravel.changeFeedByKey]]
+  *    / `changeFeed`)
   *  - `graft_mv_create(srcPath, viewPath, 'keys', 'sumCols')` /
   *    `graft_mv_refresh(viewPath)` / `graft_mv_read(viewPath)` —
   *    incrementally maintained count/sum aggregate over a time-travel
@@ -1270,7 +1271,8 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_changes(dataPath, v1, v2, idCol[, 'rows']) — " +
             "key-level inserted/deleted/updated feed over (v1, v2]; " +
-            "'rows' adds the post-image columns (null on deletes)")
+            "'rows' adds the post-image columns (null on deletes) and " +
+            "a `pre` pre-image struct (null on inserts)")
       }),
     // materialized-view family (graft.sources.MatView) — incrementally
     // maintained count/sum aggregates over a time-travel table.

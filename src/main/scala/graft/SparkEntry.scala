@@ -2299,6 +2299,67 @@ object SparkEntry {
       MatView.read(s, view)
         .select(col("source"), col("n_rows"), col("sum_nc"))
         .orderBy(col("source"))
+    }),
+
+    // Feed-maintained derived index (r13): the claim behind the feed's
+    // pre-images — a CONTENT-keyed consumer (here the exact-dedup digest
+    // index) stays current from the feed ALONE, never re-reading the
+    // table. Per version: tombstone the pre-image text of every
+    // delete/update, append the post-image text of every insert/update.
+    // Texts are made per-doc-unique (id-prefixed) so index membership
+    // at the end is exactly the live rows' text set — any leak (a
+    // missed tombstone, a missed append, an un-revived re-insert, or a
+    // pre-image read from the wrong side) breaks the digest-set hash.
+    "q134_feed_index" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttfi_${Integer.toHexString(d.hashCode)}").getPath
+      val idx = dir + "_digest_index"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger", idx,
+        idx + "_tombstones").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(":"),
+            coalesce(col("text"), lit(""))).as("body"))
+      Stages.timed("q134_feed_index", "commits_save") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id"), files = 2))
+        Dedup.saveDigestIndex(TimeTravel.readAsOf(s, dir, 2L), idx, "body")
+      }
+      Stages.timed("q134_feed_index", "mutate") {
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        val updated = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 5L) === 2)
+          .withColumn("body", concat(col("body"), lit(" u")))
+        val inserted = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 11L) === 4)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            concat(lit("syn:"), col("doc_id").cast("string")).as("body"))
+        TimeTravel.commitUpsert(s, dir, "doc_id",
+          updated.unionByName(inserted), files = 2): Unit
+      }
+      Stages.timed("q134_feed_index", "feed_maintain") {
+        (3L to 4L).foreach { v =>
+          val f = TimeTravel.changeFeed(s, dir, v - 1, v, "doc_id")
+          // tombstones BEFORE appends within a version: an update's old
+          // text dies, its new text lives — and a re-appended text
+          // revives (appendDigestIndex clears its tombstone)
+          Dedup.deleteFromDigestIndex(
+            f.filter(col("change").isin("deleted", "updated"))
+              .select(col("pre.body").as("body")), idx, "body")
+          Dedup.appendDigestIndex(
+            f.filter(col("change").isin("inserted", "updated"))
+              .select(col("body")), idx, "body")
+        }
+      }
+      Dedup.loadDigestIndex(s, idx)
+        .select(col("digest")).distinct().orderBy(col("digest"))
     })
   )
 
@@ -4977,7 +5038,33 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(nc) AS BIGINT) AS sum_nc
         |FROM final GROUP BY source
-        |ORDER BY source""".stripMargin.replace("\n", " ")
+        |ORDER BY source""".stripMargin.replace("\n", " "),
+
+    // q134: the feed-maintained digest index must equal the digest set
+    // of the FINAL live membership (bodies are id-prefixed, hence
+    // per-doc-unique, so content-keyed tombstones have no collateral):
+    // kept originals, updated bodies, synthetic inserts — nothing else
+    "q134_feed_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS tx,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS u,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 11 AS ins
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), final AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' || tx AS body
+        |  FROM d WHERE del <> 3 AND u <> 2
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR) || ':' || tx || ' u'
+        |  FROM d WHERE u = 2
+        |  UNION ALL
+        |  SELECT 'syn:' || CAST(doc_id AS VARCHAR) FROM d WHERE ins = 4
+        |)
+        |SELECT DISTINCT md5(body) AS digest FROM final
+        |ORDER BY digest""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

@@ -623,13 +623,16 @@ object TimeTravel {
     changeFeedCore(spark, dataPath, v1, v2, idCol)
       .select(col("version"), col(idCol), col("change"))
 
-  /** [[changeFeedByKey]] with the POST-IMAGE row: every data column
-    * rides along (null for `deleted` rows — the key is the tombstone),
-    * so a downstream replica can apply the feed directly: delete the
-    * `deleted` keys, put the `inserted`/`updated` rows, in version
-    * order. Replaying `(v1, v2]` onto a readAsOf(v1) snapshot
-    * reconstructs readAsOf(v2) exactly — the invariant
-    * TimeTravelSpec drives across a randomized op sequence.
+  /** [[changeFeedByKey]] with both row images: every data column rides
+    * along as the POST-image (null for `deleted` rows — the key is the
+    * tombstone), plus one `pre` struct holding the PRE-image (null for
+    * `inserted` rows). Post-images let a downstream replica apply the
+    * feed directly — delete the `deleted` keys, put the rest, in
+    * version order; replaying `(v1, v2]` onto a readAsOf(v1) snapshot
+    * reconstructs readAsOf(v2) exactly (the invariant TimeTravelSpec
+    * drives across a randomized op sequence). Pre-images are what
+    * CONTENT-keyed consumers need: a derived index tombstones the OLD
+    * text of a delete/update, which no post-image carries.
     */
   def changeFeed(spark: SparkSession, dataPath: String, v1: Long,
                  v2: Long, idCol: String): DataFrame = {
@@ -641,7 +644,8 @@ object TimeTravel {
       .fieldNames.filterNot(_ == idCol).toSeq
     core.select(
       Seq(col("version"), col(idCol), col("change")) ++
-        dataCols.map(c => col(s"__a.$c").as(c)): _*)
+        dataCols.map(c => col(s"__a.$c").as(c)) :+
+        col("__r").as("pre"): _*)
   }
 
   private def changeFeedCore(spark: SparkSession, dataPath: String,
@@ -667,9 +671,9 @@ object TimeTravel {
       .collect().map(_.getString(0)).toSeq.sorted
     if (files.isEmpty) {
       val shape = readAsOf(spark, dataPath, v2).limit(0)
+      val payload = struct(shape.columns.sorted.map(col).toIndexedSeq: _*)
       return shape.select(lit(0L).as("version"), col(idCol),
-        lit("").as("change"),
-        struct(shape.columns.sorted.map(col).toIndexedSeq: _*).as("__a"))
+        lit("").as("change"), payload.as("__a"), payload.as("__r"))
     }
     val fs = fsOf(spark, dataPath)
     val missing = files.filterNot(n => fs.exists(hp(s"$dataPath/$n")))
@@ -703,7 +707,8 @@ object TimeTravel {
           .when(col("__a") <=> col("__r"), lit(null))
           .otherwise(lit("updated")))
       .filter(col("change").isNotNull)
-      .select(col("version"), col(idCol), col("change"), col("__a"))
+      .select(col("version"), col(idCol), col("change"), col("__a"),
+        col("__r"))
   }
 
   private def changedFiles(spark: SparkSession, dataPath: String,

@@ -508,6 +508,21 @@ class TimeTravelSpec extends SparkSpec {
     assert(feed == expected)
     // the compaction (v5) fed nothing: every moved row was identical
     assert(!feed.exists(_._1 == 5L))
+    // both images ride the full feed: an update carries its OLD row in
+    // `pre` and its new payload in the post columns; a delete carries
+    // only `pre`; an insert only the post columns
+    val full = TimeTravel.changeFeed(spark, dir, 1L, 5L, "id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("change"))) -> r).toMap
+    val upd20 = full((20L, "updated"))
+    assert(upd20.getLong(upd20.fieldIndex("v")) == -1L &&
+      upd20.getStruct(upd20.fieldIndex("pre")).getAs[Long]("v") == 60L)
+    val del0 = full((0L, "deleted"))
+    assert(del0.isNullAt(del0.fieldIndex("v")) &&
+      del0.getStruct(del0.fieldIndex("pre")).getAs[Long]("v") == 0L)
+    val ins500 = full((500L, "inserted"))
+    assert(ins500.getLong(ins500.fieldIndex("v")) == -3L &&
+      ins500.isNullAt(ins500.fieldIndex("pre")))
     // a sub-range feeds exactly its commits
     val sub = TimeTravel.changeFeedByKey(spark, dir, 3L, 4L, "id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
