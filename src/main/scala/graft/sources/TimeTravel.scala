@@ -318,6 +318,17 @@ object TimeTravel {
                    batchId: Option[String] = None): Long = {
     val upd = updates.filter(col(idCol).isNotNull)
     val latest = latestVersion(spark, dataPath)
+    // one batch-sized aggregate serves both guards: emptiness (a no-op
+    // upsert commits nothing — including into an EMPTY table, where an
+    // empty first commit would manufacture a contentless version) and
+    // the duplicate-id contract
+    val head = upd.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    val (nRows, nIds) = (head.getLong(0), head.getLong(1))
+    if (nRows == 0L) return latest
+    require(nRows == nIds,
+      s"commitUpsert: updates carry ${nRows - nIds} duplicate-id rows " +
+        s"on $idCol — one commit admits one row per key (pick the " +
+        "winner first, e.g. Dedup.dedupCorpusBest's argmax)")
     if (latest == 0)
       return commitAppend(upd, dataPath, Seq(idCol), files, batchId)
     val ledger = commitLedgerPath(dataPath)
@@ -327,15 +338,6 @@ object TimeTravel {
       else if (graft.operators.Ledger.contains(spark, ledger, id))
         return latest
     }
-    // one batch-sized aggregate serves both guards: emptiness and the
-    // duplicate-id contract
-    val head = upd.agg(count(lit(1)), count_distinct(col(idCol))).head()
-    val (nRows, nIds) = (head.getLong(0), head.getLong(1))
-    if (nRows == 0L) return latest
-    require(nRows == nIds,
-      s"commitUpsert: updates carry ${nRows - nIds} duplicate-id rows " +
-        s"on $idCol — one commit admits one row per key (pick the " +
-        "winner first, e.g. Dedup.dedupCorpusBest's argmax)")
     val live = liveFileNames(spark, dataPath, latest)
     val ids = upd.select(col(idCol)).distinct()
     val l = lineage(spark, dataPath)

@@ -463,6 +463,11 @@ class TimeTravelSpec extends SparkSpec {
         lit(-7L).as("v")), files = 1, batchId = Some("u1")) == 2L)
     assert(TimeTravel.read(spark, dir2).filter(col("v") === -7L)
       .count() == 5L)
+    // an empty upsert into an EMPTY table manufactures no version
+    val dir3 = tmpDir("upsert_noop")
+    assert(TimeTravel.commitUpsert(spark, dir3, "id", batch(0).limit(0),
+      files = 1) == 0L)
+    assert(TimeTravel.latestVersion(spark, dir3) == 0L)
   }
 
   test("commitUpsert carries schema evolution both ways") {
