@@ -216,6 +216,9 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_tt_diff(dataPath, v1, v2[, idCol])` — file-level version
   *    diff, or key-level appeared/disappeared reading only changed
   *    files ([[graft.sources.TimeTravel.diff]] / `diffByKey`)
+  *  - `graft_tt_gc(dataPath)` — reclaim unreferenced data files and
+  *    staging residue (crashed promotions, lost races); never touches
+  *    referenced history ([[graft.sources.TimeTravel.gcOrphans]])
   *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
@@ -1242,6 +1245,19 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum(dataPath, keepFrom)")
       }),
+    (new FunctionIdentifier("graft_tt_gc"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_gc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val n = graft.sources.TimeTravel.gcOrphans(spark, path)
+          import spark.implicits._
+          plan(Seq((path, n)).toDF("data_path", "orphans_reclaimed"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_gc(dataPath) — reclaim unreferenced data files and " +
+            "staging residue (never referenced history; that is vacuum)")
+      }),
     (new FunctionIdentifier("graft_tt_upsert"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_upsert"),
       (args: Seq[Expression]) => args match {
@@ -1777,6 +1793,7 @@ object GraftExtensions {
     "graft_tt_vacuum" -> "TimeTravelSpec",
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
+    "graft_tt_gc" -> "TimeTravelSpec",
     "graft_tt_upsert" -> "q131_tt_upsert",
     "graft_tt_changes" -> "q132_tt_changes",
     "graft_mv_create" -> "q133_matview",

@@ -35,8 +35,12 @@ import org.apache.spark.sql.functions._
   *     never duplicate);
   *  3. stage the new files under `<path>_staging_v<v>`, then promote
   *     each part as `v<v>_<i>.parquet` into the data dir;
-  *  4. append the lineage segment LAST — the commit point. A crash
-  *     before (4) leaves the table exactly at version v-1.
+  *  4. land the lineage segment LAST as an atomic create-if-absent
+  *     single-file birth (`segment_v<v>.parquet` — see
+  *     [[appendLineage]]) — the commit point AND the race arbiter: a
+  *     crash before (4) leaves the table exactly at version v-1, and
+  *     two committers racing to one version get one winner and one
+  *     loud loser, never a silently merged version.
   * Replaying a WHOLE committed batch (at-least-once ingestion) is the
   * caller's hazard exactly as in [[Layout.appendZOrdered]]; pass
   * `batchId` to make replays exact no-ops via the applied-batch
@@ -105,12 +109,97 @@ object TimeTravel {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Append one commit's action rows as a single new lineage segment
-    * (the commit point). Segments may carry different stat columns —
-    * [[lineage]] merges schemas on read. */
-  private def appendLineage(spark: SparkSession, dataPath: String,
-                            seg: DataFrame): Unit =
-    seg.coalesce(1).write.mode("append").parquet(lineagePath(dataPath))
+  /** Append one commit's action rows as the lineage segment for version
+    * `v` — THE COMMIT POINT, made an atomic single-file birth under the
+    * deterministic name `segment_v<v>.parquet` so two committers racing
+    * to the same version can never BOTH win. The segment stages as a
+    * temp parquet, then moves in with create-if-absent semantics: on an
+    * HDFS-class store the arbiter is `rename` (atomic in the namenode,
+    * fails on an existing destination); on a local filesystem `rename`
+    * silently overwrites, so the arbiter is a hard link (`link(2)` —
+    * atomic, fails if the destination exists). The loser throws LOUDLY,
+    * nothing it staged is visible (unreferenced data files are the
+    * orphans [[gcOrphans]] reclaims), and its retry lands on the next
+    * version.
+    *
+    * Scope, stated honestly: the write contract here is single-writer
+    * per table like every persisted family in this engine; the arbiter
+    * is the BACKSTOP that turns a violated contract (two at-least-once
+    * driver attempts overlapping, a misconfigured second pipeline) into
+    * one winner and one loud loser instead of a silently merged version
+    * — it is not full optimistic concurrency (racing DATA-file
+    * promotions may still clobber each other's identically-named
+    * staging parts before the arbiter fires; the loser's exception
+    * tells the operator to inspect exactly that). Segments may carry
+    * different stat columns — [[lineage]] merges schemas on read.
+    */
+  private[graft] def appendLineage(spark: SparkSession, dataPath: String,
+                                   seg: DataFrame, v: Long): Unit = {
+    val lp = lineagePath(dataPath)
+    val fs = fsOf(spark, dataPath)
+    val tmp = lp + s"_segtmp_v$v"
+    fs.delete(hp(tmp), true)
+    seg.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(hp(tmp))
+      .filter(f => f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath) match {
+      case Array(p) => p
+      case ps => throw new IllegalStateException(
+        s"lineage segment staging wrote ${ps.length} parts at $tmp — " +
+          "coalesce(1) must yield exactly one")
+    }
+    fs.mkdirs(hp(lp))
+    val dest = hp(s"$lp/segment_v$v.parquet")
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(part.toUri.getPath)): Unit
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else !fs.exists(dest) && fs.rename(part, dest)
+    fs.delete(hp(tmp), true)
+    require(won,
+      s"time-travel commit LOST the race for version $v of $dataPath — " +
+        "another committer's segment landed first (the single-writer " +
+        "contract was violated); this commit published nothing, its " +
+        "staged files are orphans gcOrphans reclaims; re-read the " +
+        "table and retry, and check whether the racer clobbered " +
+        "same-named staging parts")
+  }
+
+  /** Reclaim INVISIBLE residue: data files no lineage row references
+    * (crashed promotions, a lost race's stranded generation) plus
+    * leftover staging and segment-temp directories. Never touches a
+    * referenced file — including logically-removed history, which is
+    * [[vacuum]]'s job (an explicit policy decision, not hygiene).
+    * Same serialized-writer discipline as every maintenance face: run
+    * at a quiet moment, never concurrent with an in-flight commit
+    * (whose just-promoted, not-yet-committed files look exactly like
+    * orphans). Returns the number of data files reclaimed.
+    */
+  def gcOrphans(spark: SparkSession, dataPath: String): Int = {
+    val fs = fsOf(spark, dataPath)
+    if (!fs.exists(hp(dataPath))) return 0
+    val referenced: Set[String] =
+      if (!lineageExists(spark, dataPath)) Set.empty
+      else lineage(spark, dataPath).select(col("file_name"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val doomed = fs.listStatus(hp(dataPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .filterNot(p => referenced.contains(p.getName))
+    doomed.foreach(p => fs.delete(p, false): Unit)
+    Seq("_staging_v*", "_lineage_segtmp_v*").foreach { pat =>
+      Option(fs.globStatus(hp(dataPath.stripSuffix("/") + pat)))
+        .toSeq.flatten.foreach(f => fs.delete(f.getPath, true): Unit)
+    }
+    doomed.length
+  }
 
   /** Plain (version, action, file_name, n_rows) rows — the stat-less
     * remove/vacuum segment shape. */
@@ -191,7 +280,7 @@ object TimeTravel {
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
     appendLineage(spark, dataPath,
-      stageAndPromote(spark, dataPath, v, clustered, dims))
+      stageAndPromote(spark, dataPath, v, clustered, dims), v)
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }
@@ -251,7 +340,7 @@ object TimeTravel {
       stageAndPromote(spark, dataPath, v, survivors, statDims(l))
         .unionByName(actionRows(spark,
           affected.map(name => (v, "remove", name, 0L))),
-          allowMissingColumns = true))
+          allowMissingColumns = true), v)
     v
   }
 
@@ -384,7 +473,7 @@ object TimeTravel {
       stageAndPromote(spark, dataPath, v, clustered, dims)
         .unionByName(actionRows(spark,
           affected.map(name => (v, "remove", name, 0L))),
-          allowMissingColumns = true))
+          allowMissingColumns = true), v)
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }
@@ -411,7 +500,7 @@ object TimeTravel {
       stageAndPromote(spark, dataPath, v, clustered, dims)
         .unionByName(actionRows(spark,
           live.map(name => (v, "remove", name, 0L))),
-          allowMissingColumns = true))
+          allowMissingColumns = true), v)
     v
   }
 
@@ -562,7 +651,7 @@ object TimeTravel {
       readds.unionByName(
         actionRows(spark,
           (current -- target).toSeq.sorted.map(n => (v, "remove", n, 0L))),
-        allowMissingColumns = true))
+        allowMissingColumns = true), v)
     v
   }
 
@@ -770,7 +859,7 @@ object TimeTravel {
     }
     val v = latestVersion(spark, dataPath) + 1
     appendLineage(spark, dataPath,
-      actionRows(spark, doomed.map(name => (v, "vacuum", name, 0L))))
+      actionRows(spark, doomed.map(name => (v, "vacuum", name, 0L))), v)
     doomed.size
   }
 }

@@ -68,6 +68,11 @@ class MatViewSpec extends SparkSpec {
     TimeTravel.compact(spark, dir, Seq("id"), files = 2)
     MatView.refresh(spark, view)
     assert(viewRows(view) == recompute(dir))
+    // rollback: files re-added (+1) and removed (−1) by a metadata-only
+    // commit follow the same delta algebra
+    TimeTravel.rollback(spark, dir, 3L)
+    MatView.refresh(spark, view)
+    assert(viewRows(view) == recompute(dir))
     // catching up over SEVERAL commits in one refresh also lands exact
     val view2 = dir + "_view2"
     MatView.create(spark, dir, view2, Seq("grp"), Seq("v"))

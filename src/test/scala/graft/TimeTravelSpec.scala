@@ -596,6 +596,60 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("the commit point is a race arbiter: a second segment at the " +
+      "same version loses loudly and corrupts nothing") {
+    val dir = tmpDir("race")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    // simulate the loser of a two-committer race: the winner's
+    // segment_v2 landed; a second appendLineage at v2 must throw and
+    // leave exactly ONE segment for v2
+    val segA = spark.range(1)
+      .select(lit(2L).as("version"), lit("remove").as("action"),
+        lit("v1_0.parquet").as("file_name"), lit(0L).as("n_rows"))
+    TimeTravel.appendLineage(spark, dir, segA, 2L)
+    val segB = spark.range(1)
+      .select(lit(2L).as("version"), lit("remove").as("action"),
+        lit("v1_1.parquet").as("file_name"), lit(0L).as("n_rows"))
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.appendLineage(spark, dir, segB, 2L))
+    assert(e.getMessage.contains("LOST the race"))
+    // the winner's commit is intact and the loser published nothing:
+    // v2 removed exactly v1_0, so the head reads only v1_1's rows
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    val headRows = TimeTravel.read(spark, dir).count()
+    assert(headRows > 0L && headRows < 100L,
+      s"v2 must hide exactly the winner's removed file, got $headRows")
+    // a retry lands cleanly on the NEXT version
+    assert(TimeTravel.commitAppend(batch(1), dir, Seq("id"),
+      files = 2) == 3L)
+  }
+
+  test("gcOrphans reclaims unreferenced files and staging residue, " +
+      "never referenced history") {
+    val dir = tmpDir("gc")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1) // v2 removes v1's
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant orphans: a stranded data file (a crashed promotion) and a
+    // staging dir (a crashed attempt)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "v9_0.parquet")
+    val out = fs.create(orphan, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "_staging_v9"))
+    val before = (1L to 2L).map(v =>
+      ids(TimeTravel.readAsOf(spark, dir, v)))
+    assert(TimeTravel.gcOrphans(spark, dir) == 1)
+    assert(!fs.exists(orphan))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_staging_v9")))
+    // referenced files — including v1's logically-removed history —
+    // survive: every as-of read is bit-identical
+    (1L to 2L).foreach(v => assert(
+      ids(TimeTravel.readAsOf(spark, dir, v)) == before((v - 1).toInt)))
+    // idempotent
+    assert(TimeTravel.gcOrphans(spark, dir) == 0)
+  }
+
   test("changeFeedByKey refuses ranges behind the vacuum floor and " +
       "feeds empty over metadata-only spans") {
     val dir = tmpDir("feed_vacuum")
