@@ -2360,6 +2360,37 @@ object SparkEntry {
       }
       Dedup.loadDigestIndex(s, idx)
         .select(col("digest")).distinct().orderBy(col("digest"))
+    }),
+
+    // The full pretraining data build in ONE plan (r13): exact dedup →
+    // decontamination → per-domain quality gate → mixture fill →
+    // sequence packing, each stage the already-gated operator (q18, q38,
+    // q121, q120, q54), composed end to end the way a user actually runs
+    // them. The result is the pack manifest a training job consumes —
+    // per (source, pack): docs, tokens, final position. The oracle
+    // recomposes every stage in SQL from the same proven formulations,
+    // so a drift ANYWHERE in the chain (a survivor lost to the dedup
+    // join, a probe gram missed, a gate tie broken differently, a fill
+    // prefix off by one row, a pack boundary misplaced) breaks the hash.
+    "q135_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      val survivors = docs.join(
+        Dedup.exact(docs, "doc_id", "text").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val clean = Corpus.decontaminate(survivors,
+        docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+      val gated = Corpus.keepTopByGroup(clean, "source", "doc_id",
+        "n_chars", fraction = 0.4)
+      val filled = Corpus.tokenBudgetFill(
+        gated.select("doc_id", "source", "text"), "source", "doc_id",
+        "text", Seq("src0" -> 300L, "src1" -> 10000000L, "src2" -> 250L))
+      val packed = Corpus.packSequences(filled, "source", "doc_id",
+        "n_tokens", budget = 128L)
+      packed.groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("pack_pos")).cast("long").as("last_pos"))
+        .orderBy(col("source"), col("pack_id"))
     })
   )
 
@@ -5064,7 +5095,90 @@ object SparkEntry {
         |  SELECT 'syn:' || CAST(doc_id AS VARCHAR) FROM d WHERE ins = 4
         |)
         |SELECT DISTINCT md5(body) AS digest FROM final
-        |ORDER BY digest""".stripMargin.replace("\n", " ")
+        |ORDER BY digest""".stripMargin.replace("\n", " "),
+
+    // q135: every stage recomposed from its own proven oracle form —
+    // q18's md5 min-id dedup, q38's trigram-string decontamination
+    // (probes from the ORIGINAL table, ids < 5), q121's ceil(0.4·cnt)
+    // gate with (score desc, id) ties, q120/q129's hash-order window
+    // fill, q54's exclusive-prefix pack boundaries — then the manifest
+    // rollup
+    "q135_pipeline" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, source, text, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM d0 GROUP BY md5(text)
+        |), d1 AS (
+        |  SELECT d0.* FROM d0 JOIN keep USING (doc_id)
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gs
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+')
+        |          AS toks FROM d1)
+        |), pg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS p
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS toks
+        |        FROM d0 WHERE doc_id < 5)
+        |), bad AS (
+        |  SELECT DISTINCT dg.doc_id
+        |  FROM (SELECT doc_id, unnest(gs) AS gg FROM g) dg
+        |  JOIN pg ON dg.gg = pg.p
+        |), d2 AS (
+        |  SELECT * FROM d1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |), cnt AS (
+        |  SELECT source, count(*) AS c FROM d2
+        |  WHERE n_chars IS NOT NULL GROUP BY source
+        |), rnk AS (
+        |  SELECT d.source, d.doc_id, d.text,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY CAST(d.n_chars AS DOUBLE) DESC, d.doc_id) AS rn,
+        |    c.c
+        |  FROM d2 d JOIN cnt c USING (source)
+        |  WHERE d.n_chars IS NOT NULL
+        |), d3 AS (
+        |  SELECT source, doc_id, text FROM rnk
+        |  WHERE rn <= CAST(ceil(0.4 * c) AS BIGINT)
+        |), t AS (
+        |  SELECT source, doc_id,
+        |    CAST(coalesce(len(regexp_extract_all(trim(text), '\S+')), 0)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM d3
+        |), b(source, budget) AS (
+        |  VALUES ('src0', 300), ('src1', 10000000), ('src2', 250)
+        |), f AS (
+        |  SELECT t.source, doc_id, n_tokens, h, budget,
+        |    sum(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY h, doc_id) AS cum
+        |  FROM t JOIN b USING (source)
+        |), m AS (
+        |  SELECT source, doc_id, n_tokens, h FROM f WHERE cum <= budget
+        |), p AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+        |    h
+        |  FROM m
+        |), pk AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(pre / 128) AS BIGINT) AS pack_id,
+        |    row_number() OVER (PARTITION BY source,
+        |      CAST(floor(pre / 128) AS BIGINT)
+        |      ORDER BY h, doc_id) AS pack_pos
+        |  FROM p
+        |)
+        |SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(max(pack_pos) AS BIGINT) AS last_pos
+        |FROM pk GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared
