@@ -219,6 +219,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_tt_gc(dataPath)` — reclaim unreferenced data files and
   *    staging residue (crashed promotions, lost races); never touches
   *    referenced history ([[graft.sources.TimeTravel.gcOrphans]])
+  *  - `graft_tt_stats(dataPath, version, column)` — exact
+  *    min/max/null-count/row-count at any readable version from the
+  *    lineage alone, zero data files read
+  *    ([[graft.sources.TimeTravel.columnStats]])
   *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
@@ -1245,6 +1249,18 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum(dataPath, keepFrom)")
       }),
+    (new FunctionIdentifier("graft_tt_stats"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, v, c) =>
+          plan(graft.sources.TimeTravel.columnStats(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v, "version"),
+            strArg(c, "column")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_stats(dataPath, version, column) — exact " +
+            "min/max/nulls/rows at any readable version from the " +
+            "lineage alone, no data read")
+      }),
     (new FunctionIdentifier("graft_tt_gc"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_gc"),
       (args: Seq[Expression]) => args match {
@@ -1794,6 +1810,7 @@ object GraftExtensions {
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_tt_gc" -> "TimeTravelSpec",
+    "graft_tt_stats" -> "q136_tt_stats",
     "graft_tt_upsert" -> "q131_tt_upsert",
     "graft_tt_changes" -> "q132_tt_changes",
     "graft_mv_create" -> "q133_matview",

@@ -2391,6 +2391,40 @@ object SparkEntry {
           sum(col("n_tokens")).as("sum_tokens"),
           max(col("pack_pos")).cast("long").as("last_pos"))
         .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // Metadata-only column stats at any version (r13): exact
+    // min/max/null-count/row-count from the LINEAGE alone — zero data
+    // files read — because every commit records fresh stats for the
+    // generation it writes. Two columns × two versions (before/after a
+    // versioned delete): the delete's survivor rewrite must refresh the
+    // rewritten files' stats, or the v3 extremes/nulls drift from the
+    // membership recompute and break the hash.
+    "q136_tt_stats" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttst_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Stages.timed("q136_tt_stats", "commits_delete") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id", "n_chars"), files = 2))
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id"))): Unit
+      }
+      (2L to 3L).flatMap(v => Seq("doc_id", "n_chars").map(c =>
+          TimeTravel.columnStats(s, dir, v, c)
+            .withColumn("as_of", lit(v))))
+        .reduce(_ unionByName _)
+        .select(col("as_of"), col("col_name"), col("min_v"), col("max_v"),
+          col("n_nulls"), col("n_rows"))
+        .orderBy(col("as_of"), col("col_name"))
     })
   )
 
@@ -5178,7 +5212,38 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  CAST(max(pack_pos) AS BIGINT) AS last_pos
         |FROM pk GROUP BY source, pack_id
-        |ORDER BY source, pack_id""".stripMargin.replace("\n", " ")
+        |ORDER BY source, pack_id""".stripMargin.replace("\n", " "),
+
+    // q136: the metadata stats must equal a full recompute of each
+    // version's membership — v2 everything, v3 minus the delete bucket
+    "q136_tt_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(2 AS BIGINT) AS as_of, doc_id, n_chars FROM d
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id, n_chars FROM d WHERE del <> 3
+        |), s AS (
+        |  SELECT as_of, 'doc_id' AS col_name,
+        |    CAST(min(doc_id) AS BIGINT) AS min_v,
+        |    CAST(max(doc_id) AS BIGINT) AS max_v,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM m GROUP BY as_of
+        |  UNION ALL
+        |  SELECT as_of, 'n_chars',
+        |    CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM m GROUP BY as_of
+        |)
+        |SELECT as_of, col_name, min_v, max_v, n_nulls, n_rows FROM s
+        |ORDER BY as_of, col_name""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared

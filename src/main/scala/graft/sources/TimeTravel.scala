@@ -596,6 +596,65 @@ object TimeTravel {
   def read(spark: SparkSession, dataPath: String): DataFrame =
     readAsOf(spark, dataPath, latestVersion(spark, dataPath))
 
+  /** EXACT per-column stats at ANY readable version, from the lineage
+    * alone — zero data files read. This works because every commit here
+    * recomputes fresh min/max/null-count stats for the exact generation
+    * it writes (appends, delete survivors, compactions, all through
+    * [[stageAndPromote]]'s one batch-sized scan), so the live add rows'
+    * stats describe the live files EXACTLY, not conservatively: the
+    * table min is the min of live per-file mins, nulls and rows are
+    * sums. ANALYZE for free, at every historical version — the profile
+    * a 100 TB planner wants without a 100 TB scan.
+    *
+    * One row: `(col_name, min_v, max_v, n_nulls, n_rows)`, min/max in
+    * the recorded stat type. Refuses LOUDLY when any live file at the
+    * version lacks recorded stats for the column (a commit predating a
+    * dims change — exact metadata stats are impossible there; read the
+    * data instead). The all-null-file case is not a refusal: such a
+    * file records `min = max = NULL` with `nulls = n_rows`, the null
+    * min/max simply contribute nothing, and the null COUNT is what
+    * distinguishes it from missing stats (the same nulls-discriminator
+    * rule as [[Layout]]'s pruning).
+    */
+  def columnStats(spark: SparkSession, dataPath: String, version: Long,
+                  column: String): DataFrame = {
+    val latest = latestVersion(spark, dataPath)
+    val floor = earliestReadable(spark, dataPath)
+    require(version >= floor && version <= latest,
+      s"columnStats: version $version outside readable range " +
+        s"[$floor, $latest] of $dataPath")
+    val l = lineage(spark, dataPath)
+    require(l.columns.contains(s"min_$column"),
+      s"columnStats: no lineage stats recorded for column $column " +
+        s"(recorded: ${statDims(l).mkString(", ")}) — re-commit or " +
+        "compact with it in dims, or read the data")
+    val live = liveFileNames(spark, dataPath, version)
+    // each live file's LATEST add row at or before the version (a
+    // rollback re-add copies the stats payload, so latest-wins is safe)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file_name")).orderBy(col("version").desc)
+    val latestAdds = l
+      .filter(col("action") === "add" && col("version") <= version &&
+        col("file_name").isin(live: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val missing = latestAdds.filter(col(s"nulls_$column").isNull)
+      .select(col("file_name")).limit(5)
+      .collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"columnStats: live files without recorded $column stats at " +
+        s"version $version (${missing.mkString(", ")}…) — a commit " +
+        "predating the dims change; compact to refresh stats, or read " +
+        "the data")
+    latestAdds.agg(
+        min(col(s"min_$column")).as("min_v"),
+        max(col(s"max_$column")).as("max_v"),
+        sum(col(s"nulls_$column")).cast("long").as("n_nulls"),
+        sum(col("n_rows")).cast("long").as("n_rows"))
+      .select(lit(column).as("col_name"), col("min_v"), col("max_v"),
+        col("n_nulls"), col("n_rows"))
+  }
+
   /** One row per commit: version, adds/removes/vacuumed file counts,
     * rows added — the audit face a lake operator reads before trusting
     * a rollback target. Pure lineage aggregation, no data touched.

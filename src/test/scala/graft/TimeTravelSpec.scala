@@ -596,6 +596,53 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("columnStats equals a data recompute at every version across " +
+      "append/delete/upsert/compact/rollback, and never reads data") {
+    val dir = tmpDir("stats")
+    def expect(v: Long): (Long, Long, Long, Long) = {
+      val r = TimeTravel.readAsOf(spark, dir, v)
+        .agg(min(col("v")), max(col("v")),
+          sum(when(col("v").isNull, 1L).otherwise(0L)), count(lit(1)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def got(v: Long): (Long, Long, Long, Long) = {
+      val r = TimeTravel.columnStats(spark, dir, v, "v").head()
+      (r.getLong(r.fieldIndex("min_v")), r.getLong(r.fieldIndex("max_v")),
+        r.getLong(r.fieldIndex("n_nulls")), r.getLong(r.fieldIndex("n_rows")))
+    }
+    TimeTravel.commitAppend(batch(0), dir, Seq("id", "v"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id", "v"), files = 2)
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(150L, 200L).select(col("id"))) // kills the max
+    TimeTravel.commitUpsert(spark, dir, "id",
+      spark.range(0L, 3L).select(col("id"), (col("id") % 5).as("grp"),
+        lit(-50L).as("v")), files = 1) // new min
+    TimeTravel.compact(spark, dir, Seq("id", "v"), files = 2)
+    TimeTravel.rollback(spark, dir, 3L)
+    (1L to TimeTravel.latestVersion(spark, dir)).foreach { v =>
+      assert(got(v) == expect(v), s"stats diverge at version $v")
+    }
+    // unrecorded column refuses loudly
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.columnStats(spark, dir, 1L, "grp"))
+    assert(e.getMessage.contains("no lineage stats"))
+    // an all-null stat column is NOT a refusal: its files contribute
+    // null counts, and min/max come from the non-null files
+    val dir2 = tmpDir("stats_nulls")
+    TimeTravel.commitAppend(
+      spark.range(0L, 10L).select(col("id"),
+        lit(null).cast("long").as("v")), dir2, Seq("id", "v"), files = 1)
+    TimeTravel.commitAppend(
+      spark.range(10L, 20L).select(col("id"), (col("id") * 2).as("v")),
+      dir2, Seq("id", "v"), files = 1)
+    val r2 = TimeTravel.columnStats(spark, dir2, 2L, "v").head()
+    assert(r2.getLong(r2.fieldIndex("min_v")) == 20L &&
+      r2.getLong(r2.fieldIndex("max_v")) == 38L &&
+      r2.getLong(r2.fieldIndex("n_nulls")) == 10L &&
+      r2.getLong(r2.fieldIndex("n_rows")) == 20L)
+  }
+
   test("the commit point is a race arbiter: a second segment at the " +
       "same version loses loudly and corrupts nothing") {
     val dir = tmpDir("race")
