@@ -223,6 +223,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    min/max/null-count/row-count at any readable version from the
   *    lineage alone, zero data files read
   *    ([[graft.sources.TimeTravel.columnStats]])
+  *  - `graft_tt_clone(dataPath, version, destPath)` — materialize a
+  *    historical version as a PLAIN parquet table for handoff; never
+  *    overwrites, outlives vacuum
+  *    ([[graft.sources.TimeTravel.cloneAsOf]])
   *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
@@ -1249,6 +1253,21 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum(dataPath, keepFrom)")
       }),
+    (new FunctionIdentifier("graft_tt_clone"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_clone"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, v, dst) =>
+          val spark = SparkSession.active
+          val dest = strArg(dst, "destPath")
+          val rows = graft.sources.TimeTravel.cloneAsOf(spark,
+            strArg(p, "dataPath"), longArg(v, "version"), dest)
+          import spark.implicits._
+          plan(Seq((dest, rows)).toDF("dest_path", "n_rows"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_clone(dataPath, version, destPath) — materialize a " +
+            "historical version as a plain parquet table (never " +
+            "overwrites)")
+      }),
     (new FunctionIdentifier("graft_tt_stats"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_stats"),
       (args: Seq[Expression]) => args match {
@@ -1810,6 +1829,7 @@ object GraftExtensions {
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_tt_gc" -> "TimeTravelSpec",
+    "graft_tt_clone" -> "TimeTravelSpec",
     "graft_tt_stats" -> "q136_tt_stats",
     "graft_tt_upsert" -> "q131_tt_upsert",
     "graft_tt_changes" -> "q132_tt_changes",

@@ -873,6 +873,74 @@ object TimeTravel {
     ((live1 -- live2).toSeq.sorted, (live2 -- live1).toSeq.sorted)
   }
 
+  /** Materialize a historical version as a PLAIN parquet directory —
+    * the handoff face: a consumer without this library (another team,
+    * another engine) gets exactly the readAsOf(version) bytes as an
+    * ordinary table, decoupled from the lake's lifetime (a later
+    * [[vacuum]] cannot touch the clone). One copy-shaped job; the clone
+    * is written staged-then-promoted so a crashed clone is an obvious
+    * `_staging` residue, never a half-table at the destination.
+    */
+  def cloneAsOf(spark: SparkSession, dataPath: String, version: Long,
+                destPath: String): Long = {
+    val fs = fsOf(spark, destPath)
+    require(!fs.exists(hp(destPath)),
+      s"cloneAsOf: destination $destPath exists — clones never " +
+        "overwrite (delete it explicitly first)")
+    val staging = destPath.stripSuffix("/") + "_staging"
+    fs.delete(hp(staging), true)
+    val df = readAsOf(spark, dataPath, version) // validates + corruption
+    df.write.mode("overwrite").parquet(staging)
+    require(fs.rename(hp(staging), hp(destPath)),
+      s"cloneAsOf: could not promote $staging to $destPath")
+    df.count()
+  }
+
+  /** Tail the change feed with a DURABLE cursor: process every version
+    * committed after the cursor exactly once per successful run, in
+    * order, surviving restarts. `f(feed, version)` receives the
+    * [[changeFeed]] frame (both images) for ONE version; the cursor
+    * file advances only AFTER `f` returns, so a crash mid-version
+    * re-delivers that version (at-least-once per version — make `f`
+    * idempotent, e.g. key its writes by version like every batchId
+    * face here). Returns the number of versions processed. A FIRST
+    * call must pass `startAfter` — the version of the base snapshot
+    * the consumer bootstrapped from (readAsOf it first); later calls
+    * read the cursor and `startAfter` is ignored.
+    */
+  def followChanges(spark: SparkSession, dataPath: String, idCol: String,
+                    cursorPath: String, startAfter: Long = -1L)(
+                    f: (DataFrame, Long) => Unit): Int = {
+    val fs = fsOf(spark, cursorPath)
+    val cp = hp(cursorPath)
+    val from =
+      if (fs.exists(cp)) {
+        val in = fs.open(cp)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          new String(buf, 0, n, "UTF-8").trim.toLong
+        } finally in.close()
+      } else {
+        require(startAfter >= 0L,
+          s"followChanges: no cursor at $cursorPath and no startAfter — " +
+            "a first tail must name the base version its consumer " +
+            "bootstrapped from (readAsOf that version first)")
+        startAfter
+      }
+    val head = latestVersion(spark, dataPath)
+    var v = from + 1
+    var n = 0
+    while (v <= head) {
+      f(changeFeed(spark, dataPath, v - 1, v, idCol), v)
+      val out = fs.create(cp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      n += 1
+      v += 1
+    }
+    n
+  }
+
   /** `foreachBatch` sink: each micro-batch commits as one version under
     * batch id `stream_<epoch>`, so Structured Streaming's at-least-once
     * epoch replays become exactly-once version growth through the

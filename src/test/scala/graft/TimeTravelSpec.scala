@@ -596,6 +596,71 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("cloneAsOf hands off a historical version as a plain table that " +
+      "outlives the lake's vacuum") {
+    val dir = tmpDir("clone")
+    val dest = tmpDir("clone_dest") + "_out"
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(0L, 50L).select(col("id")))
+    assert(TimeTravel.cloneAsOf(spark, dir, 2L, dest) == 200L)
+    // a PLAIN read (no library) sees exactly version 2
+    assert(ids(spark.read.parquet(dest)) == (0L until 200L))
+    // clones never overwrite
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.cloneAsOf(spark, dir, 1L, dest))
+    assert(e.getMessage.contains("never overwrite"))
+    // the clone outlives the history it came from
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1)
+    TimeTravel.vacuum(spark, dir, keepFrom = 4L)
+    intercept[IllegalArgumentException](TimeTravel.readAsOf(spark, dir, 2L))
+    assert(ids(spark.read.parquet(dest)) == (0L until 200L))
+  }
+
+  test("followChanges tails versions in order exactly once across " +
+      "restarts, re-delivering only a crashed version") {
+    val dir = tmpDir("follow")
+    val cursor = tmpDir("follow_cursor") + "_cur"
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.commitDelete(spark, dir, "id",                    // v3
+      spark.range(0L, 10L).select(col("id")))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // bootstrap from version 1's snapshot; tail everything after
+    assert(TimeTravel.followChanges(spark, dir, "id", cursor,
+      startAfter = 1L) { (feed, v) => seen += ((v, feed.count())) } == 2)
+    assert(seen.toSeq == Seq((2L, 100L), (3L, 10L)))
+    // nothing new: zero versions, cursor intact
+    assert(TimeTravel.followChanges(spark, dir, "id", cursor) {
+      (_, _) => fail("must not fire") } == 0)
+    // a new commit is picked up from the durable cursor (no startAfter)
+    TimeTravel.commitAppend(batch(2), dir, Seq("id"), files = 2) // v4
+    seen.clear()
+    assert(TimeTravel.followChanges(spark, dir, "id", cursor) {
+      (feed, v) => seen += ((v, feed.count())) } == 1)
+    assert(seen.toSeq == Seq((4L, 100L)))
+    // a crash MID-version re-delivers exactly that version on restart
+    TimeTravel.commitAppend(batch(3), dir, Seq("id"), files = 2) // v5
+    TimeTravel.commitAppend(batch(4), dir, Seq("id"), files = 2) // v6
+    var calls = 0
+    intercept[RuntimeException](
+      TimeTravel.followChanges(spark, dir, "id", cursor) { (_, v) =>
+        calls += 1
+        if (v == 6L) throw new RuntimeException("crash before cursor")
+      })
+    assert(calls == 2) // v5 processed (cursor advanced), v6 crashed
+    seen.clear()
+    TimeTravel.followChanges(spark, dir, "id", cursor) {
+      (feed, v) => seen += ((v, feed.count())) }
+    assert(seen.toSeq == Seq((6L, 100L)), "only the crashed version replays")
+    // a first tail without a base refuses
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.followChanges(spark, dir, "id",
+        tmpDir("follow_nocur") + "_cur") { (_, _) => () })
+    assert(e.getMessage.contains("startAfter"))
+  }
+
   test("columnStats equals a data recompute at every version across " +
       "append/delete/upsert/compact/rollback, and never reads data") {
     val dir = tmpDir("stats")
