@@ -596,6 +596,72 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("the feed maintains a MinHash near-dup index through the " +
+      "documented delete->compact->append recipe: probes equal a fresh " +
+      "build on the final membership") {
+    import graft.operators.Dedup
+    val dir = tmpDir("feedmh")
+    val idxFeed = dir + "_idx_feed"
+    val idxFresh = dir + "_idx_fresh"
+    // near-dup families of 3: ids sharing id div 3 share 7 of 8 tokens
+    def rows(r: org.apache.spark.sql.Dataset[java.lang.Long]) = {
+      val fam = expr("id div 3").cast("string")
+      val text = concat_ws(" ",
+        Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+          .map(w => concat(lit(w), fam)) :+
+          concat(lit("theta"), (col("id") % 3).cast("string")): _*)
+      r.select(col("id"), text.as("text"))
+    }
+    val docs = rows(spark.range(0L, 60L))
+    (0 to 1).foreach(i => TimeTravel.commitAppend(
+      docs.filter(col("id") % 2 === i), dir, Seq("id"), files = 2))
+    Dedup.saveMinhashIndex(TimeTravel.readAsOf(spark, dir, 2L),
+      idxFeed, "id", "text")
+    // mutate: a delete, then an upsert that edits text and inserts
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(0L, 60L).filter(col("id") % 10 === 7).select(col("id")))
+    val updated = rows(spark.range(0L, 60L)
+        .filter(col("id") % 9 === 4 && col("id") % 10 =!= 7))
+      .withColumn("text", concat(col("text"), lit(" edited extra words")))
+    TimeTravel.commitUpsert(spark, dir, "id",
+      updated.unionByName(rows(spark.range(1000L, 1006L))), files = 2)
+    // maintain from the feed alone: per version, tombstone the
+    // deleted/updated ids, COMPACT (an append-only index cannot replace
+    // content — the stale band rows must go), then append post-images
+    (3L to 4L).foreach { v =>
+      val f = TimeTravel.changeFeed(spark, dir, v - 1, v, "id")
+      Dedup.deleteFromMinhashIndex(
+        f.filter(col("change").isin("deleted", "updated"))
+          .select(col("id")), idxFeed, "id")
+      Dedup.compactMinhashIndex(spark, idxFeed)
+      Dedup.appendMinhashIndex(
+        f.filter(col("change").isin("inserted", "updated"))
+          .select(col("id"), col("text")), idxFeed, "id", "text")
+    }
+    Dedup.saveMinhashIndex(TimeTravel.read(spark, dir), idxFresh,
+      "id", "text")
+    // probe: exact copies of live docs (probe ids offset so they never
+    // equal an index id) + novel texts — deterministic membership
+    val probe = rows(spark.range(0L, 60L)
+        .filter(col("id") % 10 =!= 7 && col("id") % 9 =!= 4 &&
+          col("id") < 10))
+      .unionByName(updated.filter(col("id") < 30))
+      .select((col("id") + 5000L).as("id"), col("text"))
+      .unionByName(Seq((9000L, "nothing like anything indexed at all"))
+        .toDF("id", "text"))
+    def flags(idx: String) =
+      Dedup.flagAgainstIndex(probe, idx, "id", "text")
+        .select(col("id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFeed = flags(idxFeed)
+    val viaFresh = flags(idxFresh)
+    assert(viaFeed == viaFresh,
+      "feed-maintained index must answer probes exactly like a fresh " +
+        "build on the final membership")
+    assert(viaFeed.nonEmpty, "copies of live docs must flag")
+    assert(!viaFeed.exists(_._1 == 9000L), "novel text must not flag")
+  }
+
   test("cloneAsOf hands off a historical version as a plain table that " +
       "outlives the lake's vacuum") {
     val dir = tmpDir("clone")
