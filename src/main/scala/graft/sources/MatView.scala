@@ -114,6 +114,21 @@ object MatView {
     (keys ++ sumCols).foreach(c => require(full.columns.contains(c),
       s"MatView.create: column $c not in the source's current schema " +
         s"(${full.columns.mkString(", ")})"))
+    // collision guards (case-insensitive, like Spark's resolution): a
+    // key named like a view output column would shadow it; a source
+    // column named like refresh's scratch would mis-join the delta
+    val outReserved = ("n_rows" +: sumCols.map(c => s"sum_$c"))
+      .map(_.toLowerCase)
+    val keyClash = keys.map(_.toLowerCase).intersect(outReserved)
+    require(keyClash.isEmpty,
+      s"MatView.create: key column(s) ${keyClash.mkString(", ")} " +
+        "collide with the view's own output columns — rename first")
+    val scratch = (Seq("file_name", "__sign", "__dn") ++
+      sumCols.map(c => s"__ds_$c")).map(_.toLowerCase)
+    val srcClash = full.columns.map(_.toLowerCase).toSeq.intersect(scratch)
+    require(srcClash.isEmpty,
+      s"MatView.create: source column(s) ${srcClash.mkString(", ")} " +
+        "collide with refresh's delta scratch — rename first")
     aggregate(full, keys, sumCols)
       .write.mode("overwrite").parquet(snapPath(viewPath, head))
     import spark.implicits._

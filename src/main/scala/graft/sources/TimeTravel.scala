@@ -427,6 +427,7 @@ object TimeTravel {
       else if (graft.operators.Ledger.contains(spark, ledger, id))
         return latest
     }
+    requireNoCollision(upd.columns.toSeq, Seq("__file"), "commitUpsert")
     val live = liveFileNames(spark, dataPath, latest)
     val ids = upd.select(col(idCol)).distinct()
     val l = lineage(spark, dataPath)
@@ -798,6 +799,20 @@ object TimeTravel {
         col("__r").as("pre"): _*)
   }
 
+  /** Loud collision guard (the r12 mixture-family rule): a data table
+    * whose own columns collide with the names an operator introduces
+    * would be silently destroyed or mis-joined — refuse instead.
+    * Case-insensitive, matching Spark's default resolution. */
+  private def requireNoCollision(cols: Seq[String], reserved: Seq[String],
+                                 face: String): Unit = {
+    val clash = cols.map(_.toLowerCase)
+      .intersect(reserved.map(_.toLowerCase)).distinct
+    require(clash.isEmpty,
+      s"$face: the table's own columns collide with names this face " +
+        s"introduces (${clash.mkString(", ")}) — rename them first " +
+        "(Spark resolves case-insensitively, so Foo collides with foo)")
+  }
+
   private def changeFeedCore(spark: SparkSession, dataPath: String,
                              v1: Long, v2: Long, idCol: String): DataFrame = {
     val latest = latestVersion(spark, dataPath)
@@ -834,6 +849,12 @@ object TimeTravel {
     val rows = spark.read.option("mergeSchema", "true")
       .parquet(files.map(n => s"$dataPath/$n"): _*)
       .filter(col(idCol).isNotNull)
+    // a data column named like the feed's own output would be silently
+    // overwritten (file_name) or shadow the result (version/action/
+    // change/pre) — refuse loudly
+    requireNoCollision(rows.columns.toSeq,
+      Seq("file_name", "version", "action", "change", "pre", "__row",
+        "__a", "__r"), "changeFeed")
     // whole-row payload in a canonical (sorted) column order, so a
     // schema reorder between commits never reads as an update
     val payload = struct(rows.columns.sorted.map(col).toIndexedSeq: _*)

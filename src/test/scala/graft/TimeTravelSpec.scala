@@ -727,6 +727,45 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("startAfter"))
   }
 
+  test("reserved-name collisions refuse loudly instead of silently " +
+      "destroying a data column") {
+    val dir = tmpDir("collide")
+    // a table with its own file_name column commits fine (the lineage
+    // never reads data columns)…
+    TimeTravel.commitAppend(
+      spark.range(0L, 20L).select(col("id"),
+        concat(lit("f"), col("id")).as("file_name")),
+      dir, Seq("id"), files = 1)
+    TimeTravel.commitAppend(
+      spark.range(20L, 40L).select(col("id"),
+        concat(lit("f"), col("id")).as("file_name")),
+      dir, Seq("id"), files = 1)
+    // …but the feed must refuse, not overwrite it
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.changeFeedByKey(spark, dir, 1L, 2L, "id").count())
+    assert(e.getMessage.contains("collide"))
+    // upsert scratch collision
+    val dir2 = tmpDir("collide2")
+    TimeTravel.commitAppend(
+      spark.range(0L, 5L).select(col("id"), lit(1L).as("v")),
+      dir2, Seq("id"), files = 1)
+    val e2 = intercept[IllegalArgumentException](
+      TimeTravel.commitUpsert(spark, dir2, "id",
+        spark.range(0L, 2L).select(col("id"), lit("x").as("__FILE")),
+        files = 1))
+    assert(e2.getMessage.contains("collide"))
+    // matview: a key named like a view output column refuses
+    val dir3 = tmpDir("collide3")
+    TimeTravel.commitAppend(
+      spark.range(0L, 5L).select(col("id"), lit(1L).as("n_rows"),
+        lit(2L).as("v")),
+      dir3, Seq("id"), files = 1)
+    val e3 = intercept[IllegalArgumentException](
+      graft.sources.MatView.create(spark, dir3, dir3 + "_view",
+        Seq("n_rows"), Seq("v")))
+    assert(e3.getMessage.contains("collide"))
+  }
+
   test("columnStats equals a data recompute at every version across " +
       "append/delete/upsert/compact/rollback, and never reads data") {
     val dir = tmpDir("stats")
