@@ -227,6 +227,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    historical version as a PLAIN parquet table for handoff; never
   *    overwrites, outlives vacuum
   *    ([[graft.sources.TimeTravel.cloneAsOf]])
+  *  - `graft_tt_maintain(dataPath, 'dims', maxLiveFiles, keepVersions,
+  *    compactTo)` — the quiet-moment pass: compact past the cap,
+  *    vacuum allowed history, reclaim orphans
+  *    ([[graft.sources.TimeTravel.maintain]])
   *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
@@ -1253,6 +1257,23 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum(dataPath, keepFrom)")
       }),
+    (new FunctionIdentifier("graft_tt_maintain"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_maintain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, dims, maxF, keepV, to) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val (c, v, g) = graft.sources.TimeTravel.maintain(spark, path,
+            colsArg(dims, "dims"), intArg(maxF, "maxLiveFiles"),
+            longArg(keepV, "keepVersions"), intArg(to, "compactTo"))
+          import spark.implicits._
+          plan(Seq((path, c, v, g)).toDF("data_path", "compacted",
+            "files_vacuumed", "orphans_reclaimed"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_maintain(dataPath, 'dims', maxLiveFiles, " +
+            "keepVersions, compactTo) — the quiet-moment pass: compact " +
+            "past the cap, vacuum allowed history, reclaim orphans")
+      }),
     (new FunctionIdentifier("graft_tt_clone"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_clone"),
       (args: Seq[Expression]) => args match {
@@ -1830,6 +1851,7 @@ object GraftExtensions {
     "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_tt_gc" -> "TimeTravelSpec",
     "graft_tt_clone" -> "TimeTravelSpec",
+    "graft_tt_maintain" -> "TimeTravelSpec",
     "graft_tt_stats" -> "q136_tt_stats",
     "graft_tt_upsert" -> "q131_tt_upsert",
     "graft_tt_changes" -> "q132_tt_changes",

@@ -976,6 +976,33 @@ object TimeTravel {
         batchId = Some(s"stream_$epochId")): Unit
     }
 
+  /** The quiet-moment maintenance pass, one call: compact when the live
+    * file count drifts past `maxLiveFiles` (never otherwise — an
+    * unneeded compaction burns a version and a rewrite), then vacuum
+    * history older than the newest `keepVersions` versions (when the
+    * floor allows), then reclaim orphans. Returns
+    * `(compacted, vacuumedFiles, orphansReclaimed)`. Same
+    * serialized-writer discipline as each face alone.
+    */
+  def maintain(spark: SparkSession, dataPath: String, dims: Seq[String],
+               maxLiveFiles: Int, keepVersions: Long,
+               compactTo: Int): (Boolean, Int, Int) = {
+    require(maxLiveFiles >= 1 && keepVersions >= 1 && compactTo >= 1,
+      "maintain: maxLiveFiles, keepVersions, compactTo must be positive")
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1, s"maintain: no committed table at $dataPath")
+    val live = liveFileNames(spark, dataPath, latest)
+    val compacted = live.size > maxLiveFiles
+    if (compacted) compact(spark, dataPath, dims, compactTo): Unit
+    val head = latestVersion(spark, dataPath)
+    val keepFrom = head - keepVersions + 1
+    val vacuumed =
+      if (keepFrom > earliestReadable(spark, dataPath))
+        vacuum(spark, dataPath, keepFrom)
+      else 0
+    (compacted, vacuumed, gcOrphans(spark, dataPath))
+  }
+
   /** Physically reclaim files no version ≥ `keepFrom` can need: those
     * logically removed at a version ≤ `keepFrom`. Records a `vacuum`
     * action per reclaimed file (at a fresh version, so the log stays

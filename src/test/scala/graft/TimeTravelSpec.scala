@@ -262,6 +262,18 @@ class TimeTravelSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
+    // the operational ring from SQL text: stats, clone, maintain, gc
+    val st = spark.sql(
+      s"SELECT * FROM graft_tt_stats('$dir', 2, 'id')").head()
+    assert(st.getLong(st.fieldIndex("n_rows")) == 101L) // 100 + insert
+    val cl = spark.sql(s"SELECT * FROM graft_tt_clone('$dir', 1, " +
+      s"'${dir}_clone1')").head()
+    assert(cl.getLong(1) == 100L)
+    val mt = spark.sql(s"SELECT * FROM graft_tt_maintain('$dir', 'id', " +
+      "1, 1, 1)").head()
+    assert(mt.getBoolean(mt.fieldIndex("compacted")))
+    assert(spark.sql(s"SELECT * FROM graft_tt_gc('$dir')").head()
+      .getInt(1) == 0)
   }
 
   test("rollback restores an old version metadata-only, keeps every " +
@@ -725,6 +737,54 @@ class TimeTravelSpec extends SparkSpec {
       TimeTravel.followChanges(spark, dir, "id",
         tmpDir("follow_nocur") + "_cur") { (_, _) => () })
     assert(e.getMessage.contains("startAfter"))
+  }
+
+  test("the feed carries both images correctly across a schema " +
+      "evolution boundary") {
+    val dir = tmpDir("feed_schema")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    // v2: updates that ADD a column and OMIT one
+    TimeTravel.commitUpsert(spark, dir, "id",
+      spark.range(10L, 12L).select(col("id"), (col("id") % 5).as("grp"),
+        lit("fresh").as("note")), files = 1)
+    val f = TimeTravel.changeFeed(spark, dir, 1L, 2L, "id")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    assert(f.keySet == Set(10L, 11L))
+    val r10 = f(10L)
+    // post-image: the new column present, the omitted one null
+    assert(r10.getString(r10.fieldIndex("note")) == "fresh" &&
+      r10.isNullAt(r10.fieldIndex("v")))
+    // pre-image: the OLD row, with the new column null inside the struct
+    val pre = r10.getStruct(r10.fieldIndex("pre"))
+    assert(pre.getAs[Long]("v") == 30L && pre.getAs[String]("note") == null)
+    // and the post-images equal the head's rows for those keys
+    val head = TimeTravel.read(spark, dir).filter(col("id").isin(10L, 11L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("note")))
+      .toSet
+    assert(head == Set((10L, "fresh"), (11L, "fresh")))
+  }
+
+  test("maintain compacts only past the cap, vacuums only allowed " +
+      "history, and reclaims orphans — one quiet-moment call") {
+    val dir = tmpDir("maintain")
+    (0 to 3).foreach(i => TimeTravel.commitAppend(batch(i), dir,
+      Seq("id"), files = 2)) // 8 live files, v4
+    // under the cap: nothing compacts, nothing vacuums (floor already 1)
+    val (c0, v0, g0) = TimeTravel.maintain(spark, dir, Seq("id"),
+      maxLiveFiles = 20, keepVersions = 10, compactTo = 2)
+    assert(!c0 && v0 == 0 && g0 == 0)
+    assert(TimeTravel.latestVersion(spark, dir) == 4L)
+    // past the cap with a short retention: compact (v5), vacuum the
+    // pre-compaction generations, reclaim a planted orphan
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "v99_0.parquet")
+    val out = fs.create(orphan, true); out.write(7); out.close()
+    val (c1, v1, g1) = TimeTravel.maintain(spark, dir, Seq("id"),
+      maxLiveFiles = 4, keepVersions = 1, compactTo = 2)
+    assert(c1 && v1 == 8 && g1 == 1)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 400L))
+    assert(TimeTravel.earliestReadable(spark, dir) == 5L)
   }
 
   test("reserved-name collisions refuse loudly instead of silently " +
