@@ -2425,6 +2425,48 @@ object SparkEntry {
         .select(col("as_of"), col("col_name"), col("min_v"), col("max_v"),
           col("n_nulls"), col("n_rows"))
         .orderBy(col("as_of"), col("col_name"))
+    }),
+
+    // Tombstone lifecycle on the MinHash band index (r13): the q83
+    // flagger flow with deletes — history ids %5 tombstoned (replayed —
+    // idempotent), the %10 subset revived by re-append (same content:
+    // the idempotence anti-join declines duplicate band rows and the
+    // tombstone clears), the index compacted (physically removing the
+    // still-tombstoned rows, dropping the sidecar), then the batch half
+    // probed and exact-verified at >= 0.8. The oracle is q83's true
+    // cross-pair set with the effectively-deleted neighbors excluded —
+    // a probe still surfacing a deleted id, a failed revive, or a
+    // compaction dropping a live row all break the hash.
+    "q137_tombstone_minhash" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cut = cachedCount(s, d, "documents") / 2
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mhdel_${Integer.toHexString(d.hashCode)}").getPath
+      val hist = doc.filter(col("doc_id") < cut)
+      Stages.timed("q137_tombstone_minhash", "build_save") {
+        Dedup.saveMinhashIndex(hist, idxPath, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 16, maxBucket = 512)
+      }
+      val del = hist.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      Stages.timed("q137_tombstone_minhash", "delete_replay_revive") {
+        Dedup.deleteFromMinhashIndex(del, idxPath, "doc_id")
+        Dedup.deleteFromMinhashIndex(del, idxPath, "doc_id") // idempotent
+        Dedup.appendMinhashIndex(hist.filter(col("doc_id") % 10 === 0),
+          idxPath, "doc_id", "text")
+      }
+      Stages.timed("q137_tombstone_minhash", "compact") {
+        Dedup.compactMinhashIndex(s, idxPath)
+      }
+      val cand = Dedup.flagAgainstIndex(doc.filter(col("doc_id") >= cut),
+          idxPath, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.4)
+        .select(col("doc_id").as("id1"), col("neighbor_id").as("id2"))
+      Dedup.ngramJaccard(cand, doc, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1").as("doc_id"), col("id2").as("neighbor_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_id"), col("neighbor_id"))
     })
   )
 
@@ -5243,7 +5285,19 @@ object SparkEntry {
         |  FROM m GROUP BY as_of
         |)
         |SELECT as_of, col_name, min_v, max_v, n_nulls, n_rows FROM s
-        |ORDER BY as_of, col_name""".stripMargin.replace("\n", " ")
+        |ORDER BY as_of, col_name""".stripMargin.replace("\n", " "),
+
+    // q137: q83's true cross-pair set minus pairs whose history-side
+    // neighbor is effectively deleted (%5 tombstoned, %10 revived)
+    "q137_tombstone_minhash" ->
+      s"""WITH $q19PairsCte
+         |SELECT id2 AS doc_id, id1 AS neighbor_id,
+         |  round(jaccard, 6) AS jaccard FROM j
+         |WHERE jaccard >= 0.8
+         |  AND id1 < (SELECT count(*) // 2 FROM documents)
+         |  AND id2 >= (SELECT count(*) // 2 FROM documents)
+         |  AND NOT (id1 % 5 = 0 AND id1 % 10 <> 0)
+         |ORDER BY doc_id, neighbor_id""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared
