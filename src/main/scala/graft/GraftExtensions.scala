@@ -1821,7 +1821,7 @@ object GraftExtensions {
     "graft_weighted_sample" -> "q49_weighted_sample",
     "graft_delete_digest" -> "q96_tombstone_exact",
     "graft_delete_minhash" -> "q137_tombstone_minhash",
-    "graft_delete_simhash" -> "TombstoneSpec",
+    "graft_delete_simhash" -> "q138_tombstone_simhash",
     "graft_delete_ivf" -> "q97_tombstone_ivf",
     "graft_delete_lsh" -> "TombstoneSpec",
     "graft_delete_pq" -> "TombstoneSpec",

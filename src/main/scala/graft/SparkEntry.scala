@@ -2467,6 +2467,40 @@ object SparkEntry {
         .select(col("id1").as("doc_id"), col("id2").as("neighbor_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_id"), col("neighbor_id"))
+    }),
+
+    // Tombstone lifecycle on the SimHash index (r13): q85's incremental
+    // flow with deletes — the same %5-tombstone / %10-revive / compact
+    // script as q137, on the pigeonhole-exact fingerprint index. Revive
+    // re-appends the SAME text, so the r12 content-change guard admits
+    // it and the idempotence anti-join declines the duplicate rows. The
+    // oracle is q85's exact pair set with effectively-deleted
+    // index-side ids excluded.
+    "q138_tombstone_simhash" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cut = cachedCount(s, d, "documents") / 2
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_shdel_${Integer.toHexString(d.hashCode)}").getPath
+      val hist = doc.filter(col("doc_id") < cut)
+      Stages.timed("q138_tombstone_simhash", "build_save") {
+        Dedup.saveSimhashIndex(hist, idxPath, "doc_id", "text",
+          portable = true)
+      }
+      val del = hist.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      Stages.timed("q138_tombstone_simhash", "delete_replay_revive") {
+        Dedup.deleteFromSimhashIndex(del, idxPath, "doc_id")
+        Dedup.deleteFromSimhashIndex(del, idxPath, "doc_id") // idempotent
+        Dedup.appendSimhashIndex(hist.filter(col("doc_id") % 10 === 0),
+          idxPath, "doc_id", "text")
+      }
+      Stages.timed("q138_tombstone_simhash", "compact") {
+        Dedup.compactSimhashIndex(s, idxPath)
+      }
+      Dedup.incrementalSimhashPairs(doc.filter(col("doc_id") >= cut),
+          idxPath, "doc_id", "text",
+          maxHamming = 3, blocks = 4, maxBucket = 1 << 20)
+        .orderBy(col("id1"), col("id2"))
     })
   )
 
@@ -5297,7 +5331,21 @@ object SparkEntry {
          |  AND id1 < (SELECT count(*) // 2 FROM documents)
          |  AND id2 >= (SELECT count(*) // 2 FROM documents)
          |  AND NOT (id1 % 5 = 0 AND id1 % 10 <> 0)
-         |ORDER BY doc_id, neighbor_id""".stripMargin.replace("\n", " ")
+         |ORDER BY doc_id, neighbor_id""".stripMargin.replace("\n", " "),
+
+    // q138: q85's exact pair set minus pairs whose index-side id is
+    // effectively deleted (%5 tombstoned, %10 revived; only history
+    // ids < cut were ever tombstoned)
+    "q138_tombstone_simhash" ->
+      s"""WITH $portableSimhashFpCte
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  AND b.doc_id >= (SELECT count(*) // 2 FROM documents)
+         |  AND NOT (a.doc_id < (SELECT count(*) // 2 FROM documents)
+         |    AND a.doc_id % 5 = 0 AND a.doc_id % 10 <> 0)
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared
