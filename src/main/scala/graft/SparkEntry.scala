@@ -2501,6 +2501,42 @@ object SparkEntry {
           idxPath, "doc_id", "text",
           maxHamming = 3, blocks = 4, maxBucket = 1 << 20)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Tombstone lifecycle on the LSH vector index (r13): q90's
+    // build/append flow, then the q137 tombstone script on vector ids
+    // (%5 deleted + replayed, %10 revived by same-embedding re-append,
+    // compacted away), and the probe re-run. The oracle is q90's full
+    // portable-plane re-derivation with effectively-deleted ids
+    // excluded from the candidate neighbors.
+    "q139_tombstone_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lshdel_${Integer.toHexString(d.hashCode)}").getPath
+      Stages.timed("q139_tombstone_lsh", "build_append") {
+        Similarity.saveLshIndex(emb.filter(col("vec_id") >= 250), idxPath,
+          "vec_id", "embedding", bits = 8, prefixBits = 4, tables = 2,
+          portableDim = 64)
+        Similarity.appendLshIndex(emb.filter(col("vec_id") < 250),
+          idxPath, "vec_id", "embedding"): Unit
+      }
+      val del = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      Stages.timed("q139_tombstone_lsh", "delete_replay_revive") {
+        Similarity.deleteFromLshIndex(del, idxPath, "vec_id")
+        Similarity.deleteFromLshIndex(del, idxPath, "vec_id") // idempotent
+        Similarity.appendLshIndex(emb.filter(col("vec_id") % 10 === 0),
+          idxPath, "vec_id", "embedding"): Unit
+      }
+      Stages.timed("q139_tombstone_lsh", "compact") {
+        Similarity.compactLshIndex(s, idxPath, "vec_id")
+      }
+      Similarity.lshSearch(s, idxPath, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, multiProbe = true,
+          maxBucket = Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2935,7 +2971,8 @@ object SparkEntry {
   // the 4-bit prefix → mask 15) — the index's persisted-vs-appended
   // split is invisible to the math: every signature is the same pure
   // function of (vector, pinned planes), so one SQL covers both flows.
-  private def portableLshOracleSql(queryPred: String, mask: Int): String =
+  private def portableLshOracleSql(queryPred: String, mask: Int,
+                                   neighborPred: String = "TRUE"): String =
     s"""WITH p AS (
        |  SELECT tt.t AS t, bb.b AS b,
        |    list_transform(generate_series(1, 64), i ->
@@ -2952,6 +2989,7 @@ object SparkEntry {
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM s a JOIN s b ON a.t = b.t AND a.vec_id != b.vec_id
        |  WHERE ($queryPred) AND bit_count(xor(a.sig & $mask, b.sig & $mask)) <= 1
+       |    AND ($neighborPred)
        |), scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    CASE WHEN sqrt(${vdot("qe.embedding", "qe.embedding")})
@@ -5345,7 +5383,12 @@ object SparkEntry {
          |  AND b.doc_id >= (SELECT count(*) // 2 FROM documents)
          |  AND NOT (a.doc_id < (SELECT count(*) // 2 FROM documents)
          |    AND a.doc_id % 5 = 0 AND a.doc_id % 10 <> 0)
-         |ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    // q139: q90's portable-plane derivation with effectively-deleted
+    // neighbors excluded from the candidate set
+    "q139_tombstone_lsh" -> portableLshOracleSql("a.vec_id < 5", 15,
+      neighborPred = "NOT (b.vec_id % 5 = 0 AND b.vec_id % 10 <> 0)")
   )
 
   // The q20-portable SimHash fingerprint, recomputed in DuckDB — shared
