@@ -1824,7 +1824,7 @@ object GraftExtensions {
     "graft_delete_simhash" -> "q138_tombstone_simhash",
     "graft_delete_ivf" -> "q97_tombstone_ivf",
     "graft_delete_lsh" -> "q139_tombstone_lsh",
-    "graft_delete_pq" -> "TombstoneSpec",
+    "graft_delete_pq" -> "q111_incremental_pq",
     "graft_wav_features" -> "q98_wav_features",
     "graft_mp4_frames" -> "q102_mp4_samples",
     "graft_mjpeg_mp4_frames" -> "q118_mjpeg_mp4",
