@@ -79,6 +79,47 @@ class MatViewSpec extends SparkSpec {
     assert(viewRows(view2) == viewRows(view))
   }
 
+  test("refresh equals a recompute after EVERY step of a randomized " +
+      "append/delete/upsert/compact/rollback sequence") {
+    val dir = tmpDir("random")
+    val view = dir + "_view"
+    val rnd = new scala.util.Random(29) // seeded: reproducible
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val rows = spark.range(nextId, nextId + n)
+        .select(col("id"), (col("id") % 5).as("grp"),
+          (col("id") * 3).as("v"))
+      nextId += n
+      rows
+    }
+    TimeTravel.commitAppend(freshRows(60), dir, Seq("id"), files = 2)
+    MatView.create(spark, dir, view, Seq("grp"), Seq("v"))
+    (1 to 8).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => TimeTravel.commitAppend(freshRows(30), dir, Seq("id"),
+          files = 2)
+        case 1 => TimeTravel.commitDelete(spark, dir, "id",
+          spark.range(0L, nextId)
+            .filter(col("id") % 11 === rnd.nextInt(11).toLong)
+            .select(col("id")))
+        case 2 =>
+          val salt = rnd.nextInt(1000).toLong
+          TimeTravel.commitUpsert(spark, dir, "id",
+            spark.range(0L, nextId)
+              .filter(col("id") % 7 === rnd.nextInt(7).toLong)
+              .select(col("id"), (col("id") % 5).as("grp"),
+                (col("id") + salt).as("v")), files = 2)
+        case 3 => TimeTravel.compact(spark, dir, Seq("id"), files = 3)
+        case 4 =>
+          val latest = TimeTravel.latestVersion(spark, dir)
+          TimeTravel.rollback(spark, dir, 1L + rnd.nextInt(latest.toInt))
+      }
+      MatView.refresh(spark, view)
+      assert(viewRows(view) == recompute(dir),
+        s"view diverged from recompute after random step $step")
+    }
+  }
+
   test("refresh reads only the touched files, and a no-op refresh " +
       "reads none") {
     val dir = tmpDir("touch")
