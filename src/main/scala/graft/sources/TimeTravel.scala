@@ -117,7 +117,12 @@ object TimeTravel {
     * HDFS-class store the arbiter is `rename` (atomic in the namenode,
     * fails on an existing destination); on a local filesystem `rename`
     * silently overwrites, so the arbiter is a hard link (`link(2)` —
-    * atomic, fails if the destination exists). The loser throws LOUDLY,
+    * atomic, fails if the destination exists). On an object store whose
+    * "rename" is copy+delete (S3A without a committer layer) the
+    * exists-then-rename check narrows but cannot close the window —
+    * there, front the lineage with an HDFS/DBFS-class path or an
+    * external lock, as every log-structured format requires on S3.
+    * The loser throws LOUDLY,
     * nothing it staged is visible (unreferenced data files are the
     * orphans [[gcOrphans]] reclaims), and its retry lands on the next
     * version.
