@@ -4219,7 +4219,7 @@ object SparkEntry {
     "q79_shards" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) AS hv
         |  FROM documents
         |)
