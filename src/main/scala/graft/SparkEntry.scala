@@ -3244,16 +3244,18 @@ object SparkEntry {
     // Winnowing re-derived in SQL: md5 60-bit gram hashes (matching the
     // engine's signed-long minima), window-of-w minima, distinct
     "q17_fingerprints" ->
-      """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
-        |list_min(fps) AS min_fp
+      """SELECT doc_id,
+        |CASE WHEN tnull THEN NULL
+        |     ELSE CAST(len(fps) AS BIGINT) END AS n_fingerprints,
+        |CASE WHEN tnull THEN NULL ELSE list_min(fps) END AS min_fp
         |FROM (
-        |  SELECT doc_id,
+        |  SELECT doc_id, tnull,
         |  CASE WHEN m <= 0 THEN CAST([] AS BIGINT[])
         |  ELSE list_distinct(list_transform(
         |    generate_series(1, greatest(m - 3, 1)),
         |    i -> list_min(list_slice(grams, i, i + 3)))) END AS fps
         |  FROM (
-        |    SELECT doc_id, length(text) - 7 AS m,
+        |    SELECT doc_id, text IS NULL AS tnull, length(text) - 7 AS m,
         |    list_transform(generate_series(1, greatest(length(text) - 7, 0)),
         |      p -> CAST('0x' || substr(md5(substr(text, p, 8)), 1, 15) AS BIGINT)) AS grams
         |    FROM documents
@@ -3343,9 +3345,10 @@ object SparkEntry {
 
     "q41_pii_redact" ->
       """WITH aug AS (
-        |  SELECT doc_id, concat(text, ' Contact user', doc_id, '@example.com or ',
-        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-555-',
-        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+        |  SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or '
+        |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
         |  FROM documents
         |)
         |SELECT doc_id,
@@ -3363,14 +3366,16 @@ object SparkEntry {
     // sign (HUGEINT intermediate, BIGINT result)
     "q20_simhash" ->
       """SELECT doc_id,
+        |CASE WHEN tnull THEN NULL ELSE
         |CAST(list_sum(list_transform(generate_series(0, 63), j ->
         |  CASE WHEN list_sum(list_transform(hs, h ->
         |         CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |       THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
         |                 ELSE CAST(1::BIGINT << j AS HUGEINT) END
-        |       ELSE 0 END)) AS BIGINT) AS simhash
+        |       ELSE 0 END)) AS BIGINT) END AS simhash
         |FROM (
-        |  SELECT doc_id, list_transform(regexp_extract_all(trim(text), '\S+'),
+        |  SELECT doc_id, text IS NULL AS tnull,
+        |    list_transform(regexp_extract_all(trim(text), '\S+'),
         |    t -> CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)) AS hs
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
@@ -3706,7 +3711,8 @@ object SparkEntry {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, lang, n_chars, hk,
-        |    coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY hk NULLS FIRST, doc_id NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM h
         |)
@@ -3714,7 +3720,8 @@ object SparkEntry {
         |CAST(floor(pre / 10000) AS BIGINT) AS pack_id,
         |CAST(row_number() OVER (
         |  PARTITION BY lang, CAST(floor(pre / 10000) AS BIGINT)
-        |  ORDER BY hk, doc_id) AS INTEGER) AS pack_pos
+        |  ORDER BY hk NULLS FIRST, doc_id NULLS FIRST) AS INTEGER)
+        |  AS pack_pos
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // The Morton spread unrolled: 4 shift/mask stages per dimension, then
