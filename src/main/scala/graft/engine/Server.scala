@@ -55,7 +55,10 @@ final class AnalyticsServer(
   import AnalyticsServer._
 
   private var server: HttpServer = _
-  private val nextSession = new java.util.concurrent.atomic.AtomicLong(1L)
+  // Unguessable session ids: sequential ids are forgeable across live
+  // sessions, and a counter restarting at 1 would hand a fresh visitor
+  // the previous user 1's PERSISTED bookmarks after a server restart.
+  private val sessionRng = new java.security.SecureRandom()
   // session id → insertion-ordered bookmark list (the Flask session
   // cookie's content). Seeded from the persisted store on first touch,
   // so a restarted server resumes every session's state.
@@ -258,10 +261,13 @@ final class AnalyticsServer(
   private def sessionBookmarks(ex: HttpExchange): (Long, Seq[String]) = {
     val cookie = Option(ex.getRequestHeaders.getFirst("Cookie")).toSeq
       .flatMap(_.split(";")).map(_.trim)
-      .collectFirst { case c if c.startsWith("graft_session=") =>
-        c.stripPrefix("graft_session=").toLong }
+      .collect { case c if c.startsWith("graft_session=") =>
+        scala.util.Try(c.stripPrefix("graft_session=").toLong).toOption }
+      .flatten.headOption
     val sid = cookie.getOrElse {
-      val id = nextSession.getAndIncrement()
+      // & Long.MaxValue keeps the id positive (cookie-friendly, and the
+      // persisted store keys on non-negative user ids).
+      val id = sessionRng.nextLong() & Long.MaxValue
       ex.getResponseHeaders.add("Set-Cookie", s"graft_session=$id")
       id
     }
@@ -372,8 +378,17 @@ object AnalyticsServer {
     else dt match {
       case StringType => jsonStr(r.getString(i))
       case BooleanType => r.getBoolean(i).toString
+      case _: DoubleType =>
+        val d = r.getDouble(i)
+        // Bare NaN/Infinity tokens are invalid JSON; the reference's
+        // Python tier would have raised before emitting them — null is
+        // the honest wire value for a non-finite average.
+        if (java.lang.Double.isFinite(d)) plain(r, i) else "null"
+      case _: FloatType =>
+        val f = r.getFloat(i)
+        if (java.lang.Float.isFinite(f)) plain(r, i) else "null"
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
-           _: DoubleType | _: FloatType | _: DecimalType =>
+           _: DecimalType =>
         plain(r, i)
       case DateType | TimestampType | TimestampNTZType =>
         jsonStr(r.get(i).toString)

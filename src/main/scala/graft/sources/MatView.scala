@@ -76,12 +76,7 @@ object MatView {
     val fs = fsOf(spark, viewPath)
     require(fs.exists(hp(headPath(viewPath))),
       s"MatView: no view at $viewPath (missing _HEAD) — create() first")
-    val in = fs.open(hp(headPath(viewPath)))
-    try {
-      val buf = new Array[Byte](32)
-      val n = in.read(buf)
-      new String(buf, 0, n, "UTF-8").trim.toLong
-    } finally in.close()
+    TimeTravel.readVersionFile(fs, hp(headPath(viewPath)))
   }
 
   private def readMeta(spark: SparkSession, viewPath: String): Meta = {

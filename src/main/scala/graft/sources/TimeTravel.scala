@@ -72,6 +72,28 @@ object TimeTravel {
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Read a tiny version-number file fully. A single `read` into a
+    * buffer is NOT enough: HDFS-class streams may legally return a
+    * short read, and an empty/truncated file (a crash mid-create) must
+    * fail loudly naming the file, not throw an index error from a
+    * `-1` length. */
+  private[sources] def readVersionFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream(32)
+      val chunk = new Array[Byte](32)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      val s = new String(buf.toByteArray, "UTF-8").trim
+      require(s.nonEmpty,
+        s"corrupt version file $p: empty — a crash mid-write? " +
+          "delete it and re-seed from the consumer's known version")
+      s.toLong
+    } finally in.close()
+  }
+
   private def lineageExists(spark: SparkSession, dataPath: String): Boolean =
     fsOf(spark, dataPath).exists(hp(lineagePath(dataPath)))
 
@@ -279,6 +301,10 @@ object TimeTravel {
       else if (graft.operators.Ledger.contains(spark, ledger, id))
         return latestVersion(spark, dataPath)
     }
+    // Empty batch = no-op, like commitUpsert's no-match path: committing
+    // a zero-row segment would burn a version (or wedge retries on a
+    // contentless segment), and streaming epochs are routinely empty.
+    if (df.isEmpty) return latestVersion(spark, dataPath)
     val v = latestVersion(spark, dataPath) + 1
     val clustered = Layout.withZKey(df, dims)
       .repartitionByRange(files, col("zkey"))
@@ -941,12 +967,7 @@ object TimeTravel {
     val cp = hp(cursorPath)
     val from =
       if (fs.exists(cp)) {
-        val in = fs.open(cp)
-        try {
-          val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          new String(buf, 0, n, "UTF-8").trim.toLong
-        } finally in.close()
+        readVersionFile(fs, cp)
       } else {
         require(startAfter >= 0L,
           s"followChanges: no cursor at $cursorPath and no startAfter — " +
@@ -1009,21 +1030,30 @@ object TimeTravel {
   }
 
   /** Physically reclaim files no version ≥ `keepFrom` can need: those
-    * logically removed at a version ≤ `keepFrom`. Records a `vacuum`
-    * action per reclaimed file (at a fresh version, so the log stays
-    * strictly ordered), after which [[readAsOf]] refuses the truncated
-    * range loudly instead of returning partial tables. Returns the
-    * number of files reclaimed. Idempotent: already-vacuumed files are
-    * skipped; a crash between deletes and the log append re-deletes
-    * nothing (the files are gone) and re-records harmlessly.
+    * whose LATEST add/remove action is a remove at a version ≤
+    * `keepFrom`. Latest-action-wins, exactly like [[liveFileNames]]:
+    * a [[rollback]] re-ADDS a file an earlier version had removed, and
+    * that file is live at the head — a mere "has a remove ≤ keepFrom"
+    * test would physically delete it and corrupt the current table.
+    * Records a `vacuum` action per reclaimed file (at a fresh version,
+    * so the log stays strictly ordered), after which [[readAsOf]]
+    * refuses the truncated range loudly instead of returning partial
+    * tables. Returns the number of files reclaimed. Idempotent:
+    * already-vacuumed files are skipped; a crash between deletes and
+    * the log append re-deletes nothing (the files are gone) and
+    * re-records harmlessly.
     */
   def vacuum(spark: SparkSession, dataPath: String, keepFrom: Long): Int = {
     val latest = latestVersion(spark, dataPath)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"vacuum: keepFrom $keepFrom outside committed range [1, $latest]")
     val l = lineage(spark, dataPath)
-    val doomed = l.filter(col("action") === "remove" &&
-        col("version") <= keepFrom)
+    val doomed = l.filter(col("action").isin("add", "remove"))
+      .groupBy(col("file_name"))
+      .agg(max(when(col("action") === "add", col("version"))).as("__a"),
+        max(when(col("action") === "remove", col("version"))).as("__r"))
+      .filter(col("__r").isNotNull && col("__r") <= keepFrom &&
+        (col("__a").isNull || col("__a") < col("__r")))
       .join(l.filter(col("action") === "vacuum"),
         Seq("file_name"), "left_anti")
       .select(col("file_name")).distinct()

@@ -122,6 +122,52 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.vacuum(spark, dir, keepFrom = 3L) == 0)
   }
 
+  test("vacuum spares files a rollback revived: latest-action-wins, " +
+      "like liveFileNames") {
+    val dir = tmpDir("vacrollback")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1)         // v2: removes v1's files
+    TimeTravel.rollback(spark, dir, 1L)                          // v3: re-ADDS v1's files
+    // v1's files carry a remove at v2 — but their latest action is the
+    // v3 re-add, so they are LIVE at the head and must survive vacuum.
+    // Only v2's compacted file (latest action: removed at v3) goes.
+    val reclaimed = TimeTravel.vacuum(spark, dir, keepFrom = 3L)
+    assert(reclaimed == 1, s"expected only v2's file reclaimed, got $reclaimed")
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 100L))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 3)) == (0L until 100L))
+    // maintain() goes through the same path: a second pass reclaims nothing
+    assert(TimeTravel.vacuum(spark, dir, keepFrom = 3L) == 0)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 100L))
+  }
+
+  test("commitAppend is a no-op on an empty batch: no version burned, " +
+      "no wedged retries") {
+    val dir = tmpDir("emptyappend")
+    val empty = batch(0).limit(0)
+    // empty first commit: table stays unborn
+    assert(TimeTravel.commitAppend(empty, dir, Seq("id"), files = 2) == 0L)
+    assert(TimeTravel.latestVersion(spark, dir) == 0L)
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    // empty later commit (a routine empty streaming epoch): same version back
+    assert(TimeTravel.commitAppend(empty, dir, Seq("id"), files = 2,
+      batchId = Some("e1")) == 1L)
+    assert(TimeTravel.latestVersion(spark, dir) == 1L)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 100L))
+  }
+
+  test("a truncated/empty cursor file fails loudly, not with an index " +
+      "error") {
+    val dir = tmpDir("cursor")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    val cursor = new java.io.File(new java.io.File(dir).getParent,
+      "tail_cursor").getPath
+    Files.write(java.nio.file.Paths.get(cursor), Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.followChanges(spark, dir, "id", cursor)((_, _) => ())
+    }
+    assert(e.getMessage.contains("corrupt version file"))
+  }
+
   test("lineage is truth: orphan files are invisible and a crashed " +
       "commit's residue is overwritten by the retry") {
     val dir = tmpDir("crash")
