@@ -1684,8 +1684,13 @@ object SparkEntry {
     // row's bucket and split from scratch and the per-(split, lang)
     // counts must agree exactly. No sampling, no seed, no stored
     // assignment state.
+    // assignSplit REFUSES null ids by contract (split membership must be
+    // derivable from the id — SplitsSpec gates the refusal); this query
+    // makes the caller's decision explicit: exclude them at the edge,
+    // oracle mirroring
     "q107_hash_split" -> ((s, d) =>
-      Splits.assignSplit(t(s, d, "documents"), "doc_id",
+      Splits.assignSplit(t(s, d, "documents").filter(col("doc_id").isNotNull),
+          "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"))
@@ -3276,6 +3281,9 @@ object SparkEntry {
 
     "q37_dedup_clusters" -> q37OracleSql,
 
+    // null contract mirrored: decontamination verdicts are id-keyed, so
+    // null-id docs are dropped at the gate's edge on both sides (an
+    // anti-join can never REMOVE a null id — a contaminated one would leak)
     "q38_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, lang,
@@ -3283,7 +3291,7 @@ object SparkEntry {
         |    generate_series(1, greatest(len(toks) - 2, 0)),
         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gs
         |  FROM (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS toks
-        |        FROM documents)
+        |        FROM documents WHERE doc_id IS NOT NULL)
         |), probe AS (
         |  SELECT DISTINCT unnest(gs) AS pg FROM g WHERE doc_id < 5
         |), contaminated AS (
@@ -3480,12 +3488,15 @@ object SparkEntry {
 
     "q28_ivf_topk" -> q28OracleSql,
 
+    // null contract mirrored: sample membership must be derivable from
+    // the key, so null-key rows are dropped on both sides (a null hash
+    // would otherwise sort engine-dependently and shift every rank)
     "q29_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |      % 1000000, doc_id) AS rn
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |) WHERE rn <= 30 ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "q30_vocab" ->
@@ -3596,14 +3607,19 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
 
+    // null contract mirrored (q29's): null-key rows drop BEFORE the
+    // quota aggregate too — they neither consume a slot nor deflate the
+    // min-stratum size; a null STRATUM stays (a real group)
     "q45_source_balance" ->
-      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |           WHERE doc_id IS NOT NULL),
+        |c AS (SELECT source, count(*) AS c FROM d GROUP BY 1),
         |m AS (SELECT min(c) AS m FROM c),
         |r AS (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |      % 1000000, doc_id) AS rn
-        |  FROM documents
+        |  FROM d
         |)
         |SELECT doc_id, source FROM r, m WHERE rn <= m.m ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
@@ -4237,6 +4253,9 @@ object SparkEntry {
 
     // q81: q37's recursive-CTE clusters, then survivors = rows whose id IS
     // the cluster min, carrying the absorbed-duplicate count
+    // null contract mirrored (q122's treatment): null-id rows survive as
+    // their own singleton "clusters" (cluster NULL, n_dropped 0) — the
+    // engine's nullIdSingletons union branch
     "q81_dedup_survivors" ->
       s"""WITH RECURSIVE $q19PairsCte,
          |e AS MATERIALIZED (
@@ -4245,7 +4264,7 @@ object SparkEntry {
          |  SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.8
          |),
          |r(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
          |  UNION
          |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
          |),
@@ -4254,12 +4273,19 @@ object SparkEntry {
          |SELECT c.doc_id, c.cluster, CAST(sz.szn - 1 AS BIGINT) AS n_dropped,
          |  d.lang
          |FROM c JOIN sz USING (cluster) JOIN documents d USING (doc_id)
-         |WHERE c.doc_id = c.cluster ORDER BY c.doc_id"""
-        .stripMargin.replace("\n", " "),
+         |WHERE c.doc_id = c.cluster
+         |UNION ALL
+         |SELECT doc_id, CAST(NULL AS BIGINT) AS cluster,
+         |  CAST(0 AS BIGINT) AS n_dropped, lang
+         |FROM documents WHERE doc_id IS NULL
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q82: batch survivors = texts history never saw, lowest batch id per
     // duplicate text (md5 hex agrees between engines, established by q36);
-    // same engineered duplicate families as the engine side
+    // same engineered duplicate families as the engine side. Null digests
+    // behave like values (q96's contract): the membership test and the
+    // winner pick are IS NOT DISTINCT FROM, mirroring the engine's <=>
+    // anti-join and its null-digest min-id group
     "q82_incremental_exact" ->
       """WITH cut AS (SELECT count(*) // 2 AS c FROM documents),
         |aug AS (
@@ -4277,10 +4303,12 @@ object SparkEntry {
         |  SELECT doc_id, lang, md5(text) AS dg FROM aug, cut
         |  WHERE doc_id >= c
         |), fresh AS (
-        |  SELECT b.* FROM batch b WHERE b.dg NOT IN (SELECT dg FROM hist)
+        |  SELECT b.* FROM batch b WHERE NOT EXISTS (
+        |    SELECT 1 FROM hist WHERE hist.dg IS NOT DISTINCT FROM b.dg)
         |)
         |SELECT doc_id, lang FROM fresh f
-        |WHERE doc_id = (SELECT min(doc_id) FROM fresh f2 WHERE f2.dg = f.dg)
+        |WHERE doc_id = (SELECT min(doc_id) FROM fresh f2
+        |                WHERE f2.dg IS NOT DISTINCT FROM f.dg)
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q80: the true >= 0.8 pair set (q19's CTE) restricted to pairs that
@@ -4348,7 +4376,8 @@ object SparkEntry {
         |  END AS BIGINT) AS duration_ms,
         |CASE WHEN doc_id % 2 = 1
         |  THEN CAST(1 + doc_id % 3 AS INTEGER) END AS n_tracks
-        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q87: the int8 quantization re-derived in SQL — max-abs scale in
     // double, floor(x*127/s + 0.5) rounding (spelled floor, not round(),
@@ -4570,7 +4599,8 @@ object SparkEntry {
     // (timescale 600, 1+(id%7) frames, delta 100+(id%50), size(f) =
     // 100+(id*31+f*7)%400), bounded-series expansion per the q98 pattern
     "q102_mp4_samples" ->
-      """WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS n FROM documents)
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS n FROM documents
+        |           WHERE doc_id IS NOT NULL)
         |SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
         |  CAST(100 + (d.doc_id*31 + f.f*7) % 400 AS BIGINT) AS frame_bytes,
         |  CAST(100 + d.doc_id % 50 AS BIGINT) AS dur_units,
@@ -4589,7 +4619,8 @@ object SparkEntry {
         |  CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,
         |  CAST((1 + doc_id % 6) * (33333 + (doc_id % 10) * 1000) // 1000
         |    AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q104: the layout-invariant oracle across the whole partitioned
     // write lifecycle — load + append must together hold every row,
@@ -4661,7 +4692,7 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |      AS BIGINT) AS bkt
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT CASE WHEN bkt < 3435973836 THEN 'train'
         |            WHEN bkt < 3865470566 THEN 'val'
         |            ELSE 'test' END AS split,
@@ -4683,11 +4714,14 @@ object SparkEntry {
     // inside the count corpus, so inner joins see every gram and the
     // engine's left-join smoothing never fires; bit-equality rides the
     // shared exact-integer division and sorted-fold mean.
+    // null contract mirrored: the engine's hist/batchA/batchB slices
+    // partition by doc_id % k, and null % k is null — a null-id doc falls
+    // outside EVERY slice, so the model corpus is the non-null-id docs
     "q93_incremental_lm" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    [lower(x) for x in regexp_extract_all(trim(text), '\S+')] AS l
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), ucnt AS (
         |  SELECT u AS tok, count(*) AS c
         |  FROM (SELECT unnest(l) AS u FROM toks) GROUP BY 1
@@ -4728,7 +4762,7 @@ object SparkEntry {
         |    generate_series(1, greatest(len(toks) - 2, 0)),
         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gs
         |  FROM (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS toks
-        |        FROM documents)
+        |        FROM documents WHERE doc_id IS NOT NULL)
         |), probe AS (
         |  SELECT DISTINCT unnest(gs) AS pg FROM g WHERE doc_id < 5
         |), contaminated AS (
@@ -4799,7 +4833,7 @@ object SparkEntry {
         |    (coalesce(octet_length(encode(text)), 0) % 200) + 1 AS n,
         |    8000 + (doc_id % 5) * 4000 AS rate,
         |    1 + (doc_id % 2) AS ch
-        |  FROM documents
+        |  FROM documents WHERE doc_id IS NOT NULL
         |), s AS (
         |  SELECT d.doc_id, d.rate, d.n, c.c AS channel,
         |    ((d.doc_id * 7919 + f.f * 31 + c.c * 17) % 65536) - 32768 AS v
@@ -4822,7 +4856,8 @@ object SparkEntry {
     // must slice the identical bytes back out of mdat through the
     // stsc/stco/co64 walk to reproduce each frame's byte sum
     "q118_mjpeg_mp4" ->
-      """WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n FROM documents),
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n FROM documents
+        |           WHERE doc_id IS NOT NULL),
         |f AS (
         |  SELECT d.doc_id, f.f AS frame_idx,
         |    20 + 2 * ((d.doc_id * 7 + f.f * 3) % 40) AS sz

@@ -37,12 +37,20 @@ object Corpus {
   /** Per-stratum quota sample: the `quota` rows with the smallest key hash
     * in each stratum (key tiebreak). Deterministic ranking, window
     * partitioned by the stratum — never a global window.
+    *
+    * Null contract: rows with a NULL `keyCol` are DROPPED, like
+    * [[sampleByHash]] (whose null-hash comparison already drops them):
+    * deterministic membership must be derivable from the key, and a null
+    * key hashes to nothing — it would sort wherever the engine's null
+    * ordering puts it, shifting every other row's rank engine-dependently.
+    * A null STRATUM is a real group (unknown lang/source) and stays.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        quota: Int): DataFrame = {
     val h = hashBucket(col(keyCol), 1000000L)
     val w = Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
@@ -56,7 +64,11 @@ object Corpus {
     * matrix), so no driver round trip and no hand-fed constant that can
     * drift from the data.
     */
-  def balanceStrata(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+  def balanceStrata(df0: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    // Same null contract as stratifiedSample: null-key rows are dropped
+    // BEFORE the quota aggregate too, so they neither consume a slot nor
+    // deflate the min-stratum size.
+    val df = df0.filter(col(keyCol).isNotNull)
     val m = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
       .agg(min(col("__c")).as("__m"))
     val h = hashBucket(col(keyCol), 1000000L)
@@ -854,9 +866,16 @@ object Corpus {
     * collision falsely dropping a clean doc is ~2⁻⁶⁴ per doc-gram pair —
     * the standard trade; collisions can only OVER-drop, never leak
     * contamination through.
+    *
+    * Null contract: rows with a NULL id are DROPPED at the edge.
+    * Contamination verdicts are id-keyed, and the removal anti-join can
+    * never match a null id — a CONTAMINATED null-id doc would otherwise
+    * leak straight through the gate. Dropping is the conservative
+    * direction for a safety gate: what it cannot track, it does not pass.
     */
-  def decontaminate(docs: DataFrame, probes: DataFrame, idCol: String,
+  def decontaminate(docs0: DataFrame, probes: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
+    val docs = docs0.filter(col(idCol).isNotNull)
     val docGrams = docs.select(col(idCol),
         explode(graft.functions.HashFunctions.ngramHashes(
           TextAnalysis.tokens(col(textCol)), n)).as("g"))
@@ -933,9 +952,11 @@ object Corpus {
     * meta), with the probe side a pruned parquet read instead of a
     * tokenize pass. The gram set's size is bounded by the benchmark
     * suite, so at scale it broadcast-joins; the corpus is scanned once.
+    * Same null contract as [[decontaminate]]: null-id docs are dropped.
     */
-  def decontaminateAgainstIndex(docs: DataFrame, path: String,
+  def decontaminateAgainstIndex(docs0: DataFrame, path: String,
                                 idCol: String, textCol: String): DataFrame = {
+    val docs = docs0.filter(col(idCol).isNotNull)
     val spark = docs.sparkSession
     val n = spark.read.parquet(s"$path/meta").head().getInt(0)
     val docGrams = docs.select(col(idCol),

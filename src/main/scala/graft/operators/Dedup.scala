@@ -726,9 +726,17 @@ object Dedup {
     * have fewer than n tokens) counts as Jaccard 0.0 — NOT NULL/NaN — so
     * such docs rank their fallback like any other zero-overlap pair and the
     * result stays engine-independent (q21's oracle coalesces 0/0 to 0.0).
+    *
+    * Null contract: rows with a NULL id are DROPPED — the result is keyed
+    * by `idCol` ("this document's best neighbor"), and a null id names no
+    * document; it can neither rank neighbors nor be ranked as one (every
+    * id join/anti-join would skip it anyway, leaving only a meaningless
+    * fallback row). Null-TEXT rows with a real id stay: no shingles, so
+    * they take the fallback (smallest other in-block id, Jaccard 0).
     */
-  def ngramJaccardTopNeighbor(docs: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardTopNeighbor(docs0: DataFrame, idCol: String, textCol: String,
                               blockCol: String, n: Int = 3): DataFrame = {
+    val docs = docs0.filter(col(idCol).isNotNull)
     // distinct n-gram HASHES via one native pass — no shingle-string
     // construction, and the inverted index explodes 8-byte longs (the
     // join only needs equality; a 64-bit collision within a block is

@@ -490,9 +490,14 @@ object Multimodal {
     * must round-trip every parameter from the header walk alone, and
     * the derivations are plain integer arithmetic so a SQL oracle can
     * recompute the expected fields from the table (q86).
+    *
+    * Null contract (all five synthesizers): every byte derives from the
+    * id, so a NULL id names no container — such rows are dropped at the
+    * edge (oracles mirror with `WHERE doc_id IS NOT NULL`).
     */
   def withContainerColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val src = df.select(col(idCol).cast("long").as("doc_id"),
+    val src = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
       coalesce(octet_length(col(textCol)), lit(0)).cast("long").as("n_text"))
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
@@ -623,7 +628,8 @@ object Multimodal {
     * ((id·7919 + f·31 + c·17) mod 65536) − 32768.
     */
   def withPcmColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val src = df.select(col(idCol).cast("long").as("doc_id"),
+    val src = df.filter(col(idCol).isNotNull) // withContainerColumn's null contract
+      .select(col(idCol).cast("long").as("doc_id"),
       coalesce(octet_length(col(textCol)), lit(0)).cast("long").as("n_text"))
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
@@ -743,7 +749,8 @@ object Multimodal {
     * (q102) and any walk/expansion bug on either side breaks the hash.
     */
   def withMp4SampleColumn(df: DataFrame, idCol: String): DataFrame = {
-    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val src = df.filter(col(idCol).isNotNull) // withContainerColumn's null contract
+      .select(col(idCol).cast("long").as("doc_id"))
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType))))
@@ -805,7 +812,8 @@ object Multimodal {
     * own JPEG encoder, whose bytes no SQL oracle can regenerate).
     */
   def withAviColumn(df: DataFrame, idCol: String): DataFrame = {
-    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val src = df.filter(col(idCol).isNotNull) // withContainerColumn's null contract
+      .select(col(idCol).cast("long").as("doc_id"))
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType))))
@@ -838,7 +846,8 @@ object Multimodal {
     * offset box widths on every run.
     */
   def withMjpegMp4Column(df: DataFrame, idCol: String): DataFrame = {
-    val src = df.select(col(idCol).cast("long").as("doc_id"))
+    val src = df.filter(col(idCol).isNotNull) // withContainerColumn's null contract
+      .select(col(idCol).cast("long").as("doc_id"))
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType))))
