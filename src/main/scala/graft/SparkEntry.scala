@@ -947,7 +947,9 @@ object SparkEntry {
       val idxPath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_dg_idx_${Integer.toHexString(d.hashCode)}").getPath
-      Dedup.saveDigestIndex(aug.filter(col("doc_id") < cut), idxPath, "text")
+      Stages.timed("q82_incremental_exact", "save_index") {
+        Dedup.saveDigestIndex(aug.filter(col("doc_id") < cut), idxPath, "text")
+      }
       Dedup.incrementalExact(aug.filter(col("doc_id") >= cut), idxPath,
           "doc_id", "text")
         .select(col("doc_id"), col("lang"))
@@ -971,8 +973,10 @@ object SparkEntry {
       val idxPath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_mh_idx_${Integer.toHexString(d.hashCode)}").getPath
-      Dedup.saveMinhashIndex(hist, idxPath, "doc_id", "text",
-        shingleN = 3, numHashes = 32, bands = 16)
+      Stages.timed("q80_incremental_dedup", "save_index") {
+        Dedup.saveMinhashIndex(hist, idxPath, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 16)
+      }
       val cand = Dedup.incrementalMinhashPairs(batch, idxPath, "doc_id",
         "text", maxBucket = 512)
       Dedup.ngramJaccard(cand.filter(col("est_jaccard") >= 0.4)
@@ -995,9 +999,11 @@ object SparkEntry {
       val idxPath = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_flag_idx_${Integer.toHexString(d.hashCode)}").getPath
-      Dedup.saveMinhashIndex(doc.filter(col("doc_id") < cut), idxPath,
-        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 16,
-        maxBucket = 512)
+      Stages.timed("q83_flag_index", "save_index") {
+        Dedup.saveMinhashIndex(doc.filter(col("doc_id") < cut), idxPath,
+          "doc_id", "text", shingleN = 3, numHashes = 32, bands = 16,
+          maxBucket = 512)
+      }
       val cand = Dedup.flagAgainstIndex(doc.filter(col("doc_id") >= cut),
           idxPath, "doc_id", "text")
         .filter(col("est_jaccard") >= 0.4)

@@ -23,24 +23,36 @@ import org.apache.spark.sql.functions._
   * TRUTH STANCE — the opposite of the [[Layout]] manifest, deliberately:
   * a stats manifest is a CACHE over a directory-as-truth table, so
   * stale rows may only cost skip rate; the lineage here IS the truth.
-  * A data file the lineage has not committed is invisible (it is a
-  * crashed promotion's residue, and the crashed commit's retry will
-  * overwrite it by deterministic name), and a vanished committed file
-  * is an error, never a silent shrink.
+  * A data file the lineage has not committed is invisible (a crashed or
+  * out-raced attempt's residue — an orphan [[gcOrphans]] reclaims), and
+  * a vanished committed file is an error, never a silent shrink.
   *
-  * Commit protocol (single-writer per table, like every index here):
+  * Commit protocol:
   *  1. pick `v = latestVersion + 1`;
-  *  2. clear `v<v>_*` residue and the staging dir (a crashed attempt at
-  *     the SAME version — deterministic names make the retry overwrite,
-  *     never duplicate);
-  *  3. stage the new files under `<path>_staging_v<v>`, then promote
-  *     each part as `v<v>_<i>.parquet` into the data dir;
-  *  4. land the lineage segment LAST as an atomic create-if-absent
+  *  2. stage the new files under `<path>_staging_v<v>_<token>`, then
+  *     promote each part as `v<v>_<token>_<i>.parquet` into the data
+  *     dir — the token is attempt-unique, so concurrent attempts can
+  *     never clobber each other's parts;
+  *  3. land the lineage segment LAST as an atomic create-if-absent
   *     single-file birth (`segment_v<v>.parquet` — see
   *     [[appendLineage]]) — the commit point AND the race arbiter: a
-  *     crash before (4) leaves the table exactly at version v-1, and
+  *     crash before (3) leaves the table exactly at version v-1, and
   *     two committers racing to one version get one winner and one
-  *     loud loser, never a silently merged version.
+  *     [[CommitRaceLost]] loser, never a silently merged version.
+  *
+  * OPTIMISTIC CONCURRENCY (r14): the loser no longer has to abandon.
+  * [[commitAppend]] retries at the next version automatically (bounded)
+  * — an append reads no files and rewrites no files, so it conflicts
+  * with nothing and any serialization is correct. [[commitUpsert]] and
+  * [[commitDelete]] retry ONLY after proving their work disjoint from
+  * every intervening commit ([[requireRetryDisjoint]]): none of their
+  * planned rewrites was touched, and no intervening ADD carries an id
+  * range overlapping their keys (exact min/max stats — non-overlap
+  * proves absence). Overlap REFUSES loudly, never silently merges: two
+  * writers touching the same rows is a lost-update hazard only the
+  * caller can adjudicate. Disjoint retries RECOMPUTE everything from
+  * the new head (nothing stale is reused), so the result is a true
+  * serialization.
   * Replaying a WHOLE committed batch (at-least-once ingestion) is the
   * caller's hazard exactly as in [[Layout.appendZOrdered]]; pass
   * `batchId` to make replays exact no-ops via the applied-batch
@@ -53,12 +65,31 @@ import org.apache.spark.sql.functions._
   * files — never the whole table for a commit, never any data at all
   * for a read's planning.
   */
+/** Typed signal of a lost commit race: another committer's segment for
+  * `version` landed first. Nothing the loser staged is visible; its
+  * files are orphans [[TimeTravel.gcOrphans]] reclaims. The commit
+  * faces catch this to drive bounded optimistic retries; it escapes to
+  * the caller only when retries are exhausted or the conflict check
+  * refuses.
+  */
+final class CommitRaceLost(val version: Long, val dataPath: String,
+                           message: String)
+  extends IllegalStateException(message)
+
 object TimeTravel {
 
   /** Lineage location: a sibling directory, never inside the data path
     * (a reader globbing the data must not ingest log rows). */
   def lineagePath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_lineage"
+
+  /** Test seam: runs inside each commit face after it has computed its
+    * version/candidates but BEFORE the commit point, so a spec can
+    * interleave a winner deterministically (set it to a function that
+    * first resets this seam, then commits — otherwise it recurses).
+    * A no-op in production.
+    */
+  private[graft] var interleaveForTests: () => Unit = () => ()
 
   private def commitLedgerPath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_commit_ledger"
@@ -144,26 +175,57 @@ object TimeTravel {
     * exists-then-rename check narrows but cannot close the window —
     * there, front the lineage with an HDFS/DBFS-class path or an
     * external lock, as every log-structured format requires on S3.
-    * The loser throws LOUDLY,
-    * nothing it staged is visible (unreferenced data files are the
-    * orphans [[gcOrphans]] reclaims), and its retry lands on the next
-    * version.
-    *
-    * Scope, stated honestly: the write contract here is single-writer
-    * per table like every persisted family in this engine; the arbiter
-    * is the BACKSTOP that turns a violated contract (two at-least-once
-    * driver attempts overlapping, a misconfigured second pipeline) into
-    * one winner and one loud loser instead of a silently merged version
-    * — it is not full optimistic concurrency (racing DATA-file
-    * promotions may still clobber each other's identically-named
-    * staging parts before the arbiter fires; the loser's exception
-    * tells the operator to inspect exactly that). Segments may carry
-    * different stat columns — [[lineage]] merges schemas on read.
+    * The loser throws a typed
+    * [[CommitRaceLost]]; nothing it staged is visible (attempt-unique
+    * names mean racers cannot clobber each other's parts, and
+    * unreferenced files are the orphans [[gcOrphans]] reclaims). The
+    * commit faces catch the signal to drive bounded optimistic retries
+    * — appends unconditionally, merges after [[requireRetryDisjoint]]
+    * proves the winner's touch set disjoint (see the object doc).
+    * Stores without an atomic segment birth are refused up front by
+    * [[requireAtomicBirth]]. Segments may carry different stat columns
+    * — [[lineage]] merges schemas on read.
     */
+  /** Schemes whose `rename` is atomic-no-overwrite at the metadata
+    * layer, making the segment birth a true arbiter. Everything else —
+    * S3A-class stores where rename is copy+delete, and any scheme this
+    * engine cannot VOUCH for — is refused at commit time rather than
+    * documented as a hazard: a race window the operator has to know
+    * about from a scaladoc is not a contract, a loud refusal is.
+    */
+  private val atomicRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss", "dbfs")
+
+  /** The conf key an operator sets to attest their store's rename IS
+    * atomic (e.g. S3 fronted by a consistency/locking layer). An
+    * explicit attestation, never a default. */
+  private[graft] val assumeAtomicKey = "graft.timetravel.assume.atomic.rename"
+
+  /** Refuse commits on stores without an atomic segment birth. `file`
+    * passes (the arbiter there is a hard link, not rename); the
+    * known-atomic schemes pass; anything else needs the operator's
+    * explicit attestation via [[assumeAtomicKey]]. */
+  private[graft] def requireAtomicBirth(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String): Unit = {
+    val scheme = fs.getScheme
+    val attested = spark.sparkContext.hadoopConfiguration
+      .getBoolean(assumeAtomicKey, false)
+    require(scheme == "file" || atomicRenameSchemes(scheme) || attested,
+      s"time-travel commit REFUSED: store scheme '$scheme' ($dataPath) " +
+        "has no atomic rename-no-overwrite, so the version arbiter " +
+        "cannot close the two-committers race window (on S3-class " +
+        "stores rename is copy+delete). Remedy: front the lineage " +
+        s"with an HDFS/ABFS/DBFS-class path, or set $assumeAtomicKey" +
+        "=true in the Hadoop conf to attest your store is fronted by " +
+        "a consistency/locking layer that makes rename atomic")
+  }
+
   private[graft] def appendLineage(spark: SparkSession, dataPath: String,
                                    seg: DataFrame, v: Long): Unit = {
     val lp = lineagePath(dataPath)
     val fs = fsOf(spark, dataPath)
+    requireAtomicBirth(spark, fs, dataPath)
     val tmp = lp + s"_segtmp_v$v"
     fs.delete(hp(tmp), true)
     seg.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -190,13 +252,12 @@ object TimeTravel {
         }
       else !fs.exists(dest) && fs.rename(part, dest)
     fs.delete(hp(tmp), true)
-    require(won,
+    if (!won) throw new CommitRaceLost(v, dataPath,
       s"time-travel commit LOST the race for version $v of $dataPath — " +
-        "another committer's segment landed first (the single-writer " +
-        "contract was violated); this commit published nothing, its " +
-        "staged files are orphans gcOrphans reclaims; re-read the " +
-        "table and retry, and check whether the racer clobbered " +
-        "same-named staging parts")
+        "another committer's segment landed first; this commit " +
+        "published nothing (its attempt-unique staged files are " +
+        "orphans gcOrphans reclaims). Appends auto-retry; merges " +
+        "retry only when provably disjoint from the winner")
   }
 
   /** Reclaim INVISIBLE residue: data files no lineage row references
@@ -237,33 +298,44 @@ object TimeTravel {
   }
 
   /** Stage `df` (already clustered by the caller), promote the parts
-    * under deterministic `v<v>_<i>.parquet` names, and return the
-    * commit's `add` lineage rows: per promoted file its row count AND
-    * the [[Layout.statsAggs]] min/max/null-count payload for `dims` —
-    * ONE batch-sized scan computes both, and recording the stats in
-    * the lineage is what lets [[readAsOf]] skip files without any
-    * secondary manifest. Steps 2–3 of the commit protocol;
-    * crash-idempotent at fixed `v`.
+    * under attempt-unique `v<v>_<token>_<i>.parquet` names, and return
+    * the commit's `add` lineage rows: per promoted file its row count
+    * AND the [[Layout.statsAggs]] min/max/null-count payload for
+    * `dims` — ONE batch-sized scan computes both, and recording the
+    * stats in the lineage is what lets [[readAsOf]] skip files without
+    * any secondary manifest. Steps 2–3 of the commit protocol. Crash
+    * and race safety come from the same fact: only the lineage makes
+    * files real, so an abandoned attempt's uniquely-named files are
+    * invisible orphans, never residue a retry must clear.
     */
   private def stageAndPromote(spark: SparkSession, dataPath: String,
                               v: Long, staged: DataFrame,
                               dims: Seq[String]): DataFrame = {
     val fs = fsOf(spark, dataPath)
-    val staging = stagingPath(dataPath, v)
-    // clear residue of a crashed attempt at this same version
+    // ATTEMPT-UNIQUE names (r14): a random token per staging attempt
+    // keeps two committers racing to the same version from clobbering
+    // each other's parts — the hazard the arbiter scaladoc used to
+    // document is now structurally impossible, which is what lets the
+    // lost racer RETRY at the next version instead of inspecting
+    // residue. A crashed attempt's files are plain orphans (lineage is
+    // truth; gcOrphans reclaims them) — no glob-clear, which under
+    // racing would have deleted the OTHER writer's promoted files.
+    val tok = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() |
+        (1L << 62)).take(8)
+    val staging = stagingPath(dataPath, v) + s"_$tok"
     fs.delete(hp(staging), true)
-    Option(fs.globStatus(hp(s"$dataPath/v${v}_*.parquet"))).toSeq.flatten
-      .foreach(f => fs.delete(f.getPath, false))
     staged.write.mode("overwrite").parquet(staging)
     fs.mkdirs(hp(dataPath))
     val parts = fs.listStatus(hp(staging))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     val promoted = parts.zipWithIndex.map { case (f, i) =>
-      val name = s"v${v}_$i.parquet"
+      val name = s"v${v}_${tok}_$i.parquet"
       require(fs.rename(f.getPath, hp(s"$dataPath/$name")),
         s"time-travel commit: could not promote ${f.getPath} — retry " +
-          "the commit (promotion is crash-idempotent at this version)")
+          "the commit (an abandoned attempt's files are orphans " +
+          "gcOrphans reclaims)")
       name
     }.toSeq
     fs.delete(hp(staging), true)
@@ -292,7 +364,8 @@ object TimeTravel {
     * replays exact no-ops (see object doc).
     */
   def commitAppend(df: DataFrame, dataPath: String, dims: Seq[String],
-                   files: Int, batchId: Option[String] = None): Long = {
+                   files: Int, batchId: Option[String] = None,
+                   retries: Int = 3): Long = {
     val spark = df.sparkSession
     val ledger = commitLedgerPath(dataPath)
     batchId.foreach { id =>
@@ -301,6 +374,9 @@ object TimeTravel {
       else if (graft.operators.Ledger.contains(spark, ledger, id))
         return latestVersion(spark, dataPath)
     }
+    // Probe BEFORE staging too (appendLineage is the authoritative choke
+    // point, but failing after a table-sized stage write helps nobody)
+    requireAtomicBirth(spark, fsOf(spark, dataPath), dataPath)
     // Empty batch = no-op, like commitUpsert's no-match path: committing
     // a zero-row segment would burn a version (or wedge retries on a
     // contentless segment), and streaming epochs are routinely empty.
@@ -310,10 +386,67 @@ object TimeTravel {
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
-    appendLineage(spark, dataPath,
-      stageAndPromote(spark, dataPath, v, clustered, dims), v)
+    interleaveForTests()
+    try {
+      appendLineage(spark, dataPath,
+        stageAndPromote(spark, dataPath, v, clustered, dims), v)
+    } catch {
+      // an append reads and rewrites NOTHING — its conflict set is
+      // empty, so serializing behind any winner is correct; bounded
+      // only as a runaway-race backstop
+      case _: CommitRaceLost if retries > 0 =>
+        return commitAppend(df, dataPath, dims, files, batchId,
+          retries - 1)
+    }
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
+  }
+
+  /** The merge-retry conflict check: after losing the race from base
+    * version `base`, a merge may retry ONLY if every intervening commit
+    * is provably disjoint from its work —
+    *  1. no intervening commit removed/vacuumed a file this merge also
+    *     planned to rewrite (a shared rewrite = the same rows touched
+    *     twice; auto-retry would pick a winner per row silently);
+    *  2. no intervening ADD carries an `idCol` range overlapping this
+    *     merge's keys (stats are exact min/max, so NON-overlap proves
+    *     no matching id exists in the new files; overlap or missing
+    *     stats refuse conservatively — the new rows might be ones this
+    *     merge intended to match).
+    * Refusal is the honest outcome for overlap: two writers touching
+    * the same rows is a lost-update hazard only the caller can
+    * adjudicate — re-derive the merge against the new head. Metadata
+    * cost: one lineage filter, file-count-sized.
+    */
+  private[graft] def requireRetryDisjoint(
+      spark: SparkSession, dataPath: String, base: Long, idCol: String,
+      ids: DataFrame, plannedRewrites: Seq[String], face: String): Unit = {
+    val l = lineage(spark, dataPath).filter(col("version") > base)
+    val winnersRemoves = l
+      .filter(col("action").isin("remove", "vacuum"))
+      .select(col("file_name")).collect().map(_.getString(0)).toSet
+    val clash = plannedRewrites.filter(winnersRemoves).sorted
+    if (clash.nonEmpty) throw new CommitRaceLost(base + 1, dataPath,
+      s"$face REFUSED after losing the commit race on $dataPath: an " +
+        s"intervening commit rewrote ${clash.take(5).mkString(", ")} " +
+        "which this merge also rewrites — the writes OVERLAP, and an " +
+        "automatic retry would silently pick a winner per row. " +
+        "Re-read the table and re-derive the merge against the new head")
+    val adds = l.filter(col("action") === "add")
+    val mnC = s"min_$idCol"; val mxC = s"max_$idCol"
+    val bounds = ids.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+      .head()
+    val overlapping =
+      if (!adds.columns.contains(mnC) || !adds.columns.contains(mxC))
+        adds.count() // no id stats recorded → nothing is provable
+      else adds.filter(col(mnC).isNull || col(mxC).isNull ||
+        !(col(mxC) < lit(bounds.get(0)) || col(mnC) > lit(bounds.get(1))))
+        .count()
+    if (overlapping > 0L) throw new CommitRaceLost(base + 1, dataPath,
+      s"$face REFUSED after losing the commit race on $dataPath: " +
+        s"$overlapping intervening added file(s) carry $idCol ranges " +
+        "overlapping this merge's keys — the writers may touch the " +
+        "same rows. Re-derive the merge against the new head")
   }
 
   /** Versioned delete: rows of the CURRENT version whose `idCol` matches
@@ -336,7 +469,7 @@ object TimeTravel {
     * candidate-bounded, never table-bounded.
     */
   def commitDelete(spark: SparkSession, dataPath: String, idCol: String,
-                   doomedIds: DataFrame): Long = {
+                   doomedIds: DataFrame, retries: Int = 3): Long = {
     val latest = latestVersion(spark, dataPath)
     require(latest >= 1, s"commitDelete: no committed table at $dataPath")
     val live = liveFileNames(spark, dataPath, latest)
@@ -367,11 +500,22 @@ object TimeTravel {
       .join(ids, Seq(idCol), "left_anti")
       // survivor files: one per rewritten file keeps file sizes stable
       .repartition(affected.size)
-    appendLineage(spark, dataPath,
-      stageAndPromote(spark, dataPath, v, survivors, statDims(l))
-        .unionByName(actionRows(spark,
-          affected.map(name => (v, "remove", name, 0L))),
-          allowMissingColumns = true), v)
+    interleaveForTests()
+    try {
+      appendLineage(spark, dataPath,
+        stageAndPromote(spark, dataPath, v, survivors, statDims(l))
+          .unionByName(actionRows(spark,
+            affected.map(name => (v, "remove", name, 0L))),
+            allowMissingColumns = true), v)
+    } catch {
+      case _: CommitRaceLost if retries > 0 =>
+        // retry only when provably disjoint from every intervening
+        // commit; the retry RECOMPUTES candidates/affected from the new
+        // head, so nothing stale is reused
+        requireRetryDisjoint(spark, dataPath, latest, idCol, ids,
+          affected, "commitDelete")
+        return commitDelete(spark, dataPath, idCol, doomedIds, retries - 1)
+    }
     v
   }
 
@@ -435,7 +579,8 @@ object TimeTravel {
     */
   def commitUpsert(spark: SparkSession, dataPath: String, idCol: String,
                    updates: DataFrame, files: Int,
-                   batchId: Option[String] = None): Long = {
+                   batchId: Option[String] = None,
+                   retries: Int = 3): Long = {
     val upd = updates.filter(col(idCol).isNotNull)
     val latest = latestVersion(spark, dataPath)
     // one batch-sized aggregate serves both guards: emptiness (a no-op
@@ -501,11 +646,22 @@ object TimeTravel {
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
-    appendLineage(spark, dataPath,
-      stageAndPromote(spark, dataPath, v, clustered, dims)
-        .unionByName(actionRows(spark,
-          affected.map(name => (v, "remove", name, 0L))),
-          allowMissingColumns = true), v)
+    interleaveForTests()
+    try {
+      appendLineage(spark, dataPath,
+        stageAndPromote(spark, dataPath, v, clustered, dims)
+          .unionByName(actionRows(spark,
+            affected.map(name => (v, "remove", name, 0L))),
+            allowMissingColumns = true), v)
+    } catch {
+      case _: CommitRaceLost if retries > 0 =>
+        // commitDelete's rule: provably disjoint or refuse; the retry
+        // recomputes candidates/survivors from the new head
+        requireRetryDisjoint(spark, dataPath, latest, idCol, ids,
+          affected, "commitUpsert")
+        return commitUpsert(spark, dataPath, idCol, updates, files,
+          batchId, retries - 1)
+    }
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }

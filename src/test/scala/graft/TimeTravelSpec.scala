@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.TimeTravel
 
+/** A local filesystem wearing an object-store costume: scheme `mocks3`,
+  * NOT in the engine's atomic-rename allowlist — the store-capability
+  * probe must refuse commits on it (needs a public no-arg constructor
+  * for Hadoop's reflective FileSystem loading).
+  */
+class MockS3FileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mocks3"
+  override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
+}
+
 class TimeTravelSpec extends SparkSpec {
   import spark.implicits._
 
@@ -155,6 +165,31 @@ class TimeTravelSpec extends SparkSpec {
     assert(ids(TimeTravel.read(spark, dir)) == (0L until 100L))
   }
 
+  test("commits REFUSE stores without atomic segment birth, and the " +
+      "operator's explicit attestation lifts the refusal") {
+    val dir = tmpDir("mocks3")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TimeTravel.commitAppend(batch(0), s"mocks3:$dir", Seq("id"),
+          files = 2)
+      }
+      assert(e.getMessage.contains("atomic") &&
+        e.getMessage.contains(TimeTravel.assumeAtomicKey),
+        s"refusal must name the remedy: ${e.getMessage}")
+      // the attestation (store fronted by a consistency layer) lifts it
+      conf.setBoolean(TimeTravel.assumeAtomicKey, true)
+      assert(TimeTravel.commitAppend(batch(0), s"mocks3:$dir", Seq("id"),
+        files = 2) == 1L)
+      assert(ids(TimeTravel.read(spark, s"mocks3:$dir")) == (0L until 100L))
+    } finally {
+      conf.unset(TimeTravel.assumeAtomicKey)
+      conf.unset("fs.mocks3.impl")
+    }
+    // local paths unchanged: the whole rest of this suite is the proof
+  }
+
   test("a truncated/empty cursor file fails loudly, not with an index " +
       "error") {
     val dir = tmpDir("cursor")
@@ -168,8 +203,8 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt version file"))
   }
 
-  test("lineage is truth: orphan files are invisible and a crashed " +
-      "commit's residue is overwritten by the retry") {
+  test("lineage is truth: a crashed commit's residue is an invisible " +
+      "orphan — the retry never reads it, gcOrphans reclaims it") {
     val dir = tmpDir("crash")
     TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
     // simulate a crash AFTER promotion, BEFORE the lineage append: a
@@ -181,15 +216,19 @@ class TimeTravelSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "_orphan_stage"))
       .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/v2_7.parquet"))
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/v2_deadbeef_7.parquet")
+    fs.rename(part, orphan)
     // the orphan is invisible to every read
     assert(TimeTravel.latestVersion(spark, dir) == 1L)
     assert(ids(TimeTravel.read(spark, dir)) == (0L until 100L))
-    // the retry (next commit lands AT version 2) clears the residue —
-    // no duplicate, no orphan rows
+    // the retry commits under its own attempt-unique names — the
+    // residue stays invisible, no duplicate, no orphan rows read
     TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
     assert(ids(TimeTravel.readAsOf(spark, dir, 2)) == (0L until 200L))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v2_7.parquet")))
+    // reclamation is gcOrphans' job, and only the residue goes
+    assert(TimeTravel.gcOrphans(spark, dir) == 1)
+    assert(!fs.exists(orphan))
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 200L))
   }
 
   test("a vanished committed file is corruption, never a smaller table") {
@@ -197,7 +236,10 @@ class TimeTravelSpec extends SparkSpec {
     TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v1_0.parquet"), false)
+    val committed = spark.read
+      .parquet(TimeTravel.lineagePath(dir))
+      .select("file_name").head().getString(0)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$committed"), false)
     val e = intercept[IllegalArgumentException](
       TimeTravel.read(spark, dir))
     assert(e.getMessage.contains("missing on disk"))
@@ -920,24 +962,27 @@ class TimeTravelSpec extends SparkSpec {
   }
 
   test("the commit point is a race arbiter: a second segment at the " +
-      "same version loses loudly and corrupts nothing") {
+      "same version loses with a typed CommitRaceLost and corrupts " +
+      "nothing") {
     val dir = tmpDir("race")
     TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    val live = spark.read.parquet(TimeTravel.lineagePath(dir))
+      .select("file_name").collect().map(_.getString(0)).sorted
     // simulate the loser of a two-committer race: the winner's
     // segment_v2 landed; a second appendLineage at v2 must throw and
     // leave exactly ONE segment for v2
     val segA = spark.range(1)
       .select(lit(2L).as("version"), lit("remove").as("action"),
-        lit("v1_0.parquet").as("file_name"), lit(0L).as("n_rows"))
+        lit(live(0)).as("file_name"), lit(0L).as("n_rows"))
     TimeTravel.appendLineage(spark, dir, segA, 2L)
     val segB = spark.range(1)
       .select(lit(2L).as("version"), lit("remove").as("action"),
-        lit("v1_1.parquet").as("file_name"), lit(0L).as("n_rows"))
-    val e = intercept[IllegalArgumentException](
+        lit(live(1)).as("file_name"), lit(0L).as("n_rows"))
+    val e = intercept[graft.sources.CommitRaceLost](
       TimeTravel.appendLineage(spark, dir, segB, 2L))
-    assert(e.getMessage.contains("LOST the race"))
+    assert(e.getMessage.contains("LOST the race") && e.version == 2L)
     // the winner's commit is intact and the loser published nothing:
-    // v2 removed exactly v1_0, so the head reads only v1_1's rows
+    // v2 removed exactly live(0), so the head reads only live(1)'s rows
     assert(TimeTravel.latestVersion(spark, dir) == 2L)
     val headRows = TimeTravel.read(spark, dir).count()
     assert(headRows > 0L && headRows < 100L,
@@ -945,6 +990,76 @@ class TimeTravelSpec extends SparkSpec {
     // a retry lands cleanly on the NEXT version
     assert(TimeTravel.commitAppend(batch(1), dir, Seq("id"),
       files = 2) == 3L)
+  }
+
+  /** Sets the interleave seam to run `body` exactly once (resetting
+    * itself first, so the interleaved commit doesn't recurse). */
+  private def interleaving[A](body: => Unit)(run: => A): A = {
+    TimeTravel.interleaveForTests = () => {
+      TimeTravel.interleaveForTests = () => ()
+      body
+    }
+    try run
+    finally TimeTravel.interleaveForTests = () => ()
+  }
+
+  test("optimistic appends: two racing disjoint appends BOTH land, at " +
+      "v and v+1") {
+    val dir = tmpDir("optappend")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    // the loser computes v2, then the winner's append lands v2 first
+    val v = interleaving {
+      assert(TimeTravel.commitAppend(batch(1), dir, Seq("id"),
+        files = 2) == 2L)
+    } {
+      TimeTravel.commitAppend(batch(2), dir, Seq("id"), files = 2)
+    }
+    assert(v == 3L, s"the out-raced append must retry and land v3, got $v")
+    assert(TimeTravel.latestVersion(spark, dir) == 3L)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 300L))
+    // history is clean: v2 holds exactly the winner's rows
+    assert(ids(TimeTravel.readAsOf(spark, dir, 2)) == (0L until 200L))
+  }
+
+  test("optimistic merges: provably DISJOINT racing merges both land; " +
+      "OVERLAPPING merges yield one winner and one loud refusal") {
+    import spark.implicits._
+    val dir = tmpDir("optmerge")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    // --- disjoint: loser deletes low ids, winner upserts high ids ---
+    val v = interleaving {
+      assert(TimeTravel.commitUpsert(spark, dir, "id",
+        Seq((95L, 9L, -1L), (96L, 9L, -1L)).toDF("id", "grp", "v"),
+        files = 1) == 2L)
+    } {
+      TimeTravel.commitDelete(spark, dir, "id",
+        Seq(3L, 4L).toDF("id"))
+    }
+    assert(v == 3L, s"disjoint merge must retry and land v3, got $v")
+    val head = ids(TimeTravel.read(spark, dir))
+    assert(!head.contains(3L) && !head.contains(4L) && head.contains(95L))
+    // the winner's update survived the loser's recomputed rewrite
+    assert(TimeTravel.read(spark, dir).filter(col("id") === 95L)
+      .head().getAs[Long]("v") == -1L)
+    // --- overlap: both merges touch the same ids → loser refuses ---
+    val e = intercept[graft.sources.CommitRaceLost] {
+      interleaving {
+        assert(TimeTravel.commitUpsert(spark, dir, "id",
+          Seq((50L, 0L, -2L)).toDF("id", "grp", "v"), files = 1) == 4L)
+      } {
+        TimeTravel.commitDelete(spark, dir, "id", Seq(50L).toDF("id"))
+      }
+    }
+    assert(e.getMessage.contains("REFUSED") &&
+      e.getMessage.contains("new head"), e.getMessage)
+    // the winner's commit stands; the loser published nothing
+    assert(TimeTravel.latestVersion(spark, dir) == 4L)
+    assert(TimeTravel.read(spark, dir).filter(col("id") === 50L)
+      .head().getAs[Long]("v") == -2L)
+    // ...and re-deriving against the new head (the remedy) succeeds
+    assert(TimeTravel.commitDelete(spark, dir, "id",
+      Seq(50L).toDF("id")) == 5L)
+    assert(!ids(TimeTravel.read(spark, dir)).contains(50L))
   }
 
   test("gcOrphans reclaims unreferenced files and staging residue, " +
