@@ -1008,9 +1008,14 @@ object TimeTravel {
     // here was removed at some version > v1 ≥ floor (or never), and
     // vacuum only ever reclaims files removed at ≤ floor. v1 is the
     // consumer's base version — start from a readAsOf(v1) snapshot,
-    // then tail (v1, head] forever.
-    require(v1 >= floor && v2 <= latest && v1 < v2,
-      s"changeFeedByKey wants $floor ≤ v1 < v2 ≤ $latest (files " +
+    // then tail (v1, head] forever. v1 = 0 (a consumer bootstrapping
+    // from NOTHING — followChanges/streamChanges with startAfter = 0)
+    // is legal while no vacuum has run: version 1 is pure adds, so the
+    // (0, 1] feed needs no pre-image files, and floor = 1 proves v1's
+    // own files still exist.
+    val minV1 = if (floor == 1L) 0L else floor
+    require(v1 >= minV1 && v2 <= latest && v1 < v2,
+      s"changeFeedByKey wants $minV1 ≤ v1 < v2 ≤ $latest (files " +
         s"removed at versions ≤ $floor may be vacuumed), got ($v1, $v2)")
     val l = lineage(spark, dataPath)
     val acts = l.filter(col("version") > v1 && col("version") <= v2 &&
@@ -1157,6 +1162,54 @@ object TimeTravel {
       commitAppend(batch, dataPath, dims, files,
         batchId = Some(s"stream_$epochId")): Unit
     }
+
+  /** The change feed as a STRUCTURED STREAMING query — the
+    * streaming-native [[followChanges]]: `f(feed, version)` receives
+    * the [[changeFeed]] frame (both images) for every version as it
+    * commits, with the cursor living in the streaming CHECKPOINT, so
+    * restarts resume exactly where the last run stopped.
+    *
+    * No custom Source is needed, by construction of the commit
+    * protocol: each commit lands its lineage segment as ONE atomic
+    * file, so a plain file stream over the lineage directory is
+    * already an ordered, exactly-once version-discovery log — the file
+    * source's seen-files log IS the durable cursor, and a segment can
+    * never be observed half-written. Per micro-batch the segment rows
+    * are metadata-sized; the feed rows for each contained version come
+    * from [[changeFeed]] (same changeFeedCore as every feed face —
+    * reads only that commit's own files). Delivery is per-version in
+    * commit order, at-least-once across crashes exactly like
+    * [[followChanges]] (a crashed epoch re-delivers its versions) —
+    * make `f` idempotent, e.g. version-keyed writes like the q134
+    * index-maintenance discipline. `startAfter` bounds the backfill:
+    * versions ≤ it are never delivered (the consumer bootstrapped from
+    * that readAsOf snapshot).
+    */
+  def streamChanges(spark: SparkSession, dataPath: String, idCol: String,
+                    checkpoint: String, startAfter: Long = 0L)(
+                    f: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // the base four action columns every segment carries (stat columns
+    // vary per commit; the stream only needs version discovery)
+    val segSchema = StructType(Seq(
+      StructField("version", LongType), StructField("action", StringType),
+      StructField("file_name", StringType), StructField("n_rows", LongType)))
+    spark.readStream
+      .schema(segSchema)
+      .parquet(lineagePath(dataPath))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (seg: DataFrame, _: Long) =>
+        val versions = seg.select(col("version")).distinct()
+          .filter(col("version") > startAfter)
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          f(changeFeed(spark, dataPath, v - 1, v, idCol), v)
+        }
+      }
+      .start()
+  }
 
   /** The quiet-moment maintenance pass, one call: compact when the live
     * file count drifts past `maxLiveFiles` (never otherwise — an

@@ -1062,6 +1062,50 @@ class TimeTravelSpec extends SparkSpec {
     assert(!ids(TimeTravel.read(spark, dir)).contains(50L))
   }
 
+  test("streamChanges is the feed as a streaming query: per-version " +
+      "delivery equal to followChanges, cursor in the checkpoint " +
+      "across restarts") {
+    import spark.implicits._
+    val dir = tmpDir("feedstream")
+    val cp = tmpDir("feedstream_cp")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.commitDelete(spark, dir, "id",                    // v3
+      Seq(7L, 8L, 107L).toDF("id"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+    val deliveries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val deliver: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, v) => { got.put(v, canon(df)); deliveries.incrementAndGet(): Unit }
+    val q1 = TimeTravel.streamChanges(spark, dir, "id", cp)(deliver)
+    q1.processAllAvailable(); q1.stop()
+    assert(got.keySet == Set(1L, 2L, 3L) && deliveries.get() == 3)
+    // commits land while the stream is DOWN; the restart resumes from
+    // the checkpoint cursor and delivers ONLY the missed versions
+    TimeTravel.commitUpsert(spark, dir, "id",                    // v4
+      Seq((5L, 0L, -9L)).toDF("id", "grp", "v"), files = 1)
+    val q2 = TimeTravel.streamChanges(spark, dir, "id", cp)(deliver)
+    q2.processAllAvailable(); q2.stop()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L) && deliveries.get() == 4,
+      "a restart must deliver exactly the missed versions, no replays")
+    // feed-as-stream ≡ followChanges: a twin durable-cursor tailer over
+    // the same table delivers bit-identical frames per version
+    val cursor = new java.io.File(new java.io.File(dir).getParent,
+      "twin_cursor").getPath
+    val expect = scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+    val n = TimeTravel.followChanges(spark, dir, "id", cursor,
+      startAfter = 0L)((df, v) => { expect.put(v, canon(df)): Unit })
+    assert(n == 4 && got == expect)
+    // startAfter bounds the backfill for a consumer bootstrapped from v2
+    val late = scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+    val q3 = TimeTravel.streamChanges(spark, dir, "id",
+      tmpDir("feedstream_cp2"), startAfter = 2L)(
+      (df, v) => { late.put(v, canon(df)): Unit })
+    q3.processAllAvailable(); q3.stop()
+    assert(late.keySet == Set(3L, 4L) && late(3L) == expect(3L))
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
