@@ -83,7 +83,14 @@ object PlanFingerprint {
       case a: AdaptiveSparkPlanExec =>
         return structure(a.inputPlan) // fingerprint the static tree
       case s: FileSourceScanExec =>
+        // Attempt tokens in lake file names (v<ver>_<8-hex>_<i>.parquet,
+        // r14's race-proof staging) are unique PER RUN by design; a
+        // pushed In(file_name, ...) literal would otherwise make the
+        // fingerprint nondeterministic. Normalize the token, keep the
+        // structure (which version/part files the plan prunes to).
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+          .replaceAll("""v(\d+)_[0-9a-f]{8}_(\d+)\.parquet""",
+            "v$1_<tok>_$2.parquet")
         val cols = s.output.map(_.name).sorted.mkString(",")
         s"ScanParquet(cols=[$cols],pushed=$pushed)"
       case i: InMemoryTableScanExec =>
