@@ -1106,6 +1106,58 @@ class TimeTravelSpec extends SparkSpec {
     assert(late.keySet == Set(3L, 4L) && late(3L) == expect(3L))
   }
 
+  test("streamChanges maintains the q134 digest index as a STREAMING " +
+      "job across restarts: membership equals a fresh build of the head") {
+    import spark.implicits._
+    val dir = tmpDir("feedidx")
+    val idx = dir + "_digest_index"
+    val cp = tmpDir("feedidx_cp")
+    def body(tag: String) = concat(lit(s"$tag:"), col("id").cast("string"))
+    val docs = spark.range(0L, 100L)
+      .select(col("id"), body("b").as("body"))
+    TimeTravel.commitAppend(docs.filter(col("id") < 50), dir,
+      Seq("id"), files = 2)                                       // v1
+    TimeTravel.commitAppend(docs.filter(col("id") >= 50), dir,
+      Seq("id"), files = 2)                                       // v2
+    // the index reflects v2's snapshot; the stream tails from there
+    graft.operators.Dedup.saveDigestIndex(
+      TimeTravel.readAsOf(spark, dir, 2L), idx, "body")
+    val maintain: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (f, _) => {
+        // q134's recipe: tombstone pre-images, append post-images
+        graft.operators.Dedup.deleteFromDigestIndex(
+          f.filter(col("change").isin("deleted", "updated"))
+            .select(col("pre.body").as("body")), idx, "body")
+        graft.operators.Dedup.appendDigestIndex(
+          f.filter(col("change").isin("inserted", "updated"))
+            .select(col("body")), idx, "body")
+      }
+    TimeTravel.commitDelete(spark, dir, "id",                     // v3
+      Seq(3L, 44L, 91L).toDF("id"))
+    val q1 = TimeTravel.streamChanges(spark, dir, "id", cp,
+      startAfter = 2L)(maintain)
+    q1.processAllAvailable(); q1.stop()
+    // mutations land while the maintenance job is DOWN
+    val updated = spark.range(10L, 20L)
+      .select(col("id"), body("u").as("body"))
+    val inserted = spark.range(200L, 210L)
+      .select(col("id"), body("n").as("body"))
+    TimeTravel.commitUpsert(spark, dir, "id",                     // v4
+      updated.unionByName(inserted), files = 2)
+    val q2 = TimeTravel.streamChanges(spark, dir, "id", cp,
+      startAfter = 2L)(maintain)
+    q2.processAllAvailable(); q2.stop()
+    // the streamed index's membership == a fresh build of the head
+    val streamed = graft.operators.Dedup.loadDigestIndex(spark, idx)
+      .select(col("digest")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val fresh = TimeTravel.read(spark, dir)
+      .select(md5(col("body")).as("digest")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed == fresh,
+      s"streamed index has ${streamed.size} digests, head has ${fresh.size}")
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
