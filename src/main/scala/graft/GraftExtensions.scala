@@ -204,6 +204,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    `graft_tt_vacuum(dataPath, keepFrom)` — versioned-snapshot
   *    commit / versioned delete / live-set compaction / history
   *    reclamation ([[graft.sources.TimeTravel]]; BUILD-style receipts)
+  *  - `graft_tt_compact_small(dataPath, 'dims', targetBytes)` —
+  *    size-aware incremental compaction: bin-pack only sub-target
+  *    live files, never rewrite files already at size
+  *    ([[graft.sources.TimeTravel.compactSmall]])
   *  - `graft_tt_read(dataPath[, version[, col1, lo1, hi1, …]])` — the
   *    table as of a committed version, latest when omitted; (col, lo,
   *    hi) triples give the lineage-stats-pruned read
@@ -1175,6 +1179,19 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_compact(dataPath, 'dim1[,dim2…]', files)")
       }),
+    (new FunctionIdentifier("graft_tt_compact_small"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_compact_small"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, dims, tgt) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.compactSmall(spark, path,
+            colsArg(dims, "dims"), longArg(tgt, "targetBytes"))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_compact_small(dataPath, 'dim1[,dim2…]', targetBytes)")
+      }),
     (new FunctionIdentifier("graft_tt_read"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_read"),
       (args: Seq[Expression]) => args match {
@@ -1844,6 +1861,7 @@ object GraftExtensions {
     "graft_tt_commit" -> "q128_time_travel",
     "graft_tt_delete" -> "q128_time_travel",
     "graft_tt_compact" -> "q128_time_travel",
+    "graft_tt_compact_small" -> "TimeTravelSpec",
     "graft_tt_read" -> "q128_time_travel",
     "graft_tt_history" -> "TimeTravelSpec",
     "graft_tt_vacuum" -> "TimeTravelSpec",

@@ -692,6 +692,51 @@ object TimeTravel {
     v
   }
 
+  /** Size-aware INCREMENTAL compaction — the 100 TB form: bin-pack
+    * only the live files smaller than `targetBytes` into a fresh
+    * z-clustered generation and logically remove just those; files
+    * already at target size are never rewritten. [[compact]] rewrites
+    * the WHOLE live set — correct, but at lake scale a full rewrite is
+    * never affordable, while streaming ingestion ([[streamingSink]])
+    * constantly mints small files: this face caps the small-file count
+    * with write amplification proportional to the SMALL bytes only.
+    * Output file count = ceil(smallBytes / targetBytes), so packed
+    * generations land at target size. No-ops (fewer than
+    * `minInputFiles` small files — packing one file is pure churn)
+    * commit nothing and return the current version. History is
+    * untouched, like every commit here. Driver cost: one listing of
+    * the live set (file-count-sized).
+    */
+  def compactSmall(spark: SparkSession, dataPath: String,
+                   dims: Seq[String], targetBytes: Long,
+                   minInputFiles: Int = 2): Long = {
+    require(targetBytes > 0 && minInputFiles >= 2,
+      "compactSmall: targetBytes must be positive and minInputFiles >= 2" +
+        " (packing a single file is churn, not compaction)")
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1, s"compactSmall: no committed table at $dataPath")
+    val fs = fsOf(spark, dataPath)
+    val small = liveFileNames(spark, dataPath, latest)
+      .map(n => n -> fs.getFileStatus(hp(s"$dataPath/$n")).getLen)
+      .filter(_._2 < targetBytes)
+    if (small.size < minInputFiles) return latest
+    val outFiles = math.max(1L,
+      (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    val v = latest + 1
+    val clustered = Layout.withZKey(
+        spark.read.option("mergeSchema", "true")
+          .parquet(small.map(f => s"$dataPath/${f._1}"): _*), dims)
+      .repartitionByRange(outFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+    appendLineage(spark, dataPath,
+      stageAndPromote(spark, dataPath, v, clustered, dims)
+        .unionByName(actionRows(spark,
+          small.map { case (name, _) => (v, "remove", name, 0L) }),
+          allowMissingColumns = true), v)
+    v
+  }
+
   /** Earliest version still fully readable: 1 until a [[vacuum]] has
     * physically reclaimed files, then the highest remove-version among
     * vacuumed files (a file removed at r was last needed by version

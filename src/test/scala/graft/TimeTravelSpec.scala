@@ -1158,6 +1158,58 @@ class TimeTravelSpec extends SparkSpec {
       s"streamed index has ${streamed.size} digests, head has ${fresh.size}")
   }
 
+  test("compactSmall bin-packs ONLY sub-target files, leaves big " +
+      "files alone, changes no read, and no-ops below minInputFiles") {
+    val dir = tmpDir("compactsmall")
+    // one BIG generation (5000 rows in one file), then streaming-style
+    // dribble: four tiny single-file commits
+    TimeTravel.commitAppend(
+      spark.range(0L, 5000L).select(col("id"), (col("id") % 5).as("grp"),
+        (col("id") * 3).as("v")), dir, Seq("id"), files = 1)      // v1
+    (0 until 4).foreach { i =>
+      TimeTravel.commitAppend(
+        spark.range(5000L + i * 10, 5010L + i * 10)
+          .select(col("id"), (col("id") % 5).as("grp"),
+            (col("id") * 3).as("v")),
+        dir, Seq("id"), files = 1)                                // v2..v5
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lineage = spark.read.parquet(TimeTravel.lineagePath(dir))
+    val bigFile = lineage.filter(col("version") === 1L)
+      .select("file_name").head().getString(0)
+    val bigLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$bigFile")).getLen
+    val before = (1L to 5L).map(v =>
+      ids(TimeTravel.readAsOf(spark, dir, v)))
+    // target sized between the tiny files and the big one
+    val v6 = TimeTravel.compactSmall(spark, dir, Seq("id"),
+      targetBytes = bigLen)
+    assert(v6 == 6L)
+    // every historical read and the head are bit-identical
+    (1L to 5L).foreach(v =>
+      assert(ids(TimeTravel.readAsOf(spark, dir, v)) == before((v - 1).toInt)))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 6L)) == before(4))
+    // the big file survived untouched; the four tiny files packed to one
+    val l2 = spark.read.parquet(TimeTravel.lineagePath(dir))
+    val removed = l2.filter(col("version") === 6L &&
+        col("action") === "remove")
+      .select("file_name").collect().map(_.getString(0)).toSet
+    assert(!removed.contains(bigFile) && removed.size == 4)
+    assert(l2.filter(col("version") === 6L && col("action") === "add")
+      .count() == 1L)
+    // idempotent hygiene: one packed file + one big file left → no-op
+    assert(TimeTravel.compactSmall(spark, dir, Seq("id"),
+      targetBytes = bigLen) == 6L)
+    assert(TimeTravel.latestVersion(spark, dir) == 6L)
+    // the SQL face drives the same no-op from SQL text alone
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      s"SELECT * FROM graft_tt_compact_small('$dir', 'id', $bigLen)")
+      .head()
+    assert(r.getLong(r.fieldIndex("version")) == 6L)
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
