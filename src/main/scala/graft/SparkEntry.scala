@@ -2548,6 +2548,104 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Size-aware incremental compaction under the oracle (r14): one big
+    // generation + four streaming-style dribble commits, then
+    // compactSmall packs ONLY the sub-target files (target = the
+    // largest live file's size, so the packing threshold is derived
+    // from the table, not hand-fed per SF). The read after the pack is
+    // the gate: a row lost or duplicated by the rewrite breaks the
+    // hash, and the oracle is the layout-invariant full-table rollup.
+    "q140_small_compaction" -> ((s, d) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_smallc_${Integer.toHexString(d.hashCode)}").getPath
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(root, root + "_lineage", root + "_commit_ledger").foreach(p =>
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+      val li = t(s, d, "lineitem")
+      Stages.timed("q140_small_compaction", "base_commit") {
+        TimeTravel.commitAppend(li.filter(col("l_orderkey") % 2 === 0),
+          root, Seq("l_partkey"), files = 2): Unit
+      }
+      Stages.timed("q140_small_compaction", "dribble_commits") {
+        Seq(1, 3, 5, 7).foreach(k => TimeTravel.commitAppend(
+          li.filter(pmod(col("l_orderkey"), lit(8)) === k),
+          root, Seq("l_partkey"), files = 1): Unit)
+      }
+      Stages.timed("q140_small_compaction", "compact_small") {
+        val maxLen = fsys.listStatus(new org.apache.hadoop.fs.Path(root))
+          .filter(_.isFile).map(_.getLen).max
+        TimeTravel.compactSmall(s, root, Seq("l_partkey"),
+          targetBytes = maxLen): Unit
+      }
+      TimeTravel.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // q134's feed-maintained digest index with the maintenance run as a
+    // STRUCTURED STREAMING job (streamChanges) instead of a driver
+    // loop — same mutations, same recipe (tombstone pre-images, append
+    // post-images), same oracle membership; the stream's checkpoint is
+    // the cursor and the index faces' replay idempotence absorbs the
+    // at-least-once epochs.
+    "q141_stream_feed_index" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttsfi_${Integer.toHexString(d.hashCode)}").getPath
+      val idx = dir + "_digest_index"
+      val cp = dir + "_cp"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger", idx,
+        idx + "_tombstones", cp).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(":"),
+            coalesce(col("text"), lit(""))).as("body"))
+      Stages.timed("q141_stream_feed_index", "commits_save") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          dir, Seq("doc_id"), files = 2))
+        Dedup.saveDigestIndex(TimeTravel.readAsOf(s, dir, 2L), idx, "body")
+      }
+      Stages.timed("q141_stream_feed_index", "mutate") {
+        TimeTravel.commitDelete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        val updated = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 5L) === 2)
+          .withColumn("body", concat(col("body"), lit(" u")))
+        val inserted = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 11L) === 4)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            concat(lit("syn:"), col("doc_id").cast("string")).as("body"))
+        TimeTravel.commitUpsert(s, dir, "doc_id",
+          updated.unionByName(inserted), files = 2): Unit
+      }
+      Stages.timed("q141_stream_feed_index", "stream_maintain") {
+        val q = TimeTravel.streamChanges(s, dir, "doc_id", cp,
+          startAfter = 2L) { (f, _) =>
+          Dedup.deleteFromDigestIndex(
+            f.filter(col("change").isin("deleted", "updated"))
+              .select(col("pre.body").as("body")), idx, "body")
+          Dedup.appendDigestIndex(
+            f.filter(col("change").isin("inserted", "updated"))
+              .select(col("body")), idx, "body")
+        }
+        q.processAllAvailable(); q.stop()
+      }
+      Dedup.loadDigestIndex(s, idx)
+        .select(col("digest")).distinct().orderBy(col("digest"))
     })
   )
 
@@ -3033,6 +3131,32 @@ object SparkEntry {
   // inlining re-evaluates them per reference — twice under e's UNION
   // ALL, and per ITERATION when the connected-components oracles walk
   // the edges recursively.
+  // Effective digest-index membership after the q134/q141 mutation
+  // script (delete bucket7=3, update bucket5=2, insert bucket11=4) —
+  // shared by the driver-loop (q134) and streaming (q141) maintenance
+  // faces, which must land the IDENTICAL index.
+  private val feedIndexMembershipOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, coalesce(text, '') AS tx,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 7 AS del,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 5 AS u,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 11 AS ins
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), final AS (
+      |  SELECT CAST(doc_id AS VARCHAR) || ':' || tx AS body
+      |  FROM d WHERE del <> 3 AND u <> 2
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || ':' || tx || ' u'
+      |  FROM d WHERE u = 2
+      |  UNION ALL
+      |  SELECT 'syn:' || CAST(doc_id AS VARCHAR) FROM d WHERE ins = 4
+      |)
+      |SELECT DISTINCT md5(body) AS digest FROM final
+      |ORDER BY digest""".stripMargin.replace("\n", " ")
+
   private val q19PairsCte: String =
     """sh AS MATERIALIZED (
       |  SELECT doc_id,
@@ -5271,27 +5395,23 @@ object SparkEntry {
     // of the FINAL live membership (bodies are id-prefixed, hence
     // per-doc-unique, so content-keyed tombstones have no collateral):
     // kept originals, updated bodies, synthetic inserts — nothing else
-    "q134_feed_index" ->
-      """WITH d AS (
-        |  SELECT doc_id, coalesce(text, '') AS tx,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-        |      AS BIGINT) % 7 AS del,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-        |      AS BIGINT) % 5 AS u,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-        |      AS BIGINT) % 11 AS ins
-        |  FROM documents WHERE doc_id IS NOT NULL
-        |), final AS (
-        |  SELECT CAST(doc_id AS VARCHAR) || ':' || tx AS body
-        |  FROM d WHERE del <> 3 AND u <> 2
-        |  UNION ALL
-        |  SELECT CAST(doc_id AS VARCHAR) || ':' || tx || ' u'
-        |  FROM d WHERE u = 2
-        |  UNION ALL
-        |  SELECT 'syn:' || CAST(doc_id AS VARCHAR) FROM d WHERE ins = 4
-        |)
-        |SELECT DISTINCT md5(body) AS digest FROM final
-        |ORDER BY digest""".stripMargin.replace("\n", " "),
+    "q134_feed_index" -> feedIndexMembershipOracle,
+
+    // q140: the layout-invariant rollup — base (even orderkeys) + the
+    // four dribble commits (odd orderkeys: %8 ∈ {1,3,5,7}) = the whole
+    // table; compactSmall must move rows without losing or duplicating
+    // any, whatever it packed
+    "q140_small_compaction" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("\n", " "),
+
+    // q141: the SAME final membership as q134 — the engine side only
+    // changes HOW the feed drives the index (a streaming query instead
+    // of a driver loop), which must be invisible to the result
+    "q141_stream_feed_index" -> feedIndexMembershipOracle,
 
     // q135: every stage recomposed from its own proven oracle form —
     // q18's md5 min-id dedup, q38's trigram-string decontamination
