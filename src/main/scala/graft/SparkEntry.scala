@@ -2646,6 +2646,53 @@ object SparkEntry {
       }
       Dedup.loadDigestIndex(s, idx)
         .select(col("digest")).distinct().orderBy(col("digest"))
+    }),
+
+    // Cross-lake replication (r14): a replica bootstrapped from NOTHING
+    // and maintained from the change feed alone through q134's mutation
+    // script, as a streaming query. The gate reads the REPLICA; the
+    // oracle re-derives the source's final rows from the hash splits —
+    // a missed delete, a stale update, or a dropped insert anywhere in
+    // the feed→apply chain breaks the hash.
+    "q142_replication" -> ((s, d) => {
+      val src = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttrepl_${Integer.toHexString(d.hashCode)}").getPath
+      val dst = src + "_replica"
+      val cp = src + "_cp"
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(src, src + "_lineage", src + "_commit_ledger",
+        dst, dst + "_lineage", dst + "_commit_ledger", cp).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(":"),
+            coalesce(col("text"), lit(""))).as("body"))
+      Stages.timed("q142_replication", "commits_mutate") {
+        (0 to 1).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 2L) === i),
+          src, Seq("doc_id"), files = 2))
+        TimeTravel.commitDelete(s, src, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        val updated = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 5L) === 2)
+          .withColumn("body", concat(col("body"), lit(" u")))
+        val inserted = docs
+          .filter(Corpus.hashBucket(col("doc_id"), 11L) === 4)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            concat(lit("syn:"), col("doc_id").cast("string")).as("body"))
+        TimeTravel.commitUpsert(s, src, "doc_id",
+          updated.unionByName(inserted), files = 2): Unit
+      }
+      Stages.timed("q142_replication", "replicate") {
+        val q = TimeTravel.replicate(s, src, dst, "doc_id", cp)
+        q.processAllAvailable(); q.stop()
+      }
+      TimeTravel.read(s, dst)
+        .select(col("doc_id"), col("body"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5412,6 +5459,32 @@ object SparkEntry {
     // changes HOW the feed drives the index (a streaming query instead
     // of a driver loop), which must be invisible to the result
     "q141_stream_feed_index" -> feedIndexMembershipOracle,
+
+    // q142: the replica must hold exactly the source's final ROWS
+    // (q134's mutation script re-derived row-wise, synthetic inserts
+    // keyed at -doc_id-1)
+    "q142_replication" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS tx,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS u,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 11 AS ins
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), final AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || ':' || tx AS body
+        |  FROM d WHERE del <> 3 AND u <> 2
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || ':' || tx || ' u'
+        |  FROM d WHERE u = 2
+        |  UNION ALL
+        |  SELECT -doc_id - 1, 'syn:' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE ins = 4
+        |)
+        |SELECT doc_id, body FROM final ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
 
     // q135: every stage recomposed from its own proven oracle form —
     // q18's md5 min-id dedup, q38's trigram-string decontamination

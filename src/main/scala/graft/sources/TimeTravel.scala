@@ -1256,6 +1256,54 @@ object TimeTravel {
       .start()
   }
 
+  /** Apply ONE source version's [[changeFeed]] frame to a replica
+    * table: the deleted keys leave (a [[commitDelete]] — naturally
+    * idempotent, a replayed delete matches nothing), the inserted and
+    * updated POST-images land as a [[commitUpsert]] under batch id
+    * `repl_v<version>` (exactly-once through the replica's commit
+    * ledger). Together the two idempotences make the whole application
+    * safe under the feed's at-least-once redelivery: a crash between
+    * the delete and the upsert replays into a no-op delete + the
+    * pending upsert. The replica's version NUMBERS differ from the
+    * source's (one source version can be up to two replica commits) —
+    * the replica's CONTENT after version v equals `readAsOf(src, v)`,
+    * which is the contract that matters.
+    */
+  def applyFeedVersion(spark: SparkSession, dstPath: String, idCol: String,
+                       feed: DataFrame, version: Long,
+                       files: Int = 2): Unit = {
+    val dataCols = feed.columns
+      .filterNot(Set("change", "version", "pre")).toSeq
+    // an unborn replica has nothing to delete (the bootstrap version's
+    // feed is pure inserts; a delete for a row never replicated would
+    // be inert anyway)
+    if (latestVersion(spark, dstPath) >= 1L)
+      commitDelete(spark, dstPath, idCol,
+        feed.filter(col("change") === "deleted").select(col(idCol))): Unit
+    commitUpsert(spark, dstPath, idCol,
+      feed.filter(col("change").isin("inserted", "updated"))
+        .select(dataCols.map(col): _*),
+      files, batchId = Some(s"repl_v$version")): Unit
+  }
+
+  /** Cross-lake replication as a STREAMING query: [[streamChanges]]
+    * over the source drives [[applyFeedVersion]] into the replica —
+    * the disaster-recovery / multi-region face, maintained from the
+    * feed ALONE (the source table is never re-read; each version costs
+    * its own commit's files). `startAfter = 0` bootstraps a replica
+    * from nothing; to seed from a snapshot instead, [[cloneAsOf]] +
+    * `commitAppend` the clone, then start at that version. Restarts
+    * resume from the checkpoint; the at-least-once epochs are absorbed
+    * by applyFeedVersion's idempotence.
+    */
+  def replicate(spark: SparkSession, srcPath: String, dstPath: String,
+                idCol: String, checkpoint: String, files: Int = 2,
+                startAfter: Long = 0L):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    streamChanges(spark, srcPath, idCol, checkpoint, startAfter) {
+      (feed, v) => applyFeedVersion(spark, dstPath, idCol, feed, v, files)
+    }
+
   /** The quiet-moment maintenance pass, one call: compact when the live
     * file count drifts past `maxLiveFiles` (never otherwise — an
     * unneeded compaction burns a version and a rewrite), then vacuum

@@ -1210,6 +1210,67 @@ class TimeTravelSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("version")) == 6L)
   }
 
+  test("replicate maintains a LAKE REPLICA from the feed alone across " +
+      "a randomized op sequence, a mid-sequence restart, and a schema " +
+      "evolution — replica content == source head") {
+    val src = tmpDir("replsrc")
+    val dst = tmpDir("repldst")
+    val cp = tmpDir("repl_cp")
+    val rnd = new scala.util.Random(29)
+    var nextId = 0L
+    def freshRows(n: Int) = {
+      val rows = spark.range(nextId, nextId + n)
+        .select(col("id"), (col("id") % 5).as("grp"),
+          (col("id") * 3).as("v"))
+      nextId += n
+      rows
+    }
+    def mutate(): Unit = rnd.nextInt(4) match {
+      case 0 => TimeTravel.commitAppend(freshRows(40), src, Seq("id"),
+        files = 2): Unit
+      case 1 => TimeTravel.commitDelete(spark, src, "id",
+        spark.range(0L, nextId)
+          .filter(col("id") % 11 === rnd.nextInt(11).toLong)
+          .select(col("id"))): Unit
+      case 2 =>
+        val salt = rnd.nextInt(1000).toLong
+        TimeTravel.commitUpsert(spark, src, "id",
+          spark.range(0L, nextId)
+            .filter(col("id") % 7 === rnd.nextInt(7).toLong)
+            .select(col("id"), (col("id") % 5).as("grp"),
+              (col("id") + salt).as("v")), files = 2): Unit
+      case 3 => TimeTravel.compact(spark, src, Seq("id"), files = 3): Unit
+    }
+    TimeTravel.commitAppend(freshRows(80), src, Seq("id"), files = 2)
+    (1 to 5).foreach(_ => mutate())
+    // first replication run, bootstrapping the replica from NOTHING
+    val q1 = TimeTravel.replicate(spark, src, dst, "id", cp)
+    q1.processAllAvailable(); q1.stop()
+    // source keeps moving while the replica is down — including a
+    // SCHEMA EVOLUTION commit (new column w)
+    (1 to 4).foreach(_ => mutate())
+    TimeTravel.commitAppend(
+      freshRows(30).withColumn("w", col("id") * 7), src, Seq("id"),
+      files = 2)
+    val q2 = TimeTravel.replicate(spark, src, dst, "id", cp)
+    q2.processAllAvailable(); q2.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    val srcHead = TimeTravel.read(spark, src)
+    val dstHead = TimeTravel.read(spark, dst)
+    assert(srcHead.columns.sorted.toSeq == dstHead.columns.sorted.toSeq,
+      s"schema drift: ${srcHead.columns.toSeq} vs ${dstHead.columns.toSeq}")
+    assert(canon(srcHead) == canon(dstHead))
+    // a rerun over the same checkpoint re-delivers nothing and the
+    // replica's version does not move (idempotence receipt)
+    val before = TimeTravel.latestVersion(spark, dst)
+    val q3 = TimeTravel.replicate(spark, src, dst, "id", cp)
+    q3.processAllAvailable(); q3.stop()
+    assert(TimeTravel.latestVersion(spark, dst) == before)
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
