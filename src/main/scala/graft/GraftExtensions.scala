@@ -212,6 +212,12 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    table as of a committed version, latest when omitted; (col, lo,
   *    hi) triples give the lineage-stats-pruned read
   *    ([[graft.sources.TimeTravel.readAsOf]] / `readAsOfPruned`)
+  *  - `graft_tt_read_ts(dataPath, tsMillis)` — TIMESTAMP AS OF: the
+  *    table at the last version committed at or before the instant
+  *    ([[graft.sources.TimeTravel.readAsOfTimestamp]])
+  *  - `graft_tt_vacuum_older(dataPath, retainMillis)` — time-based
+  *    retention: reclaim history no version committed inside the
+  *    window needs ([[graft.sources.TimeTravel.vacuumOlderThan]])
   *  - `graft_tt_history(dataPath)` — one audit row per commit
   *    ([[graft.sources.TimeTravel.history]])
   *  - `graft_tt_rollback(dataPath, toVersion)` — restore an old
@@ -1274,6 +1280,31 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum(dataPath, keepFrom)")
       }),
+    (new FunctionIdentifier("graft_tt_read_ts"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_read_ts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, ts) =>
+          plan(graft.sources.TimeTravel.readAsOfTimestamp(
+            SparkSession.active, strArg(p, "dataPath"),
+            longArg(ts, "tsMillis")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_read_ts(dataPath, tsMillis) — TIMESTAMP AS OF")
+      }),
+    (new FunctionIdentifier("graft_tt_vacuum_older"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_vacuum_older"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, r) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val n = graft.sources.TimeTravel.vacuumOlderThan(spark, path,
+            longArg(r, "retainMillis"))
+          import spark.implicits._
+          plan(Seq((path, n,
+            graft.sources.TimeTravel.earliestReadable(spark, path)))
+            .toDF("data_path", "files_reclaimed", "earliest_readable"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_vacuum_older(dataPath, retainMillis)")
+      }),
     (new FunctionIdentifier("graft_tt_maintain"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_maintain"),
       (args: Seq[Expression]) => args match {
@@ -1865,6 +1896,8 @@ object GraftExtensions {
     "graft_tt_read" -> "q128_time_travel",
     "graft_tt_history" -> "TimeTravelSpec",
     "graft_tt_vacuum" -> "TimeTravelSpec",
+    "graft_tt_read_ts" -> "TimeTravelSpec",
+    "graft_tt_vacuum_older" -> "TimeTravelSpec",
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_tt_gc" -> "TimeTravelSpec",

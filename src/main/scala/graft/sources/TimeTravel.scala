@@ -228,7 +228,11 @@ object TimeTravel {
     requireAtomicBirth(spark, fs, dataPath)
     val tmp = lp + s"_segtmp_v$v"
     fs.delete(hp(tmp), true)
-    seg.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // commit_ts (epoch millis, the segment's write moment) rides every
+    // action row — what readAsOfTimestamp / vacuumOlderThan map
+    // against. Metadata only: no query result ever derives from it.
+    seg.withColumn("commit_ts", lit(System.currentTimeMillis()))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(hp(tmp))
       .filter(f => f.getPath.getName.startsWith("part-") &&
         f.getPath.getName.endsWith(".parquet"))
@@ -892,8 +896,12 @@ object TimeTravel {
     * rows added — the audit face a lake operator reads before trusting
     * a rollback target. Pure lineage aggregation, no data touched.
     */
-  def history(spark: SparkSession, dataPath: String): DataFrame =
-    lineage(spark, dataPath)
+  def history(spark: SparkSession, dataPath: String): DataFrame = {
+    val l = lineage(spark, dataPath)
+    val withTs =
+      if (l.columns.contains("commit_ts")) l
+      else l.withColumn("commit_ts", lit(null).cast("long"))
+    withTs
       .groupBy(col("version"))
       .agg(
         sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
@@ -902,8 +910,63 @@ object TimeTravel {
         sum(when(col("action") === "vacuum", 1L).otherwise(0L))
           .as("n_vacuumed"),
         sum(when(col("action") === "add", col("n_rows")).otherwise(0L))
-          .as("rows_added"))
+          .as("rows_added"),
+        max(col("commit_ts")).as("commit_ts"))
       .orderBy(col("version"))
+  }
+
+  /** The version a wall-clock instant maps to: the HIGHEST version
+    * whose commit landed at or before `tsMillis` — "the table as the
+    * world saw it at 14:00". Commits from before the commit_ts era
+    * (r14) count as infinitely old, so they are reachable by any
+    * timestamp a timestamped commit is. Refuses a timestamp older than
+    * every commit (there was no table then) and a table with no
+    * timestamped commits at all.
+    */
+  def versionAt(spark: SparkSession, dataPath: String,
+                tsMillis: Long): Long = {
+    val h = history(spark, dataPath)
+    require(h.columns.contains("commit_ts") &&
+      h.filter(col("commit_ts").isNotNull).limit(1).count() == 1L,
+      s"versionAt: no timestamped commits at $dataPath (pre-r14 " +
+        "table?) — address versions by number")
+    val r = h.filter(col("commit_ts").isNull ||
+        col("commit_ts") <= tsMillis)
+      .agg(max(col("version"))).head()
+    require(!r.isNullAt(0),
+      s"versionAt: $tsMillis predates every commit of $dataPath " +
+        "(earliest is visible in history())")
+    r.getLong(0)
+  }
+
+  /** `TIMESTAMP AS OF`: the table exactly as committed at the last
+    * version landed at or before `tsMillis` ([[versionAt]] +
+    * [[readAsOf]] — same vacuum-floor refusals). */
+  def readAsOfTimestamp(spark: SparkSession, dataPath: String,
+                        tsMillis: Long): DataFrame =
+    readAsOf(spark, dataPath, versionAt(spark, dataPath, tsMillis))
+
+  /** Time-based retention: vacuum history no version committed within
+    * the last `retainMillis` needs — keepFrom = the earliest version
+    * whose commit is inside the retention window (the head when none
+    * is). `nowMillis` is injectable for tests; production callers use
+    * the default clock. Returns files reclaimed, 0 when the floor
+    * already covers the window.
+    */
+  def vacuumOlderThan(spark: SparkSession, dataPath: String,
+                      retainMillis: Long,
+                      nowMillis: Long = System.currentTimeMillis()): Int = {
+    val cutoff = nowMillis - retainMillis
+    val h = history(spark, dataPath)
+    val inWindow = h.filter(col("commit_ts").isNotNull &&
+        col("commit_ts") >= cutoff)
+      .agg(min(col("version"))).head()
+    val keepFrom =
+      if (inWindow.isNullAt(0)) latestVersion(spark, dataPath)
+      else inWindow.getLong(0)
+    if (keepFrom <= earliestReadable(spark, dataPath)) 0
+    else vacuum(spark, dataPath, keepFrom)
+  }
 
   /** Restore version `toVersion`'s content as the NEW head — the
     * bad-batch undo. Metadata-only: one lineage commit that removes the

@@ -1271,6 +1271,42 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.latestVersion(spark, dst) == before)
   }
 
+  test("timestamp time travel: versionAt/readAsOfTimestamp map instants " +
+      "to versions, and vacuumOlderThan retains by wall clock") {
+    val dir = tmpDir("tsread")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1)         // v3
+    TimeTravel.commitAppend(batch(2), dir, Seq("id"), files = 2) // v4
+    val h = TimeTravel.history(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("version")) ->
+        r.getLong(r.fieldIndex("commit_ts"))).toMap
+    // commit timestamps are nondecreasing (each commit takes >> 1 ms,
+    // so strictly increasing in practice)
+    assert((1L to 3L).forall(v => h(v) <= h(v + 1)))
+    assert(TimeTravel.versionAt(spark, dir, h(2L)) == 2L)
+    assert(TimeTravel.versionAt(spark, dir, (h(2L) + h(3L)) / 2) == 2L)
+    assert(TimeTravel.versionAt(spark, dir, h(4L) + 60000L) == 4L)
+    assert(ids(TimeTravel.readAsOfTimestamp(spark, dir, h(2L))) ==
+      (0L until 200L))
+    // an instant before the table existed refuses loudly
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.versionAt(spark, dir, h(1L) - 1L))
+    assert(e.getMessage.contains("predates"))
+    // time-based retention: keep the window starting at v3's instant —
+    // the four files the compaction removed at v3 reclaim, nothing else
+    val reclaimed = TimeTravel.vacuumOlderThan(spark, dir,
+      retainMillis = h(4L) - h(3L), nowMillis = h(4L))
+    assert(reclaimed == 4, s"expected the 4 compacted files, got $reclaimed")
+    assert(TimeTravel.earliestReadable(spark, dir) == 3L)
+    intercept[IllegalArgumentException](TimeTravel.readAsOf(spark, dir, 2L))
+    assert(ids(TimeTravel.readAsOf(spark, dir, 3L)) == (0L until 200L))
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 300L))
+    // already covered: a second pass reclaims nothing
+    assert(TimeTravel.vacuumOlderThan(spark, dir,
+      retainMillis = h(4L) - h(3L), nowMillis = h(4L)) == 0)
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
