@@ -218,6 +218,12 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_tt_vacuum_older(dataPath, retainMillis)` — time-based
   *    retention: reclaim history no version committed inside the
   *    window needs ([[graft.sources.TimeTravel.vacuumOlderThan]])
+  *  - `graft_tt_constrain(dataPath, name, boolExpr)` /
+  *    `graft_tt_constraints(dataPath)` /
+  *    `graft_tt_unconstrain(dataPath, name)` — commit-time CHECK
+  *    constraints: every commit must satisfy each rule on every batch
+  *    row or it refuses before staging, naming the rule and count
+  *    ([[graft.sources.TimeTravel.setConstraints]])
   *  - `graft_tt_history(dataPath)` — one audit row per commit
   *    ([[graft.sources.TimeTravel.history]])
   *  - `graft_tt_rollback(dataPath, toVersion)` — restore an old
@@ -1305,6 +1311,53 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_vacuum_older(dataPath, retainMillis)")
       }),
+    (new FunctionIdentifier("graft_tt_constrain"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_constrain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, n, e) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val name = strArg(n, "name")
+          val rules = graft.sources.TimeTravel
+            .tableConstraints(spark, path)
+            .filterNot(_._1 == name) :+ (name -> strArg(e, "expr"))
+          graft.sources.TimeTravel.setConstraints(spark, path, rules)
+          import spark.implicits._
+          plan(rules.toDF("name", "expr").orderBy("name"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_constrain(dataPath, name, boolExpr) — add/replace " +
+            "one commit-time CHECK constraint; returns the full set")
+      }),
+    (new FunctionIdentifier("graft_tt_constraints"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_constraints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          val spark = SparkSession.active
+          import spark.implicits._
+          plan(graft.sources.TimeTravel
+            .tableConstraints(spark, strArg(p, "dataPath"))
+            .toDF("name", "expr").orderBy("name"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_constraints(dataPath)")
+      }),
+    (new FunctionIdentifier("graft_tt_unconstrain"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_unconstrain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, n) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val name = strArg(n, "name")
+          val rest = graft.sources.TimeTravel
+            .tableConstraints(spark, path).filterNot(_._1 == name)
+          if (rest.isEmpty)
+            graft.sources.TimeTravel.clearConstraints(spark, path)
+          else
+            graft.sources.TimeTravel.setConstraints(spark, path, rest)
+          import spark.implicits._
+          plan(rest.toDF("name", "expr").orderBy("name"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_unconstrain(dataPath, name)")
+      }),
     (new FunctionIdentifier("graft_tt_maintain"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_maintain"),
       (args: Seq[Expression]) => args match {
@@ -1898,6 +1951,9 @@ object GraftExtensions {
     "graft_tt_vacuum" -> "TimeTravelSpec",
     "graft_tt_read_ts" -> "TimeTravelSpec",
     "graft_tt_vacuum_older" -> "TimeTravelSpec",
+    "graft_tt_constrain" -> "TimeTravelSpec",
+    "graft_tt_constraints" -> "TimeTravelSpec",
+    "graft_tt_unconstrain" -> "TimeTravelSpec",
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_tt_gc" -> "TimeTravelSpec",

@@ -385,6 +385,7 @@ object TimeTravel {
     // a zero-row segment would burn a version (or wedge retries on a
     // contentless segment), and streaming epochs are routinely empty.
     if (df.isEmpty) return latestVersion(spark, dataPath)
+    enforceConstraints(spark, dataPath, df, "commitAppend")
     val v = latestVersion(spark, dataPath) + 1
     val clustered = Layout.withZKey(df, dims)
       .repartitionByRange(files, col("zkey"))
@@ -598,6 +599,9 @@ object TimeTravel {
       s"commitUpsert: updates carry ${nRows - nIds} duplicate-id rows " +
         s"on $idCol — one commit admits one row per key (pick the " +
         "winner first, e.g. Dedup.dedupCorpusBest's argmax)")
+    // the admission gate sees the UPDATE rows (survivors already passed
+    // it when they were first committed)
+    enforceConstraints(spark, dataPath, upd, "commitUpsert")
     if (latest == 0)
       return commitAppend(upd, dataPath, Seq(idCol), files, batchId)
     val ledger = commitLedgerPath(dataPath)
@@ -1317,6 +1321,76 @@ object TimeTravel {
         }
       }
       .start()
+  }
+
+  private def constraintsPath(dataPath: String): String =
+    dataPath.stripSuffix("/") + "_constraints"
+
+  /** Declare (or replace) the table's CHECK constraints: named boolean
+    * SQL expressions every subsequent commit must satisfy on EVERY row
+    * of its batch — the admission gate that keeps a lake table clean at
+    * the door instead of quarantining after the fact. NULL predicates
+    * count as violations (the conservative CHECK semantics
+    * [[graft.operators.Profiling.checkConstraints]] pins). Persisted
+    * beside the table; enforcement costs one batch-sized aggregate per
+    * commit and nothing at read time.
+    */
+  def setConstraints(spark: SparkSession, dataPath: String,
+                     rules: Seq[(String, String)]): Unit = {
+    require(rules.nonEmpty, "setConstraints: empty rule set — use " +
+      "clearConstraints to drop enforcement explicitly")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "setConstraints: rule names must be distinct")
+    import spark.implicits._
+    rules.toDF("name", "expr").coalesce(1)
+      .write.mode("overwrite").parquet(constraintsPath(dataPath))
+  }
+
+  /** The table's declared constraints, name → expression (empty when
+    * none were ever set). */
+  def tableConstraints(spark: SparkSession,
+                       dataPath: String): Seq[(String, String)] = {
+    val p = constraintsPath(dataPath)
+    if (!fsOf(spark, dataPath).exists(hp(p))) Seq.empty
+    else spark.read.parquet(p).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq.sortBy(_._1)
+  }
+
+  /** Drop all constraints — an explicit act, never a side effect. */
+  def clearConstraints(spark: SparkSession, dataPath: String): Unit = {
+    fsOf(spark, dataPath).delete(hp(constraintsPath(dataPath)), true): Unit
+  }
+
+  /** The commit-side gate: every declared rule must hold on every row
+    * of `batch`, or the commit refuses BEFORE staging — naming each
+    * failing rule with its violation count. A rule referencing a
+    * column the batch lacks refuses too (schema drift against a
+    * declared contract is a violation, not a pass). */
+  private def enforceConstraints(spark: SparkSession, dataPath: String,
+                                 batch: DataFrame, face: String): Unit = {
+    val rules = tableConstraints(spark, dataPath)
+    if (rules.isEmpty) return
+    val report =
+      try graft.operators.Profiling.checkConstraints(batch,
+          rules.map { case (n, e) => n -> expr(e) })
+        .filter(col("n_violations") > 0)
+        .collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$face REFUSED by table constraints on $dataPath: a rule " +
+              s"does not resolve against the batch schema " +
+              s"(${batch.columns.mkString(", ")}) — ${e.getMessage}")
+      }
+    if (report.nonEmpty) {
+      val detail = report.map(r =>
+        s"${r.getString(0)} (${r.getLong(2)} of ${r.getLong(1)} rows)")
+        .mkString("; ")
+      throw new IllegalArgumentException(
+        s"$face REFUSED by table constraints on $dataPath: $detail — " +
+          "nothing was committed; fix or quarantine the batch, or " +
+          "clearConstraints/setConstraints to change the contract")
+    }
   }
 
   /** Apply ONE source version's [[changeFeed]] frame to a replica

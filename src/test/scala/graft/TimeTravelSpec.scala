@@ -1307,6 +1307,53 @@ class TimeTravelSpec extends SparkSpec {
       retainMillis = h(4L) - h(3L), nowMillis = h(4L)) == 0)
   }
 
+  test("commit-time CHECK constraints: violating batches refuse before " +
+      "staging naming rule and count; schema drift against a rule " +
+      "refuses; the SQL faces manage the set") {
+    val dir = tmpDir("constraints")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.setConstraints(spark, dir, Seq(
+      "nonneg_v" -> "v >= 0", "grp_range" -> "grp BETWEEN 0 AND 4"))
+    // a clean batch commits
+    assert(TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) == 2L)
+    // a dirty batch refuses BEFORE staging: version unmoved, no orphans
+    val dirty = batch(2).withColumn("v",
+      when(col("id") % 10 === 0, -col("v")).otherwise(col("v")))
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.commitAppend(dirty, dir, Seq("id"), files = 2))
+    assert(e.getMessage.contains("nonneg_v") &&
+      e.getMessage.contains("10 of 100"), e.getMessage)
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    assert(TimeTravel.gcOrphans(spark, dir) == 0,
+      "refusal must fire before any staging")
+    // the upsert path is gated too (null predicate = violation)
+    import spark.implicits._
+    val e2 = intercept[IllegalArgumentException](
+      TimeTravel.commitUpsert(spark, dir, "id",
+        Seq((5L, 2L, Option.empty[Long])).toDF("id", "grp", "v"),
+        files = 1))
+    assert(e2.getMessage.contains("nonneg_v"))
+    // a batch missing a constrained column is schema drift — refused
+    val e3 = intercept[IllegalArgumentException](
+      TimeTravel.commitAppend(batch(2).drop("v"), dir, Seq("id"),
+        files = 2))
+    assert(e3.getMessage.contains("does not resolve"))
+    // SQL faces: tighten, list, lift; enforcement follows the set
+    GraftExtensions.register(spark)
+    spark.sql(s"SELECT * FROM graft_tt_constrain('$dir', 'cap_v', " +
+      "'v < 600')").collect()
+    assert(spark.sql(s"SELECT * FROM graft_tt_constraints('$dir')")
+      .count() == 3L)
+    val e4 = intercept[Exception](
+      TimeTravel.commitAppend(batch(2), dir, Seq("id"), files = 2))
+    assert(e4.getMessage.contains("cap_v")) // ids 200.. → v = id*3 >= 600
+    spark.sql(s"SELECT * FROM graft_tt_unconstrain('$dir', 'cap_v')")
+      .collect()
+    assert(TimeTravel.commitAppend(batch(2), dir, Seq("id"),
+      files = 2) == 3L)
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 300L))
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
