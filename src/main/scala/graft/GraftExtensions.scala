@@ -247,6 +247,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    compactTo)` — the quiet-moment pass: compact past the cap,
   *    vacuum allowed history, reclaim orphans
   *    ([[graft.sources.TimeTravel.maintain]])
+  *  - `graft_tt_maintain_size(dataPath, 'dims', targetBytes,
+  *    retainMillis)` — the STREAMING lake's tick: size-aware pack +
+  *    time-based retention + orphan GC, all no-op-safe every tick
+  *    ([[graft.sources.TimeTravel.maintainBySize]])
   *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
@@ -1358,6 +1362,24 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_unconstrain(dataPath, name)")
       }),
+    (new FunctionIdentifier("graft_tt_maintain_size"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_maintain_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, dims, tgt, ret) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val (packed, vacuumed, orphans) =
+            graft.sources.TimeTravel.maintainBySize(spark, path,
+              colsArg(dims, "dims"), longArg(tgt, "targetBytes"),
+              longArg(ret, "retainMillis"))
+          import spark.implicits._
+          plan(Seq((path, packed, vacuumed, orphans))
+            .toDF("data_path", "small_files_packed", "files_vacuumed",
+              "orphans_reclaimed"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_maintain_size(dataPath, 'dims', targetBytes, " +
+            "retainMillis) — the streaming lake's quiet-moment tick")
+      }),
     (new FunctionIdentifier("graft_tt_maintain"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_maintain"),
       (args: Seq[Expression]) => args match {
@@ -1952,6 +1974,7 @@ object GraftExtensions {
     "graft_tt_read_ts" -> "TimeTravelSpec",
     "graft_tt_vacuum_older" -> "TimeTravelSpec",
     "graft_tt_constrain" -> "TimeTravelSpec",
+    "graft_tt_maintain_size" -> "TimeTravelSpec",
     "graft_tt_constraints" -> "TimeTravelSpec",
     "graft_tt_unconstrain" -> "TimeTravelSpec",
     "graft_tt_rollback" -> "q130_tt_rollback_diff",

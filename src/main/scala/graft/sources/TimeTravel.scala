@@ -1468,6 +1468,34 @@ object TimeTravel {
     (compacted, vacuumed, gcOrphans(spark, dataPath))
   }
 
+  /** [[maintain]] in the shape a STREAMING lake runs continuously:
+    * size-aware pack instead of a full rewrite ([[compactSmall]] —
+    * cost tracks the small bytes the sink dribbled since the last
+    * tick, never the table), time-based retention instead of a version
+    * count ([[vacuumOlderThan]] — "keep 7 days" is the policy people
+    * actually state), then orphan GC. Safe to run every tick: each
+    * stage no-ops cleanly when there is nothing to do, so an idle
+    * table costs three metadata reads. Returns
+    * `(smallFilesPacked, filesVacuumed, orphansReclaimed)`.
+    */
+  def maintainBySize(spark: SparkSession, dataPath: String,
+                     dims: Seq[String], targetBytes: Long,
+                     retainMillis: Long,
+                     nowMillis: Long = System.currentTimeMillis())
+      : (Int, Int, Int) = {
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1, s"maintainBySize: no committed table at $dataPath")
+    val before = latestVersion(spark, dataPath)
+    val packedV = compactSmall(spark, dataPath, dims, targetBytes)
+    val packed =
+      if (packedV == before) 0
+      else lineage(spark, dataPath)
+        .filter(col("version") === packedV && col("action") === "remove")
+        .count().toInt
+    val vacuumed = vacuumOlderThan(spark, dataPath, retainMillis, nowMillis)
+    (packed, vacuumed, gcOrphans(spark, dataPath))
+  }
+
   /** Physically reclaim files no version ≥ `keepFrom` can need: those
     * whose LATEST add/remove action is a remove at a version ≤
     * `keepFrom`. Latest-action-wins, exactly like [[liveFileNames]]:

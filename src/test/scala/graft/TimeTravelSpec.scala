@@ -1354,6 +1354,51 @@ class TimeTravelSpec extends SparkSpec {
     assert(ids(TimeTravel.read(spark, dir)) == (0L until 300L))
   }
 
+  test("maintainBySize is the streaming lake's tick: size-aware pack + " +
+      "time retention + GC, each stage no-op-safe") {
+    val dir = tmpDir("maintsize")
+    TimeTravel.commitAppend(
+      spark.range(0L, 5000L).select(col("id"), (col("id") % 5).as("grp"),
+        (col("id") * 3).as("v")), dir, Seq("id"), files = 1)      // v1 big
+    (0 until 3).foreach { i =>
+      TimeTravel.commitAppend(
+        spark.range(5000L + i * 10, 5010L + i * 10)
+          .select(col("id"), (col("id") % 5).as("grp"),
+            (col("id") * 3).as("v")),
+        dir, Seq("id"), files = 1)                                // v2..v4
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigLen = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile).map(_.getLen).max
+    // tick 1: packs the three dribble files; retention window covers
+    // everything (far future retain), so nothing vacuums
+    val h4 = TimeTravel.history(spark, dir)
+      .agg(max(col("commit_ts"))).head().getLong(0)
+    val (p1, v1, g1) = TimeTravel.maintainBySize(spark, dir, Seq("id"),
+      targetBytes = bigLen, retainMillis = 3600000L, nowMillis = h4)
+    assert((p1, v1, g1) == ((3, 0, 0)), s"got ($p1, $v1, $g1)")
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 5030L))
+    // tick 2, nothing changed: every stage no-ops
+    assert(TimeTravel.maintainBySize(spark, dir, Seq("id"),
+      targetBytes = bigLen, retainMillis = 3600000L,
+      nowMillis = h4) == ((0, 0, 0)))
+    // tick 3 with a zero-width retention window anchored after the
+    // pack: the three packed-away originals reclaim
+    val h5 = TimeTravel.history(spark, dir)
+      .agg(max(col("commit_ts"))).head().getLong(0)
+    val (p3, v3, g3) = TimeTravel.maintainBySize(spark, dir, Seq("id"),
+      targetBytes = bigLen, retainMillis = 0L, nowMillis = h5)
+    assert((p3, v3, g3) == ((0, 3, 0)), s"got ($p3, $v3, $g3)")
+    assert(ids(TimeTravel.read(spark, dir)) == (0L until 5030L))
+    // the SQL face returns the same receipt shape
+    GraftExtensions.register(spark)
+    val r = spark.sql(s"SELECT * FROM graft_tt_maintain_size('$dir', " +
+      s"'id', $bigLen, 3600000)").head()
+    assert(r.getInt(r.fieldIndex("small_files_packed")) == 0 &&
+      r.getInt(r.fieldIndex("files_vacuumed")) == 0)
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
