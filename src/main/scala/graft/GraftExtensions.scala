@@ -251,6 +251,13 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    retainMillis)` — the STREAMING lake's tick: size-aware pack +
   *    time-based retention + orphan GC, all no-op-safe every tick
   *    ([[graft.sources.TimeTravel.maintainBySize]])
+  *  - `graft_tt_describe(dataPath)` — the one-row ops summary: head /
+  *    floor / live files+bytes / small-file backlog / rows /
+  *    constraints / commit-instant range, zero data read
+  *    ([[graft.sources.TimeTravel.describeTable]])
+  *  - `graft_tt_vacuum_preview(dataPath, keepFrom)` — what vacuum
+  *    WOULD reclaim, zero side effects
+  *    ([[graft.sources.TimeTravel.vacuumPreview]])
   *  - `graft_tt_upsert(updates, dataPath, idCol, files[, batchId])` —
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
@@ -1380,6 +1387,26 @@ object GraftExtensions {
           "graft_tt_maintain_size(dataPath, 'dims', targetBytes, " +
             "retainMillis) — the streaming lake's quiet-moment tick")
       }),
+    (new FunctionIdentifier("graft_tt_describe"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_describe"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(graft.sources.TimeTravel.describeTable(
+            SparkSession.active, strArg(p, "dataPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_describe(dataPath) — the one-row ops summary")
+      }),
+    (new FunctionIdentifier("graft_tt_vacuum_preview"),
+      new ExpressionInfo("graft.sources.TimeTravel",
+        "graft_tt_vacuum_preview"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, k) =>
+          plan(graft.sources.TimeTravel.vacuumPreview(
+            SparkSession.active, strArg(p, "dataPath"),
+            longArg(k, "keepFrom")))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_vacuum_preview(dataPath, keepFrom) — dry run")
+      }),
     (new FunctionIdentifier("graft_tt_maintain"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_maintain"),
       (args: Seq[Expression]) => args match {
@@ -1975,6 +2002,8 @@ object GraftExtensions {
     "graft_tt_vacuum_older" -> "TimeTravelSpec",
     "graft_tt_constrain" -> "TimeTravelSpec",
     "graft_tt_maintain_size" -> "TimeTravelSpec",
+    "graft_tt_describe" -> "TimeTravelSpec",
+    "graft_tt_vacuum_preview" -> "TimeTravelSpec",
     "graft_tt_constraints" -> "TimeTravelSpec",
     "graft_tt_unconstrain" -> "TimeTravelSpec",
     "graft_tt_rollback" -> "q130_tt_rollback_diff",

@@ -1496,6 +1496,69 @@ object TimeTravel {
     (packed, vacuumed, gcOrphans(spark, dataPath))
   }
 
+  /** DESCRIBE DETAIL — the one-row operational summary an on-call
+    * reads first: head version, earliest readable, live file count and
+    * bytes, sub-`targetHint` small-file count (the compactSmall
+    * backlog at a 128 MB hint), total committed rows at the head,
+    * declared constraint count, and the first/last commit instants.
+    * Metadata + one listing; zero data read.
+    */
+  def describeTable(spark: SparkSession, dataPath: String,
+                    smallHintBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1, s"describeTable: no committed table at $dataPath")
+    val fs = fsOf(spark, dataPath)
+    val live = liveFileNames(spark, dataPath, latest).toSet
+    val lens = fs.listStatus(hp(dataPath))
+      .filter(f => f.isFile && live(f.getPath.getName))
+      .map(_.getLen)
+    val h = history(spark, dataPath)
+    val ts = h.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val liveRows = lineage(spark, dataPath)
+      .filter(col("action").isin("add", "remove"))
+      .groupBy(col("file_name"))
+      .agg(max(when(col("action") === "add", col("version"))).as("__a"),
+        max(when(col("action") === "remove", col("version"))).as("__r"),
+        max(when(col("action") === "add", col("n_rows"))).as("__n"))
+      .filter(col("__a").isNotNull &&
+        (col("__r").isNull || col("__a") > col("__r")))
+      .agg(sum(col("__n"))).head()
+    import spark.implicits._
+    Seq((dataPath, latest, earliestReadable(spark, dataPath),
+        live.size, lens.sum, lens.count(_ < smallHintBytes),
+        if (liveRows.isNullAt(0)) 0L else liveRows.getLong(0),
+        tableConstraints(spark, dataPath).size,
+        if (ts.isNullAt(0)) null else java.lang.Long.valueOf(ts.getLong(0)),
+        if (ts.isNullAt(1)) null else java.lang.Long.valueOf(ts.getLong(1))))
+      .toDF("data_path", "head_version", "earliest_readable",
+        "n_live_files", "live_bytes", "n_small_files", "n_rows",
+        "n_constraints", "first_commit_ts", "last_commit_ts")
+  }
+
+  /** What [[vacuum]] at `keepFrom` WOULD reclaim — the dry run an
+    * operator reads before trading history for space. Same
+    * latest-action-wins doom rule, zero side effects: one row per
+    * reclaimable file with the version that removed it.
+    */
+  def vacuumPreview(spark: SparkSession, dataPath: String,
+                    keepFrom: Long): DataFrame = {
+    val latest = latestVersion(spark, dataPath)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"vacuumPreview: keepFrom $keepFrom outside committed range " +
+        s"[1, $latest]")
+    val l = lineage(spark, dataPath)
+    l.filter(col("action").isin("add", "remove"))
+      .groupBy(col("file_name"))
+      .agg(max(when(col("action") === "add", col("version"))).as("__a"),
+        max(when(col("action") === "remove", col("version"))).as("__r"))
+      .filter(col("__r").isNotNull && col("__r") <= keepFrom &&
+        (col("__a").isNull || col("__a") < col("__r")))
+      .join(l.filter(col("action") === "vacuum"),
+        Seq("file_name"), "left_anti")
+      .select(col("file_name"), col("__r").as("removed_at_version"))
+      .orderBy(col("file_name"))
+  }
+
   /** Physically reclaim files no version ≥ `keepFrom` can need: those
     * whose LATEST add/remove action is a remove at a version ≤
     * `keepFrom`. Latest-action-wins, exactly like [[liveFileNames]]:

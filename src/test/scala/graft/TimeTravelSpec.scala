@@ -1399,6 +1399,38 @@ class TimeTravelSpec extends SparkSpec {
       r.getInt(r.fieldIndex("files_vacuumed")) == 0)
   }
 
+  test("describeTable and vacuumPreview: the ops summary is exact and " +
+      "the dry run names exactly what vacuum then reclaims") {
+    val dir = tmpDir("describe")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.compact(spark, dir, Seq("id"), files = 1)         // v3
+    TimeTravel.setConstraints(spark, dir, Seq("nonneg" -> "v >= 0"))
+    val d = TimeTravel.describeTable(spark, dir).head()
+    assert(d.getLong(d.fieldIndex("head_version")) == 3L)
+    assert(d.getLong(d.fieldIndex("earliest_readable")) == 1L)
+    assert(d.getInt(d.fieldIndex("n_live_files")) == 1)
+    assert(d.getLong(d.fieldIndex("n_rows")) == 200L)
+    assert(d.getInt(d.fieldIndex("n_constraints")) == 1)
+    assert(d.getLong(d.fieldIndex("live_bytes")) > 0L)
+    assert(d.getLong(d.fieldIndex("first_commit_ts")) <=
+      d.getLong(d.fieldIndex("last_commit_ts")))
+    // dry run: the four compacted-away files, with the removing version
+    val pv = TimeTravel.vacuumPreview(spark, dir, keepFrom = 3L).collect()
+    assert(pv.length == 4 && pv.forall(_.getLong(1) == 3L))
+    // zero side effects: everything still reads
+    assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == (0L until 100L))
+    // the preview is exactly what vacuum reclaims
+    assert(TimeTravel.vacuum(spark, dir, keepFrom = 3L) == 4)
+    assert(TimeTravel.vacuumPreview(spark, dir, keepFrom = 3L).isEmpty)
+    // SQL faces
+    GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT * FROM graft_tt_describe('$dir')")
+      .head().getLong(1) == 4L) // head moved to 4 (the vacuum action)
+    assert(spark.sql(
+      s"SELECT * FROM graft_tt_vacuum_preview('$dir', 3)").count() == 0L)
+  }
+
   test("gcOrphans reclaims unreferenced files and staging residue, " +
       "never referenced history") {
     val dir = tmpDir("gc")
