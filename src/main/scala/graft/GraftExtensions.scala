@@ -95,6 +95,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])` —
   *    shared n-gram span detection
   *    ([[graft.operators.Dedup.duplicateSpans]])
+  *  - `graft_excise_spans(table, idCol, textCol[, n, minSpanGrams])` —
+  *    keep-first duplicate-span EXCISION: every verbatim passage
+  *    survives only in its earliest document
+  *    ([[graft.operators.Dedup.exciseDuplicateSpans]])
   *  - `graft_decontaminate_index(table, indexPath, idCol, textCol)` —
   *    clean rows vs a persisted probe-gram index
   *    ([[graft.operators.Corpus.decontaminateAgainstIndex]])
@@ -760,6 +764,21 @@ object GraftExtensions {
             minSpanGrams = intArg(msg, "minSpanGrams")))
         case _ => throw new IllegalArgumentException(
           "graft_dup_spans(table, idCol, textCol[, n, minSpanGrams])")
+      }),
+    (new FunctionIdentifier("graft_excise_spans"),
+      new ExpressionInfo("graft.operators.Dedup", "graft_excise_spans"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, id, text) =>
+          plan(Dedup.exciseDuplicateSpans(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol")))
+        case Seq(t, id, text, n, msg) =>
+          plan(Dedup.exciseDuplicateSpans(tableArg(t, "table"),
+            strArg(id, "idCol"), strArg(text, "textCol"),
+            n = intArg(n, "n"), minSpanGrams = intArg(msg, "minSpanGrams")))
+        case _ => throw new IllegalArgumentException(
+          "graft_excise_spans(table, idCol, textCol[, n, minSpanGrams]) " +
+            "— keep-first duplicate-span excision (the q63 detection " +
+            "as a transform)")
       }),
     // read faces over persisted incremental indexes (lazy plans; the
     // only construction-time reads are 1-row metas)
@@ -1960,6 +1979,7 @@ object GraftExtensions {
     "graft_embedding_neardups" -> "q25_embedding_neardups",
     "graft_ngram_top_neighbor" -> "q21_ngram_jaccard",
     "graft_dup_spans" -> "q63_dup_spans",
+    "graft_excise_spans" -> "q143_excise_spans",
     "graft_decontaminate_index" -> "q95_decontaminate_index",
     "graft_hh_merged" -> "q94_incremental_hh",
     "graft_hist_merged" -> "q115_incremental_histogram",

@@ -2693,7 +2693,18 @@ object SparkEntry {
       TimeTravel.read(s, dst)
         .select(col("doc_id"), col("body"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Duplicate-span EXCISION (r14): q63's detection turned into the
+    // transform — every verbatim 5-gram run of ≥3 grams survives only
+    // in its earliest document; later copies lose exactly the covered
+    // tokens. The oracle rebuilds every document's surviving text
+    // string-for-string, so an off-by-one anywhere in the run/coverage
+    // arithmetic (or a token dropped/kept wrongly) breaks the hash.
+    "q143_excise_spans" -> ((s, d) =>
+      Dedup.exciseDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 5, minSpanGrams = 3, maxOcc = 1000)
+        .orderBy(col("doc_id")))
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4123,6 +4134,67 @@ object SparkEntry {
         |SELECT id1, id2, len + 4 AS span_tokens, s1 AS start1, s2 AS start2
         |FROM best WHERE rn = 1 ORDER BY id1, id2"""
         .stripMargin.replace("\n", " "),
+
+    // q143: q63's gram/run derivation extended to COVERAGE and rebuild —
+    // all qualifying runs (not each pair's longest), victim-side token
+    // intervals, keep-first survivors re-joined by single spaces;
+    // untouched docs stay byte-identical (the CASE keeps d.text)
+    "q143_excise_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), gr AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |      i -> {'pos': i,
+        |            'gram': concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                              toks[i+3], toks[i+4])})) AS u
+        |    FROM tok
+        |  )
+        |), rare AS (
+        |  SELECT * FROM gr QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+        |), hits AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1, b.pos AS pos2
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT id2, count(*) AS len, min(pos2) AS s2
+        |  FROM (
+        |    SELECT id1, id2, pos1, pos2,
+        |      pos1 - row_number() OVER (PARTITION BY id1, id2, pos1 - pos2
+        |        ORDER BY pos1) AS run
+        |    FROM hits
+        |  ) GROUP BY id1, id2, pos1 - pos2, run
+        |  HAVING count(*) >= 3
+        |), cov AS (
+        |  SELECT DISTINCT id2 AS doc_id, g.g AS pos
+        |  FROM runs CROSS JOIN unnest(generate_series(s2, s2 + len + 3)) g(g)
+        |), aff AS (SELECT DISTINCT doc_id FROM cov
+        |), ptok AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+        |    SELECT t.doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> {'pos': i, 'tok': toks[i]})) AS u
+        |    FROM tok t JOIN aff USING (doc_id)
+        |  )
+        |), kept AS (
+        |  SELECT p.doc_id,
+        |    string_agg(p.tok, ' ' ORDER BY p.pos) AS text,
+        |    count(*) AS n_kept
+        |  FROM ptok p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = p.doc_id AND c.pos = p.pos)
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(k.text, '') END AS text,
+        |  CAST(CASE WHEN a.doc_id IS NULL THEN 0
+        |       ELSE len(t.toks) - coalesce(k.n_kept, 0) END AS BIGINT)
+        |    AS n_dropped
+        |FROM tok t
+        |LEFT JOIN aff a USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
     "q64_incremental" ->

@@ -866,6 +866,91 @@ object Dedup {
         (-col("__best.__n2") + 1).as("start2"))
   }
 
+  /** Duplicate-span EXCISION — the transform [[duplicateSpans]] only
+    * detects: rewrite the corpus so every verbatim passage survives
+    * exactly once, in its EARLIEST document (keep-first). For each doc,
+    * every token covered by a shared run of ≥ `minSpanGrams` n-grams
+    * with ANY lower-id document is dropped, and the text is rebuilt
+    * from the surviving tokens (single-space joined — excised docs are
+    * whitespace-normalized by construction; untouched docs keep their
+    * text byte-identical). This is the standard "exact substring
+    * dedup" cleanup for training corpora: boilerplate, licenses, and
+    * quoted passages melt out of every copy but the first, without
+    * dropping whole documents the way near-dup dedup would.
+    *
+    * Same candidate machinery as [[duplicateSpans]] (positional gram
+    * hashes, occ ∈ [2, maxOcc] prefilter, diagonal run grouping), but
+    * ALL qualifying runs count — not just each pair's longest — since
+    * every covered token must go. Within-doc self-repeats are kept (no
+    * self-pairs; internal repetition is [[TextAnalysis]]'s repetition
+    * signal, not cross-doc contamination). Null-id docs are dropped
+    * (r14 null contract: excision verdicts are id-keyed — "earliest"
+    * needs an order, and an anti-join can never clear a null id);
+    * null-text docs pass through untouched.
+    *
+    * Output: (`idCol`, `textCol` rebuilt, `n_dropped` tokens) — one row
+    * per input doc with a non-null id; callers re-join other columns by
+    * id. Scale shape: the pair join is occ-capped like duplicateSpans;
+    * coverage explodes only COVERED positions (duplication-bounded, not
+    * corpus-bounded); the rebuild aggregates per-DOC windows only.
+    */
+  def exciseDuplicateSpans(docs0: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minSpanGrams: Int = 3,
+                           maxOcc: Int = 1000): DataFrame = {
+    val docs = docs0.filter(col(idCol).isNotNull)
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val grams = toks.select(col("id"),
+      posexplode(graft.functions.HashFunctions.ngramHashesAll(
+        col("__toks"), n)).as(Seq("pos", "g")))
+    val rare = grams
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__occ") >= 2 && col("__occ") <= maxOcc)
+      .drop("__occ")
+    val hits = rare.select(col("g"), col("id").as("id1"), col("pos").as("pos1"))
+      .join(rare.select(col("g"), col("id").as("id2"), col("pos").as("pos2")),
+        Seq("g"))
+      .filter(col("id1") < col("id2"))
+    val wDiag = Window
+      .partitionBy(col("id1"), col("id2"), col("pos1") - col("pos2"))
+      .orderBy(col("pos1"))
+    val runs = hits
+      .withColumn("__run", col("pos1") - row_number().over(wDiag))
+      .groupBy(col("id1"), col("id2"), (col("pos1") - col("pos2")).as("__d"),
+        col("__run"))
+      .agg(count(lit(1)).as("__len"), min(col("pos2")).as("__s2"))
+      .filter(col("__len") >= minSpanGrams)
+    // covered VICTIM token positions (0-based): a run of k grams from
+    // gram-pos s covers tokens [s, s + k + n - 2]
+    val covered = runs
+      .select(col("id2").as("id"),
+        explode(sequence(col("__s2"),
+          col("__s2") + col("__len") + lit(n - 2))).as("pos"))
+      .distinct()
+    val affIds = covered.select(col("id")).distinct()
+    val keptAgg = toks
+      .join(affIds, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("__clean"),
+        count(lit(1)).as("__kept"))
+    val affected = toks
+      .join(affIds, Seq("id"), "left_semi")
+      .select(col("id"), size(col("__toks")).cast("long").as("__tot"))
+      .join(keptAgg, Seq("id"), "left") // a FULLY covered doc keeps nothing
+      .select(col("id").as(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        (col("__tot") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+    val untouched = docs
+      .join(affIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol), lit(0L).as("n_dropped"))
+    untouched.unionByName(affected)
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * canonical step AFTER pair detection: a component is a duplicate
     * CLUSTER, and keeping min-id-per-cluster dedups transitively (A≈B,

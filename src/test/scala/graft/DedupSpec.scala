@@ -833,4 +833,38 @@ class DedupSpec extends SparkSpec {
         maxBucket = 0)
     }
   }
+
+  test("exciseDuplicateSpans: keep-first excision — the shared passage " +
+      "survives only in its earliest doc, later copies lose exactly " +
+      "the covered tokens") {
+    // shared passage: "alpha beta gamma delta epsilon" (5 tokens = one
+    // 5-gram run of 1... need >= minSpanGrams runs) — use a 7-token
+    // passage: with n=3, grams 5, run >= 3 qualifies
+    val passage = "p1 p2 p3 p4 p5 p6 p7"
+    val corpus = Seq(
+      (Option(1L), Option(s"owner keeps $passage tail one")),
+      (Option(2L), Option(s"victim head $passage victim tail")),
+      (Option(3L), Option(passage)), // fully covered → empty survivor
+      (Option(4L), Option("unrelated text that shares nothing at all")),
+      // self-repetition inside ONE doc is kept (no self-pairs)
+      (Option(5L), Option("s1 s2 s3 s4 s5 s6 s1 s2 s3 s4 s5 s6")),
+      (Option.empty[Long], Option(passage)),          // null id → dropped
+      (Option(6L), Option.empty[String]))             // null text → untouched
+      .toDF("doc_id", "text")
+    val r = Dedup.exciseDuplicateSpans(corpus, "doc_id", "text",
+        n = 3, minSpanGrams = 3, maxOcc = 100)
+      .collect().map(x => (if (x.isNullAt(0)) -99L else x.getLong(0)) ->
+        ((if (x.isNullAt(1)) null else x.getString(1)), x.getLong(2))).toMap
+    assert(!r.contains(-99L), "null-id doc leaked")
+    // the earliest doc keeps the passage byte-identical
+    assert(r(1L) == ((s"owner keeps $passage tail one", 0L)))
+    // the later copy loses exactly the 7 covered tokens
+    assert(r(2L) == (("victim head victim tail", 7L)))
+    // the fully-covered doc becomes empty, all tokens dropped
+    assert(r(3L) == (("", 7L)))
+    // untouched docs byte-identical; self-repeats survive
+    assert(r(4L)._2 == 0L && r(5L)._2 == 0L &&
+      r(5L)._1 == "s1 s2 s3 s4 s5 s6 s1 s2 s3 s4 s5 s6")
+    assert(r(6L) == ((null, 0L)))
+  }
 }
