@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Z-order (Morton-curve) file layout — the data-skipping tool for
   * multi-dimensional predicates at 100 TB. Sorting files by ONE column
@@ -82,10 +82,50 @@ object Layout {
         floor((x.cast("double") - lo) / (hi - lo) * (1L << bits).toDouble)
           .cast("long"))))
 
+  /** Orderable double image of a STRING clustering column: strip the
+    * batch's common prefix, then read the next 6 characters' first 6
+    * UTF-8 bytes as an unsigned big-endian integer (48 bits — exact in
+    * a double's 53-bit mantissa). Stripping is what makes the image
+    * discriminate on real key shapes — URL keys share `https://host/`,
+    * UUID-with-namespace keys share the namespace — and it is sound
+    * because every value between the batch min and max (byte-wise
+    * string order) shares THEIR common prefix. The suffix image is
+    * monotonic in Spark's own string order (UTF8String compares bytes
+    * unsigned, lexicographically; a short string zero-pads BELOW its
+    * extensions), so min/max string stats and the prefix-image curve
+    * agree — which is what lets string-keyed tables at lake scale
+    * z-cluster and stat-skip like numeric ones. Keys identical through
+    * prefix+6 collapse to one curve cell: clustering LOOSENS, the
+    * in-file sort still separates them, correctness never moves (the
+    * z-key is a layout device). Cost: ONE batch-sized min/max
+    * aggregate per string dim at write time — read paths never pay it.
+    */
+  private def stringImage(df: DataFrame, c: String): Column = {
+    val r = df.agg(min(col(c)), max(col(c))).head()
+    val skip =
+      if (r.isNullAt(0)) 0
+      else {
+        val (lo, hi) = (r.getString(0), r.getString(1))
+        val n = lo.zip(hi).takeWhile { case (a, b) => a == b }.length
+        // never split a surrogate pair: a dangling high surrogate is
+        // not a whole character, so it cannot be part of a CHARACTER
+        // prefix shared by every value
+        if (n > 0 && Character.isHighSurrogate(lo.charAt(n - 1))) n - 1
+        else n
+      }
+    // substring bounds the encode to ≤6 chars (≤24 bytes); the hex cut
+    // takes exactly the first 6 BYTES, zero-padded; conv() reads the
+    // unsigned value (the md5-bucket arithmetic Corpus.hashBucket
+    // proved bit-portable)
+    conv(rpad(substring(hex(encode(substring(col(c), skip + 1, 6),
+      "UTF-8")), 1, 12), 12, "0"), 16, 10).cast("double")
+  }
+
   /** Orderable double image of a clustering column: numerics cast,
     * dates to epoch days, timestamps to epoch micros (NTZ interpreted in
-    * the project-wide UTC session). Types without range semantics are
-    * rejected loudly — a silent null image would z-cluster nothing.
+    * the project-wide UTC session), strings via [[stringImage]]'s
+    * common-prefix-stripped 6-byte form. Types without range semantics
+    * are rejected loudly — a silent null image would z-cluster nothing.
     */
   private def ord(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
@@ -94,9 +134,10 @@ object Layout {
       case TimestampType   => unix_micros(col(c)).cast("double")
       case TimestampNTZType =>
         unix_micros(col(c).cast(TimestampType)).cast("double")
+      case StringType      => stringImage(df, c)
       case other => throw new IllegalArgumentException(
         s"z-order dimension '$c' has unordered type $other; " +
-          "cluster on numeric, date, or timestamp columns")
+          "cluster on numeric, date, timestamp, or string columns")
     }
 
   /** The z-order key for N orderable columns with in-plan bounds: one

@@ -335,11 +335,52 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("unordered dimension types are rejected loudly") {
-    val df = Seq(("a", 1L)).toDF("s", "v")
+    val df = Seq((Seq(1, 2), 1L)).toDF("s", "v")
     val e = intercept[IllegalArgumentException] {
       Layout.writeZOrdered(df, tmpDir("bad"), "s", "v", files = 1)
     }
     assert(e.getMessage.contains("unordered type"))
+  }
+
+  test("string dims z-cluster by the prefix-stripped byte image: " +
+      "URL-shaped keys prune files despite a long shared prefix") {
+    // every key shares 'https://site.example/u/' — a naive first-6-byte
+    // image would collapse the whole batch to one curve cell
+    val df = spark.range(0L, 2000L).select(
+      concat(lit("https://site.example/u/"),
+        lpad(col("id").cast("string"), 6, "0")).as("url"),
+      col("id").as("v"))
+    val dir = tmpDir("strz")
+    Layout.writeZOrdered(df, dir, Seq("url"), files = 8)
+    Layout.writeManifest(spark, dir, Seq("url"))
+    val lo = "https://site.example/u/000100"
+    val hi = "https://site.example/u/000299"
+    val ranges = Seq(ColRange("url", lit(lo), lit(hi)))
+    val pruned = Layout.prunedRead(spark, dir, ranges)
+      .orderBy("v").collect().map(_.getLong(1)).toSeq
+    assert(pruned == (100L to 299L))
+    val (files, total) = Layout.pruneFiles(spark, dir, ranges)
+    assert(total == 8, s"expected 8 data files, manifest saw $total")
+    assert(files.size < total.toInt,
+      s"a 10% slice of prefix-shared keys should skip files: " +
+        s"kept ${files.size}/$total")
+  }
+
+  test("string image is monotonic: mixed-length and multi-byte keys " +
+      "round-trip a pruned read row-identically") {
+    val keys = Seq("a", "ab", "abc", "abcdef", "abcdefg", "b", "ba",
+      "émile", "émilie", "zèta", "zz", "κάππα", "κάλος", "中文键",
+      "中文鍵值", "")
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "v")
+    val dir = tmpDir("strmono")
+    Layout.writeZOrdered(df, dir, Seq("k"), files = 4)
+    Layout.writeManifest(spark, dir, Seq("k"))
+    val ranges = Seq(ColRange("k", lit("ab"), lit("é")))
+    val pruned = Layout.prunedRead(spark, dir, ranges)
+      .select("k").collect().map(_.getString(0)).toSet
+    val full = keys.filter(k => k >= "ab" && k <= "é").toSet
+    assert(pruned == full)
   }
 
   // --- targeted deletes ---------------------------------------------
