@@ -266,6 +266,21 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
   *    ([[graft.sources.TimeTravel.commitUpsert]]; BUILD-style receipt)
+  *  - `graft_tt_replace_where(batch, dataPath, 'predicate', files[,
+  *    batchId])` — atomic backfill: ONE commit holds every live row
+  *    NOT matching the predicate plus the batch; every batch row must
+  *    match it (loud refusal names the out-of-region count); an empty
+  *    batch is a predicate delete
+  *    ([[graft.sources.TimeTravel.commitReplaceWhere]]; BUILD receipt)
+  *  - `graft_scd_merge(batch, dataPath, keyCol, files[, batchId])` /
+  *    `graft_scd_delete(keys, dataPath, keyCol, files[, batchId])` —
+  *    SCD Type-2 dimension maintenance: changed keys close their old
+  *    row and open a new one, unchanged keys cost nothing, deletes
+  *    close without erasing ([[graft.sources.Scd]]; BUILD receipts)
+  *  - `graft_scd_current(dataPath)` / `graft_scd_asof(dataPath, v)` /
+  *    `graft_scd_history(dataPath)` — the dimension now / at any epoch
+  *    (a plain validity-interval filter, the point-in-time join face) /
+  *    every key's full history with validity stamps
   *  - `graft_tt_changes(dataPath, v1, v2, idCol[, 'rows'])` — row-level
   *    inserted/deleted/updated feed over `(v1, v2]`, reading only the
   *    commits' touched files; rewrites cancel by payload; `'rows'` adds
@@ -1498,6 +1513,86 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_upsert(updates, dataPath, idCol, files[, batchId])")
       }),
+    (new FunctionIdentifier("graft_tt_replace_where"),
+      new ExpressionInfo("graft.sources.TimeTravel",
+        "graft_tt_replace_where"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, p, pred, f, rest @ _*) if rest.size <= 1 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.commitReplaceWhere(spark, path,
+            expr(strArg(pred, "predicate")), tableArg(b, "batch"),
+            intArg(f, "files"),
+            rest.headOption.map(strArg(_, "batchId")))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_replace_where(batch, dataPath, 'predicate', files" +
+            "[, batchId]) — atomic backfill: one commit holds every " +
+            "live row NOT matching the predicate plus the batch; every " +
+            "batch row must match it (loud refusal otherwise); an " +
+            "empty batch is a predicate delete")
+      }),
+    (new FunctionIdentifier("graft_scd_merge"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_merge"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, p, k, f, rest @ _*) if rest.size <= 1 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.Scd.merge(spark, path,
+            strArg(k, "keyCol"), tableArg(b, "batch"), intArg(f, "files"),
+            rest.headOption.map(strArg(_, "batchId")))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_merge(batch, dataPath, keyCol, files[, batchId]) — " +
+            "Type-2 merge: changed keys close + reopen, unchanged keys " +
+            "cost nothing (an all-unchanged batch burns no version)")
+      }),
+    (new FunctionIdentifier("graft_scd_delete"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_delete"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ks, p, k, f, rest @ _*) if rest.size <= 1 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.Scd.delete(spark, path,
+            strArg(k, "keyCol"), tableArg(ks, "keys"), intArg(f, "files"),
+            rest.headOption.map(strArg(_, "batchId")))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_delete(keys, dataPath, keyCol, files[, batchId]) — " +
+            "Type-2 soft delete: closes current rows, history stays")
+      }),
+    (new FunctionIdentifier("graft_scd_current"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_current"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(graft.sources.Scd.current(SparkSession.active,
+            strArg(p, "dataPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_current(dataPath) — the dimension's open rows")
+      }),
+    (new FunctionIdentifier("graft_scd_asof"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_asof"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, v) =>
+          plan(graft.sources.Scd.asOf(SparkSession.active,
+            strArg(p, "dataPath"), longArg(v, "version")))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_asof(dataPath, version) — the dimension as of an " +
+            "epoch: a validity-interval filter, no per-epoch as-of read")
+      }),
+    (new FunctionIdentifier("graft_scd_history"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_history"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          plan(graft.sources.Scd.history(SparkSession.active,
+            strArg(p, "dataPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_history(dataPath) — every key's full history " +
+            "with [__valid_from, __valid_to) stamps")
+      }),
     (new FunctionIdentifier("graft_tt_changes"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_changes"),
       (args: Seq[Expression]) => args match {
@@ -2034,6 +2129,12 @@ object GraftExtensions {
     "graft_tt_stats" -> "q136_tt_stats",
     "graft_tt_upsert" -> "q131_tt_upsert",
     "graft_tt_changes" -> "q132_tt_changes",
+    "graft_tt_replace_where" -> "q145_replace_where",
+    "graft_scd_merge" -> "q144_scd_history",
+    "graft_scd_delete" -> "q144_scd_history",
+    "graft_scd_current" -> "ScdSpec",
+    "graft_scd_asof" -> "ScdSpec",
+    "graft_scd_history" -> "q144_scd_history",
     "graft_mv_create" -> "q133_matview",
     "graft_mv_refresh" -> "q133_matview",
     "graft_mv_read" -> "q133_matview",

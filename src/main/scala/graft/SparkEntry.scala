@@ -6,7 +6,7 @@ import scala.collection.immutable.ListMap
 
 import graft.engine.Tables
 import graft.operators._
-import graft.sources.{Layout, MatView, TimeTravel}
+import graft.sources.{Layout, MatView, Scd, TimeTravel}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB oracle SQL.
@@ -2704,7 +2704,88 @@ object SparkEntry {
     "q143_excise_spans" -> ((s, d) =>
       Dedup.exciseDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
           n = 5, minSpanGrams = 3, maxOcc = 1000)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // SCD Type-2 dimension history (r14): four-step lifecycle — initial
+    // load, changed+new merge, an IDENTICAL re-merge that must be a
+    // VERSION-FREE no-op (a wrongly-burned version would shift the
+    // delete's epoch stamp and break the hash), then a soft delete that
+    // closes rows without erasing history. The oracle reconstructs every
+    // history row's validity stamps from the hash splits alone.
+    "q144_scd_history" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_scd_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q144_scd_history", "initial_load") {
+        Scd.merge(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 4L) =!= 0),
+          files = 2): Unit
+      }
+      val b2 = docs.filter(Corpus.hashBucket(col("doc_id"), 3L) === 0)
+        .withColumn("nc", col("nc") + 1000L)
+      Stages.timed("q144_scd_history", "merge_changed") {
+        Scd.merge(s, dir, "doc_id", b2, files = 2): Unit
+      }
+      Stages.timed("q144_scd_history", "noop_remerge") {
+        val v = Scd.merge(s, dir, "doc_id", b2, files = 2)
+        require(v == 2L, s"q144: identical re-merge burned version $v")
+      }
+      Stages.timed("q144_scd_history", "soft_delete") {
+        Scd.delete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 5L) === 0)
+            .select(col("doc_id")), files = 2): Unit
+      }
+      Scd.history(s, dir)
+        .select(col("doc_id"), col("source"), col("nc"),
+          col(Scd.FromCol).as("valid_from"), col(Scd.ToCol).as("valid_to"))
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
+    // Atomic REPLACE WHERE (r14): the backfill pattern — recompute one
+    // hash-bucket region and swap it in ONE commit (a delete+append
+    // pair would expose the emptied-region state). The oracle checks
+    // BOTH sides of the swap: as-of 3 must still read the pre-swap
+    // payloads, as-of 4 the recomputed region next to untouched
+    // neighbours.
+    "q145_replace_where" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttrw_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q145_replace_where", "commits") {
+        (0 to 2).foreach(i => TimeTravel.commitAppend(
+          docs.filter(Corpus.hashBucket(col("doc_id"), 3L) === i),
+          dir, Seq("doc_id"), files = 2))
+      }
+      Stages.timed("q145_replace_where", "replace") {
+        TimeTravel.commitReplaceWhere(s, dir,
+          Corpus.hashBucket(col("doc_id"), 4L) === 1,
+          docs.filter(Corpus.hashBucket(col("doc_id"), 4L) === 1)
+            .withColumn("nc", col("nc") + 5000L), files = 2): Unit
+      }
+      (3L to 4L).map(v =>
+          TimeTravel.readAsOf(s, dir, v)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"))
+            .withColumn("as_of", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("as_of"), col("source"), col("n_docs"),
+          col("sum_chars"))
+        .orderBy(col("as_of"), col("source"))
+    })
   )
 
   // --- q28 oracle: the engine's IVF build/search unrolled in SQL.
@@ -4195,6 +4276,52 @@ object SparkEntry {
         |LEFT JOIN kept k USING (doc_id)
         |JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q144: every history row's validity stamps re-derived from the hash
+    // splits — b1 rows (bucket4 != 0) open at 1 and close at 2 when the
+    // b2 merge changes them (bucket3 = 0) or at 3 when the delete hits a
+    // still-current row (bucket5 = 0); b2 rows open at 2 with nc+1000 and
+    // close only at the delete. The engine's no-op re-merge is implicitly
+    // verified: a burned version would stamp the delete at 4, not 3.
+    "q144_scd_history" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(coalesce(n_chars, 0) AS BIGINT) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4 AS b4,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 3 AS b3,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS b5
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT doc_id, source, nc, CAST(1 AS BIGINT) AS valid_from,
+        |  CAST(CASE WHEN b3 = 0 THEN 2 WHEN b5 = 0 THEN 3 END AS BIGINT)
+        |    AS valid_to
+        |FROM d WHERE b4 <> 0
+        |UNION ALL
+        |SELECT doc_id, source, nc + 1000, CAST(2 AS BIGINT),
+        |  CAST(CASE WHEN b5 = 0 THEN 3 END AS BIGINT)
+        |FROM d WHERE b3 = 0
+        |ORDER BY doc_id, valid_from""".stripMargin.replace("\n", " "),
+
+    // q145: both sides of the atomic swap from the hash splits — as-of
+    // 3 the original payloads, as-of 4 the +5000 recomputed region
+    "q145_replace_where" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(coalesce(n_chars, 0) AS BIGINT) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4 AS b4
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(3 AS BIGINT) AS as_of, source, nc FROM d
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), source,
+        |    nc + CASE WHEN b4 = 1 THEN 5000 ELSE 0 END FROM d
+        |)
+        |SELECT as_of, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY as_of, source
+        |ORDER BY as_of, source""".stripMargin.replace("\n", " "),
 
     // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
     "q64_incremental" ->

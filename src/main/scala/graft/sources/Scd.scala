@@ -1,0 +1,254 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (Type 2) history on the versioned lake:
+  * a dimension table that keeps EVERY version of every business key as
+  * its own row, stamped `[__valid_from, __valid_to)` in lake commit
+  * versions (`__valid_to` null = current). The reference's dimension
+  * tables (`schema.sql:1-73` — Complaint_Type, Property, Agency) are
+  * overwrite-in-place; at pipeline scale the question "what did this
+  * dimension say when last month's batch ran" needs the history kept,
+  * and keeping it as data (not only as time-travel versions) is what
+  * makes point-in-time joins a plain filter instead of N as-of reads.
+  *
+  * Mechanics — everything is ONE [[TimeTravel]] commit per merge, so
+  * atomicity, constraints, exactly-once `batchId` replays, stats, the
+  * change feed, clone/replicate and time travel all apply for free:
+  *  - each history row carries a surrogate `__scd_id = key@valid_from`
+  *    (unique by construction: a key gains at most one row per commit),
+  *    which is the lake's one-row-per-id key; the BUSINESS key repeats
+  *    across history rows on purpose.
+  *  - [[merge]] compares the batch against CURRENT rows with null-safe
+  *    per-column equality (no hash shortcut — a 32-bit digest equality
+  *    would silently drop one-in-4-billion real changes): unchanged
+  *    rows cost nothing, changed keys CLOSE the old row (rewrite via
+  *    the same candidate-file screen as [[TimeTravel.commitUpsert]])
+  *    and insert the new one, unseen keys insert. An all-unchanged
+  *    batch is a VERSION-FREE no-op, like every no-op write here.
+  *  - [[delete]] closes current rows without inserting — the key's
+  *    history stays queryable, exactly the soft-delete the reference's
+  *    cascade tombstones (VERDICT r12 J5) model.
+  *
+  * Scale shape: the change scan reads current rows pruned to the
+  * batch's key range ([[TimeTravel.readAsOfPruned]] on the lineage
+  * min/max stats); the rewrite's candidate set is cut by the same key
+  * range (`screenRanges` on [[TimeTravel.commitUpsert]] — the
+  * surrogate is a string with no z-stats, the business key carries
+  * them) and only files actually holding a CHANGED key rewrite. Cost
+  * tracks the batch and its touched files, never the accumulated
+  * history — a closed row rewrites only when it shares a file with a
+  * currently-changing key, and generations are z-clustered on
+  * `(key, valid_from)` precisely so old epochs drift into files no
+  * current merge touches.
+  *
+  * Concurrency contract: SCD merges on one table are inherently
+  * overlapping commits (two merges both adjudicate "current"), so this
+  * face is SINGLE-WRITER per table: `retries = 0` under the commit
+  * arbiter — a lost race REFUSES loudly (the epoch stamps must match
+  * the version the commit lands at) and the caller re-derives against
+  * the new head. Never a silent per-row winner, per the r14 rule.
+  */
+object Scd {
+  val SurrogateCol = "__scd_id"
+  val FromCol = "__valid_from"
+  val ToCol = "__valid_to"
+  private val Meta = Seq(SurrogateCol, FromCol, ToCol)
+
+  private def requireBatchShape(cols: Seq[String], keyCol: String,
+                                face: String): Unit = {
+    require(cols.contains(keyCol), s"$face: batch lacks key column $keyCol")
+    val clash = cols.filter(c => Meta.contains(c) || c == "__file")
+    require(clash.isEmpty,
+      s"$face: columns ${clash.mkString(",")} are reserved by Scd")
+  }
+
+  /** One batch-sized aggregate serving both the emptiness short-circuit
+    * and the one-row-per-key admission rule (two rows for one key in
+    * one merge has no deterministic winner — same contract as
+    * [[TimeTravel.commitUpsert]]). Returns row count. */
+  private def requireOneRowPerKey(batch: DataFrame, keyCol: String,
+                                  face: String): Long = {
+    val head = batch.agg(count(lit(1)), count_distinct(col(keyCol))).head()
+    val (nRows, nKeys) = (head.getLong(0), head.getLong(1))
+    require(nRows == nKeys,
+      s"$face: batch carries ${nRows - nKeys} duplicate-key rows on " +
+        s"$keyCol — one merge admits one row per business key (pick " +
+        "the winner first, e.g. Dedup.dedupCorpusBest's argmax)")
+    nRows
+  }
+
+  private def stamp(df: DataFrame, keyCol: String, v: Long): DataFrame =
+    df.withColumn(SurrogateCol,
+        concat(col(keyCol).cast("string"), lit("@"), lit(v)))
+      .withColumn(FromCol, lit(v))
+      .withColumn(ToCol, lit(null).cast("long"))
+
+  /** Clustering/stat dims for a generation: the business key when its
+    * type z-orders (numeric/date/timestamp/string — [[Layout.withZKey]]'s
+    * rule; strings cluster by their 6-byte prefix image), plus
+    * `__valid_from` (always a long). The surrogate is never a dim —
+    * key-range stats are what both the change scan and the merge's
+    * candidate screen prune on. */
+  private def genDims(df: DataFrame, keyCol: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+           StringType =>
+        Seq(keyCol, FromCol)
+      case _ => Seq(FromCol)
+    }
+  }
+
+  /** The batch-key [min, max] as a candidate screen for the rewrite —
+    * None when empty/unliteralizable (never wrong, only less pruned). */
+  private def keyRange(keys: DataFrame,
+                       keyCol: String): Option[Layout.ColRange] = {
+    val r = keys.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (r.isNullAt(0)) None
+    else try Some(Layout.ColRange(keyCol, lit(r.get(0)), lit(r.get(1))))
+    catch { case _: RuntimeException => None }
+  }
+
+  /** CURRENT rows pruned to the batch's key range — the metadata
+    * screen before the exact change join. Min/max over one batch-sized
+    * aggregate; lineage stats skip whole files outside the range (keys
+    * are commonly appended in ranges — new ids, new dates — so mature
+    * history files prune). Falls back to the full current set when the
+    * key type defies range literals (never wrong, only less pruned).
+    */
+  private def currentInKeyRange(spark: SparkSession, dataPath: String,
+                                keys: DataFrame,
+                                keyCol: String): DataFrame = {
+    val latest = TimeTravel.latestVersion(spark, dataPath)
+    // only the literal construction is guarded inside keyRange (a key
+    // type `lit` can't embed — unpruned is identical, just less
+    // skipped); read errors (corruption, missing versions) propagate
+    keyRange(keys, keyCol)
+      .map(rg => TimeTravel.readAsOfPruned(spark, dataPath, latest,
+        Seq(rg)))
+      .getOrElse(TimeTravel.readAsOf(spark, dataPath, latest))
+      .filter(col(ToCol).isNull)
+  }
+
+  /** Type-2 MERGE of `batch` (business rows: `keyCol` + attributes,
+    * no meta columns) into the dimension at `dataPath`. Null-key rows
+    * are dropped (null matches no business key — the r14 contract
+    * every keyed write face shares). Returns the committed lake
+    * version — unchanged when the whole batch is already current.
+    */
+  def merge(spark: SparkSession, dataPath: String, keyCol: String,
+            batch: DataFrame, files: Int,
+            batchId: Option[String] = None): Long = {
+    requireBatchShape(batch.columns.toSeq, keyCol, "Scd.merge")
+    val clean = batch.filter(col(keyCol).isNotNull)
+    val latest = TimeTravel.latestVersion(spark, dataPath)
+    if (requireOneRowPerKey(clean, keyCol, "Scd.merge") == 0L)
+      return latest
+    val v = latest + 1
+    val stamped = stamp(clean, keyCol, v)
+    if (latest == 0L)
+      // first generation: clustered on (key, valid_from) so both the
+      // change-scan prune and the merge's candidate screen get
+      // key-range lineage stats from day one
+      return TimeTravel.commitAppend(stamped, dataPath,
+        genDims(stamped, keyCol), files, batchId)
+
+    val cur = currentInKeyRange(spark, dataPath,
+      clean.select(col(keyCol)), keyCol)
+    // null-safe column-wise comparison over the UNION of attribute
+    // sets — schema evolution is the lake's append rule (a column the
+    // batch adds reads null in current → changed; one it omits reads
+    // null in the new row)
+    val batchAttrs = clean.columns.filterNot(_ == keyCol).toSeq
+    val curAttrs = cur.columns
+      .filterNot(c => Meta.contains(c) || c == keyCol).toSeq
+    val allAttrs = (batchAttrs ++ curAttrs.filterNot(batchAttrs.contains))
+    val bSide = clean.select(col(keyCol) +: allAttrs.map(a =>
+      (if (clean.columns.contains(a)) col(a)
+       else lit(null)).as(a)): _*)
+    val cSide = cur.select(col(keyCol).as("__cur_key") +: allAttrs.map(a =>
+      (if (cur.columns.contains(a)) col(a)
+       else lit(null)).as(s"__cur_$a")): _*)
+    val joined = bSide.join(cSide,
+      col(keyCol) === col("__cur_key"), "left")
+    val unchanged = allAttrs.map(a => col(a) <=> col(s"__cur_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val delta = joined.filter(col("__cur_key").isNull || !unchanged)
+    val inserts = stamp(
+      delta.select(col(keyCol) +: allAttrs.map(col): _*), keyCol, v)
+    val toClose = cur
+      .join(delta.filter(col("__cur_key").isNotNull)
+        .select(col(keyCol)), Seq(keyCol), "left_semi")
+      .withColumn(ToCol, lit(v))
+    commitExpecting(spark, dataPath, v,
+      toClose.unionByName(inserts, allowMissingColumns = true),
+      files, batchId, "Scd.merge",
+      keyRange(clean.select(col(keyCol)), keyCol))
+  }
+
+  /** Close the current rows of `keys` (a one-column frame of business
+    * keys) at the next version — Type-2 soft delete: history stays,
+    * [[current]] no longer returns the key, a later [[merge]] of the
+    * key opens a fresh row. Absent/already-closed keys are no-ops; an
+    * all-absent batch is version-free. */
+  def delete(spark: SparkSession, dataPath: String, keyCol: String,
+             keys: DataFrame, files: Int,
+             batchId: Option[String] = None): Long = {
+    val latest = TimeTravel.latestVersion(spark, dataPath)
+    require(latest >= 1, s"Scd.delete: no committed dimension at $dataPath")
+    val k = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+    val v = latest + 1
+    val toClose = currentInKeyRange(spark, dataPath, k, keyCol)
+      .join(k, Seq(keyCol), "left_semi")
+      .withColumn(ToCol, lit(v))
+    commitExpecting(spark, dataPath, v, toClose, files, batchId,
+      "Scd.delete", keyRange(k, keyCol))
+  }
+
+  /** The single-writer commit: the epoch stamped into the rows must be
+    * the version the commit lands at, so `retries = 0` (a lost race
+    * refuses via [[CommitRaceLost]]; re-derive against the new head)
+    * and a version mismatch — possible only when a non-Scd write face
+    * is mixed into the same table mid-merge, out of contract — trips
+    * loudly rather than leaving silently mis-stamped epochs. */
+  private def commitExpecting(spark: SparkSession, dataPath: String,
+                              v: Long, upserts: DataFrame, files: Int,
+                              batchId: Option[String], face: String,
+                              screen: Option[Layout.ColRange]): Long = {
+    if (upserts.isEmpty) return v - 1 // version-free no-op
+    val got = TimeTravel.commitUpsert(spark, dataPath, SurrogateCol,
+      upserts, files, batchId, retries = 0,
+      screenRanges = screen.toSeq)
+    // got == v-1 with a batchId = the commit ledger absorbed a replay
+    // (exactly-once); anything else off-target is a mid-merge writer
+    require(got == v || (batchId.isDefined && got == v - 1),
+      s"$face: commit landed at version $got but epochs were stamped " +
+        s"$v — another writer committed to $dataPath mid-merge; SCD " +
+        "tables are single-writer (re-derive the merge from the head)")
+    got
+  }
+
+  /** Full history: every version of every key with its validity
+    * stamps. The surrogate is internal — dropped here. */
+  def history(spark: SparkSession, dataPath: String): DataFrame =
+    TimeTravel.read(spark, dataPath).drop(SurrogateCol)
+
+  /** Rows current NOW (validity still open). */
+  def current(spark: SparkSession, dataPath: String): DataFrame =
+    history(spark, dataPath).filter(col(ToCol).isNull)
+
+  /** The dimension as of epoch `v` (a lake commit version): rows whose
+    * validity interval `[from, to)` covers `v`. A plain filter over
+    * the head table — the point-in-time join face, no as-of read per
+    * epoch. (Time travel still works too: `readAsOf` at `v` gives the
+    * same rows for any `v` the table has lived through, because a
+    * row's stamps never change after the commit that writes them —
+    * closing a row rewrites it WITH its closure, at the closing
+    * version.) */
+  def asOf(spark: SparkSession, dataPath: String, v: Long): DataFrame =
+    history(spark, dataPath).filter(col(FromCol) <= v &&
+      (col(ToCol).isNull || col(ToCol) > v))
+}

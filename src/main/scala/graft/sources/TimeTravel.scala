@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned lake snapshots — read-as-of ("time travel") over an
@@ -585,7 +585,8 @@ object TimeTravel {
   def commitUpsert(spark: SparkSession, dataPath: String, idCol: String,
                    updates: DataFrame, files: Int,
                    batchId: Option[String] = None,
-                   retries: Int = 3): Long = {
+                   retries: Int = 3,
+                   screenRanges: Seq[Layout.ColRange] = Nil): Long = {
     val upd = updates.filter(col(idCol).isNotNull)
     val latest = latestVersion(spark, dataPath)
     // one batch-sized aggregate serves both guards: emptiness (a no-op
@@ -615,7 +616,25 @@ object TimeTravel {
     val live = liveFileNames(spark, dataPath, latest)
     val ids = upd.select(col(idCol)).distinct()
     val l = lineage(spark, dataPath)
-    val candidates = idCandidateFiles(l, live, idCol, ids)
+    // optional caller-supplied stat screen (e.g. [[Scd]]'s business-key
+    // range when the match id itself is a string with no lineage
+    // stats): a file outside EVERY range provably holds no matched row,
+    // so the exactness-preserving cut happens before any data is read.
+    // Same prunable/conservative rules as [[readAsOfPruned]] — an
+    // unrecorded column never prunes, null stats keep the file.
+    val candidates = {
+      val byId = idCandidateFiles(l, live, idCol, ids)
+      val prunable = screenRanges.filter(r =>
+        Seq(s"min_${r.colName}", s"max_${r.colName}", s"nulls_${r.colName}")
+          .forall(l.columns.contains))
+      if (prunable.isEmpty || byId.isEmpty) byId
+      else prunable.foldLeft(
+          l.filter(col("action") === "add" &&
+            col("file_name").isin(byId: _*)))(
+          (df, r) => df.filter(Layout.rangeKeep(r)))
+        .select(col("file_name")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
     // files actually holding a matched id — only these are rewritten.
     // No broadcast hint on ids (commitDelete's rule): AQE picks it at
     // runtime when the frame is small, and 10^9-id updates stay legal.
@@ -668,8 +687,118 @@ object TimeTravel {
         requireRetryDisjoint(spark, dataPath, latest, idCol, ids,
           affected, "commitUpsert")
         return commitUpsert(spark, dataPath, idCol, updates, files,
-          batchId, retries - 1)
+          batchId, retries - 1, screenRanges)
     }
+    batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
+    v
+  }
+
+  /** Atomic REPLACE WHERE — the backfill commit: version `latest + 1`
+    * holds every live row NOT matching `predicate` plus every `batch`
+    * row, in ONE commit. The two-commit spelling (delete-matching then
+    * append) exposes readers to the emptied-region state and can crash
+    * into it; a backfill that recomputes a partition/day/bucket needs
+    * the swap to be a single version.
+    *
+    * The region contract is the guard that keeps backfills honest:
+    * every batch row MUST match the predicate, or the commit refuses
+    * loudly BEFORE staging (naming the out-of-region row count) — a
+    * batch that writes outside the region it claims to replace is how
+    * neighbouring partitions get silently corrupted. Matching is CHECK
+    * semantics throughout: `predicate <=> true`; a null-predicate row
+    * does NOT match, so it survives the replace and is refused in the
+    * batch.
+    *
+    * An EMPTY batch is a predicate DELETE in one commit; nothing
+    * matching + empty batch = version-free no-op. File economics are
+    * the keyed faces': optional `screenRanges` (lineage min/max stats,
+    * [[readAsOfPruned]]'s prunable/conservative rules) cut candidate
+    * files before any data moves, then only files actually HOLDING a
+    * matching row rewrite — their non-matching survivors re-staged
+    * with the batch as one freshly z-clustered generation, untouched
+    * files shared between versions. Replace commits do not auto-retry
+    * a lost race ([[CommitRaceLost]] propagates): a predicate's
+    * conflict set is not provably disjoint by id stats, and refusal is
+    * the honest arbitration (re-derive against the new head).
+    * `batchId` gives exactly-once replays through the commit ledger.
+    */
+  def commitReplaceWhere(spark: SparkSession, dataPath: String,
+                         predicate: Column, batch: DataFrame, files: Int,
+                         batchId: Option[String] = None,
+                         screenRanges: Seq[Layout.ColRange] = Nil): Long = {
+    val latest = latestVersion(spark, dataPath)
+    require(latest >= 1,
+      s"commitReplaceWhere: no committed table at $dataPath — a first " +
+        "batch is commitAppend, there is no region to replace")
+    val ledger = commitLedgerPath(dataPath)
+    batchId.foreach { id =>
+      if (!fsOf(spark, dataPath).exists(hp(ledger)))
+        graft.operators.Ledger.init(spark, ledger)
+      else if (graft.operators.Ledger.contains(spark, ledger, id))
+        return latest
+    }
+    requireAtomicBirth(spark, fsOf(spark, dataPath), dataPath)
+    requireNoCollision(batch.columns.toSeq, Seq("__file"),
+      "commitReplaceWhere")
+    // region contract: one batch-sized aggregate names the offenders
+    val out = batch.agg(
+      sum(when(predicate <=> lit(true), 0L).otherwise(1L))).head()
+    val nOut = if (out.isNullAt(0)) 0L else out.getLong(0)
+    require(nOut == 0L,
+      s"commitReplaceWhere: $nOut batch rows do NOT match the replace " +
+        "predicate — a backfill writes only inside the region it " +
+        "replaces (widen the predicate or trim the batch)")
+    enforceConstraints(spark, dataPath, batch, "commitReplaceWhere")
+    val live = liveFileNames(spark, dataPath, latest)
+    val l = lineage(spark, dataPath)
+    val candidates = {
+      val prunable = screenRanges.filter(r =>
+        Seq(s"min_${r.colName}", s"max_${r.colName}", s"nulls_${r.colName}")
+          .forall(l.columns.contains))
+      if (prunable.isEmpty) live
+      else prunable.foldLeft(
+          l.filter(col("action") === "add" &&
+            col("file_name").isin(live: _*)))(
+          (df, r) => df.filter(Layout.rangeKeep(r)))
+        .select(col("file_name")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+    // files actually holding a matching row — only these rewrite.
+    // mergeSchema on every candidate read: the predicate may reference
+    // a column older files lack (reads null there → no match → survive)
+    val affected: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(n => s"$dataPath/$n"): _*)
+        .withColumn("__file",
+          element_at(split(input_file_name(), "/"), -1))
+        .filter(predicate <=> lit(true))
+        .select(col("__file")).distinct()
+        .collect().map(r =>
+          Layout.decodePathComponent(r.getString(0))).toSeq.sorted
+    if (affected.isEmpty && batch.isEmpty) return latest
+    val v = latest + 1
+    val survivors =
+      if (affected.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(n => s"$dataPath/$n"): _*)
+        .filter(!(predicate <=> lit(true))))
+    val staged = survivors
+      .map(_.unionByName(batch, allowMissingColumns = true))
+      .getOrElse(batch)
+    val dims = statDims(l).filter(staged.columns.contains)
+    val clustered =
+      if (dims.isEmpty) staged.repartition(files)
+      else Layout.withZKey(staged, dims)
+        .repartitionByRange(files, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+    interleaveForTests()
+    appendLineage(spark, dataPath,
+      stageAndPromote(spark, dataPath, v, clustered, dims)
+        .unionByName(actionRows(spark,
+          affected.map(name => (v, "remove", name, 0L))),
+          allowMissingColumns = true), v)
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }

@@ -310,6 +310,97 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft_tt_read('$dir', 4)").count() == 150L)
   }
 
+  test("commitReplaceWhere swaps exactly the predicate region in ONE " +
+      "commit; earlier versions read the pre-swap rows") {
+    val dir = tmpDir("repl")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    // backfill grp 2 with recomputed payloads
+    val redo = spark.range(0L, 200L).filter(col("id") % 5 === 2)
+      .select(col("id"), (col("id") % 5).as("grp"),
+        (col("id") * 1000).as("v"))
+    assert(TimeTravel.commitReplaceWhere(spark, dir, col("grp") === 2,
+      redo, files = 2) == 3L)
+    val head = TimeTravel.read(spark, dir)
+    assert(head.count() == 200L)
+    assert(head.filter(col("grp") === 2 && col("v") =!= col("id") * 1000)
+      .count() == 0L)
+    assert(head.filter(col("grp") =!= 2 && col("v") =!= col("id") * 3)
+      .count() == 0L)
+    // history intact: version 2 still reads the ORIGINAL payloads
+    assert(TimeTravel.readAsOf(spark, dir, 2)
+      .filter(col("v") =!= col("id") * 3).count() == 0L)
+    // region guard: a batch row outside the predicate refuses loudly,
+    // version unmoved
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.commitReplaceWhere(spark, dir, col("grp") === 2,
+        batch(0).limit(3), files = 2)
+    }
+    assert(e.getMessage.contains("do NOT match"))
+    assert(TimeTravel.latestVersion(spark, dir) == 3L)
+  }
+
+  test("commitReplaceWhere: empty batch is a predicate delete; nothing " +
+      "matching + empty batch is version-free; batchId replays absorb; " +
+      "null-predicate rows survive") {
+    val dir = tmpDir("repl2")
+    val withNulls = batch(0).select(
+      col("id"),
+      when(col("id") < 10, lit(null).cast("long"))
+        .otherwise(col("grp")).as("grp"), col("v"))
+    TimeTravel.commitAppend(withNulls, dir, Seq("id"), files = 2)
+    // delete grp 3 in one commit — null-grp rows must survive (CHECK
+    // semantics: null does not match)
+    assert(TimeTravel.commitReplaceWhere(spark, dir, col("grp") === 3,
+      withNulls.limit(0), files = 2, batchId = Some("del3")) == 2L)
+    val head = TimeTravel.read(spark, dir)
+    assert(head.filter(col("grp") === 3).count() == 0L)
+    assert(head.filter(col("grp").isNull).count() == 10L)
+    // replay absorbed by the ledger
+    assert(TimeTravel.commitReplaceWhere(spark, dir, col("grp") === 3,
+      withNulls.limit(0), files = 2, batchId = Some("del3")) == 2L)
+    // nothing matches and the batch is empty: version-free no-op
+    assert(TimeTravel.commitReplaceWhere(spark, dir, col("grp") === 99,
+      withNulls.limit(0), files = 2) == 2L)
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+  }
+
+  test("commitReplaceWhere screenRanges cut the rewrite to stat-" +
+      "screened files; the SQL face drives the swap from text") {
+    GraftExtensions.register(spark)
+    val dir = tmpDir("repl3")
+    // two id-disjoint generations → id stats separate their files
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    val redo = spark.range(20L, 40L)
+      .select(col("id"), (col("id") % 5).as("grp"),
+        lit(-7L).as("v"))
+    TimeTravel.commitReplaceWhere(spark, dir,
+      col("id") >= 20 && col("id") < 40, redo, files = 1,
+      screenRanges = Seq(graft.sources.Layout.ColRange("id",
+        lit(20L), lit(39L))))
+    // only generation-1 files could hold ids 20-39: generation 2's two
+    // files survive untouched
+    val removedAtV3 = spark.read
+      .parquet(TimeTravel.lineagePath(dir))
+      .filter(col("version") === 3L && col("action") === "remove")
+      .select("file_name").collect().map(_.getString(0))
+    assert(removedAtV3.nonEmpty && removedAtV3.forall(_.startsWith("v1_")),
+      s"only generation-1 files should rewrite, got: " +
+        removedAtV3.mkString(","))
+    assert(TimeTravel.read(spark, dir).count() == 200L)
+    // SQL face
+    spark.range(40L, 60L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-8L).as("v"))
+      .createOrReplaceTempView("repl_batch")
+    val r = spark.sql(
+      s"SELECT * FROM graft_tt_replace_where('repl_batch', '$dir', " +
+        "'id >= 40 AND id < 60', 2)").head()
+    assert(r.getLong(1) == 4L)
+    assert(TimeTravel.read(spark, dir)
+      .filter(col("v") === -8L).count() == 20L)
+  }
+
   test("the MERGE / change-feed / matview SQL faces compose from SQL " +
       "text alone") {
     GraftExtensions.register(spark)
