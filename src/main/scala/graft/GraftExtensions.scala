@@ -266,6 +266,15 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    versioned MERGE: matched keys replaced, the rest inserted, only
   *    matched files rewritten
   *    ([[graft.sources.TimeTravel.commitUpsert]]; BUILD-style receipt)
+  *  - `graft_group_publish(groupPath, 'name=path,…')` /
+  *    `graft_group_read(groupPath, name[, groupVersion])` /
+  *    `graft_group_cuts(groupPath)` / `graft_group_floor(groupPath,
+  *    name)` — snapshot-consistent reads ACROSS lake tables: writers
+  *    commit members normally then publish ONE cut pinning every
+  *    member's version; group readers never see a torn pair, a crash
+  *    before the publish is invisible, and the floor face bounds
+  *    member vacuums so retained cuts stay readable
+  *    ([[graft.sources.SnapshotGroup]])
   *  - `graft_tt_replace_where(batch, dataPath, 'predicate', files[,
   *    batchId])` — atomic backfill: ONE commit holds every live row
   *    NOT matching the predicate plus the batch; every batch row must
@@ -1513,6 +1522,74 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_tt_upsert(updates, dataPath, idCol, files[, batchId])")
       }),
+    (new FunctionIdentifier("graft_group_publish"),
+      new ExpressionInfo("graft.sources.SnapshotGroup",
+        "graft_group_publish"),
+      (args: Seq[Expression]) => args match {
+        case Seq(g, m) =>
+          val spark = SparkSession.active
+          val group = strArg(g, "groupPath")
+          val members = strArg(m, "members").split(",").map(_.trim)
+            .filter(_.nonEmpty).map { kv =>
+              kv.split("=", 2) match {
+                case Array(n, p) if n.nonEmpty && p.nonEmpty => (n, p)
+                case _ => throw new IllegalArgumentException(
+                  s"graft_group_publish: bad member '$kv' — use " +
+                    "'name=path,name=path'")
+              }
+            }.toMap
+          val v = graft.sources.SnapshotGroup.publish(spark, group,
+            members)
+          import spark.implicits._
+          plan(Seq((group, v)).toDF("group_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_group_publish(groupPath, 'name=path,…') — pin every " +
+            "member's current head as ONE consistent cut")
+      }),
+    (new FunctionIdentifier("graft_group_read"),
+      new ExpressionInfo("graft.sources.SnapshotGroup",
+        "graft_group_read"),
+      (args: Seq[Expression]) => args match {
+        case Seq(g, n) =>
+          plan(graft.sources.SnapshotGroup.readMember(SparkSession.active,
+            strArg(g, "groupPath"), strArg(n, "name")))
+        case Seq(g, n, v) =>
+          plan(graft.sources.SnapshotGroup.readMember(SparkSession.active,
+            strArg(g, "groupPath"), strArg(n, "name"),
+            longArg(v, "groupVersion")))
+        case _ => throw new IllegalArgumentException(
+          "graft_group_read(groupPath, name[, groupVersion]) — the " +
+            "member AT the cut: every group read sees one consistent " +
+            "multi-table snapshot")
+      }),
+    (new FunctionIdentifier("graft_group_cuts"),
+      new ExpressionInfo("graft.sources.SnapshotGroup",
+        "graft_group_cuts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(g) =>
+          plan(graft.sources.SnapshotGroup.history(SparkSession.active,
+            strArg(g, "groupPath")))
+        case _ => throw new IllegalArgumentException(
+          "graft_group_cuts(groupPath) — every published cut, one row " +
+            "per (group version, member)")
+      }),
+    (new FunctionIdentifier("graft_group_floor"),
+      new ExpressionInfo("graft.sources.SnapshotGroup",
+        "graft_group_floor"),
+      (args: Seq[Expression]) => args match {
+        case Seq(g, n) =>
+          val spark = SparkSession.active
+          val (group, name) = (strArg(g, "groupPath"), strArg(n, "name"))
+          val f = graft.sources.SnapshotGroup.memberFloor(spark, group,
+            name)
+          import spark.implicits._
+          plan(Seq((group, name, f))
+            .toDF("group_path", "table_name", "member_floor"))
+        case _ => throw new IllegalArgumentException(
+          "graft_group_floor(groupPath, name) — the lowest table " +
+            "version any cut pins: vacuum the member with keepFrom <= " +
+            "this and every published cut stays readable")
+      }),
     (new FunctionIdentifier("graft_tt_replace_where"),
       new ExpressionInfo("graft.sources.TimeTravel",
         "graft_tt_replace_where"),
@@ -2130,6 +2207,10 @@ object GraftExtensions {
     "graft_tt_upsert" -> "q131_tt_upsert",
     "graft_tt_changes" -> "q132_tt_changes",
     "graft_tt_replace_where" -> "q145_replace_where",
+    "graft_group_publish" -> "q146_snapshot_group",
+    "graft_group_read" -> "q146_snapshot_group",
+    "graft_group_cuts" -> "SnapshotGroupSpec",
+    "graft_group_floor" -> "SnapshotGroupSpec",
     "graft_scd_merge" -> "q144_scd_history",
     "graft_scd_delete" -> "q144_scd_history",
     "graft_scd_current" -> "ScdSpec",

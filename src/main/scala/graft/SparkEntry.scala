@@ -6,7 +6,7 @@ import scala.collection.immutable.ListMap
 
 import graft.engine.Tables
 import graft.operators._
-import graft.sources.{Layout, MatView, Scd, TimeTravel}
+import graft.sources.{Layout, MatView, Scd, SnapshotGroup, TimeTravel}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB oracle SQL.
@@ -2785,6 +2785,63 @@ object SparkEntry {
         .select(col("as_of"), col("source"), col("n_docs"),
           col("sum_chars"))
         .orderBy(col("as_of"), col("source"))
+    }),
+
+    // Snapshot group (r14): consistent reads ACROSS lake tables. Docs
+    // and their per-source dim are mutated BETWEEN publishes; reading
+    // both members at cut 1 AFTER the mutations must still return the
+    // pre-mutation pair (pinning is what the hash proves — a group
+    // that read member heads would leak the delete into cut 1), and
+    // cut 2 the post-mutation pair, both sides consistent.
+    "q146_snapshot_group" -> ((s, d) => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_grp_${Integer.toHexString(d.hashCode)}").getPath
+      val (docsDir, dimDir, gDir) =
+        (base + "_docs", base + "_dim", base + "_cut")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(docsDir, dimDir, gDir).foreach(p =>
+        Seq(p, p + "_lineage", p + "_commit_ledger").foreach(q =>
+          fs.delete(new org.apache.hadoop.fs.Path(q), true)))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      def dimOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("source")).agg(count(lit(1)).as("dim_docs"))
+      Stages.timed("q146_snapshot_group", "build_publish") {
+        TimeTravel.commitAppend(docs, docsDir, Seq("doc_id"), files = 2)
+        TimeTravel.commitAppend(dimOf(docs), dimDir, Seq("source"),
+          files = 1)
+        SnapshotGroup.publish(s, gDir,
+          Map("docs" -> docsDir, "dim" -> dimDir)): Unit
+      }
+      Stages.timed("q146_snapshot_group", "mutate_publish") {
+        TimeTravel.commitDelete(s, docsDir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        TimeTravel.commitUpsert(s, dimDir, "source",
+          dimOf(TimeTravel.read(s, docsDir)), files = 1)
+        SnapshotGroup.publish(s, gDir,
+          Map("docs" -> docsDir, "dim" -> dimDir)): Unit
+      }
+      // reads happen AFTER both members advanced — the cut must pin.
+      // Null-safe dim join: a null source is a legal group on both
+      // sides (the r14 null contract; plain equality would drop it)
+      (1L to 2L).map { g =>
+          val dAgg = SnapshotGroup.readMember(s, gDir, "docs", g)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"))
+          val dm = SnapshotGroup.readMember(s, gDir, "dim", g)
+          dAgg.join(dm, dAgg("source") <=> dm("source"))
+            .select(dAgg("source").as("source"), col("n_docs"),
+              col("dim_docs"))
+            .withColumn("cut", lit(g))
+        }
+        .reduce(_ unionByName _)
+        .select(col("cut"), col("source"), col("n_docs"),
+          col("dim_docs"))
+        .orderBy(col("cut"), col("source"))
     })
   )
 
@@ -4322,6 +4379,26 @@ object SparkEntry {
         |  CAST(sum(nc) AS BIGINT) AS sum_chars
         |FROM m GROUP BY as_of, source
         |ORDER BY as_of, source""".stripMargin.replace("\n", " "),
+
+    // q146: both cuts from the hash split — cut 1 the full corpus on
+    // BOTH members (despite the reads running after the delete), cut 2
+    // the post-delete corpus on both; n_docs must equal dim_docs at
+    // every cut or the group leaked a torn pair
+    "q146_snapshot_group" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(1 AS BIGINT) AS cut, source FROM d
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), source FROM d WHERE del <> 3
+        |)
+        |SELECT cut, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS dim_docs
+        |FROM m GROUP BY cut, source
+        |ORDER BY cut, source""".stripMargin.replace("\n", " "),
 
     // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
     "q64_incremental" ->

@@ -1404,6 +1404,22 @@ object TimeTravel {
         batchId = Some(s"stream_$epochId")): Unit
     }
 
+  /** UPSERT-mode `foreachBatch` sink — CDC ingestion: each micro-batch
+    * MERGEs by `idCol` (matched keys replaced, the rest inserted) as
+    * one version under batch id `ustream_<epoch>`, exactly-once through
+    * the commit ledger like [[streamingSink]]. A batch carrying two
+    * rows for one key refuses loudly per [[commitUpsert]]'s contract —
+    * upstream dedups pick the winner first (e.g. the window's `last`).
+    * Usage: `df.writeStream.foreachBatch(TimeTravel
+    * .streamingUpsertSink(path, idCol, files)).start()`.
+    */
+  def streamingUpsertSink(dataPath: String, idCol: String,
+                          files: Int): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      commitUpsert(batch.sparkSession, dataPath, idCol, batch, files,
+        batchId = Some(s"ustream_$epochId")): Unit
+    }
+
   /** The change feed as a STRUCTURED STREAMING query — the
     * streaming-native [[followChanges]]: `f(feed, version)` receives
     * the [[changeFeed]] frame (both images) for every version as it

@@ -532,6 +532,40 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.read(spark, dir).count() == 80L)
   }
 
+  test("streamingUpsertSink: CDC micro-batches MERGE by key exactly " +
+      "once; a replayed epoch moves nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("usink")
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDS().toDF("id", "v")
+      .writeStream
+      .foreachBatch(TimeTravel.streamingUpsertSink(dir, "id", files = 1))
+      .start()
+    try {
+      in.addData((0L until 100L).map(i => (i, i * 3)): _*)
+      q.processAllAvailable()
+      // second epoch overlaps ids 50-99 (updates) and adds 100-149
+      in.addData((50L until 150L).map(i => (i, -1L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    val head = TimeTravel.read(spark, dir)
+    assert(head.count() == 150L)
+    assert(head.filter(col("id") >= 50L && col("v") =!= -1L)
+      .count() == 0L)
+    assert(head.filter(col("id") < 50L && col("v") =!= col("id") * 3)
+      .count() == 0L)
+    // the at-least-once epoch replay is absorbed by the commit ledger,
+    // even with drifted payloads
+    import spark.implicits._
+    TimeTravel.streamingUpsertSink(dir, "id", files = 1)(
+      Seq((60L, -99L)).toDF("id", "v"), 1L)
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    assert(TimeTravel.read(spark, dir)
+      .filter(col("v") === -99L).count() == 0L)
+  }
+
   test("schema evolution: a batch adding a column merges at the head, " +
       "while pre-evolution versions never see it") {
     val dir = tmpDir("evolve")
