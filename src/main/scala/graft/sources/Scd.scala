@@ -31,17 +31,19 @@ import org.apache.spark.sql.functions._
   *    history stays queryable, exactly the soft-delete the reference's
   *    cascade tombstones (VERDICT r12 J5) model.
   *
-  * Scale shape: the change scan reads current rows pruned to the
-  * batch's key range ([[TimeTravel.readAsOfPruned]] on the lineage
-  * min/max stats); the rewrite's candidate set is cut by the same key
-  * range (`screenRanges` on [[TimeTravel.commitUpsert]] — the
-  * surrogate is a string with no z-stats, the business key carries
-  * them) and only files actually holding a CHANGED key rewrite. Cost
-  * tracks the batch and its touched files, never the accumulated
-  * history — a closed row rewrites only when it shares a file with a
-  * currently-changing key, and generations are z-clustered on
-  * `(key, valid_from)` precisely so old epochs drift into files no
-  * current merge touches.
+  * Scale shape — merges are HISTORY-FLAT: generations z-cluster on
+  * `(__closed, key, valid_from)` with the closed flag FIRST, so open
+  * and closed rows separate into different files, and both the change
+  * scan and the rewrite's candidate screen add `__closed = 0` to the
+  * batch's key range ([[TimeTravel.readAsOfPruned]] /
+  * `commitUpsert(screenRanges)` on the lineage min/max stats — the
+  * surrogate is a string with no z-stats, the flag and key carry
+  * them). The accumulated fully-closed files — the bulk of an old
+  * dimension — are skipped by metadata before any data is read; a
+  * closed row rewrites exactly once (by the commit that closes it)
+  * and never again. Cost tracks the batch and the CURRENT table's
+  * touched files, never the history ([[graft.ScdCurve]] measures the
+  * decade).
   *
   * Concurrency contract: SCD merges on one table are inherently
   * overlapping commits (two merges both adjudicate "current"), so this
@@ -54,7 +56,20 @@ object Scd {
   val SurrogateCol = "__scd_id"
   val FromCol = "__valid_from"
   val ToCol = "__valid_to"
-  private val Meta = Seq(SurrogateCol, FromCol, ToCol)
+  /** Derived from `__valid_to` (0 = open, 1 = closed) and FIRST in the
+    * clustering dims, so open and closed rows separate into different
+    * curve regions — and therefore different FILES — as soon as a
+    * generation has two. This is what makes merges HISTORY-FLAT: the
+    * change scan and the rewrite screen add `ColRange(__closed, 0, 0)`,
+    * so the accumulated fully-closed files (the bulk of an old
+    * dimension) are skipped by stats before any data is read. A
+    * closed row is rewritten exactly once — by the commit that closes
+    * it — and drifts into the closed region forever after. */
+  val ClosedCol = "__closed"
+  private val Meta = Seq(SurrogateCol, FromCol, ToCol, ClosedCol)
+
+  private def openRange: Layout.ColRange =
+    Layout.ColRange(ClosedCol, lit(0L), lit(0L))
 
   private def requireBatchShape(cols: Seq[String], keyCol: String,
                                 face: String): Unit = {
@@ -84,20 +99,23 @@ object Scd {
         concat(col(keyCol).cast("string"), lit("@"), lit(v)))
       .withColumn(FromCol, lit(v))
       .withColumn(ToCol, lit(null).cast("long"))
+      .withColumn(ClosedCol, lit(0L))
 
-  /** Clustering/stat dims for a generation: the business key when its
-    * type z-orders (numeric/date/timestamp/string — [[Layout.withZKey]]'s
-    * rule; strings cluster by their 6-byte prefix image), plus
-    * `__valid_from` (always a long). The surrogate is never a dim —
-    * key-range stats are what both the change scan and the merge's
+  /** Clustering/stat dims for a generation: `__closed` FIRST (open vs
+    * closed rows separate into different files — the history-flat
+    * screen), then the business key when its type z-orders
+    * (numeric/date/timestamp/string — [[Layout.withZKey]]'s rule;
+    * strings cluster by their prefix-stripped byte image), then
+    * `__valid_from`. The surrogate is never a dim — closed-flag and
+    * key-range stats are what the change scan and the merge's
     * candidate screen prune on. */
   private def genDims(df: DataFrame, keyCol: String): Seq[String] = {
     import org.apache.spark.sql.types._
     df.schema(keyCol).dataType match {
       case _: NumericType | DateType | TimestampType | TimestampNTZType |
            StringType =>
-        Seq(keyCol, FromCol)
-      case _ => Seq(FromCol)
+        Seq(ClosedCol, keyCol, FromCol)
+      case _ => Seq(ClosedCol, FromCol)
     }
   }
 
@@ -124,11 +142,11 @@ object Scd {
     val latest = TimeTravel.latestVersion(spark, dataPath)
     // only the literal construction is guarded inside keyRange (a key
     // type `lit` can't embed — unpruned is identical, just less
-    // skipped); read errors (corruption, missing versions) propagate
-    keyRange(keys, keyCol)
-      .map(rg => TimeTravel.readAsOfPruned(spark, dataPath, latest,
-        Seq(rg)))
-      .getOrElse(TimeTravel.readAsOf(spark, dataPath, latest))
+    // skipped); read errors (corruption, missing versions) propagate.
+    // The __closed = 0 range is the history-flat half of the screen:
+    // fully-closed files (the bulk of an old dimension) never read
+    TimeTravel.readAsOfPruned(spark, dataPath, latest,
+        openRange +: keyRange(keys, keyCol).toSeq)
       .filter(col(ToCol).isNull)
   }
 
@@ -182,6 +200,7 @@ object Scd {
       .join(delta.filter(col("__cur_key").isNotNull)
         .select(col(keyCol)), Seq(keyCol), "left_semi")
       .withColumn(ToCol, lit(v))
+      .withColumn(ClosedCol, lit(1L))
     commitExpecting(spark, dataPath, v,
       toClose.unionByName(inserts, allowMissingColumns = true),
       files, batchId, "Scd.merge",
@@ -204,6 +223,7 @@ object Scd {
     val toClose = currentInKeyRange(spark, dataPath, k, keyCol)
       .join(k, Seq(keyCol), "left_semi")
       .withColumn(ToCol, lit(v))
+      .withColumn(ClosedCol, lit(1L))
     commitExpecting(spark, dataPath, v, toClose, files, batchId,
       "Scd.delete", keyRange(k, keyCol))
   }
@@ -219,9 +239,12 @@ object Scd {
                               batchId: Option[String], face: String,
                               screen: Option[Layout.ColRange]): Long = {
     if (upserts.isEmpty) return v - 1 // version-free no-op
+    // rows to CLOSE live only in open files; insert surrogates exist
+    // nowhere — so the __closed = 0 range joins the key range and the
+    // rewrite never reads the accumulated fully-closed files
     val got = TimeTravel.commitUpsert(spark, dataPath, SurrogateCol,
       upserts, files, batchId, retries = 0,
-      screenRanges = screen.toSeq)
+      screenRanges = openRange +: screen.toSeq)
     // got == v-1 with a batchId = the commit ledger absorbed a replay
     // (exactly-once); anything else off-target is a mid-merge writer
     require(got == v || (batchId.isDefined && got == v - 1),
@@ -232,13 +255,19 @@ object Scd {
   }
 
   /** Full history: every version of every key with its validity
-    * stamps. The surrogate is internal — dropped here. */
+    * stamps. The surrogate and the closed flag are internal — dropped
+    * here. */
   def history(spark: SparkSession, dataPath: String): DataFrame =
-    TimeTravel.read(spark, dataPath).drop(SurrogateCol)
+    TimeTravel.read(spark, dataPath).drop(SurrogateCol, ClosedCol)
 
-  /** Rows current NOW (validity still open). */
+  /** Rows current NOW (validity still open) — pruned by the closed
+    * flag, so the read skips the accumulated fully-closed files and
+    * costs the CURRENT table, not the history. */
   def current(spark: SparkSession, dataPath: String): DataFrame =
-    history(spark, dataPath).filter(col(ToCol).isNull)
+    TimeTravel.readAsOfPruned(spark, dataPath,
+        TimeTravel.latestVersion(spark, dataPath), Seq(openRange))
+      .filter(col(ToCol).isNull)
+      .drop(SurrogateCol, ClosedCol)
 
   /** The dimension as of epoch `v` (a lake commit version): rows whose
     * validity interval `[from, to)` covers `v`. A plain filter over
