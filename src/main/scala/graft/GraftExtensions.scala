@@ -287,9 +287,11 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    row and open a new one, unchanged keys cost nothing, deletes
   *    close without erasing ([[graft.sources.Scd]]; BUILD receipts)
   *  - `graft_scd_current(dataPath)` / `graft_scd_asof(dataPath, v)` /
+  *    `graft_scd_asof_ts(dataPath, tsMillis)` /
   *    `graft_scd_history(dataPath)` — the dimension now / at any epoch
   *    (a plain validity-interval filter, the point-in-time join face) /
-  *    every key's full history with validity stamps
+  *    at a wall-clock instant / every key's full history with
+  *    validity stamps
   *  - `graft_tt_changes(dataPath, v1, v2, idCol[, 'rows'])` — row-level
   *    inserted/deleted/updated feed over `(v1, v2]`, reading only the
   *    commits' touched files; rewrites cancel by payload; `'rows'` adds
@@ -1660,6 +1662,17 @@ object GraftExtensions {
           "graft_scd_asof(dataPath, version) — the dimension as of an " +
             "epoch: a validity-interval filter, no per-epoch as-of read")
       }),
+    (new FunctionIdentifier("graft_scd_asof_ts"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_asof_ts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, ts) =>
+          plan(graft.sources.Scd.asOfTimestamp(SparkSession.active,
+            strArg(p, "dataPath"), longArg(ts, "tsMillis")))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_asof_ts(dataPath, tsMillis) — the dimension as " +
+            "the world saw it at a wall-clock instant (TIMESTAMP AS " +
+            "OF over validity intervals)")
+      }),
     (new FunctionIdentifier("graft_scd_history"),
       new ExpressionInfo("graft.sources.Scd", "graft_scd_history"),
       (args: Seq[Expression]) => args match {
@@ -2215,6 +2228,7 @@ object GraftExtensions {
     "graft_scd_delete" -> "q144_scd_history",
     "graft_scd_current" -> "ScdSpec",
     "graft_scd_asof" -> "ScdSpec",
+    "graft_scd_asof_ts" -> "ScdSpec",
     "graft_scd_history" -> "q144_scd_history",
     "graft_mv_create" -> "q133_matview",
     "graft_mv_refresh" -> "q133_matview",

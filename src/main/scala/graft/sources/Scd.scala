@@ -280,4 +280,12 @@ object Scd {
   def asOf(spark: SparkSession, dataPath: String, v: Long): DataFrame =
     history(spark, dataPath).filter(col(FromCol) <= v &&
       (col(ToCol).isNull || col(ToCol) > v))
+
+  /** The dimension as the world saw it at a wall-clock instant:
+    * [[TimeTravel.versionAt]] maps the instant to the last commit
+    * landed by then (the lake's commit_ts metadata), [[asOf]] filters
+    * the validity intervals — TIMESTAMP AS OF for history rows. */
+  def asOfTimestamp(spark: SparkSession, dataPath: String,
+                    tsMillis: Long): DataFrame =
+    asOf(spark, dataPath, TimeTravel.versionAt(spark, dataPath, tsMillis))
 }

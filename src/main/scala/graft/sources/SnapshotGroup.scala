@@ -67,6 +67,20 @@ object SnapshotGroup {
     g
   }
 
+  /** The transaction runner: run member writes, THEN publish the cut.
+    * `body` commits member tables normally (each commit atomic on its
+    * own); only when it returns does the group version land, so a
+    * throw anywhere inside leaves group readers on the previous
+    * consistent cut — the crash-window discipline as a face. Returns
+    * the published group version. No rollback of member commits is
+    * attempted (lineage is truth; a re-derived transaction supersedes
+    * them at the next cut). */
+  def transact(spark: SparkSession, groupPath: String,
+               tables: Map[String, String])(body: => Unit): Long = {
+    body
+    publish(spark, groupPath, tables)
+  }
+
   /** Highest published group version; 0 before the first publish. */
   def latest(spark: SparkSession, groupPath: String): Long =
     TimeTravel.latestVersion(spark, groupPath)

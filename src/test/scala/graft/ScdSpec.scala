@@ -95,6 +95,19 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("asOfTimestamp: the dimension as the world saw it at an instant") {
+    val dir = tmpDir("ts")
+    Scd.merge(spark, dir, "k", dim((1L, "a", 10L)), files = 1)
+    Thread.sleep(10)
+    val between = System.currentTimeMillis()
+    Thread.sleep(10)
+    Scd.merge(spark, dir, "k", dim((1L, "a", 11L)), files = 1)
+    assert(Scd.asOfTimestamp(spark, dir, between)
+      .select("score").head().getLong(0) == 10L)
+    assert(Scd.asOfTimestamp(spark, dir, System.currentTimeMillis())
+      .select("score").head().getLong(0) == 11L)
+  }
+
   test("schema evolution: a batch adding a column closes every matched " +
       "row (null-safe compare), an omitted column reads null in the " +
       "new row") {

@@ -92,6 +92,32 @@ class SnapshotGroupSpec extends SparkSpec {
     assert(SnapshotGroup.readMember(spark, gDir, "a", 2L).count() == 80L)
   }
 
+  test("transact: the cut publishes only when the body completes — a " +
+      "throw leaves group readers on the previous cut") {
+    val (aDir, gDir) = (tmpDir("a5"), tmpDir("g5"))
+    TimeTravel.commitAppend(facts(10L), aDir, Seq("id"), files = 1)
+    SnapshotGroup.publish(spark, gDir, Map("a" -> aDir))
+    intercept[RuntimeException] {
+      SnapshotGroup.transact(spark, gDir, Map("a" -> aDir)) {
+        TimeTravel.commitAppend(
+          facts(10L).withColumn("id", col("id") + 10L),
+          aDir, Seq("id"), files = 1)
+        throw new RuntimeException("writer crashed mid-transaction")
+      }
+    }
+    // the member head moved, the GROUP did not
+    assert(TimeTravel.read(spark, aDir).count() == 20L)
+    assert(SnapshotGroup.readMember(spark, gDir, "a").count() == 10L)
+    // the re-derived transaction completes and the cut advances
+    val g = SnapshotGroup.transact(spark, gDir, Map("a" -> aDir)) {
+      TimeTravel.commitAppend(
+        facts(10L).withColumn("id", col("id") + 20L),
+        aDir, Seq("id"), files = 1): Unit
+    }
+    assert(g == 2L)
+    assert(SnapshotGroup.readMember(spark, gDir, "a").count() == 30L)
+  }
+
   test("guards: empty/unversioned/duplicate cuts and unknown members " +
       "refuse loudly; racing publishes get one winner") {
     val (aDir, gDir) = (tmpDir("a4"), tmpDir("g4"))
