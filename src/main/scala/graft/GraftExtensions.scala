@@ -282,10 +282,13 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    batch is a predicate delete
   *    ([[graft.sources.TimeTravel.commitReplaceWhere]]; BUILD receipt)
   *  - `graft_scd_merge(batch, dataPath, keyCol, files[, batchId])` /
-  *    `graft_scd_delete(keys, dataPath, keyCol, files[, batchId])` —
-  *    SCD Type-2 dimension maintenance: changed keys close their old
-  *    row and open a new one, unchanged keys cost nothing, deletes
-  *    close without erasing ([[graft.sources.Scd]]; BUILD receipts)
+  *    `graft_scd_delete(keys, dataPath, keyCol, files[, batchId])` /
+  *    `graft_scd_apply(upserts, deletes, dataPath, keyCol, files[,
+  *    batchId])` — SCD Type-2 dimension maintenance: changed keys
+  *    close their old row and open a new one, unchanged keys cost
+  *    nothing, deletes close without erasing; `apply` lands a MIXED
+  *    CDC batch (upserts + deletes) as ONE dimension commit
+  *    ([[graft.sources.Scd]]; BUILD receipts)
   *  - `graft_scd_current(dataPath)` / `graft_scd_asof(dataPath, v)` /
   *    `graft_scd_asof_ts(dataPath, tsMillis)` /
   *    `graft_scd_history(dataPath)` — the dimension now / at any epoch
@@ -1643,6 +1646,24 @@ object GraftExtensions {
           "graft_scd_delete(keys, dataPath, keyCol, files[, batchId]) — " +
             "Type-2 soft delete: closes current rows, history stays")
       }),
+    (new FunctionIdentifier("graft_scd_apply"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_apply"),
+      (args: Seq[Expression]) => args match {
+        case Seq(u, del, p, k, f, rest @ _*) if rest.size <= 1 =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.Scd.applyChanges(spark, path,
+            strArg(k, "keyCol"), tableArg(u, "upserts"),
+            tableArg(del, "deletes"), intArg(f, "files"),
+            rest.headOption.map(strArg(_, "batchId")))
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_apply(upserts, deletes, dataPath, keyCol, files" +
+            "[, batchId]) — mixed CDC batch as ONE dimension commit: " +
+            "changed keys close + reopen, deleted keys close; a key " +
+            "in both frames refuses")
+      }),
     (new FunctionIdentifier("graft_scd_current"),
       new ExpressionInfo("graft.sources.Scd", "graft_scd_current"),
       (args: Seq[Expression]) => args match {
@@ -2227,6 +2248,7 @@ object GraftExtensions {
     "graft_scd_merge" -> "q144_scd_history",
     "graft_scd_delete" -> "q144_scd_history",
     "graft_scd_current" -> "ScdSpec",
+    "graft_scd_apply" -> "ScdSpec",
     "graft_scd_asof" -> "ScdSpec",
     "graft_scd_asof_ts" -> "ScdSpec",
     "graft_scd_history" -> "q144_scd_history",

@@ -158,23 +158,56 @@ object Scd {
     */
   def merge(spark: SparkSession, dataPath: String, keyCol: String,
             batch: DataFrame, files: Int,
-            batchId: Option[String] = None): Long = {
-    requireBatchShape(batch.columns.toSeq, keyCol, "Scd.merge")
-    val clean = batch.filter(col(keyCol).isNotNull)
+            batchId: Option[String] = None): Long =
+    applyChanges(spark, dataPath, keyCol, batch,
+      batch.select(col(keyCol)).limit(0), files, batchId,
+      face = "Scd.merge")
+
+  /** One-commit CDC application: `upserts` (business rows) and
+    * `deletes` (a one-column business-key frame) land as a SINGLE
+    * version — the mixed shape a change-feed consumer receives per
+    * source commit. Two separate commits would expose a readable
+    * intermediate state (upserted-but-not-yet-deleted) and double the
+    * version churn; this face is why a [[TimeTravel.changeFeed]]
+    * version maintains a dimension with exactly one dimension commit.
+    * A key appearing in BOTH frames refuses loudly (there is no
+    * deterministic order between its update and its delete — the
+    * caller picks); otherwise semantics are exactly [[merge]] then
+    * [[delete]], fused. Both-empty (or all-unchanged + all-absent) is
+    * version-free.
+    */
+  def applyChanges(spark: SparkSession, dataPath: String, keyCol: String,
+                   upserts: DataFrame, deletes: DataFrame, files: Int,
+                   batchId: Option[String] = None,
+                   face: String = "Scd.applyChanges"): Long = {
+    requireBatchShape(upserts.columns.toSeq, keyCol, face)
+    val clean = upserts.filter(col(keyCol).isNotNull)
+    val delKeys = deletes.select(col(deletes.columns.head)).toDF(keyCol)
+      .filter(col(keyCol).isNotNull).distinct()
     val latest = TimeTravel.latestVersion(spark, dataPath)
-    if (requireOneRowPerKey(clean, keyCol, "Scd.merge") == 0L)
-      return latest
+    val nUps = requireOneRowPerKey(clean, keyCol, face)
+    if (nUps == 0L && delKeys.isEmpty) return latest
+    require(clean.select(col(keyCol))
+        .join(delKeys, Seq(keyCol), "left_semi").isEmpty,
+      s"$face: keys appear in BOTH the upsert and delete frames — " +
+        "one batch admits one fate per key (apply the later change)")
     val v = latest + 1
     val stamped = stamp(clean, keyCol, v)
-    if (latest == 0L)
-      // first generation: clustered on (key, valid_from) so both the
-      // change-scan prune and the merge's candidate screen get
-      // key-range lineage stats from day one
+    if (latest == 0L) {
+      // deleting from an empty dimension is naturally a no-op; the
+      // first generation clusters on (closed, key, valid_from) so the
+      // change-scan prune and the candidate screen get stats from day
+      // one
+      if (nUps == 0L) return latest
       return TimeTravel.commitAppend(stamped, dataPath,
         genDims(stamped, keyCol), files, batchId)
+    }
 
-    val cur = currentInKeyRange(spark, dataPath,
-      clean.select(col(keyCol)), keyCol)
+    // ONE pruned current scan serves both halves: the merge delta and
+    // the delete closes
+    val allKeys = clean.select(col(keyCol))
+      .unionByName(delKeys).distinct()
+    val cur = currentInKeyRange(spark, dataPath, allKeys, keyCol)
     // null-safe column-wise comparison over the UNION of attribute
     // sets — schema evolution is the lake's append rule (a column the
     // batch adds reads null in current → changed; one it omits reads
@@ -196,15 +229,16 @@ object Scd {
     val delta = joined.filter(col("__cur_key").isNull || !unchanged)
     val inserts = stamp(
       delta.select(col(keyCol) +: allAttrs.map(col): _*), keyCol, v)
+    val closeKeys = delta.filter(col("__cur_key").isNotNull)
+      .select(col(keyCol))
+      .unionByName(delKeys)
     val toClose = cur
-      .join(delta.filter(col("__cur_key").isNotNull)
-        .select(col(keyCol)), Seq(keyCol), "left_semi")
+      .join(closeKeys, Seq(keyCol), "left_semi")
       .withColumn(ToCol, lit(v))
       .withColumn(ClosedCol, lit(1L))
     commitExpecting(spark, dataPath, v,
       toClose.unionByName(inserts, allowMissingColumns = true),
-      files, batchId, "Scd.merge",
-      keyRange(clean.select(col(keyCol)), keyCol))
+      files, batchId, face, keyRange(allKeys, keyCol))
   }
 
   /** Close the current rows of `keys` (a one-column frame of business

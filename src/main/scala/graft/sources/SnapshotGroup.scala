@@ -118,6 +118,24 @@ object SnapshotGroup {
     TimeTravel.readAsOf(spark, path, v)
   }
 
+  /** The group version a wall-clock instant maps to — the cut the
+    * world saw at 14:00 (every publish records `commit_ts` in its
+    * segment, like every lake commit). Compose with [[readMember]]
+    * for timestamped consistent reads. Refuses an instant before the
+    * first publish. */
+  def versionAt(spark: SparkSession, groupPath: String,
+                tsMillis: Long): Long = {
+    require(latest(spark, groupPath) >= 1,
+      s"SnapshotGroup.versionAt: no published cut at $groupPath")
+    val r = segments(spark, groupPath)
+      .filter(col("commit_ts").isNull || col("commit_ts") <= tsMillis)
+      .agg(max(col("version"))).head()
+    require(!r.isNullAt(0),
+      s"SnapshotGroup.versionAt: $tsMillis predates every publish at " +
+        s"$groupPath (earliest is visible in history())")
+    r.getLong(0)
+  }
+
   /** All published cuts, one row per (group version, member):
     * `(version, table_name, data_path, table_version, commit_ts)`. */
   def history(spark: SparkSession, groupPath: String): DataFrame = {

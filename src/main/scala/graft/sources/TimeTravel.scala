@@ -755,13 +755,21 @@ object TimeTravel {
       val prunable = screenRanges.filter(r =>
         Seq(s"min_${r.colName}", s"max_${r.colName}", s"nulls_${r.colName}")
           .forall(l.columns.contains))
-      if (prunable.isEmpty) live
-      else prunable.foldLeft(
-          l.filter(col("action") === "add" &&
-            col("file_name").isin(live: _*)))(
-          (df, r) => df.filter(Layout.rangeKeep(r)))
-        .select(col("file_name")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      // the AUTOMATIC screen: simple comparison conjuncts of the
+      // predicate itself (col = v, col >/</>=/<= v, col IN (...))
+      // against the lineage's recorded stats — so the common backfill
+      // shapes prune with NO caller-supplied ranges
+      val auto = predicateScreen(l, predicate)
+      if (prunable.isEmpty && auto.isEmpty) live
+      else {
+        val base = prunable.foldLeft(
+            l.filter(col("action") === "add" &&
+              col("file_name").isin(live: _*)))(
+            (df, r) => df.filter(Layout.rangeKeep(r)))
+        auto.fold(base)(base.filter)
+          .select(col("file_name")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }
     }
     // files actually holding a matching row — only these rewrite.
     // mergeSchema on every candidate read: the predicate may reference
@@ -801,6 +809,80 @@ object TimeTravel {
           allowMissingColumns = true), v)
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
+  }
+
+  /** The automatic stat screen [[commitReplaceWhere]] derives from its
+    * own predicate: every top-level AND-conjunct of the simple
+    * comparison shapes (`col = v`, `col >/>=/</<= v`, `col IN (…)`,
+    * either operand order) whose column has recorded lineage stats
+    * becomes a per-file satisfiability test — a file whose [min, max]
+    * provably excludes the comparison cannot hold a matching row.
+    * Sound by CHECK semantics: these comparisons are never TRUE on a
+    * null value, so an all-null file (null min/max with a recorded
+    * null count) is DROPPED, while a stats-less add row (null null
+    * count — a commit predating a dims change) is conservatively kept.
+    * Conjuncts that don't match a simple shape contribute nothing
+    * (never wrong, only less pruned); OR trees are left whole for the
+    * same reason. Returns None when nothing prunable was found.
+    */
+  private def predicateScreen(l: DataFrame,
+                              predicate: Column): Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      EqualNullSafe, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    def litOf(e: Expression): Option[Column] = e match {
+      case lit: Literal if lit.value != null =>
+        Some(org.apache.spark.sql.GraftInternal.column(lit))
+      case _ => None
+    }
+    def statsFor(n: String): Boolean =
+      Seq(s"min_$n", s"max_$n", s"nulls_$n").forall(l.columns.contains)
+    // per-conjunct: Some(keep) when the shape is simple and the column
+    // has stats. The stats-less hatch (nulls_<c> IS NULL → keep) rides
+    // every test; a null comparison result reads as NOT satisfiable.
+    def guard(n: String, cond: Column): Column =
+      col(s"nulls_$n").isNull || coalesce(cond, lit(false))
+    def screen(e: Expression): Option[Column] = e match {
+      case EqualTo(a, b) => eqScreen(a, b).orElse(eqScreen(b, a))
+      case EqualNullSafe(a, b) => eqScreen(a, b).orElse(eqScreen(b, a))
+      case GreaterThan(a, b) => gtScreen(a, b).orElse(ltScreen(b, a))
+      case GreaterThanOrEqual(a, b) =>
+        gtScreen(a, b).orElse(ltScreen(b, a))
+      case LessThan(a, b) => ltScreen(a, b).orElse(gtScreen(b, a))
+      case LessThanOrEqual(a, b) => ltScreen(a, b).orElse(gtScreen(b, a))
+      case In(a, vs) if vs.nonEmpty && vs.forall(
+          v => litOf(v).isDefined) =>
+        nameOf(a).filter(statsFor).map { n =>
+          val cols = vs.flatMap(litOf)
+          val lo = if (cols.size == 1) cols.head else least(cols: _*)
+          val hi = if (cols.size == 1) cols.head else greatest(cols: _*)
+          guard(n, col(s"max_$n") >= lo && col(s"min_$n") <= hi)
+        }
+      case _ => None
+    }
+    def eqScreen(a: Expression, b: Expression): Option[Column] =
+      for { n <- nameOf(a).filter(statsFor); v <- litOf(b) }
+        yield guard(n, col(s"max_$n") >= v && col(s"min_$n") <= v)
+    def gtScreen(a: Expression, b: Expression): Option[Column] =
+      for { n <- nameOf(a).filter(statsFor); v <- litOf(b) }
+        yield guard(n, col(s"max_$n") >= v)
+    def ltScreen(a: Expression, b: Expression): Option[Column] =
+      for { n <- nameOf(a).filter(statsFor); v <- litOf(b) }
+        yield guard(n, col(s"min_$n") <= v)
+    conjuncts(org.apache.spark.sql.GraftInternal.expression(predicate))
+      .flatMap(screen)
+      .reduceOption(_ && _)
   }
 
   /** Rewrite the live file set as one freshly z-clustered generation

@@ -223,13 +223,17 @@ class ScdSpec extends SparkSpec {
     TimeTravel.commitDelete(spark, src, "id", Seq(7L, 8L).toDF("id"))
     (1L to TimeTravel.latestVersion(spark, src)).foreach { v =>
       val feed = TimeTravel.changeFeed(spark, src, v - 1, v, "id")
-      val ups = feed.filter(col("change") =!= "deleted")
-        .select(col("id"), col("score"))
-      val dels = feed.filter(col("change") === "deleted").select(col("id"))
-      if (!ups.isEmpty) Scd.merge(spark, dimDir, "id", ups, files = 2)
-      if (TimeTravel.latestVersion(spark, dimDir) >= 1L && !dels.isEmpty)
-        Scd.delete(spark, dimDir, "id", dels, files = 2)
+      // applyChanges: the MIXED per-version batch lands as exactly one
+      // dimension commit — feed version v ↦ dimension version v
+      Scd.applyChanges(spark, dimDir, "id",
+        feed.filter(col("change") =!= "deleted")
+          .select(col("id"), col("score")),
+        feed.filter(col("change") === "deleted").select(col("id")),
+        files = 2)
     }
+    // one dim commit per source commit, by construction
+    assert(TimeTravel.latestVersion(spark, dimDir) ==
+      TimeTravel.latestVersion(spark, src))
     val cur = Scd.current(spark, dimDir).select("id", "score")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val headT = TimeTravel.read(spark, src).select("id", "score")
@@ -240,6 +244,40 @@ class ScdSpec extends SparkSpec {
     assert(h.filter(col("id") === 7L &&
       col(Scd.ToCol).isNotNull).count() == 1L) // deleted: closed, kept
     assert(h.filter(col("id") === 12L).count() == 1L) // untouched
+  }
+
+  test("applyChanges: a mixed upsert+delete batch is ONE commit; a key " +
+      "with two fates refuses; both-empty is version-free") {
+    val dir = tmpDir("apply")
+    Scd.merge(spark, dir, "k",
+      dim((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)), files = 2)
+    // one commit: change k=1, insert k=4, delete k=3
+    assert(Scd.applyChanges(spark, dir, "k",
+      dim((1L, "a", 11L), (4L, "d", 40L)), Seq(3L).toDF("k"),
+      files = 2) == 2L)
+    assert(hist(dir) == Seq(
+      (1L, "a", 10L, 1L, 2L), (1L, "a", 11L, 2L, -1L),
+      (2L, "b", 20L, 1L, -1L),
+      (3L, "c", 30L, 1L, 2L),
+      (4L, "d", 40L, 2L, -1L)))
+    // two fates for one key: refuse, version unmoved
+    val e = intercept[IllegalArgumentException] {
+      Scd.applyChanges(spark, dir, "k", dim((2L, "b", 21L)),
+        Seq(2L).toDF("k"), files = 2)
+    }
+    assert(e.getMessage.contains("BOTH"))
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    // unchanged upserts + absent deletes: version-free
+    assert(Scd.applyChanges(spark, dir, "k", dim((1L, "a", 11L)),
+      Seq(99L).toDF("k"), files = 2) == 2L)
+    // SQL face
+    GraftExtensions.register(spark)
+    dim((2L, "b", 22L)).createOrReplaceTempView("scd_apply_u")
+    Seq(4L).toDF("k").createOrReplaceTempView("scd_apply_d")
+    assert(spark.sql(
+      s"SELECT version FROM graft_scd_apply('scd_apply_u', " +
+        s"'scd_apply_d', '$dir', 'k', 2)").head().getLong(0) == 3L)
+    assert(Scd.current(spark, dir).count() == 2L) // k=1, k=2
   }
 
   test("string business keys: a URL-keyed dimension merges with exact " +

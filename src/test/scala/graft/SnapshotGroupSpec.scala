@@ -118,6 +118,28 @@ class SnapshotGroupSpec extends SparkSpec {
     assert(SnapshotGroup.readMember(spark, gDir, "a").count() == 30L)
   }
 
+  test("versionAt maps a wall-clock instant to the cut the world saw " +
+      "then") {
+    val (aDir, gDir) = (tmpDir("a6"), tmpDir("g6"))
+    TimeTravel.commitAppend(facts(10L), aDir, Seq("id"), files = 1)
+    SnapshotGroup.publish(spark, gDir, Map("a" -> aDir))
+    Thread.sleep(10)
+    val between = System.currentTimeMillis()
+    Thread.sleep(10)
+    TimeTravel.commitAppend(facts(5L).withColumn("id", col("id") + 10L),
+      aDir, Seq("id"), files = 1)
+    SnapshotGroup.publish(spark, gDir, Map("a" -> aDir))
+    assert(SnapshotGroup.versionAt(spark, gDir, between) == 1L)
+    val g = SnapshotGroup.versionAt(spark, gDir,
+      System.currentTimeMillis())
+    assert(g == 2L)
+    assert(SnapshotGroup.readMember(spark, gDir, "a",
+      SnapshotGroup.versionAt(spark, gDir, between)).count() == 10L)
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.versionAt(spark, gDir, 1L)
+    }
+  }
+
   test("guards: empty/unversioned/duplicate cuts and unknown members " +
       "refuse loudly; racing publishes get one winner") {
     val (aDir, gDir) = (tmpDir("a4"), tmpDir("g4"))

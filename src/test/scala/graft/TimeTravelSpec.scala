@@ -401,6 +401,41 @@ class TimeTravelSpec extends SparkSpec {
       .filter(col("v") === -8L).count() == 20L)
   }
 
+  test("commitReplaceWhere derives a stat screen from its own " +
+      "predicate: simple comparison conjuncts prune with NO caller " +
+      "ranges") {
+    val dir = tmpDir("replauto")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2)
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2)
+    // no screenRanges: the >= / < conjuncts screen on the id stats
+    val redo = spark.range(120L, 140L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-3L).as("v"))
+    TimeTravel.commitReplaceWhere(spark, dir,
+      col("id") >= 120 && col("id") < 140, redo, files = 1)
+    val removed = spark.read
+      .parquet(TimeTravel.lineagePath(dir))
+      .filter(col("version") === 3L && col("action") === "remove")
+      .select("file_name").collect().map(_.getString(0))
+    assert(removed.nonEmpty && removed.forall(_.startsWith("v2_")),
+      s"only generation-2 files (ids 100-199) should rewrite, got: " +
+        removed.mkString(","))
+    assert(TimeTravel.read(spark, dir).count() == 200L)
+    assert(TimeTravel.read(spark, dir)
+      .filter(col("v") === -3L).count() == 20L)
+    // an IN-list predicate screens too (single- and multi-value)
+    val redo2 = spark.range(7L, 8L)
+      .select(col("id"), (col("id") % 5).as("grp"), lit(-4L).as("v"))
+    TimeTravel.commitReplaceWhere(spark, dir, col("id").isin(7L),
+      redo2, files = 1)
+    val removed2 = spark.read
+      .parquet(TimeTravel.lineagePath(dir))
+      .filter(col("version") === 4L && col("action") === "remove")
+      .select("file_name").collect().map(_.getString(0))
+    assert(removed2.forall(_.startsWith("v1_")),
+      s"only generation-1 files (ids 0-99) should rewrite, got: " +
+        removed2.mkString(","))
+  }
+
   test("the MERGE / change-feed / matview SQL faces compose from SQL " +
       "text alone") {
     GraftExtensions.register(spark)
