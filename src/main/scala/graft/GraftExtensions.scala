@@ -289,6 +289,10 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *    nothing, deletes close without erasing; `apply` lands a MIXED
   *    CDC batch (upserts + deletes) as ONE dimension commit
   *    ([[graft.sources.Scd]]; BUILD receipts)
+  *  - `graft_scd_join(facts, dataPath, keyCol, epochCol)` — the
+  *    point-in-time join: each fact row gets the dimension attributes
+  *    current AT its own epoch (LEFT: absent/closed keys read null;
+  *    one equi-join on the key, validity as a post-condition)
   *  - `graft_scd_current(dataPath)` / `graft_scd_asof(dataPath, v)` /
   *    `graft_scd_asof_ts(dataPath, tsMillis)` /
   *    `graft_scd_history(dataPath)` — the dimension now / at any epoch
@@ -1664,6 +1668,19 @@ object GraftExtensions {
             "changed keys close + reopen, deleted keys close; a key " +
             "in both frames refuses")
       }),
+    (new FunctionIdentifier("graft_scd_join"),
+      new ExpressionInfo("graft.sources.Scd", "graft_scd_join"),
+      (args: Seq[Expression]) => args match {
+        case Seq(f, p, k, e) =>
+          plan(graft.sources.Scd.pitJoin(SparkSession.active,
+            tableArg(f, "facts"), strArg(p, "dataPath"),
+            strArg(k, "keyCol"), strArg(e, "epochCol")))
+        case _ => throw new IllegalArgumentException(
+          "graft_scd_join(facts, dataPath, keyCol, epochCol) — " +
+            "point-in-time join: each fact row gets the dimension " +
+            "attributes current AT its epoch (LEFT: absent/closed " +
+            "keys read null)")
+      }),
     (new FunctionIdentifier("graft_scd_current"),
       new ExpressionInfo("graft.sources.Scd", "graft_scd_current"),
       (args: Seq[Expression]) => args match {
@@ -2249,6 +2266,7 @@ object GraftExtensions {
     "graft_scd_delete" -> "q144_scd_history",
     "graft_scd_current" -> "ScdSpec",
     "graft_scd_apply" -> "ScdSpec",
+    "graft_scd_join" -> "q147_pit_join",
     "graft_scd_asof" -> "ScdSpec",
     "graft_scd_asof_ts" -> "ScdSpec",
     "graft_scd_history" -> "q144_scd_history",

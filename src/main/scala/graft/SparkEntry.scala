@@ -2842,6 +2842,49 @@ object SparkEntry {
         .select(col("cut"), col("source"), col("n_docs"),
           col("dim_docs"))
         .orderBy(col("cut"), col("source"))
+    }),
+
+    // Point-in-time join (r14): each fact row reads the dimension
+    // attributes current AT its own epoch — q144's dimension lifecycle
+    // (load, change, soft delete) joined by facts whose epochs span all
+    // three versions. LEFT semantics under oracle: keys absent at the
+    // epoch (never loaded, not yet changed in, or already deleted)
+    // must read NULL, and the null-id fact row survives with null
+    // attributes (the r14 null contract on the FACT side; the null-id
+    // row never enters the dimension).
+    "q147_pit_join" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_pit_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val all = t(s, d, "documents")
+      val docs = all.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      Stages.timed("q147_pit_join", "dim_build") {
+        Scd.merge(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 4L) =!= 0),
+          files = 2)
+        Scd.merge(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 3L) === 0)
+            .withColumn("nc", col("nc") + 1000L), files = 2)
+        Scd.delete(s, dir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 5L) === 0)
+            .select(col("doc_id")), files = 2): Unit
+      }
+      // facts keep null-id rows: the join's left side owns them. The
+      // epoch bucket uses modulus 7 (coprime to the dim's 3/4/5
+      // buckets) so every (epoch, membership) combination occurs —
+      // h%9%3 would alias the change bucket and never read a v2 row
+      val facts = all.select(col("doc_id"),
+        (lit(1L) + Corpus.hashBucket(col("doc_id"), 7L) % 3)
+          .as("epoch"))
+      Scd.pitJoin(s, facts, dir, "doc_id", "epoch")
+        .select(col("doc_id"), col("epoch"), col("nc").as("dim_nc"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4399,6 +4442,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS dim_docs
         |FROM m GROUP BY cut, source
         |ORDER BY cut, source""".stripMargin.replace("\n", " "),
+
+    // q147: the validity window re-derived per (key, epoch) from the
+    // hash splits — the v1 row lives [1, 2) when the change closes it
+    // / [1, 3) when only the delete does / [1, ∞) otherwise; the v2
+    // row lives [2, 3) or [2, ∞); anything outside its window reads
+    // NULL, and the null-id fact row carries null epoch + null attrs
+    "q147_pit_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4 AS b4,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 3 AS b3,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS b5,
+        |    1 + (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7) % 3 AS e
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(e AS BIGINT) AS epoch,
+        |  CAST(CASE
+        |    WHEN doc_id IS NULL THEN NULL
+        |    WHEN b4 <> 0 AND e < CASE WHEN b3 = 0 THEN 2
+        |      WHEN b5 = 0 THEN 3 ELSE 99 END THEN nc
+        |    WHEN b3 = 0 AND e >= 2 AND (b5 <> 0 OR e < 3)
+        |      THEN nc + 1000
+        |  END AS BIGINT) AS dim_nc
+        |FROM d
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
     "q64_incremental" ->

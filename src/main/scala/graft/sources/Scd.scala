@@ -315,6 +315,40 @@ object Scd {
     history(spark, dataPath).filter(col(FromCol) <= v &&
       (col(ToCol).isNull || col(ToCol) > v))
 
+  /** Point-in-time join — the query SCD history exists to serve: each
+    * fact row joins the dimension attributes that were current AT the
+    * fact's own epoch (`facts(epochCol)`, a lake commit version, e.g.
+    * the version a [[TimeTravel]] fact table stamped at ingest). A
+    * LEFT join: facts whose key was absent (or already closed) at
+    * their epoch keep null attributes; null-key and null-epoch facts
+    * match nothing and survive the same way. One equi-join on the
+    * business key with the validity interval as a post-condition —
+    * Catalyst plans the standard shuffled hash/sort-merge join on the
+    * key, no per-epoch as-of read, no window function.
+    *
+    * Collision guard: a fact column sharing a dimension attribute's
+    * name would make the output ambiguous — refuse loudly (the
+    * mixture-family rule), except the join key itself.
+    */
+  def pitJoin(spark: SparkSession, facts: DataFrame, dataPath: String,
+              keyCol: String, epochCol: String): DataFrame = {
+    require(facts.columns.contains(keyCol) &&
+      facts.columns.contains(epochCol),
+      s"Scd.pitJoin: facts lack $keyCol/$epochCol")
+    val h = TimeTravel.read(spark, dataPath).drop(SurrogateCol, ClosedCol)
+    val attrs = h.columns.filterNot(c =>
+      c == keyCol || c == FromCol || c == ToCol)
+    val clash = attrs.intersect(facts.columns.filterNot(_ == keyCol))
+    require(clash.isEmpty,
+      s"Scd.pitJoin: fact columns collide with dimension attributes " +
+        s"(${clash.mkString(", ")}) — rename them first")
+    facts.join(h,
+        facts(keyCol) === h(keyCol) &&
+          h(FromCol) <= facts(epochCol) &&
+          (h(ToCol).isNull || h(ToCol) > facts(epochCol)), "left")
+      .drop(h(keyCol)).drop(FromCol, ToCol)
+  }
+
   /** The dimension as the world saw it at a wall-clock instant:
     * [[TimeTravel.versionAt]] maps the instant to the last commit
     * landed by then (the lake's commit_ts metadata), [[asOf]] filters

@@ -175,13 +175,24 @@ class ScdSpec extends SparkSpec {
     Scd.merge(spark, dir, "k", dim((1L, "a", 99L)), files = 2)
     val facts = Seq((100L, 1L, 1L), (101L, 1L, 2L), (102L, 2L, 2L))
       .toDF("fact_id", "k", "epoch")
-    val h = Scd.history(spark, dir)
-    val joined = facts.join(h,
-        facts("k") === h("k") && col(Scd.FromCol) <= col("epoch") &&
-          (col(Scd.ToCol).isNull || col(Scd.ToCol) > col("epoch")))
+    val joined = Scd.pitJoin(spark, facts, dir, "k", "epoch")
       .select(col("fact_id"), col("score"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(joined == Seq((100L, 10L), (101L, 99L), (102L, 20L)))
+    // LEFT semantics: an unknown key and a pre-history epoch read null
+    val edge = Scd.pitJoin(spark,
+        Seq((200L, 9L, 1L), (201L, 1L, 0L)).toDF("fact_id", "k", "epoch"),
+        dir, "k", "epoch")
+      .select(col("fact_id"), col("score"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    assert(edge == Seq((200L, -1L), (201L, -1L)))
+    // collision guard: a fact column named like a dim attribute refuses
+    val clash = intercept[IllegalArgumentException] {
+      Scd.pitJoin(spark,
+        Seq((1L, 1L, 1L)).toDF("score", "k", "epoch"), dir, "k", "epoch")
+    }
+    assert(clash.getMessage.contains("collide"))
   }
 
   test("SQL faces drive the whole lifecycle from text") {
