@@ -79,4 +79,22 @@ class CatalogSpec extends AnyFunSuite {
       "docs/SQL_SURFACE.md is stale — regenerate with " +
         "`sbt \"runMain graft.CatalogDoc\"`")
   }
+
+  test("every SparkEntry.queries key has a SURVEY.md coverage-map " +
+       "mention (the map is the coverage contract — a gated query " +
+       "with no row is invisible coverage)") {
+    val survey = new java.io.File("SURVEY.md")
+    assert(survey.isFile, "SURVEY.md missing at the repo root")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(survey.toPath), "UTF-8")
+    // SURVEY anchors queries by short id (q01, q05b, q147) — extract
+    // every word-bounded qNN[b] token once, then diff the full key set
+    val anchored = raw"\bq\d+b?\b".r.findAllIn(text).toSet
+    val missing = SparkEntry.queries.keySet
+      .map(k => k -> raw"^q\d+b?".r.findFirstIn(k).getOrElse(k))
+      .filterNot { case (_, short) => anchored.contains(short) }
+    assert(missing.isEmpty,
+      s"queries with NO SURVEY.md anchor (add a coverage-map row): " +
+        missing.map(_._1).toSeq.sorted.mkString(", "))
+  }
 }
