@@ -53,10 +53,14 @@ object ScdCurve {
       val historyRows = Scd.history(spark, root).count()
       // the measured merge: a fixed 5% slice changes payload
       val slice = dim(999L).filter(col("k") < baseKeys / 20)
-      val (_, tMerge) = timed(Scd.merge(spark, root, "k", slice, files = 2))
+      val (vMerge, tMerge) =
+        timed(Scd.merge(spark, root, "k", slice, files = 2))
       // pure change detection: the identical batch must be version-free
       val (vNoop, tNoop) = timed(Scd.merge(spark, root, "k", slice,
         files = 2))
+      require(vNoop == vMerge,
+        s"no-op re-merge burned a version ($vMerge -> $vNoop) — the " +
+          "published noop_merge_s would measure a real commit")
       val (nCur, tCur) = timed(Scd.current(spark, root).count())
       require(nCur == baseKeys, s"current must stay $baseKeys, got $nCur")
       (n, historyRows, tMerge, tNoop, vNoop, tCur)

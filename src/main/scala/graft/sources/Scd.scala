@@ -68,6 +68,11 @@ object Scd {
   val ClosedCol = "__closed"
   private val Meta = Seq(SurrogateCol, FromCol, ToCol, ClosedCol)
 
+  /** Test seam: fires after a merge reads the head (epochs already
+    * stamped from it) and before the commit — the window a concurrent
+    * writer must make the pre-commit CAS refuse in. */
+  private[graft] var interleaveForTests: () => Unit = () => ()
+
   private def openRange: Layout.ColRange =
     Layout.ColRange(ClosedCol, lit(0L), lit(0L))
 
@@ -192,15 +197,18 @@ object Scd {
       s"$face: keys appear in BOTH the upsert and delete frames — " +
         "one batch admits one fate per key (apply the later change)")
     val v = latest + 1
+    interleaveForTests()
     val stamped = stamp(clean, keyCol, v)
     if (latest == 0L) {
       // deleting from an empty dimension is naturally a no-op; the
       // first generation clusters on (closed, key, valid_from) so the
       // change-scan prune and the candidate screen get stats from day
-      // one
+      // one. The pin makes the first commit CAS-safe too: rows are
+      // stamped v, so landing anywhere else must refuse pre-commit.
       if (nUps == 0L) return latest
       return TimeTravel.commitAppend(stamped, dataPath,
-        genDims(stamped, keyCol), files, batchId)
+        genDims(stamped, keyCol), files, batchId,
+        expectedVersion = Some(v))
     }
 
     // ONE pruned current scan serves both halves: the merge delta and
@@ -245,12 +253,15 @@ object Scd {
     * keys) at the next version — Type-2 soft delete: history stays,
     * [[current]] no longer returns the key, a later [[merge]] of the
     * key opens a fresh row. Absent/already-closed keys are no-ops; an
-    * all-absent batch is version-free. */
+    * all-absent batch is version-free — including on an UNCOMMITTED
+    * dimension (deleting from nothing closes nothing: the same
+    * natural no-op [[applyChanges]] gives the identical delete keys,
+    * so the two faces agree). */
   def delete(spark: SparkSession, dataPath: String, keyCol: String,
              keys: DataFrame, files: Int,
              batchId: Option[String] = None): Long = {
     val latest = TimeTravel.latestVersion(spark, dataPath)
-    require(latest >= 1, s"Scd.delete: no committed dimension at $dataPath")
+    if (latest == 0L) return 0L
     val k = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .distinct()
     val v = latest + 1
@@ -263,11 +274,15 @@ object Scd {
   }
 
   /** The single-writer commit: the epoch stamped into the rows must be
-    * the version the commit lands at, so `retries = 0` (a lost race
-    * refuses via [[CommitRaceLost]]; re-derive against the new head)
-    * and a version mismatch — possible only when a non-Scd write face
-    * is mixed into the same table mid-merge, out of contract — trips
-    * loudly rather than leaving silently mis-stamped epochs. */
+    * the version the commit lands at, so the target is PINNED at the
+    * arbiter (`expectedVersion` — the pre-commit CAS): any writer that
+    * interleaved between this merge's head read and its commit makes
+    * the commit refuse with [[CommitRaceLost]] BEFORE anything lands
+    * in the lineage (re-derive against the new head). `retries = 0`
+    * belt-and-braces the same contract on the appendLineage race. The
+    * post-commit `require` below is therefore a pure tripwire — with
+    * the pin it cannot fire on a race, only on a commitUpsert
+    * accounting bug. */
   private def commitExpecting(spark: SparkSession, dataPath: String,
                               v: Long, upserts: DataFrame, files: Int,
                               batchId: Option[String], face: String,
@@ -278,7 +293,8 @@ object Scd {
     // rewrite never reads the accumulated fully-closed files
     val got = TimeTravel.commitUpsert(spark, dataPath, SurrogateCol,
       upserts, files, batchId, retries = 0,
-      screenRanges = openRange +: screen.toSeq)
+      screenRanges = openRange +: screen.toSeq,
+      expectedVersion = Some(v))
     // got == v-1 with a batchId = the commit ledger absorbed a replay
     // (exactly-once); anything else off-target is a mid-merge writer
     require(got == v || (batchId.isDefined && got == v - 1),

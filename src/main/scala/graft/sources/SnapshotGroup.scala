@@ -53,12 +53,22 @@ object SnapshotGroup {
 
   /** Publish an EXPLICIT cut (e.g. re-pinning historical versions, or
     * a coordinator that captured versions at its own moment). Same
-    * arbiter; refuses on a lost race like every commit here. */
+    * arbiter; refuses on a lost race like every commit here. Every
+    * pin is validated against its member's head AT PUBLISH TIME — a
+    * typo'd version must refuse here, not surface later as a
+    * readMember failure on a cut readers already trust. */
   def publishVersions(spark: SparkSession, groupPath: String,
                       pins: Seq[(String, String, Long)]): Long = {
     require(pins.nonEmpty, "SnapshotGroup.publishVersions: empty cut")
     require(pins.map(_._1).distinct.size == pins.size,
       "SnapshotGroup.publishVersions: duplicate member names in one cut")
+    pins.foreach { case (name, path, v) =>
+      val head = TimeTravel.latestVersion(spark, path)
+      require(v >= 1 && v <= head,
+        s"SnapshotGroup.publishVersions: pin $v for member '$name' " +
+          s"at $path is outside its readable range [1, $head] — a " +
+          "published cut must be readable the moment it lands")
+    }
     val g = TimeTravel.latestVersion(spark, groupPath) + 1
     import spark.implicits._
     val seg = pins.map { case (name, path, v) => (g, name, path, v) }
@@ -127,8 +137,12 @@ object SnapshotGroup {
                 tsMillis: Long): Long = {
     require(latest(spark, groupPath) >= 1,
       s"SnapshotGroup.versionAt: no published cut at $groupPath")
+    // no null-commit_ts escape: appendLineage stamps every segment, so
+    // a null here is a foreign/corrupt row — excluding it is the
+    // conservative direction (it can only make an instant map EARLIER,
+    // never onto a cut the world hadn't seen)
     val r = segments(spark, groupPath)
-      .filter(col("commit_ts").isNull || col("commit_ts") <= tsMillis)
+      .filter(col("commit_ts") <= tsMillis)
       .agg(max(col("version"))).head()
     require(!r.isNullAt(0),
       s"SnapshotGroup.versionAt: $tsMillis predates every publish at " +

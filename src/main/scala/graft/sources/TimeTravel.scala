@@ -366,10 +366,19 @@ object TimeTravel {
     * loosens skip rate, never results) and record their `add` actions.
     * Returns the committed version. `batchId` makes whole-commit
     * replays exact no-ops (see object doc).
+    *
+    * `expectedVersion` is the pre-commit CAS for writers that stamp
+    * the target version INTO their rows (e.g. [[Scd]] epochs): when
+    * set, the commit must land exactly there — a head that has moved
+    * refuses with [[CommitRaceLost]] BEFORE staging, and a lost
+    * appendLineage race refuses without retrying (a retry would land
+    * at a different version than the rows claim). Nothing
+    * epoch-inconsistent can enter the lineage.
     */
   def commitAppend(df: DataFrame, dataPath: String, dims: Seq[String],
                    files: Int, batchId: Option[String] = None,
-                   retries: Int = 3): Long = {
+                   retries: Int = 3,
+                   expectedVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val ledger = commitLedgerPath(dataPath)
     batchId.foreach { id =>
@@ -387,6 +396,14 @@ object TimeTravel {
     if (df.isEmpty) return latestVersion(spark, dataPath)
     enforceConstraints(spark, dataPath, df, "commitAppend")
     val v = latestVersion(spark, dataPath) + 1
+    expectedVersion.filter(_ != v).foreach(ev =>
+      throw new CommitRaceLost(ev, dataPath,
+        s"commitAppend REFUSED before staging: the caller pinned " +
+          s"version $ev but the head of $dataPath now lands commits " +
+          s"at $v — another writer committed after the caller read " +
+          "the head. Nothing was staged; re-derive against the new " +
+          "head (rows stamped with the pinned epoch must not land " +
+          "at a different version)"))
     val clustered = Layout.withZKey(df, dims)
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
@@ -398,8 +415,9 @@ object TimeTravel {
     } catch {
       // an append reads and rewrites NOTHING — its conflict set is
       // empty, so serializing behind any winner is correct; bounded
-      // only as a runaway-race backstop
-      case _: CommitRaceLost if retries > 0 =>
+      // only as a runaway-race backstop. A pinned expectedVersion
+      // never retries: the retry would land past the pin.
+      case _: CommitRaceLost if retries > 0 && expectedVersion.isEmpty =>
         return commitAppend(df, dataPath, dims, files, batchId,
           retries - 1)
     }
@@ -580,15 +598,32 @@ object TimeTravel {
     * An upsert into an EMPTY table is exactly [[commitAppend]] clustered
     * on the id. `batchId` gives exactly-once replays through the commit
     * ledger, like every write face. Returns the committed version (the
-    * current one when `updates` is empty).
+    * current one when `updates` is empty). `expectedVersion` is the
+    * pre-commit CAS (see [[commitAppend]]): refuse with
+    * [[CommitRaceLost]] before staging when the head has moved past
+    * the caller's read, and never retry past the pin.
     */
   def commitUpsert(spark: SparkSession, dataPath: String, idCol: String,
                    updates: DataFrame, files: Int,
                    batchId: Option[String] = None,
                    retries: Int = 3,
-                   screenRanges: Seq[Layout.ColRange] = Nil): Long = {
+                   screenRanges: Seq[Layout.ColRange] = Nil,
+                   expectedVersion: Option[Long] = None): Long = {
     val upd = updates.filter(col(idCol).isNotNull)
     val latest = latestVersion(spark, dataPath)
+    // the pre-commit CAS (see commitAppend): a caller that stamped its
+    // rows with the target version pins it here, and a head that has
+    // already moved refuses BEFORE any candidate read or staging —
+    // never an epoch-inconsistent commit in the lineage. A ledger
+    // replay still absorbs: the re-derived call pins head+1, the pin
+    // passes, and the ledger check below returns the landed version.
+    expectedVersion.filter(_ != latest + 1).foreach(ev =>
+      throw new CommitRaceLost(ev, dataPath,
+        s"commitUpsert REFUSED before staging: the caller pinned " +
+          s"version $ev but the head of $dataPath now lands commits " +
+          s"at ${latest + 1} — another writer committed after the " +
+          "caller read the head. Nothing was staged; re-derive the " +
+          "merge against the new head"))
     // one batch-sized aggregate serves both guards: emptiness (a no-op
     // upsert commits nothing — including into an EMPTY table, where an
     // empty first commit would manufacture a contentless version) and
@@ -604,7 +639,8 @@ object TimeTravel {
     // it when they were first committed)
     enforceConstraints(spark, dataPath, upd, "commitUpsert")
     if (latest == 0)
-      return commitAppend(upd, dataPath, Seq(idCol), files, batchId)
+      return commitAppend(upd, dataPath, Seq(idCol), files, batchId,
+        expectedVersion = expectedVersion)
     val ledger = commitLedgerPath(dataPath)
     batchId.foreach { id =>
       if (!fsOf(spark, dataPath).exists(hp(ledger)))
@@ -618,8 +654,11 @@ object TimeTravel {
     val l = lineage(spark, dataPath)
     // optional caller-supplied stat screen (e.g. [[Scd]]'s business-key
     // range when the match id itself is a string with no lineage
-    // stats): a file outside EVERY range provably holds no matched row,
-    // so the exactness-preserving cut happens before any data is read.
+    // stats). INTERSECTION contract: every matched row must satisfy
+    // ALL supplied ranges, so a file failing ANY single range is
+    // pruned — the exactness-preserving cut happens before any data
+    // is read. Do not pass ALTERNATIVE ranges (a row satisfying only
+    // one of them would be silently lost).
     // Same prunable/conservative rules as [[readAsOfPruned]] — an
     // unrecorded column never prunes, null stats keep the file.
     val candidates = {
@@ -681,9 +720,11 @@ object TimeTravel {
             affected.map(name => (v, "remove", name, 0L))),
             allowMissingColumns = true), v)
     } catch {
-      case _: CommitRaceLost if retries > 0 =>
+      case _: CommitRaceLost if retries > 0 && expectedVersion.isEmpty =>
         // commitDelete's rule: provably disjoint or refuse; the retry
-        // recomputes candidates/survivors from the new head
+        // recomputes candidates/survivors from the new head. A pinned
+        // expectedVersion never retries (the retry would land past
+        // the pin — the caller re-derives instead).
         requireRetryDisjoint(spark, dataPath, latest, idCol, ids,
           affected, "commitUpsert")
         return commitUpsert(spark, dataPath, idCol, updates, files,

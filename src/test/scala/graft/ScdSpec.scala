@@ -333,4 +333,45 @@ class ScdSpec extends SparkSpec {
       (1L, "n1", 2L, 1L, 2L), (1L, "n1", 999L, 2L, -1L)))
     assert(Scd.current(spark, dir).count() == 100L)
   }
+
+  test("two concurrent merges: the interleaved winner lands, the loser's " +
+      "pre-commit CAS refuses BEFORE anything enters the lineage, and " +
+      "the re-derived merge succeeds — never an epoch-inconsistent " +
+      "commit") {
+    val dir = tmpDir("cas")
+    Scd.merge(spark, dir, "k", dim((1L, "a", 10L), (2L, "b", 20L)),
+      files = 2) // v1
+    // merge B commits v2 inside merge A's read-to-commit window, AFTER
+    // A has already stamped its epochs from the v1 head
+    Scd.interleaveForTests = () => {
+      Scd.interleaveForTests = () => () // no recursion for B itself
+      Scd.merge(spark, dir, "k", dim((2L, "b2", 21L)), files = 2): Unit
+    }
+    val e = try intercept[graft.sources.CommitRaceLost] {
+      Scd.merge(spark, dir, "k", dim((1L, "a2", 11L)), files = 2)
+    } finally Scd.interleaveForTests = () => ()
+    assert(e.getMessage.contains("before staging"),
+      s"the refusal must be the pre-commit CAS, got: ${e.getMessage}")
+    // the lineage holds ONLY the winner — A's v2-stamped rows are
+    // nowhere, time travel and validity intervals agree at every version
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    assert(hist(dir) == Seq(
+      (1L, "a", 10L, 1L, -1L),
+      (2L, "b", 20L, 1L, 2L), (2L, "b2", 21L, 2L, -1L)))
+    // the loser re-derives against the new head and lands cleanly
+    assert(Scd.merge(spark, dir, "k", dim((1L, "a2", 11L)),
+      files = 2) == 3L)
+    assert(Scd.current(spark, dir).count() == 2L)
+  }
+
+  test("delete on an uncommitted dimension is a version-free no-op — " +
+      "the same contract applyChanges gives the identical delete keys") {
+    val dir = tmpDir("delempty")
+    assert(Scd.delete(spark, dir, "k", Seq(1L).toDF("k"), files = 2) == 0L)
+    assert(Scd.applyChanges(spark, dir, "k",
+      dim((1L, "a", 10L)).limit(0), Seq(1L).toDF("k"), files = 2) == 0L)
+    assert(TimeTravel.latestVersion(spark, dir) == 0L)
+    // the dimension is still virgin: the first real merge lands at v1
+    assert(Scd.merge(spark, dir, "k", dim((1L, "a", 10L)), files = 2) == 1L)
+  }
 }

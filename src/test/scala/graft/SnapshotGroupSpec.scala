@@ -172,4 +172,22 @@ class SnapshotGroupSpec extends SparkSpec {
     }
     assert(SnapshotGroup.latest(spark, gDir) == head)
   }
+
+  test("publishVersions validates every pin at publish time: a version " +
+      "past the member's head (or below 1) refuses and NO cut lands") {
+    val (aDir, gDir) = (tmpDir("a5"), tmpDir("g5"))
+    TimeTravel.commitAppend(facts(10L), aDir, Seq("id"), files = 1) // v1
+    val over = intercept[IllegalArgumentException] {
+      SnapshotGroup.publishVersions(spark, gDir, Seq(("a", aDir, 7L)))
+    }
+    assert(over.getMessage.contains("outside its readable range [1, 1]"))
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.publishVersions(spark, gDir, Seq(("a", aDir, 0L)))
+    }
+    // the typo'd publishes left no group behind; a valid pin lands at 1
+    assert(SnapshotGroup.latest(spark, gDir) == 0L)
+    assert(SnapshotGroup.publishVersions(spark, gDir,
+      Seq(("a", aDir, 1L))) == 1L)
+    assert(SnapshotGroup.readMember(spark, gDir, "a").count() == 10L)
+  }
 }

@@ -1181,6 +1181,45 @@ class TimeTravelSpec extends SparkSpec {
     assert(ids(TimeTravel.readAsOf(spark, dir, 2)) == (0L until 200L))
   }
 
+  test("expectedVersion is a pre-commit CAS: a pinned commit refuses " +
+      "before staging when the head has moved, never retries past the " +
+      "pin, and a stale pin on an upsert leaves the table untouched") {
+    import spark.implicits._
+    val dir = tmpDir("caspin")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    // stale pin on an append: the head lands at 2, the caller pinned 9
+    val ap = intercept[graft.sources.CommitRaceLost] {
+      TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2,
+        expectedVersion = Some(9L))
+    }
+    assert(ap.getMessage.contains("before staging"))
+    // a pinned append that loses the segment race refuses instead of
+    // retrying to a version past its pin
+    val raced = intercept[graft.sources.CommitRaceLost] {
+      interleaving {
+        TimeTravel.commitAppend(batch(2), dir, Seq("id"), files = 2): Unit
+      } {
+        TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2,
+          expectedVersion = Some(2L))
+      }
+    }
+    assert(raced.version == 2L)
+    // stale pin on an upsert: refused with the version unmoved and the
+    // head content intact
+    val before = TimeTravel.latestVersion(spark, dir)
+    val up = intercept[graft.sources.CommitRaceLost] {
+      TimeTravel.commitUpsert(spark, dir, "id",
+        Seq((0L, "x")).toDF("id", "payload"), files = 2,
+        expectedVersion = Some(before + 7L))
+    }
+    assert(up.getMessage.contains("before staging"))
+    assert(TimeTravel.latestVersion(spark, dir) == before)
+    // a correct pin commits exactly there
+    assert(TimeTravel.commitUpsert(spark, dir, "id",
+      Seq((0L, "x")).toDF("id", "payload"), files = 2,
+      expectedVersion = Some(before + 1L)) == before + 1L)
+  }
+
   test("optimistic merges: provably DISJOINT racing merges both land; " +
       "OVERLAPPING merges yield one winner and one loud refusal") {
     import spark.implicits._
