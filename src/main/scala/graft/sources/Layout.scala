@@ -244,11 +244,31 @@ object Layout {
         "per leaf partition directory instead")
   }
 
-  private[sources] def statsAggs(dims: Seq[String]): Seq[Column] =
+  /** Manifest/lineage stat values at STABLE wide types (integral
+    * min/max recorded as long, float as double): a later commit may
+    * WIDEN the dimension's type (TimeTravel's evolution contract), and
+    * a lineage whose `min_x` segments disagree int-vs-long would break
+    * its own mergeSchema read. Widening the recorded value is lossless
+    * and range comparisons coerce, so skip rates are unchanged. The
+    * cast target comes from the batch's OWN schema (`schema`); a dim
+    * absent from it (stats-less commit) keeps the old behavior.
+    */
+  private[sources] def statsAggs(
+      schema: org.apache.spark.sql.types.StructType,
+      dims: Seq[String]): Seq[Column] = {
+    import org.apache.spark.sql.types._
     dims.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      val castTo: Option[String] =
+        schema.fields.find(_.name == c).map(_.dataType).flatMap {
+          case ByteType | ShortType | IntegerType => Some("long")
+          case FloatType => Some("double")
+          case _ => None
+        }
+      def w(x: Column) = castTo.fold(x)(x.cast)
+      Seq(w(min(col(c))).as(s"min_$c"), w(max(col(c))).as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     }
+  }
 
   /** Build the file-level stats manifest for `dims`: one row per data
     * file with row count and per-dimension min/max/null-count. */
@@ -257,9 +277,10 @@ object Layout {
     val hp = new org.apache.hadoop.fs.Path(dataPath)
     requireFlatDir(hp.getFileSystem(spark.sparkContext.hadoopConfiguration),
       hp)
-    spark.read.parquet(dataPath)
+    val base = spark.read.parquet(dataPath)
+    base
       .groupBy(input_file_name().as("file_name"))
-      .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
+      .agg(count(lit(1)).as("n_rows"), statsAggs(base.schema, dims): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(dataPath))
   }
@@ -494,9 +515,10 @@ object Layout {
                                  dims: Seq[String]): Unit = {
     // localCheckpoint: the stats frame is consumed twice (the write and
     // the statted-name probe) and must not recompute between them
-    val stats = spark.read.parquet(files: _*)
+    val base = spark.read.parquet(files: _*)
+    val stats = base
       .groupBy(input_file_name().as("file_name"))
-      .agg(count(lit(1)).as("n_rows"), statsAggs(dims): _*)
+      .agg(count(lit(1)).as("n_rows"), statsAggs(base.schema, dims): _*)
       .localCheckpoint()
     if (stats.limit(1).head(1).nonEmpty)
       stats.coalesce(1).write.mode("append").parquet(mp)

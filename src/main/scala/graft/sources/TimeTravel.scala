@@ -91,6 +91,14 @@ object TimeTravel {
     */
   private[graft] var interleaveForTests: () => Unit = () => ()
 
+  /** Crash-injection seam: the commit faces call this at each
+    * commit-protocol step boundary (staged / promote_partial /
+    * promoted / ledger); a test assigns a throwing closure to simulate
+    * a crash at exactly that point. The matrix spec drives every face
+    * through every boundary and asserts version-(N-1) intactness,
+    * retry convergence, and orphan reclamation. */
+  private[graft] var crashForTests: String => Unit = _ => ()
+
   private def commitLedgerPath(dataPath: String): String =
     dataPath.stripSuffix("/") + "_commit_ledger"
 
@@ -128,6 +136,26 @@ object TimeTravel {
   private def lineageExists(spark: SparkSession, dataPath: String): Boolean =
     fsOf(spark, dataPath).exists(hp(lineagePath(dataPath)))
 
+  /** Replay detection that survives the crash window between the
+    * lineage commit and the ledger record: every batchId commit stamps
+    * its id into its own segment (the ATOMIC commit point), so a retry
+    * finds the batch applied even when the crash killed the writer
+    * before the ledger line landed. The ledger stays as the fast path
+    * and the compactable long-term record. */
+  /** Stamp a commit's batch id into its own segment rows — the
+    * durable half of [[lineageHasBatch]]. No-op without a batchId
+    * (the column is simply absent; lineage mergeSchema reads null). */
+  private def stampBatch(seg: DataFrame, batchId: Option[String]): DataFrame =
+    batchId.fold(seg)(id => seg.withColumn("batch_id", lit(id)))
+
+  private def lineageHasBatch(spark: SparkSession, dataPath: String,
+                              id: String): Boolean =
+    lineageExists(spark, dataPath) && {
+      val l = lineage(spark, dataPath)
+      l.columns.contains("batch_id") &&
+        l.filter(col("batch_id") === id).limit(1).head(1).nonEmpty
+    }
+
   /** mergeSchema like every [[Layout]] manifest consultation: `add`
     * segments carry the per-dim stat columns (min/max/nulls — the
     * data-skipping payload), remove/vacuum segments carry only the base
@@ -136,6 +164,176 @@ object TimeTravel {
     */
   private def lineage(spark: SparkSession, dataPath: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(lineagePath(dataPath))
+
+  // ---- schema evolution: type widening ------------------------------
+  //
+  // Commits may add/omit columns (the append rule) AND widen a column's
+  // numeric type (byte→short→int→long, float→double): a 100 TB table
+  // whose int key outgrows 2^31 must not need a table rewrite. The
+  // mechanics: every commit records its batch's schema JSON in its
+  // lineage segment (metadata-sized), the read faces compute ONE
+  // widened target schema across the files they touch and hand it to
+  // the parquet scan (Spark's reader natively decodes an int32 file
+  // under a bigint read schema — verified on this build; mergeSchema,
+  // by contrast, THROWS across an int/long boundary, so recorded
+  // schemas are what make widening readable at all). Files from
+  // commits predating the record fall back to one footer-merge over
+  // just those files — sound because a pre-record table is
+  // type-consistent (a conflicting commit would have broken its own
+  // reads). NARROWING refuses loudly at commit time (the
+  // CHECK-constraint discipline): the table's column type only ever
+  // widens, so every live file is always readable under the head type.
+
+  /** Nullability-normalized view of a type (commits may legitimately
+    * disagree on nullable/containsNull; only the value type matters
+    * for the widening lattice). */
+  private def normalizeType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normalizeType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normalizeType(a.elementType), true)
+      case m: MapType =>
+        MapType(normalizeType(m.keyType), normalizeType(m.valueType), true)
+      case o => o
+    }
+  }
+
+  /** The SAFE widening lattice: the wider of two types when one
+    * losslessly contains the other, None when they are incomparable.
+    * Integral chain byte < short < int < long; float < double. Nothing
+    * else widens (int→double is representable but changes arithmetic
+    * semantics; string/complex types must match exactly). */
+  private[graft] def widerOf(a: org.apache.spark.sql.types.DataType,
+                             b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val (na, nb) = (normalizeType(a), normalizeType(b))
+    if (na == nb) Some(na)
+    else {
+      val chain: Seq[DataType] =
+        Seq(ByteType, ShortType, IntegerType, LongType)
+      val (ia, ib) = (chain.indexOf(na), chain.indexOf(nb))
+      if (ia >= 0 && ib >= 0) Some(chain(math.max(ia, ib)))
+      else if (Set[DataType](FloatType, DoubleType) == Set(na, nb))
+        Some(DoubleType)
+      else None
+    }
+  }
+
+  /** Fold two commit schemas into one read target: first-seen column
+    * order (mergeSchema's rule — evolution appends), shared columns
+    * widened by [[widerOf]], incomparable types refuse loudly. */
+  private[graft] def widenMerge(base: org.apache.spark.sql.types.StructType,
+                                next: org.apache.spark.sql.types.StructType,
+                                ctx: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val fields = scala.collection.mutable.LinkedHashMap(
+      base.fields.map(f => f.name -> normalizeType(f.dataType)).toSeq: _*)
+    next.fields.foreach { f =>
+      fields.get(f.name) match {
+        case None => fields += f.name -> normalizeType(f.dataType)
+        case Some(cur) =>
+          fields(f.name) = widerOf(cur, f.dataType).getOrElse(
+            throw new IllegalStateException(
+              s"$ctx: column '${f.name}' carries incompatible types " +
+                s"across commits ($cur vs ${f.dataType}) — outside the " +
+                "safe widening lattice; this cannot happen through the " +
+                "commit faces (narrowing refuses at commit time)"))
+      }
+    }
+    StructType(fields.map { case (n, t) =>
+      StructField(n, t, nullable = true) }.toSeq)
+  }
+
+  /** Read lake data files under ONE widened target schema: recorded
+    * commit schemas (metadata) widen-merge in version order; files
+    * predating the record contribute one footer-merge over just
+    * themselves. The scan then decodes narrow files under the wide
+    * target natively — the widen-on-read half of the contract. */
+  private[graft] def readFilesWidened(spark: SparkSession,
+                                      dataPath: String,
+                                      names: Seq[String]): DataFrame = {
+    require(names.nonEmpty, "readFilesWidened: no files (caller guards)")
+    val paths = names.map(n => s"$dataPath/$n")
+    val l = lineage(spark, dataPath)
+    val recorded: Seq[(Long, String, String)] =
+      if (!l.columns.contains("schema_json")) Seq.empty
+      else l.filter(col("action") === "add" &&
+          col("file_name").isin(names: _*) &&
+          col("schema_json").isNotNull)
+        .select(col("version"), col("file_name"), col("schema_json"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val recordedFiles = recorded.map(_._2).toSet
+    val legacy = names.filterNot(recordedFiles)
+    if (legacy.size == names.size)
+      // nothing recorded: the pre-widening read, byte-identical behavior
+      return spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val legacySchema =
+      if (legacy.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(legacy.map(n => s"$dataPath/$n"): _*).schema)
+    val commitSchemas = recorded.sortBy(_._1).map(_._3).distinct
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val target = (legacySchema.toSeq ++ commitSchemas)
+      .reduce((a, b) => widenMerge(a, b, s"read of $dataPath"))
+    spark.read.schema(target).parquet(paths: _*)
+  }
+
+  /** The table's current LOGICAL schema from recorded commit schemas
+    * alone (None before any commit recorded one) — what the commit
+    * guard compares a batch against. Monotone over all adds: a type,
+    * once widened, stays widened even if its files were deleted. */
+  private def recordedTableSchema(spark: SparkSession, dataPath: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (!lineageExists(spark, dataPath)) return None
+    val l = lineage(spark, dataPath)
+    if (!l.columns.contains("schema_json")) return None
+    val js = l.filter(col("action") === "add" &&
+        col("schema_json").isNotNull)
+      .select(col("version"), col("schema_json"))
+      .collect().sortBy(_.getLong(0)).map(_.getString(1)).distinct
+    if (js.isEmpty) None
+    else Some(js
+      .map(j => normalizeType(org.apache.spark.sql.types.DataType.fromJson(j))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .reduce((a, b) => widenMerge(a, b, s"schema of $dataPath")))
+  }
+
+  /** The narrowing guard, enforced at every data-committing face:
+    * a batch column may match the table's current type or WIDEN it
+    * (the table's logical type moves up the lattice and stays there);
+    * a NARROWER or incomparable batch type refuses loudly before
+    * staging — silently committing it would either lose precision or
+    * strand files no single read schema can serve. */
+  private def enforceWidening(spark: SparkSession, dataPath: String,
+                              batch: DataFrame, face: String): Unit = {
+    recordedTableSchema(spark, dataPath).foreach { cur =>
+      val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
+      batch.schema.fields.foreach { f =>
+        curByName.get(f.name).foreach { curT =>
+          val bT = normalizeType(f.dataType)
+          if (bT != curT) widerOf(curT, bT) match {
+            case Some(w) if w == bT => () // widening: allowed
+            case Some(_) => throw new IllegalArgumentException(
+              s"$face REFUSED: batch column '${f.name}' is $bT but the " +
+                s"table's type is the WIDER $curT — a narrowing commit " +
+                "is silent precision loss; cast the batch up to the " +
+                "table's type (the table's type only ever widens)")
+            case None => throw new IllegalArgumentException(
+              s"$face REFUSED: batch column '${f.name}' is $bT but the " +
+                s"table carries $curT — outside the safe widening " +
+                "lattice (byte→short→int→long, float→double); evolve " +
+                "by adding a NEW column instead")
+          }
+        }
+      }
+    }
+  }
 
   /** Highest committed version; 0 for a table with no commits yet. */
   def latestVersion(spark: SparkSession, dataPath: String): Long =
@@ -330,6 +528,7 @@ object TimeTravel {
     val staging = stagingPath(dataPath, v) + s"_$tok"
     fs.delete(hp(staging), true)
     staged.write.mode("overwrite").parquet(staging)
+    crashForTests("staged")
     fs.mkdirs(hp(dataPath))
     val parts = fs.listStatus(hp(staging))
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -340,9 +539,11 @@ object TimeTravel {
         s"time-travel commit: could not promote ${f.getPath} — retry " +
           "the commit (an abandoned attempt's files are orphans " +
           "gcOrphans reclaims)")
+      if (i == 0) crashForTests("promote_partial")
       name
     }.toSeq
     fs.delete(hp(staging), true)
+    crashForTests("promoted")
     // stats from the PROMOTED files (post-rename, so the scan and the
     // lineage agree on names; a crash before the lineage append leaves
     // only untracked files the retry overwrites). Batch-sized, and the
@@ -355,9 +556,14 @@ object TimeTravel {
     spark.read.parquet(promoted.map(n => s"$dataPath/$n"): _*)
       .groupBy(element_at(split(input_file_name(), "/"), -1)
         .as("file_name"))
-      .agg(count(lit(1)).as("n_rows"), Layout.statsAggs(dims): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        Layout.statsAggs(staged.schema, dims): _*)
       .withColumn("version", lit(v))
       .withColumn("action", lit("add"))
+      // the commit's schema rides its add rows (metadata-sized): what
+      // readFilesWidened folds into the read target, and what the
+      // narrowing guard compares the next batch against
+      .withColumn("schema_json", lit(staged.schema.json))
   }
 
   /** Commit a new batch as version `latest + 1`: z-cluster `df` on
@@ -384,7 +590,8 @@ object TimeTravel {
     batchId.foreach { id =>
       if (!fsOf(spark, dataPath).exists(hp(ledger)))
         graft.operators.Ledger.init(spark, ledger)
-      else if (graft.operators.Ledger.contains(spark, ledger, id))
+      if (graft.operators.Ledger.contains(spark, ledger, id) ||
+          lineageHasBatch(spark, dataPath, id))
         return latestVersion(spark, dataPath)
     }
     // Probe BEFORE staging too (appendLineage is the authoritative choke
@@ -395,6 +602,7 @@ object TimeTravel {
     // contentless segment), and streaming epochs are routinely empty.
     if (df.isEmpty) return latestVersion(spark, dataPath)
     enforceConstraints(spark, dataPath, df, "commitAppend")
+    enforceWidening(spark, dataPath, df, "commitAppend")
     val v = latestVersion(spark, dataPath) + 1
     expectedVersion.filter(_ != v).foreach(ev =>
       throw new CommitRaceLost(ev, dataPath,
@@ -411,7 +619,8 @@ object TimeTravel {
     interleaveForTests()
     try {
       appendLineage(spark, dataPath,
-        stageAndPromote(spark, dataPath, v, clustered, dims), v)
+        stampBatch(stageAndPromote(spark, dataPath, v, clustered, dims),
+          batchId), v)
     } catch {
       // an append reads and rewrites NOTHING — its conflict set is
       // empty, so serializing behind any winner is correct; bounded
@@ -421,6 +630,7 @@ object TimeTravel {
         return commitAppend(df, dataPath, dims, files, batchId,
           retries - 1)
     }
+    crashForTests("ledger")
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }
@@ -507,8 +717,7 @@ object TimeTravel {
     // needle-sized but is not REQUIRED to be, and a literal hint would
     // pin a build side that might be 10^9 ids at 100 TB — AQE picks the
     // broadcast at runtime when the frame is small
-    val withFile = spark.read
-      .parquet(candidates.map(n => s"$dataPath/$n"): _*)
+    val withFile = readFilesWidened(spark, dataPath, candidates)
       .withColumn("__file",
         element_at(split(input_file_name(), "/"), -1))
     val affected = withFile
@@ -518,8 +727,7 @@ object TimeTravel {
         Layout.decodePathComponent(r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return latest
     val v = latest + 1
-    val survivors = spark.read
-      .parquet(affected.map(n => s"$dataPath/$n"): _*)
+    val survivors = readFilesWidened(spark, dataPath, affected)
       .join(ids, Seq(idCol), "left_anti")
       // survivor files: one per rewritten file keeps file sizes stable
       .repartition(affected.size)
@@ -638,6 +846,7 @@ object TimeTravel {
     // the admission gate sees the UPDATE rows (survivors already passed
     // it when they were first committed)
     enforceConstraints(spark, dataPath, upd, "commitUpsert")
+    enforceWidening(spark, dataPath, upd, "commitUpsert")
     if (latest == 0)
       return commitAppend(upd, dataPath, Seq(idCol), files, batchId,
         expectedVersion = expectedVersion)
@@ -645,7 +854,8 @@ object TimeTravel {
     batchId.foreach { id =>
       if (!fsOf(spark, dataPath).exists(hp(ledger)))
         graft.operators.Ledger.init(spark, ledger)
-      else if (graft.operators.Ledger.contains(spark, ledger, id))
+      if (graft.operators.Ledger.contains(spark, ledger, id) ||
+          lineageHasBatch(spark, dataPath, id))
         return latest
     }
     requireNoCollision(upd.columns.toSeq, Seq("__file"), "commitUpsert")
@@ -679,8 +889,7 @@ object TimeTravel {
     // runtime when the frame is small, and 10^9-id updates stay legal.
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else spark.read
-        .parquet(candidates.map(n => s"$dataPath/$n"): _*)
+      else readFilesWidened(spark, dataPath, candidates)
         .withColumn("__file",
           element_at(split(input_file_name(), "/"), -1))
         .join(ids, Seq(idCol), "left_semi")
@@ -694,8 +903,7 @@ object TimeTravel {
     // skips as well as the old
     val survivors =
       if (affected.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(n => s"$dataPath/$n"): _*)
+      else Some(readFilesWidened(spark, dataPath, affected)
         .join(ids, Seq(idCol), "left_anti"))
     val staged = survivors
       .map(_.unionByName(upd, allowMissingColumns = true))
@@ -715,10 +923,10 @@ object TimeTravel {
     interleaveForTests()
     try {
       appendLineage(spark, dataPath,
-        stageAndPromote(spark, dataPath, v, clustered, dims)
+        stampBatch(stageAndPromote(spark, dataPath, v, clustered, dims)
           .unionByName(actionRows(spark,
             affected.map(name => (v, "remove", name, 0L))),
-            allowMissingColumns = true), v)
+            allowMissingColumns = true), batchId), v)
     } catch {
       case _: CommitRaceLost if retries > 0 && expectedVersion.isEmpty =>
         // commitDelete's rule: provably disjoint or refuse; the retry
@@ -730,6 +938,7 @@ object TimeTravel {
         return commitUpsert(spark, dataPath, idCol, updates, files,
           batchId, retries - 1, screenRanges)
     }
+    crashForTests("ledger")
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }
@@ -775,7 +984,8 @@ object TimeTravel {
     batchId.foreach { id =>
       if (!fsOf(spark, dataPath).exists(hp(ledger)))
         graft.operators.Ledger.init(spark, ledger)
-      else if (graft.operators.Ledger.contains(spark, ledger, id))
+      if (graft.operators.Ledger.contains(spark, ledger, id) ||
+          lineageHasBatch(spark, dataPath, id))
         return latest
     }
     requireAtomicBirth(spark, fsOf(spark, dataPath), dataPath)
@@ -790,6 +1000,7 @@ object TimeTravel {
         "predicate — a backfill writes only inside the region it " +
         "replaces (widen the predicate or trim the batch)")
     enforceConstraints(spark, dataPath, batch, "commitReplaceWhere")
+    enforceWidening(spark, dataPath, batch, "commitReplaceWhere")
     val live = liveFileNames(spark, dataPath, latest)
     val l = lineage(spark, dataPath)
     val candidates = {
@@ -813,12 +1024,12 @@ object TimeTravel {
       }
     }
     // files actually holding a matching row — only these rewrite.
-    // mergeSchema on every candidate read: the predicate may reference
-    // a column older files lack (reads null there → no match → survive)
+    // widened-target candidate reads: the predicate may reference a
+    // column older files lack (reads null there → no match → survive)
+    // or one a later commit widened
     val affected: Seq[String] =
       if (candidates.isEmpty) Seq.empty
-      else spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(n => s"$dataPath/$n"): _*)
+      else readFilesWidened(spark, dataPath, candidates)
         .withColumn("__file",
           element_at(split(input_file_name(), "/"), -1))
         .filter(predicate <=> lit(true))
@@ -829,8 +1040,7 @@ object TimeTravel {
     val v = latest + 1
     val survivors =
       if (affected.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(n => s"$dataPath/$n"): _*)
+      else Some(readFilesWidened(spark, dataPath, affected)
         .filter(!(predicate <=> lit(true))))
     val staged = survivors
       .map(_.unionByName(batch, allowMissingColumns = true))
@@ -844,10 +1054,11 @@ object TimeTravel {
         .drop("zkey")
     interleaveForTests()
     appendLineage(spark, dataPath,
-      stageAndPromote(spark, dataPath, v, clustered, dims)
+      stampBatch(stageAndPromote(spark, dataPath, v, clustered, dims)
         .unionByName(actionRows(spark,
           affected.map(name => (v, "remove", name, 0L))),
-          allowMissingColumns = true), v)
+          allowMissingColumns = true), batchId), v)
+    crashForTests("ledger")
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
   }
@@ -940,7 +1151,7 @@ object TimeTravel {
     val live = liveFileNames(spark, dataPath, latest)
     val v = latest + 1
     val clustered = Layout.withZKey(
-        spark.read.parquet(live.map(n => s"$dataPath/$n"): _*), dims)
+        readFilesWidened(spark, dataPath, live), dims)
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
@@ -984,8 +1195,7 @@ object TimeTravel {
       (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     val v = latest + 1
     val clustered = Layout.withZKey(
-        spark.read.option("mergeSchema", "true")
-          .parquet(small.map(f => s"$dataPath/${f._1}"): _*), dims)
+        readFilesWidened(spark, dataPath, small.map(_._1)), dims)
       .repartitionByRange(outFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
@@ -1038,12 +1248,12 @@ object TimeTravel {
       s"readAsOf: committed files missing on disk at $dataPath: " +
         s"${missing.mkString(", ")} — lineage is the source of truth; " +
         "a vanished committed file is corruption, never a smaller table")
-    // mergeSchema: commits may evolve the schema (a batch adding a
-    // column), and a first-file schema would silently drop it. The
-    // merge is naturally AS-OF: a version before the column existed
-    // reads only pre-evolution files and never sees it.
-    spark.read.option("mergeSchema", "true")
-      .parquet(live.map(n => s"$dataPath/$n"): _*)
+    // widened-target read: commits may evolve the schema (a batch
+    // adding a column, or WIDENING a type), and a first-file schema
+    // would silently drop or misread it. The target is naturally
+    // AS-OF: a version before the evolution reads only pre-evolution
+    // files and never sees it.
+    readFilesWidened(spark, dataPath, live)
   }
 
   /** [[readAsOf]] with data skipping: the lineage's own per-file
@@ -1078,8 +1288,7 @@ object TimeTravel {
       }
     val pruned =
       if (files.isEmpty) base.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files.map(n => s"$dataPath/$n"): _*)
+      else readFilesWidened(spark, dataPath, files)
     ranges.foldLeft(pruned) { (df, r) =>
       df.filter(col(r.colName) >= r.lo && col(r.colName) <= r.hi)
     }
@@ -1293,7 +1502,7 @@ object TimeTravel {
     def keysOf(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         readAsOf(spark, dataPath, v2).select(col(idCol)).limit(0)
-      else spark.read.parquet(files.map(n => s"$dataPath/$n"): _*)
+      else readFilesWidened(spark, dataPath, files)
         .select(col(idCol)).distinct()
     val k1 = keysOf(only1)
     val k2 = keysOf(only2)
@@ -1402,8 +1611,7 @@ object TimeTravel {
       s"changeFeedByKey: committed files missing on disk: " +
         s"${missing.mkString(", ")} — lineage is truth (corruption, " +
         "or the range reaches behind a vacuum)")
-    val rows = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(n => s"$dataPath/$n"): _*)
+    val rows = readFilesWidened(spark, dataPath, files)
       .filter(col(idCol).isNotNull)
     // a data column named like the feed's own output would be silently
     // overwritten (file_name) or shadow the result (version/action/

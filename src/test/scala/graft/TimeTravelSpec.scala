@@ -1670,4 +1670,103 @@ class TimeTravelSpec extends SparkSpec {
     assert(f.count() == 0L)
     assert(f.columns.toSeq == Seq("version", "id", "change"))
   }
+
+  test("type widening: a wider batch evolves the column, reads across " +
+      "the boundary decode narrow files under the widened target, and " +
+      "as-of reads BEFORE the boundary keep the narrow type") {
+    val dir = tmpDir("widen")
+    def narrow(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id"),
+        (col("id") % 100).cast("int").as("x"),
+        (col("id") * 2).cast("float").as("f"))
+    TimeTravel.commitAppend(narrow(0L, 50L), dir, Seq("id"), files = 2) // v1
+    // v2 widens x: int→long and f: float→double
+    val wide = spark.range(50L, 80L)
+      .select(col("id"),
+        (col("id") % 100 + 3000000000L).as("x"),
+        (col("id") * 2).cast("double").as("f"))
+    assert(TimeTravel.commitAppend(wide, dir, Seq("id"), files = 2) == 2L)
+    val head = TimeTravel.read(spark, dir)
+    assert(head.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(head.schema("f").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // values from the NARROW files read exactly under the wide target
+    assert(head.filter(col("id") === 7L).select(col("x"), col("f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((7L, 14.0)))
+    assert(head.filter(col("x") >= 3000000000L).count() == 30L)
+    // as-of BEFORE the boundary: only narrow files, narrow type
+    val v1 = TimeTravel.readAsOf(spark, dir, 1L)
+    assert(v1.schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // an upsert whose matched files span the boundary still works
+    // (survivor reads use the widened target)
+    val up = spark.range(7L, 8L).select(col("id"),
+      lit(999999999999L).as("x"), lit(1.5d).as("f"))
+    assert(TimeTravel.commitUpsert(spark, dir, "id", up, files = 2) == 3L)
+    assert(TimeTravel.read(spark, dir)
+      .filter(col("id") === 7L).select(col("x"))
+      .head().getLong(0) == 999999999999L)
+    // compaction reads wide and homogenizes; every as-of read survives
+    assert(TimeTravel.compact(spark, dir, Seq("id"), files = 2) == 4L)
+    assert(TimeTravel.read(spark, dir).count() == 80L)
+    assert(TimeTravel.readAsOf(spark, dir, 1L).count() == 50L)
+  }
+
+  test("type widening: NARROWING and incomparable batches refuse " +
+      "loudly at commit time with nothing committed") {
+    val dir = tmpDir("narrow")
+    val wide = spark.range(0L, 10L)
+      .select(col("id"), (col("id") + 3000000000L).as("x"))
+    TimeTravel.commitAppend(wide, dir, Seq("id"), files = 1) // v1: x long
+    val narrowBatch = spark.range(10L, 20L)
+      .select(col("id"), col("id").cast("int").as("x"))
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.commitAppend(narrowBatch, dir, Seq("id"), files = 1)
+    }
+    assert(e.getMessage.contains("narrowing") &&
+      e.getMessage.contains("'x'"))
+    val alien = spark.range(10L, 20L)
+      .select(col("id"), col("id").cast("string").as("x"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeTravel.commitAppend(alien, dir, Seq("id"), files = 1)
+    }
+    assert(e2.getMessage.contains("widening lattice"))
+    // the upsert face shares the guard
+    intercept[IllegalArgumentException] {
+      TimeTravel.commitUpsert(spark, dir, "id",
+        narrowBatch.limit(1), files = 1)
+    }
+    assert(TimeTravel.latestVersion(spark, dir) == 1L)
+    assert(TimeTravel.read(spark, dir).count() == 10L)
+  }
+
+  test("type widening: the change feed crosses the boundary (post- and " +
+      "pre-images under the widened target) and a replica maintained " +
+      "from the feed alone matches the widened source head") {
+    val (src, dst) = (tmpDir("widensrc"), tmpDir("widendst"))
+    val narrow = spark.range(0L, 20L)
+      .select(col("id"), (col("id") % 7).cast("int").as("x"))
+    TimeTravel.commitAppend(narrow, src, Seq("id"), files = 1) // v1
+    val wide = spark.range(5L, 10L)
+      .select(col("id"), (col("id") + 4000000000L).as("x"))
+    TimeTravel.commitUpsert(spark, src, "id", wide, files = 1) // v2
+    TimeTravel.commitDelete(spark, src, "id",
+      Seq(0L, 19L).toDF("id")) // v3
+    // the feed across (0, 3] never throws on mixed-width files and its
+    // post-images carry the widened type
+    val feed = TimeTravel.changeFeed(spark, src, 0L, 3L, "id")
+    assert(feed.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // replica from the feed alone == the widened source head
+    (1L to 3L).foreach(v => TimeTravel.applyFeedVersion(spark, dst, "id",
+      TimeTravel.changeFeed(spark, src, v - 1, v, "id"), v, files = 1))
+    val s = TimeTravel.read(spark, src).select(col("id"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = TimeTravel.read(spark, dst).select(col("id"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s == d && s.size == 18)
+    assert(d.exists(_._2 > 4000000000L))
+  }
 }
