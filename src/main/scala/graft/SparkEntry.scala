@@ -2885,6 +2885,59 @@ object SparkEntry {
       Scd.pitJoin(s, facts, dir, "doc_id", "epoch")
         .select(col("doc_id"), col("epoch"), col("nc").as("dim_nc"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Versioned dashboard (r15 capstone): the §3.1 dashboard served AS
+    // OF a snapshot-group cut — facts in a time-travel lake, the
+    // dimension as SCD Type-2 history, ONE cut pinning both, the whole
+    // read path torn-pair-free. Cut-1 rows are computed AFTER both
+    // members advanced (facts lost a delete bucket, a tier bucket
+    // re-tiered to t9): a head-reading dashboard would leak both and
+    // break the hash. Null contracts: null-id facts never enter the
+    // lake (keyed-write rule), null-source facts survive the LEFT join
+    // with a null tier group.
+    "q148_versioned_dashboard" -> ((s, d) => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_vdash_${Integer.toHexString(d.hashCode)}").getPath
+      val (factsDir, dimDir, gDir) =
+        (base + "_facts", base + "_dim", base + "_cut")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(factsDir, dimDir, gDir).foreach(p =>
+        Seq(p, p + "_lineage", p + "_commit_ledger").foreach(q =>
+          fs.delete(new org.apache.hadoop.fs.Path(q), true)))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      val dim1 = docs.select(col("source"))
+        .filter(col("source").isNotNull).distinct()
+        .withColumn("tier", concat(lit("t"),
+          Corpus.hashBucket(col("source"), 3L).cast("string")))
+      Stages.timed("q148_versioned_dashboard", "build_publish") {
+        TimeTravel.commitAppend(docs, factsDir, Seq("doc_id"), files = 2)
+        Scd.merge(s, dimDir, "source", dim1, files = 1)
+        SnapshotGroup.publish(s, gDir,
+          Map("facts" -> factsDir, "dim" -> dimDir)): Unit
+      }
+      Stages.timed("q148_versioned_dashboard", "mutate_publish") {
+        TimeTravel.commitDelete(s, factsDir, "doc_id",
+          docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+            .select(col("doc_id")))
+        Scd.merge(s, dimDir, "source",
+          dim1.filter(Corpus.hashBucket(col("source"), 5L) === 0)
+            .select(col("source")).withColumn("tier", lit("t9")),
+          files = 1)
+        SnapshotGroup.publish(s, gDir,
+          Map("facts" -> factsDir, "dim" -> dimDir)): Unit
+      }
+      (1L to 2L).map(g =>
+          graft.engine.VersionedDashboard.rollup(s, gDir, "facts",
+            "dim", "source", by = "tier", sumCol = Some("nc"), cut = g)
+            .withColumn("cut", lit(g)))
+        .reduce(_ unionByName _)
+        .select(col("cut"), col("tier"), col("n"), col("sum_nc"))
+        .orderBy(col("cut"), col("tier"))
     })
   )
 
@@ -4471,6 +4524,35 @@ object SparkEntry {
         |  END AS BIGINT) AS dim_nc
         |FROM d
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // q148: both cuts re-derived from the hash splits (the q146
+    // pattern) — cut 1 the full fact set under the ORIGINAL tiers
+    // despite the reads running after both mutations, cut 2 the
+    // post-delete facts under the re-tiered dimension; null-source
+    // facts group under a null tier (LEFT-join contract)
+    "q148_versioned_dashboard" ->
+      """WITH d AS (
+        |  SELECT source, CAST(coalesce(n_chars, 0) AS BIGINT) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del,
+        |    CASE WHEN source IS NULL THEN NULL
+        |      ELSE 't' || CAST(CAST('0x' || substr(md5(source), 1, 15)
+        |        AS BIGINT) % 3 AS VARCHAR) END AS tier1,
+        |    CASE WHEN source IS NULL THEN NULL
+        |      WHEN CAST('0x' || substr(md5(source), 1, 15)
+        |        AS BIGINT) % 5 = 0 THEN 't9'
+        |      ELSE 't' || CAST(CAST('0x' || substr(md5(source), 1, 15)
+        |        AS BIGINT) % 3 AS VARCHAR) END AS tier2
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(1 AS BIGINT) AS cut, tier1 AS tier, nc FROM d
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), tier2, nc FROM d WHERE del <> 3
+        |)
+        |SELECT cut, tier, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc
+        |FROM m GROUP BY cut, tier
+        |ORDER BY cut, tier""".stripMargin.replace("\n", " "),
 
     // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
     "q64_incremental" ->

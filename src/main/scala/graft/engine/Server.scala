@@ -50,7 +50,8 @@ final class AnalyticsServer(
     spark: SparkSession, geo: DataFrame, sr: DataFrame,
     complaintTypes: DataFrame, sale: DataFrame, property: DataFrame,
     bookmarkStore: Option[String] = None,
-    geocoder: Option[String => Option[String]] = None) {
+    geocoder: Option[String => Option[String]] = None,
+    versionedGroup: Option[AnalyticsServer.VersionedGroup] = None) {
 
   import AnalyticsServer._
 
@@ -93,8 +94,10 @@ final class AnalyticsServer(
       case "/" => send(ex, 200, "application/json", jsonObj(Seq(
         "routes" -> jsonArr(Seq("/search", "/analytics/<bbl>",
           "/trends/<bbl>", "/compare", "/export/<bbl>",
-          "/bookmark/<bbl>", "/bookmarks", "/login").map(jsonStr)))))
+          "/bookmark/<bbl>", "/bookmarks", "/login",
+          "/vdash").map(jsonStr)))))
       case "/search" => searchRoute(ex, q)
+      case "/vdash" => vdashRoute(ex, q)
       case "/login" => send(ex, 401, "text/plain", "Unauthorized")
       case "/bookmarks" => bookmarksRoute(ex)
       case "/compare" => compareRoute(ex, q)
@@ -154,6 +157,39 @@ final class AnalyticsServer(
         send(ex, 302, "text/plain", target)
     }
   }
+
+  /** The dashboard AS OF a snapshot-group cut (the versioned read
+    * path the reference's mutable-head Postgres cannot serve):
+    * `GET /vdash?by=<col>[&sum=<col>][&cut=N]` — rows of
+    * [[VersionedDashboard.rollup]] at the pinned cut, `cut` omitted =
+    * the latest published cut. Every response names the cut it
+    * served, so a client can re-request the same state forever. 404
+    * without a configured group; 400 on a malformed/out-of-range cut
+    * or unknown column (the rollup's own guards). */
+  private def vdashRoute(ex: HttpExchange, q: Map[String, String]): Unit =
+    versionedGroup match {
+      case None => send(ex, 404, "text/plain",
+        "no versioned snapshot group configured")
+      case Some(g) =>
+        val by = q.getOrElse("by", "")
+        if (by.isEmpty) {
+          send(ex, 400, "text/plain", "missing by=<column>"); return
+        }
+        val cut = q.get("cut") match {
+          case None => -1L
+          case Some(c) => c.toLongOption.getOrElse {
+            send(ex, 400, "text/plain", s"malformed cut: $c"); return
+          }
+        }
+        val served =
+          if (cut < 0) graft.sources.SnapshotGroup.latest(spark, g.groupPath)
+          else cut
+        val frame = VersionedDashboard.rollup(spark, g.groupPath,
+          g.factsName, g.dimName, g.keyCol, by,
+          q.get("sum").filter(_.nonEmpty), cut)
+        send(ex, 200, "application/json", jsonObj(Seq(
+          "cut" -> served.toString, "rows" -> rowsJson(frame))))
+    }
 
   private def analyticsRoute(ex: HttpExchange, bbl: String,
                              q: Map[String, String]): Unit =
@@ -282,6 +318,13 @@ final class AnalyticsServer(
 }
 
 object AnalyticsServer {
+
+  /** The `/vdash` route's store: a [[graft.sources.SnapshotGroup]]
+    * whose `factsName` member is a time-travel fact lake and whose
+    * `dimName` member is an [[graft.sources.Scd]] Type-2 dimension,
+    * joined on `keyCol` at the pinned cut. */
+  final case class VersionedGroup(groupPath: String, factsName: String,
+                                  dimName: String, keyCol: String)
 
   /** Dash-separated BBL → (borough, block, lot); the reference's
     * invalid→None contract (server.py:118-127), driver-side twin of

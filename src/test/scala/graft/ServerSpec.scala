@@ -210,4 +210,65 @@ class ServerSpec extends SparkSpec {
       .filter(_.userId == sid).collect()
     assert(replayed.length == 1 && replayed.head.bbls == folded)
   }
+
+  test("GET /vdash serves the dashboard AS OF a snapshot-group cut: " +
+      "cut 1 replays the pre-mutation state after both members " +
+      "advanced, the default is the latest cut, and bad cuts are 400") {
+    import graft.sources.{Scd, SnapshotGroup, TimeTravel}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vdash_srv").toString
+    val (factsDir, dimDir, gDir) =
+      (base + "/facts", base + "/dim", base + "/cut")
+    // facts v1: 6 rows over two types; dim v1: type -> label
+    TimeTravel.commitAppend(
+      Seq((1L, "noise", 10L), (2L, "noise", 20L), (3L, "heat", 30L),
+        (4L, "heat", 40L), (5L, "heat", 50L), (6L, "noise", 60L))
+        .toDF("id", "ctype", "amount"),
+      factsDir, Seq("id"), files = 1)
+    Scd.merge(spark, dimDir, "ctype",
+      Seq(("noise", "Noise"), ("heat", "Heating")).toDF("ctype", "label"),
+      files = 1)
+    SnapshotGroup.publish(spark, gDir,
+      Map("facts" -> factsDir, "dim" -> dimDir)) // cut 1
+    // mutate BOTH members, then publish cut 2
+    TimeTravel.commitDelete(spark, factsDir, "id", Seq(1L, 3L).toDF("id"))
+    Scd.merge(spark, dimDir, "ctype",
+      Seq(("heat", "Heat/Hot Water")).toDF("ctype", "label"), files = 1)
+    SnapshotGroup.publish(spark, gDir,
+      Map("facts" -> factsDir, "dim" -> dimDir)) // cut 2
+    val srv = new AnalyticsServer(spark, geo, sr, ct, sale, prop,
+      versionedGroup = Some(AnalyticsServer.VersionedGroup(
+        gDir, "facts", "dim", "ctype")))
+    val port = srv.start()
+    try {
+      // cut 1, requested AFTER both members advanced: the original
+      // labels and the full fact set
+      val c1 = get(port, "/vdash?by=label&sum=amount&cut=1")
+      assert(c1.statusCode() == 200, c1.body())
+      assert(c1.body().contains("\"cut\":1"))
+      assert(c1.body().contains(
+        "{\"label\":\"Heating\",\"n\":3,\"sum_amount\":120}"), c1.body())
+      assert(c1.body().contains(
+        "{\"label\":\"Noise\",\"n\":3,\"sum_amount\":90}"))
+      // default = the latest cut: post-delete facts, re-labeled dim
+      val c2 = get(port, "/vdash?by=label&sum=amount")
+      assert(c2.statusCode() == 200)
+      assert(c2.body().contains("\"cut\":2"))
+      assert(c2.body().contains(
+        "{\"label\":\"Heat/Hot Water\",\"n\":2,\"sum_amount\":90}"),
+        c2.body())
+      assert(c2.body().contains(
+        "{\"label\":\"Noise\",\"n\":2,\"sum_amount\":80}"))
+      // guards: malformed/out-of-range cut and missing by are 400
+      assert(get(port, "/vdash?by=label&cut=nope").statusCode() == 400)
+      assert(get(port, "/vdash?by=label&cut=9").statusCode() == 400)
+      assert(get(port, "/vdash").statusCode() == 400)
+      assert(get(port, "/vdash?by=no_such_col").statusCode() == 400)
+    } finally srv.stop()
+    // a server WITHOUT a configured group 404s the route
+    withServer() { (port2, _) =>
+      assert(get(port2, "/vdash?by=label").statusCode() == 404)
+    }
+  }
 }
