@@ -72,9 +72,11 @@ object Bench {
     val qseq = SparkEntry.queries.toSeq
     val decile = math.max(1, (qseq.size + 9) / 10)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    qseq.grouped(decile).foreach { chunk =>
+    val decileOf = scala.collection.mutable.LinkedHashMap[String, Int]()
+    qseq.grouped(decile).zipWithIndex.foreach { case (chunk, di) =>
       canaries += canaryTime()
       chunk.foreach { case (name, fn) =>
+        decileOf += name -> di
         var best = Double.MaxValue
         var bestStages = Seq.empty[(String, Double)]
         (1 to 2).foreach { _ =>
@@ -102,6 +104,35 @@ object Bench {
       }
     }
     canaries += canaryTime()
+    // SELF-ADJUDICATION (VERDICT r14 task 7): three driver windows
+    // running were warm enough that the weather-vs-weak verdict lived
+    // in BASELINE prose — emit it into the artifact instead, so a
+    // BENCH_rNN reader deflates a degraded window mechanically.
+    //  - canary_factor[d]: the decile's local contention multiple =
+    //    min(bracketing canary samples) / the run's best canary sample
+    //    (min of the brackets is deliberate: a burst that missed BOTH
+    //    brackets reads 1.0, so deflation never manufactures speed —
+    //    a query can read worse than true weather, never better);
+    //  - weather_ratio[q]: raw seconds ÷ its decile's canary_factor =
+    //    the weather-deflated estimate. The BASELINE reading rule: a
+    //    committed-vs-driver gap is adjudicated on weather_ratio, and
+    //    a query whose weather_ratio STILL exceeds 2× its committed
+    //    base is weak, not weather.
+    val canaryBase = {
+      val ok = canaries.filter(_ > 0.0)
+      if (ok.isEmpty) 1.0 else ok.min
+    }
+    def canaryAt(i: Int): Double = {
+      val c = canaries(i)
+      if (c > 0.0) c else canaryBase
+    }
+    val nDeciles = canaries.size - 1
+    val canaryFactor = (0 until nDeciles).map(d =>
+      math.max(1.0, math.min(canaryAt(d), canaryAt(d + 1)) / canaryBase))
+    val weatherRatio = results.map { case (name, raw) =>
+      val f = decileOf.get(name).map(canaryFactor).getOrElse(1.0)
+      name -> raw / f
+    }
     // Plan fingerprints LAST (construction-time build jobs would
     // otherwise pre-warm the timed reps' caches), then the cache cleared
     // per query for the same reason in reverse. A changed hash between
@@ -119,6 +150,9 @@ object Bench {
     val ps = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val cs = canaries.mkString("[", ",", "]")
+    val cf = canaryFactor.mkString("[", ",", "]")
+    val wr = weatherRatio.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val ss = stageMap.map { case (q, st) =>
       "\"" + q + "\":" +
         st.map { case (s, v) => "\"" + s + "\":" + v }.mkString("{", ",", "}")
@@ -139,7 +173,7 @@ object Bench {
       val cfg =
         s"""{"cpus":$cpus,"shufflePartitions":$cpus,"aqe":true,"timeZone":"UTC"}"""
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"canary":$cs,"stages":$ss,"queries":$qs}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"canary":$cs,"canary_factor":$cf,"weather_ratio":$wr,"stages":$ss,"queries":$qs}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

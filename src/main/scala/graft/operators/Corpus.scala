@@ -751,16 +751,25 @@ object Corpus {
   private def writeLmSegments(batch: DataFrame, path: String, idCol: String,
                               textCol: String, mode: String): Unit = {
     val toks = lmTokens(batch, idCol, textCol)
+    // ONE corpus-sized aggregation serves both tables (r15, the q93
+    // watch item's structural half: the two-job spelling tokenized and
+    // shuffled the corpus once PER table; the tagged union shuffles it
+    // once, and the two table writes then re-read only the aggregated
+    // gram counts — gram-vocabulary-sized, not corpus-sized)
+    val grams = toks.select(explode(col("__l")).as("g"), lit("u").as("k"))
+      .unionAll(toks
+        .select(explode(adjacentPairs(col("__l"))).as("__s"))
+        .select(col("__s.b").as("g"), lit("b").as("k")))
+      .groupBy(col("g"), col("k")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      toks.select(explode(col("__l")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      grams.filter(col("k") === "u")
+        .select(col("g").as("tok"), col("c"))
         .write.mode(mode).parquet(s"$path/unigrams")
-      toks.select(explode(adjacentPairs(col("__l"))).as("__s"))
-        .select(col("__s.b").as("bigram"))
-        .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      grams.filter(col("k") === "b")
+        .select(col("g").as("bigram"), col("c"))
         .write.mode(mode).parquet(s"$path/bigrams")
-    } finally { toks.unpersist(blocking = false); () }
+    } finally { grams.unpersist(blocking = false); () }
   }
 
   /** Build a persisted LM-stats index from a history corpus. */
