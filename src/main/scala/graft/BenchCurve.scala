@@ -144,7 +144,7 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm", "pq", "decade", "mixture", "matview")
+      "layout", "lm", "pq", "decade", "decade2", "mixture", "matview")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
       "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture,matview")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -611,6 +611,58 @@ object BenchCurve {
       Some((runPoint(x4), runPoint(x10)))
     }
 
+    // --- decade2: the ×40 corpus, one decade past the standing claims ---
+    // VERDICT r14 task 1: every scale claim is measured to ×10 history /
+    // ~sf0.4 corpus; ×40 (~sf4: 24 M lineitem rows, 200 k near-dup-tagged
+    // docs, 80 k embeddings) either confirms the slope or names the knee
+    // before a real cluster does. The headliner list is the judge's: the
+    // banded/bucketed/iterative tails plus the LAKE families (time
+    // travel, matview, replication, SCD) and the composed q135 build.
+    // The ×10 point is RE-MEASURED in the same run so the ×10→×40 ratio
+    // is weather-free; ×40 runs a single rep (the JVM is warm from the
+    // ×10 pass, and the ratio table needs the decade slope, not a
+    // min-of-2 polish on a half-hour point). NOT run by default — the
+    // full pass is ~40 min: SPARK_GRAFT_CURVE_SECTIONS=decade2.
+    val decade2 = if (!sections("decade2")) None else {
+      val x10 = "/tmp/graft_bench_x10"
+      val x40 = "/tmp/graft_bench_x40"
+      ensureXn(spark, "/root/testdata/sf0.1", x10, 10)
+      ensureXn(spark, "/root/testdata/sf0.1", x40, 40)
+      val heads = Seq("q19_minhash_lsh", "q23_ann_lsh",
+        "q37_dedup_clusters", "q73_pagerank", "q80_incremental_dedup",
+        "q104_partitioned_lifecycle", "q117_ivfpq_search",
+        "q128_time_travel", "q133_matview", "q142_replication",
+        "q144_scd_history", "q135_pipeline")
+      def runPoint(dir: String, nReps: Int)
+          : Seq[(String, (Double, Seq[(String, Double)]))] = {
+        graft.engine.Tables.all.foreach { n =>
+          try graft.engine.Tables.load(spark, dir, n).count()
+          catch { case _: Throwable => () }
+        }
+        val out = heads.map { name =>
+          val reps = (1 to nReps).map { _ =>
+            Stages.clear(name)
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.sharedState.cacheManager.clearCache()
+              (dt, Stages.snapshot(name))
+            } catch { case e: Throwable =>
+              System.err.println(s"[decade2] $dir/$name FAILED: ${e.getMessage}")
+              (9999.0, Seq.empty[(String, Double)])
+            }
+          }
+          System.err.println(f"[decade2] $dir/$name ${reps.map(_._1).min}%.1f s")
+          name -> reps.minBy(_._1)
+        }
+        spark.sharedState.cacheManager.clearCache()
+        out
+      }
+      Some((runPoint(x10, 2), runPoint(x40, 1)))
+    }
+
     // --- matview: refresh cost must track the TOUCH SET, not the table ---
     // The incremental-view claim across one decade of table growth: the
     // SAME fixed-size commit (50 k rows) lands on a 2 M / 8 M / 20 M-row
@@ -731,6 +783,15 @@ object BenchCurve {
                 ",\"stages\":" + fmtQs(st) + "}")
           }.mkString("{", ",", "}")
         s""""decade":{"x4":${fmtPoint(at4)},"x10":${fmtPoint(at10)}}"""
+      },
+      decade2.map { case (at10, at40) =>
+        def fmtPoint(qs: Seq[(String, (Double, Seq[(String, Double)]))]) =
+          qs.map { case (n, (t, st)) =>
+            "\"" + n + "\":" + (if (st.isEmpty) f"$t%.3f"
+              else "{\"total\":" + f"$t%.3f" +
+                ",\"stages\":" + fmtQs(st) + "}")
+          }.mkString("{", ",", "}")
+        s""""decade2":{"x10":${fmtPoint(at10)},"x40":${fmtPoint(at40)}}"""
       },
       mixture.map { case (nDocs, (bs, bmax), (ns2, nmax2)) =>
         f""""mixture":{"rows":$nDocs,"binned_sec":$bs%.3f,""" +

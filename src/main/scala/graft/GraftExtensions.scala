@@ -1599,6 +1599,26 @@ object GraftExtensions {
             "version any cut pins: vacuum the member with keepFrom <= " +
             "this and every published cut stays readable")
       }),
+    (new FunctionIdentifier("graft_vdash"),
+      new ExpressionInfo("graft.engine.VersionedDashboard",
+        "graft_vdash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(g, f, dm, k, by, rest @ _*) if rest.size <= 2 =>
+          val spark = SparkSession.active
+          val sumCol = rest.headOption.map(strArg(_, "sumCol"))
+            .filter(_.nonEmpty)
+          val cut = rest.lift(1).map(longArg(_, "cut")).getOrElse(-1L)
+          plan(graft.engine.VersionedDashboard.rollup(spark,
+            strArg(g, "groupPath"), strArg(f, "factsName"),
+            strArg(dm, "dimName"), strArg(k, "keyCol"),
+            strArg(by, "by"), sumCol, cut))
+        case _ => throw new IllegalArgumentException(
+          "graft_vdash(groupPath, factsName, dimName, keyCol, by" +
+            "[, sumCol][, cut]) — the dashboard AS OF a snapshot-group " +
+            "cut: time-travel facts joined to the SCD dimension at the " +
+            "PINNED versions, grouped by `by` with a count and an " +
+            "optional sum; cut omitted (or -1) = the latest cut")
+      }),
     (new FunctionIdentifier("graft_tt_replace_where"),
       new ExpressionInfo("graft.sources.TimeTravel",
         "graft_tt_replace_where"),
@@ -2262,6 +2282,7 @@ object GraftExtensions {
     "graft_group_read" -> "q146_snapshot_group",
     "graft_group_cuts" -> "SnapshotGroupSpec",
     "graft_group_floor" -> "SnapshotGroupSpec",
+    "graft_vdash" -> "q148_versioned_dashboard",
     "graft_scd_merge" -> "q144_scd_history",
     "graft_scd_delete" -> "q144_scd_history",
     "graft_scd_current" -> "ScdSpec",

@@ -259,15 +259,18 @@ object TimeTravel {
     require(names.nonEmpty, "readFilesWidened: no files (caller guards)")
     val paths = names.map(n => s"$dataPath/$n")
     val l = lineage(spark, dataPath)
-    val recorded: Seq[(Long, String, String)] =
-      if (!l.columns.contains("schema_json")) Seq.empty
+    // two file-count-bounded metadata reads, schemas deduped PER COMMIT
+    // before the collect — per-file schema strings would put
+    // (files × schema bytes) on the driver at lake scale for no reason
+    val hasSchemaCol = l.columns.contains("schema_json")
+    val touched = if (!hasSchemaCol) l.limit(0)
       else l.filter(col("action") === "add" &&
-          col("file_name").isin(names: _*) &&
-          col("schema_json").isNotNull)
-        .select(col("version"), col("file_name"), col("schema_json"))
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    val recordedFiles = recorded.map(_._2).toSet
+        col("file_name").isin(names: _*))
+    val recordedFiles: Set[String] =
+      if (!hasSchemaCol) Set.empty
+      else touched.filter(col("schema_json").isNotNull)
+        .select(col("file_name"))
+        .collect().map(_.getString(0)).toSet
     val legacy = names.filterNot(recordedFiles)
     if (legacy.size == names.size)
       // nothing recorded: the pre-widening read, byte-identical behavior
@@ -276,7 +279,10 @@ object TimeTravel {
       if (legacy.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(legacy.map(n => s"$dataPath/$n"): _*).schema)
-    val commitSchemas = recorded.sortBy(_._1).map(_._3).distinct
+    val commitSchemas = touched
+      .filter(col("schema_json").isNotNull)
+      .select(col("version"), col("schema_json")).distinct()
+      .collect().sortBy(_.getLong(0)).map(_.getString(1)).distinct.toSeq
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val target = (legacySchema.toSeq ++ commitSchemas)

@@ -270,5 +270,18 @@ class ServerSpec extends SparkSpec {
     withServer() { (port2, _) =>
       assert(get(port2, "/vdash?by=label").statusCode() == 404)
     }
+    // the SQL face drives the same cut-pinned rollup from text alone
+    GraftExtensions.register(spark)
+    val sqlRows = spark.sql(
+      s"SELECT * FROM graft_vdash('$gDir', 'facts', 'dim', 'ctype', " +
+        "'label', 'amount', 1)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlRows == Set(("Heating", 3L, 120L), ("Noise", 3L, 90L)))
+    // no sum, latest cut
+    val latest = spark.sql(
+      s"SELECT * FROM graft_vdash('$gDir', 'facts', 'dim', 'ctype', " +
+        "'label')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(latest == Set(("Heat/Hot Water", 2L), ("Noise", 2L)))
   }
 }
