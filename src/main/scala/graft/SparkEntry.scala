@@ -3958,7 +3958,12 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
 
     // gaps-and-islands: a session breaks where the gap STRICTLY exceeds
-    // 2h (session_window merges an event exactly gap after the previous)
+    // 2h (session_window merges an event exactly gap after the previous).
+    // RANGE framing, not ROWS (r15, found by the x4 oracle gate): with
+    // duplicate timestamps the ROWS running sum splits equal-ts PEERS
+    // across the break depending on the tie order — nondeterministic
+    // and wrong; RANGE gives every peer the same island, which is what
+    // session_window computes
     "q33_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
@@ -3970,7 +3975,7 @@ object SparkEntry {
         |), s AS (
         |  SELECT user_id, ts, value,
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |    RANGE UNBOUNDED PRECEDING) AS sid
         |  FROM o
         |)
         |SELECT user_id,
@@ -5151,7 +5156,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // q109: lag + running-sum session islands; break strictly BEYOND
-    // the gap (touching windows merge)
+    // the gap (touching windows merge). RANGE framing like q33 (r15):
+    // equal-ts peers must share an island or ties split sessions
+    // nondeterministically
     "q109_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,
@@ -5161,7 +5168,7 @@ object SparkEntry {
         |s AS (
         |  SELECT user_id, ts, value,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |      RANGE UNBOUNDED PRECEDING) AS sid
         |  FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,

@@ -92,7 +92,13 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single parquet FILES; Spark-written tables
+        # (e.g. the replicated x4 corpus) are DIRECTORIES of part files
+        import os
+        pat = (f"{sf_dir}/{t}.parquet/*.parquet"
+               if os.path.isdir(f"{sf_dir}/{t}.parquet")
+               else f"{sf_dir}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
