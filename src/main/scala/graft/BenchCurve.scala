@@ -183,7 +183,7 @@ object BenchCurve {
             dt
           } catch { case e: Throwable =>
             System.err.println(s"[curve] $label/$name FAILED: ${e.getMessage}")
-            9999.0
+            Double.NaN // failure marker — emitted as {"failed":true}, never a plausible number
           }
         }
         name -> times.min
@@ -600,7 +600,7 @@ object BenchCurve {
               (dt, Stages.snapshot(name))
             } catch { case e: Throwable =>
               System.err.println(s"[decade] $dir/$name FAILED: ${e.getMessage}")
-              (9999.0, Seq.empty[(String, Double)])
+              (Double.NaN, Seq.empty[(String, Double)])
             }
           }
           name -> reps.minBy(_._1)
@@ -651,7 +651,7 @@ object BenchCurve {
               (dt, Stages.snapshot(name))
             } catch { case e: Throwable =>
               System.err.println(s"[decade2] $dir/$name FAILED: ${e.getMessage}")
-              (9999.0, Seq.empty[(String, Double)])
+              (Double.NaN, Seq.empty[(String, Double)])
             }
           }
           System.err.println(f"[decade2] $dir/$name ${reps.map(_._1).min}%.1f s")
@@ -733,11 +733,18 @@ object BenchCurve {
       Some((point(1), point(4), point(10)))
     }
 
+    // a NaN (failed measurement) must reach the artifact as an explicit
+    // failure marker, never a plausible-looking number a slope reader
+    // would ingest (ADVICE r15)
+    def fmtSec(v: Double): String =
+      if (v.isNaN) "{\"failed\":true}" else f"$v%.3f"
     def fmtQs(qs: Seq[(String, Double)]): String =
-      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      qs.map { case (k, v) => "\"" + k + "\":" + fmtSec(v) }.mkString("{", ",", "}")
     val frags = Seq(
       if (curve.isEmpty) None else Some("\"points\":" + curve.map { case (l, qs) =>
-        "\"" + l + "\":{\"total\":" + f"${qs.map(_._2).sum}%.3f" +
+        "\"" + l + "\":{\"total\":" +
+          fmtSec(qs.map(_._2).filterNot(_.isNaN).sum) +
+          ",\"n_failed\":" + qs.count(_._2.isNaN) +
           ",\"queries\":" + fmtQs(qs) + "}"
       }.mkString("{", ",", "}")),
       inc.map { case ((inc1x, flag1x, sh1x), (inc4x, flag4x, sh4x),
@@ -778,8 +785,8 @@ object BenchCurve {
       decade.map { case (at4, at10) =>
         def fmtPoint(qs: Seq[(String, (Double, Seq[(String, Double)]))]) =
           qs.map { case (n, (t, st)) =>
-            "\"" + n + "\":" + (if (st.isEmpty) f"$t%.3f"
-              else "{\"total\":" + f"$t%.3f" +
+            "\"" + n + "\":" + (if (st.isEmpty) fmtSec(t)
+              else "{\"total\":" + fmtSec(t) +
                 ",\"stages\":" + fmtQs(st) + "}")
           }.mkString("{", ",", "}")
         s""""decade":{"x4":${fmtPoint(at4)},"x10":${fmtPoint(at10)}}"""
@@ -787,8 +794,8 @@ object BenchCurve {
       decade2.map { case (at10, at40) =>
         def fmtPoint(qs: Seq[(String, (Double, Seq[(String, Double)]))]) =
           qs.map { case (n, (t, st)) =>
-            "\"" + n + "\":" + (if (st.isEmpty) f"$t%.3f"
-              else "{\"total\":" + f"$t%.3f" +
+            "\"" + n + "\":" + (if (st.isEmpty) fmtSec(t)
+              else "{\"total\":" + fmtSec(t) +
                 ",\"stages\":" + fmtQs(st) + "}")
           }.mkString("{", ",", "}")
         s""""decade2":{"x10":${fmtPoint(at10)},"x40":${fmtPoint(at40)}}"""

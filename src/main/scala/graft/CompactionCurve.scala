@@ -58,8 +58,7 @@ object CompactionCurve {
       // target sized to discriminate: 2× the largest DRIBBLE file (the
       // lineage names versions 2..5's files), so only the dribble packs
       // and the receipt isolates the small-file cost
-      val dribbleNames = spark.read
-        .parquet(TimeTravel.lineagePath(root))
+      val dribbleNames = TimeTravel.readLineage(spark, root)
         .filter(col("version") > 1 && col("action") === "add")
         .select("file_name").collect().map(_.getString(0)).toSet
       val lens = fs.listStatus(new org.apache.hadoop.fs.Path(root))

@@ -184,9 +184,13 @@ final class AnalyticsServer(
         val served =
           if (cut < 0) graft.sources.SnapshotGroup.latest(spark, g.groupPath)
           else cut
+        // pass the RESOLVED cut through (not -1): a publish landing
+        // between the resolution above and the rollup would otherwise
+        // serve a different cut than the response labels, breaking the
+        // "re-request the same state forever" contract
         val frame = VersionedDashboard.rollup(spark, g.groupPath,
           g.factsName, g.dimName, g.keyCol, by,
-          q.get("sum").filter(_.nonEmpty), cut)
+          q.get("sum").filter(_.nonEmpty), served)
         send(ex, 200, "application/json", jsonObj(Seq(
           "cut" -> served.toString, "rows" -> rowsJson(frame))))
     }

@@ -155,8 +155,7 @@ object MatView {
       s"MatView.refresh: the view's base version $v0 is behind the " +
         s"vacuum floor $floor — the delta window's removed files are " +
         "gone; rebuild with create()")
-    val l = spark.read.option("mergeSchema", "true")
-      .parquet(TimeTravel.lineagePath(m.srcPath))
+    val l = TimeTravel.readLineage(spark, m.srcPath)
     val acts = l.filter(col("version") > v0 && col("version") <= head &&
         col("action").isin("add", "remove"))
       .select(col("file_name"),

@@ -97,8 +97,7 @@ object SnapshotGroup {
 
   private def segments(spark: SparkSession,
                        groupPath: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(TimeTravel.lineagePath(groupPath))
+    TimeTravel.readLineage(spark, groupPath)
 
   /** The pinned cut at group version `g` (default: the head):
     * member name → (data path, pinned table version). */

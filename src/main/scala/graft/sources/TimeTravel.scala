@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Versioned lake snapshots — read-as-of ("time travel") over an
   * append-only file-action lineage, the subsystem the [[Layout]] family
@@ -133,8 +134,136 @@ object TimeTravel {
     } finally in.close()
   }
 
+  // ---- lineage snapshot: memoized, checkpoint-aware, widened --------
+  //
+  // Every metadata question here (latest version, live set, batch
+  // replay, recorded schema) used to re-read EVERY lineage segment —
+  // O(commit-count) parquet footer merges per consultation, and a
+  // multi-commit query paid O(N²) total lineage cost (the r15 q144
+  // finding). The shape at 100 TB was wrong: the log only ever GROWS
+  // by one immutable file per commit, so one directory listing decides
+  // staleness and the folded rows can be reused until it changes.
+  //
+  // Mechanics: one `listStatus` of the lineage directory yields the
+  // EFFECTIVE file set — the newest checkpoint (`ckpt_v<N>.parquet`, a
+  // fold of every segment ≤ N written by [[checkpointLineage]]) plus
+  // the tail segments with version > N — and a fingerprint
+  // (name:length:mtime per file). A snapshot cache keyed by the
+  // lineage path returns the previously collected rows when the
+  // fingerprint is unchanged; segments and checkpoints are immutable
+  // single-file births, so an unchanged listing proves unchanged
+  // content. Cost per consultation: one FS listing (cache hit), or
+  // one bounded read of ≤ checkpoint-interval files (miss — i.e. once
+  // per commit). The rows are file-count-sized, the same driver
+  // budget every face already spends.
+
+  private val segmentNameRe = """segment_v(\d+)\.parquet""".r
+  private val ckptNameRe = """ckpt_v(\d+)\.parquet""".r
+
+  /** Auto-checkpoint cadence (Hadoop conf): after a commit lands, when
+    * the tail past the newest checkpoint reaches this many segments,
+    * [[appendLineage]] folds the log ([[checkpointLineage]]). 0
+    * disables. Folded segments stay on disk until [[vacuumLineage]]
+    * reclaims them (an explicit maintenance act — deleting inside the
+    * commit path would race concurrent readers' listings). */
+  private[graft] val checkpointIntervalKey =
+    "graft.timetravel.checkpoint.interval"
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.sparkContext.hadoopConfiguration
+      .getInt(checkpointIntervalKey, 64)
+
+  /** The folded lineage: schema + collected rows + the listing
+    * fingerprint that proves them current. Field indexes are
+    * precomputed for the hot driver-side scans. */
+  private final case class LineageSnap(fingerprint: String,
+                                       schema: StructType,
+                                       rows: Array[Row]) {
+    val vIdx: Int = schema.fieldNames.indexOf("version")
+    val aIdx: Int = schema.fieldNames.indexOf("action")
+    val fIdx: Int = schema.fieldNames.indexOf("file_name")
+    def idx(c: String): Int = schema.fieldNames.indexOf(c)
+    def maxVersion: Long = {
+      var m = 0L
+      rows.foreach(r => if (r.getLong(vIdx) > m) m = r.getLong(vIdx))
+      m
+    }
+  }
+
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LineageSnap]()
+
+  /** The files a lineage read consults: newest checkpoint + segments
+    * past it, in version order. Folded segments (≤ the checkpoint's
+    * version) and superseded checkpoints are ignored even while they
+    * still exist on disk. */
+  private def effectiveLineageFiles(
+      fs: org.apache.hadoop.fs.FileSystem, lp: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val all =
+      if (!fs.exists(hp(lp))) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(hp(lp)).filter(_.isFile)
+    val ckpt = all.flatMap(f => f.getPath.getName match {
+      case ckptNameRe(v) => Some(v.toLong -> f)
+      case _ => None
+    }).sortBy(_._1).lastOption
+    val floor = ckpt.fold(0L)(_._1)
+    val segs = all.flatMap(f => f.getPath.getName match {
+      case segmentNameRe(v) if v.toLong > floor => Some(v.toLong -> f)
+      case _ => None
+    }).sortBy(_._1)
+    (ckpt.toSeq ++ segs).map(_._2)
+  }
+
   private def lineageExists(spark: SparkSession, dataPath: String): Boolean =
-    fsOf(spark, dataPath).exists(hp(lineagePath(dataPath)))
+    effectiveLineageFiles(fsOf(spark, dataPath),
+      lineagePath(dataPath)).nonEmpty
+
+  /** Load (or reuse) the lineage snapshot. One listing decides
+    * staleness; a miss reads the bounded effective file set under one
+    * widened schema ([[widenMerge]] over per-file footers when a plain
+    * mergeSchema read refuses — e.g. a legacy segment recorded `min_x`
+    * stats as int where newer commits record long). */
+  private def lineageSnap(spark: SparkSession,
+                          dataPath: String): LineageSnap = {
+    val lp = lineagePath(dataPath)
+    val fs = fsOf(spark, dataPath)
+    val files = effectiveLineageFiles(fs, lp)
+    require(files.nonEmpty,
+      s"no lineage at $lp — the table has no commits")
+    val fp = files.map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString("|")
+    val cached = snapCache.get(lp)
+    if (cached != null && cached.fingerprint == fp) return cached
+    val paths = files.map(_.getPath.toString)
+    val df =
+      try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      catch {
+        // mergeSchema refuses across an int/long stat-column boundary
+        // (segments written before the stable-wide-stats rule mixed
+        // with segments after it); fold the footers through the SAFE
+        // widening lattice instead and read under the one target
+        case _: org.apache.spark.SparkException =>
+          val target = paths
+            .map(p => spark.read.parquet(p).schema)
+            .reduce((a, b) => widenMerge(a, b, s"lineage of $dataPath"))
+          spark.read.schema(target).parquet(paths: _*)
+      }
+    val snap = LineageSnap(fp, df.schema, df.collect())
+    if (snapCache.size > 256) snapCache.clear()
+    snapCache.put(lp, snap)
+    snap
+  }
+
+  /** The lineage as a DataFrame — a LocalRelation over the snapshot's
+    * driver-held rows, so downstream filters/aggregations cost local
+    * jobs, never parquet re-reads. The checkpoint-aware read every
+    * consumer outside this object must use too ([[MatView]],
+    * [[SnapshotGroup]] — a raw `spark.read.parquet(lineagePath)` would
+    * double-count rows once a checkpoint exists beside its tail). */
+  private[graft] def readLineage(spark: SparkSession,
+                                 dataPath: String): DataFrame =
+    lineage(spark, dataPath)
 
   /** Replay detection that survives the crash window between the
     * lineage commit and the ledger record: every batchId commit stamps
@@ -151,19 +280,22 @@ object TimeTravel {
   private def lineageHasBatch(spark: SparkSession, dataPath: String,
                               id: String): Boolean =
     lineageExists(spark, dataPath) && {
-      val l = lineage(spark, dataPath)
-      l.columns.contains("batch_id") &&
-        l.filter(col("batch_id") === id).limit(1).head(1).nonEmpty
+      val s = lineageSnap(spark, dataPath)
+      val b = s.idx("batch_id")
+      b >= 0 && s.rows.exists(r => !r.isNullAt(b) && r.getString(b) == id)
     }
 
-  /** mergeSchema like every [[Layout]] manifest consultation: `add`
-    * segments carry the per-dim stat columns (min/max/nulls — the
-    * data-skipping payload), remove/vacuum segments carry only the base
-    * four, and commits after a dims change may carry different stat
-    * sets; a first-file schema would silently drop the stats half.
-    */
-  private def lineage(spark: SparkSession, dataPath: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(lineagePath(dataPath))
+  /** The lineage frame (see [[readLineage]]): every segment's rows
+    * under one widened schema — `add` segments carry the per-dim stat
+    * columns (min/max/nulls, the data-skipping payload), remove/vacuum
+    * segments only the base four, and commits after a dims change may
+    * carry different stat sets; the snapshot's widened fold keeps the
+    * stats half that a first-file schema would silently drop. */
+  private def lineage(spark: SparkSession, dataPath: String): DataFrame = {
+    val s = lineageSnap(spark, dataPath)
+    spark.createDataFrame(
+      java.util.Arrays.asList(s.rows: _*), s.schema)
+  }
 
   // ---- schema evolution: type widening ------------------------------
   //
@@ -258,19 +390,17 @@ object TimeTravel {
                                       names: Seq[String]): DataFrame = {
     require(names.nonEmpty, "readFilesWidened: no files (caller guards)")
     val paths = names.map(n => s"$dataPath/$n")
-    val l = lineage(spark, dataPath)
-    // two file-count-bounded metadata reads, schemas deduped PER COMMIT
-    // before the collect — per-file schema strings would put
-    // (files × schema bytes) on the driver at lake scale for no reason
-    val hasSchemaCol = l.columns.contains("schema_json")
-    val touched = if (!hasSchemaCol) l.limit(0)
-      else l.filter(col("action") === "add" &&
-        col("file_name").isin(names: _*))
-    val recordedFiles: Set[String] =
-      if (!hasSchemaCol) Set.empty
-      else touched.filter(col("schema_json").isNotNull)
-        .select(col("file_name"))
-        .collect().map(_.getString(0)).toSet
+    val s = lineageSnap(spark, dataPath)
+    val sj = s.idx("schema_json")
+    // driver-side scan of the cached snapshot — ZERO metadata jobs
+    // (the r15 shape ran two lineage reads per call; a multi-commit
+    // query paid O(commits²) total footer work)
+    val nameSet = names.toSet
+    val touched =
+      if (sj < 0) Array.empty[Row]
+      else s.rows.filter(r => r.getString(s.aIdx) == "add" &&
+        nameSet(r.getString(s.fIdx)) && !r.isNullAt(sj))
+    val recordedFiles: Set[String] = touched.map(_.getString(s.fIdx)).toSet
     val legacy = names.filterNot(recordedFiles)
     if (legacy.size == names.size)
       // nothing recorded: the pre-widening read, byte-identical behavior
@@ -280,11 +410,9 @@ object TimeTravel {
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(legacy.map(n => s"$dataPath/$n"): _*).schema)
     val commitSchemas = touched
-      .filter(col("schema_json").isNotNull)
-      .select(col("version"), col("schema_json")).distinct()
-      .collect().sortBy(_.getLong(0)).map(_.getString(1)).distinct.toSeq
+      .sortBy(_.getLong(s.vIdx)).map(_.getString(sj)).distinct.toSeq
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .asInstanceOf[StructType])
     val target = (legacySchema.toSeq ++ commitSchemas)
       .reduce((a, b) => widenMerge(a, b, s"read of $dataPath"))
     spark.read.schema(target).parquet(paths: _*)
@@ -293,21 +421,65 @@ object TimeTravel {
   /** The table's current LOGICAL schema from recorded commit schemas
     * alone (None before any commit recorded one) — what the commit
     * guard compares a batch against. Monotone over all adds: a type,
-    * once widened, stays widened even if its files were deleted. */
+    * once widened, stays widened even if its files were deleted.
+    *
+    * O(1) resolution (r16): every commit stamps the CUMULATIVE widened
+    * schema (`table_schema_json`, folded forward at commit time in
+    * [[stageAndPromote]]), so the newest stamp alone answers —
+    * re-deriving from ALL per-commit schemas is only the fallback for
+    * rows written before the stamp existed (and for any per-commit
+    * `schema_json` newer than the newest stamp, normally none). */
   private def recordedTableSchema(spark: SparkSession, dataPath: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
+      : Option[StructType] = {
     if (!lineageExists(spark, dataPath)) return None
-    val l = lineage(spark, dataPath)
-    if (!l.columns.contains("schema_json")) return None
-    val js = l.filter(col("action") === "add" &&
-        col("schema_json").isNotNull)
-      .select(col("version"), col("schema_json"))
-      .collect().sortBy(_.getLong(0)).map(_.getString(1)).distinct
-    if (js.isEmpty) None
-    else Some(js
-      .map(j => normalizeType(org.apache.spark.sql.types.DataType.fromJson(j))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .reduce((a, b) => widenMerge(a, b, s"schema of $dataPath")))
+    val s = lineageSnap(spark, dataPath)
+    val sj = s.idx("schema_json")
+    val tj = s.idx("table_schema_json")
+    def parse(j: String): StructType =
+      normalizeType(org.apache.spark.sql.types.DataType.fromJson(j))
+        .asInstanceOf[StructType]
+    val stamped: Option[(Long, StructType)] =
+      if (tj < 0) None
+      else s.rows.filter(r => r.getString(s.aIdx) == "add" &&
+          !r.isNullAt(tj))
+        .sortBy(_.getLong(s.vIdx)).lastOption
+        .map(r => r.getLong(s.vIdx) -> parse(r.getString(tj)))
+    val floor = stamped.fold(Long.MinValue)(_._1)
+    val later =
+      if (sj < 0) Seq.empty
+      else s.rows.filter(r => r.getString(s.aIdx) == "add" &&
+          !r.isNullAt(sj) && r.getLong(s.vIdx) > floor)
+        .sortBy(_.getLong(s.vIdx)).map(_.getString(sj))
+        .distinct.toSeq.map(parse)
+    val all = stamped.map(_._2).toSeq ++ later
+    if (all.isEmpty) None
+    else Some(all.reduce((a, b) =>
+      widenMerge(a, b, s"schema of $dataPath")))
+  }
+
+  /** How [[recordedTableSchema]] resolved — the mechanical pin for the
+    * O(1) contract: "stamped" when the newest cumulative stamp alone
+    * answered, "legacy-fold" when it had to re-derive from per-commit
+    * schemas, "none" when nothing was ever recorded. Test seam. */
+  private[graft] def schemaResolution(spark: SparkSession,
+                                      dataPath: String): String = {
+    if (!lineageExists(spark, dataPath)) return "none"
+    val s = lineageSnap(spark, dataPath)
+    val tj = s.idx("table_schema_json")
+    val sj = s.idx("schema_json")
+    val stampV =
+      if (tj < 0) None
+      else s.rows.filter(r => r.getString(s.aIdx) == "add" &&
+        !r.isNullAt(tj)).map(_.getLong(s.vIdx)).sorted.lastOption
+    stampV match {
+      case Some(v) if sj < 0 || !s.rows.exists(r =>
+        r.getString(s.aIdx) == "add" && !r.isNullAt(sj) &&
+          r.getLong(s.vIdx) > v) => "stamped"
+      case Some(_) => "stamped+fold"
+      case None if sj >= 0 && s.rows.exists(r =>
+        r.getString(s.aIdx) == "add" && !r.isNullAt(sj)) => "legacy-fold"
+      case None => "none"
+    }
   }
 
   /** The narrowing guard, enforced at every data-committing face:
@@ -341,11 +513,11 @@ object TimeTravel {
     }
   }
 
-  /** Highest committed version; 0 for a table with no commits yet. */
+  /** Highest committed version; 0 for a table with no commits yet.
+    * One directory listing (snapshot cache hit) — no job. */
   def latestVersion(spark: SparkSession, dataPath: String): Long =
     if (!lineageExists(spark, dataPath)) 0L
-    else lineage(spark, dataPath)
-      .agg(max(col("version"))).head().getLong(0)
+    else lineageSnap(spark, dataPath).maxVersion
 
   /** The file names live at `v`: per file, its LATEST add/remove action
     * at or before `v` decides (not a mere add-minus-remove set — a
@@ -355,15 +527,23 @@ object TimeTravel {
     */
   private def liveFileNames(spark: SparkSession, dataPath: String,
                             v: Long): Seq[String] = {
-    val l = lineage(spark, dataPath)
-      .filter(col("version") <= v && col("action").isin("add", "remove"))
-    l.groupBy(col("file_name"))
-      .agg(max(when(col("action") === "add", col("version"))).as("__a"),
-        max(when(col("action") === "remove", col("version"))).as("__r"))
-      .filter(col("__a").isNotNull &&
-        (col("__r").isNull || col("__a") > col("__r")))
-      .select(col("file_name"))
-      .collect().map(_.getString(0)).toSeq.sorted
+    val s = lineageSnap(spark, dataPath)
+    // driver fold over the cached snapshot (file-count-sized) — the
+    // hottest metadata question, asked by every face; zero jobs
+    val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    s.rows.foreach { r =>
+      val ver = r.getLong(s.vIdx)
+      if (ver <= v) {
+        val (a0, r0) = acc.getOrElse(r.getString(s.fIdx), (0L, 0L))
+        r.getString(s.aIdx) match {
+          case "add" => acc(r.getString(s.fIdx)) = (math.max(a0, ver), r0)
+          case "remove" => acc(r.getString(s.fIdx)) = (a0, math.max(r0, ver))
+          case _ => ()
+        }
+      }
+    }
+    acc.iterator.collect { case (f, (a, rm)) if a > 0 && a > rm => f }
+      .toSeq.sorted
   }
 
   /** Append one commit's action rows as the lineage segment for version
@@ -425,29 +605,28 @@ object TimeTravel {
         "a consistency/locking layer that makes rename atomic")
   }
 
-  private[graft] def appendLineage(spark: SparkSession, dataPath: String,
-                                   seg: DataFrame, v: Long): Unit = {
-    val lp = lineagePath(dataPath)
-    val fs = fsOf(spark, dataPath)
-    requireAtomicBirth(spark, fs, dataPath)
-    val tmp = lp + s"_segtmp_v$v"
-    fs.delete(hp(tmp), true)
-    // commit_ts (epoch millis, the segment's write moment) rides every
-    // action row — what readAsOfTimestamp / vacuumOlderThan map
-    // against. Metadata only: no query result ever derives from it.
-    seg.withColumn("commit_ts", lit(System.currentTimeMillis()))
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = fs.listStatus(hp(tmp))
+  /** Land `df` as ONE parquet file at `dest` with create-if-absent
+    * semantics — the atomic-birth primitive both the segment commit
+    * point and the lineage checkpoint use. Stages under `tmpDir`
+    * (coalesce(1) → exactly one part), then arbitrates: hard link on a
+    * local filesystem (atomic, fails on an existing destination),
+    * exists+rename on HDFS-class stores. Returns whether THIS attempt
+    * created the destination. */
+  private def atomicSingleFileBirth(
+      fs: org.apache.hadoop.fs.FileSystem, df: DataFrame,
+      tmpDir: String, dest: org.apache.hadoop.fs.Path): Boolean = {
+    fs.delete(hp(tmpDir), true)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val part = fs.listStatus(hp(tmpDir))
       .filter(f => f.getPath.getName.startsWith("part-") &&
         f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath) match {
       case Array(p) => p
       case ps => throw new IllegalStateException(
-        s"lineage segment staging wrote ${ps.length} parts at $tmp — " +
+        s"single-file staging wrote ${ps.length} parts at $tmpDir — " +
           "coalesce(1) must yield exactly one")
     }
-    fs.mkdirs(hp(lp))
-    val dest = hp(s"$lp/segment_v$v.parquet")
+    fs.mkdirs(dest.getParent)
     val won =
       if (fs.getScheme == "file")
         try {
@@ -459,13 +638,96 @@ object TimeTravel {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       else !fs.exists(dest) && fs.rename(part, dest)
-    fs.delete(hp(tmp), true)
+    fs.delete(hp(tmpDir), true)
+    won
+  }
+
+  private[graft] def appendLineage(spark: SparkSession, dataPath: String,
+                                   seg: DataFrame, v: Long): Unit = {
+    val lp = lineagePath(dataPath)
+    val fs = fsOf(spark, dataPath)
+    requireAtomicBirth(spark, fs, dataPath)
+    // commit_ts (epoch millis, the segment's write moment) rides every
+    // action row — what readAsOfTimestamp / vacuumOlderThan map
+    // against. Metadata only: no query result ever derives from it.
+    val won = atomicSingleFileBirth(fs,
+      seg.withColumn("commit_ts", lit(System.currentTimeMillis())),
+      lp + s"_segtmp_v$v", hp(s"$lp/segment_v$v.parquet"))
     if (!won) throw new CommitRaceLost(v, dataPath,
       s"time-travel commit LOST the race for version $v of $dataPath — " +
         "another committer's segment landed first; this commit " +
         "published nothing (its attempt-unique staged files are " +
         "orphans gcOrphans reclaims). Appends auto-retry; merges " +
         "retry only when provably disjoint from the winner")
+    // the commit IS durable here; what follows is log maintenance.
+    // A crash in it (the "checkpoint" matrix boundary) leaves a fully
+    // committed version whose caller retry no-ops through batchId.
+    maybeCheckpoint(spark, dataPath)
+  }
+
+  /** Fold the log when the tail past the newest checkpoint reaches the
+    * configured interval — [[appendLineage]]'s post-commit hook. Write
+    * only, never delete (a delete here would race concurrent readers'
+    * listings; [[vacuumLineage]] reclaims explicitly). */
+  private def maybeCheckpoint(spark: SparkSession, dataPath: String): Unit = {
+    val k = checkpointInterval(spark)
+    if (k <= 0) return
+    val fs = fsOf(spark, dataPath)
+    val tail = effectiveLineageFiles(fs, lineagePath(dataPath))
+      .count(f => segmentNameRe.pattern.matcher(f.getPath.getName).matches)
+    if (tail < k) return
+    crashForTests("checkpoint")
+    checkpointLineage(spark, dataPath): Unit
+  }
+
+  /** Fold every effective lineage file into ONE checkpoint parquet
+    * (`ckpt_v<head>.parquet` beside the segments) so every later
+    * metadata consultation reads checkpoint + tail instead of
+    * O(commit-count) segments — the log-structured fold every lake
+    * format needs once commit counts grow. Idempotent (a checkpoint
+    * already at the head is a no-op) and race-safe (create-if-absent
+    * birth; a lost race means another checkpointer folded the same
+    * rows — equally correct). Folded segments stay on disk until
+    * [[vacuumLineage]]; readers ignore them from the moment the
+    * checkpoint exists. Returns the checkpointed head version. */
+  def checkpointLineage(spark: SparkSession, dataPath: String): Long = {
+    val s = lineageSnap(spark, dataPath)
+    val v = s.maxVersion
+    val lp = lineagePath(dataPath)
+    val fs = fsOf(spark, dataPath)
+    val dest = hp(s"$lp/ckpt_v$v.parquet")
+    if (fs.exists(dest)) return v
+    atomicSingleFileBirth(fs, lineage(spark, dataPath),
+      lp + s"_ckpttmp_v$v", dest): Unit
+    v
+  }
+
+  /** Reclaim lineage files a checkpoint has folded: segments at
+    * versions ≤ the newest checkpoint and superseded checkpoints.
+    * Explicit maintenance under the same serialized discipline as
+    * [[vacuum]] — never run concurrent with readers in OTHER processes
+    * (their listing may predate the delete). Row history is fully
+    * preserved in the checkpoint; only the per-commit DISCOVERY files
+    * go, so a [[streamChanges]] consumer bootstrapping from scratch
+    * afterwards must start at a snapshot ≥ the checkpoint version
+    * (live streams are unaffected — their seen-files log already
+    * absorbed the folded segments). Returns files deleted. */
+  def vacuumLineage(spark: SparkSession, dataPath: String): Int = {
+    val lp = lineagePath(dataPath)
+    val fs = fsOf(spark, dataPath)
+    if (!fs.exists(hp(lp))) return 0
+    val all = fs.listStatus(hp(lp)).filter(_.isFile)
+    val ckptV = all.flatMap(f => f.getPath.getName match {
+      case ckptNameRe(v) => Some(v.toLong)
+      case _ => None
+    }).sorted.lastOption.getOrElse(return 0)
+    val doomed = all.filter(f => f.getPath.getName match {
+      case segmentNameRe(v) => v.toLong <= ckptV
+      case ckptNameRe(v) => v.toLong < ckptV
+      case _ => false
+    })
+    doomed.foreach(f => fs.delete(f.getPath, false): Unit)
+    doomed.length
   }
 
   /** Reclaim INVISIBLE residue: data files no lineage row references
@@ -490,7 +752,8 @@ object TimeTravel {
       .map(_.getPath)
       .filterNot(p => referenced.contains(p.getName))
     doomed.foreach(p => fs.delete(p, false): Unit)
-    Seq("_staging_v*", "_lineage_segtmp_v*").foreach { pat =>
+    Seq("_staging_v*", "_lineage_segtmp_v*", "_lineage_ckpttmp_v*")
+      .foreach { pat =>
       Option(fs.globStatus(hp(dataPath.stripSuffix("/") + pat)))
         .toSeq.flatten.foreach(f => fs.delete(f.getPath, true): Unit)
     }
@@ -556,6 +819,18 @@ object TimeTravel {
     // one scan serves counts, history accounting, and data skipping.
     if (promoted.isEmpty)
       return actionRows(spark, Seq.empty).limit(0)
+    // the CUMULATIVE table schema, folded FORWARD at commit time: the
+    // previous record (O(1) — itself a stamp) widened by this batch.
+    // What makes read-side schema resolution O(1) in commit count
+    // instead of a re-derivation over ALL history per read (the r15
+    // q144 finding). Monotone by construction: widenMerge can only
+    // keep or widen the previous record.
+    val cumulative = recordedTableSchema(spark, dataPath) match {
+      case Some(cur) => widenMerge(cur, staged.schema,
+        s"commit of $dataPath")
+      case None =>
+        normalizeType(staged.schema).asInstanceOf[StructType]
+    }
     // promoted names are `v<d>_<d>.parquet` — no URI-encodable chars,
     // so input_file_name's encoding hazard (Layout's listing rule)
     // cannot bite here
@@ -570,6 +845,7 @@ object TimeTravel {
       // readFilesWidened folds into the read target, and what the
       // narrowing guard compares the next batch against
       .withColumn("schema_json", lit(staged.schema.json))
+      .withColumn("table_schema_json", lit(cumulative.json))
   }
 
   /** Commit a new batch as version `latest + 1`: z-cluster `df` on
@@ -825,12 +1101,23 @@ object TimeTravel {
                    expectedVersion: Option[Long] = None): Long = {
     val upd = updates.filter(col(idCol).isNotNull)
     val latest = latestVersion(spark, dataPath)
+    val ledger = commitLedgerPath(dataPath)
+    // replay check FIRST, before the pin (commitAppend's ordering): a
+    // verbatim replay of an already-landed pinned commit — same
+    // batchId, same now-stale pin — must absorb as a no-op, not throw
+    // CommitRaceLost; exactly-once means the replay's answer is the
+    // landed version regardless of how stale its arguments look
+    batchId.foreach { id =>
+      if (!fsOf(spark, dataPath).exists(hp(ledger)))
+        graft.operators.Ledger.init(spark, ledger)
+      if (graft.operators.Ledger.contains(spark, ledger, id) ||
+          lineageHasBatch(spark, dataPath, id))
+        return latest
+    }
     // the pre-commit CAS (see commitAppend): a caller that stamped its
     // rows with the target version pins it here, and a head that has
     // already moved refuses BEFORE any candidate read or staging —
-    // never an epoch-inconsistent commit in the lineage. A ledger
-    // replay still absorbs: the re-derived call pins head+1, the pin
-    // passes, and the ledger check below returns the landed version.
+    // never an epoch-inconsistent commit in the lineage.
     expectedVersion.filter(_ != latest + 1).foreach(ev =>
       throw new CommitRaceLost(ev, dataPath,
         s"commitUpsert REFUSED before staging: the caller pinned " +
@@ -856,14 +1143,6 @@ object TimeTravel {
     if (latest == 0)
       return commitAppend(upd, dataPath, Seq(idCol), files, batchId,
         expectedVersion = expectedVersion)
-    val ledger = commitLedgerPath(dataPath)
-    batchId.foreach { id =>
-      if (!fsOf(spark, dataPath).exists(hp(ledger)))
-        graft.operators.Ledger.init(spark, ledger)
-      if (graft.operators.Ledger.contains(spark, ledger, id) ||
-          lineageHasBatch(spark, dataPath, id))
-        return latest
-    }
     requireNoCollision(upd.columns.toSeq, Seq("__file"), "commitUpsert")
     val live = liveFileNames(spark, dataPath, latest)
     val ids = upd.select(col(idCol)).distinct()
@@ -1220,12 +1499,16 @@ object TimeTravel {
     */
   def earliestReadable(spark: SparkSession, dataPath: String): Long = {
     if (!lineageExists(spark, dataPath)) return 1L
-    val l = lineage(spark, dataPath)
-    val floor = l.filter(col("action") === "vacuum")
-      .select(col("file_name"))
-      .join(l.filter(col("action") === "remove"), Seq("file_name"))
-      .agg(max(col("version"))).head()
-    if (floor.isNullAt(0)) 1L else floor.getLong(0)
+    val s = lineageSnap(spark, dataPath)
+    val vacuumed = s.rows.iterator
+      .filter(_.getString(s.aIdx) == "vacuum")
+      .map(_.getString(s.fIdx)).toSet
+    if (vacuumed.isEmpty) return 1L
+    val floor = s.rows.iterator
+      .filter(r => r.getString(s.aIdx) == "remove" &&
+        vacuumed(r.getString(s.fIdx)))
+      .map(_.getLong(s.vIdx))
+    if (floor.isEmpty) 1L else floor.max
   }
 
   /** The table exactly as committed at `version` — the read face. Fails
@@ -1473,6 +1756,12 @@ object TimeTravel {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("version", lit(v))
+      // the copied per-commit schema_json stays (readFilesWidened needs
+      // each FILE's write schema), but the cumulative table stamp must
+      // NOT be re-stamped at the new head: the table's logical type is
+      // monotone, and a rollback re-adding pre-widening files would
+      // otherwise present its OLD cumulative as the newest record
+      .drop("table_schema_json")
     appendLineage(spark, dataPath,
       readds.unionByName(
         actionRows(spark,
@@ -1791,7 +2080,10 @@ object TimeTravel {
       StructField("file_name", StringType), StructField("n_rows", LongType)))
     spark.readStream
       .schema(segSchema)
-      .parquet(lineagePath(dataPath))
+      // per-commit SEGMENTS only: a lineage checkpoint (ckpt_v*, the
+      // fold checkpointLineage writes beside them) re-states versions
+      // the stream already delivered and must never be discovered
+      .parquet(lineagePath(dataPath) + "/segment_v*.parquet")
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (seg: DataFrame, _: Long) =>
