@@ -66,7 +66,40 @@ object Bench {
           dt
         } catch { case _: Throwable => -1.0 }
       }
+    // I/O CANARY (VERDICT r15 task 2): the CPU canary is a broadcast
+    // lookup doing zero I/O, so it can neither convict nor exonerate
+    // the tmpdir-bound lifecycle class (q128–q148) — exactly the class
+    // that regressed in r15. This one is a fixed tiny commit + read
+    // through the lake's OWN commit path (staging write, promotes,
+    // lineage birth, listing, scan), bracketing each decile like the
+    // CPU canary. Reading rule: lifecycle-class gaps are adjudicated
+    // on max(canary_factor, io_canary_factor) — a window where BOTH
+    // are flat and a lifecycle query still reads >2× its base is weak.
+    val ioCanaryRoot =
+      java.nio.file.Files.createTempDirectory("graft_bench_iocanary")
+        .toString
+    var ioCanaryN = 0
+    def ioCanaryTime(): Double =
+      try {
+        ioCanaryN += 1
+        val dir = s"$ioCanaryRoot/t$ioCanaryN/data"
+        val t0 = System.nanoTime()
+        graft.sources.TimeTravel.commitAppend(
+          spark.range(0L, 20000L)
+            .selectExpr("id", "id % 97 as grp"),
+          dir, Seq("id"), files = 2)
+        graft.sources.TimeTravel.read(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val fs = new org.apache.hadoop.fs.Path(ioCanaryRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$ioCanaryRoot/t$ioCanaryN"),
+          true)
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      } catch { case _: Throwable => -1.0 }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioCanaries = scala.collection.mutable.ArrayBuffer[Double]()
     val stageMap =
       scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     val qseq = SparkEntry.queries.toSeq
@@ -75,6 +108,7 @@ object Bench {
     val decileOf = scala.collection.mutable.LinkedHashMap[String, Int]()
     qseq.grouped(decile).zipWithIndex.foreach { case (chunk, di) =>
       canaries += canaryTime()
+      ioCanaries += ioCanaryTime()
       chunk.foreach { case (name, fn) =>
         decileOf += name -> di
         var best = Double.MaxValue
@@ -104,6 +138,7 @@ object Bench {
       }
     }
     canaries += canaryTime()
+    ioCanaries += ioCanaryTime()
     // SELF-ADJUDICATION (VERDICT r14 task 7): three driver windows
     // running were warm enough that the weather-vs-weak verdict lived
     // in BASELINE prose — emit it into the artifact instead, so a
@@ -126,11 +161,32 @@ object Bench {
       val c = canaries(i)
       if (c > 0.0) c else canaryBase
     }
+    val ioCanaryBase = {
+      val ok = ioCanaries.filter(_ > 0.0)
+      if (ok.isEmpty) 1.0 else ok.min
+    }
+    def ioCanaryAt(i: Int): Double = {
+      val c = ioCanaries(i)
+      if (c > 0.0) c else ioCanaryBase
+    }
     val nDeciles = canaries.size - 1
     val canaryFactor = (0 until nDeciles).map(d =>
       math.max(1.0, math.min(canaryAt(d), canaryAt(d + 1)) / canaryBase))
+    val ioCanaryFactor = (0 until nDeciles).map(d =>
+      math.max(1.0,
+        math.min(ioCanaryAt(d), ioCanaryAt(d + 1)) / ioCanaryBase))
     val weatherRatio = results.map { case (name, raw) =>
       val f = decileOf.get(name).map(canaryFactor).getOrElse(1.0)
+      name -> raw / f
+    }
+    // the lifecycle-class deflator: raw ÷ max(cpu, io) contention for
+    // the query's decile — what adjudicates an I/O-bound (tmpdir-bound)
+    // query, where the CPU canary is blind. max() of the two factors
+    // still never manufactures speed: both canaries use min-of-brackets
+    val ioWeatherRatio = results.map { case (name, raw) =>
+      val d = decileOf.get(name)
+      val f = math.max(d.map(canaryFactor).getOrElse(1.0),
+        d.map(ioCanaryFactor).getOrElse(1.0))
       name -> raw / f
     }
     // Plan fingerprints LAST (construction-time build jobs would
@@ -151,7 +207,11 @@ object Bench {
       .mkString("{", ",", "}")
     val cs = canaries.mkString("[", ",", "]")
     val cf = canaryFactor.mkString("[", ",", "]")
+    val ics = ioCanaries.mkString("[", ",", "]")
+    val icf = ioCanaryFactor.mkString("[", ",", "]")
     val wr = weatherRatio.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val iwr = ioWeatherRatio.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ss = stageMap.map { case (q, st) =>
       "\"" + q + "\":" +
@@ -173,7 +233,7 @@ object Bench {
       val cfg =
         s"""{"cpus":$cpus,"shufflePartitions":$cpus,"aqe":true,"timeZone":"UTC"}"""
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"canary":$cs,"canary_factor":$cf,"weather_ratio":$wr,"stages":$ss,"queries":$qs}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","config":$cfg,"plans":$ps,"canary":$cs,"canary_factor":$cf,"io_canary":$ics,"io_canary_factor":$icf,"weather_ratio":$wr,"io_weather_ratio":$iwr,"stages":$ss,"queries":$qs}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -203,8 +263,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
     val csShort = canaries.map(j3).mkString("[", ",", "]")
+    val icsShort = ioCanaries.map(j3).mkString("[", ",", "]")
     val summaryLine =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"canary":$csShort,"slowest":$slow,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"canary":$csShort,"io_canary":$icsShort,"slowest":$slow,"detail":"bench_out.json"}"""
     require(summaryLine.length <= 1500,
       s"bench summary line is ${summaryLine.length} bytes; must fit a 2000-char tail")
     println(summaryLine)

@@ -144,7 +144,8 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm", "pq", "decade", "decade2", "mixture", "matview")
+      "layout", "lm", "pq", "decade", "decade2", "mixture", "matview",
+      "lakemeta")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
       "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture,matview")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -733,6 +734,84 @@ object BenchCurve {
       Some((point(1), point(4), point(10)))
     }
 
+    // --- lakemeta: lineage metadata cost must be FLAT in commit count ---
+    // VERDICT r15 task 3: lineage() used to mergeSchema-read every
+    // segment per consultation — O(commits) footer merges per metadata
+    // question, O(commits^2) total for a multi-commit query. With the
+    // snapshot cache + checkpoint fold, the claim is: cold consultation,
+    // head read (post-compaction, so the data side is constant), and
+    // commit cost stay flat from 10 to 1000 commits of history. The
+    // contrast point strips the checkpoints off the 1000-commit table
+    // and re-measures — the unbounded-log cost the fold removes. Not in
+    // the default set (~10 min of tiny commits):
+    // SPARK_GRAFT_CURVE_SECTIONS=lakemeta.
+    val lakemeta = if (!sections("lakemeta")) None else {
+      import graft.sources.TimeTravel
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def t1(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def measure(root: String): (Double, Double, Double, Double) = {
+        val cold = (1 to 3).map { _ =>
+          TimeTravel.invalidateLineageCache()
+          t1(TimeTravel.latestVersion(spark, root): Unit)
+        }.min
+        val warm = (1 to 3).map(_ =>
+          t1(TimeTravel.latestVersion(spark, root): Unit)).min
+        val readHead = (1 to 2).map(_ => t1 {
+          TimeTravel.read(spark, root)
+            .write.format("noop").mode("overwrite").save()
+          spark.sharedState.cacheManager.clearCache()
+        }).min
+        val commit = t1 {
+          TimeTravel.commitAppend(
+            spark.range(9000000L, 9000050L)
+              .selectExpr("id", "id % 7 as grp"),
+            root, Seq("id"), files = 1): Unit
+        }
+        (cold, warm, readHead, commit)
+      }
+      def point(n: Int): (String, (Double, Double, Double, Double)) = {
+        val root = s"/tmp/graft_bench_lakemeta_$n/t"
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        Seq(root, root + "_lineage", root + "_commit_ledger").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        hconf.setInt(TimeTravel.checkpointIntervalKey, 64)
+        try {
+          (1 to n).foreach { i =>
+            TimeTravel.commitAppend(
+              spark.range(i * 100L, i * 100L + 50L)
+                .selectExpr("id", "id % 7 as grp"),
+              root, Seq("id"), files = 1): Unit
+          }
+          // compact so the HEAD's data side is constant across points
+          // (4 live files) while the lineage keeps every commit — what
+          // isolates metadata cost from file-count cost
+          TimeTravel.compact(spark, root, Seq("id"), files = 4): Unit
+          val m = measure(root)
+          System.err.println(f"[lakemeta] n=$n ckpt: cold=${m._1}%.3f " +
+            f"warm=${m._2}%.4f read=${m._3}%.3f commit=${m._4}%.3f")
+          root -> m
+        } finally hconf.unset(TimeTravel.checkpointIntervalKey)
+      }
+      val p10 = point(10)._2
+      val p100 = point(100)._2
+      val (root1000, p1000) = point(1000)
+      // the contrast: same 1000-commit history, checkpoints stripped —
+      // every consultation is back to O(commits) segment reads
+      val fs = new org.apache.hadoop.fs.Path(root1000).getFileSystem(hconf)
+      val lp = new org.apache.hadoop.fs.Path(root1000 + "_lineage")
+      fs.listStatus(lp).filter(_.getPath.getName.startsWith("ckpt_"))
+        .foreach(f => fs.delete(f.getPath, false): Unit)
+      hconf.setInt(TimeTravel.checkpointIntervalKey, 0)
+      val pNock =
+        try measure(root1000)
+        finally hconf.unset(TimeTravel.checkpointIntervalKey)
+      System.err.println(f"[lakemeta] n=1000 NO-ckpt: cold=${pNock._1}%.3f " +
+        f"warm=${pNock._2}%.4f read=${pNock._3}%.3f commit=${pNock._4}%.3f")
+      Some((p10, p100, p1000, pNock))
+    }
+
     // a NaN (failed measurement) must reach the artifact as an explicit
     // failure marker, never a plausible-looking number a slope reader
     // would ingest (ADVICE r15)
@@ -804,6 +883,14 @@ object BenchCurve {
         f""""mixture":{"rows":$nDocs,"binned_sec":$bs%.3f,""" +
           f""""binned_max_task_ms":$bmax,"naive_window_sec":$ns2%.3f,""" +
           f""""naive_max_task_ms":$nmax2}"""
+      },
+      lakemeta.map { case (p10, p100, p1000, noc) =>
+        def fmtP(p: (Double, Double, Double, Double)) =
+          f"""{"cold_consult_sec":${p._1}%.3f,"warm_consult_sec":${p._2}%.4f,""" +
+            f""""read_head_sec":${p._3}%.3f,"commit_sec":${p._4}%.3f}"""
+        s""""lakemeta":{"commits10":${fmtP(p10)},""" +
+          s""""commits100":${fmtP(p100)},"commits1000":${fmtP(p1000)},""" +
+          s""""commits1000_nockpt":${fmtP(noc)}}"""
       },
       matview.map { case (p1, p4, p10) =>
         def fmtP(p: (Double, Double, Int, Int, Double, Double)) =

@@ -2914,27 +2914,42 @@ object SparkEntry {
         .filter(col("source").isNotNull).distinct()
         .withColumn("tier", concat(lit("t"),
           Corpus.hashBucket(col("source"), 3L).cast("string")))
-      Stages.timed("q148_versioned_dashboard", "build_publish") {
-        TimeTravel.commitAppend(docs, factsDir, Seq("doc_id"), files = 2)
-        Scd.merge(s, dimDir, "source", dim1, files = 1)
+      // q144-grade stage attribution (VERDICT r15 task 6): per-commit,
+      // per-publish, per-pinned-read — so the next driver regression in
+      // this 9-commit composition is attributable without a local rerun
+      Stages.timed("q148_versioned_dashboard", "facts_build") {
+        TimeTravel.commitAppend(docs, factsDir, Seq("doc_id"), files = 2): Unit
+      }
+      Stages.timed("q148_versioned_dashboard", "dim_build") {
+        Scd.merge(s, dimDir, "source", dim1, files = 1): Unit
+      }
+      Stages.timed("q148_versioned_dashboard", "publish_cut1") {
         SnapshotGroup.publish(s, gDir,
           Map("facts" -> factsDir, "dim" -> dimDir)): Unit
       }
-      Stages.timed("q148_versioned_dashboard", "mutate_publish") {
+      Stages.timed("q148_versioned_dashboard", "facts_delete") {
         TimeTravel.commitDelete(s, factsDir, "doc_id",
           docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
-            .select(col("doc_id")))
+            .select(col("doc_id"))): Unit
+      }
+      Stages.timed("q148_versioned_dashboard", "dim_mutate") {
         Scd.merge(s, dimDir, "source",
           dim1.filter(Corpus.hashBucket(col("source"), 5L) === 0)
             .select(col("source")).withColumn("tier", lit("t9")),
-          files = 1)
+          files = 1): Unit
+      }
+      Stages.timed("q148_versioned_dashboard", "publish_cut2") {
         SnapshotGroup.publish(s, gDir,
           Map("facts" -> factsDir, "dim" -> dimDir)): Unit
       }
+      // pin resolution per cut is eager (group metadata); the rollup
+      // frames stay lazy, so their evaluation is the final_read stage
       (1L to 2L).map(g =>
-          graft.engine.VersionedDashboard.rollup(s, gDir, "facts",
-            "dim", "source", by = "tier", sumCol = Some("nc"), cut = g)
-            .withColumn("cut", lit(g)))
+          Stages.timed("q148_versioned_dashboard", s"pin_cut$g") {
+            graft.engine.VersionedDashboard.rollup(s, gDir, "facts",
+              "dim", "source", by = "tier", sumCol = Some("nc"), cut = g)
+              .withColumn("cut", lit(g))
+          })
         .reduce(_ unionByName _)
         .select(col("cut"), col("tier"), col("n"), col("sum_nc"))
         .orderBy(col("cut"), col("tier"))

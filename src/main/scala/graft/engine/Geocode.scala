@@ -75,12 +75,23 @@ object Geocode {
     *    additive and duplicate cache rows resolve identically). Run
     *    batches against one cache path sequentially.
     *  - **`resolver` is injected** (`normalized address => Option[bbl10]`;
-    *    return None for API misses, throw for transport errors — a throw
-    *    aborts the batch before the cache is written). The production
-    *    implementation wraps an HTTP client with auth + retry; this
-    *    sandbox has no egress, so specs inject a deterministic fake —
-    *    the connector mechanics (dedup, cap, pacing, cache round-trip)
-    *    are what this class owns and tests.
+    *    return None for API misses — cached as a permanent negative).
+    *    The production implementation wraps an HTTP client with auth +
+    *    retry; this sandbox has no egress, so specs inject a
+    *    deterministic fake — the connector mechanics (dedup, cap,
+    *    pacing, cache round-trip, quarantine) are what this class owns
+    *    and tests.
+    *  - **A resolver THROW quarantines the key, never aborts the batch**
+    *    (the failure half the reference hits live: an unguarded failed
+    *    geocode raises out of the request, webserver/server.py:461,468).
+    *    A transient per-key failure (timeout, 5xx) must not take down a
+    *    whole ingestion batch, and must NOT be cached either — a cached
+    *    failure would never heal. The key is recorded in a sibling
+    *    quarantine table (`<cachePath>_quarantine`: addr_key, error),
+    *    its rows resolve as null THIS batch, and because it never
+    *    entered the cache it is retried as a fresh miss next batch —
+    *    fail → retry → converge. A failure storm degrades to "all keys
+    *    quarantined, nothing cached", never a job abort.
     *
     * Returns the input resolved through the UPDATED cache via
     * [[resolve]]. Deterministic given the resolver and cache contents.
@@ -120,15 +131,30 @@ object Geocode {
     if (misses.nonEmpty) {
       val minIntervalNanos = (1e9 / maxQps).toLong
       var nextAllowed = System.nanoTime()
-      val resolved = misses.map { addr =>
+      val failures =
+        scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val resolved = misses.flatMap { addr =>
         val wait = nextAllowed - System.nanoTime()
         if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+        // a failed attempt consumed an API call — it pays the QPS
+        // budget like a success
         nextAllowed = System.nanoTime() + minIntervalNanos
-        org.apache.spark.sql.Row(addr, resolver(addr).orNull)
+        try Some(org.apache.spark.sql.Row(addr, resolver(addr).orNull))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            failures += org.apache.spark.sql.Row(addr,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
       }
-      spark.createDataFrame(
-          java.util.Arrays.asList(resolved: _*), cacheSchema)
-        .write.mode("append").parquet(cachePath)
+      if (resolved.nonEmpty)
+        spark.createDataFrame(
+            java.util.Arrays.asList(resolved: _*), cacheSchema)
+          .write.mode("append").parquet(cachePath)
+      if (failures.nonEmpty)
+        spark.createDataFrame(
+            java.util.Arrays.asList(failures.toSeq: _*), quarantineSchema)
+          .write.mode("append").parquet(quarantinePath(cachePath))
     }
     // duplicate cache keys happen (two concurrent invocations both
     // missing the same key append one row each — the documented race);
@@ -136,5 +162,30 @@ object Geocode {
     // address's rows TWICE through the join, forever
     resolve(addresses, addrCol,
       loadCache().dropDuplicates("addr_key"), "addr_key", "bbl10")
+  }
+
+  private def quarantinePath(cachePath: String): String =
+    cachePath.stripSuffix("/") + "_quarantine"
+
+  private val quarantineSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("addr_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("error",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The quarantine record beside a cache: every (addr_key, error) a
+    * resolver throw produced, append-per-batch — the ops view of what
+    * keeps failing. A key appearing here and later in the cache HEALED
+    * (its retry converged); empty when the cache has never seen a
+    * resolver failure. */
+  def quarantine(spark: org.apache.spark.sql.SparkSession,
+                 cachePath: String): DataFrame = {
+    val p = quarantinePath(cachePath)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+      spark.read.parquet(p)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), quarantineSchema)
   }
 }

@@ -168,9 +168,12 @@ object MatView {
       if (files.isEmpty) old // metadata-only commits (e.g. a vacuum)
       else {
         // one read of the touched files; a file that entered AND left
-        // within the window joins both its +1 and −1 rows and cancels
-        val rows = spark.read.option("mergeSchema", "true")
-          .parquet(files.map(n => s"${m.srcPath}/$n"): _*)
+        // within the window joins both its +1 and −1 rows and cancels.
+        // Widened read, not raw mergeSchema: the delta window may span
+        // a TYPE-WIDENING commit (int→long), where mergeSchema throws
+        // but the recorded commit schemas give one decodable target
+        val rows = TimeTravel
+          .readFilesWidened(spark, m.srcPath, files)
           .withColumn("file_name",
             element_at(split(input_file_name(), "/"), -1))
           .join(broadcast(acts), Seq("file_name"))

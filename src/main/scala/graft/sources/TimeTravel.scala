@@ -192,6 +192,12 @@ object TimeTravel {
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[String, LineageSnap]()
 
+  /** Test/measurement seam: drop every cached lineage snapshot so the
+    * next consultation pays the cold path (one listing + the bounded
+    * effective-file load). Correctness never depends on this — the
+    * listing fingerprint already invalidates stale entries. */
+  private[graft] def invalidateLineageCache(): Unit = snapCache.clear()
+
   /** The files a lineage read consults: newest checkpoint + segments
     * past it, in version order. Folded segments (≤ the checkpoint's
     * version) and superseded checkpoints are ignored even while they

@@ -187,4 +187,43 @@ class CrashMatrixSpec extends SparkSpec {
       assert(Scd.current(spark, dir).count() == 2L)
     }
   }
+
+  test("checkpoint boundary: a crash in the post-commit log fold " +
+      "leaves the commit durable and no half-written checkpoint; the " +
+      "replay absorbs and the NEXT commit folds the backlog") {
+    val dir = tmpDir("ckpt_crash")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setInt(TimeTravel.checkpointIntervalKey, 1)
+    try {
+      TimeTravel.commitAppend(base, dir, Seq("id"), files = 2) // v1 folds
+      def extra = spark.range(100L, 120L)
+        .select(col("id"), (col("id") % 5).as("grp"), (col("id") * 3).as("v"))
+      val want = baseRows ++ (100L until 120L).map(i => (i, i % 5, i * 3))
+      def mutate(): Unit = TimeTravel.commitAppend(extra, dir, Seq("id"),
+        files = 2, batchId = Some("mx_ckpt")): Unit
+      crashingAt("checkpoint")(mutate())
+      // the fold is post-commit maintenance: the commit IS durable
+      assert(TimeTravel.latestVersion(spark, dir) == 2L)
+      assert(rows(dir) == want)
+      val lp = TimeTravel.lineagePath(dir)
+      val fs = new org.apache.hadoop.fs.Path(lp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def cks = fs.listStatus(new org.apache.hadoop.fs.Path(lp))
+        .map(_.getPath.getName).filter(_.startsWith("ckpt_")).toSeq.sorted
+      assert(cks == Seq("ckpt_v1.parquet"),
+        s"half-written checkpoint after crash: $cks")
+      TimeTravel.gcOrphans(spark, dir): Unit
+      // replay absorbs version-free (the batch id rides the segment)
+      mutate()
+      assert(TimeTravel.latestVersion(spark, dir) == 2L && rows(dir) == want)
+      // the next commit folds the backlog; reads survive the reclaim
+      TimeTravel.commitAppend(spark.range(200L, 210L)
+        .select(col("id"), (col("id") % 5).as("grp"),
+          (col("id") * 3).as("v")), dir, Seq("id"), files = 1) // v3
+      assert(cks.contains("ckpt_v3.parquet"), cks.toString)
+      assert(TimeTravel.vacuumLineage(spark, dir) > 0)
+      assert(TimeTravel.readAsOf(spark, dir, 1L).count() == 50L)
+      assert(TimeTravel.latestVersion(spark, dir) == 3L)
+    } finally conf.unset(TimeTravel.checkpointIntervalKey)
+  }
 }

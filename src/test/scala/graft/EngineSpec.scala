@@ -129,6 +129,67 @@ class EngineSpec extends SparkSpec {
     assert(calls.get == before + 3, "schemed cache path was not consulted")
   }
 
+  test("geocode connector under a FLAKY resolver: per-key failures " +
+      "quarantine and retry next batch — never a job abort, never a " +
+      "cached failure; replay after convergence is call-free") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_geoflaky")
+      .toString
+    val cachePath = s"$tmp/cache"
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(2)
+    // BAD RD times out twice, then heals; BROKE ST fails forever;
+    // everything else resolves first try
+    val resolver: String => Option[String] = { addr =>
+      calls.incrementAndGet()
+      if (addr.contains("BAD") && failuresLeft.getAndDecrement() > 0)
+        throw new RuntimeException("simulated geocoder timeout")
+      else if (addr.contains("BROKE"))
+        throw new RuntimeException("simulated geocoder 500")
+      else Some("1000420007")
+    }
+    val addrs = Seq("1 Good St", "2 Bad Rd", "3 Broke St").toDF("address")
+    def bblOf(df: org.apache.spark.sql.DataFrame,
+              a: String): Option[String] = {
+      val r = df.filter(col("address") === a).select("bbl").head()
+      Option(if (r.isNullAt(0)) null else r.getString(0))
+    }
+    // batch 1: the two failing keys quarantine, the good one resolves —
+    // the batch itself never aborts
+    val r1 = Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 10, maxQps = 1000.0)
+    assert(bblOf(r1, "1 Good St") == Some("1-00042-0007"))
+    assert(bblOf(r1, "2 Bad Rd").isEmpty && bblOf(r1, "3 Broke St").isEmpty)
+    assert(calls.get == 3)
+    val q1 = Geocode.quarantine(spark, cachePath)
+      .select("addr_key").collect().map(_.getString(0)).toSet
+    assert(q1 == Set("2 BAD RD", "3 BROKE ST"))
+    // batch 2: the good key is CACHED (no call); both failed keys retry
+    // as fresh misses; BAD RD still fails (second timeout)
+    val r2 = Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 10, maxQps = 1000.0)
+    assert(calls.get == 5)
+    assert(bblOf(r2, "2 Bad Rd").isEmpty)
+    // batch 3: BAD RD heals and converges; BROKE ST keeps failing but
+    // keeps NOT being cached (it would never heal otherwise)
+    val r3 = Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 10, maxQps = 1000.0)
+    assert(calls.get == 7)
+    assert(bblOf(r3, "2 Bad Rd") == Some("1-00042-0007"))
+    assert(bblOf(r3, "3 Broke St").isEmpty)
+    // cache idempotence under replay: the healed key never re-queries
+    val callsBefore = calls.get
+    val r4 = Geocode.resolveWithCache(addrs, "address", cachePath, resolver,
+      maxLookups = 10, maxQps = 1000.0)
+    assert(calls.get == callsBefore + 1) // ONLY the still-broken key
+    assert(bblOf(r4, "2 Bad Rd") == Some("1-00042-0007"))
+    // the quarantine is the ops record: the healed key appears from its
+    // failing era AND in the cache now; the broken key only accumulates
+    val q = Geocode.quarantine(spark, cachePath)
+    assert(q.filter(col("addr_key") === "3 BROKE ST").count() == 4L)
+    assert(q.filter(col("addr_key") === "2 BAD RD").count() == 2L)
+    assert(q.filter(col("error").contains("timeout")).count() == 2L)
+  }
+
   test("bookmark toggle: add/remove with insertion order (server.py:548-552)") {
     val s0 = Seq.empty[String]
     val s1 = Bookmarks.toggle(s0, "1-42-7")

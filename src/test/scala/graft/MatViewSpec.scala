@@ -227,4 +227,37 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.refresh(spark, view).version == 2L)
     assert(viewRows(view) == recompute(dir))
   }
+
+  test("refresh crosses a type-widening boundary: the delta window " +
+      "spans int and long generations of the summed column and still " +
+      "lands exactly where a recompute would") {
+    val dir = tmpDir("widen")
+    val view = dir + "_view"
+    // v1: v is INT
+    TimeTravel.commitAppend(
+      spark.range(0L, 100L).select(col("id"), (col("id") % 4).as("grp"),
+        (col("id") % 50).cast("int").as("v")),
+      dir, Seq("id"), files = 2)
+    assert(MatView.create(spark, dir, view, Seq("grp"), Seq("v")) == 1L)
+    // v2 widens v to LONG (beyond int range); v3 deletes some narrow
+    // rows — the (1, 3] delta window reads files of BOTH widths
+    TimeTravel.commitAppend(
+      spark.range(100L, 120L).select(col("id"), (col("id") % 4).as("grp"),
+        (col("id") + 5000000000L).as("v")),
+      dir, Seq("id"), files = 1)
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(0L, 100L).filter(col("id") % 10 === 3).select(col("id")))
+    val st = MatView.refresh(spark, view)
+    assert(st.version == 3L)
+    val got = MatView.read(spark, view)
+      .select(col("grp"), col("n_rows"), col("sum_v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = TimeTravel.read(spark, dir)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("v"), lit(0L))).as("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.exists(_._3 > 5000000000L))
+  }
 }

@@ -374,4 +374,51 @@ class ScdSpec extends SparkSpec {
     // the dimension is still virgin: the first real merge lands at v1
     assert(Scd.merge(spark, dir, "k", dim((1L, "a", 10L)), files = 2) == 1L)
   }
+
+  test("type widening mid-history: an attribute widened int→long " +
+      "reads through history/current/asOf/pitJoin, and a narrowing " +
+      "merge refuses") {
+    val dir = tmpDir("widen")
+    // epoch 1: score is INT
+    assert(Scd.merge(spark, dir, "k",
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "name", "score"),
+      files = 2) == 1L)
+    // epoch 2: a merge carries score as LONG beyond int range — the
+    // lake's widening contract must flow through the SCD face
+    assert(Scd.merge(spark, dir, "k",
+      Seq((1L, "a", 5000000000L), (3L, "c", 30L))
+        .toDF("k", "name", "score"), files = 2) == 2L)
+    import org.apache.spark.sql.types.LongType
+    val h = Scd.history(spark, dir)
+    assert(h.schema("score").dataType == LongType)
+    // history: epoch-1 rows decode under the widened type
+    assert(hist(dir) == Seq(
+      (1L, "a", 10L, 1L, 2L), (1L, "a", 5000000000L, 2L, -1L),
+      (2L, "b", 20L, 1L, -1L), (3L, "c", 30L, 2L, -1L)))
+    assert(Scd.current(spark, dir).count() == 3L)
+    // asOf BEFORE the widening: validity filtering over the head table,
+    // values exact
+    assert(Scd.asOf(spark, dir, 1L).select(col("k"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // pitJoin across the boundary: facts at epoch 1 see the narrow-era
+    // values, facts at epoch 2 the widened ones
+    val facts = Seq((1L, 1L, 100L), (1L, 2L, 200L), (3L, 1L, 300L))
+      .toDF("k", "epoch", "amt")
+    val j = Scd.pitJoin(spark, facts, dir, "k", "epoch")
+      .select(col("amt"), col("score")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_ => r.getLong(1))))
+      .toSet
+    assert(j == Set((100L, Some(10L)), (200L, Some(5000000000L)),
+      (300L, None)))
+    // a LATE int batch upcasts losslessly through the face (the merge
+    // unions it with current rows, which carry the widened type) — the
+    // committed attribute stays long and the value is exact; no
+    // precision loss is possible on the way UP the lattice
+    assert(Scd.merge(spark, dir, "k",
+      Seq((4L, "d", 40)).toDF("k", "name", "score"), files = 1) == 3L)
+    val r4 = Scd.current(spark, dir).filter(col("k") === 4L)
+    assert(r4.schema("score").dataType == LongType &&
+      r4.select(col("score")).head().getLong(0) == 40L)
+  }
 }

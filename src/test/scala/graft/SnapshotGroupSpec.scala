@@ -190,4 +190,34 @@ class SnapshotGroupSpec extends SparkSpec {
       Seq(("a", aDir, 1L))) == 1L)
     assert(SnapshotGroup.readMember(spark, gDir, "a").count() == 10L)
   }
+
+  test("a pinned cut crosses a member's type-widening boundary: the " +
+      "old cut keeps the narrow type, the new cut reads narrow files " +
+      "under the widened target") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = tmpDir("widen")
+    val aDir = s"$root/a"
+    val gDir = s"$root/group"
+    TimeTravel.commitAppend(
+      spark.range(0L, 30L).select(col("id"),
+        (col("id") % 7).cast("int").as("x")),
+      aDir, Seq("id"), files = 1) // member v1: x int
+    val g1 = SnapshotGroup.publish(spark, gDir, Map("a" -> aDir))
+    // the member widens AFTER the cut pinned v1
+    TimeTravel.commitAppend(
+      spark.range(30L, 40L).select(col("id"),
+        (col("id") + 6000000000L).as("x")),
+      aDir, Seq("id"), files = 1) // member v2: x long
+    val g2 = SnapshotGroup.publish(spark, gDir, Map("a" -> aDir))
+    val oldCut = SnapshotGroup.readMember(spark, gDir, "a", g1)
+    assert(oldCut.schema("x").dataType == IntegerType &&
+      oldCut.count() == 30L)
+    val newCut = SnapshotGroup.readMember(spark, gDir, "a", g2)
+    assert(newCut.schema("x").dataType == LongType &&
+      newCut.count() == 40L)
+    // the narrow-era rows decode exactly under the widened target
+    assert(newCut.filter(col("id") === 13L).select(col("x"))
+      .head().getLong(0) == 6L)
+    assert(newCut.filter(col("x") >= 6000000000L).count() == 10L)
+  }
 }

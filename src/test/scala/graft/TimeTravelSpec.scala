@@ -1769,4 +1769,197 @@ class TimeTravelSpec extends SparkSpec {
     assert(s == d && s.size == 18)
     assert(d.exists(_._2 > 4000000000L))
   }
+
+  /** Spark jobs launched while `body` runs — the mechanical pin for
+    * the metadata-cost contracts ("reads O(1) segments"). The listener
+    * bus is drained before counting (its waitUntilEmpty is
+    * private[spark] in the API but public in bytecode). */
+  private def jobsDuring(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      body
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m => m.getName == "waitUntilEmpty" &&
+        m.getParameterCount == 0).foreach(_.invoke(bus))
+    } finally sc.removeSparkListener(l)
+    n.get()
+  }
+
+  test("lineage checkpoint folds the log: every as-of read identical " +
+      "across the fold, vacuumLineage reclaims folded segments, and " +
+      "commits continue past it") {
+    val dir = tmpDir("ckptfold")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+    TimeTravel.commitAppend(batch(1), dir, Seq("id"), files = 2) // v2
+    TimeTravel.commitDelete(spark, dir, "id",
+      spark.range(0L, 200L).filter(col("id") % 10 === 7)
+        .select(col("id"))) // v3
+    TimeTravel.commitUpsert(spark, dir, "id",
+      spark.range(5L, 8L).select(col("id"), lit(0L).as("grp"),
+        lit(-1L).as("v")), files = 1) // v4
+    val before = (1L to 4L).map(v => ids(TimeTravel.readAsOf(spark, dir, v)))
+    val hBefore = TimeTravel.history(spark, dir).collect().map(_.toSeq).toSeq
+    assert(TimeTravel.checkpointLineage(spark, dir) == 4L)
+    assert(TimeTravel.checkpointLineage(spark, dir) == 4L) // idempotent
+    assert((1L to 4L).map(v =>
+      ids(TimeTravel.readAsOf(spark, dir, v))) == before)
+    // reclaiming the folded segments changes NOTHING a reader sees
+    // (4 commit segments fold; the checkpoint carries their rows)
+    assert(TimeTravel.vacuumLineage(spark, dir) == 4)
+    assert((1L to 4L).map(v =>
+      ids(TimeTravel.readAsOf(spark, dir, v))) == before)
+    assert(TimeTravel.history(spark, dir).collect().map(_.toSeq).toSeq
+      == hBefore)
+    assert(TimeTravel.latestVersion(spark, dir) == 4L)
+    // life continues past the fold: commits, reads, a re-fold
+    assert(TimeTravel.commitAppend(batch(2), dir, Seq("id"),
+      files = 2) == 5L)
+    assert(ids(TimeTravel.readAsOf(spark, dir, 5L)).size ==
+      before.last.size + 100)
+    assert(TimeTravel.checkpointLineage(spark, dir) == 5L)
+    assert(TimeTravel.vacuumLineage(spark, dir) == 2) // seg_v5 + ckpt_v4
+    assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == before.head)
+  }
+
+  test("auto-checkpoint: the commit path folds the log every K commits " +
+      "and the replay ledger keeps working through the fold") {
+    val dir = tmpDir("autockpt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setInt(TimeTravel.checkpointIntervalKey, 3)
+    try {
+      (0 to 6).foreach(b => TimeTravel.commitAppend(batch(b), dir,
+        Seq("id"), files = 1, batchId = Some(s"auto_$b")))
+      val lp = TimeTravel.lineagePath(dir)
+      val fs = new org.apache.hadoop.fs.Path(lp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(lp))
+        .map(_.getPath.getName).toSet
+      assert(names.contains("ckpt_v3.parquet") &&
+        names.contains("ckpt_v6.parquet"), names.toSeq.sorted.toString)
+      // replays of batches whose segments are FOLDED still absorb
+      (0 to 6).foreach { b =>
+        assert(TimeTravel.commitAppend(batch(b), dir, Seq("id"),
+          files = 1, batchId = Some(s"auto_$b")) == 7L)
+      }
+      assert(TimeTravel.read(spark, dir).count() == 700L)
+      assert(ids(TimeTravel.readAsOf(spark, dir, 2L)) == (0L until 200L))
+    } finally conf.unset(TimeTravel.checkpointIntervalKey)
+  }
+
+  test("schema resolution reads O(1) segments: every commit stamps the " +
+      "cumulative widened schema, resolution uses the newest stamp " +
+      "alone, and a read costs the same jobs at 4 and 20 commits") {
+    def build(nCommits: Int): String = {
+      val dir = tmpDir(s"o1_$nCommits")
+      // v1 narrow, v2 widens, the rest ride the wide type
+      TimeTravel.commitAppend(spark.range(0L, 20L).select(col("id"),
+        (col("id") % 9).cast("int").as("x")), dir, Seq("id"), files = 1)
+      (2 to nCommits).foreach(i => TimeTravel.commitAppend(
+        spark.range(i * 100L, i * 100L + 20L).select(col("id"),
+          (col("id") + 3000000000L).as("x")), dir, Seq("id"), files = 1))
+      dir
+    }
+    val small = build(4)
+    val big = build(20)
+    Seq(small, big).foreach { d =>
+      assert(TimeTravel.schemaResolution(spark, d) == "stamped")
+      assert(TimeTravel.read(spark, d).schema("x").dataType ==
+        org.apache.spark.sql.types.LongType)
+    }
+    // warm the snapshots (one listing + bounded load each), then a full
+    // read must cost the SAME jobs regardless of commit count — the
+    // r15 shape re-derived the schema from ALL lineage segments per
+    // read, so job count grew with history
+    TimeTravel.latestVersion(spark, small)
+    TimeTravel.latestVersion(spark, big)
+    val jSmall = jobsDuring(TimeTravel.read(spark, small).count(): Unit)
+    val jBig = jobsDuring(TimeTravel.read(spark, big).count(): Unit)
+    assert(jBig == jSmall,
+      s"read jobs grew with commit count: $jSmall at 4 commits, " +
+        s"$jBig at 20 — metadata resolution is no longer O(1)")
+    // and the rollback rule: re-adding pre-widening files must NOT
+    // present the old cumulative as the newest record
+    val head = TimeTravel.latestVersion(spark, small)
+    TimeTravel.rollback(spark, small, 1L)
+    assert(TimeTravel.schemaResolution(spark, small) != "none")
+    assert(TimeTravel.read(spark, small).schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType) // v1 content, narrow files
+    // the monotone table type survives: a narrow-int batch still refuses
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.commitAppend(spark.range(900L, 910L).select(col("id"),
+        col("id").cast("int").as("x")), small, Seq("id"), files = 1)
+    }
+    assert(e.getMessage.contains("narrowing"), e.getMessage)
+    assert(TimeTravel.latestVersion(spark, small) == head + 1)
+  }
+
+  test("commitUpsert replay ordering: a verbatim replay of a landed " +
+      "pinned commit absorbs as a no-op even though its pin is stale") {
+    val dir = tmpDir("replaypin")
+    TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 1) // v1
+    def up = spark.range(5L, 8L).select(col("id"), lit(9L).as("grp"),
+      lit(-1L).as("v"))
+    assert(TimeTravel.commitUpsert(spark, dir, "id", up, files = 1,
+      batchId = Some("pin_b1"), expectedVersion = Some(2L)) == 2L)
+    // the verbatim replay: same batchId, same (now stale) pin — the
+    // exactly-once answer is the landed version, never CommitRaceLost
+    assert(TimeTravel.commitUpsert(spark, dir, "id", up, files = 1,
+      batchId = Some("pin_b1"), expectedVersion = Some(2L)) == 2L)
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    // a NEW batch with a stale pin still refuses before staging
+    intercept[graft.sources.CommitRaceLost] {
+      TimeTravel.commitUpsert(spark, dir, "id", up, files = 1,
+        batchId = Some("pin_b2"), expectedVersion = Some(2L))
+    }
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+  }
+
+  test("legacy int-typed stat columns: a pre-wide-stats segment beside " +
+      "new long-typed ones reads through the widening fold instead of " +
+      "throwing on mergeSchema") {
+    val dir = tmpDir("legacystats")
+    TimeTravel.commitAppend(spark.range(0L, 50L).select(col("id"),
+      (col("id") % 9).cast("int").as("x")), dir, Seq("x"), files = 1) // v1
+    // forge the legacy shape: rewrite segment_v1 with int-typed
+    // min_x/max_x and no schema stamps (what a pre-r15 engine wrote)
+    val lp = TimeTravel.lineagePath(dir)
+    val segPath = s"$lp/segment_v1.parquet"
+    val doctored = spark.read.parquet(segPath)
+      .withColumn("min_x", col("min_x").cast("int"))
+      .withColumn("max_x", col("max_x").cast("int"))
+      .drop("schema_json", "table_schema_json")
+    val tmp = s"$lp/_doctor"
+    doctored.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(lp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(new org.apache.hadoop.fs.Path(segPath), false)
+    fs.rename(part, new org.apache.hadoop.fs.Path(segPath))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // v2 records long-typed stats (the stable-wide rule) — the lineage
+    // now mixes int and long min_x across segments
+    TimeTravel.commitAppend(spark.range(50L, 80L).select(col("id"),
+      (col("id") % 9).cast("int").as("x")), dir, Seq("x"), files = 1)
+    assert(TimeTravel.latestVersion(spark, dir) == 2L)
+    assert(TimeTravel.read(spark, dir).count() == 80L)
+    assert(TimeTravel.readAsOf(spark, dir, 1L).count() == 50L)
+    // the stats screen still prunes on the mixed-typed dimension
+    assert(TimeTravel.readAsOfPruned(spark, dir, 2L,
+      Seq(graft.sources.Layout.ColRange("x", lit(2), lit(3))))
+      .select(col("x")).distinct().collect()
+      .map(_.getInt(0)).toSet == Set(2, 3))
+    // and the fold survives a checkpoint of the mixed log
+    TimeTravel.checkpointLineage(spark, dir)
+    assert(TimeTravel.vacuumLineage(spark, dir) == 2)
+    assert(TimeTravel.read(spark, dir).count() == 80L)
+  }
 }
