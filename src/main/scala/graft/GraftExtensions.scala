@@ -239,6 +239,14 @@ import graft.operators.{Dedup, Joins, Profiling, Similarity, TimeSeries}
   *  - `graft_tt_gc(dataPath)` — reclaim unreferenced data files and
   *    staging residue (crashed promotions, lost races); never touches
   *    referenced history ([[graft.sources.TimeTravel.gcOrphans]])
+  *  - `graft_tt_checkpoint(dataPath)` — fold every lineage segment
+  *    into ONE checkpoint file so metadata reads stay flat in commit
+  *    count ([[graft.sources.TimeTravel.checkpointLineage]]; auto-run
+  *    every K commits, this is the explicit face)
+  *  - `graft_tt_vacuum_lineage(dataPath)` — reclaim folded lineage
+  *    segments + superseded checkpoints (serialized maintenance;
+  *    row history stays complete in the checkpoint)
+  *    ([[graft.sources.TimeTravel.vacuumLineage]])
   *  - `graft_tt_stats(dataPath, version, column)` — exact
   *    min/max/null-count/row-count at any readable version from the
   *    lineage alone, zero data files read
@@ -1516,6 +1524,36 @@ object GraftExtensions {
           "graft_tt_gc(dataPath) — reclaim unreferenced data files and " +
             "staging residue (never referenced history; that is vacuum)")
       }),
+    (new FunctionIdentifier("graft_tt_checkpoint"),
+      new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_checkpoint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val v = graft.sources.TimeTravel.checkpointLineage(spark, path)
+          import spark.implicits._
+          plan(Seq((path, v)).toDF("data_path", "checkpoint_version"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_checkpoint(dataPath) — fold every lineage segment " +
+            "into one checkpoint file so metadata reads stay flat in " +
+            "commit count (auto-run every K commits; this is the " +
+            "explicit face)")
+      }),
+    (new FunctionIdentifier("graft_tt_vacuum_lineage"),
+      new ExpressionInfo("graft.sources.TimeTravel",
+        "graft_tt_vacuum_lineage"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p) =>
+          val spark = SparkSession.active
+          val path = strArg(p, "dataPath")
+          val n = graft.sources.TimeTravel.vacuumLineage(spark, path)
+          import spark.implicits._
+          plan(Seq((path, n)).toDF("data_path", "lineage_files_reclaimed"))
+        case _ => throw new IllegalArgumentException(
+          "graft_tt_vacuum_lineage(dataPath) — reclaim lineage segments " +
+            "a checkpoint has folded (serialized maintenance, like " +
+            "vacuum); row history stays complete in the checkpoint")
+      }),
     (new FunctionIdentifier("graft_tt_upsert"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_upsert"),
       (args: Seq[Expression]) => args match {
@@ -2272,6 +2310,8 @@ object GraftExtensions {
     "graft_tt_rollback" -> "q130_tt_rollback_diff",
     "graft_tt_diff" -> "q130_tt_rollback_diff",
     "graft_tt_gc" -> "TimeTravelSpec",
+    "graft_tt_checkpoint" -> "q149_lineage_checkpoint",
+    "graft_tt_vacuum_lineage" -> "q149_lineage_checkpoint",
     "graft_tt_clone" -> "TimeTravelSpec",
     "graft_tt_maintain" -> "TimeTravelSpec",
     "graft_tt_stats" -> "q136_tt_stats",

@@ -2953,6 +2953,77 @@ object SparkEntry {
         .reduce(_ unionByName _)
         .select(col("cut"), col("tier"), col("n"), col("sum_nc"))
         .orderBy(col("cut"), col("tier"))
+    }),
+
+    // Lineage checkpoint lifecycle (r16): the log-structured fold under
+    // live traffic. Auto-checkpoints every 2 commits while appends /
+    // a delete / an upsert land, then an explicit fold + vacuumLineage
+    // deletes EVERY per-commit segment file — and all four historical
+    // versions must read back exactly from the checkpoint alone. A fold
+    // that loses an action row, misorders versions, a vacuum that
+    // reclaims an unfolded segment, or a replay guard that forgets a
+    // folded batch id all break the hash.
+    "q149_lineage_checkpoint" -> ((s, d) => {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ttckpt_${Integer.toHexString(d.hashCode)}").getPath
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(dir, dir + "_lineage", dir + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("nc"))
+      val hconf = s.sparkContext.hadoopConfiguration
+      hconf.setInt(TimeTravel.checkpointIntervalKey, 2)
+      try {
+        Stages.timed("q149_lineage_checkpoint", "commits") {
+          (0 to 2).foreach(i => TimeTravel.commitAppend(
+            docs.filter(Corpus.hashBucket(col("doc_id"), 3L) === i),
+            dir, Seq("doc_id"), files = 2))
+          TimeTravel.commitDelete(s, dir, "doc_id",
+            docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 3)
+              .select(col("doc_id"))): Unit
+        }
+        Stages.timed("q149_lineage_checkpoint", "upsert") {
+          TimeTravel.commitUpsert(s, dir, "doc_id",
+            docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 5)
+              .withColumn("nc", col("nc") + 1000L),
+            files = 2, batchId = Some("q149_up")): Unit
+        }
+        Stages.timed("q149_lineage_checkpoint", "fold_vacuum") {
+          TimeTravel.checkpointLineage(s, dir): Unit
+          require(TimeTravel.vacuumLineage(s, dir) > 0,
+            "q149: the fold left nothing to reclaim")
+          val segs = fs.listStatus(new org.apache.hadoop.fs.Path(
+              TimeTravel.lineagePath(dir)))
+            .map(_.getPath.getName).filter(_.startsWith("segment_"))
+          require(segs.isEmpty,
+            s"q149: per-commit segments survived the vacuum: " +
+              segs.toSeq.sorted.mkString(", "))
+          // the replay guard must survive the fold too: drop the fast
+          // ledger (the crash window where its record never landed) so
+          // the replay can only be absorbed by the batch id stamped in
+          // the lineage — which now lives ONLY in the checkpoint
+          fs.delete(new org.apache.hadoop.fs.Path(
+            dir + "_commit_ledger"), true)
+          require(TimeTravel.commitUpsert(s, dir, "doc_id",
+              docs.filter(Corpus.hashBucket(col("doc_id"), 7L) === 5)
+                .withColumn("nc", col("nc") + 1000L),
+              files = 2, batchId = Some("q149_up")) == 5L,
+            "q149: a folded batch id no longer absorbed its replay")
+        }
+        (2L to 5L).map(v =>
+            TimeTravel.readAsOf(s, dir, v)
+              .groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("nc")).as("sum_chars"))
+              .withColumn("as_of", lit(v)))
+          .reduce(_ unionByName _)
+          .select(col("as_of"), col("source"), col("n_docs"),
+            col("sum_chars"))
+          .orderBy(col("as_of"), col("source"))
+      } finally hconf.unset(TimeTravel.checkpointIntervalKey)
     })
   )
 
@@ -4573,6 +4644,36 @@ object SparkEntry {
         |  CAST(sum(nc) AS BIGINT) AS sum_nc
         |FROM m GROUP BY cut, tier
         |ORDER BY cut, tier""".stripMargin.replace("\n", " "),
+
+    // q149: the checkpointed lake's four versions re-derived from the
+    // hash splits — v2 is the first two append buckets, v3 all three,
+    // v4 drops the delete bucket, v5 additionally carries the upsert's
+    // +1000 on its bucket. The fold/vacuum must be invisible here: the
+    // oracle knows nothing about checkpoints, only version contents.
+    "q149_lineage_checkpoint" ->
+      """WITH d AS (
+        |  SELECT source, CAST(coalesce(n_chars, 0) AS BIGINT) AS nc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 3 AS b,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 7 AS del
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), vers(as_of) AS (
+        |  VALUES (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)),
+        |         (CAST(4 AS BIGINT)), (CAST(5 AS BIGINT))
+        |), m AS (
+        |  SELECT v.as_of, d.source,
+        |    CASE WHEN v.as_of = 5 AND d.del = 5 THEN d.nc + 1000
+        |         ELSE d.nc END AS nc
+        |  FROM d CROSS JOIN vers v
+        |  WHERE (v.as_of = 2 AND d.b < 2)
+        |     OR (v.as_of = 3)
+        |     OR (v.as_of >= 4 AND d.del <> 3)
+        |)
+        |SELECT as_of, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY as_of, source
+        |ORDER BY as_of, source""".stripMargin.replace("\n", " "),
 
     // the oracle is the FULL RECOMPUTE the merge must equal bit-for-bit
     "q64_incremental" ->

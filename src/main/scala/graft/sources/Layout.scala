@@ -270,6 +270,38 @@ object Layout {
     }
   }
 
+  /** Every manifest consultation's read: mergeSchema (rows appended
+    * across a dims change carry different stat columns), falling back
+    * to a widening fold when mergeSchema REFUSES — a manifest holding
+    * legacy int-typed min_/max_ rows beside the stable-wide long ones
+    * ([[statsAggs]]'s r15 change) must stay readable, not strand the
+    * table behind its own cache (ADVICE r15). The fold reads each
+    * part's footer and widens through [[TimeTravel.widenMerge]]'s safe
+    * lattice; values then decode natively under the wide target. */
+  private[sources] def readManifestMerged(spark: SparkSession,
+                                          mp: String): DataFrame =
+    readManifestsMerged(spark, Seq(mp))
+
+  private[sources] def readManifestsMerged(spark: SparkSession,
+                                           mps: Seq[String]): DataFrame =
+    try spark.read.option("mergeSchema", "true").parquet(mps: _*)
+    catch {
+      case _: org.apache.spark.SparkException =>
+        val parts = mps.flatMap { mp =>
+          val hp = new org.apache.hadoop.fs.Path(mp)
+          val fs = hp.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(hp)
+            .filter(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).sorted
+        }
+        val target = parts.map(p => spark.read.parquet(p).schema)
+          .reduce((a, b) => TimeTravel.widenMerge(a, b,
+            s"manifest of ${mps.mkString(", ")}"))
+        spark.read.schema(target).parquet(mps: _*)
+    }
+
   /** Build the file-level stats manifest for `dims`: one row per data
     * file with row count and per-dimension min/max/null-count. */
   def writeManifest(spark: SparkSession, dataPath: String,
@@ -360,7 +392,7 @@ object Layout {
     // those files must stay unpruned, never silently dropped under a
     // first-file schema (same discriminator as leafManifests — an
     // authentic row's nulls counter is never null)
-    val m = spark.read.option("mergeSchema", "true").parquet(mpStr)
+    val m = readManifestMerged(spark, mpStr)
     val kept = ranges.foldLeft(m)((df, r) => df.filter(rangeKeep(r)))
     // staleness guard via the anti-join survivor helper: only the files
     // the manifest has NEVER seen (one batch's worth) reach the driver,
@@ -430,8 +462,7 @@ object Layout {
     // another paid that sweep twice per lookup
     val mOpt =
       if (!fs.exists(mp)) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(manifestPath(dataPath)))
+      else Some(readManifestMerged(spark, manifestPath(dataPath)))
     val base = mOpt.filter(_.columns.contains(s"min_$idCol")) match {
       case None => spark.read.parquet(dataPath)
       case Some(m) =>
@@ -557,7 +588,7 @@ object Layout {
       // first-file-schema rewrite would PERMANENTLY drop the others'
       // stats (pruned reads on the lost dimension then throw and the
       // stats are unrecoverable short of a full re-stat)
-      spark.read.option("mergeSchema", "true").parquet(mp).coalesce(1)
+      readManifestMerged(spark, mp).coalesce(1)
         .write.mode("overwrite").parquet(staged)
     }
   }
@@ -657,7 +688,7 @@ object Layout {
     val (candidateNames, freshNames) =
       if (!fs.exists(mp)) (Set.empty[String], dataFiles.map(_.getName).toSet)
       else {
-        val m = spark.read.option("mergeSchema", "true").parquet(mpStr)
+        val m = readManifestMerged(spark, mpStr)
         // a file can hold id x iff min<=x<=max; null ids live only in
         // files whose null count says so; a pre-dims-change manifest
         // row (nulls_<idCol> IS NULL — see pruneFilesAt) cannot be
@@ -907,8 +938,8 @@ object Layout {
     */
   private def leafManifests(spark: SparkSession, root: String,
                             ls: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(
-        ls.map(l => partitionManifestPath(root, l)): _*)
+    readManifestsMerged(spark,
+        ls.map(l => partitionManifestPath(root, l)))
       .withColumn("__leaf",
         uriDecode(element_at(split(col("file_name"), "/"), -2)))
 
@@ -1006,15 +1037,13 @@ object Layout {
       // drop every stat column the arbitrarily-chosen first segment
       // lacks (the exact loss mergeSchema exists to prevent — and this
       // path runs automatically inside every delete)
-      val m = spark.read.option("mergeSchema", "true").parquet(mp)
+      val m = readManifestMerged(spark, mp)
       val total = m.count()
       val kept = keepRowsPlan(m, present).count()
       dropped = (total - kept).toInt
       if (dropped > 0) {
         graft.operators.Lifecycle.stagedSwap(spark, mp) { staged =>
-          keepRowsPlan(
-              spark.read.option("mergeSchema", "true").parquet(mp),
-              present)
+          keepRowsPlan(readManifestMerged(spark, mp), present)
             .coalesce(1)
             .write.mode("overwrite").parquet(staged)
         }

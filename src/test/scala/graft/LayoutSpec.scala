@@ -1397,4 +1397,54 @@ class LayoutSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(got == (3L to 7L).toSeq)
   }
+
+  test("legacy int-typed manifest stats beside stable-wide long rows " +
+       "read through the widening fold: pruning, compaction, and " +
+       "deletes keep working on a pre-upgrade manifest") {
+    import spark.implicits._
+    val dir = tmpDir("legacymanifest")
+    val df = (0L until 40L).map(i => (i, (i % 10).toInt)).toDF("id", "x")
+    Layout.writeZOrdered(df.filter($"id" < 20), dir, Seq("x"), files = 2)
+    Layout.writeManifest(spark, dir, Seq("x"))
+    // forge the pre-r15 shape: the manifest's first generation holds
+    // INT-typed min_x/max_x (statsAggs has recorded long since r15)
+    val mp = Layout.manifestPath(dir)
+    val doctored = spark.read.parquet(mp)
+      .withColumn("min_x", col("min_x").cast("int"))
+      .withColumn("max_x", col("max_x").cast("int"))
+    val tmp = dir + "_doctor"
+    doctored.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(mp), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mp))
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => assert(fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(s"$mp/${f.getPath.getName}"))))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // a post-upgrade append records LONG stats — the manifest now mixes
+    // int and long min_x across its parts (mergeSchema alone throws)
+    Layout.appendZOrdered(df.filter($"id" >= 20), dir, Seq("x"), files = 2)
+    Layout.updateManifest(spark, dir, Seq("x"))
+    // every consultation reads through the fold: pruning…
+    assert(Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("x", lit(3), lit(3))))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 40L).filter(_ % 10 == 3).toSeq)
+    // …compaction (the rewrite homogenizes to the wide type)…
+    Layout.compactManifest(spark, dir)
+    val after = spark.read.parquet(mp)
+    assert(after.schema("min_x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // …and the delete path's candidate screen + auto-reconcile
+    // (keyed on the manifest dimension, per deleteByIds's contract)
+    Layout.deleteByIds(spark, dir, Seq("x"), "x", Seq(7).toDF("x"))
+    assert(Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("x", lit(7), lit(7)))).isEmpty)
+    assert(Layout.prunedRead(spark, dir,
+        Seq(Layout.ColRange("x", lit(3), lit(3))))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 40L).filter(_ % 10 == 3).toSeq)
+  }
 }

@@ -1827,6 +1827,16 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.checkpointLineage(spark, dir) == 5L)
     assert(TimeTravel.vacuumLineage(spark, dir) == 2) // seg_v5 + ckpt_v4
     assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == before.head)
+    // the SQL faces drive the same fold + reclaim from text
+    GraftExtensions.register(spark)
+    TimeTravel.commitAppend(batch(3), dir, Seq("id"), files = 1) // v6
+    assert(spark.sql(s"SELECT * FROM graft_tt_checkpoint('$dir')")
+      .head().getLong(1) == 6L)
+    assert(spark.sql(s"SELECT * FROM graft_tt_vacuum_lineage('$dir')")
+      .head().getInt(1) == 2) // segment_v6 + ckpt_v5
+    assert(ids(TimeTravel.readAsOf(spark, dir, 6L)).size ==
+      before.last.size + 200)
+    assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == before.head)
   }
 
   test("auto-checkpoint: the commit path folds the log every K commits " +
