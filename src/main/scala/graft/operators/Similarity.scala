@@ -708,16 +708,27 @@ object Similarity {
     *    Hamming distance 1 from its own (one flipped prefix bit) — the
     *    standard multi-probe LSH trick: a near neighbor that disagrees on
     *    exactly one cut plane is still found. Query-side only, so cost is
-    *    ×(1 + prefixBits) on the probe join, while the corpus is still
+    *    ×(1 + probes) on the probe join, while the corpus is still
     *    bucketed once.
+    *  - `probeBudget` bounds the multi-probe fan-out (r16, the measured
+    *    ×40 knee): auto prefix bits grow log(n) to hold bucket size
+    *    near the target, so UNBOUNDED Hamming-1 probing makes the probe
+    *    join cost n × log(n) × bucket — superlinear precisely when the
+    *    corpus grows. A fixed budget (lowest `probeBudget` prefix bits)
+    *    keeps the candidate volume n × (1 + budget) × target — linear —
+    *    while small corpora (pb ≤ budget) probe exactly as before.
+    *    Recall per unprobed bit degrades gracefully: each prefix bit is
+    *    an independent hyperplane, so coverage of the Hamming-1 shell
+    *    is budget/pb, not a cliff.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
               bits: Int = 16, prefixBits: Int = 0, tables: Int = 1,
               maxBucket: Int = 4096, targetBucketSize: Int = 64,
               corpusCount: Option[Long] = None,
               multiProbe: Boolean = false,
+              probeBudget: Int = 8,
               signatureFn: (Column, Int, Long) => Column = hyperplaneSignature(_, _, _)): DataFrame = {
-    require(tables >= 1 && bits <= 62 && maxBucket >= 1)
+    require(tables >= 1 && bits <= 62 && maxBucket >= 1 && probeBudget >= 1)
     val pb =
       if (prefixBits > 0) prefixBits
       else {
@@ -751,7 +762,8 @@ object Similarity {
     val probeBuckets =
       if (!multiProbe) array(col("bucket"))
       else array(col("bucket") +:
-        (0 until pb).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+        (0 until math.min(pb, probeBudget))
+          .map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val l = sig.select(col("tbl"), explode(probeBuckets).as("bucket"),
       col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val nn = col("qn") * col("nn")
