@@ -719,7 +719,11 @@ object Similarity {
     *    while small corpora (pb ≤ budget) probe exactly as before.
     *    Recall per unprobed bit degrades gracefully: each prefix bit is
     *    an independent hyperplane, so coverage of the Hamming-1 shell
-    *    is budget/pb, not a cliff.
+    *    is budget/pb, not a cliff. The budget applies ONLY to the
+    *    auto-sized prefix: an explicitly supplied `prefixBits` probes
+    *    its full Hamming-1 shell (the caller chose that fan-out; capping
+    *    it silently would change top-k sets behind stable call sites —
+    *    ADVICE r16).
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
               bits: Int = 16, prefixBits: Int = 0, tables: Int = 1,
@@ -759,10 +763,14 @@ object Similarity {
     // query side: own bucket, plus (multi-probe) every bucket one flipped
     // prefix bit away — a near neighbor that disagrees on exactly one cut
     // plane is still found; query-side only, the corpus is bucketed once
+    // explicit prefixBits ⇒ the caller sized the shell: probe all pb bits
+    // (the budget exists to bound the AUTO log(n) growth, not to shrink a
+    // hand-chosen fan-out). Auto pb ⇒ bounded by the budget.
+    val probeBits = if (prefixBits > 0) pb else math.min(pb, probeBudget)
     val probeBuckets =
       if (!multiProbe) array(col("bucket"))
       else array(col("bucket") +:
-        (0 until math.min(pb, probeBudget))
+        (0 until probeBits)
           .map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val l = sig.select(col("tbl"), explode(probeBuckets).as("bucket"),
       col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))

@@ -236,8 +236,19 @@ object TimeTravel {
     val files = effectiveLineageFiles(fs, lp)
     require(files.nonEmpty,
       s"no lineage at $lp — the table has no commits")
-    val fp = files.map(f =>
-      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+    // Fingerprint = per-file name:len:mtime PLUS file count and the
+    // lineage directory's own mtime: a delete-and-recreate at the same
+    // path can reproduce identical names/lengths, and on a coarse
+    // (second-granularity) store the per-file mtimes can collide too —
+    // the dir mtime moves on every create/delete inside it, so the
+    // recreate is still visible (ADVICE r16). Entry points that delete
+    // a table outright should additionally call
+    // [[invalidateLineageCache]].
+    val dirM =
+      try fs.getFileStatus(hp(lp)).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val fp = (s"n=${files.length}:dir=$dirM" +: files.map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"))
       .mkString("|")
     val cached = snapCache.get(lp)
     if (cached != null && cached.fingerprint == fp) return cached
@@ -683,7 +694,18 @@ object TimeTravel {
       .count(f => segmentNameRe.pattern.matcher(f.getPath.getName).matches)
     if (tail < k) return
     crashForTests("checkpoint")
-    checkpointLineage(spark, dataPath): Unit
+    // Best-effort maintenance: the commit this hook follows is ALREADY
+    // durable, so a fold failure must not surface as an apparent commit
+    // failure (a batchId-less caller retrying on it would double-commit
+    // its rows — ADVICE r16). Log and continue; the next commit past the
+    // interval retries the fold.
+    try checkpointLineage(spark, dataPath): Unit
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"lineage checkpoint fold failed for $dataPath (commit is " +
+            s"durable; next commit retries): $e")
+    }
   }
 
   /** Fold every effective lineage file into ONE checkpoint parquet
@@ -703,8 +725,20 @@ object TimeTravel {
     val fs = fsOf(spark, dataPath)
     val dest = hp(s"$lp/ckpt_v$v.parquet")
     if (fs.exists(dest)) return v
-    atomicSingleFileBirth(fs, lineage(spark, dataPath),
-      lp + s"_ckpttmp_v$v", dest): Unit
+    // Fold the SAME captured snapshot the head version came from — a
+    // second lineage() here would re-list, and a concurrent committer
+    // landing v+1 between the two reads would embed v+1's rows in
+    // ckpt_v{v} while segment_v{v+1} stays effective: readers would see
+    // those action rows TWICE (ADVICE r16). From one snapshot the fold
+    // is exactly the rows ≤ v by construction. Staging dir is
+    // attempt-unique: two processes crossing the interval at the same
+    // head must not clobber each other's in-flight parts (the birth
+    // itself is already create-if-absent).
+    val fold = spark.createDataFrame(
+      java.util.Arrays.asList(s.rows: _*), s.schema)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    atomicSingleFileBirth(fs, fold,
+      lp + s"_ckpttmp_v${v}_$token", dest): Unit
     v
   }
 

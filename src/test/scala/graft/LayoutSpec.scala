@@ -1447,4 +1447,62 @@ class LayoutSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq ==
       (0L until 40L).filter(_ % 10 == 3).toSeq)
   }
+
+  private def jobsDuring(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      body
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m => m.getName == "waitUntilEmpty" &&
+        m.getParameterCount == 0).foreach(_.invoke(bus))
+    } finally sc.removeSparkListener(l)
+    n.get()
+  }
+
+  test("manifest snapshot cache: a consult on an unchanged listing runs " +
+      "ZERO Spark jobs, and any manifest write invalidates it") {
+    val df = (0L until 400L).map(i => (i, i % 20)).toDF("id", "x")
+    val dir = tmpDir("snapcache")
+    Layout.writeZOrdered(df, dir, Seq("x"), files = 4)
+    Layout.writeManifest(spark, dir, Seq("x"))
+    val mp = Layout.manifestPath(dir)
+
+    Layout.invalidateManifestCache()
+    // cold: the snapshot load is real work (parquet read + collect)
+    val cold = jobsDuring(Layout.readManifestMerged(spark, mp).collect(): Unit)
+    assert(cold >= 1, s"cold consult should run jobs, ran $cold")
+    // warm: one directory listing decides staleness; the rows come from
+    // the driver-held snapshot as a LocalRelation whose collect is a
+    // LocalTableScan — zero jobs (an AGGREGATE over it would still run
+    // a local job; the consult itself must not)
+    val warm = jobsDuring {
+      val m = Layout.readManifestMerged(spark, mp)
+      assert(m.columns.contains("min_x") && m.collect().length == 4)
+    }
+    assert(warm == 0, s"warm consult on an unchanged listing ran $warm jobs")
+
+    // a manifest write moves the fingerprint: the next consult sees the
+    // new rows (freshness), never the stale snapshot
+    Layout.appendZOrdered(df.withColumn("x", col("x") + 100), dir,
+      Seq("x"), files = 2)
+    assert(Layout.updateManifest(spark, dir, Seq("x")) == 2)
+    val m2 = Layout.readManifestMerged(spark, mp)
+    assert(m2.collect().length == 6,
+      "post-append consult must see the new segment")
+    // and the refreshed snapshot is again zero-jobs warm
+    assert(jobsDuring(
+      Layout.readManifestMerged(spark, mp).collect(): Unit) == 0)
+
+    // the staged-swap compaction also moves the fingerprint
+    Layout.compactManifest(spark, dir)
+    assert(Layout.readManifestMerged(spark, mp).collect().length == 6)
+  }
 }
