@@ -145,7 +145,7 @@ object BenchCurve {
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
       "layout", "lm", "pq", "decade", "decade2", "mixture", "matview",
-      "lakemeta")
+      "lakemeta", "lakebytes")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
       "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture,matview")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -817,6 +817,89 @@ object BenchCurve {
       Some((p10, p100, p1000, pNock))
     }
 
+    // --- lakebytes: driver snapshot BYTES must be FLAT in commit count
+    // at a fixed live-file count (VERDICT r16 #2) --- the checkpoint
+    // fold truncates vacuumed-floor history, so a churn workload —
+    // append an epoch's files, delete them, vacuum, fold — retains a
+    // bounded snapshot no matter how many commits have ever run. Points
+    // at 100 / 1000 / 10000 commits of ONE table's life; `actions_ever`
+    // is what an untruncated fold would hold (the r16 shape, O(files-
+    // ever)). ~2 h of tiny commits — not in the default set:
+    // SPARK_GRAFT_CURVE_SECTIONS=lakebytes.
+    val lakebytes = if (!sections("lakebytes")) None else {
+      import graft.sources.TimeTravel
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def t1(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val root = "/tmp/graft_bench_lakebytes/t"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+      Seq(root, root + "_lineage", root + "_commit_ledger").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      hconf.setInt(TimeTravel.checkpointIntervalKey, 64)
+      try {
+        var commits = 0L
+        var actionsEver = 0L
+        // seed: 4 base files that stay live the whole run
+        (0 until 4).foreach { i =>
+          TimeTravel.commitAppend(
+            spark.range(i * 100L, i * 100L + 100L)
+              .selectExpr("id", "id % 7 as grp"),
+            root, Seq("id"), files = 1): Unit
+          commits += 1; actionsEver += 1
+        }
+        // override for smoke tests: SPARK_GRAFT_LAKEBYTES_TARGETS=100,200
+        val targets = sys.env.get("SPARK_GRAFT_LAKEBYTES_TARGETS")
+          .map(_.split(",").map(_.trim.toLong).toSeq.sorted)
+          .getOrElse(Seq(100L, 1000L, 10000L))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Long, Double, Double, Double)]
+        var epoch = 0
+        while (commits < targets.last) {
+          epoch += 1
+          val base = 1000000L * epoch
+          // 62 appends + 1 delete-of-the-epoch + 1 vacuum = 64 commits:
+          // live files return to the 4 seeds, the fold truncates
+          (0 until 62).foreach { i =>
+            TimeTravel.commitAppend(
+              spark.range(base + i * 50L, base + i * 50L + 50L)
+                .selectExpr("id", "id % 7 as grp"),
+              root, Seq("id"), files = 1): Unit
+            commits += 1; actionsEver += 1
+          }
+          TimeTravel.commitDelete(spark, root, "id",
+            spark.range(base, base + 62L * 50L).select(col("id"))): Unit
+          commits += 1; actionsEver += 62
+          val vacuumed = TimeTravel.vacuum(spark, root, commits)
+          commits += 1; actionsEver += vacuumed
+          TimeTravel.vacuumLineage(spark, root): Unit
+          if (targets.exists(t => commits >= t && commits - 64 < t)) {
+            val cold = (1 to 3).map { _ =>
+              TimeTravel.invalidateLineageCache()
+              t1(TimeTravel.latestVersion(spark, root): Unit)
+            }.min
+            val warm = (1 to 3).map(_ =>
+              t1(TimeTravel.latestVersion(spark, root): Unit)).min
+            val (rows, bytes) = TimeTravel.lineageSnapshotSize(spark, root)
+            val cSec = t1 {
+              TimeTravel.commitAppend(
+                spark.range(900000000L + commits * 100L,
+                  900000000L + commits * 100L + 50L)
+                  .selectExpr("id", "id % 7 as grp"),
+                root, Seq("id"), files = 1): Unit
+            }
+            commits += 1; actionsEver += 1
+            out += ((commits, rows, bytes, actionsEver, cold, warm, cSec))
+            System.err.println(f"[lakebytes] commits=$commits " +
+              f"snap_rows=$rows snap_bytes=$bytes actions_ever=" +
+              f"$actionsEver cold=$cold%.3f warm=$warm%.4f " +
+              f"commit=$cSec%.3f")
+          }
+        }
+        Some(out.toSeq)
+      } finally hconf.unset(TimeTravel.checkpointIntervalKey)
+    }
+
     // a NaN (failed measurement) must reach the artifact as an explicit
     // failure marker, never a plausible-looking number a slope reader
     // would ingest (ADVICE r15)
@@ -896,6 +979,15 @@ object BenchCurve {
         s""""lakemeta":{"commits10":${fmtP(p10)},""" +
           s""""commits100":${fmtP(p100)},"commits1000":${fmtP(p1000)},""" +
           s""""commits1000_nockpt":${fmtP(noc)}}"""
+      },
+      lakebytes.map { pts =>
+        "\"lakebytes\":[" + pts.map {
+          case (c, rows, bytes, ever, cold, warm, cSec) =>
+            f"""{"commits":$c,"snapshot_rows":$rows,""" +
+              f""""snapshot_bytes":$bytes,"actions_ever":$ever,""" +
+              f""""cold_consult_sec":$cold%.3f,""" +
+              f""""warm_consult_sec":$warm%.4f,"commit_sec":$cSec%.3f}"""
+        }.mkString(",") + "]"
       },
       matview.map { case (p1, p4, p10) =>
         def fmtP(p: (Double, Double, Int, Int, Double, Double)) =

@@ -51,6 +51,26 @@ private[graft] object Ledger {
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(path)
   }
 
+  /** Record every id in `batchIds` not already present, in ONE append
+    * (one anti-join read + one segment, never one file per id) — the
+    * bulk face the lineage checkpoint fold uses to move replay ids of
+    * truncated history from the log into the ledger. */
+  def recordAll(spark: SparkSession, path: String,
+                batchIds: Seq[String]): Unit = {
+    if (batchIds.isEmpty) return
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) init(spark, path)
+    val missing = batchIds.distinct.toDF("batch_id")
+      .join(spark.read.parquet(path), Seq("batch_id"), "left_anti")
+      .collect().map(_.getString(0))
+    if (missing.nonEmpty)
+      missing.toSeq.toDF("batch_id").coalesce(1)
+        .write.mode("append").parquet(path)
+  }
+
   /** Fold the one-file-per-append ledger down to one file, rows exactly
     * preserved (staged write + swap, single-writer contract). Run on
     * the same schedule as the owning index's compaction — the ledger's

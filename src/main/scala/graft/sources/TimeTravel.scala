@@ -198,6 +198,16 @@ object TimeTravel {
     * listing fingerprint already invalidates stale entries. */
   private[graft] def invalidateLineageCache(): Unit = snapCache.clear()
 
+  /** Measurement seam: the driver-held lineage snapshot's (row count,
+    * estimated bytes) — what the BASELINE lakemeta curve reports and
+    * the fold-truncation spec bounds. Bytes via Spark's own
+    * SizeEstimator over the collected rows. */
+  private[graft] def lineageSnapshotSize(spark: SparkSession,
+                                         dataPath: String): (Int, Long) = {
+    val s = lineageSnap(spark, dataPath)
+    (s.rows.length, org.apache.spark.util.SizeEstimator.estimate(s.rows))
+  }
+
   /** The files a lineage read consults: newest checkpoint + segments
     * past it, in version order. Folded segments (≤ the checkpoint's
     * version) and superseded checkpoints are ignored even while they
@@ -717,7 +727,25 @@ object TimeTravel {
     * birth; a lost race means another checkpointer folded the same
     * rows — equally correct). Folded segments stay on disk until
     * [[vacuumLineage]]; readers ignore them from the moment the
-    * checkpoint exists. Returns the checkpointed head version. */
+    * checkpoint exists. Returns the checkpointed head version.
+    *
+    * THE FOLD COMPACTS (r17, VERDICT r16 #2): rows of files a [[vacuum]]
+    * has reclaimed are TRUNCATED out of the checkpoint — every vacuumed
+    * file was last removed at or below the vacuum floor, so no as-of
+    * read in the retained window ([[earliestReadable]], head] can ever
+    * touch its rows, and keeping them made driver snapshot bytes grow
+    * O(files-ever) with commit churn at a FIXED live-file count. What
+    * survives per truncated history: a floor WITNESS (the vacuumed file
+    * whose remove realizes the floor keeps all its rows, so
+    * [[earliestReadable]] answers unchanged), a schema-stamp witness
+    * (when the newest cumulative `table_schema_json` rides only
+    * vacuumed adds, that file's rows stay — the widening guard's record
+    * must never regress), and the truncated commits' replay `batch_id`s,
+    * moved into the commit ledger ([[graft.operators.Ledger.recordAll]])
+    * so [[lineageHasBatch]]'s crash-window guarantee survives the rows.
+    * [[history]] / [[versionAt]] / [[describeTable]] aggregates over
+    * versions at or below the floor become partial — the explicit trade
+    * [[vacuum]] already made for the DATA at those versions. */
   def checkpointLineage(spark: SparkSession, dataPath: String): Long = {
     val s = lineageSnap(spark, dataPath)
     val v = s.maxVersion
@@ -735,23 +763,83 @@ object TimeTravel {
     // head must not clobber each other's in-flight parts (the birth
     // itself is already create-if-absent).
     val fold = spark.createDataFrame(
-      java.util.Arrays.asList(s.rows: _*), s.schema)
+      java.util.Arrays.asList(compactFoldRows(spark, dataPath, s): _*),
+      s.schema)
     val token = java.util.UUID.randomUUID().toString.take(8)
     atomicSingleFileBirth(fs, fold,
       lp + s"_ckpttmp_v${v}_$token", dest): Unit
     v
   }
 
+  /** The checkpoint's compacted row set (see [[checkpointLineage]]):
+    * all rows of never-vacuumed files, plus all rows of the witness
+    * files, minus everything else — with truncated replay ids moved to
+    * the ledger FIRST (the ledger append is idempotent, so a crash
+    * between it and the checkpoint birth re-runs harmlessly; the
+    * reverse order would open a replay window). Pure driver fold over
+    * the snapshot — zero jobs beyond the bounded ledger anti-join. */
+  private def compactFoldRows(spark: SparkSession, dataPath: String,
+                              s: LineageSnap): Array[Row] = {
+    val vacuumed = scala.collection.mutable.HashSet.empty[String]
+    s.rows.foreach { r =>
+      if (r.getString(s.aIdx) == "vacuum") vacuumed += r.getString(s.fIdx)
+    }
+    if (vacuumed.isEmpty) return s.rows
+    // floor witness: max (remove version, file_name) among vacuumed
+    var wfV = 0L; var wfN = ""
+    s.rows.foreach { r =>
+      if (r.getString(s.aIdx) == "remove" && vacuumed(r.getString(s.fIdx))) {
+        val rv = r.getLong(s.vIdx); val rn = r.getString(s.fIdx)
+        if (rv > wfV || (rv == wfV && rn > wfN)) { wfV = rv; wfN = rn }
+      }
+    }
+    // stamp witness: needed only when NO retained add row carries a
+    // cumulative stamp at the newest stamped version (ties across a
+    // commit's files carry identical stamps, so any retained one frees
+    // the truncation)
+    val tj = s.idx("table_schema_json")
+    var stampV = Long.MinValue
+    if (tj >= 0) s.rows.foreach { r =>
+      if (r.getString(s.aIdx) == "add" && !r.isNullAt(tj) &&
+          r.getLong(s.vIdx) > stampV) stampV = r.getLong(s.vIdx)
+    }
+    val stampOnRetained = tj >= 0 && s.rows.exists(r =>
+      r.getString(s.aIdx) == "add" && !r.isNullAt(tj) &&
+        r.getLong(s.vIdx) == stampV && !vacuumed(r.getString(s.fIdx)))
+    val wStamp: Option[String] =
+      if (tj < 0 || stampV == Long.MinValue || stampOnRetained) None
+      else s.rows.iterator.filter(r => r.getString(s.aIdx) == "add" &&
+          !r.isNullAt(tj) && r.getLong(s.vIdx) == stampV)
+        .map(_.getString(s.fIdx)).toSeq.sorted.lastOption
+    val witness: Set[String] = Set(wfN) ++ wStamp
+    def retained(r: Row): Boolean = {
+      val f = r.getString(s.fIdx)
+      !vacuumed(f) || witness(f)
+    }
+    // replay ids of truncated rows outlive them in the ledger
+    val bIdx = s.idx("batch_id")
+    if (bIdx >= 0) {
+      val dropped = s.rows.iterator
+        .filter(r => !retained(r) && !r.isNullAt(bIdx))
+        .map(_.getString(bIdx)).toSeq.distinct
+      graft.operators.Ledger.recordAll(spark,
+        commitLedgerPath(dataPath), dropped)
+    }
+    s.rows.filter(retained)
+  }
+
   /** Reclaim lineage files a checkpoint has folded: segments at
     * versions ≤ the newest checkpoint and superseded checkpoints.
     * Explicit maintenance under the same serialized discipline as
     * [[vacuum]] — never run concurrent with readers in OTHER processes
-    * (their listing may predate the delete). Row history is fully
-    * preserved in the checkpoint; only the per-commit DISCOVERY files
-    * go, so a [[streamChanges]] consumer bootstrapping from scratch
-    * afterwards must start at a snapshot ≥ the checkpoint version
-    * (live streams are unaffected — their seen-files log already
-    * absorbed the folded segments). Returns files deleted. */
+    * (their listing may predate the delete). Row history over the
+    * RETAINED window is fully preserved in the checkpoint (vacuumed-
+    * floor history truncates at the fold — [[checkpointLineage]]); only
+    * the per-commit DISCOVERY files go, so a [[streamChanges]] consumer
+    * bootstrapping from scratch afterwards must start at a snapshot ≥
+    * the checkpoint version (live streams are unaffected — their
+    * seen-files log already absorbed the folded segments). Returns
+    * files deleted. */
   def vacuumLineage(spark: SparkSession, dataPath: String): Int = {
     val lp = lineagePath(dataPath)
     val fs = fsOf(spark, dataPath)
@@ -976,6 +1064,19 @@ object TimeTravel {
   private[graft] def requireRetryDisjoint(
       spark: SparkSession, dataPath: String, base: Long, idCol: String,
       ids: DataFrame, plannedRewrites: Seq[String], face: String): Unit = {
+    // The disjointness proof reads remove/vacuum rows in (base, head] —
+    // sound only while none were truncated. A vacuum floor that moved
+    // past the merge's base (possible only when an intervening vacuum
+    // reclaimed files this merge could still see) means the checkpoint
+    // fold may have truncated exactly those rows: refuse the auto-retry
+    // loudly instead of proving disjointness from an incomplete log.
+    val floor = earliestReadable(spark, dataPath)
+    if (base < floor) throw new CommitRaceLost(base + 1, dataPath,
+      s"$face REFUSED after losing the commit race on $dataPath: the " +
+        s"vacuum floor advanced to $floor past this merge's base $base " +
+        "while it ran — the intervening-commit log may be truncated, so " +
+        "disjointness cannot be proven. Re-read the table and re-derive " +
+        "the merge against the new head")
     val l = lineage(spark, dataPath).filter(col("version") > base)
     val winnersRemoves = l
       .filter(col("action").isin("remove", "vacuum"))

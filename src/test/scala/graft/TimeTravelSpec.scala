@@ -1839,6 +1839,67 @@ class TimeTravelSpec extends SparkSpec {
     assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == before.head)
   }
 
+  test("checkpoint fold truncates vacuumed-floor history: driver " +
+      "snapshot flat under churn at fixed live files, retained-window " +
+      "reads and the floor unchanged, truncated replay ids still absorb") {
+    val dir = tmpDir("ckpttrunc")
+    // a commit whose ledger record CRASHES: its replay guarantee rides
+    // only its lineage batch stamp — the row the fold will truncate
+    TimeTravel.crashForTests = b =>
+      if (b == "ledger") { TimeTravel.crashForTests = _ => ()
+        throw new RuntimeException("crash: ledger") }
+    intercept[RuntimeException] {
+      TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 1,
+        batchId = Some("orphan_batch"))
+    }
+    assert(TimeTravel.latestVersion(spark, dir) == 1L) // commit IS durable
+    def upsertAll(tag: Long): Long = TimeTravel.commitUpsert(spark, dir,
+      "id", spark.range(0L, 100L).select(col("id"),
+        (col("id") % 5).as("grp"), (col("id") * 3 + tag).as("v")),
+      files = 2)
+    upsertAll(1) // v2: removes v1's file, adds 2 new
+    assert(TimeTravel.vacuum(spark, dir, 2L) == 1) // v3: v1's file gone
+    // churn epochs at FIXED live-file count: each upsert rewrites both
+    // files, vacuum reclaims, the fold truncates — snapshot must not
+    // grow with epochs
+    def epoch(i: Int): (Int, Long) = {
+      upsertAll(i + 10L)
+      TimeTravel.vacuum(spark, dir, TimeTravel.latestVersion(spark, dir))
+      TimeTravel.checkpointLineage(spark, dir)
+      TimeTravel.vacuumLineage(spark, dir)
+      TimeTravel.lineageSnapshotSize(spark, dir)
+    }
+    val sizes = (0 until 6).map(epoch)
+    val floor = TimeTravel.earliestReadable(spark, dir)
+    val head = TimeTravel.latestVersion(spark, dir)
+    // flat-in-epochs: rows bounded by a constant (live files + dead-not-
+    // yet-vacuumed tail + witnesses), never accumulating per epoch
+    assert(sizes.last._1 <= sizes.head._1,
+      s"snapshot rows grew under churn: ${sizes.map(_._1)}")
+    // the fold preserved the floor and the retained window exactly
+    assert(floor > 2L && head > floor)
+    val atHead = ids(TimeTravel.readAsOf(spark, dir, head))
+    assert(atHead == (0L until 100L))
+    assert(ids(TimeTravel.readAsOf(spark, dir, floor)) == (0L until 100L))
+    intercept[IllegalArgumentException] {
+      TimeTravel.readAsOf(spark, dir, floor - 1)
+    }
+    // the truncated commit's batch id MOVED to the ledger: its replay
+    // is still an exact no-op even though its lineage rows are gone
+    val l = TimeTravel.readLineage(spark, dir)
+    assert(l.filter(col("batch_id") === "orphan_batch").count() == 0L,
+      "the orphan batch's rows should be truncated out of the fold")
+    assert(TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 1,
+      batchId = Some("orphan_batch")) == head)
+    assert(TimeTravel.read(spark, dir).count() == 100L)
+    // schema resolution still answers from a stamp (no regression to a
+    // legacy fold) and commits keep flowing
+    assert(TimeTravel.schemaResolution(spark, dir) == "stamped")
+    assert(TimeTravel.commitAppend(batch(3), dir, Seq("id"),
+      files = 1) == head + 1)
+    assert(TimeTravel.read(spark, dir).count() == 200L)
+  }
+
   test("auto-checkpoint: the commit path folds the log every K commits " +
       "and the replay ledger keeps working through the fold") {
     val dir = tmpDir("autockpt")
