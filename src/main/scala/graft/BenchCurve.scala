@@ -144,8 +144,8 @@ object BenchCurve {
     //   SPARK_GRAFT_CURVE_SECTIONS=inc sbt "runMain graft.BenchCurve"
     // the JSON line carries only the sections that ran
     val knownSections = Set("curve", "profile", "inc", "skew", "quant", "ivf",
-      "layout", "lm", "pq", "decade", "decade2", "mixture", "matview",
-      "lakemeta", "lakebytes")
+      "layout", "lm", "pq", "decade", "decade2", "decade3", "mixture",
+      "matview", "lakemeta", "lakebytes")
     val sections = sys.env.getOrElse("SPARK_GRAFT_CURVE_SECTIONS",
       "curve,profile,inc,skew,quant,ivf,layout,lm,pq,decade,mixture,matview")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -669,6 +669,83 @@ object BenchCurve {
       Some((runPoint(x10, 2), runPoint(x40, 1)))
     }
 
+    // --- decade3: q23 recall at scale + the pair-emitting tail at ×80 ---
+    // VERDICT r16 #5: probeBudget=8 bounds the multi-probe fan-out; the
+    // recall cost of unprobed bits (budget/pb shell coverage) was argued,
+    // not measured, at scale — measure recall@5 against brute force over
+    // a ~1000-query hash sample at ×10 and ×40 (brute force over the
+    // sample is 1000×n pairs — affordable once per soak). VERDICT r16
+    // #8: one more doubling of the pair-emitting tail (q19/q37/q80 at
+    // ×80) with OUTPUT ROWS alongside seconds, so the per-pair cost
+    // trend is a number, not an adjudication. ~45 min, 24 g driver
+    // (SPARK_DRIVER_MEM=24g): SPARK_GRAFT_CURVE_SECTIONS=decade3.
+    val decade3 = if (!sections("decade3")) None else {
+      import graft.operators.{Corpus, Similarity}
+      val x10 = "/tmp/graft_bench_x10"
+      val x40 = "/tmp/graft_bench_x40"
+      val x80 = "/tmp/graft_bench_x80"
+      ensureXn(spark, "/root/testdata/sf0.1", x10, 10)
+      ensureXn(spark, "/root/testdata/sf0.1", x40, 40)
+      ensureXn(spark, "/root/testdata/sf0.1", x80, 80)
+      def recallAt(dir: String): (Long, Long, Double) = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = emb.count()
+        val sample = emb.filter(
+          Corpus.hashBucket(col("vec_id"), math.max(1L, n / 1000L)) === 0L)
+        val bf = Similarity.bruteForceTopK(emb, sample, "vec_id",
+            "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = bf.count()
+        // the exact q23 bench configuration: auto prefix, 2 tables,
+        // Hamming-1 multi-probe under the default probeBudget
+        val ann = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+            tables = 2, multiProbe = true, corpusCount = Some(n))
+          .select(col("query_id"), col("neighbor_id"))
+        val hit = bf.join(ann, Seq("query_id", "neighbor_id")).count()
+        emb.unpersist(); bf.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+        val r = if (total == 0L) Double.NaN else hit.toDouble / total
+        System.err.println(f"[decade3] recall@5 $dir: n=$n " +
+          f"sample_pairs=$total recall=$r%.3f")
+        (n, total, r)
+      }
+      val r10 = recallAt(x10)
+      val r40 = recallAt(x40)
+      val tail = Seq("q19_minhash_lsh", "q37_dedup_clusters",
+        "q80_incremental_dedup")
+      def tailPoint(dir: String): Seq[(String, (Double, Long))] = {
+        graft.engine.Tables.all.foreach { n =>
+          try graft.engine.Tables.load(spark, dir, n).count()
+          catch { case _: Throwable => () }
+        }
+        tail.map { name =>
+          val t0 = System.nanoTime()
+          val (dt, cnt) =
+            try {
+              SparkEntry.queries(name)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              val d = (System.nanoTime() - t0) / 1e9
+              spark.sharedState.cacheManager.clearCache()
+              // output size in a separate evaluation so the timed rep
+              // stays the same noop-write shape as decade/decade2
+              val c = SparkEntry.queries(name)(spark, dir).count()
+              spark.sharedState.cacheManager.clearCache()
+              (d, c)
+            } catch { case e: Throwable =>
+              System.err.println(s"[decade3] $dir/$name FAILED: ${e.getMessage}")
+              (Double.NaN, -1L)
+            }
+          System.err.println(f"[decade3] $dir/$name $dt%.1f s rows=$cnt")
+          name -> ((dt, cnt))
+        }
+      }
+      val t40 = tailPoint(x40)
+      val t80 = tailPoint(x80)
+      Some((r10, r40, t40, t80))
+    }
+
     // --- matview: refresh cost must track the TOUCH SET, not the table ---
     // The incremental-view claim across one decade of table growth: the
     // SAME fixed-size commit (50 k rows) lands on a 2 M / 8 M / 20 M-row
@@ -872,7 +949,7 @@ object BenchCurve {
           commits += 1; actionsEver += 62
           val vacuumed = TimeTravel.vacuum(spark, root, commits)
           commits += 1; actionsEver += vacuumed
-          TimeTravel.vacuumLineage(spark, root): Unit
+          TimeTravel.vacuumLineage(spark, root, graceMillis = 0): Unit
           if (targets.exists(t => commits >= t && commits - 64 < t)) {
             val cold = (1 to 3).map { _ =>
               TimeTravel.invalidateLineageCache()
@@ -979,6 +1056,18 @@ object BenchCurve {
         s""""lakemeta":{"commits10":${fmtP(p10)},""" +
           s""""commits100":${fmtP(p100)},"commits1000":${fmtP(p1000)},""" +
           s""""commits1000_nockpt":${fmtP(noc)}}"""
+      },
+      decade3.map { case (r10, r40, t40, t80) =>
+        def fmtR(r: (Long, Long, Double)) =
+          f"""{"n":${r._1},"sample_pairs":${r._2},""" +
+            s""""recall5":${fmtSec(r._3)}}"""
+        def fmtT(qs: Seq[(String, (Double, Long))]) =
+          qs.map { case (n, (t, c)) =>
+            "\"" + n + "\":{\"sec\":" + fmtSec(t) + s""","rows":$c}"""
+          }.mkString("{", ",", "}")
+        s""""decade3":{"recall_x10":${fmtR(r10)},""" +
+          s""""recall_x40":${fmtR(r40)},"tail_x40":${fmtT(t40)},""" +
+          s""""tail_x80":${fmtT(t80)}}"""
       },
       lakebytes.map { pts =>
         "\"lakebytes\":[" + pts.map {

@@ -1543,16 +1543,25 @@ object GraftExtensions {
       new ExpressionInfo("graft.sources.TimeTravel",
         "graft_tt_vacuum_lineage"),
       (args: Seq[Expression]) => args match {
-        case Seq(p) =>
+        case Seq(p, rest @ _*) if rest.size <= 1 =>
           val spark = SparkSession.active
           val path = strArg(p, "dataPath")
-          val n = graft.sources.TimeTravel.vacuumLineage(spark, path)
+          val n = rest.headOption match {
+            case Some(g) => graft.sources.TimeTravel.vacuumLineage(
+              spark, path, graceMillis = longArg(g, "graceMillis"))
+            case None =>
+              graft.sources.TimeTravel.vacuumLineage(spark, path)
+          }
           import spark.implicits._
           plan(Seq((path, n)).toDF("data_path", "lineage_files_reclaimed"))
         case _ => throw new IllegalArgumentException(
-          "graft_tt_vacuum_lineage(dataPath) — reclaim lineage segments " +
-            "a checkpoint has folded (serialized maintenance, like " +
-            "vacuum); row history stays complete in the checkpoint")
+          "graft_tt_vacuum_lineage(dataPath[, graceMillis]) — reclaim " +
+            "lineage segments a checkpoint has folded. Age-gated: " +
+            "reclaims only once the newest checkpoint is graceMillis " +
+            "old (default 15 min) so cross-process readers mid-listing " +
+            "never lose files; 0 is the explicit single-maintainer " +
+            "attestation. Retained-window row history stays complete " +
+            "in the checkpoint")
       }),
     (new FunctionIdentifier("graft_tt_upsert"),
       new ExpressionInfo("graft.sources.TimeTravel", "graft_tt_upsert"),

@@ -2993,7 +2993,9 @@ object SparkEntry {
         }
         Stages.timed("q149_lineage_checkpoint", "fold_vacuum") {
           TimeTravel.checkpointLineage(s, dir): Unit
-          require(TimeTravel.vacuumLineage(s, dir) > 0,
+          // graceMillis = 0: this session is the lake's only process —
+          // the explicit per-call single-maintainer attestation
+          require(TimeTravel.vacuumLineage(s, dir, graceMillis = 0) > 0,
             "q149: the fold left nothing to reclaim")
           val segs = fs.listStatus(new org.apache.hadoop.fs.Path(
               TimeTravel.lineagePath(dir)))

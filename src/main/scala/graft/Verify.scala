@@ -55,10 +55,15 @@ object Verify {
               "use seconds, 0/negative to disable, or off/none/unlimited")
         }
       }
+    // SPARK_GRAFT_TZ: the sixth oracle axis (r17) — run the whole gate
+    // under a DST session zone (e.g. America/New_York) against an
+    // oracle pinned to the same zone (check_oracle.py GRAFT_ORACLE_TZ).
+    // Default stays the project-wide UTC pin.
+    val tz = sys.env.getOrElse("SPARK_GRAFT_TZ", "UTC")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", tz)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,11 +23,40 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object Ledger {
 
-  /** Create/reset the ledger with the base marker recorded. */
+  /** Append `df`'s rows to `path` as uniquely-named part files via an
+    * attempt-unique staging dir + per-file rename — never a direct
+    * `mode("append")`: CONCURRENT appends to one directory share the
+    * Hadoop output committer's `_temporary/0` scratch and clobber each
+    * other mid-job (found by the r17 multi-writer storm: two committers
+    * recording their batch ids after racing on one table), while
+    * renames of uniquely-named staged files commute. */
+  private def appendUnique(spark: SparkSession, path: String,
+                           df: org.apache.spark.sql.DataFrame): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = path.stripSuffix("/") + s"_rectmp_$token"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.mkdirs(p(path))
+    fs.listStatus(p(tmp)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, i) =>
+        require(fs.rename(f,
+            new org.apache.hadoop.fs.Path(p(path), s"rec_${token}_$i.parquet")),
+          s"ledger append: could not promote $f into $path")
+      }
+    fs.delete(p(tmp), true)
+  }
+
+  /** Create/reset the ledger with the base marker recorded. Racing
+    * creates converge to a ledger holding at least one marker row
+    * (duplicate markers are harmless — membership is the only read). */
   def init(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    Seq("__base__").toDF("batch_id")
-      .write.mode("overwrite").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    appendUnique(spark, path, Seq("__base__").toDF("batch_id"))
   }
 
   /** Is `batchId` already recorded? Callers check BEFORE writing their
@@ -35,20 +64,27 @@ private[graft] object Ledger {
     * payload write leaves the id unrecorded and the retry re-runs (the
     * retry converges when the payload write is crash-idempotent, as
     * `appendLmStats`'s staged promotion is). A pushed-down equality
-    * filter + limit 1, never a driver-side set.
+    * filter + limit 1, never a driver-side set. A ledger directory
+    * that exists but holds no readable rows yet (a concurrent init
+    * mid-flight) truthfully contains nothing.
     */
   def contains(spark: SparkSession, path: String, batchId: String)
       : Boolean = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(path)
+    try spark.read.parquet(path)
       .filter(col("batch_id") === batchId)
       .limit(1).head(1).nonEmpty
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => false
+    }
   }
 
-  /** Record `batchId` after its payload write succeeded. */
+  /** Record `batchId` after its payload write succeeded. Safe under
+    * concurrent recorders ([[appendUnique]]). */
   def record(spark: SparkSession, path: String, batchId: String): Unit = {
     import spark.implicits._
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(path)
+    appendUnique(spark, path, Seq(batchId).toDF("batch_id"))
   }
 
   /** Record every id in `batchIds` not already present, in ONE append
@@ -59,7 +95,6 @@ private[graft] object Ledger {
                 batchIds: Seq[String]): Unit = {
     if (batchIds.isEmpty) return
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) init(spark, path)
@@ -67,8 +102,7 @@ private[graft] object Ledger {
       .join(spark.read.parquet(path), Seq("batch_id"), "left_anti")
       .collect().map(_.getString(0))
     if (missing.nonEmpty)
-      missing.toSeq.toDF("batch_id").coalesce(1)
-        .write.mode("append").parquet(path)
+      appendUnique(spark, path, missing.toSeq.toDF("batch_id"))
   }
 
   /** Fold the one-file-per-append ledger down to one file, rows exactly

@@ -239,8 +239,40 @@ object TimeTravel {
     * widened schema ([[widenMerge]] over per-file footers when a plain
     * mergeSchema read refuses — e.g. a legacy segment recorded `min_x`
     * stats as int where newer commits record long). */
+  /** Does this failure mean a file vanished between our listing and
+    * our read? The one benign cause here: a concurrent
+    * [[checkpointLineage]] + [[vacuumLineage]] superseded the listed
+    * segments — the checkpoint that justified the delete is then
+    * guaranteed present, so a RE-LIST converges (r17 storm finding:
+    * the list→read window exists in-process too, not just across
+    * processes). */
+  private def vanishedFile(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          (t.getMessage != null &&
+            (t.getMessage.contains("FILE_NOT_EXIST") ||
+             t.getMessage.contains("does not exist")))) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
   private def lineageSnap(spark: SparkSession,
                           dataPath: String): LineageSnap = {
+    var attempt = 0
+    while (true) {
+      try return lineageSnapOnce(spark, dataPath)
+      catch {
+        case e: Exception if attempt < 5 && vanishedFile(e) =>
+          attempt += 1 // superseded listing — re-list and reload
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def lineageSnapOnce(spark: SparkSession,
+                              dataPath: String): LineageSnap = {
     val lp = lineagePath(dataPath)
     val fs = fsOf(spark, dataPath)
     val files = effectiveLineageFiles(fs, lp)
@@ -677,9 +709,15 @@ object TimeTravel {
     // commit_ts (epoch millis, the segment's write moment) rides every
     // action row — what readAsOfTimestamp / vacuumOlderThan map
     // against. Metadata only: no query result ever derives from it.
+    // attempt-unique staging (r17 storm finding): two committers racing
+    // to one version both staged into `_segtmp_v<v>`, and the birth's
+    // delete-on-entry clobbered the other's in-flight write — a Spark
+    // job failure instead of the typed CommitRaceLost the loser is owed.
+    // The create-if-absent birth stays the one arbiter.
+    val token = java.util.UUID.randomUUID().toString.take(8)
     val won = atomicSingleFileBirth(fs,
       seg.withColumn("commit_ts", lit(System.currentTimeMillis())),
-      lp + s"_segtmp_v$v", hp(s"$lp/segment_v$v.parquet"))
+      lp + s"_segtmp_v${v}_$token", hp(s"$lp/segment_v$v.parquet"))
     if (!won) throw new CommitRaceLost(v, dataPath,
       s"time-travel commit LOST the race for version $v of $dataPath — " +
         "another committer's segment landed first; this commit " +
@@ -828,27 +866,55 @@ object TimeTravel {
     s.rows.filter(retained)
   }
 
+  /** The operator's attestation that THIS process is the table's only
+    * maintainer AND no reader runs in another process — what lets
+    * [[vacuumLineage]] skip its grace window. Explicit, never a
+    * default. */
+  private[graft] val singleMaintainerKey =
+    "graft.timetravel.single.maintainer"
+
+  /** Default [[vacuumLineage]] grace: folded files are reclaimed only
+    * once the checkpoint superseding them has existed this long —
+    * orders of magnitude past any reader's listing-to-read latency. */
+  private[graft] val defaultLineageGraceMillis: Long = 15L * 60 * 1000
+
   /** Reclaim lineage files a checkpoint has folded: segments at
     * versions ≤ the newest checkpoint and superseded checkpoints.
-    * Explicit maintenance under the same serialized discipline as
-    * [[vacuum]] — never run concurrent with readers in OTHER processes
-    * (their listing may predate the delete). Row history over the
-    * RETAINED window is fully preserved in the checkpoint (vacuumed-
-    * floor history truncates at the fold — [[checkpointLineage]]); only
-    * the per-commit DISCOVERY files go, so a [[streamChanges]] consumer
-    * bootstrapping from scratch afterwards must start at a snapshot ≥
-    * the checkpoint version (live streams are unaffected — their
-    * seen-files log already absorbed the folded segments). Returns
-    * files deleted. */
-  def vacuumLineage(spark: SparkSession, dataPath: String): Int = {
+    * Row history over the RETAINED window is fully preserved in the
+    * checkpoint (vacuumed-floor history truncates at the fold —
+    * [[checkpointLineage]]); only the per-commit DISCOVERY files go, so
+    * a [[streamChanges]] consumer bootstrapping from scratch afterwards
+    * must start at a snapshot ≥ the checkpoint version (live streams
+    * are unaffected — their seen-files log already absorbed the folded
+    * segments). Returns files deleted.
+    *
+    * CROSS-PROCESS READER SAFETY (r17, VERDICT r16 #3): a reader in
+    * another process lists the directory, then reads what it listed —
+    * if its listing predates the newest checkpoint, it is mid-read of
+    * the very segments this call deletes. The delete is therefore
+    * AGE-GATED: nothing is reclaimed until the newest checkpoint has
+    * existed for `graceMillis` (default 15 min — a bound no
+    * listing-to-read window approaches; 0 reclaims now and reads as a
+    * per-call single-maintainer attestation). The conf key
+    * [[singleMaintainerKey]] is the standing attestation that skips
+    * the gate process-wide. */
+  def vacuumLineage(spark: SparkSession, dataPath: String,
+                    graceMillis: Long = defaultLineageGraceMillis,
+                    nowMillis: Long = System.currentTimeMillis()): Int = {
     val lp = lineagePath(dataPath)
     val fs = fsOf(spark, dataPath)
     if (!fs.exists(hp(lp))) return 0
     val all = fs.listStatus(hp(lp)).filter(_.isFile)
-    val ckptV = all.flatMap(f => f.getPath.getName match {
-      case ckptNameRe(v) => Some(v.toLong)
+    val ckpt = all.flatMap(f => f.getPath.getName match {
+      case ckptNameRe(v) => Some(v.toLong -> f)
       case _ => None
-    }).sorted.lastOption.getOrElse(return 0)
+    }).sortBy(_._1).lastOption.getOrElse(return 0)
+    val grace =
+      if (spark.sparkContext.hadoopConfiguration
+          .getBoolean(singleMaintainerKey, false)) 0L
+      else graceMillis
+    if (nowMillis - ckpt._2.getModificationTime < grace) return 0
+    val ckptV = ckpt._1
     val doomed = all.filter(f => f.getPath.getName match {
       case segmentNameRe(v) => v.toLong <= ckptV
       case ckptNameRe(v) => v.toLong < ckptV

@@ -221,7 +221,7 @@ class CrashMatrixSpec extends SparkSpec {
         .select(col("id"), (col("id") % 5).as("grp"),
           (col("id") * 3).as("v")), dir, Seq("id"), files = 1) // v3
       assert(cks.contains("ckpt_v3.parquet"), cks.toString)
-      assert(TimeTravel.vacuumLineage(spark, dir) > 0)
+      assert(TimeTravel.vacuumLineage(spark, dir, graceMillis = 0) > 0)
       assert(TimeTravel.readAsOf(spark, dir, 1L).count() == 50L)
       assert(TimeTravel.latestVersion(spark, dir) == 3L)
     } finally conf.unset(TimeTravel.checkpointIntervalKey)

@@ -1813,7 +1813,7 @@ class TimeTravelSpec extends SparkSpec {
       ids(TimeTravel.readAsOf(spark, dir, v))) == before)
     // reclaiming the folded segments changes NOTHING a reader sees
     // (4 commit segments fold; the checkpoint carries their rows)
-    assert(TimeTravel.vacuumLineage(spark, dir) == 4)
+    assert(TimeTravel.vacuumLineage(spark, dir, graceMillis = 0) == 4)
     assert((1L to 4L).map(v =>
       ids(TimeTravel.readAsOf(spark, dir, v))) == before)
     assert(TimeTravel.history(spark, dir).collect().map(_.toSeq).toSeq
@@ -1825,14 +1825,14 @@ class TimeTravelSpec extends SparkSpec {
     assert(ids(TimeTravel.readAsOf(spark, dir, 5L)).size ==
       before.last.size + 100)
     assert(TimeTravel.checkpointLineage(spark, dir) == 5L)
-    assert(TimeTravel.vacuumLineage(spark, dir) == 2) // seg_v5 + ckpt_v4
+    assert(TimeTravel.vacuumLineage(spark, dir, graceMillis = 0) == 2) // seg_v5 + ckpt_v4
     assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == before.head)
     // the SQL faces drive the same fold + reclaim from text
     GraftExtensions.register(spark)
     TimeTravel.commitAppend(batch(3), dir, Seq("id"), files = 1) // v6
     assert(spark.sql(s"SELECT * FROM graft_tt_checkpoint('$dir')")
       .head().getLong(1) == 6L)
-    assert(spark.sql(s"SELECT * FROM graft_tt_vacuum_lineage('$dir')")
+    assert(spark.sql(s"SELECT * FROM graft_tt_vacuum_lineage('$dir', 0)")
       .head().getInt(1) == 2) // segment_v6 + ckpt_v5
     assert(ids(TimeTravel.readAsOf(spark, dir, 6L)).size ==
       before.last.size + 200)
@@ -1866,7 +1866,7 @@ class TimeTravelSpec extends SparkSpec {
       upsertAll(i + 10L)
       TimeTravel.vacuum(spark, dir, TimeTravel.latestVersion(spark, dir))
       TimeTravel.checkpointLineage(spark, dir)
-      TimeTravel.vacuumLineage(spark, dir)
+      TimeTravel.vacuumLineage(spark, dir, graceMillis = 0)
       TimeTravel.lineageSnapshotSize(spark, dir)
     }
     val sizes = (0 until 6).map(epoch)
@@ -1898,6 +1898,155 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.commitAppend(batch(3), dir, Seq("id"),
       files = 1) == head + 1)
     assert(TimeTravel.read(spark, dir).count() == 200L)
+  }
+
+  test("vacuumLineage is age-gated against cross-process readers: a " +
+      "fresh checkpoint reclaims nothing under the default grace; an " +
+      "aged checkpoint, grace 0, or the attestation reclaims") {
+    val dir = tmpDir("vlgrace")
+    (0 to 2).foreach(b =>
+      TimeTravel.commitAppend(batch(b), dir, Seq("id"), files = 1))
+    assert(TimeTravel.checkpointLineage(spark, dir) == 3L)
+    // default grace (15 min), checkpoint seconds old: nothing reclaimed
+    assert(TimeTravel.vacuumLineage(spark, dir) == 0)
+    // a reader that listed before the checkpoint existed can still be
+    // mid-read; once the checkpoint has aged past the grace, it cannot
+    assert(TimeTravel.vacuumLineage(spark, dir,
+      nowMillis = System.currentTimeMillis() + 16L * 60 * 1000) == 3)
+    TimeTravel.commitAppend(batch(3), dir, Seq("id"), files = 1) // v4
+    assert(TimeTravel.checkpointLineage(spark, dir) == 4L)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setBoolean(TimeTravel.singleMaintainerKey, true)
+    try assert(TimeTravel.vacuumLineage(spark, dir) == 2) // seg4 + ckpt3
+    finally hconf.unset(TimeTravel.singleMaintainerKey)
+    assert(ids(TimeTravel.readAsOf(spark, dir, 1L)) == (0L until 100L))
+  }
+
+  test("multi-writer storm on one table: appends, merges, deletes, and " +
+      "maintenance racing across threads yield dense versions, zero " +
+      "lost commits, atomic merges, readable as-ofs, and a duplicate-" +
+      "free folded log") {
+    val dir = tmpDir("storm")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt(TimeTravel.checkpointIntervalKey, 8) // folds DURING it
+    try {
+      TimeTravel.commitAppend(batch(0), dir, Seq("id"), files = 2) // v1
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val appended = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+      val rnd = new java.util.Random(7)
+      def op(body: => Unit): Unit = {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          try { body; done = true }
+          catch {
+            case _: graft.sources.CommitRaceLost if attempts < 60 =>
+              attempts += 1
+              Thread.sleep(5 + rnd.nextInt(40).toLong)
+            case scala.util.control.NonFatal(e) =>
+              failures.add(e); done = true
+          }
+        }
+      }
+      // 3 appenders (distinct id ranges), 2 mergers (disjoint key
+      // halves of the seed), 1 deleter (kills its own appends), 1
+      // maintainer (explicit folds + grace-0 reclaims). gcOrphans is
+      // NOT in the storm: its documented contract is quiesced-only (a
+      // just-promoted, not-yet-committed file is indistinguishable
+      // from an orphan) — it runs after the barrier instead.
+      val threads =
+        (0 until 3).map { t =>
+          new Thread(() => (0 until 5).foreach { i =>
+            val base = 100000L * (t + 1) + i * 100L
+            op {
+              TimeTravel.commitAppend(
+                spark.range(base, base + 50L).select(col("id"),
+                  (col("id") % 5).as("grp"), lit(0L).as("v")),
+                dir, Seq("id"), files = 1,
+                batchId = Some(s"storm_a${t}_$i")): Unit
+              appended.add(base)
+            }
+          })
+        } ++ (0 until 2).map { t =>
+          new Thread(() => (0 until 4).foreach { i =>
+            op {
+              TimeTravel.commitUpsert(spark, dir, "id",
+                spark.range(t * 50L, t * 50L + 50L).select(col("id"),
+                  (col("id") % 5).as("grp"),
+                  lit(t * 1000L + i).as("v")), files = 1): Unit
+            }
+          })
+        } ++ Seq(
+          new Thread(() => (0 until 3).foreach { i =>
+            val base = 900000L + i * 100L
+            op {
+              TimeTravel.commitAppend(
+                spark.range(base, base + 30L).select(col("id"),
+                  (col("id") % 5).as("grp"), lit(0L).as("v")),
+                dir, Seq("id"), files = 1): Unit
+            }
+            op {
+              TimeTravel.commitDelete(spark, dir, "id",
+                spark.range(base, base + 30L).select(col("id"))): Unit
+            }
+          }),
+          new Thread(() => (0 until 4).foreach { _ =>
+            try {
+              TimeTravel.checkpointLineage(spark, dir): Unit
+              TimeTravel.vacuumLineage(spark, dir, graceMillis = 0): Unit
+            } catch {
+              case scala.util.control.NonFatal(e) => failures.add(e)
+            }
+            Thread.sleep(150)
+          }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      assert(failures.isEmpty,
+        s"storm surfaced non-race failures: ${failures.peek()}")
+      val head = TimeTravel.latestVersion(spark, dir)
+      val l = TimeTravel.readLineage(spark, dir)
+      // versions dense: the create-if-absent segment birth arbitrates
+      // every race — no gaps, no shared versions
+      val versions = l.select(col("version")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(versions.toSeq == (1L to head),
+        s"versions not dense: ${versions.mkString(",")}")
+      // the fold never duplicated an action row (the r16 ADVICE race:
+      // a checkpoint embedding a segment that stays effective)
+      assert(l.count() ==
+        l.select(col("version"), col("action"), col("file_name"))
+          .distinct().count(),
+        "duplicate action rows — a checkpoint embedded a live segment")
+      // zero lost commits: every append that reported success is
+      // present exactly once at the head
+      val at = TimeTravel.read(spark, dir)
+      appended.toArray(Array.empty[java.lang.Long]).foreach { b =>
+        assert(at.filter(col("id") >= b.longValue() &&
+          col("id") < b.longValue() + 50L).count() == 50L,
+          s"append at base $b lost or duplicated")
+      }
+      // merge atomicity: each merger's key half carries exactly ONE of
+      // its tags (its last successful upsert), never a torn mix
+      (0 until 2).foreach { t =>
+        val vs = at.filter(col("id") >= t * 50L &&
+            col("id") < t * 50L + 50L)
+          .select(col("v")).distinct().collect().map(_.getLong(0))
+        assert(vs.length == 1 && vs.head / 1000L == t,
+          s"merger $t keys torn: ${vs.mkString(",")}")
+      }
+      // the deleter's ranges are fully gone
+      assert(at.filter(col("id") >= 900000L).count() == 0L)
+      // every as-of in the retained window is readable
+      val floor = TimeTravel.earliestReadable(spark, dir)
+      (floor to head).foreach(v =>
+        TimeTravel.readAsOf(spark, dir, v).count(): Unit)
+      // post-storm, quiesced: orphans (lost racers' stranded files)
+      // reclaim without touching anything committed
+      val before = at.orderBy(col("id")).collect().map(_.toSeq).toSeq
+      TimeTravel.gcOrphans(spark, dir): Unit
+      assert(TimeTravel.read(spark, dir).orderBy(col("id"))
+        .collect().map(_.toSeq).toSeq == before)
+    } finally hconf.unset(TimeTravel.checkpointIntervalKey)
   }
 
   test("auto-checkpoint: the commit path folds the log every K commits " +
@@ -2030,7 +2179,7 @@ class TimeTravelSpec extends SparkSpec {
       .map(_.getInt(0)).toSet == Set(2, 3))
     // and the fold survives a checkpoint of the mixed log
     TimeTravel.checkpointLineage(spark, dir)
-    assert(TimeTravel.vacuumLineage(spark, dir) == 2)
+    assert(TimeTravel.vacuumLineage(spark, dir, graceMillis = 0) == 2)
     assert(TimeTravel.read(spark, dir).count() == 80L)
   }
 }

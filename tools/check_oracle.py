@@ -90,6 +90,15 @@ def selftest():
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # sixth oracle axis (r17): pin DuckDB's session zone to match a
+    # non-UTC Spark run (Verify's SPARK_GRAFT_TZ). Fixture timestamps
+    # are naive wall-clock (isAdjustedToUTC=0) so most ops are
+    # zone-independent on both sides; the pin covers the TIMESTAMPTZ
+    # edges (epoch casts, tz-aware functions).
+    import os as _os
+    tz = _os.environ.get("GRAFT_ORACLE_TZ")
+    if tz:
+        con.execute(f"SET TimeZone='{tz}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         # driver fixtures are single parquet FILES; Spark-written tables
