@@ -186,7 +186,22 @@ object Scd {
                    batchId: Option[String] = None,
                    face: String = "Scd.applyChanges"): Long = {
     requireBatchShape(upserts.columns.toSeq, keyCol, face)
+    // Materialize the batch once ([[TimeTravel.commitUpsert]]'s rule):
+    // the merge evaluates it from the one-row-per-key guard, the
+    // both-fates check, the key-range aggregate, and the delta join —
+    // each would re-run the caller's whole source tree. Unpersisted on
+    // every exit below.
     val clean = upserts.filter(col(keyCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyChangesImpl(spark, dataPath, keyCol, clean, deletes, files,
+      batchId, face)
+    finally clean.unpersist(false)
+  }
+
+  private def applyChangesImpl(spark: SparkSession, dataPath: String,
+                   keyCol: String, clean: DataFrame, deletes: DataFrame,
+                   files: Int, batchId: Option[String],
+                   face: String): Long = {
     val delKeys = deletes.select(col(deletes.columns.head)).toDF(keyCol)
       .filter(col(keyCol).isNotNull).distinct()
     val latest = TimeTravel.latestVersion(spark, dataPath)
@@ -215,7 +230,12 @@ object Scd {
     // the delete closes
     val allKeys = clean.select(col(keyCol))
       .unionByName(delKeys).distinct()
+    // the pruned current scan feeds the delta join (twice — inserts
+    // and close-keys both hang off it) and the to-close rewrite; one
+    // read instead of three
     val cur = currentInKeyRange(spark, dataPath, allKeys, keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // null-safe column-wise comparison over the UNION of attribute
     // sets — schema evolution is the lake's append rule (a column the
     // batch adds reads null in current → changed; one it omits reads
@@ -247,6 +267,7 @@ object Scd {
     commitExpecting(spark, dataPath, v,
       toClose.unionByName(inserts, allowMissingColumns = true),
       files, batchId, face, keyRange(allKeys, keyCol))
+    } finally cur.unpersist(false)
   }
 
   /** Close the current rows of `keys` (a one-column frame of business

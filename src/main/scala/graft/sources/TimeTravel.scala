@@ -271,6 +271,27 @@ object TimeTravel {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Fingerprint = per-file name:len:mtime PLUS file count and the
+    * lineage directory's own mtime: a delete-and-recreate at the same
+    * path can reproduce identical names/lengths, and on a coarse
+    * (second-granularity) store the per-file mtimes can collide too —
+    * the dir mtime moves on every create/delete inside it, so the
+    * recreate is still visible (ADVICE r16). Entry points that delete
+    * a table outright should additionally call
+    * [[invalidateLineageCache]]. One expression, shared by the cold
+    * load and the post-commit in-place refresh — they must never
+    * drift. */
+  private def lineageFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      lp: String,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): String = {
+    val dirM =
+      try fs.getFileStatus(hp(lp)).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    (s"n=${files.length}:dir=$dirM" +: files.map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"))
+      .mkString("|")
+  }
+
   private def lineageSnapOnce(spark: SparkSession,
                               dataPath: String): LineageSnap = {
     val lp = lineagePath(dataPath)
@@ -278,20 +299,7 @@ object TimeTravel {
     val files = effectiveLineageFiles(fs, lp)
     require(files.nonEmpty,
       s"no lineage at $lp — the table has no commits")
-    // Fingerprint = per-file name:len:mtime PLUS file count and the
-    // lineage directory's own mtime: a delete-and-recreate at the same
-    // path can reproduce identical names/lengths, and on a coarse
-    // (second-granularity) store the per-file mtimes can collide too —
-    // the dir mtime moves on every create/delete inside it, so the
-    // recreate is still visible (ADVICE r16). Entry points that delete
-    // a table outright should additionally call
-    // [[invalidateLineageCache]].
-    val dirM =
-      try fs.getFileStatus(hp(lp)).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    val fp = (s"n=${files.length}:dir=$dirM" +: files.map(f =>
-      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"))
-      .mkString("|")
+    val fp = lineageFingerprint(fs, lp, files)
     val cached = snapCache.get(lp)
     if (cached != null && cached.fingerprint == fp) return cached
     val paths = files.map(_.getPath.toString)
@@ -715,8 +723,19 @@ object TimeTravel {
     // job failure instead of the typed CommitRaceLost the loser is owed.
     // The create-if-absent birth stays the one arbiter.
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val won = atomicSingleFileBirth(fs,
-      seg.withColumn("commit_ts", lit(System.currentTimeMillis())),
+    // Collect the segment FIRST (it is metadata-sized by construction —
+    // file actions, not data), write the birth from the local rows, and
+    // keep them for the post-commit snapshot refresh below: the old
+    // shape re-listed AND re-read the whole effective lineage on the
+    // next consultation after every commit — one growing Spark job per
+    // commit that the committer, holding the very rows it just
+    // appended, never needed (r17, guide §1.2).
+    val stamped = seg.withColumn("commit_ts",
+      lit(System.currentTimeMillis()))
+    val segRows = stamped.collect()
+    val segLocal = spark.createDataFrame(
+      java.util.Arrays.asList(segRows: _*), stamped.schema)
+    val won = atomicSingleFileBirth(fs, segLocal,
       lp + s"_segtmp_v${v}_$token", hp(s"$lp/segment_v$v.parquet"))
     if (!won) throw new CommitRaceLost(v, dataPath,
       s"time-travel commit LOST the race for version $v of $dataPath — " +
@@ -724,10 +743,112 @@ object TimeTravel {
         "published nothing (its attempt-unique staged files are " +
         "orphans gcOrphans reclaims). Appends auto-retry; merges " +
         "retry only when provably disjoint from the winner")
-    // the commit IS durable here; what follows is log maintenance.
-    // A crash in it (the "checkpoint" matrix boundary) leaves a fully
-    // committed version whose caller retry no-ops through batchId.
+    // VACUUMED-ARBITER GUARD (r17 storm finding, the round's one real
+    // correctness bug — inherited): the version arbiter is the
+    // create-if-absent birth of segment_v<v>, but [[vacuumLineage]]
+    // DELETES folded segments — so a committer whose head-read→birth
+    // window spans a fold+vacuum cycle can re-birth a long-burned
+    // version successfully while every reader ignores it (the newer
+    // checkpoint wins effectiveLineageFiles): a silently LOST commit
+    // that reported success. Post-birth, one listing decides: a
+    // checkpoint at or past v existing NOW either folded our segment
+    // (it was born before the fold's listing — rows present, commit
+    // durable) or predated our birth (the stale case — rows absent,
+    // the version was already burned). Absent ⇒ remove our invisible
+    // segment and lose the race loudly; the caller's normal retry
+    // lands at the true head. Honest commits can never trip it: any
+    // fold reaching version ≥ v after our birth folded our rows in.
+    val filesAfter = effectiveLineageFiles(fs, lp)
+    val ckptAfter = filesAfter.map(_.getPath.getName).collectFirst {
+      case ckptNameRe(cv) => cv.toLong }.getOrElse(0L)
+    if (ckptAfter >= v) {
+      val s = lineageSnap(spark, dataPath)
+      val (sa, sf) = (stamped.schema.fieldNames.indexOf("action"),
+        stamped.schema.fieldNames.indexOf("file_name"))
+      val effective = s.rows.iterator.filter(_.getLong(s.vIdx) == v)
+        .map(x => (x.getString(s.aIdx), x.getString(s.fIdx))).toSet
+      val folded = segRows.forall(r =>
+        effective((r.getString(sa), r.getString(sf))))
+      if (!folded) {
+        fs.delete(hp(s"$lp/segment_v$v.parquet"), false)
+        throw new CommitRaceLost(v, dataPath,
+          s"time-travel commit LOST the race for version $v of " +
+            s"$dataPath: the version was already committed, folded " +
+            "into a lineage checkpoint, and its segment vacuumed " +
+            "before this attempt's birth — the re-born segment is " +
+            "invisible to every reader and has been removed. " +
+            "Appends auto-retry at the true head; merges retry only " +
+            "when provably disjoint")
+      }
+    } else {
+      // the commit IS durable here; what follows is log maintenance.
+      // A crash in it (the "checkpoint" matrix boundary) leaves a fully
+      // committed version whose caller retry no-ops through batchId.
+      refreshSnapAfterAppend(spark, fs, lp, v, segRows, stamped.schema,
+        filesAfter)
+    }
     maybeCheckpoint(spark, dataPath)
+  }
+
+  /** Fold the just-committed segment's rows into the cached lineage
+    * snapshot IN PLACE — zero jobs, one listing — instead of letting
+    * the next consultation reload every effective file. Guarded for
+    * concurrency: the update installs ONLY when the fresh listing is
+    * exactly the cached file set plus this commit's own segment (a
+    * concurrent committer/checkpointer/vacuum in the window makes the
+    * file sets differ — then we simply skip, and the fingerprint check
+    * reloads correctly on the next read). Never load-bearing: a
+    * skipped or raced update costs one cold reload, not correctness.
+    */
+  private def refreshSnapAfterAppend(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, lp: String, v: Long,
+      segRows: Array[Row], segSchema: StructType,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+    try {
+      val cached = snapCache.get(lp)
+      if (cached == null) return
+      val names = files.map(_.getPath.getName)
+      // the cached fingerprint's member names (lineage file names never
+      // contain ':' or '|' — segment_v<d>.parquet / ckpt_v<d>.parquet)
+      val cachedNames = cached.fingerprint.split('|').iterator.drop(1)
+        .map(_.takeWhile(_ != ':')).toSet
+      // the cached snapshot must predate OUR segment: a concurrent
+      // consultation may already have cold-loaded a listing that
+      // includes it — folding our rows in again would duplicate them
+      // (set union is idempotent, so the equality below alone would
+      // still pass)
+      if (cachedNames.contains(s"segment_v$v.parquet")) return
+      if (names.toSet != cachedNames + s"segment_v$v.parquet") return
+      val merged = widenMerge(cached.schema, segSchema,
+        s"lineage snapshot of $lp")
+      def remap(rows: Array[Row], from: StructType): Array[Row] = {
+        if (from == merged) return rows
+        val srcIdx = merged.fields.map(f => from.fieldNames.indexOf(f.name))
+        val needsCast = merged.fields.zip(srcIdx).map { case (f, i) =>
+          i >= 0 && normalizeType(from.fields(i).dataType) != f.dataType }
+        rows.map { r =>
+          Row.fromSeq(merged.fields.indices.map { j =>
+            val i = srcIdx(j)
+            if (i < 0 || r.isNullAt(i)) null
+            else if (!needsCast(j)) r.get(i)
+            else (r.get(i), merged.fields(j).dataType) match {
+              case (x: java.lang.Number,
+                    org.apache.spark.sql.types.LongType) =>
+                java.lang.Long.valueOf(x.longValue())
+              case (x: java.lang.Number,
+                    org.apache.spark.sql.types.DoubleType) =>
+                java.lang.Double.valueOf(x.doubleValue())
+              case _ => throw FooterStatsUnavailable // unsupported: skip
+            }
+          })
+        }
+      }
+      val fp = lineageFingerprint(fs, lp, files)
+      snapCache.put(lp, LineageSnap(fp, merged,
+        remap(cached.rows, cached.schema) ++ remap(segRows, segSchema)))
+    } catch {
+      case scala.util.control.NonFatal(_) => () // next read reloads cold
+    }
   }
 
   /** Fold the log when the tail past the newest checkpoint reaches the
@@ -962,6 +1083,146 @@ object TimeTravel {
     rows.toDF("version", "action", "file_name", "n_rows")
   }
 
+  /** Signal: a footer lacks a stat the commit needs — fall back to the
+    * scan-derived aggregate (never wrong, one extra batch pass). */
+  private object FooterStatsUnavailable
+    extends Exception(null, null, false, false)
+
+  /** The commit's per-file stats frame derived from parquet footers
+    * alone — None whenever ANY needed stat is absent, inexact-prone, or
+    * of an unsupported type (the caller then runs the old scan-derived
+    * aggregate, which is always exact). See the call site for the
+    * exactness contract. Only ever called on files THIS Spark version
+    * just wrote, so comparator semantics (unsigned UTF8 order) are the
+    * writer's own. */
+  private def footerStatsDf(spark: SparkSession, dataPath: String,
+                            promoted: Seq[String], schema: StructType,
+                            dims: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    // per dim: the lineage stat column's type ([[Layout.statsAggs]]'s
+    // widening: int family records long; everything else native)
+    val specs: Seq[(String, DataType, DataType)] = dims.map { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(return None)
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c, dt, LongType)
+        case DateType => (c, dt, DateType)
+        case StringType => (c, dt, StringType)
+        case _ => return None
+      }
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    try {
+      val rows = promoted.flatMap { name =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(hp(s"$dataPath/$name"), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          if (nRows == 0L) None // no group row — the old aggregate's shape
+          else {
+            val vals = specs.flatMap { case (c, srcT, outT) =>
+              var nulls = 0L
+              var minB: Any = null // bound in the PHYSICAL domain
+              var maxB: Any = null
+              blocks.foreach { b =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == c)
+                  .getOrElse(throw FooterStatsUnavailable)
+                val phys = cc.getPrimitiveType.getPrimitiveTypeName
+                val expect = srcT match {
+                  case ByteType | ShortType | IntegerType | DateType =>
+                    PrimitiveTypeName.INT32
+                  case LongType => PrimitiveTypeName.INT64
+                  case _ => PrimitiveTypeName.BINARY
+                }
+                if (phys != expect) throw FooterStatsUnavailable
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.isNumNullsSet)
+                  throw FooterStatsUnavailable
+                nulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                      if (minB == null ||
+                          lo < minB.asInstanceOf[Int]) minB = lo.intValue()
+                      if (maxB == null ||
+                          hi > maxB.asInstanceOf[Int]) maxB = hi.intValue()
+                    case (lo: java.lang.Long, hi: java.lang.Long) =>
+                      if (minB == null ||
+                          lo < minB.asInstanceOf[Long]) minB = lo.longValue()
+                      if (maxB == null ||
+                          hi > maxB.asInstanceOf[Long]) maxB = hi.longValue()
+                    case (lo: org.apache.parquet.io.api.Binary,
+                          hi: org.apache.parquet.io.api.Binary) =>
+                      val (lb, hb) = (lo.getBytes, hi.getBytes)
+                      // defense against writer-side stat truncation
+                      // (disabled by default; bound it anyway — a
+                      // truncated bound is not the exact value the
+                      // old aggregate records)
+                      if (lb.length >= 1024 || hb.length >= 1024)
+                        throw FooterStatsUnavailable
+                      if (minB == null ||
+                          cmpBytes(lb, minB.asInstanceOf[Array[Byte]]) < 0)
+                        minB = lb
+                      if (maxB == null ||
+                          cmpBytes(hb, maxB.asInstanceOf[Array[Byte]]) > 0)
+                        maxB = hb
+                    case _ => throw FooterStatsUnavailable
+                  }
+                }
+              }
+              def ext(v: Any): Any =
+                if (v == null) null
+                else outT match {
+                  case LongType => v match {
+                    case i: Int => java.lang.Long.valueOf(i.toLong)
+                    case l: Long => java.lang.Long.valueOf(l)
+                  }
+                  case DateType =>
+                    org.apache.spark.sql.catalyst.util.DateTimeUtils
+                      .toJavaDate(v.asInstanceOf[Int])
+                  case _ => new String(v.asInstanceOf[Array[Byte]],
+                    java.nio.charset.StandardCharsets.UTF_8)
+                }
+              Seq(ext(minB), ext(maxB), java.lang.Long.valueOf(nulls))
+            }
+            Some(Row.fromSeq(name +: java.lang.Long.valueOf(nRows) +: vals))
+          }
+        } finally reader.close()
+      }
+      val fields = org.apache.spark.sql.types.StructField("file_name",
+          StringType, nullable = true) +:
+        org.apache.spark.sql.types.StructField("n_rows", LongType,
+          nullable = false) +:
+        specs.flatMap { case (c, _, outT) => Seq(
+          org.apache.spark.sql.types.StructField(s"min_$c", outT,
+            nullable = true),
+          org.apache.spark.sql.types.StructField(s"max_$c", outT,
+            nullable = true),
+          org.apache.spark.sql.types.StructField(s"nulls_$c", LongType,
+            nullable = true)) }
+      Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(fields)))
+    } catch {
+      case FooterStatsUnavailable => None
+    }
+  }
+
   /** Stage `df` (already clustered by the caller), promote the parts
     * under attempt-unique `v<v>_<token>_<i>.parquet` names, and return
     * the commit's `add` lineage rows: per promoted file its row count
@@ -1025,14 +1286,28 @@ object TimeTravel {
       case None =>
         normalizeType(staged.schema).asInstanceOf[StructType]
     }
-    // promoted names are `v<d>_<d>.parquet` — no URI-encodable chars,
-    // so input_file_name's encoding hazard (Layout's listing rule)
-    // cannot bite here
-    spark.read.parquet(promoted.map(n => s"$dataPath/$n"): _*)
-      .groupBy(element_at(split(input_file_name(), "/"), -1)
-        .as("file_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        Layout.statsAggs(staged.schema, dims): _*)
+    // Per-file stats from the parquet FOOTERS of the files this commit
+    // just wrote (r17, guide §1.2/§6): the staging write already paid
+    // one full pass over the batch; re-scanning the promoted files to
+    // re-derive min/max/null-counts the writer recorded in the footer
+    // was a second full pass per commit. Footer reads are
+    // metadata-sized driver work (files-per-commit bounded). Exactness
+    // contract: stats here surface to oracle-checked results
+    // ([[columnStats]]), so only types whose footer stats provably
+    // equal the old aggregate are taken — integer family (exact), date
+    // (exact int32 days), string (exact unsigned-lexicographic UTF8,
+    // absent-when-truncated); float/double (NaN/±0.0 divergence) and
+    // everything else fall back to the scan, as does any file whose
+    // footer lacks a needed stat.
+    val stats = footerStatsDf(spark, dataPath, promoted, staged.schema,
+        dims)
+      .getOrElse(
+        spark.read.parquet(promoted.map(n => s"$dataPath/$n"): _*)
+          .groupBy(element_at(split(input_file_name(), "/"), -1)
+            .as("file_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            Layout.statsAggs(staged.schema, dims): _*))
+    stats
       .withColumn("version", lit(v))
       .withColumn("action", lit("add"))
       // the commit's schema rides its add rows (metadata-sized): what
@@ -1061,6 +1336,22 @@ object TimeTravel {
                    files: Int, batchId: Option[String] = None,
                    retries: Int = 3,
                    expectedVersion: Option[Long] = None): Long = {
+    // Materialize the batch once (commitUpsert's rule): the commit
+    // evaluates it up to four times — emptiness probe, constraint
+    // gate, the range partitioner's sample pass, the staging write —
+    // and batches are routinely derived trees (SCD stamps, feed
+    // filters), not raw scans. MEMORY_AND_DISK; unpersist on exit.
+    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try commitAppendImpl(mat, df, dataPath, dims, files, batchId,
+      retries, expectedVersion)
+    finally mat.unpersist(false)
+  }
+
+  private def commitAppendImpl(df: DataFrame, orig: DataFrame,
+                   dataPath: String, dims: Seq[String],
+                   files: Int, batchId: Option[String],
+                   retries: Int,
+                   expectedVersion: Option[Long]): Long = {
     val spark = df.sparkSession
     val ledger = commitLedgerPath(dataPath)
     batchId.foreach { id =>
@@ -1103,8 +1394,8 @@ object TimeTravel {
       // only as a runaway-race backstop. A pinned expectedVersion
       // never retries: the retry would land past the pin.
       case _: CommitRaceLost if retries > 0 && expectedVersion.isEmpty =>
-        return commitAppend(df, dataPath, dims, files, batchId,
-          retries - 1)
+        return commitAppendImpl(df, orig, dataPath, dims, files, batchId,
+          retries - 1, expectedVersion)
     }
     crashForTests("ledger")
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
@@ -1196,9 +1487,15 @@ object TimeTravel {
     require(latest >= 1, s"commitDelete: no committed table at $dataPath")
     val live = liveFileNames(spark, dataPath, latest)
     // null doomed ids are inert BY the join semantics below (null never
-    // equals a data row's id), so the candidate screen drops them too
+    // equals a data row's id), so the candidate screen drops them too.
+    // Materialized once (commitUpsert's rule): the id frame joins three
+    // times — stat screen, affected probe, survivor anti-join — and is
+    // routinely a derived tree (a change-feed filter), not a literal
+    // list; MEMORY_AND_DISK spills instead of OOMing on huge deletes.
     val ids = doomedIds.select(doomedIds.columns.head).toDF(idCol)
       .filter(col(idCol).isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val l = lineage(spark, dataPath)
     val candidates = idCandidateFiles(l, live, idCol, ids)
     if (candidates.isEmpty) return latest
@@ -1237,6 +1534,7 @@ object TimeTravel {
         return commitDelete(spark, dataPath, idCol, doomedIds, retries - 1)
     }
     v
+    } finally ids.unpersist(false)
   }
 
   /** The stat dimensions the lineage already records (`min_<c>` column
@@ -1306,7 +1604,28 @@ object TimeTravel {
                    retries: Int = 3,
                    screenRanges: Seq[Layout.ColRange] = Nil,
                    expectedVersion: Option[Long] = None): Long = {
+    // Materialize the update batch ONCE: the merge evaluates it from
+    // five places (dup-guard aggregate, candidate ids ×3 joins, the
+    // staged generation), and `updates` is routinely an expensive tree
+    // — a change-feed join, an SCD delta. Recomputing it per use
+    // multiplied the whole source plan; MEMORY_AND_DISK spills instead
+    // of OOMing when a batch outgrows executor storage (the same
+    // materialize-the-merge-source move Delta's MERGE makes). Unpersist
+    // on every exit.
     val upd = updates.filter(col(idCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try commitUpsertImpl(spark, dataPath, idCol, upd, updates, files,
+      batchId, retries, screenRanges, expectedVersion)
+    finally upd.unpersist(false)
+  }
+
+  private def commitUpsertImpl(spark: SparkSession, dataPath: String,
+                   idCol: String, upd: DataFrame, updates: DataFrame,
+                   files: Int,
+                   batchId: Option[String],
+                   retries: Int,
+                   screenRanges: Seq[Layout.ColRange],
+                   expectedVersion: Option[Long]): Long = {
     val latest = latestVersion(spark, dataPath)
     val ledger = commitLedgerPath(dataPath)
     // replay check FIRST, before the pin (commitAppend's ordering): a
@@ -1352,7 +1671,10 @@ object TimeTravel {
         expectedVersion = expectedVersion)
     requireNoCollision(upd.columns.toSeq, Seq("__file"), "commitUpsert")
     val live = liveFileNames(spark, dataPath, latest)
+    // the distinct-id frame joins three times (stat screen, affected
+    // probe, survivor anti-join) — one shuffle, not three
     val ids = upd.select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = lineage(spark, dataPath)
     // optional caller-supplied stat screen (e.g. [[Scd]]'s business-key
     // range when the match id itself is a string with no lineage
@@ -1363,6 +1685,7 @@ object TimeTravel {
     // one of them would be silently lost).
     // Same prunable/conservative rules as [[readAsOfPruned]] — an
     // unrecorded column never prunes, null stats keep the file.
+    try {
     val candidates = {
       val byId = idCandidateFiles(l, live, idCol, ids)
       val prunable = screenRanges.filter(r =>
@@ -1433,6 +1756,7 @@ object TimeTravel {
     crashForTests("ledger")
     batchId.foreach(graft.operators.Ledger.record(spark, ledger, _))
     v
+    } finally ids.unpersist(false)
   }
 
   /** Atomic REPLACE WHERE — the backfill commit: version `latest + 1`
@@ -2392,16 +2716,25 @@ object TimeTravel {
                        files: Int = 2): Unit = {
     val dataCols = feed.columns
       .filterNot(Set("change", "version", "pre")).toSeq
-    // an unborn replica has nothing to delete (the bootstrap version's
-    // feed is pure inserts; a delete for a row never replicated would
-    // be inert anyway)
-    if (latestVersion(spark, dstPath) >= 1L)
-      commitDelete(spark, dstPath, idCol,
-        feed.filter(col("change") === "deleted").select(col(idCol))): Unit
-    commitUpsert(spark, dstPath, idCol,
-      feed.filter(col("change").isin("inserted", "updated"))
-        .select(dataCols.map(col): _*),
-      files, batchId = Some(s"repl_v$version")): Unit
+    // ONE evaluation of the feed serves both commits: a changeFeed
+    // frame is a join over the source's changed files, and the
+    // delete + upsert pair below would otherwise each re-derive it
+    // (commitDelete/commitUpsert materialize their own id/update
+    // frames, so the feed tree itself was still being recomputed
+    // twice). Version-sized, spills if not.
+    val fed = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an unborn replica has nothing to delete (the bootstrap version's
+      // feed is pure inserts; a delete for a row never replicated would
+      // be inert anyway)
+      if (latestVersion(spark, dstPath) >= 1L)
+        commitDelete(spark, dstPath, idCol,
+          fed.filter(col("change") === "deleted").select(col(idCol))): Unit
+      commitUpsert(spark, dstPath, idCol,
+        fed.filter(col("change").isin("inserted", "updated"))
+          .select(dataCols.map(col): _*),
+        files, batchId = Some(s"repl_v$version")): Unit
+    } finally fed.unpersist(false)
   }
 
   /** Cross-lake replication as a STREAMING query: [[streamChanges]]
