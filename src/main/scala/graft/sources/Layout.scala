@@ -605,13 +605,35 @@ object Layout {
   private def appendStatsSegment(spark: SparkSession, mp: String,
                                  files: Seq[String],
                                  dims: Seq[String]): Unit = {
-    // localCheckpoint: the stats frame is consumed twice (the write and
-    // the statted-name probe) and must not recompute between them
-    val base = spark.read.parquet(files: _*)
-    val stats = base
-      .groupBy(input_file_name().as("file_name"))
-      .agg(count(lit(1)).as("n_rows"), statsAggs(base.schema, dims): _*)
-      .localCheckpoint()
+    // Footer-derived stats first (r17, [[FooterStats]]): the files
+    // being statted were just written by this engine, so re-scanning
+    // their data to re-derive what their footers already record paid a
+    // second full pass per manifest refresh. The recorded `file_name`
+    // must be BYTE-IDENTICAL to what `input_file_name()` would have
+    // recorded — `Path.toUri.toString` is exactly the URI string the
+    // scan publishes — so the footer path refuses any path whose URI
+    // form contains percent-escapes (an encoding round-trip this
+    // module documents as hazardous) and falls back to the aggregate.
+    val footer: Option[DataFrame] = {
+      val pairs = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        (p.toUri.toString, p)
+      }
+      if (pairs.exists(x => x._1.contains('%') || f2raw(x._1) != x._1))
+        None
+      else FooterStats.statsDf(spark, pairs,
+        spark.read.parquet(files: _*).schema, dims)
+    }
+    val stats = footer.getOrElse {
+      // localCheckpoint: the scan-derived stats frame is consumed twice
+      // (the write and the statted-name probe) and must not recompute
+      // between them
+      val base = spark.read.parquet(files: _*)
+      base
+        .groupBy(input_file_name().as("file_name"))
+        .agg(count(lit(1)).as("n_rows"), statsAggs(base.schema, dims): _*)
+        .localCheckpoint()
+    }
     if (stats.limit(1).head(1).nonEmpty)
       stats.coalesce(1).write.mode("append").parquet(mp)
     val statted = stats
@@ -634,6 +656,12 @@ object Layout {
       withStats.coalesce(1).write.mode("append").parquet(mp)
     }
   }
+
+  /** Identity marker for the footer path's encoding guard: the URI
+    * string must survive a Path round-trip unchanged, or the recorded
+    * name could diverge from `input_file_name()`'s form. */
+  private def f2raw(uri: String): String =
+    new org.apache.hadoop.fs.Path(uri).toUri.toString
 
   /** Rewrite a many-file manifest (one file per [[updateManifest]] call)
     * down to one, preserving rows exactly — the same staged-write + swap
@@ -1203,6 +1231,49 @@ object Layout {
     * (r11), so untouched leaves cost a listing RPC, never a Spark job
     * — job count scales with TOUCHED leaves, not table partitions.
     */
+  /** Run independent per-leaf work from a small driver thread pool
+    * (guide §2.6 — overlap independent jobs): per-leaf operations are
+    * disjoint by construction (each touches only its own leaf
+    * directory, its own manifest, and its own scratch area under the
+    * root's underscore prefix), and Spark's scheduler overlaps jobs
+    * submitted from several driver threads, back-filling executors a
+    * serial loop would leave idle through every leaf's job tail. At a
+    * 1000-leaf table the serial loop is the difference between minutes
+    * and the slowest touched leaf. Pool size: `graft.layout.leaf.
+    * parallelism` in the Hadoop conf (default 4 — 2-4 in-flight jobs
+    * fill the tail without fighting for executors). Results keep item
+    * order. EVERY task completes before this returns — on failure the
+    * remaining leaves still finish (the same partial progress a serial
+    * loop's earlier iterations already committed), THEN the first
+    * item's failure rethrows with its original exception: returning
+    * with work in flight would let a caller's recovery retry race this
+    * call's own leftovers on the same leaf. */
+  private def parLeaves[A, B](spark: SparkSession, items: Seq[A])
+                             (f: A => B): Seq[B] = {
+    val n = math.min(
+      math.max(1, spark.sparkContext.hadoopConfiguration
+        .getInt("graft.layout.leaf.parallelism", 4)),
+      items.size)
+    if (n <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      try {
+        val futs = items.map(a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(a)
+          }))
+        val results: Seq[Either[Throwable, B]] = futs.map(fu =>
+          try Right(fu.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Left(e.getCause)
+          })
+        results.collectFirst { case Left(t) => throw t }
+        results.map(_.toOption.get)
+      } finally pool.shutdown()
+    }
+  }
+
   def updateManifestPartitioned(spark: SparkSession, root: String,
                                 dims: Seq[String]): Int = {
     val rp = new org.apache.hadoop.fs.Path(root)
@@ -1216,10 +1287,11 @@ object Layout {
       if (withM.isEmpty) Nil
       else unmanifestedLeafFiles(leafManifests(spark, root, withM),
         listLeafFiles(fs, root, withM)))
-    fresh.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (leaf, fl) =>
-      appendStatsSegment(spark, partitionManifestPath(root, leaf),
-        fl.map(_._3), dims)
-    }
+    parLeaves(spark, fresh.groupBy(_._1).toSeq.sortBy(_._1)) {
+      case (leaf, fl) =>
+        appendStatsSegment(spark, partitionManifestPath(root, leaf),
+          fl.map(_._3), dims)
+    }: Unit
     fresh.length
   }
 
@@ -1377,7 +1449,7 @@ object Layout {
         s"got $maxFilesPerLeaf / $filesPerLeaf")
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    leaves(fs, rp).count { case (leaf, _, _) =>
+    parLeaves(spark, leaves(fs, rp)) { case (leaf, _, _) =>
       val leafDir = root.stripSuffix("/") + "/" + leaf
       val lp = new org.apache.hadoop.fs.Path(leafDir)
       val scratch = root.stripSuffix("/") + "/_compact/" + leaf
@@ -1433,7 +1505,7 @@ object Layout {
           partitionManifestPath(root, leaf), dims): Unit
         true
       }
-    }
+    }.count(identity)
   }
 
   /** Maintenance dry-run: per-leaf census of a partitioned table —
@@ -1541,14 +1613,14 @@ object Layout {
           listLeafFiles(fs, root, withManifest)).map(_._1).toSet
         (hits, stale)
       }
-    all.map(_._1)
-      .filter(l => noManifest(l) || hitLeaves(l) || staleLeaves(l))
-      .map { leaf =>
+    parLeaves(spark, all.map(_._1)
+        .filter(l => noManifest(l) || hitLeaves(l) || staleLeaves(l))) {
+      leaf =>
         val scratch = rootStr + "/_delete/" + leaf
         deleteRetainingAt(spark, rootStr + "/" + leaf,
           partitionManifestPath(root, leaf),
           scratch + "__staged", scratch + "__retired",
           dims, idCol, idv, vault = None)
-      }.sum
+    }.sum
   }
 }

@@ -838,7 +838,7 @@ object TimeTravel {
               case (x: java.lang.Number,
                     org.apache.spark.sql.types.DoubleType) =>
                 java.lang.Double.valueOf(x.doubleValue())
-              case _ => throw FooterStatsUnavailable // unsupported: skip
+              case _ => throw new IllegalStateException("uncastable") // skip via NonFatal below
             }
           })
         }
@@ -1083,145 +1083,15 @@ object TimeTravel {
     rows.toDF("version", "action", "file_name", "n_rows")
   }
 
-  /** Signal: a footer lacks a stat the commit needs — fall back to the
-    * scan-derived aggregate (never wrong, one extra batch pass). */
-  private object FooterStatsUnavailable
-    extends Exception(null, null, false, false)
-
   /** The commit's per-file stats frame derived from parquet footers
-    * alone — None whenever ANY needed stat is absent, inexact-prone, or
-    * of an unsupported type (the caller then runs the old scan-derived
-    * aggregate, which is always exact). See the call site for the
-    * exactness contract. Only ever called on files THIS Spark version
-    * just wrote, so comparator semantics (unsigned UTF8 order) are the
-    * writer's own. */
+    * alone ([[FooterStats]]) — None whenever ANY needed stat is
+    * absent, inexact-prone, or of an unsupported type (the caller then
+    * runs the old scan-derived aggregate, which is always exact). */
   private def footerStatsDf(spark: SparkSession, dataPath: String,
                             promoted: Seq[String], schema: StructType,
-                            dims: Seq[String]): Option[DataFrame] = {
-    import org.apache.spark.sql.types._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    import scala.jdk.CollectionConverters._
-    // per dim: the lineage stat column's type ([[Layout.statsAggs]]'s
-    // widening: int family records long; everything else native)
-    val specs: Seq[(String, DataType, DataType)] = dims.map { c =>
-      val dt = schema.fields.find(_.name == c).map(_.dataType)
-        .getOrElse(return None)
-      dt match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          (c, dt, LongType)
-        case DateType => (c, dt, DateType)
-        case StringType => (c, dt, StringType)
-        case _ => return None
-      }
-    }
-    val conf = spark.sessionState.newHadoopConf()
-    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val d = (a(i) & 0xff) - (b(i) & 0xff)
-        if (d != 0) return d
-        i += 1
-      }
-      a.length - b.length
-    }
-    try {
-      val rows = promoted.flatMap { name =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(hp(s"$dataPath/$name"), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val nRows = blocks.map(_.getRowCount).sum
-          if (nRows == 0L) None // no group row — the old aggregate's shape
-          else {
-            val vals = specs.flatMap { case (c, srcT, outT) =>
-              var nulls = 0L
-              var minB: Any = null // bound in the PHYSICAL domain
-              var maxB: Any = null
-              blocks.foreach { b =>
-                val cc = b.getColumns.asScala
-                  .find(_.getPath.toDotString == c)
-                  .getOrElse(throw FooterStatsUnavailable)
-                val phys = cc.getPrimitiveType.getPrimitiveTypeName
-                val expect = srcT match {
-                  case ByteType | ShortType | IntegerType | DateType =>
-                    PrimitiveTypeName.INT32
-                  case LongType => PrimitiveTypeName.INT64
-                  case _ => PrimitiveTypeName.BINARY
-                }
-                if (phys != expect) throw FooterStatsUnavailable
-                val st = cc.getStatistics
-                if (st == null || st.isEmpty || !st.isNumNullsSet)
-                  throw FooterStatsUnavailable
-                nulls += st.getNumNulls
-                if (st.hasNonNullValue) {
-                  (st.genericGetMin, st.genericGetMax) match {
-                    case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                      if (minB == null ||
-                          lo < minB.asInstanceOf[Int]) minB = lo.intValue()
-                      if (maxB == null ||
-                          hi > maxB.asInstanceOf[Int]) maxB = hi.intValue()
-                    case (lo: java.lang.Long, hi: java.lang.Long) =>
-                      if (minB == null ||
-                          lo < minB.asInstanceOf[Long]) minB = lo.longValue()
-                      if (maxB == null ||
-                          hi > maxB.asInstanceOf[Long]) maxB = hi.longValue()
-                    case (lo: org.apache.parquet.io.api.Binary,
-                          hi: org.apache.parquet.io.api.Binary) =>
-                      val (lb, hb) = (lo.getBytes, hi.getBytes)
-                      // defense against writer-side stat truncation
-                      // (disabled by default; bound it anyway — a
-                      // truncated bound is not the exact value the
-                      // old aggregate records)
-                      if (lb.length >= 1024 || hb.length >= 1024)
-                        throw FooterStatsUnavailable
-                      if (minB == null ||
-                          cmpBytes(lb, minB.asInstanceOf[Array[Byte]]) < 0)
-                        minB = lb
-                      if (maxB == null ||
-                          cmpBytes(hb, maxB.asInstanceOf[Array[Byte]]) > 0)
-                        maxB = hb
-                    case _ => throw FooterStatsUnavailable
-                  }
-                }
-              }
-              def ext(v: Any): Any =
-                if (v == null) null
-                else outT match {
-                  case LongType => v match {
-                    case i: Int => java.lang.Long.valueOf(i.toLong)
-                    case l: Long => java.lang.Long.valueOf(l)
-                  }
-                  case DateType =>
-                    org.apache.spark.sql.catalyst.util.DateTimeUtils
-                      .toJavaDate(v.asInstanceOf[Int])
-                  case _ => new String(v.asInstanceOf[Array[Byte]],
-                    java.nio.charset.StandardCharsets.UTF_8)
-                }
-              Seq(ext(minB), ext(maxB), java.lang.Long.valueOf(nulls))
-            }
-            Some(Row.fromSeq(name +: java.lang.Long.valueOf(nRows) +: vals))
-          }
-        } finally reader.close()
-      }
-      val fields = org.apache.spark.sql.types.StructField("file_name",
-          StringType, nullable = true) +:
-        org.apache.spark.sql.types.StructField("n_rows", LongType,
-          nullable = false) +:
-        specs.flatMap { case (c, _, outT) => Seq(
-          org.apache.spark.sql.types.StructField(s"min_$c", outT,
-            nullable = true),
-          org.apache.spark.sql.types.StructField(s"max_$c", outT,
-            nullable = true),
-          org.apache.spark.sql.types.StructField(s"nulls_$c", LongType,
-            nullable = true)) }
-      Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-        StructType(fields)))
-    } catch {
-      case FooterStatsUnavailable => None
-    }
-  }
+                            dims: Seq[String]): Option[DataFrame] =
+    FooterStats.statsDf(spark,
+      promoted.map(n => (n, hp(s"$dataPath/$n"))), schema, dims)
 
   /** Stage `df` (already clustered by the caller), promote the parts
     * under attempt-unique `v<v>_<token>_<i>.parquet` names, and return
